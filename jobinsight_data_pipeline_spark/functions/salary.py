@@ -1,0 +1,156 @@
+"""F1: Vietnamese salary-string normalization (fully native, no UDF).
+
+Semantics mirror the reference's plpgsql table function
+``normalize_salary`` (/root/reference/sql/stored_procedures.sql:6-105),
+branch order included:
+
+1. NULL / '' / 'thoả thuận' (case-insensitive)      -> (0, 0, 'negotiable')
+2. "x - y USD"   (comma = thousands separator)      -> (x*R/1e6, y*R/1e6, 'range')
+3. "x - y triệu" (comma = decimal separator)        -> (x, y, 'range')
+4. "tới x USD" / "tới x triệu"                      -> (0, x, 'upto')
+5. "từ x triệu"                                     -> (x, x, 'from')
+6. single "x USD" / "x triệu" with no '-' anywhere  -> (x, x, 'range')
+7. anything else                                    -> (0, 0, 'negotiable')
+
+with the post-conditions ``salary_min := coalesce(salary_min, 0)`` and
+``salary_max := coalesce(nullif(salary_max, 0), salary_min)``.
+
+Note: the reference SQL has an explicit branch for the literal
+``'0.0 - 0.0 triệu'`` AFTER the generic range branch, so it is dead code —
+the actual output for that input is ``(0.0, 0.0, 'range')``. We reproduce
+the actual behavior, not the comment.
+
+USD→VND rate is the reference's constant 24 000; amounts are in millions
+of VND as DOUBLE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+USD_VND_RATE = 24_000.0
+
+_NUM = r"([0-9,.]+)"
+_RANGE_USD = rf"(?i){_NUM}\s*-\s*{_NUM}\s*usd"
+_RANGE_TRIEU = rf"(?i){_NUM}\s*-\s*{_NUM}\s*triệu"
+_UPTO_USD = rf"(?i)tới\s+{_NUM}\s*usd"
+_UPTO_TRIEU = rf"(?i)tới\s+{_NUM}\s*triệu"
+_FROM_TRIEU = rf"(?i)từ\s+{_NUM}\s*triệu"
+_SINGLE_USD = rf"(?i){_NUM}\s*usd"
+_SINGLE_TRIEU = rf"(?i){_NUM}\s*triệu"
+
+
+def _usd(raw: Column) -> Column:
+    """'1,500' → 1500*rate/1e6 millions VND (comma = thousands sep)."""
+    return (
+        F.regexp_replace(raw, ",", "").try_cast("double") * F.lit(USD_VND_RATE) / F.lit(1e6)
+    )
+
+
+def _trieu(raw: Column) -> Column:
+    """'12,5' → 12.5 millions VND (comma = decimal sep)."""
+    return F.regexp_replace(raw, ",", ".").try_cast("double")
+
+
+def _ext(text: Column, pattern: str, group: int) -> Column:
+    """regexp_extract that yields NULL (not '') on no-match."""
+    got = F.regexp_extract(text, pattern, group)
+    return F.when(got != "", got)
+
+
+def normalize_salary(salary: Column) -> Column:
+    """Return ``struct(salary_min double, salary_max double, salary_type)``."""
+    s = salary
+
+    is_blank = s.isNull() | (s == "") | (F.lower(s) == "thoả thuận")
+
+    r_usd_lo, r_usd_hi = _ext(s, _RANGE_USD, 1), _ext(s, _RANGE_USD, 2)
+    r_tr_lo, r_tr_hi = _ext(s, _RANGE_TRIEU, 1), _ext(s, _RANGE_TRIEU, 2)
+    upto_usd = _ext(s, _UPTO_USD, 1)
+    upto_tr = _ext(s, _UPTO_TRIEU, 1)
+    from_tr = _ext(s, _FROM_TRIEU, 1)
+    single_usd = _ext(s, _SINGLE_USD, 1)
+    single_tr = _ext(s, _SINGLE_TRIEU, 1)
+    no_dash = ~s.contains("-")
+
+    def pair(lo: Column, hi: Column, typ: str) -> Column:
+        return F.struct(
+            lo.alias("salary_min"), hi.alias("salary_max"), F.lit(typ).alias("salary_type")
+        )
+
+    zero = F.lit(0.0)
+    raw = (
+        F.when(is_blank, pair(zero, zero, "negotiable"))
+        .when(r_usd_lo.isNotNull(), pair(_usd(r_usd_lo), _usd(r_usd_hi), "range"))
+        .when(r_tr_lo.isNotNull(), pair(_trieu(r_tr_lo), _trieu(r_tr_hi), "range"))
+        .when(upto_usd.isNotNull(), pair(zero, _usd(upto_usd), "upto"))
+        .when(upto_tr.isNotNull(), pair(zero, _trieu(upto_tr), "upto"))
+        .when(from_tr.isNotNull(), pair(_trieu(from_tr), _trieu(from_tr), "from"))
+        .when(single_usd.isNotNull() & no_dash, pair(_usd(single_usd), _usd(single_usd), "range"))
+        .when(single_tr.isNotNull() & no_dash, pair(_trieu(single_tr), _trieu(single_tr), "range"))
+        .otherwise(pair(zero, zero, "negotiable"))
+    )
+
+    # post-conditions (stored_procedures.sql:100-101)
+    lo = F.coalesce(raw["salary_min"], zero)
+    hi = F.coalesce(F.nullif(raw["salary_max"], zero), lo)
+    return F.struct(
+        lo.alias("salary_min"), hi.alias("salary_max"), raw["salary_type"].alias("salary_type")
+    )
+
+
+def with_salary_columns(df: DataFrame, salary_col: str = "salary") -> DataFrame:
+    """Attach ``salary_min``, ``salary_max``, ``salary_type`` columns."""
+    parsed = normalize_salary(F.col(salary_col))
+    return (
+        df.withColumn("_sal", parsed)
+        .withColumn("salary_min", F.col("_sal.salary_min"))
+        .withColumn("salary_max", F.col("_sal.salary_max"))
+        .withColumn("salary_type", F.col("_sal.salary_type"))
+        .drop("_sal")
+    )
+
+
+def normalize_salary_sql(col_expr: str) -> str:
+    """ANSI-SQL (DuckDB-compatible) rendering of the same semantics, for
+    oracle comparison. Returns a SELECT-fragment producing columns
+    ``salary_min, salary_max, salary_type`` from ``col_expr``.
+    """
+    num = "([0-9,.]+)"
+    r_usd = f"(?i){num}\\s*-\\s*{num}\\s*usd"
+    r_tr = f"(?i){num}\\s*-\\s*{num}\\s*triệu"
+    u_usd = f"(?i)tới\\s+{num}\\s*usd"
+    u_tr = f"(?i)tới\\s+{num}\\s*triệu"
+    f_tr = f"(?i)từ\\s+{num}\\s*triệu"
+    s_usd = f"(?i){num}\\s*usd"
+    s_tr = f"(?i){num}\\s*triệu"
+    c = col_expr
+    usd1 = f"CAST(replace(regexp_extract({c}, '{r_usd}', 1), ',', '') AS DOUBLE) * 24000 / 1e6"
+    usd2 = f"CAST(replace(regexp_extract({c}, '{r_usd}', 2), ',', '') AS DOUBLE) * 24000 / 1e6"
+    tr1 = f"CAST(replace(regexp_extract({c}, '{r_tr}', 1), ',', '.') AS DOUBLE)"
+    tr2 = f"CAST(replace(regexp_extract({c}, '{r_tr}', 2), ',', '.') AS DOUBLE)"
+    uusd = f"CAST(replace(regexp_extract({c}, '{u_usd}', 1), ',', '') AS DOUBLE) * 24000 / 1e6"
+    utr = f"CAST(replace(regexp_extract({c}, '{u_tr}', 1), ',', '.') AS DOUBLE)"
+    ftr = f"CAST(replace(regexp_extract({c}, '{f_tr}', 1), ',', '.') AS DOUBLE)"
+    susd = f"CAST(replace(regexp_extract({c}, '{s_usd}', 1), ',', '') AS DOUBLE) * 24000 / 1e6"
+    str_ = f"CAST(replace(regexp_extract({c}, '{s_tr}', 1), ',', '.') AS DOUBLE)"
+    blank = f"({c} IS NULL OR {c} = '' OR lower({c}) = 'thoả thuận')"
+    case = f"""
+      CASE
+        WHEN {blank} THEN struct_pack(lo := 0.0, hi := 0.0, ty := 'negotiable')
+        WHEN regexp_matches({c}, '{r_usd}') THEN struct_pack(lo := {usd1}, hi := {usd2}, ty := 'range')
+        WHEN regexp_matches({c}, '{r_tr}') THEN struct_pack(lo := {tr1}, hi := {tr2}, ty := 'range')
+        WHEN regexp_matches({c}, '{u_usd}') THEN struct_pack(lo := 0.0, hi := {uusd}, ty := 'upto')
+        WHEN regexp_matches({c}, '{u_tr}') THEN struct_pack(lo := 0.0, hi := {utr}, ty := 'upto')
+        WHEN regexp_matches({c}, '{f_tr}') THEN struct_pack(lo := {ftr}, hi := {ftr}, ty := 'from')
+        WHEN regexp_matches({c}, '{s_usd}') AND NOT contains({c}, '-') THEN struct_pack(lo := {susd}, hi := {susd}, ty := 'range')
+        WHEN regexp_matches({c}, '{s_tr}') AND NOT contains({c}, '-') THEN struct_pack(lo := {str_}, hi := {str_}, ty := 'range')
+        ELSE struct_pack(lo := 0.0, hi := 0.0, ty := 'negotiable')
+      END
+    """
+    return (
+        f"coalesce(({case}).lo, 0.0) AS salary_min, "
+        f"coalesce(nullif(({case}).hi, 0.0), coalesce(({case}).lo, 0.0)) AS salary_max, "
+        f"({case}).ty AS salary_type"
+    )
