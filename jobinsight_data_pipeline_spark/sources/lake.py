@@ -1,0 +1,107 @@
+"""Plain-Parquet lakehouse with versioned table directories.
+
+Upserted tables (dims, fact, bridge, staging) are fully re-materialized
+per merge; because Spark reads lazily, overwriting a directory we are
+still reading from corrupts the plan. Each logical table is therefore a
+directory of immutable version snapshots plus a pointer file:
+
+    <lake>/<table>/_v00017/part-*.parquet
+    <lake>/<table>/_CURRENT            # contains "_v00017"
+
+Writes go to a fresh version dir, then the pointer flips — an atomic
+single-file replace. Old versions double as the reference's
+backup/restore mechanism (S12: /root/reference/src/etl/etl_main.py:62-201)
+and are pruned with ``vacuum`` (keep last N, like the reference keeps the
+last 5 file backups). On a real deployment swap this module for
+Delta/Iceberg — the plans above it are format-agnostic.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class ParquetLake:
+    def __init__(self, root: str, keep_versions: int = 5):
+        self.root = root
+        self.keep_versions = keep_versions
+        os.makedirs(root, exist_ok=True)
+
+    # -- pointer management -------------------------------------------------
+    def _table_dir(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def _pointer(self, table: str) -> str:
+        return os.path.join(self._table_dir(table), "_CURRENT")
+
+    def current_version(self, table: str) -> str | None:
+        try:
+            with open(self._pointer(table)) as fh:
+                return fh.read().strip() or None
+        except FileNotFoundError:
+            return None
+
+    def versions(self, table: str) -> list[str]:
+        d = self._table_dir(table)
+        if not os.path.isdir(d):
+            return []
+        return sorted(v for v in os.listdir(d) if v.startswith("_v"))
+
+    # -- read/write ---------------------------------------------------------
+    def exists(self, table: str) -> bool:
+        return self.current_version(table) is not None
+
+    def path(self, table: str) -> str | None:
+        v = self.current_version(table)
+        return os.path.join(self._table_dir(table), v) if v else None
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame | None:
+        p = self.path(table)
+        return spark.read.parquet(p) if p else None
+
+    def write(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> str:
+        d = self._table_dir(table)
+        os.makedirs(d, exist_ok=True)
+        existing = self.versions(table)
+        n = int(existing[-1][2:]) + 1 if existing else 0
+        version = f"_v{n:05d}"
+        target = os.path.join(d, version)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(target)
+        tmp = self._pointer(table) + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(version)
+        os.replace(tmp, self._pointer(table))  # atomic flip
+        self.vacuum(table)
+        return target
+
+    # -- retention / restore (S12/S13) --------------------------------------
+    def vacuum(self, table: str) -> None:
+        live = self.current_version(table)
+        vs = self.versions(table)
+        for v in vs[: -self.keep_versions]:
+            if v != live:
+                shutil.rmtree(os.path.join(self._table_dir(table), v), ignore_errors=True)
+
+    def restore(self, table: str, version: str | None = None) -> str:
+        """Roll the pointer back (reference: restore DB file backup on ETL
+        failure). Default: previous version."""
+        vs = self.versions(table)
+        cur = self.current_version(table)
+        if version is None:
+            older = [v for v in vs if cur is None or v < cur]
+            if not older:
+                raise ValueError(f"no older version of {table} to restore")
+            version = older[-1]
+        if version not in vs:
+            raise ValueError(f"unknown version {version} for {table}")
+        tmp = self._pointer(table) + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(version)
+        os.replace(tmp, self._pointer(table))
+        return version
