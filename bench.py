@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Benchmark the headline catalog queries.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Each query is fully materialized through the noop sink (no driver-side
+collect, no result-size bias). Session startup is excluded from per-query
+times; a separate "startup_sec" field reports it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from jobinsight_data_pipeline_spark.catalog import build_catalog
+from jobinsight_data_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+from jobinsight_data_pipeline_spark.session import get_spark
+
+# the scale-representative subset: joins/aggs/windows, parsing projections,
+# dedup (exact + LSH + capped-jaccard), similarity (exact + LSH)
+HEADLINE = [
+    "star_revenue",
+    "monthly_orders",
+    "top10_customers",
+    "dedup_keepmin",
+    "scd2_rebuild",
+    "salary_parse",
+    "location_parse",
+    "date_fanout",
+    "exact_dedup",
+    "text_stats",
+    "minhash_lsh",
+    "simhash_pairs",
+    "embedding_topk",
+    "embedding_lsh_topk",
+]
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    t0 = time.time()
+    spark = get_spark(app_name="jobinsight-bench")
+    startup = time.time() - t0
+
+    queries, _ = build_catalog()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        materialize(queries[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    # capped n-gram jaccard: the bench-scale variant of the near-dup path
+    # (the catalog version is uncapped for oracle exactness)
+    t0 = time.time()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    materialize(
+        ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5, max_shingle_freq=1000)
+    )
+    timings["ngram_jaccard_capped"] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+                "startup_sec": round(startup, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,101 @@
+"""Query catalog — the driver-checkable surface of the engine.
+
+Each entry pairs a Spark implementation (DataFrame API, engine operators)
+with an ANSI-SQL oracle that DuckDB runs over the same parquet tables.
+Entries without an oracle (LSH/simhash — hash functions DuckDB lacks) get
+the driver's weaker rows-only check.
+
+Hash-match discipline (the driver compares order-insensitive value
+hashes): every computed column is aliased identically on both sides,
+floats are rounded at a fixed precision on both sides, and orderings that
+feed LIMIT are made deterministic with explicit tie-breaks.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def prepare_session(spark: SparkSession) -> None:
+    """Make an externally-created SparkSession able to run the catalog:
+    set the runtime-settable confs the engine relies on and ship the
+    package to Python workers (pandas UDFs unpickle it executor-side, and
+    the host session's PYTHONPATH may not include the repo)."""
+    if getattr(spark, "_jobinsight_prepared", False):
+        return
+    for key, value in {
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.sql.session.timeZone": "Asia/Ho_Chi_Minh",
+        "spark.sql.adaptive.enabled": "true",
+    }.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            pass  # non-runtime-settable in this deployment; best effort
+    try:
+        import os
+        import shutil
+        import tempfile
+
+        pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        zip_base = os.path.join(
+            tempfile.gettempdir(), "jobinsight_data_pipeline_spark_pkg"
+        )
+        if not os.path.exists(zip_base + ".zip"):
+            shutil.make_archive(zip_base, "zip", os.path.dirname(pkg_dir),
+                                os.path.basename(pkg_dir))
+        spark.sparkContext.addPyFile(zip_base + ".zip")
+    except Exception:
+        pass  # local-mode with shared PYTHONPATH still works
+    spark._jobinsight_prepared = True  # type: ignore[attr-defined]
+
+
+def load(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    """Read the requested testdata tables and register them as temp views
+    (so shared portable-SQL input fragments can run verbatim)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    prepare_session(spark)
+
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+            # TIMESTAMP(NANOS) read as raw nanos (see session factory):
+            # integer-divide to microseconds (truncation, matching DuckDB's
+            # nanos→micros cast) — float division would lose precision at
+            # int64 magnitudes.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def build_catalog() -> tuple[
+    dict[str, Callable[[SparkSession, str], DataFrame]], dict[str, str]
+]:
+    """Assemble (queries, oracles) from all catalog modules."""
+    from jobinsight_data_pipeline_spark.catalog import parity, relational, textml
+
+    queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    oracles: dict[str, str] = {}
+    for mod in (relational, parity, textml):
+        queries.update(mod.QUERIES)
+        oracles.update(mod.ORACLES)
+    return queries, oracles

@@ -1,0 +1,344 @@
+"""Function-parity queries: the JobInsight scalar library under the
+driver's correctness gate.
+
+Inputs are CONSTRUCTED deterministically from the testdata tables with a
+portable SQL fragment that runs verbatim in both Spark SQL and DuckDB;
+the Spark side then applies the ENGINE's implementation (native
+expressions / pandas UDF) while the oracle recomputes the expected output
+in pure SQL. This puts F1/F2/F3/F4/F9/F11/F13/F14/F16 (SURVEY §2.8)
+under the hash-match gate instead of only unit tests.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jobinsight_data_pipeline_spark.catalog import load
+from jobinsight_data_pipeline_spark.functions.dates import (
+    due_date_from_deadline,
+    time_remaining,
+)
+from jobinsight_data_pipeline_spark.functions.location import parse_locations_udf
+from jobinsight_data_pipeline_spark.functions.salary import (
+    normalize_salary_sql,
+    with_salary_columns,
+)
+from jobinsight_data_pipeline_spark.functions.text import clean_title, parse_last_update
+
+# ---------------------------------------------------------------- F1 salary
+_Q30 = "CAST(1 + mod(CAST(l_quantity AS INT), 30) AS STRING)"
+_Q30B = "CAST(11 + mod(CAST(l_quantity AS INT), 30) AS STRING)"
+_Q9 = "CAST(1 + mod(CAST(l_quantity AS INT), 9) AS STRING)"
+
+SALARY_FRAG = f"""
+CASE mod(l_orderkey * 7 + l_linenumber, 10)
+  WHEN 0 THEN NULL
+  WHEN 1 THEN ''
+  WHEN 2 THEN 'Thoả thuận'
+  WHEN 3 THEN concat({_Q30}, ' - ', {_Q30B}, ' triệu')
+  WHEN 4 THEN concat({_Q30}, ',5 - ', {_Q30B}, ' triệu')
+  WHEN 5 THEN concat('1,', {_Q9}, '00 - 2,', {_Q9}, '00 USD')
+  WHEN 6 THEN concat('Tới ', {_Q30}, ' triệu')
+  WHEN 7 THEN concat('tới ', {_Q9}, '00 USD')
+  WHEN 8 THEN concat('Từ ', {_Q30}, ' triệu')
+  ELSE concat({_Q30}, ' triệu')
+END
+"""
+
+
+def q_salary_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "lineitem")
+    base = spark.sql(
+        f"SELECT l_orderkey, l_linenumber, {SALARY_FRAG} AS salary FROM lineitem"
+    )
+    return with_salary_columns(base).select(
+        "l_orderkey",
+        "l_linenumber",
+        "salary",
+        F.round("salary_min", 4).alias("salary_min"),
+        F.round("salary_max", 4).alias("salary_max"),
+        "salary_type",
+    )
+
+
+O_SALARY_PARSE = f"""
+WITH base AS (
+    SELECT l_orderkey, l_linenumber, {SALARY_FRAG} AS salary FROM lineitem
+),
+parsed AS (
+    SELECT l_orderkey, l_linenumber, salary, {normalize_salary_sql('salary')}
+    FROM base
+)
+SELECT l_orderkey, l_linenumber, salary,
+       round(salary_min, 4) AS salary_min,
+       round(salary_max, 4) AS salary_max,
+       salary_type
+FROM parsed
+"""
+
+# ---------------------------------------------------------- F11 relative time
+LAST_UPDATE_FRAG = """
+CASE mod(o_orderkey, 8)
+  WHEN 0 THEN NULL
+  WHEN 1 THEN ''
+  WHEN 2 THEN concat('Cập nhật ', CAST(1 + mod(o_orderkey, 59) AS STRING), ' phút trước')
+  WHEN 3 THEN concat('Cập nhật ', CAST(1 + mod(o_orderkey, 23) AS STRING), ' giờ trước')
+  WHEN 4 THEN concat(CAST(1 + mod(o_orderkey, 30) AS STRING), ' ngày trước')
+  WHEN 5 THEN concat(CAST(1 + mod(o_orderkey, 4) AS STRING), ' tuần trước')
+  WHEN 6 THEN concat(CAST(1 + mod(o_orderkey, 12) AS STRING), ' tháng trước')
+  ELSE 'vừa xong'
+END
+"""
+
+
+def q_relative_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders")
+    base = spark.sql(
+        f"SELECT o_orderkey, {LAST_UPDATE_FRAG} AS last_update FROM orders"
+    )
+    return base.select(
+        "o_orderkey",
+        "last_update",
+        parse_last_update("last_update").alias("seconds_ago"),
+    )
+
+
+O_RELATIVE_TIME = f"""
+WITH base AS (SELECT o_orderkey, {LAST_UPDATE_FRAG} AS last_update FROM orders)
+SELECT o_orderkey, last_update,
+       CAST(CASE mod(o_orderkey, 8)
+         WHEN 2 THEN (1 + mod(o_orderkey, 59)) * 60
+         WHEN 3 THEN (1 + mod(o_orderkey, 23)) * 3600
+         WHEN 4 THEN (1 + mod(o_orderkey, 30)) * 86400
+         WHEN 5 THEN (1 + mod(o_orderkey, 4)) * 604800
+         WHEN 6 THEN (1 + mod(o_orderkey, 12)) * 2592000
+         ELSE 0
+       END AS BIGINT) AS seconds_ago
+FROM base
+"""
+
+# ------------------------------------------------- F2/F3 due date + rendering
+AS_OF = dt.datetime(1998, 6, 1, 12, 0, 0)
+
+
+def q_time_remaining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "orders")
+    base = t["orders"].select(
+        "o_orderkey",
+        F.col("o_orderdate").alias("crawled_at"),
+        (F.col("o_orderkey") % 40).cast("string").alias("deadline"),
+    )
+    return base.select(
+        "o_orderkey",
+        due_date_from_deadline("crawled_at", "deadline").alias("due_date"),
+    ).select(
+        "o_orderkey",
+        "due_date",
+        time_remaining("due_date", F.lit(AS_OF)).alias("time_remaining"),
+    )
+
+
+O_TIME_REMAINING = """
+WITH base AS (
+    SELECT o_orderkey,
+           o_orderdate + CAST(mod(o_orderkey, 40) AS INT) * INTERVAL 1 DAY AS due_date
+    FROM orders
+),
+secs AS (
+    SELECT o_orderkey, due_date,
+           date_diff('second', TIMESTAMP '1998-06-01 12:00:00', due_date) AS s
+    FROM base
+)
+SELECT o_orderkey, due_date,
+       CASE
+         WHEN s <= 0 THEN 'Đã hết thời gian ứng tuyển'
+         WHEN s >= 86400 THEN concat('Còn ', CAST(s // 86400 AS STRING), ' ngày để ứng tuyển')
+         WHEN s >= 3600 THEN concat('Còn ', CAST((s % 86400) // 3600 AS STRING), ' giờ để ứng tuyển')
+         WHEN s >= 60 THEN concat('Còn ', CAST((s % 3600) // 60 AS STRING), ' phút để ứng tuyển')
+         ELSE concat('Còn ', CAST(s % 60 AS STRING), ' giây để ứng tuyển')
+       END AS time_remaining
+FROM secs
+"""
+
+# ------------------------------------------------------------ F13 load_month
+
+
+def q_load_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "orders")
+    return (
+        t["orders"]
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("load_month"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+O_LOAD_MONTH = """
+SELECT strftime(o_orderdate, '%Y-%m') AS load_month, count(*) AS n
+FROM orders
+GROUP BY 1
+"""
+
+# ------------------------------------------------------------- F14 calendar
+
+
+def q_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "orders")
+    bounds = t["orders"].agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("lo"),
+        F.max(F.col("o_orderdate").cast("date")).alias("hi"),
+    )
+    return (
+        bounds.select(F.explode(F.sequence("lo", "hi")).alias("date_id"))
+        .select(
+            "date_id",
+            F.dayofmonth("date_id").alias("day"),
+            F.month("date_id").alias("month"),
+            F.quarter("date_id").alias("quarter"),
+            F.year("date_id").alias("year"),
+            F.date_format("date_id", "EEEE").alias("weekday"),
+        )
+    )
+
+
+O_CALENDAR = """
+WITH bounds AS (
+    SELECT CAST(min(o_orderdate) AS DATE) AS lo, CAST(max(o_orderdate) AS DATE) AS hi
+    FROM orders
+),
+days AS (
+    SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS date_id
+    FROM bounds
+)
+SELECT date_id, day(date_id) AS day, month(date_id) AS month,
+       quarter(date_id) AS quarter, year(date_id) AS year,
+       dayname(date_id) AS weekday
+FROM days
+"""
+
+# ------------------------------------------------------------ F16 date fan-out
+
+
+def q_date_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return t["orders"].select(
+        "o_orderkey",
+        F.explode(F.sequence(d, F.date_add(d, 4))).alias("date_id"),
+    )
+
+
+O_DATE_FANOUT = """
+SELECT o_orderkey,
+       CAST(unnest(generate_series(CAST(o_orderdate AS DATE),
+                                   CAST(o_orderdate AS DATE) + INTERVAL 4 DAY,
+                                   INTERVAL 1 DAY)) AS DATE) AS date_id
+FROM orders
+"""
+
+# ------------------------------------------------------- F9 location parsing
+LOC_TOKENS = """
+  concat('City', CAST(mod(o_orderkey, 7) AS STRING)) AS c,
+  concat('D', CAST(mod(o_orderkey, 5) AS STRING)) AS d1,
+  concat('D', CAST(mod(o_orderkey, 3) AS STRING)) AS d2,
+  concat('Prov', CAST(mod(o_orderkey, 4) AS STRING)) AS p,
+  mod(o_orderkey, 6) AS b
+"""
+
+LOC_STRING = """
+CASE b
+  WHEN 0 THEN concat(c, ': ', d1, ', ', d2)
+  WHEN 1 THEN concat(p, ': TP ', c)
+  WHEN 2 THEN concat(c, ' │ ', d1)
+  WHEN 3 THEN c
+  WHEN 4 THEN concat(p, ' │ ', c, ' │ ', d1)
+  ELSE NULL
+END
+"""
+
+
+def q_location_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders")
+    base = spark.sql(
+        f"SELECT o_orderkey, {LOC_STRING} AS loc FROM "
+        f"(SELECT o_orderkey, {LOC_TOKENS} FROM orders)"
+    )
+    pairs = F.when(F.col("loc").isNotNull(), F.array(F.col("loc")))
+    return (
+        base.select(
+            "o_orderkey", F.explode(parse_locations_udf(pairs)).alias("u")
+        )
+        .select("o_orderkey", "u.province", "u.city", "u.district")
+    )
+
+
+O_LOCATION_PARSE = f"""
+WITH toks AS (SELECT o_orderkey, {LOC_TOKENS} FROM orders),
+expected AS (
+    SELECT o_orderkey,
+      CASE b
+        WHEN 0 THEN [struct_pack(province := CAST(NULL AS VARCHAR), city := c, district := d1),
+                     struct_pack(province := CAST(NULL AS VARCHAR), city := c, district := d2)]
+        WHEN 1 THEN [struct_pack(province := p, city := concat('TP ', c), district := CAST(NULL AS VARCHAR))]
+        WHEN 2 THEN [struct_pack(province := CAST(NULL AS VARCHAR), city := c, district := d1)]
+        WHEN 3 THEN [struct_pack(province := CAST(NULL AS VARCHAR), city := c, district := CAST(NULL AS VARCHAR))]
+        WHEN 4 THEN [struct_pack(province := p, city := c, district := d1)]
+        ELSE [struct_pack(province := CAST(NULL AS VARCHAR), city := 'Unknown', district := CAST(NULL AS VARCHAR))]
+      END AS locs
+    FROM toks
+)
+SELECT o_orderkey, u.province AS province, u.city AS city, u.district AS district
+FROM (SELECT o_orderkey, unnest(locs) AS u FROM expected)
+"""
+
+# ------------------------------------------------------------- F4 clean_title
+TITLE_FRAG = """
+CASE mod(c_custkey, 3)
+  WHEN 0 THEN concat('Senior ', c_mktsegment, ' Dev - Urgent')
+  WHEN 1 THEN concat(c_mktsegment, ' Analyst (AWS)')
+  ELSE concat(c_mktsegment, ' / Lead')
+END
+"""
+
+
+def q_clean_title(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "customer")
+    base = spark.sql(f"SELECT c_custkey, {TITLE_FRAG} AS title FROM customer")
+    return base.select("c_custkey", "title", clean_title("title").alias("title_clean"))
+
+
+O_CLEAN_TITLE = f"""
+WITH base AS (SELECT c_custkey, {TITLE_FRAG} AS title FROM customer)
+SELECT c_custkey, title,
+       CASE mod(c_custkey, 3)
+         WHEN 0 THEN concat('Senior ', c_mktsegment, ' Dev')
+         WHEN 1 THEN concat(c_mktsegment, ' Analyst')
+         ELSE concat(c_mktsegment, ' / Lead')
+       END AS title_clean
+FROM base JOIN customer USING (c_custkey)
+"""
+
+
+QUERIES = {
+    "salary_parse": q_salary_parse,
+    "relative_time": q_relative_time,
+    "time_remaining": q_time_remaining,
+    "load_month": q_load_month,
+    "calendar": q_calendar,
+    "date_fanout": q_date_fanout,
+    "location_parse": q_location_parse,
+    "clean_title": q_clean_title,
+}
+
+ORACLES = {
+    "salary_parse": O_SALARY_PARSE,
+    "relative_time": O_RELATIVE_TIME,
+    "time_remaining": O_TIME_REMAINING,
+    "load_month": O_LOAD_MONTH,
+    "calendar": O_CALENDAR,
+    "date_fanout": O_DATE_FANOUT,
+    "location_parse": O_LOCATION_PARSE,
+    "clean_title": O_CLEAN_TITLE,
+}

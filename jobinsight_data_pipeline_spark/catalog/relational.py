@@ -1,0 +1,314 @@
+"""Relational operator coverage over the TPC-H-ish testdata.
+
+Maps SURVEY §2's join/agg/window/set-op inventory onto the driver's
+tables. Every query is written the way the engine would run it at 100 TB:
+dims broadcast, aggregations partial-by-default, top-k via
+TakeOrderedAndProject, dedup via window — no collects, no loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from jobinsight_data_pipeline_spark.catalog import load
+
+def REVENUE():
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+def q_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: multi-way star equi-join + grouped aggregation (broadcast dims)."""
+    t = load(spark, sf_dir, "lineitem", "orders", "customer", "nation", "region")
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.round(F.sum(REVENUE()), 2).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("order_count"),
+            F.count("*").alias("line_count"),
+        )
+    )
+
+
+O_STAR_REVENUE = """
+SELECT r_name AS region_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(DISTINCT o_orderkey) AS order_count,
+       count(*) AS line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_monthly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: calendar-bucketed group-by with COUNT(DISTINCT) + AVG
+    (the vw_monthly_jobs shape)."""
+    t = load(spark, sf_dir, "orders")
+    return (
+        t["orders"]
+        .groupBy(
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+        )
+        .agg(
+            F.count("*").alias("order_count"),
+            F.countDistinct("o_custkey").alias("customer_count"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_total"),
+        )
+    )
+
+
+O_MONTHLY_ORDERS = """
+SELECT year(o_orderdate) AS order_year,
+       month(o_orderdate) AS order_month,
+       count(*) AS order_count,
+       count(DISTINCT o_custkey) AS customer_count,
+       round(avg(o_totalprice), 2) AS avg_total
+FROM orders
+GROUP BY 1, 2
+"""
+
+
+def q_top10_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/O1: top-N by aggregate — plans as TakeOrderedAndProject (true
+    top-k, no global sort). Deterministic tie-break on c_custkey."""
+    t = load(spark, sf_dir, "lineitem", "orders", "customer")
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum(REVENUE()), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+O_TOP10_CUSTOMERS = """
+SELECT c_custkey, c_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 10
+"""
+
+
+def q_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6/J7: anti-join (insert-if-absent / orphan-detection shape)."""
+    t = load(spark, sf_dir, "customer", "orders")
+    return t["customer"].join(
+        t["orders"], t["customer"]["c_custkey"] == t["orders"]["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+O_CUSTOMERS_NO_ORDERS = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_big_spenders_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: existence check as a semi-join (never row-wise EXISTS)."""
+    t = load(spark, sf_dir, "customer", "orders")
+    big = t["orders"].filter(F.col("o_totalprice") > 100_000)
+    return t["customer"].join(
+        big, t["customer"]["c_custkey"] == big["o_custkey"], "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+O_BIG_SPENDERS_SEMI = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE EXISTS (
+    SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 100000
+)
+"""
+
+
+def q_dedup_keepmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: keep the min-id row per group via row_number window (the
+    fact-grain dedup shape, whole surviving row retained)."""
+    t = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("event_id")
+    return (
+        t["events"]
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type", F.round("value", 4).alias("value"))
+    )
+
+
+O_DEDUP_KEEPMIN = """
+SELECT event_id, user_id, event_type, round(value, 4) AS value
+FROM (
+    SELECT event_id, user_id, event_type, value,
+           row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS rn
+    FROM events
+)
+WHERE rn = 1
+"""
+
+
+def q_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: null-safe equality join on a nullable key (<=> / IS NOT
+    DISTINCT FROM) — the DimLocation composite-key shape."""
+    t = load(spark, sf_dir, "events")
+    left = t["events"].select(
+        "event_id", F.nullif("event_type", F.lit("click")).alias("k")
+    )
+    right = (
+        t["events"]
+        .groupBy(F.nullif("event_type", F.lit("click")).alias("k"))
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        left.join(right, left["k"].eqNullSafe(right["k"]), "left")
+        .groupBy(left["k"].alias("key"), right["n"].alias("n"))
+        .agg(F.count("*").alias("matched_rows"))
+    )
+
+
+O_NULLSAFE_JOIN = """
+WITH a AS (SELECT event_id, nullif(event_type, 'click') AS k FROM events),
+     b AS (SELECT nullif(event_type, 'click') AS k, count(*) AS n
+           FROM events GROUP BY 1)
+SELECT a.k AS key, b.n AS n, count(*) AS matched_rows
+FROM a LEFT JOIN b ON a.k IS NOT DISTINCT FROM b.k
+GROUP BY a.k, b.n
+"""
+
+
+def q_scd2_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SC1 in bulk: rebuild an SCD2 history (effective ranges + is_current)
+    from an event stream with lag/lead windows — the set-based form of the
+    reference's per-row dimension versioning."""
+    t = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        t["events"]
+        .select("user_id", "event_type", "ts", "event_id")
+        .withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("effective_from"),
+        F.lead("ts").over(w2).alias("effective_to"),
+    ).withColumn("is_current", F.col("effective_to").isNull())
+
+
+O_SCD2_REBUILD = """
+WITH ordered AS (
+    SELECT user_id, event_type, ts, event_id,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+    FROM events
+),
+changes AS (
+    SELECT user_id, event_type, ts, event_id FROM ordered
+    WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id, event_type, ts AS effective_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS effective_to,
+       (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL) AS is_current
+FROM changes
+"""
+
+
+def q_dup_grain_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/V1: duplicate-grain detection (GROUP BY … HAVING count>1 with
+    MIN as survivor) — the validation-suite shape."""
+    t = load(spark, sf_dir, "orders")
+    return (
+        t["orders"]
+        .groupBy(
+            F.col("o_custkey"), F.col("o_orderdate").cast("date").alias("order_date")
+        )
+        .agg(F.count("*").alias("n"), F.min("o_orderkey").alias("survivor"))
+        .filter(F.col("n") > 1)
+    )
+
+
+O_DUP_GRAIN_CHECK = """
+SELECT o_custkey, CAST(o_orderdate AS DATE) AS order_date,
+       count(*) AS n, min(o_orderkey) AS survivor
+FROM orders
+GROUP BY 1, 2
+HAVING count(*) > 1
+"""
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 + W1 composition: top-3 orders per priority class by total —
+    rank window, no global sort."""
+    t = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        t["orders"]
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "o_orderpriority",
+            "rk",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total"),
+        )
+    )
+
+
+O_TOPK_PER_GROUP = """
+SELECT o_orderpriority, rk, o_orderkey, round(o_totalprice, 2) AS total
+FROM (
+    SELECT o_orderpriority, o_orderkey, o_totalprice,
+           row_number() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey ASC
+           ) AS rk
+    FROM orders
+)
+WHERE rk <= 3
+"""
+
+
+QUERIES = {
+    "star_revenue": q_star_revenue,
+    "monthly_orders": q_monthly_orders,
+    "top10_customers": q_top10_customers,
+    "customers_no_orders": q_customers_no_orders,
+    "big_spenders_semi": q_big_spenders_semi,
+    "dedup_keepmin": q_dedup_keepmin,
+    "nullsafe_join": q_nullsafe_join,
+    "scd2_rebuild": q_scd2_rebuild,
+    "dup_grain_check": q_dup_grain_check,
+    "topk_per_group": q_topk_per_group,
+}
+
+ORACLES = {
+    "star_revenue": O_STAR_REVENUE,
+    "monthly_orders": O_MONTHLY_ORDERS,
+    "top10_customers": O_TOP10_CUSTOMERS,
+    "customers_no_orders": O_CUSTOMERS_NO_ORDERS,
+    "big_spenders_semi": O_BIG_SPENDERS_SEMI,
+    "dedup_keepmin": O_DEDUP_KEEPMIN,
+    "nullsafe_join": O_NULLSAFE_JOIN,
+    "scd2_rebuild": O_SCD2_REBUILD,
+    "dup_grain_check": O_DUP_GRAIN_CHECK,
+    "topk_per_group": O_TOPK_PER_GROUP,
+}

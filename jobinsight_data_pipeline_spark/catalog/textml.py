@@ -1,0 +1,190 @@
+"""Training-data operators under the correctness gate: dedup, text
+analysis, similarity search over the documents/embeddings tables.
+
+LSH-based operators (minhash, simhash, hyperplane sketches) rely on
+xxhash64, which DuckDB lacks — they run as rows-only checks; their
+exact counterparts (md5 exact-dedup, full n-gram Jaccard, brute-force
+cosine) ARE oracle-checked, which pins the semantics the approximate
+paths are approximating.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jobinsight_data_pipeline_spark.catalog import load
+from jobinsight_data_pipeline_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from jobinsight_data_pipeline_spark.operators.similarity import (
+    cosine_topk,
+    lsh_cosine_topk,
+)
+from jobinsight_data_pipeline_spark.operators.textstats import with_text_stats
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "documents")
+    return exact_dedup(t["documents"], "doc_id", "text")
+
+
+O_EXACT_DEDUP = """
+SELECT md5(text) AS content_hash, min(doc_id) AS survivor_id,
+       count(*) AS dup_count
+FROM documents
+GROUP BY 1
+"""
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "documents")
+    return with_text_stats(t["documents"], "text").select(
+        "doc_id",
+        "n_words",
+        "n_unique_words",
+        "stop_count_en",
+        "punct_chars",
+        "approx_tokens",
+        "lang_guess",
+        "quality",
+    )
+
+
+O_TEXT_STATS = """
+WITH toks AS (
+    SELECT doc_id, text,
+           regexp_split_to_array(trim(text), '\\s+') AS words,
+           regexp_extract_all(text, '\\w+|[^\\w\\s]') AS pieces
+    FROM documents
+),
+stats AS (
+    SELECT doc_id, text,
+           CASE WHEN trim(text) = '' THEN 0 ELSE len(words) END AS n_words,
+           len(array_distinct(words)) AS n_unique_words,
+           len(list_filter(words, w -> lower(w) IN ('the','a','and','of','to','in','is'))) AS stop_count_en,
+           length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS punct_chars,
+           len(pieces) AS approx_tokens
+    FROM toks
+)
+SELECT doc_id, n_words, n_unique_words, stop_count_en, punct_chars,
+       approx_tokens,
+       CASE WHEN stop_count_en > 0 THEN 'en' ELSE 'und' END AS lang_guess,
+       round(
+           0.4 * least(n_words / 50.0, 1.0)
+         + 0.4 * (CASE WHEN n_words > 0 THEN n_unique_words / CAST(n_words AS DOUBLE) ELSE 0.0 END)
+         + 0.2 * (1 - least((CASE WHEN length(text) > 0
+                             THEN punct_chars / CAST(length(text) AS DOUBLE)
+                             ELSE 1.0 END) * 5, 1.0)),
+           4) AS quality
+FROM stats
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "documents")
+    # no hot-shingle cap here: the oracle computes the uncapped exact set
+    return ngram_jaccard_pairs(
+        t["documents"], "doc_id", "text", n=3, threshold=0.5, max_shingle_freq=None
+    )
+
+
+O_NGRAM_JACCARD = """
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+    FROM documents
+    WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3
+),
+sh AS (
+    SELECT DISTINCT doc_id AS doc, unnest(
+        list_transform(range(len(w) - 2),
+                       i -> concat(w[i + 1], ' ', w[i + 2], ' ', w[i + 3]))
+    ) AS shingle
+    FROM toks
+),
+sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY doc),
+inter AS (
+    SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+    GROUP BY a.doc, b.doc
+)
+SELECT doc_a, doc_b,
+       round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc = doc_a
+JOIN sizes sb ON sb.doc = doc_b
+WHERE round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 4) >= 0.5
+"""
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: LSH candidates with estimated jaccard (xxhash64-based)."""
+    t = load(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(t["documents"], "doc_id", "text")
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: SimHash hamming-≤8 near-dup candidate pairs."""
+    t = load(spark, sf_dir, "documents")
+    return simhash_near_pairs(t["documents"], "doc_id", "text", max_hamming=8)
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "embeddings")
+    queries = t["embeddings"].filter(F.col("vec_id") < 20)
+    return cosine_topk(t["embeddings"], queries, k=5)
+
+
+O_EMBEDDING_TOPK = """
+WITH q AS (
+    SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+    FROM embeddings WHERE vec_id < 20
+),
+scored AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           round(
+             list_dot_product(q.qv, CAST(e.embedding AS DOUBLE[]))
+             / (sqrt(list_dot_product(q.qv, q.qv))
+                * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])))),
+             6) AS sim6
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, sim6,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim6 DESC, neighbor_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, rank, neighbor_id, round(sim6, 4) AS sim
+FROM ranked WHERE rank <= 5
+"""
+
+
+def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: hyperplane-LSH approximate top-k (the scale path)."""
+    t = load(spark, sf_dir, "embeddings")
+    queries = t["embeddings"].filter(F.col("vec_id") < 20)
+    return lsh_cosine_topk(t["embeddings"], queries, k=5)
+
+
+QUERIES = {
+    "exact_dedup": q_exact_dedup,
+    "text_stats": q_text_stats,
+    "ngram_jaccard": q_ngram_jaccard,
+    "minhash_lsh": q_minhash_lsh,
+    "simhash_pairs": q_simhash_pairs,
+    "embedding_topk": q_embedding_topk,
+    "embedding_lsh_topk": q_embedding_lsh_topk,
+}
+
+ORACLES = {
+    "exact_dedup": O_EXACT_DEDUP,
+    "text_stats": O_TEXT_STATS,
+    "ngram_jaccard": O_NGRAM_JACCARD,
+    "embedding_topk": O_EMBEDDING_TOPK,
+}

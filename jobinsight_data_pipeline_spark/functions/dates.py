@@ -37,7 +37,9 @@ def time_remaining(due_date: ColumnOrName, as_of: Column) -> Column:
     NULL due_date → NULL.
     """
     due = _col(due_date)
-    secs = due.cast("long") - as_of.cast("long")
+    # unix_timestamp handles both TIMESTAMP and TIMESTAMP_NTZ inputs
+    # (NTZ is interpreted in the pinned session timezone)
+    secs = F.unix_timestamp(due) - F.unix_timestamp(as_of)
     days = F.floor(secs / 86400)
     hours = F.floor((secs % 86400) / 3600)
     minutes = F.floor((secs % 3600) / 60)

@@ -1,0 +1,216 @@
+"""Deduplication operators: exact and near-duplicate, at 100 TB posture.
+
+- exact: hash-groupBy (one shuffle on a 16-byte key, never on raw text);
+- n-gram Jaccard: shingle inverted index → candidate pair join → exact
+  verify. The pair join is the classic quadratic risk: hot shingles are
+  capped (``max_shingle_freq``) exactly like production near-dup systems
+  drop ubiquitous shingles;
+- MinHash+LSH: banded signatures via xxhash64 (deterministic, JVM-native,
+  no UDF) so only same-band-bucket docs are joined — the scale path where
+  all-pairs verify is impossible;
+- SimHash: 64-bit sign-aggregated token hashes, hamming-close candidates
+  via band buckets.
+
+All operators return DataFrames of survivor/duplicate-pair rows; nothing
+collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from jobinsight_data_pipeline_spark.operators.textstats import tokens
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep the min-id doc per identical text (md5 key). Returns
+    (content_hash, survivor_id, dup_count)."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("survivor_id"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (id, shingle)."""
+    toks = tokens(text_col)
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
+        ),
+    )
+    return (
+        df.filter(F.size(toks) >= n)
+        .select(F.col(id_col).alias("doc"), F.explode(F.array_distinct(grams)).alias("shingle"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.2,
+    max_shingle_freq: int | None = 1000,
+) -> DataFrame:
+    """All pairs (a < b) with shingle-set Jaccard ≥ threshold.
+
+    Inverted-index join: |candidate pairs| = Σ_shingle freq² — the
+    ``max_shingle_freq`` cap drops ubiquitous shingles (boilerplate) to
+    keep that sum linear-ish, the standard trick at corpus scale.
+    """
+    sh = shingles(df, id_col, text_col, n).cache()
+    if max_shingle_freq is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("freq"))
+            .filter(F.col("freq") > max_shingle_freq)
+            .select("shingle")
+        )
+        sh = sh.join(hot, "shingle", "left_anti")
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n_hashes: int = 16, shingle_n: int = 3
+) -> DataFrame:
+    """MinHash signature per doc: for seed i, min(xxhash64(i, shingle)).
+    Deterministic (xxhash64), JVM-native, one shuffle (groupBy doc)."""
+    sh = shingles(df, id_col, text_col, shingle_n)
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy("doc").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH: docs sharing any band
+    bucket. Returns (doc_a, doc_b, est_jaccard) where est = fraction of
+    matching minhash components — verify with ngram_jaccard_pairs on the
+    candidates when exactness matters."""
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n).cache()
+    buckets = None
+    for band in range(bands):
+        cols = [f"h{band * rows_per_band + j}" for j in range(rows_per_band)]
+        part = sig.select(
+            "doc",
+            F.lit(band).alias("band"),
+            F.xxhash64(*[F.col(c) for c in cols]).alias("bucket"),
+        )
+        buckets = part if buckets is None else buckets.unionByName(part)
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc").alias("doc_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(n_hashes)])
+    sb = sig.select(F.col("doc").alias("doc_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(n_hashes)])
+    matches = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(n_hashes)
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("est_jaccard", F.round(matches / F.lit(n_hashes), 4))
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per doc, fully native: explode tokens, hash each,
+    sum per-bit signs, reassemble. Returns (doc, simhash)."""
+    tok = df.select(
+        F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("w")
+    ).withColumn("h", F.xxhash64("w"))
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    sums = tok.groupBy("doc").agg(*bit_aggs)
+    sig = None
+    for b in range(64):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, b)
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return sums.select("doc", sig.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 8
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, banded: split the 64
+    bits into 4 16-bit bands; any pair within hamming ≤ (bands-1) shares
+    at least one exact band (pigeonhole) — join per band, verify exact
+    hamming with bit_count(xor)."""
+    sig = simhash(df, id_col, text_col).cache()
+    buckets = None
+    for band in range(4):
+        part = sig.select(
+            "doc",
+            "simhash",
+            F.lit(band).alias("band"),
+            F.shiftright(F.col("simhash"), band * 16).bitwiseAND(F.lit(0xFFFF)).alias("bucket"),
+        )
+        buckets = part if buckets is None else buckets.unionByName(part)
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,148 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline.
+  Dot products run as native array lambdas (zip_with + aggregate), fully
+  JVM-side; the query side is broadcast (queries ≪ corpus), so the plan
+  is a broadcast nested-loop with no shuffle of the corpus.
+- ``lsh_cosine_topk``: random-hyperplane LSH — sign-bit sketch per
+  vector, candidates share a band bucket; exact cosine re-ranks the
+  candidates. The 100 TB path: corpus scanned once to sketch, then only
+  bucket-colliding rows are scored.
+
+Hyperplanes are generated driver-side from a fixed seed (numpy) and
+inlined as literals — deterministic across runs and executors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k neighbors for each query vector (excluding itself).
+    Deterministic: rank on rounded cosine with id tie-break."""
+    q = broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("sim", 4).alias("sim"))
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).round(6).tolist()
+
+
+def lsh_sketch(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Sign-bit sketch: bit i = (v · plane_i) > 0, packed into a long."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    v = _as_double(F.col(vec_col))
+    sketch = None
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(x) for x in plane])
+        bit = (dot(v, p) > 0).cast("long")
+        term = F.shiftleft(bit, i)
+        sketch = term if sketch is None else sketch.bitwiseOR(term)
+    return df.select(
+        F.col(id_col).alias("doc"), F.col(vec_col).alias("vec"), sketch.alias("sketch")
+    )
+
+
+def lsh_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    dim: int = 64,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates = corpus rows sharing ≥1 of the
+    ``bands`` sketch bands with the query; exact cosine re-ranks. Recall
+    rises with bands (fewer bits per band → looser buckets)."""
+    bits_per_band = n_planes // bands
+    mask = (1 << bits_per_band) - 1
+    cs = lsh_sketch(corpus, id_col, vec_col, dim, n_planes, seed)
+    qs = lsh_sketch(queries, id_col, vec_col, dim, n_planes, seed).withColumnRenamed(
+        "doc", "query_id"
+    ).withColumnRenamed("vec", "qv").withColumnRenamed("sketch", "qsketch")
+
+    def band_bucket(col: Column, band: int) -> Column:
+        return F.shiftright(col, band * bits_per_band).bitwiseAND(F.lit(mask))
+
+    cand = None
+    for band in range(bands):
+        cb = cs.select(
+            "doc", "vec", F.lit(band).alias("band"), band_bucket(F.col("sketch"), band).alias("bucket")
+        )
+        qb = broadcast(
+            qs.select(
+                "query_id", "qv", F.lit(band).alias("band"),
+                band_bucket(F.col("qsketch"), band).alias("bucket"),
+            )
+        )
+        part = cb.join(qb, ["band", "bucket"]).select("query_id", "qv", "doc", "vec")
+        cand = part if cand is None else cand.unionByName(part)
+    scored = (
+        cand.distinct()
+        .filter(F.col("doc") != F.col("query_id"))
+        .withColumn("sim", F.round(cosine(F.col("qv"), F.col("vec")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("doc"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", F.col("doc").alias("neighbor_id"), F.round("sim", 4).alias("sim"))
+    )

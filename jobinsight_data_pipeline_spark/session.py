@@ -59,6 +59,9 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # read INT64 TIMESTAMP(NANOS) parquet columns (which Spark cannot
+        # represent) as raw nanos; catalog.load converts to microseconds.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # dynamic partition overwrite: partition-restore (SURVEY S11)
         # replaces only the partitions present in the written DataFrame.
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")

@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Side-by-side oracle check, mimicking the driver's correctness gate:
+for each catalog query, run the Spark implementation AND the DuckDB
+oracle on the same parquet tables; compare row count, column-name sets,
+and an order-insensitive value hash (columns sorted by name, rows sorted,
+floats rounded, NULLs normalized).
+
+Usage: python scripts/check_oracles.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+from jobinsight_data_pipeline_spark.catalog import TABLES, build_catalog
+from jobinsight_data_pipeline_spark.session import get_spark
+
+
+def normalize_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if v != v:
+            return "NaN"
+        return f"{v:.6f}".rstrip("0").rstrip(".")
+    return str(v)
+
+
+def value_hash(cols: list[str], rows: list[tuple]) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    canon = sorted(
+        "|".join(normalize_cell(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.sha256()
+    for line in canon:
+        h.update(line.encode("utf-8"))
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    queries, oracles = build_catalog()
+    spark = get_spark(app_name="oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    failures = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        sdf = fn(spark, sf_dir)
+        srows = [tuple(r) for r in sdf.collect()]
+        scols = sdf.columns
+        spark_s = time.time() - t0
+        if name not in oracles:
+            print(f"{name:24s} rows-only: {len(srows):7d} rows   ({spark_s:.1f}s)")
+            continue
+        t0 = time.time()
+        ores = con.sql(oracles[name])
+        ocols = [d[0] for d in ores.description]
+        orows = ores.fetchall()
+        duck_s = time.time() - t0
+        problems = []
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"cols spark={sorted(scols)} duck={sorted(ocols)}")
+        if len(srows) != len(orows):
+            problems.append(f"rows spark={len(srows)} duck={len(orows)}")
+        if not problems:
+            sh, oh = value_hash(scols, srows), value_hash(ocols, orows)
+            if sh != oh:
+                problems.append(f"hash spark={sh} duck={oh}")
+        status = "PASS" if not problems else "FAIL"
+        print(
+            f"{name:24s} {status}  rows={len(srows):7d}  spark={spark_s:5.1f}s duck={duck_s:5.1f}s"
+            + ("  " + "; ".join(problems) if problems else "")
+        )
+        if problems:
+            failures.append(name)
+            # show a tiny diff sample to debug
+            sset = {tuple(normalize_cell(v) for v in r) for r in srows}
+            oset = {tuple(normalize_cell(v) for v in r) for r in orows}
+            so = list(sset - oset)[:3]
+            os_ = list(oset - sset)[:3]
+            if so:
+                print(f"    spark-only sample: {so}")
+            if os_:
+                print(f"    duck-only  sample: {os_}")
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
