@@ -1,0 +1,118 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media travels as opaque ``binary`` columns with typed metadata structs;
+decode / feature-extract / resize / frame-sample run as Arrow-batched
+``mapInPandas`` stages so the bytes never round-trip through the driver
+and each executor processes whole record batches.
+
+The decode kernels themselves depend on codec libraries (PIL/ffmpeg/…)
+that are NOT in this container: ``decode_fn`` defaults to a
+deterministic fake (shape/byte stats) and raises ``NotImplementedError``
+when a real decode is requested. The Spark-side plumbing — schema,
+batch iteration, partition sizing, output contract — is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType(), True),
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.IntegerType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.IntegerType(), True),
+        T.StructField("content_sha1", T.StringType(), True),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def fake_decode_features(content: bytes | None, dim: int = 8) -> list[float] | None:
+    """Deterministic stand-in for a real decode→embed kernel: sha1-seeded
+    byte statistics. Replace with a real model via ``extract_features``'s
+    ``feature_fn`` once codec/model libs exist in the image."""
+    if content is None:
+        return None
+    digest = hashlib.sha1(content).digest()
+    return [b / 255.0 for b in digest[:dim]]
+
+
+def real_decode(content: bytes, mime: str):  # pragma: no cover - stub
+    """Placeholder for PIL/ffmpeg decode — unavailable in this container."""
+    raise NotImplementedError(
+        "media decode requires codec libraries not present in this image; "
+        "wire a real kernel here (PIL.Image.open / av.open) on a full deployment"
+    )
+
+
+def extract_features(
+    media: DataFrame,
+    feature_fn: Callable[[bytes | None], list[float] | None] = fake_decode_features,
+    batch_rows: int = 64,
+) -> DataFrame:
+    """binary column → feature vectors, Arrow-batched.
+
+    ``batch_rows`` bounds the bytes held per pandas batch (media blobs are
+    large; default Arrow batches of 10k rows would OOM an executor — this
+    is the knob that makes the stage safe at scale).
+    """
+    conf_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    media.sparkSession.conf.set(conf_key, str(batch_rows))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [feature_fn(c) for c in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": [len(c) if c is not None else None for c in pdf["content"]],
+                    "content_sha1": [
+                        hashlib.sha1(c).hexdigest() if c is not None else None
+                        for c in pdf["content"]
+                    ],
+                    "feature": feats,
+                }
+            )
+
+    return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame, every_ms: int = 1000, max_frames: int = 16
+) -> DataFrame:
+    """Video frame-sampling plan: one output row per sampled timestamp
+    (explode over the sampling grid); the actual frame decode is the
+    stubbed kernel. Demonstrates the fan-out contract."""
+    from pyspark.sql import functions as F
+
+    n_frames = F.least(
+        F.floor(F.coalesce(F.col("meta.duration_ms"), F.lit(0)) / every_ms) + 1,
+        F.lit(max_frames),
+    ).cast("int")
+    return media.select(
+        "media_id",
+        F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
+    ).withColumn("frame_ts_ms", F.col("frame_idx") * every_ms)

@@ -48,7 +48,11 @@ class ParquetLake:
         d = self._table_dir(table)
         if not os.path.isdir(d):
             return []
-        return sorted(v for v in os.listdir(d) if v.startswith("_v"))
+        return sorted(
+            v
+            for v in os.listdir(d)
+            if v.startswith("_v") and os.path.isdir(os.path.join(d, v))
+        )
 
     # -- read/write ---------------------------------------------------------
     def exists(self, table: str) -> bool:
@@ -60,7 +64,18 @@ class ParquetLake:
 
     def read(self, spark: SparkSession, table: str) -> DataFrame | None:
         p = self.path(table)
-        return spark.read.parquet(p) if p else None
+        if not p:
+            return None
+        # the schema sidecar makes empty tables (e.g. a partitioned write
+        # of zero rows, which emits no part files) readable
+        schema_file = p + ".schema"
+        if os.path.exists(schema_file):
+            from pyspark.sql.types import StructType
+
+            with open(schema_file) as fh:
+                schema = StructType.fromJson(__import__("json").loads(fh.read()))
+            return spark.read.schema(schema).parquet(p)
+        return spark.read.parquet(p)
 
     def write(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> str:
         d = self._table_dir(table)
@@ -73,6 +88,10 @@ class ParquetLake:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(target)
+        import json as _json
+
+        with open(target + ".schema", "w") as fh:
+            fh.write(_json.dumps(df.schema.jsonValue()))
         tmp = self._pointer(table) + ".tmp"
         with open(tmp, "w") as fh:
             fh.write(version)
@@ -86,7 +105,12 @@ class ParquetLake:
         vs = self.versions(table)
         for v in vs[: -self.keep_versions]:
             if v != live:
-                shutil.rmtree(os.path.join(self._table_dir(table), v), ignore_errors=True)
+                vdir = os.path.join(self._table_dir(table), v)
+                shutil.rmtree(vdir, ignore_errors=True)
+                try:
+                    os.remove(vdir + ".schema")
+                except FileNotFoundError:
+                    pass
 
     def restore(self, table: str, version: str | None = None) -> str:
         """Roll the pointer back (reference: restore DB file backup on ETL

@@ -1,0 +1,108 @@
+"""Incremental/streaming mode (SURVEY §2.10).
+
+The reference's incremental semantics:
+- staging→DWH consumes ``crawled_at >= now − 7d`` with idempotent
+  upserts downstream (src/etl/etl_main.py:204-251) — an at-least-once
+  window re-read;
+- fact dates are clamped to [now−90d, now+180d] — an allowed-lateness
+  policy (src/processing/data_prepare.py:289-294).
+
+Structured Streaming makes both native: a checkpointed file source gives
+exactly-once batch ids (the lookback becomes unnecessary), and
+``withWatermark`` bounds state for late events. ``foreachBatch`` runs the
+SAME set-based merge plans as batch mode — one code path.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jobinsight_data_pipeline_spark.schemas import RAW_JOBS
+from jobinsight_data_pipeline_spark.sources.lake import ParquetLake
+
+
+def stream_raw_ingest(
+    spark: SparkSession,
+    raw_dir: str,
+    lake: ParquetLake,
+    checkpoint_dir: str,
+    run_ts: dt.datetime,
+    process_dwh: bool = True,
+    available_now: bool = True,
+):
+    """Stream crawler output (parquet drops in ``raw_dir``) into the
+    warehouse: each micro-batch runs ingest → staging derive → dim/fact
+    merges via the batch plans (idempotent, so at-least-once is safe).
+
+    ``available_now=True`` drains existing files and stops — the testable
+    / cron-compatible trigger; False runs continuously.
+    """
+    from jobinsight_data_pipeline_spark.plans.pipeline import (
+        ingest_raw,
+        run_raw_to_staging,
+        run_staging_to_dwh,
+    )
+
+    stream = (
+        spark.readStream.schema(RAW_JOBS)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(raw_dir)
+    )
+
+    def handle_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        ingest_raw(lake, batch)
+        run_raw_to_staging(lake, batch.sparkSession, run_ts)
+        if process_dwh:
+            run_staging_to_dwh(lake, batch.sparkSession, run_ts)
+
+    writer = (
+        stream.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked tumbling/sliding window aggregation over an event-time
+    stream — the streaming-aggregation primitive the reference's monthly
+    ``load_month`` partitioning approximates for storage. Works on both
+    static and streaming frames (unit tests use static)."""
+    win = (
+        F.window("ts", window, slide) if slide else F.window("ts", window)
+    )
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return src.groupBy(win.alias("w"), F.col("event_type")).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    ).select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
+def clamp_late_events(
+    df: DataFrame, run_date: dt.date, past_days: int = 90, future_days: int = 180,
+    ts_col: str = "date_id",
+) -> DataFrame:
+    """The reference's date clamp as an allowed-lateness filter."""
+    lo = run_date - dt.timedelta(days=past_days)
+    hi = run_date + dt.timedelta(days=future_days)
+    c = F.col(ts_col).cast("date")
+    return df.filter((c >= F.lit(lo)) & (c <= F.lit(hi)))

@@ -1,0 +1,188 @@
+"""Tests for ingest front (HTML), CDC journal, export/retention,
+streaming incremental mode, and multimodal plumbing."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from pyspark.sql import functions as F
+
+from jobinsight_data_pipeline_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    extract_features,
+    sample_frames,
+)
+from jobinsight_data_pipeline_spark.schemas import RAW_JOBS
+from jobinsight_data_pipeline_spark.sources.cdc import (
+    read_cdc,
+    retention_cdc,
+    write_cdc,
+)
+from jobinsight_data_pipeline_spark.sources.export import (
+    export_partitioned,
+    restore_partition,
+    retention_partitions,
+)
+from jobinsight_data_pipeline_spark.sources.html import read_html_jobs
+from jobinsight_data_pipeline_spark.sources.lake import ParquetLake
+from jobinsight_data_pipeline_spark.streaming.incremental import (
+    stream_raw_ingest,
+    windowed_event_counts,
+)
+
+AS_OF = dt.datetime(2025, 6, 1, 18, 0, 0)
+
+JOB_CARD = """
+<div class="job-list">
+<div class="job-item-2" data-job-id="1001">
+  <h3 class="title"><a href="/job-detail/python-dev-1001.html">
+    <span data-original-title="Senior Python Developer - Urgent">Senior Python…</span></a></h3>
+  <a class="company" href="https://www.topcv.vn/company/abc">Công ty TNHH ABC</a>
+  <span class="salary">15 - 20 triệu</span>
+  <span class="address">Hà Nội</span>
+  <span class="deadline">Còn 30 ngày</span>
+  <span class="vip-badge">VIP</span>
+  <img src="https://logo/1001.png"/>
+</div>
+<div class="job-item-2" data-job-id="1002">
+  <h3 class="title">Data Engineer</h3>
+  <span class="salary">Thoả thuận</span>
+  <span class="address">Đà Nẵng</span>
+</div>
+</div>
+"""
+
+
+def test_html_source(spark, tmp_path):
+    html_dir = tmp_path / "html"
+    html_dir.mkdir()
+    (html_dir / "it_p1.html").write_text(JOB_CARD, encoding="utf-8")
+    # duplicate page: same ids must dedupe
+    (html_dir / "it_p2.html").write_text(JOB_CARD, encoding="utf-8")
+
+    df = read_html_jobs(spark, str(html_dir), AS_OF)
+    rows = {r["job_id"]: r for r in df.collect()}
+    assert set(rows) == {"1001", "1002"}
+    r = rows["1001"]
+    assert r["title"] == "Senior Python Developer - Urgent"
+    assert r["salary"] == "15 - 20 triệu"
+    assert r["verified_employer"] is True
+    assert r["deadline"] == "30"
+    assert r["logo_url"] == "https://logo/1001.png"
+    assert r["crawled_at"] == AS_OF
+    assert rows["1002"]["title"] == "Data Engineer"
+    assert rows["1002"]["verified_employer"] is False
+
+
+def test_cdc_roundtrip(spark, tmp_path):
+    cdc_root = str(tmp_path / "cdc")
+    batch = spark.createDataFrame(
+        [("J1", "T1"), ("J2", "T2")], "job_id string, title string"
+    )
+    existing = spark.createDataFrame([("J2",)], "job_id string")
+    write_cdc(batch, existing, cdc_root, AS_OF)
+
+    back = read_cdc(spark, cdc_root)
+    recs = {r["job_id"]: r for r in back.collect()}
+    assert recs["J1"]["action"] == "insert"
+    assert recs["J2"]["action"] == "update"
+    assert recs["J1"]["data"]["title"] == "T1"
+    assert recs["J1"]["metadata"]["source"] == "crawler"
+
+    # retention: a day 40 days earlier is dropped, today's survives
+    old = AS_OF - dt.timedelta(days=40)
+    write_cdc(batch, None, cdc_root, old)
+    removed = retention_cdc(cdc_root, keep_days=30, as_of=AS_OF.date())
+    assert removed == [f"{old:%Y%m}/{old:%Y%m%d}"]
+    assert read_cdc(spark, cdc_root).count() == 2
+
+
+def test_export_restore_retention(spark, tmp_path):
+    out = str(tmp_path / "export")
+    df = spark.createDataFrame(
+        [(1, "2025-05", 10.0), (2, "2025-06", 20.0), (3, "2025-01", 5.0)],
+        "fact_id long, load_month string, salary_min double",
+    )
+    export_partitioned(df, out)
+    assert sorted(
+        e for e in os.listdir(out) if e.startswith("load_month=")
+    ) == ["load_month=2025-01", "load_month=2025-05", "load_month=2025-06"]
+
+    # corrupt May in the "table", restore from export
+    broken = df.filter("load_month != '2025-05'").union(
+        spark.createDataFrame([(99, "2025-05", -1.0)], df.schema)
+    )
+    repaired = restore_partition(spark, out, broken, "2025-05")
+    may = repaired.filter("load_month = '2025-05'").collect()
+    assert len(may) == 1 and may[0]["fact_id"] == 1
+
+    removed = retention_partitions(out, keep_months=3, as_of=dt.date(2025, 6, 1))
+    assert removed == ["2025-01"]
+
+
+def test_streaming_incremental(spark, tmp_path):
+    raw_dir = tmp_path / "raw_stream"
+    raw_dir.mkdir()
+    lake = ParquetLake(str(tmp_path / "lake"))
+    batch = spark.createDataFrame(
+        [
+            (
+                "S1", "Stream Job", None, "Stream Co", None, "10 triệu", None,
+                "Hà Nội", None, "10", False, None, None, None, AS_OF,
+            )
+        ],
+        RAW_JOBS,
+    )
+    batch.write.parquet(str(raw_dir / "drop1"))
+
+    q = stream_raw_ingest(
+        spark,
+        str(raw_dir / "drop1"),
+        lake,
+        str(tmp_path / "ckpt"),
+        AS_OF,
+        process_dwh=False,
+    )
+    q.awaitTermination(120)
+    staging = lake.read(spark, "staging_jobs")
+    rows = staging.collect()
+    assert len(rows) == 1
+    assert rows[0]["salary_min"] == 10.0 and rows[0]["title_clean"] == "Stream Job"
+
+
+def test_windowed_event_counts(spark):
+    rows = [
+        (dt.datetime(2024, 1, 1, 0, 1), "click", 1.0),
+        (dt.datetime(2024, 1, 1, 0, 5), "click", 2.0),
+        (dt.datetime(2024, 1, 1, 0, 15), "view", 3.0),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    out = {
+        (r["window_start"], r["event_type"]): r
+        for r in windowed_event_counts(df, "10 minutes").collect()
+    }
+    k = (dt.datetime(2024, 1, 1, 0, 0), "click")
+    assert out[k]["n"] == 2 and out[k]["total_value"] == 3.0
+    assert out[(dt.datetime(2024, 1, 1, 0, 10), "view")]["n"] == 1
+
+
+def test_multimodal_plumbing(spark):
+    media = spark.createDataFrame(
+        [
+            (1, b"\x00\x01fakejpegbytes", ("image/jpeg", 640, 480, None)),
+            (2, None, ("image/png", None, None, None)),
+            (3, b"fakevideobytes", ("video/mp4", 1920, 1080, 3500)),
+        ],
+        MEDIA_SCHEMA,
+    )
+    feats = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert feats[1]["n_bytes"] == 15 and len(feats[1]["feature"]) == 8
+    assert feats[2]["feature"] is None and feats[2]["content_sha1"] is None
+    # determinism: same bytes → same feature
+    again = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert feats[1]["feature"] == again[1]["feature"]
+
+    frames = sample_frames(media.filter("media_id = 3"), every_ms=1000, max_frames=16)
+    got = [r["frame_ts_ms"] for r in frames.collect()]
+    assert got == [0, 1000, 2000, 3000]  # 3500ms → 4 sampled frames
