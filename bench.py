@@ -56,20 +56,29 @@ def main() -> None:
     startup = time.time() - t0
 
     queries, _ = build_catalog()
+
+    # warm-up: file-index + parquet footers + first codegen compile, so
+    # per-query numbers reflect steady-state compute (reported separately)
+    t0 = time.time()
+    from jobinsight_data_pipeline_spark.catalog import TABLES, load
+
+    for t in TABLES:
+        load(spark, sf_dir, t)[t].count()
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    warmup = time.time() - t0
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()
         materialize(queries[name](spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
 
-    # capped n-gram jaccard: the bench-scale variant of the near-dup path
-    # (the catalog version is uncapped for oracle exactness)
+    # exact n-gram jaccard at its bench threshold (minhash_lsh above is
+    # the approximate/scale path over the same corpus)
     t0 = time.time()
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    materialize(
-        ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5, max_shingle_freq=1000)
-    )
-    timings["ngram_jaccard_capped"] = round(time.time() - t0, 3)
+    materialize(ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5))
+    timings["ngram_jaccard"] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -81,6 +90,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf),
                 "startup_sec": round(startup, 3),
+                "warmup_sec": round(warmup, 3),
             }
         )
     )

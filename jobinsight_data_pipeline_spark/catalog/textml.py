@@ -86,10 +86,7 @@ FROM stats
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load(spark, sf_dir, "documents")
-    # no hot-shingle cap here: the oracle computes the uncapped exact set
-    return ngram_jaccard_pairs(
-        t["documents"], "doc_id", "text", n=3, threshold=0.5, max_shingle_freq=None
-    )
+    return ngram_jaccard_pairs(t["documents"], "doc_id", "text", n=3, threshold=0.5)
 
 
 O_NGRAM_JACCARD = """
