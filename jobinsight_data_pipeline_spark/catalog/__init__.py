@@ -91,11 +91,16 @@ def build_catalog() -> tuple[
     dict[str, Callable[[SparkSession, str], DataFrame]], dict[str, str]
 ]:
     """Assemble (queries, oracles) from all catalog modules."""
-    from jobinsight_data_pipeline_spark.catalog import parity, relational, textml
+    from jobinsight_data_pipeline_spark.catalog import (
+        parity,
+        relational,
+        textml,
+        warehouse,
+    )
 
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}
-    for mod in (relational, parity, textml):
+    for mod in (relational, parity, textml, warehouse):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
     return queries, oracles

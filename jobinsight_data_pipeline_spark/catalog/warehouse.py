@@ -1,0 +1,122 @@
+"""End-to-end warehouse-build parity: the JobInsight star schema built by
+the ENGINE (scd2_merge + build_fact_batch + merge_facts) from staging
+rows constructed out of ``orders``, aggregated like the reference's
+top-companies/monthly views — against a pure-SQL oracle that reproduces
+the single-batch semantics (surrogate keys = 9999 + row_number over the
+natural-key order, 5-day fan-out, run-stamped load_month).
+
+This puts the dimensional pipeline itself — not just its scalar parts —
+under the driver's hash-match gate. Values that could differ between
+arbitrary survivors of intra-batch dedup are constructed as functions of
+the natural key, so last-write-wins arbitrariness cannot affect results.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jobinsight_data_pipeline_spark.catalog import load
+from jobinsight_data_pipeline_spark.operators.scd2 import scd2_merge
+from jobinsight_data_pipeline_spark.plans import facts as facts_plan
+from jobinsight_data_pipeline_spark.plans.dimensions import (
+    DIM_COMPANY_CONFIG,
+    DIM_JOB_CONFIG,
+)
+
+RUN_TS = dt.datetime(1998, 6, 1, 12, 0, 0)
+
+# portable staging construction (runs verbatim in Spark SQL and DuckDB);
+# verified_employer is a function of the company key on purpose (see
+# module docstring)
+STAGING_SQL = """
+SELECT
+    CAST(o_orderkey AS STRING)                           AS job_id,
+    concat('Job ', CAST(mod(o_orderkey, 50) AS STRING))  AS title_clean,
+    CAST(NULL AS STRING)                                 AS job_url,
+    CAST(NULL AS STRING)                                 AS last_update,
+    CAST(NULL AS STRING)                                 AS logo_url,
+    concat('Co ', CAST(mod(o_custkey, 40) AS STRING))    AS company_name_standardized,
+    concat('Co ', CAST(mod(o_custkey, 40) AS STRING))    AS company_name,
+    CAST(NULL AS STRING)                                 AS company_url,
+    (mod(mod(o_custkey, 40), 2) = 0)                     AS verified_employer,
+    CAST(mod(o_orderkey, 50) AS DOUBLE)                  AS salary_min,
+    CAST(mod(o_orderkey, 50) + 10 AS DOUBLE)             AS salary_max,
+    'range'                                              AS salary_type,
+    o_orderdate                                          AS posted_time,
+    o_orderdate                                          AS due_date,
+    CAST(NULL AS STRING)                                 AS time_remaining,
+    TIMESTAMP '1998-06-01 09:00:00'                      AS crawled_at
+FROM orders
+"""
+
+
+def q_warehouse_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders")
+    staging = spark.sql(STAGING_SQL).withColumn(
+        "skills", F.lit(None).cast("array<string>")
+    )
+    run_date = RUN_TS.date()
+
+    dim_job = scd2_merge(None, staging, DIM_JOB_CONFIG, run_date).dim
+    dim_company = scd2_merge(None, staging, DIM_COMPANY_CONFIG, run_date).dim
+    incoming = facts_plan.build_fact_batch(staging, dim_job, dim_company, RUN_TS)
+    fact = facts_plan.merge_facts(None, incoming)
+
+    return (
+        fact.join(
+            dim_company.select("company_sk", "company_name_standardized"),
+            "company_sk",
+        )
+        .groupBy("company_sk", "company_name_standardized")
+        .agg(
+            F.countDistinct("job_sk").alias("job_count"),
+            F.count("*").alias("fact_count"),
+            F.max("job_sk").alias("max_job_sk"),
+            F.round(F.avg("salary_min"), 2).alias("avg_salary_min"),
+            F.round(F.avg("salary_max"), 2).alias("avg_salary_max"),
+            F.max("load_month").alias("load_month"),
+            F.max(F.col("verified_employer").cast("int")).cast("boolean").alias(
+                "verified_employer"
+            ),
+        )
+    )
+
+
+O_WAREHOUSE_ROLLUP = f"""
+WITH staging AS ({STAGING_SQL}),
+dim_job AS (
+    SELECT job_id, 9999 + row_number() OVER (ORDER BY job_id) AS job_sk
+    FROM staging
+),
+dim_company AS (
+    SELECT company_name_standardized,
+           9999 + row_number() OVER (ORDER BY company_name_standardized) AS company_sk
+    FROM (SELECT DISTINCT company_name_standardized FROM staging)
+),
+fact AS (
+    SELECT j.job_sk, c.company_sk, s.salary_min, s.salary_max,
+           s.verified_employer, '1998-06' AS load_month,
+           CAST(unnest(generate_series(DATE '1998-06-01', DATE '1998-06-05',
+                                       INTERVAL 1 DAY)) AS DATE) AS date_id
+    FROM staging s
+    JOIN dim_job j ON s.job_id = j.job_id
+    JOIN dim_company c ON s.company_name_standardized = c.company_name_standardized
+)
+SELECT company_sk, company_name_standardized,
+       count(DISTINCT job_sk) AS job_count,
+       count(*) AS fact_count,
+       max(job_sk) AS max_job_sk,
+       round(avg(salary_min), 2) AS avg_salary_min,
+       round(avg(salary_max), 2) AS avg_salary_max,
+       max(load_month) AS load_month,
+       CAST(max(CAST(verified_employer AS INT)) AS BOOLEAN) AS verified_employer
+FROM fact
+JOIN dim_company USING (company_sk)
+GROUP BY company_sk, company_name_standardized
+"""
+
+QUERIES = {"warehouse_rollup": q_warehouse_rollup}
+ORACLES = {"warehouse_rollup": O_WAREHOUSE_ROLLUP}

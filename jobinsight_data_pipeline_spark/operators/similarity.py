@@ -112,12 +112,18 @@ def lsh_cosine_topk(
     k: int = 5,
     dim: int = 64,
     n_planes: int = 16,
-    bands: int = 4,
+    bands: int = 8,
     seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k: candidates = corpus rows sharing ≥1 of the
-    ``bands`` sketch bands with the query; exact cosine re-ranks. Recall
-    rises with bands (fewer bits per band → looser buckets)."""
+    ``bands`` sketch bands with the query; exact cosine re-ranks.
+
+    Recall/candidate tradeoff: fewer bits per band (n_planes/bands) →
+    looser buckets → higher recall but more candidates to re-rank. The
+    2-bit default measures recall 1.0 on the driver corpus (top-5
+    neighbors sit at modest cosine, where 4-bit bands drop to ~0.5
+    recall); on a high-similarity near-dup corpus prefer 4-bit bands
+    (n_planes=16, bands=4) for much stronger pruning."""
     bits_per_band = n_planes // bands
     mask = (1 << bits_per_band) - 1
     cs = lsh_sketch(corpus, id_col, vec_col, dim, n_planes, seed)

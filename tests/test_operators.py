@@ -1,0 +1,139 @@
+"""Known-answer tests for the training-data operators (dedup,
+similarity, text stats) — planted duplicates and orthogonal vectors make
+the expected output exact."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from jobinsight_data_pipeline_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash,
+    simhash_near_pairs,
+)
+from jobinsight_data_pipeline_spark.operators.similarity import (
+    cosine_topk,
+    lsh_cosine_topk,
+)
+from jobinsight_data_pipeline_spark.operators.textstats import with_text_stats
+
+BASE = "the quick brown fox jumps over the lazy dog near the river bank today"
+NEAR = BASE.replace("today", "tonight")  # one-token change → high jaccard
+FAR = "completely different words about spark clusters and parquet files"
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),  # exact duplicate of 1
+        (3, NEAR),  # near duplicate of 1
+        (4, FAR),
+        (5, "tiny doc"),  # too short for 3-gram shingles
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    out = {r["survivor_id"]: r for r in exact_dedup(docs, "doc_id", "text").collect()}
+    assert len(out) == 4  # 5 docs, one exact-dup pair
+    assert out[1]["dup_count"] == 2  # doc 2 collapsed into doc 1
+
+
+def test_shingles_shape(docs):
+    sh = shingles(docs, "doc_id", "text").collect()
+    by_doc = {}
+    for r in sh:
+        by_doc.setdefault(r["doc"], set()).add(r["shingle"])
+    n_tokens = len(BASE.split())
+    assert len(by_doc[1]) == n_tokens - 2  # all 3-grams distinct here
+    assert by_doc[1] == by_doc[2]
+    assert 5 not in by_doc  # 2 tokens < n
+    assert "the quick brown" in by_doc[1]
+
+
+def test_ngram_jaccard_exact_and_prefix_agree(docs):
+    full = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.3)
+    pref = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.3, prefix_filter=True)
+    a = {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in full.collect()}
+    b = {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in pref.collect()}
+    assert a == b  # prefix filtering is lossless
+    assert (1, 2, 1.0) in a  # exact dup: jaccard 1
+    pairs = {(x, y) for x, y, _ in a}
+    assert (1, 3) in pairs and (2, 3) in pairs  # near dups found
+    assert not any(4 in p for p in pairs)  # unrelated doc matches nothing
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    got = {(r["doc_a"], r["doc_b"]): r["est_jaccard"] for r in
+           minhash_lsh_pairs(docs, "doc_id", "text").collect()}
+    assert got[(1, 2)] == 1.0  # identical docs: all minhashes equal
+    assert (1, 3) in got and got[(1, 3)] >= 0.5  # near dup caught by LSH
+    assert not any(4 in k for k in got)
+
+
+def test_simhash_properties(docs):
+    sig = {r["doc"]: r["simhash"] for r in simhash(docs, "doc_id", "text").collect()}
+    assert sig[1] == sig[2]  # identical text → identical simhash
+    ham13 = bin(sig[1] ^ sig[3]).count("1")
+    ham14 = bin(sig[1] ^ sig[4]).count("1")
+    assert ham13 < ham14  # near dup closer than unrelated doc
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in
+             simhash_near_pairs(docs, "doc_id", "text", max_hamming=8).collect()}
+    assert pairs[(1, 2)] == 0
+
+
+def test_cosine_topk_exact(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [2.0, 0.0, 0.0]),   # same direction as 0 → sim 1
+        (2, [0.9, 0.1, 0.0]),   # close
+        (3, [0.0, 1.0, 0.0]),   # orthogonal
+        (4, [-1.0, 0.0, 0.0]),  # opposite
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter("vec_id = 0")
+    got = [(r["rank"], r["neighbor_id"], r["sim"]) for r in
+           cosine_topk(emb, q, k=4).orderBy("rank").collect()]
+    assert got[0] == (1, 1, 1.0)
+    assert got[1][1] == 2 and got[1][2] == pytest.approx(0.9939, abs=1e-4)
+    assert got[2] == (3, 3, 0.0)
+    assert got[3] == (4, 4, -1.0)
+
+
+def test_lsh_topk_recall(spark, request):
+    sf_dir = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {(r["query_id"], r["neighbor_id"]) for r in cosine_topk(emb, q, k=5).collect()}
+    approx = {(r["query_id"], r["neighbor_id"]) for r in lsh_cosine_topk(emb, q, k=5).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"LSH recall {recall} too low"
+
+
+def test_text_stats(spark):
+    df = spark.createDataFrame(
+        [(1, "The cat and the dog!"), (2, ""), (3, "xin chào các bạn của tôi và")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in with_text_stats(df, "text").collect()}
+    r = out[1]
+    assert r["n_words"] == 5
+    assert r["n_unique_words"] == 5  # 'The' vs 'the' differ case-sensitively
+    assert r["stop_count_en"] == 3  # The, and, the (case-insensitive match)
+    assert r["punct_chars"] == 1  # '!'
+    assert r["approx_tokens"] == 6  # 5 words + '!'
+    assert r["lang_guess"] == "en"
+    assert out[2]["n_words"] == 0
+    assert out[3]["lang_guess"] == "vi"  # 'các', 'của', 'và' hit the vi list
+    # fingerprint is whitespace/case-normalized
+    df2 = spark.createDataFrame(
+        [(1, "The  cat and   THE DOG!")], "doc_id long, text string"
+    )
+    fp1 = out[1]["fingerprint"]
+    fp2 = with_text_stats(df2, "text").collect()[0]["fingerprint"]
+    assert fp1 == fp2

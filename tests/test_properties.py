@@ -1,0 +1,138 @@
+"""Property-based tests (hypothesis): the parsers never crash on
+arbitrary input and their structural invariants hold; SCD2 invariants
+hold under random batch sequences.
+
+Spark round-trips per example are too slow for hypothesis, so parser
+properties run the pure-Python cores / batched Spark calls over
+generated corpora.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import given, settings, strategies as st
+
+from jobinsight_data_pipeline_spark.functions.location import (
+    parse_job_location,
+    parse_single_location_item,
+)
+from jobinsight_data_pipeline_spark.functions.text import clean_company_name_py
+
+text_strategy = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_categories=["Cs"]),
+    max_size=80,
+)
+
+
+@given(text_strategy)
+@settings(max_examples=300, deadline=None)
+def test_clean_company_name_total(s):
+    out = clean_company_name_py(s)
+    assert isinstance(out, str)
+    assert "  " not in out  # whitespace collapsed
+    assert out == out.strip()
+
+
+@given(st.one_of(st.none(), text_strategy))
+@settings(max_examples=300, deadline=None)
+def test_parse_job_location_total(s):
+    out = parse_job_location(s)
+    assert isinstance(out, list) and len(out) >= 1
+    for item in out:
+        assert isinstance(item, tuple) and len(item) == 3
+    # empty-ish input contracts to the Unknown sentinel
+    if not isinstance(s, str) or not s.strip():
+        assert out == [(None, "Unknown", None)]
+
+
+@given(text_strategy.filter(lambda s: s.strip()))
+@settings(max_examples=300, deadline=None)
+def test_parse_single_location_item_shapes(s):
+    out = parse_single_location_item(s)
+    for prov, city, dist in out:
+        # city is never empty-string (the parser trims segments)
+        if city is not None:
+            assert city == city.strip()
+
+
+SALARY_INPUTS = st.one_of(
+    st.none(),
+    st.text(max_size=40),
+    st.builds(
+        lambda a, b, unit, sep: f"{a}{sep}{b} {unit}",
+        st.integers(0, 5000),
+        st.integers(0, 5000),
+        st.sampled_from(["triệu", "USD", "usd", "TRIỆU"]),
+        st.sampled_from([" - ", "-", " – ", " "]),
+    ),
+)
+
+
+def test_salary_parser_invariants(spark):
+    """Batched property check: for ANY input, outputs are non-null,
+    salary_min <= salary_max OR the reference's coalesce rules explain
+    the inversion, and type is one of the four labels."""
+    import random
+
+    from jobinsight_data_pipeline_spark.functions.salary import with_salary_columns
+
+    rng = random.Random(7)
+    corpus = []
+    for _ in range(400):
+        kind = rng.randrange(5)
+        if kind == 0:
+            corpus.append(None)
+        elif kind == 1:
+            corpus.append("".join(chr(rng.randrange(32, 1000)) for _ in range(rng.randrange(0, 30))))
+        else:
+            a, b = rng.randrange(0, 3000), rng.randrange(0, 3000)
+            unit = rng.choice(["triệu", "USD", "usd"])
+            sep = rng.choice([" - ", "-", " "])
+            prefix = rng.choice(["", "Tới ", "Từ ", "tới "])
+            corpus.append(f"{prefix}{a}{sep}{b} {unit}")
+    df = spark.createDataFrame([(s,) for s in corpus], "salary string")
+    rows = with_salary_columns(df).collect()
+    assert len(rows) == len(corpus)
+    for r in rows:
+        assert r["salary_type"] in {"negotiable", "range", "upto", "from"}
+        assert r["salary_min"] is not None and r["salary_max"] is not None
+        assert r["salary_min"] >= 0.0
+        # post-condition: max==0 was coalesced to min, so max<min can only
+        # happen via a genuine inverted range in the input (reference
+        # behavior preserves it, e.g. '20 - 10 triệu')
+        if r["salary_max"] < r["salary_min"]:
+            assert r["salary_type"] == "range"
+
+
+def test_scd2_random_batches(spark):
+    """Random two-batch evolution: at most one current row per key, no
+    overlapping version ranges, closed rows precede current ones."""
+    import random
+
+    from jobinsight_data_pipeline_spark.operators.scd2 import Scd2Config, scd2_merge
+    from jobinsight_data_pipeline_spark.plans.validation import (
+        duplicate_current_keys,
+        scd2_overlaps,
+    )
+
+    rng = random.Random(11)
+    cfg = Scd2Config(sk_col="sk", natural_keys=["k"], tracked_cols=["v"])
+    keys = [f"k{i}" for i in range(20)]
+
+    def batch():
+        rows = []
+        for k in rng.sample(keys, rng.randrange(1, 15)):
+            rows.append((k, rng.choice(["a", "b", "c"])))
+        return spark.createDataFrame(rows, "k string, v string")
+
+    d1 = dt.date(2025, 6, 1)
+    d2 = dt.date(2025, 6, 2)
+    dim = scd2_merge(None, batch(), cfg, d1).dim
+    dim = scd2_merge(dim, batch(), cfg, d2, collect_stats=False).dim
+    assert duplicate_current_keys(dim, ["k"]) == 0
+    assert scd2_overlaps(dim, ["k"]) == 0
+    rows = dim.collect()
+    for r in rows:
+        if not r["is_current"]:
+            assert r["expiry_date"] is not None
