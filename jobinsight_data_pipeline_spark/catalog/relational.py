@@ -287,8 +287,28 @@ WHERE rk <= 3
 """
 
 
+def q_monthly_orders_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1's 100 TB upgrade: HyperLogLog++ approx_count_distinct replaces
+    the exact distinct (which shuffles every (month, custkey) pair).
+    Rows-only check — the estimate is deterministic for a given dataset
+    but has no DuckDB-equivalent bit-for-bit oracle."""
+    t = load(spark, sf_dir, "orders")
+    return (
+        t["orders"]
+        .groupBy(
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+        )
+        .agg(
+            F.count("*").alias("order_count"),
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("customer_count_approx"),
+        )
+    )
+
+
 QUERIES = {
     "star_revenue": q_star_revenue,
+    "monthly_orders_approx": q_monthly_orders_approx,
     "monthly_orders": q_monthly_orders,
     "top10_customers": q_top10_customers,
     "customers_no_orders": q_customers_no_orders,

@@ -118,5 +118,139 @@ JOIN dim_company USING (company_sk)
 GROUP BY company_sk, company_name_standardized
 """
 
-QUERIES = {"warehouse_rollup": q_warehouse_rollup}
-ORACLES = {"warehouse_rollup": O_WAREHOUSE_ROLLUP}
+# --------------------------------------------------------------------------
+# views layer under the gate: vw_job_salary_filter over an engine-built
+# warehouse INCLUDING the location bridge (J3's mixed inner+left joins
+# with the null-tolerant is_current predicate, P4's salary/expiry filter).
+# Locations use two constructed shapes — 'CityX: DY' and NULL→Unknown —
+# the full parser heuristics are gated separately by location_parse.
+# --------------------------------------------------------------------------
+STAGING_LOC_SQL = STAGING_SQL.replace(
+    "FROM orders",
+    """,
+    CASE WHEN mod(o_orderkey, 5) = 0 THEN NULL
+         ELSE concat('City', CAST(mod(o_orderkey, 7) AS STRING), ': D',
+                     CAST(mod(o_orderkey, 3) AS STRING))
+    END AS location,
+    o_orderdate + CAST(mod(o_orderkey, 120) AS INT) * INTERVAL 1 DAY AS due_dt
+FROM orders
+""",
+).replace(
+    "o_orderdate                                          AS due_date,",
+    "CAST(NULL AS TIMESTAMP)                              AS _unused_due,",
+)
+
+
+def q_views_salary_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobinsight_data_pipeline_spark.plans import views as views_plan
+    from jobinsight_data_pipeline_spark.plans.dimensions import (
+        build_dim_location,
+    )
+
+    load(spark, sf_dir, "orders")
+    staging = (
+        spark.sql(STAGING_LOC_SQL)
+        .withColumn("skills", F.lit(None).cast("array<string>"))
+        .withColumn(
+            "location_pairs",
+            F.when(F.col("location").isNotNull(), F.array("location")).otherwise(
+                F.array().cast("array<string>")
+            ),
+        )
+        .withColumn("due_date", F.col("due_dt"))
+    )
+    run_date = RUN_TS.date()
+
+    dim_job = scd2_merge(None, staging, DIM_JOB_CONFIG, run_date).dim
+    dim_company = scd2_merge(None, staging, DIM_COMPANY_CONFIG, run_date).dim
+    dim_location = build_dim_location(None, staging, run_date).dim
+    incoming = facts_plan.build_fact_batch(staging, dim_job, dim_company, RUN_TS)
+    fact = facts_plan.merge_facts(None, incoming)
+    bridge = facts_plan.build_bridge(
+        fact, incoming, staging, dim_job, dim_location, None
+    )
+    dim_date = spark.createDataFrame([], "date_id date, day int, month int, quarter int, year int, weekday string")
+    views_plan.register_dwh_views(
+        spark, dim_job, dim_company, dim_location, dim_date, fact, bridge
+    )
+    out = views_plan.vw_job_salary_filter(spark, run_date)
+    return out.select(
+        "job_id",
+        "title_clean",
+        "company_name_standardized",
+        "salary_min",
+        "salary_max",
+        "due_date",  # TIMESTAMP_NTZ: collected wall-clock equals DuckDB's
+        "province",
+        "city",
+        "district",
+    )
+
+
+O_VIEWS_SALARY_FILTER = f"""
+WITH staging AS ({STAGING_LOC_SQL}),
+dim_job AS (
+    SELECT job_id, title_clean, 9999 + row_number() OVER (ORDER BY job_id) AS job_sk
+    FROM staging
+),
+dim_company AS (
+    SELECT company_name_standardized,
+           9999 + row_number() OVER (ORDER BY company_name_standardized) AS company_sk
+    FROM (SELECT DISTINCT company_name_standardized FROM staging)
+),
+locs AS (
+    SELECT DISTINCT
+           CAST(NULL AS VARCHAR) AS province,
+           trim(split_part(location, ':', 1)) AS city,
+           trim(split_part(location, ':', 2)) AS district
+    FROM staging WHERE location IS NOT NULL
+    UNION
+    SELECT CAST(NULL AS VARCHAR), 'Unknown', CAST(NULL AS VARCHAR)
+),
+dim_location AS (
+    SELECT province, city, district,
+           9999 + row_number() OVER (
+               ORDER BY province ASC NULLS LAST, city ASC NULLS LAST,
+                        district ASC NULLS LAST) AS location_sk
+    FROM locs
+),
+fact AS (
+    SELECT j.job_sk, c.company_sk, s.job_id, s.title_clean,
+           s.company_name_standardized, s.salary_min, s.salary_max,
+           s.due_dt AS due_date, s.location,
+           CAST(unnest(generate_series(DATE '1998-06-01', DATE '1998-06-05',
+                                       INTERVAL 1 DAY)) AS DATE) AS date_id
+    FROM staging s
+    JOIN dim_job j ON s.job_id = j.job_id
+    JOIN dim_company c ON s.company_name_standardized = c.company_name_standardized
+),
+bridge AS (
+    SELECT DISTINCT f.job_sk, f.date_id, l.location_sk, l.province, l.city, l.district
+    FROM fact f
+    JOIN dim_location l
+      ON l.city IS NOT DISTINCT FROM (CASE WHEN f.location IS NULL THEN 'Unknown'
+                                           ELSE trim(split_part(f.location, ':', 1)) END)
+     AND l.district IS NOT DISTINCT FROM (CASE WHEN f.location IS NULL THEN CAST(NULL AS VARCHAR)
+                                               ELSE trim(split_part(f.location, ':', 2)) END)
+)
+SELECT DISTINCT
+    f.job_id, f.title_clean, f.company_name_standardized,
+    f.salary_min, f.salary_max, f.due_date,
+    b.province, b.city, b.district
+FROM fact f
+LEFT JOIN bridge b ON f.job_sk = b.job_sk AND f.date_id = b.date_id
+WHERE f.salary_min >= 10.00
+  AND f.salary_max <= 20.00
+  AND f.due_date >= DATE '1998-06-01'
+  AND f.salary_min IS NOT NULL
+  AND f.salary_max IS NOT NULL
+"""
+
+QUERIES = {
+    "warehouse_rollup": q_warehouse_rollup,
+    "views_salary_filter": q_views_salary_filter,
+}
+ORACLES = {
+    "warehouse_rollup": O_WAREHOUSE_ROLLUP,
+    "views_salary_filter": O_VIEWS_SALARY_FILTER,
+}

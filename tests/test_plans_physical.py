@@ -1,0 +1,76 @@
+"""Physical-plan assertions: the scale posture is part of the contract.
+
+These tests pin WHAT Catalyst plans, not just results: broadcast joins
+for dims, column-pruned + filter-pushed scans, top-k without global
+sort, and salted-join equivalence. A regression that silently turns a
+broadcast join into a shuffled sort-merge join (or widens a scan) fails
+CI here long before it burns a cluster."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from jobinsight_data_pipeline_spark.catalog.relational import (
+    q_star_revenue,
+    q_top10_customers,
+)
+from jobinsight_data_pipeline_spark.operators.skew import hot_keys, salted_join
+
+SF = "/root/testdata/sf0.001"
+
+
+def physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_star_join_broadcasts_and_prunes(spark):
+    plan = physical_plan(q_star_revenue(spark, SF))
+    # every dim side must broadcast, not shuffle
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+    # lineitem scan must read only the 3 needed columns
+    assert "ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double,l_discount:double>" in plan
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .filter(F.col("o_totalprice") > 100_000)
+        .select("o_orderkey")
+    )
+    plan = physical_plan(df)
+    assert "PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice,100000.0)]" in plan
+    assert "ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>" in plan
+
+
+def test_topk_plans_as_take_ordered(spark):
+    plan = physical_plan(q_top10_customers(spark, SF))
+    assert "TakeOrderedAndProject" in plan  # true top-k, no global sort
+
+
+def test_salted_join_equivalence(spark):
+    # skewed left: one hot key with 500 rows
+    left = spark.createDataFrame(
+        [(1, i) for i in range(500)] + [(k, 0) for k in range(2, 30)],
+        "k int, payload int",
+    )
+    right = spark.createDataFrame(
+        [(k, f"dim{k}") for k in range(1, 30)], "k int, attr string"
+    )
+    plain = left.join(right, ["k"]).select("k", "payload", "attr")
+    salted = salted_join(left, right, ["k"], buckets=8).select("k", "payload", "attr")
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
+
+    hot = hot_keys(left, ["k"], min_count=100).collect()
+    assert [(r["k"], r["n"]) for r in hot] == [(1, 500)]
+
+    # salt actually spreads the hot key across buckets
+    spread = (
+        left.withColumn("_salt", F.pmod(F.xxhash64("k", "payload"), F.lit(8)))
+        .filter("k = 1")
+        .select("_salt")
+        .distinct()
+        .count()
+    )
+    assert spread == 8
