@@ -321,8 +321,115 @@ FROM base JOIN customer USING (c_custkey)
 """
 
 
+# ----------------------------------------------- F5 clean_company_name
+# constructed inputs chosen so each branch's expected output is directly
+# constructible in SQL: keyword removal, tech-word uppercasing,
+# per-segment capitalization (the pandas UDF runs the real algorithm).
+COMPANY_FRAG = """
+CASE mod(c_custkey, 4)
+  WHEN 0 THEN concat('công ty ', lower(c_mktsegment))
+  WHEN 1 THEN concat('tuyển dụng sql ', lower(c_mktsegment))
+  WHEN 2 THEN concat(c_mktsegment, ' hot corp')
+  ELSE concat(c_mktsegment, ' - it solutions')
+END
+"""
+
+
+def q_clean_company(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobinsight_data_pipeline_spark.functions.text import clean_company_name_udf
+
+    load(spark, sf_dir, "customer")
+    base = spark.sql(f"SELECT c_custkey, {COMPANY_FRAG} AS company_name FROM customer")
+    return base.select(
+        "c_custkey",
+        "company_name",
+        clean_company_name_udf("company_name").alias("company_name_standardized"),
+    )
+
+
+O_CLEAN_COMPANY = f"""
+WITH base AS (SELECT c_custkey, c_mktsegment, {COMPANY_FRAG} AS company_name FROM customer)
+SELECT c_custkey, company_name,
+       CASE mod(c_custkey, 4)
+         -- 'công'→capitalize; rest of words untouched
+         WHEN 0 THEN concat('Công ty ', lower(c_mktsegment))
+         -- 'tuyển dụng' removed; 'sql' is now first word and a tech word → 'SQL'
+         WHEN 1 THEN concat('SQL ', lower(c_mktsegment))
+         -- 'hot' removed; first word capitalize() lowercases the rest
+         WHEN 2 THEN concat(upper(substr(c_mktsegment, 1, 1)),
+                            lower(substr(c_mktsegment, 2)), ' corp')
+         -- each '-'-separated segment: first word capitalized ('it'→'It')
+         ELSE concat(upper(substr(c_mktsegment, 1, 1)),
+                     lower(substr(c_mktsegment, 2)), ' - It solutions')
+       END AS company_name_standardized
+FROM base
+"""
+
+# ------------------------------------ F6/F7 html extraction + refinement
+HTML_FRAG = """
+CASE mod(o_orderkey, 4)
+  WHEN 0 THEN concat('<div>City', CAST(mod(o_orderkey, 7) AS STRING), ': ',
+                     CAST(mod(o_orderkey, 97) AS STRING), ' Street</div>')
+  WHEN 1 THEN concat('<div>CityA: ', CAST(mod(o_orderkey, 97) AS STRING),
+                     '<br/>CityB: ', CAST(mod(o_orderkey, 89) AS STRING), '</div>')
+  WHEN 2 THEN '<div>BareLine</div>'
+  ELSE NULL
+END
+"""
+
+LOCATION_FIELD_FRAG = """
+CASE mod(o_orderkey, 4)
+  WHEN 1 THEN 'CityA & CityB'
+  ELSE 'SomeCity'
+END
+"""
+
+
+def q_html_location(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobinsight_data_pipeline_spark.functions.location import (
+        extract_location_info,
+        refine_location,
+    )
+
+    load(spark, sf_dir, "orders")
+    base = spark.sql(
+        f"SELECT o_orderkey, {HTML_FRAG} AS location_detail, "
+        f"{LOCATION_FIELD_FRAG} AS location FROM orders"
+    )
+    return (
+        base.withColumn("location_pairs", extract_location_info("location_detail"))
+        .withColumn("location_refined", refine_location("location", "location_pairs"))
+        .select(
+            "o_orderkey",
+            F.array_join("location_pairs", "|").alias("pairs_joined"),
+            F.size("location_pairs").alias("n_pairs"),
+            "location_refined",
+        )
+    )
+
+
+O_HTML_LOCATION = """
+SELECT o_orderkey,
+       CASE mod(o_orderkey, 4)
+         WHEN 0 THEN concat('City', CAST(mod(o_orderkey, 7) AS STRING), ': ',
+                            CAST(mod(o_orderkey, 97) AS STRING), ' Street')
+         WHEN 1 THEN concat('CityA: ', CAST(mod(o_orderkey, 97) AS STRING),
+                            '|CityB: ', CAST(mod(o_orderkey, 89) AS STRING))
+         WHEN 2 THEN 'BareLine'
+         ELSE ''
+       END AS pairs_joined,
+       CASE mod(o_orderkey, 4) WHEN 1 THEN 2 WHEN 3 THEN 0 ELSE 1 END AS n_pairs,
+       -- refine: only the '&' row rewrites to the deduped city prefixes
+       CASE mod(o_orderkey, 4) WHEN 1 THEN 'CityA, CityB' ELSE 'SomeCity' END
+           AS location_refined
+FROM orders
+"""
+
+
 QUERIES = {
     "salary_parse": q_salary_parse,
+    "clean_company": q_clean_company,
+    "html_location": q_html_location,
     "relative_time": q_relative_time,
     "time_remaining": q_time_remaining,
     "load_month": q_load_month,
@@ -334,6 +441,8 @@ QUERIES = {
 
 ORACLES = {
     "salary_parse": O_SALARY_PARSE,
+    "clean_company": O_CLEAN_COMPANY,
+    "html_location": O_HTML_LOCATION,
     "relative_time": O_RELATIVE_TIME,
     "time_remaining": O_TIME_REMAINING,
     "load_month": O_LOAD_MONTH,

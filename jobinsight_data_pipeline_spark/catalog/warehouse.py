@@ -246,11 +246,90 @@ WHERE f.salary_min >= 10.00
   AND f.salary_max IS NOT NULL
 """
 
+# --------------------------------------------------------------------------
+# SCD2 UPDATE path under the gate: two-batch evolution. Batch 1 inserts
+# every job; batch 2 re-crawls half of them, a quarter with a changed
+# title → those close (expiry_date, is_current=false) and get a new
+# version with a fresh surrogate key (max_sk + row_number); unchanged
+# re-crawls do nothing. The oracle reproduces the whole state machine.
+# --------------------------------------------------------------------------
+D1_SQL = """
+SELECT CAST(o_orderkey AS STRING) AS job_id,
+       concat('T', CAST(mod(o_orderkey, 9) AS STRING)) AS title_clean,
+       CAST(NULL AS STRING) AS job_url,
+       CAST(NULL AS STRING) AS last_update,
+       CAST(NULL AS STRING) AS logo_url
+FROM orders
+"""
+
+D2_SQL = """
+SELECT CAST(o_orderkey AS STRING) AS job_id,
+       CASE WHEN mod(o_orderkey, 4) = 0
+            THEN concat('T', CAST(mod(o_orderkey, 9) AS STRING), 'v2')
+            ELSE concat('T', CAST(mod(o_orderkey, 9) AS STRING))
+       END AS title_clean,
+       CAST(NULL AS STRING) AS job_url,
+       CAST(NULL AS STRING) AS last_update,
+       CAST(NULL AS STRING) AS logo_url
+FROM orders
+WHERE mod(o_orderkey, 2) = 0
+"""
+
+
+def q_scd2_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders")
+    null_sk = F.lit(None).cast("array<string>")
+    b1 = spark.sql(D1_SQL).withColumn("skills", null_sk)
+    b2 = spark.sql(D2_SQL).withColumn("skills", null_sk)
+    d1, d2 = dt.date(1998, 6, 1), dt.date(1998, 6, 2)
+    dim = scd2_merge(None, b1, DIM_JOB_CONFIG, d1).dim
+    dim = scd2_merge(dim, b2, DIM_JOB_CONFIG, d2, collect_stats=False).dim
+    return dim.select(
+        "job_sk", "job_id", "title_clean", "effective_date", "expiry_date", "is_current"
+    )
+
+
+O_SCD2_UPDATE = f"""
+WITH b1 AS ({D1_SQL}),
+b2 AS ({D2_SQL}),
+v1 AS (
+    SELECT job_id, title_clean,
+           9999 + row_number() OVER (ORDER BY job_id) AS job_sk
+    FROM b1
+),
+max1 AS (SELECT max(job_sk) AS m FROM v1),
+updated AS (
+    SELECT b2.job_id, b2.title_clean AS new_title
+    FROM b2 JOIN v1 USING (job_id)
+    WHERE b2.title_clean <> v1.title_clean
+),
+closed_or_kept AS (
+    SELECT v1.job_sk, v1.job_id, v1.title_clean,
+           DATE '1998-06-01' AS effective_date,
+           CASE WHEN u.job_id IS NOT NULL THEN DATE '1998-06-02' END AS expiry_date,
+           (u.job_id IS NULL) AS is_current
+    FROM v1 LEFT JOIN updated u ON v1.job_id = u.job_id
+),
+new_versions AS (
+    SELECT (SELECT m FROM max1) + row_number() OVER (ORDER BY job_id) AS job_sk,
+           job_id, new_title AS title_clean,
+           DATE '1998-06-02' AS effective_date,
+           CAST(NULL AS DATE) AS expiry_date,
+           TRUE AS is_current
+    FROM updated
+)
+SELECT * FROM closed_or_kept
+UNION ALL
+SELECT * FROM new_versions
+"""
+
 QUERIES = {
     "warehouse_rollup": q_warehouse_rollup,
     "views_salary_filter": q_views_salary_filter,
+    "scd2_update": q_scd2_update,
 }
 ORACLES = {
     "warehouse_rollup": O_WAREHOUSE_ROLLUP,
     "views_salary_filter": O_VIEWS_SALARY_FILTER,
+    "scd2_update": O_SCD2_UPDATE,
 }
