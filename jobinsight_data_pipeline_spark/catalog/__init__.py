@@ -77,11 +77,20 @@ def load(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     for name in names:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-            # TIMESTAMP(NANOS) read as raw nanos (see session factory):
-            # integer-divide to microseconds (truncation, matching DuckDB's
-            # nanos→micros cast) — float division would lose precision at
-            # int64 magnitudes.
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            # TIMESTAMP(NANOS, isAdjustedToUTC=false) read as raw nanos
+            # (see session factory): the value is a NAIVE wall-clock, so
+            # rebuild a TIMESTAMP_NTZ with pure integer arithmetic —
+            # timezone-free and truncating to micros exactly like DuckDB's
+            # nanos→micros cast. (timestamp_micros would produce LTZ and
+            # shift the wall-clock by the session offset.)
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, (ts div 1000) % 1000000, "
+                    "timestampadd(SECOND, ts div 1000000000, "
+                    "TIMESTAMP_NTZ '1970-01-01 00:00:00'))"
+                ),
+            )
         df.createOrReplaceTempView(name)
         out[name] = df
     return out

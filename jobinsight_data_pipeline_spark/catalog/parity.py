@@ -131,13 +131,17 @@ def q_time_remaining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").alias("crawled_at"),
         (F.col("o_orderkey") % 40).cast("string").alias("deadline"),
     )
+    # as_of as an NTZ literal: due_date is TIMESTAMP_NTZ (parquet), and a
+    # python-datetime lit crosses to the JVM as UTC-epoch — mixing the two
+    # shifts the difference by the session offset
+    as_of_ntz = F.expr(f"TIMESTAMP_NTZ '{AS_OF:%Y-%m-%d %H:%M:%S}'")
     return base.select(
         "o_orderkey",
         due_date_from_deadline("crawled_at", "deadline").alias("due_date"),
     ).select(
         "o_orderkey",
         "due_date",
-        time_remaining("due_date", F.lit(AS_OF)).alias("time_remaining"),
+        time_remaining("due_date", as_of_ntz).alias("time_remaining"),
     )
 
 

@@ -49,10 +49,23 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
 
+    # pin the JVM default timezone to the session timezone — otherwise
+    # python-datetime ingestion (JVM-default) and SQL literals/rendering
+    # (session tz) disagree and wall-clocks shift by the offset
+    os.environ.setdefault("TZ", timezone)
+    try:
+        import time as _time
+
+        _time.tzset()
+    except AttributeError:
+        pass  # non-POSIX
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.session.timeZone", timezone)
+        .config("spark.driver.extraJavaOptions", f"-Duser.timezone={timezone}")
+        .config("spark.executor.extraJavaOptions", f"-Duser.timezone={timezone}")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -39,9 +39,10 @@ def export_denormalized(
     analytics) as star joins + partitioned writes
     (ref src/etl/staging_to_dwh.py:652-796)."""
     jobs = broadcast(dim_job.filter(F.col("is_current")).select("job_sk", "job_id", "title_clean", "skills"))
+    # fact rows already carry verified_employer; join only the name
     cos = broadcast(
         dim_company.filter(F.col("is_current")).select(
-            "company_sk", "company_name_standardized", "verified_employer"
+            "company_sk", "company_name_standardized"
         )
     )
     facts = fact.join(jobs, "job_sk").join(cos, "company_sk")

@@ -133,8 +133,21 @@ def read_html_jobs(
             out["verified_employer"] = out["verified_employer"].astype("boolean")
             yield out
 
+    from jobinsight_data_pipeline_spark.functions.text import (
+        posted_time_from_last_update,
+    )
+
     return (
         files.mapInPandas(parse_batches, RAW_JOBS)
         .withColumn("crawled_at", F.lit(as_of))
+        # F12: posted_time := crawl time − parsed relative age
+        # (ref src/crawler/parser.py:371-374)
+        .withColumn(
+            "posted_time",
+            F.when(
+                F.col("last_update").isNotNull(),
+                posted_time_from_last_update("last_update", F.lit(as_of)),
+            ),
+        )
         .dropDuplicates(["job_id"])
     )
