@@ -306,9 +306,33 @@ def q_monthly_orders_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10: tumbling event-time window aggregation — the streaming
+    primitive (same code path handles a readStream frame with a
+    watermark; here it runs on the static events table)."""
+    from jobinsight_data_pipeline_spark.streaming.incremental import (
+        windowed_event_counts,
+    )
+
+    t = load(spark, sf_dir, "events")
+    return windowed_event_counts(t["events"], window="10 minutes")
+
+
+O_WINDOWED_EVENTS = """
+SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+       time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes' AS window_end,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 4) AS total_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "star_revenue": q_star_revenue,
     "monthly_orders_approx": q_monthly_orders_approx,
+    "windowed_events": q_windowed_events,
     "monthly_orders": q_monthly_orders,
     "top10_customers": q_top10_customers,
     "customers_no_orders": q_customers_no_orders,
@@ -322,6 +346,7 @@ QUERIES = {
 
 ORACLES = {
     "star_revenue": O_STAR_REVENUE,
+    "windowed_events": O_WINDOWED_EVENTS,
     "monthly_orders": O_MONTHLY_ORDERS,
     "top10_customers": O_TOP10_CUSTOMERS,
     "customers_no_orders": O_CUSTOMERS_NO_ORDERS,

@@ -323,13 +323,119 @@ UNION ALL
 SELECT * FROM new_versions
 """
 
+# --------------------------------------------------------------------------
+# SC3 fact grain-merge under the gate: two daily runs with overlapping
+# fan-out windows. Run-2 rows land on run-1 grains for the overlap days →
+# those keep their fact_id AND their run-1 load_month (sticky — the
+# reference deliberately omits it from DO UPDATE, fact_handler.py:246-255)
+# while taking run-2 measures; new grains get fresh ids.
+# --------------------------------------------------------------------------
+FACT_STAGING_SQL = """
+SELECT CAST(o_orderkey AS STRING) AS job_id,
+       concat('Co ', CAST(mod(o_custkey, 40) AS STRING)) AS company_name_standardized,
+       CAST(mod(o_orderkey, 50) AS DOUBLE) + {bump}     AS salary_min,
+       CAST(mod(o_orderkey, 50) + 10 AS DOUBLE) + {bump} AS salary_max,
+       'range' AS salary_type,
+       CAST(NULL AS TIMESTAMP) AS due_date,
+       CAST(NULL AS STRING) AS time_remaining,
+       (mod(o_orderkey, 2) = 0) AS verified_employer,
+       CAST(NULL AS TIMESTAMP) AS posted_time,
+       TIMESTAMP '{crawl}' AS crawled_at
+FROM orders
+WHERE mod(o_orderkey, {modulus}) = 0
+"""
+
+
+def q_fact_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders")
+
+    def staging(bump: int, crawl: str, modulus: int):
+        return spark.sql(
+            FACT_STAGING_SQL.format(bump=bump, crawl=crawl, modulus=modulus)
+        ).withColumn("skills", F.lit(None).cast("array<string>")).withColumn(
+            "title_clean", F.col("job_id")
+        ).withColumn("job_url", F.lit(None).cast("string")).withColumn(
+            "last_update", F.lit(None).cast("string")
+        ).withColumn("logo_url", F.lit(None).cast("string")).withColumn(
+            "company_name", F.col("company_name_standardized")
+        ).withColumn("company_url", F.lit(None).cast("string"))
+
+    # run 1: every other order, May 30; run 2: every 4th order (a subset),
+    # June 2 — fan-outs [May 30..Jun 3] and [Jun 2..Jun 6] overlap on
+    # Jun 2-3.
+    s1 = staging(0, "1998-05-30 09:00:00", 2)
+    s2 = staging(100, "1998-06-02 09:00:00", 4)
+    r1 = dt.datetime(1998, 5, 30, 12, 0, 0)
+    r2 = dt.datetime(1998, 6, 2, 12, 0, 0)
+
+    dim_job = scd2_merge(None, s1, DIM_JOB_CONFIG, r1.date()).dim
+    dim_company = scd2_merge(None, s1, DIM_COMPANY_CONFIG, r1.date()).dim
+    fact = facts_plan.merge_facts(
+        None, facts_plan.build_fact_batch(s1, dim_job, dim_company, r1)
+    )
+    fact = facts_plan.merge_facts(
+        fact, facts_plan.build_fact_batch(s2, dim_job, dim_company, r2)
+    )
+    return fact.select(
+        "fact_id", "job_sk", "date_id", "salary_min", "salary_max", "load_month"
+    )
+
+
+O_FACT_MERGE = f"""
+WITH s1 AS ({FACT_STAGING_SQL.format(bump=0, crawl='1998-05-30 09:00:00', modulus=2)}),
+s2 AS ({FACT_STAGING_SQL.format(bump=100, crawl='1998-06-02 09:00:00', modulus=4)}),
+dim_job AS (
+    SELECT job_id, 9999 + row_number() OVER (ORDER BY job_id) AS job_sk FROM s1
+),
+f1 AS (
+    SELECT j.job_sk, s1.salary_min, s1.salary_max, '1998-05' AS load_month,
+           CAST(unnest(generate_series(DATE '1998-05-30', DATE '1998-06-03',
+                                       INTERVAL 1 DAY)) AS DATE) AS date_id
+    FROM s1 JOIN dim_job j USING (job_id)
+),
+f1_ids AS (
+    SELECT *, 9999 + row_number() OVER (ORDER BY job_sk, date_id) AS fact_id FROM f1
+),
+max1 AS (SELECT max(fact_id) AS m FROM f1_ids),
+f2 AS (
+    SELECT j.job_sk, s2.salary_min, s2.salary_max, '1998-06' AS load_month,
+           CAST(unnest(generate_series(DATE '1998-06-02', DATE '1998-06-06',
+                                       INTERVAL 1 DAY)) AS DATE) AS date_id
+    FROM s2 JOIN dim_job j USING (job_id)
+),
+updated AS (  -- overlap grains: keep fact_id + OLD load_month, take new measures
+    SELECT f1_ids.fact_id, f1_ids.job_sk, f1_ids.date_id,
+           f2.salary_min, f2.salary_max, f1_ids.load_month
+    FROM f1_ids JOIN f2 USING (job_sk, date_id)
+),
+kept AS (
+    SELECT f1_ids.* FROM f1_ids
+    WHERE NOT EXISTS (SELECT 1 FROM f2
+                      WHERE f2.job_sk = f1_ids.job_sk AND f2.date_id = f1_ids.date_id)
+),
+fresh AS (
+    SELECT (SELECT m FROM max1) + row_number() OVER (ORDER BY job_sk, date_id) AS fact_id,
+           job_sk, date_id, salary_min, salary_max, load_month
+    FROM f2
+    WHERE NOT EXISTS (SELECT 1 FROM f1_ids
+                      WHERE f1_ids.job_sk = f2.job_sk AND f1_ids.date_id = f2.date_id)
+)
+SELECT fact_id, job_sk, date_id, salary_min, salary_max, load_month FROM kept
+UNION ALL
+SELECT fact_id, job_sk, date_id, salary_min, salary_max, load_month FROM updated
+UNION ALL
+SELECT fact_id, job_sk, date_id, salary_min, salary_max, load_month FROM fresh
+"""
+
 QUERIES = {
     "warehouse_rollup": q_warehouse_rollup,
     "views_salary_filter": q_views_salary_filter,
     "scd2_update": q_scd2_update,
+    "fact_merge": q_fact_merge,
 }
 ORACLES = {
     "warehouse_rollup": O_WAREHOUSE_ROLLUP,
     "views_salary_filter": O_VIEWS_SALARY_FILTER,
     "scd2_update": O_SCD2_UPDATE,
+    "fact_merge": O_FACT_MERGE,
 }
