@@ -169,6 +169,16 @@ def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_cosine_topk(t["embeddings"], queries, k=5)
 
 
+def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: IVF-flat approximate top-k — seeded-KMeans cells,
+    n_probe nearest cells scored (the other classic ANN index)."""
+    from jobinsight_data_pipeline_spark.operators.similarity import ivf_cosine_topk
+
+    t = load(spark, sf_dir, "embeddings")
+    queries = t["embeddings"].filter(F.col("vec_id") < 20)
+    return ivf_cosine_topk(t["embeddings"], queries, k=5, n_probe=8)
+
+
 QUERIES = {
     "exact_dedup": q_exact_dedup,
     "text_stats": q_text_stats,
@@ -177,6 +187,7 @@ QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "embedding_topk": q_embedding_topk,
     "embedding_lsh_topk": q_embedding_lsh_topk,
+    "embedding_ivf_topk": q_embedding_ivf_topk,
 }
 
 ORACLES = {

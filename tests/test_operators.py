@@ -115,6 +115,25 @@ def test_lsh_topk_recall(spark, request):
     assert recall >= 0.6, f"LSH recall {recall} too low"
 
 
+def test_ivf_topk_recall_curve(spark):
+    from jobinsight_data_pipeline_spark.operators.similarity import ivf_cosine_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {(r["query_id"], r["neighbor_id"]) for r in cosine_topk(emb, q, k=5).collect()}
+
+    def recall(n_probe):
+        ap = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_cosine_topk(emb, q, k=5, n_probe=n_probe).collect()
+        }
+        return len(exact & ap) / len(exact)
+
+    r4, r8 = recall(4), recall(8)
+    assert r8 >= r4  # more probes → recall can only grow
+    assert r8 >= 0.75
+
+
 def test_text_stats(spark):
     df = spark.createDataFrame(
         [(1, "The cat and the dog!"), (2, ""), (3, "xin chào các bạn của tôi và")],
