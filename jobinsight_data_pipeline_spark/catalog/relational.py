@@ -329,10 +329,88 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (gaps-and-islands): per-user event sessions split at
+    >30-minute inactivity gaps — the batch-exact counterpart of
+    Structured Streaming's session_window (same gap semantics)."""
+    t = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # exact microsecond gap arithmetic: second-truncation would disagree
+    # with the oracle on fractional boundary gaps
+    gapped = t["events"].withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "new_session",
+        (F.expr("timestampdiff(MICROSECOND, prev_ts, ts)") > 1800 * 1_000_000).cast(
+            "int"
+        ),
+    ).withColumn(
+        "session_no",
+        F.sum(F.coalesce("new_session", F.lit(1))).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return gapped.groupBy("user_id", "session_no").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+    )
+
+
+O_SESSIONIZE = """
+WITH gapped AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                WHEN date_diff('microseconds', lag(ts) OVER w, ts) > 1800000000 THEN 1
+                ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+    SELECT user_id, ts,
+           sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_no
+    FROM gapped
+),
+sessions AS (
+    SELECT user_id, session_no, min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events
+    FROM numbered GROUP BY user_id, session_no
+)
+SELECT * FROM sessions
+"""
+
+
+def q_event_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event type (Spark `percentile` ≡
+    DuckDB `quantile_cont`); the sketch-based scale path is
+    approx_percentile over the same plan (see monthly_orders_approx for
+    the rows-only sketch pattern)."""
+    t = load(spark, sf_dir, "events")
+    return t["events"].groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+        F.count("*").alias("n"),
+    )
+
+
+O_EVENT_PERCENTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.9), 4) AS p90,
+       round(quantile_cont(value, 0.99), 4) AS p99,
+       count(*) AS n
+FROM events
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "star_revenue": q_star_revenue,
     "monthly_orders_approx": q_monthly_orders_approx,
     "windowed_events": q_windowed_events,
+    "sessionize": q_sessionize,
+    "event_percentiles": q_event_percentiles,
     "monthly_orders": q_monthly_orders,
     "top10_customers": q_top10_customers,
     "customers_no_orders": q_customers_no_orders,
@@ -347,6 +425,8 @@ QUERIES = {
 ORACLES = {
     "star_revenue": O_STAR_REVENUE,
     "windowed_events": O_WINDOWED_EVENTS,
+    "sessionize": O_SESSIONIZE,
+    "event_percentiles": O_EVENT_PERCENTILES,
     "monthly_orders": O_MONTHLY_ORDERS,
     "top10_customers": O_TOP10_CUSTOMERS,
     "customers_no_orders": O_CUSTOMERS_NO_ORDERS,
