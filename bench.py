@@ -32,6 +32,9 @@ HEADLINE = [
     "top10_customers",
     "dedup_keepmin",
     "scd2_rebuild",
+    "sessionize",
+    "windowed_events",
+    "event_percentiles",
     "salary_parse",
     "location_parse",
     "date_fanout",
