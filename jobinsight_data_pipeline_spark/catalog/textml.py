@@ -179,7 +179,72 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_cosine_topk(t["embeddings"], queries, k=5, n_probe=8)
 
 
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data prep flow: quality-score every doc,
+    drop exact duplicates (keep min doc_id), keep quality ≥ 0.5 docs with
+    an English stopword signal, emit curation stats per source. One
+    declarative plan — Catalyst fuses the stats projection with the scan;
+    the only shuffles are the dedup groupBy and the final rollup."""
+    t = load(spark, sf_dir, "documents")
+    stats = with_text_stats(t["documents"], "text")
+    survivors = exact_dedup(t["documents"], "doc_id", "text").select(
+        F.col("survivor_id").alias("doc_id")
+    )
+    curated = (
+        stats.join(survivors, "doc_id", "left_semi")
+        .filter((F.col("quality") >= 0.5) & (F.col("lang_guess") == "en"))
+    )
+    return curated.groupBy("source").agg(
+        F.count("*").alias("kept_docs"),
+        F.sum("n_words").alias("kept_words"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+        F.round(F.avg("n_unique_words"), 2).alias("avg_vocab"),
+    )
+
+
+O_CORPUS_CURATION = """
+WITH toks AS (
+    SELECT doc_id, source, text,
+           regexp_split_to_array(trim(text), '\\s+') AS words
+    FROM documents
+),
+stats AS (
+    SELECT doc_id, source,
+           CASE WHEN trim(text) = '' THEN 0 ELSE len(words) END AS n_words,
+           len(array_distinct(words)) AS n_unique_words,
+           len(list_filter(words, w -> lower(w) IN ('the','a','and','of','to','in','is'))) AS stop_count_en,
+           length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS punct_chars,
+           length(text) AS n_chars_raw
+    FROM toks
+),
+scored AS (
+    SELECT *,
+           round(
+               0.4 * least(n_words / 50.0, 1.0)
+             + 0.4 * (CASE WHEN n_words > 0 THEN n_unique_words / CAST(n_words AS DOUBLE) ELSE 0.0 END)
+             + 0.2 * (1 - least((CASE WHEN n_chars_raw > 0
+                                 THEN punct_chars / CAST(n_chars_raw AS DOUBLE)
+                                 ELSE 1.0 END) * 5, 1.0)),
+               4) AS quality
+    FROM stats
+),
+survivors AS (
+    SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+)
+SELECT source,
+       count(*) AS kept_docs,
+       sum(n_words) AS kept_words,
+       round(avg(quality), 4) AS avg_quality,
+       round(avg(n_unique_words), 2) AS avg_vocab
+FROM scored
+JOIN survivors USING (doc_id)
+WHERE quality >= 0.5 AND stop_count_en > 0
+GROUP BY source
+"""
+
+
 QUERIES = {
+    "corpus_curation": q_corpus_curation,
     "exact_dedup": q_exact_dedup,
     "text_stats": q_text_stats,
     "ngram_jaccard": q_ngram_jaccard,
@@ -191,6 +256,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_curation": O_CORPUS_CURATION,
     "exact_dedup": O_EXACT_DEDUP,
     "text_stats": O_TEXT_STATS,
     "ngram_jaccard": O_NGRAM_JACCARD,
