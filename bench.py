@@ -44,6 +44,11 @@ HEADLINE = [
     "simhash_pairs",
     "embedding_topk",
     "embedding_lsh_topk",
+    # Phase-3-equivalent work, directly comparable to the reference's
+    # staging→DWH baseline (51 rec/s per-row loop — BASELINE.md): full
+    # SCD2 dims + 5-day fan-out + grain merge over every order row.
+    "warehouse_rollup",
+    "fact_merge",
 ]
 
 
