@@ -48,6 +48,40 @@ def test_topk_plans_as_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan  # true top-k, no global sort
 
 
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from jobinsight_data_pipeline_spark.operators.bucketing import (
+        join_is_shuffle_free,
+        read_table,
+        write_bucketed,
+    )
+
+    # warehouse dir is a static conf — conftest points it at a temp dir
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    customer = spark.read.parquet(f"{SF}/customer.parquet")
+    write_bucketed(orders, "orders_b", ["o_custkey"], 8, sort_cols=["o_custkey"])
+    write_bucketed(
+        customer.withColumnRenamed("c_custkey", "o_custkey"),
+        "customer_b",
+        ["o_custkey"],
+        8,
+        sort_cols=["o_custkey"],
+    )
+    # disable auto-broadcast so the join would otherwise shuffle both sides
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = read_table(spark, "orders_b").join(
+            read_table(spark, "customer_b"), "o_custkey"
+        )
+        assert join_is_shuffle_free(joined), joined._jdf.queryExecution().executedPlan().toString()[:500]
+        assert joined.count() == 1500
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS customer_b")
+
+
 def test_salted_join_equivalence(spark):
     # skewed left: one hot key with 500 rows
     left = spark.createDataFrame(
