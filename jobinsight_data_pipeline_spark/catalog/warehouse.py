@@ -427,15 +427,110 @@ UNION ALL
 SELECT fact_id, job_sk, date_id, salary_min, salary_max, load_month FROM fresh
 """
 
+# --------------------------------------------------------------------------
+# SC4 bridge rebuild under the gate: two runs where a subset of jobs is
+# re-crawled with a DIFFERENT location. Bridge rows of grains touched by
+# run 2 must re-point to the new location; untouched grains (earlier days
+# of re-crawled jobs, and all days of everyone else) keep run-1 rows.
+# --------------------------------------------------------------------------
+BRIDGE_STAGING_SQL = """
+SELECT CAST(o_orderkey AS STRING) AS job_id,
+       CAST(o_orderkey AS STRING) AS title_clean,
+       concat('Co ', CAST(mod(o_custkey, 40) AS STRING)) AS company_name_standardized,
+       concat('Co ', CAST(mod(o_custkey, 40) AS STRING)) AS company_name,
+       concat('{city}: D', CAST(mod(o_orderkey, 3) AS STRING)) AS location,
+       CAST(NULL AS STRING) AS job_url, CAST(NULL AS STRING) AS last_update,
+       CAST(NULL AS STRING) AS logo_url, CAST(NULL AS STRING) AS company_url,
+       CAST(0.0 AS DOUBLE) AS salary_min, CAST(0.0 AS DOUBLE) AS salary_max,
+       'negotiable' AS salary_type, FALSE AS verified_employer,
+       CAST(NULL AS TIMESTAMP) AS due_date, CAST(NULL AS STRING) AS time_remaining,
+       CAST(NULL AS TIMESTAMP) AS posted_time,
+       TIMESTAMP '{crawl}' AS crawled_at
+FROM orders
+WHERE mod(o_orderkey, {modulus}) = 0
+"""
+
+
+def q_bridge_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobinsight_data_pipeline_spark.plans.dimensions import build_dim_location
+
+    load(spark, sf_dir, "orders")
+
+    def staging(city: str, crawl: str, modulus: int):
+        return (
+            spark.sql(
+                BRIDGE_STAGING_SQL.format(city=city, crawl=crawl, modulus=modulus)
+            )
+            .withColumn("skills", F.lit(None).cast("array<string>"))
+            .withColumn("location_pairs", F.array("location"))
+        )
+
+    s1 = staging("CityA", "1998-06-01 09:00:00", 2)
+    s2 = staging("CityB", "1998-06-03 09:00:00", 4)
+    r1 = dt.datetime(1998, 6, 1, 12, 0, 0)
+    r2 = dt.datetime(1998, 6, 3, 12, 0, 0)
+
+    dim_job = scd2_merge(None, s1, DIM_JOB_CONFIG, r1.date()).dim
+    dim_company = scd2_merge(None, s1, DIM_COMPANY_CONFIG, r1.date()).dim
+    dim_loc = build_dim_location(None, s1, r1.date()).dim
+
+    inc1 = facts_plan.build_fact_batch(s1, dim_job, dim_company, r1)
+    fact = facts_plan.merge_facts(None, inc1)
+    bridge = facts_plan.build_bridge(fact, inc1, s1, dim_job, dim_loc, None)
+
+    dim_loc = build_dim_location(dim_loc, s2, r2.date()).dim
+    inc2 = facts_plan.build_fact_batch(s2, dim_job, dim_company, r2)
+    fact = facts_plan.merge_facts(fact, inc2)
+    bridge = facts_plan.build_bridge(fact, inc2, s2, dim_job, dim_loc, bridge)
+
+    return (
+        fact.join(dim_job.select("job_sk", "job_id"), "job_sk")
+        .join(bridge, "fact_id")
+        .join(
+            dim_loc.select("location_sk", "city", "district"), "location_sk"
+        )
+        .select("job_id", "date_id", "city", "district")
+    )
+
+
+O_BRIDGE_REBUILD = f"""
+WITH s1 AS ({BRIDGE_STAGING_SQL.format(city='CityA', crawl='1998-06-01 09:00:00', modulus=2)}),
+s2 AS ({BRIDGE_STAGING_SQL.format(city='CityB', crawl='1998-06-03 09:00:00', modulus=4)}),
+grains AS (
+    SELECT job_id,
+           CAST(unnest(generate_series(DATE '1998-06-01', DATE '1998-06-05',
+                                       INTERVAL 1 DAY)) AS DATE) AS date_id
+    FROM s1
+    UNION
+    SELECT job_id,
+           CAST(unnest(generate_series(DATE '1998-06-03', DATE '1998-06-07',
+                                       INTERVAL 1 DAY)) AS DATE) AS date_id
+    FROM s2
+),
+affected AS (  -- grains touched by run 2: its jobs × its fan-out window
+    SELECT job_id,
+           CAST(unnest(generate_series(DATE '1998-06-03', DATE '1998-06-07',
+                                       INTERVAL 1 DAY)) AS DATE) AS date_id
+    FROM s2
+)
+SELECT g.job_id, g.date_id,
+       CASE WHEN a.job_id IS NOT NULL THEN 'CityB' ELSE 'CityA' END AS city,
+       concat('D', CAST(mod(CAST(g.job_id AS BIGINT), 3) AS STRING)) AS district
+FROM grains g
+LEFT JOIN affected a ON g.job_id = a.job_id AND g.date_id = a.date_id
+"""
+
 QUERIES = {
     "warehouse_rollup": q_warehouse_rollup,
     "views_salary_filter": q_views_salary_filter,
     "scd2_update": q_scd2_update,
     "fact_merge": q_fact_merge,
+    "bridge_rebuild": q_bridge_rebuild,
 }
 ORACLES = {
     "warehouse_rollup": O_WAREHOUSE_ROLLUP,
     "views_salary_filter": O_VIEWS_SALARY_FILTER,
     "scd2_update": O_SCD2_UPDATE,
     "fact_merge": O_FACT_MERGE,
+    "bridge_rebuild": O_BRIDGE_REBUILD,
 }

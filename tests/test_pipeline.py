@@ -183,6 +183,30 @@ def test_scd2_day2_and_idempotency(spark, lake):
     assert stats2["updated"] == 0 and stats2["inserted"] == 0
 
 
+def test_dedupe_fact_grain_repoints_bridge(spark):
+    """FIXTURES §4.9: pre-seeded duplicate grains — keep MIN(fact_id),
+    repoint the losers' bridge rows to the survivor, dedupe pairs."""
+    from jobinsight_data_pipeline_spark.plans.facts import dedupe_fact_grain
+
+    fact = spark.createDataFrame(
+        [
+            (100, 1, dt.date(2025, 6, 1)),
+            (101, 1, dt.date(2025, 6, 1)),  # duplicate grain → loser
+            (102, 2, dt.date(2025, 6, 1)),
+        ],
+        "fact_id long, job_sk long, date_id date",
+    )
+    bridge = spark.createDataFrame(
+        [(100, 500), (101, 500), (101, 501), (102, 502)],
+        "fact_id long, location_sk long",
+    )
+    survivors, new_bridge = dedupe_fact_grain(fact, bridge)
+    assert {r["fact_id"] for r in survivors.collect()} == {100, 102}
+    rows = {(r["fact_id"], r["location_sk"]) for r in new_bridge.collect()}
+    # loser 101's rows repointed to survivor 100; (100,500) deduped
+    assert rows == {(100, 500), (100, 501), (102, 502)}
+
+
 def test_lake_restore(spark, lake):
     run_full_pipeline(lake, spark, day1_batch(spark), D1)
     v1 = lake.current_version("dim_job")
