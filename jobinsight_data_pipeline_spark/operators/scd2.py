@@ -169,6 +169,7 @@ def insert_only_merge(
     incoming: DataFrame,
     config: Scd2Config,
     run_date: dt.date,
+    collect_stats: bool = True,
 ) -> Scd2Result:
     """SC2: insert-only dimension (DimLocation) — existing natural keys
     (null-safe composite compare) are skipped, new ones appended as
@@ -195,5 +196,9 @@ def insert_only_merge(
         config.sk_col, *value_cols, "effective_date", "expiry_date", "is_current"
     )
     dim = new_rows if dim_base is None else dim_base.unionByName(new_rows)
-    n = new_rows.count()
-    return Scd2Result(dim, {"inserted": n, "updated": 0, "unchanged": 0})
+    stats = (
+        {"inserted": new_rows.count(), "updated": 0, "unchanged": 0}
+        if collect_stats
+        else {}
+    )
+    return Scd2Result(dim, stats)

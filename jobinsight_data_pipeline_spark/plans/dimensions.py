@@ -123,10 +123,17 @@ def build_dim_company(
 
 
 def build_dim_location(
-    current: DataFrame | None, staging: DataFrame, run_date: dt.date
+    current: DataFrame | None,
+    staging: DataFrame,
+    run_date: dt.date,
+    collect_stats: bool = True,
 ) -> Scd2Result:
     return insert_only_merge(
-        current, prepare_dim_location(staging), DIM_LOCATION_CONFIG, run_date
+        current,
+        prepare_dim_location(staging),
+        DIM_LOCATION_CONFIG,
+        run_date,
+        collect_stats=collect_stats,
     )
 
 
