@@ -60,8 +60,8 @@ def q_warehouse_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_date = RUN_TS.date()
 
-    dim_job = scd2_merge(None, staging, DIM_JOB_CONFIG, run_date, collect_stats=False).dim
-    dim_company = scd2_merge(None, staging, DIM_COMPANY_CONFIG, run_date, collect_stats=False).dim
+    dim_job = scd2_merge(None, staging, DIM_JOB_CONFIG, run_date).dim
+    dim_company = scd2_merge(None, staging, DIM_COMPANY_CONFIG, run_date).dim
     incoming = facts_plan.build_fact_batch(staging, dim_job, dim_company, RUN_TS)
     fact = facts_plan.merge_facts(None, incoming)
 
@@ -161,9 +161,9 @@ def q_views_salary_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_date = RUN_TS.date()
 
-    dim_job = scd2_merge(None, staging, DIM_JOB_CONFIG, run_date, collect_stats=False).dim
-    dim_company = scd2_merge(None, staging, DIM_COMPANY_CONFIG, run_date, collect_stats=False).dim
-    dim_location = build_dim_location(None, staging, run_date, collect_stats=False).dim
+    dim_job = scd2_merge(None, staging, DIM_JOB_CONFIG, run_date).dim
+    dim_company = scd2_merge(None, staging, DIM_COMPANY_CONFIG, run_date).dim
+    dim_location = build_dim_location(None, staging, run_date).dim
     incoming = facts_plan.build_fact_batch(staging, dim_job, dim_company, RUN_TS)
     fact = facts_plan.merge_facts(None, incoming)
     bridge = facts_plan.build_bridge(
@@ -282,8 +282,8 @@ def q_scd2_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     b1 = spark.sql(D1_SQL).withColumn("skills", null_sk)
     b2 = spark.sql(D2_SQL).withColumn("skills", null_sk)
     d1, d2 = dt.date(1998, 6, 1), dt.date(1998, 6, 2)
-    dim = scd2_merge(None, b1, DIM_JOB_CONFIG, d1, collect_stats=False).dim
-    dim = scd2_merge(dim, b2, DIM_JOB_CONFIG, d2, collect_stats=False).dim
+    dim = scd2_merge(None, b1, DIM_JOB_CONFIG, d1).dim
+    dim = scd2_merge(dim, b2, DIM_JOB_CONFIG, d2).dim
     return dim.select(
         "job_sk", "job_id", "title_clean", "effective_date", "expiry_date", "is_current"
     )
@@ -368,8 +368,8 @@ def q_fact_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     r1 = dt.datetime(1998, 5, 30, 12, 0, 0)
     r2 = dt.datetime(1998, 6, 2, 12, 0, 0)
 
-    dim_job = scd2_merge(None, s1, DIM_JOB_CONFIG, r1.date(), collect_stats=False).dim
-    dim_company = scd2_merge(None, s1, DIM_COMPANY_CONFIG, r1.date(), collect_stats=False).dim
+    dim_job = scd2_merge(None, s1, DIM_JOB_CONFIG, r1.date()).dim
+    dim_company = scd2_merge(None, s1, DIM_COMPANY_CONFIG, r1.date()).dim
     fact = facts_plan.merge_facts(
         None, facts_plan.build_fact_batch(s1, dim_job, dim_company, r1)
     )
@@ -470,15 +470,15 @@ def q_bridge_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
     r1 = dt.datetime(1998, 6, 1, 12, 0, 0)
     r2 = dt.datetime(1998, 6, 3, 12, 0, 0)
 
-    dim_job = scd2_merge(None, s1, DIM_JOB_CONFIG, r1.date(), collect_stats=False).dim
-    dim_company = scd2_merge(None, s1, DIM_COMPANY_CONFIG, r1.date(), collect_stats=False).dim
-    dim_loc = build_dim_location(None, s1, r1.date(), collect_stats=False).dim
+    dim_job = scd2_merge(None, s1, DIM_JOB_CONFIG, r1.date()).dim
+    dim_company = scd2_merge(None, s1, DIM_COMPANY_CONFIG, r1.date()).dim
+    dim_loc = build_dim_location(None, s1, r1.date()).dim
 
     inc1 = facts_plan.build_fact_batch(s1, dim_job, dim_company, r1)
     fact = facts_plan.merge_facts(None, inc1)
     bridge = facts_plan.build_bridge(fact, inc1, s1, dim_job, dim_loc, None)
 
-    dim_loc = build_dim_location(dim_loc, s2, r2.date(), collect_stats=False).dim
+    dim_loc = build_dim_location(dim_loc, s2, r2.date()).dim
     inc2 = facts_plan.build_fact_batch(s2, dim_job, dim_company, r2)
     fact = facts_plan.merge_facts(fact, inc2)
     bridge = facts_plan.build_bridge(fact, inc2, s2, dim_job, dim_loc, bridge)

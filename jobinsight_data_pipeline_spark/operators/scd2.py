@@ -20,6 +20,7 @@ Semantics preserved:
 from __future__ import annotations
 
 import datetime as dt
+from collections.abc import Callable
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
@@ -44,10 +45,21 @@ class Scd2Config:
     attr_cols: list[str] = field(default_factory=list)  # carried, untracked
 
 
-@dataclass
 class Scd2Result:
-    dim: DataFrame
-    stats: dict[str, int]
+    """Merge result. ``dim`` is the new dimension table; ``stats``
+    ({inserted, updated, unchanged}) is computed LAZILY on first access —
+    reading it costs extra Spark jobs, not reading it costs nothing."""
+
+    def __init__(self, dim: DataFrame, stats_fn: Callable[[], dict[str, int]]):
+        self.dim = dim
+        self._stats_fn = stats_fn
+        self._stats: dict[str, int] | None = None
+
+    @property
+    def stats(self) -> dict[str, int]:
+        if self._stats is None:
+            self._stats = self._stats_fn()
+        return self._stats
 
 
 def _with_version_cols(df: DataFrame, run_date: dt.date) -> DataFrame:
@@ -64,11 +76,10 @@ def scd2_merge(
     config: Scd2Config,
     run_date: dt.date,
     order_col: str | None = None,
-    collect_stats: bool = True,
 ) -> Scd2Result:
     """SC1: merge an incoming batch (natural key + tracked + attr columns)
-    into an SCD2 dimension. Returns the full new dimension table and
-    {inserted, updated, unchanged} counts.
+    into an SCD2 dimension. Returns the new dimension table plus lazily
+    computed {inserted, updated, unchanged} counts (see Scd2Result).
     """
     nk = config.natural_keys
     value_cols = nk + config.tracked_cols + config.attr_cols
@@ -82,8 +93,9 @@ def scd2_merge(
         dim = new_rows.select(
             config.sk_col, *value_cols, "effective_date", "expiry_date", "is_current"
         )
-        stats = {"inserted": dim.count(), "updated": 0, "unchanged": 0} if collect_stats else {}
-        return Scd2Result(dim, stats)
+        return Scd2Result(
+            dim, lambda: {"inserted": dim.count(), "updated": 0, "unchanged": 0}
+        )
 
     current = current_dim.filter(F.col("is_current"))
     cur_vals = current.select(
@@ -150,18 +162,18 @@ def scd2_merge(
 
     dim = base.unionByName(new_rows)
 
-    stats: dict[str, int] = {}
-    if collect_stats:
+    def stats_fn() -> dict[str, int]:
         counts = {
             r["_action"]: r["n"]
             for r in classified.groupBy("_action").agg(F.count("*").alias("n")).collect()
         }
-        stats = {
+        return {
             "inserted": counts.get("insert", 0),
             "updated": counts.get("update", 0),
             "unchanged": counts.get("unchanged", 0),
         }
-    return Scd2Result(dim, stats)
+
+    return Scd2Result(dim, stats_fn)
 
 
 def insert_only_merge(
@@ -169,7 +181,6 @@ def insert_only_merge(
     incoming: DataFrame,
     config: Scd2Config,
     run_date: dt.date,
-    collect_stats: bool = True,
 ) -> Scd2Result:
     """SC2: insert-only dimension (DimLocation) — existing natural keys
     (null-safe composite compare) are skipped, new ones appended as
@@ -196,9 +207,6 @@ def insert_only_merge(
         config.sk_col, *value_cols, "effective_date", "expiry_date", "is_current"
     )
     dim = new_rows if dim_base is None else dim_base.unionByName(new_rows)
-    stats = (
-        {"inserted": new_rows.count(), "updated": 0, "unchanged": 0}
-        if collect_stats
-        else {}
+    return Scd2Result(
+        dim, lambda: {"inserted": new_rows.count(), "updated": 0, "unchanged": 0}
     )
-    return Scd2Result(dim, stats)

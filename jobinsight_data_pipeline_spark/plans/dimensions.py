@@ -123,17 +123,10 @@ def build_dim_company(
 
 
 def build_dim_location(
-    current: DataFrame | None,
-    staging: DataFrame,
-    run_date: dt.date,
-    collect_stats: bool = True,
+    current: DataFrame | None, staging: DataFrame, run_date: dt.date
 ) -> Scd2Result:
     return insert_only_merge(
-        current,
-        prepare_dim_location(staging),
-        DIM_LOCATION_CONFIG,
-        run_date,
-        collect_stats=collect_stats,
+        current, prepare_dim_location(staging), DIM_LOCATION_CONFIG, run_date
     )
 
 

@@ -129,7 +129,7 @@ def test_scd2_random_batches(spark):
     d1 = dt.date(2025, 6, 1)
     d2 = dt.date(2025, 6, 2)
     dim = scd2_merge(None, batch(), cfg, d1).dim
-    dim = scd2_merge(dim, batch(), cfg, d2, collect_stats=False).dim
+    dim = scd2_merge(dim, batch(), cfg, d2).dim
     assert duplicate_current_keys(dim, ["k"]) == 0
     assert scd2_overlaps(dim, ["k"]) == 0
     rows = dim.collect()
