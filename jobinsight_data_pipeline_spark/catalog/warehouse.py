@@ -520,7 +520,55 @@ FROM grains g
 LEFT JOIN affected a ON g.job_id = a.job_id AND g.date_id = a.date_id
 """
 
+# --------------------------------------------------------------------------
+# A3: the reference README's showcase query (README.md:267-278) — top 10
+# companies by AVG((COALESCE(salary_min,0)+COALESCE(salary_max,0))/2.0),
+# run over the engine-built warehouse.
+# --------------------------------------------------------------------------
+def q_top10_avg_salary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders")
+    staging = spark.sql(STAGING_SQL).withColumn(
+        "skills", F.lit(None).cast("array<string>")
+    )
+    run_date = RUN_TS.date()
+    dim_job = scd2_merge(None, staging, DIM_JOB_CONFIG, run_date).dim
+    dim_company = scd2_merge(None, staging, DIM_COMPANY_CONFIG, run_date).dim
+    incoming = facts_plan.build_fact_batch(staging, dim_job, dim_company, RUN_TS)
+    fact = facts_plan.merge_facts(None, incoming)
+    avg_mid = F.avg(
+        (F.coalesce("salary_min", F.lit(0.0)) + F.coalesce("salary_max", F.lit(0.0)))
+        / 2.0
+    )
+    return (
+        fact.join(
+            dim_company.select("company_sk", "company_name_standardized"), "company_sk"
+        )
+        .groupBy("company_name_standardized")
+        .agg(F.round(avg_mid, 2).alias("avg_mid_salary"))
+        .orderBy(F.desc("avg_mid_salary"), F.asc("company_name_standardized"))
+        .limit(10)
+    )
+
+
+O_TOP10_AVG_SALARY = f"""
+WITH staging AS ({STAGING_SQL}),
+fact AS (
+    SELECT company_name_standardized, salary_min, salary_max,
+           CAST(unnest(generate_series(DATE '1998-06-01', DATE '1998-06-05',
+                                       INTERVAL 1 DAY)) AS DATE) AS date_id
+    FROM staging
+)
+SELECT company_name_standardized,
+       round(avg((coalesce(salary_min, 0) + coalesce(salary_max, 0)) / 2.0), 2)
+           AS avg_mid_salary
+FROM fact
+GROUP BY company_name_standardized
+ORDER BY avg_mid_salary DESC, company_name_standardized ASC
+LIMIT 10
+"""
+
 QUERIES = {
+    "top10_avg_salary": q_top10_avg_salary,
     "warehouse_rollup": q_warehouse_rollup,
     "views_salary_filter": q_views_salary_filter,
     "scd2_update": q_scd2_update,
@@ -528,6 +576,7 @@ QUERIES = {
     "bridge_rebuild": q_bridge_rebuild,
 }
 ORACLES = {
+    "top10_avg_salary": O_TOP10_AVG_SALARY,
     "warehouse_rollup": O_WAREHOUSE_ROLLUP,
     "views_salary_filter": O_VIEWS_SALARY_FILTER,
     "scd2_update": O_SCD2_UPDATE,
