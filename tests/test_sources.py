@@ -151,6 +151,43 @@ def test_streaming_incremental(spark, tmp_path):
     assert rows[0]["salary_min"] == 10.0 and rows[0]["title_clean"] == "Stream Job"
 
 
+def test_streaming_two_drops_exactly_once(spark, tmp_path):
+    """Two file drops with an overlapping job: the checkpoint must skip
+    already-processed files on restart, and the second drop's version of
+    the overlapping job must win in staging (idempotent upsert)."""
+    raw_dir = tmp_path / "raw_stream2"
+    raw_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt2")
+    lake = ParquetLake(str(tmp_path / "lake2"))
+
+    def batch(rows):
+        return spark.createDataFrame(rows, RAW_JOBS)
+
+    def job(job_id, title, crawled):
+        return (job_id, title, None, "Co", None, "10 triệu", None, "HN", None,
+                "10", False, None, None, None, crawled)
+
+    batch([job("S1", "v1", AS_OF)]).write.parquet(str(raw_dir / "d1"))
+    # glob: each drop is its own parquet directory under raw_dir
+    q = stream_raw_ingest(spark, str(raw_dir) + "/*", lake, ckpt, AS_OF, process_dwh=False)
+    q.awaitTermination(120)
+    assert lake.read(spark, "staging_jobs").count() == 1
+
+    # second drop: S1 re-crawled with a new title + a brand-new job
+    later = AS_OF + dt.timedelta(hours=2)
+    batch([job("S1", "v2", later), job("S2", "other", later)]).write.parquet(
+        str(raw_dir / "d2")
+    )
+    q = stream_raw_ingest(spark, str(raw_dir) + "/*", lake, ckpt, later, process_dwh=False)
+    q.awaitTermination(120)
+
+    staging = {r["job_id"]: r for r in lake.read(spark, "staging_jobs").collect()}
+    assert set(staging) == {"S1", "S2"}
+    assert staging["S1"]["title"] == "v2"  # last write won, no duplicate
+    # d1 was NOT reprocessed: raw has exactly the 2 jobs, once each
+    assert lake.read(spark, "raw_jobs").count() == 2
+
+
 def test_windowed_event_counts(spark):
     rows = [
         (dt.datetime(2024, 1, 1, 0, 1), "click", 1.0),
