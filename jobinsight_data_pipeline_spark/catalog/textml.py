@@ -21,7 +21,9 @@ from jobinsight_data_pipeline_spark.operators.dedup import (
     simhash_near_pairs,
 )
 from jobinsight_data_pipeline_spark.operators.similarity import (
+    cosine_near_pairs,
     cosine_topk,
+    lsh_cosine_near_pairs,
     lsh_cosine_topk,
 )
 from jobinsight_data_pipeline_spark.operators.textstats import with_text_stats
@@ -179,6 +181,37 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_cosine_topk(t["embeddings"], queries, k=5, n_probe=8)
 
 
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (cosine ≥ 0.4, a < b) — the
+    oracle-checked baseline for the LSH-bucketed scale path."""
+    t = load(spark, sf_dir, "embeddings")
+    return cosine_near_pairs(t["embeddings"], threshold=0.4)
+
+
+O_EMBEDDING_NEAR_DUP = """
+WITH n AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[]))) AS nrm
+    FROM embeddings
+),
+scored AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS sim6
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, round(sim6, 4) AS sim
+FROM scored WHERE sim6 >= 0.4
+"""
+
+
+def q_embedding_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: LSH-bucketed embedding near-dup — band-bucket
+    candidates, exact cosine verify (precision 1.0, recall ~0.98)."""
+    t = load(spark, sf_dir, "embeddings")
+    return lsh_cosine_near_pairs(t["embeddings"], threshold=0.4)
+
+
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data prep flow: quality-score every doc,
     drop exact duplicates (keep min doc_id), keep quality ≥ 0.5 docs with
@@ -253,6 +286,8 @@ QUERIES = {
     "embedding_topk": q_embedding_topk,
     "embedding_lsh_topk": q_embedding_lsh_topk,
     "embedding_ivf_topk": q_embedding_ivf_topk,
+    "embedding_near_dup": q_embedding_near_dup,
+    "embedding_lsh_near_dup": q_embedding_lsh_near_dup,
 }
 
 ORACLES = {
@@ -261,4 +296,5 @@ ORACLES = {
     "text_stats": O_TEXT_STATS,
     "ngram_jaccard": O_NGRAM_JACCARD,
     "embedding_topk": O_EMBEDDING_TOPK,
+    "embedding_near_dup": O_EMBEDDING_NEAR_DUP,
 }

@@ -16,7 +16,9 @@ from jobinsight_data_pipeline_spark.operators.dedup import (
     simhash_near_pairs,
 )
 from jobinsight_data_pipeline_spark.operators.similarity import (
+    cosine_near_pairs,
     cosine_topk,
+    lsh_cosine_near_pairs,
     lsh_cosine_topk,
 )
 from jobinsight_data_pipeline_spark.operators.textstats import with_text_stats
@@ -113,6 +115,36 @@ def test_lsh_topk_recall(spark, request):
     approx = {(r["query_id"], r["neighbor_id"]) for r in lsh_cosine_topk(emb, q, k=5).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.6, f"LSH recall {recall} too low"
+
+
+def test_cosine_near_pairs_exact(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [2.0, 0.0, 0.0]),   # sim(0,1) = 1
+        (2, [0.9, 0.1, 0.0]),   # close to 0 and 1
+        (3, [0.0, 1.0, 0.0]),   # orthogonal to 0/1
+        (4, [-1.0, 0.0, 0.0]),  # opposite
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r["vec_a"], r["vec_b"]): r["sim"] for r in
+           cosine_near_pairs(emb, threshold=0.9).collect()}
+    assert set(got) == {(0, 1), (0, 2), (1, 2)}
+    assert got[(0, 1)] == 1.0
+    assert got[(0, 2)] == pytest.approx(0.9939, abs=1e-4)
+
+
+def test_lsh_near_pairs_recall_and_precision(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {(r["vec_a"], r["vec_b"]): r["sim"] for r in
+             cosine_near_pairs(emb, threshold=0.4).collect()}
+    approx = {(r["vec_a"], r["vec_b"]): r["sim"] for r in
+              lsh_cosine_near_pairs(emb, threshold=0.4).collect()}
+    assert exact, "fixture should contain near-dup pairs at t=0.4"
+    # precision 1.0: every LSH pair is exact-verified, with the same sim
+    for pair, sim in approx.items():
+        assert exact[pair] == sim
+    recall = len(approx) / len(exact)
+    assert recall >= 0.9, f"LSH near-dup recall {recall} too low"
 
 
 def test_ivf_topk_recall_curve(spark):
