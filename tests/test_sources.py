@@ -188,6 +188,64 @@ def test_streaming_two_drops_exactly_once(spark, tmp_path):
     assert lake.read(spark, "raw_jobs").count() == 2
 
 
+def test_streaming_stateful_sessionize(spark, tmp_path):
+    """applyInPandasWithState sessionization: an in-batch gap closes a
+    session immediately; a later batch's watermark fires the event-time
+    timeout that flushes a quiet user's open session; sessions still
+    inside the watermark stay open (state, not output)."""
+    from jobinsight_data_pipeline_spark.streaming.stateful import streaming_sessionize
+
+    d = dt.datetime(2024, 3, 1)
+    schema = "event_id long, ts timestamp, user_id long"
+
+    def drop(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(tmp_path / "events" / name)
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "events") + "/*")
+    )
+    rows: list = []
+
+    def run():
+        q = (
+            streaming_sessionize(stream, gap_minutes=30, watermark="1 hour")
+            .writeStream.foreachBatch(lambda b, _id: rows.extend(b.collect()))
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    drop("d1", [(1, d.replace(hour=10), 100),
+                (2, d.replace(hour=10, minute=10), 100)])
+    drop("d2", [(3, d.replace(hour=11, minute=30), 100),   # >30m gap → closes s1
+                (4, d.replace(hour=15), 200)])             # watermark → 14:00
+    run()
+    got = {(r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+           for r in rows}
+    s1 = (100, d.replace(hour=10), d.replace(hour=10, minute=10), 2)
+    s2 = (100, d.replace(hour=11, minute=30), d.replace(hour=11, minute=30), 1)
+    # s1 closed by the in-batch gap; s2 flushed by the event-time timeout
+    # once the final watermark (14:00) passed 11:30 + gap. User 200's
+    # session (15:00) is inside the watermark → held in state, not output.
+    assert got == {s1, s2}
+
+    # a later drop advances the watermark to 16:00 > 15:00 + gap → the
+    # pending timeout flushes user 200 across a query restart (state and
+    # watermark both recovered from the checkpoint)
+    drop("d3", [(5, d.replace(hour=17), 300)])
+    run()
+    got = {(r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+           for r in rows}
+    s200 = (200, d.replace(hour=15), d.replace(hour=15), 1)
+    assert got == {s1, s2, s200}  # user 300 still open
+
+
 def test_windowed_event_counts(spark):
     rows = [
         (dt.datetime(2024, 1, 1, 0, 1), "click", 1.0),
