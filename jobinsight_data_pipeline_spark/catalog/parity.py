@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from jobinsight_data_pipeline_spark.catalog import load
+from jobinsight_data_pipeline_spark.operators.parallelism import widen_for_cpu
 from jobinsight_data_pipeline_spark.functions.dates import (
     due_date_from_deadline,
     time_remaining,
@@ -54,6 +55,7 @@ def q_salary_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = spark.sql(
         f"SELECT l_orderkey, l_linenumber, {SALARY_FRAG} AS salary FROM lineitem"
     )
+    base = widen_for_cpu(base)
     return with_salary_columns(base).select(
         "l_orderkey",
         "l_linenumber",
@@ -99,6 +101,7 @@ def q_relative_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = spark.sql(
         f"SELECT o_orderkey, {LAST_UPDATE_FRAG} AS last_update FROM orders"
     )
+    base = widen_for_cpu(base)
     return base.select(
         "o_orderkey",
         "last_update",
@@ -269,6 +272,7 @@ def q_location_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT o_orderkey, {LOC_STRING} AS loc FROM "
         f"(SELECT o_orderkey, {LOC_TOKENS} FROM orders)"
     )
+    base = widen_for_cpu(base)
     pairs = F.when(F.col("loc").isNotNull(), F.array(F.col("loc")))
     return (
         base.select(
@@ -310,6 +314,7 @@ END
 def q_clean_title(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "customer")
     base = spark.sql(f"SELECT c_custkey, {TITLE_FRAG} AS title FROM customer")
+    base = widen_for_cpu(base)
     return base.select("c_custkey", "title", clean_title("title").alias("title_clean"))
 
 
@@ -344,6 +349,7 @@ def q_clean_company(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load(spark, sf_dir, "customer")
     base = spark.sql(f"SELECT c_custkey, {COMPANY_FRAG} AS company_name FROM customer")
+    base = widen_for_cpu(base)
     return base.select(
         "c_custkey",
         "company_name",
@@ -400,6 +406,7 @@ def q_html_location(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT o_orderkey, {HTML_FRAG} AS location_detail, "
         f"{LOCATION_FIELD_FRAG} AS location FROM orders"
     )
+    base = widen_for_cpu(base)
     return (
         base.withColumn("location_pairs", extract_location_info("location_detail"))
         .withColumn("location_refined", refine_location("location", "location_pairs"))

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from jobinsight_data_pipeline_spark.operators.parallelism import widen_for_cpu
 from jobinsight_data_pipeline_spark.operators.textstats import tokens
 
 
@@ -51,7 +52,10 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
         lambda x: F.concat_ws(" ", *[x[f"g{i}"] for i in range(n)]),
     )
     return (
-        df.filter(sz >= n)
+        # shingling is CPU-dense map work fused into the scan stage —
+        # widen when the source's row-group count under-parallelizes it
+        widen_for_cpu(df)
+        .filter(sz >= n)
         .select(F.col(id_col).alias("doc"), F.explode(F.array_distinct(grams)).alias("shingle"))
     )
 
@@ -202,7 +206,7 @@ def minhash_lsh_pairs(
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash per doc, fully native: explode tokens, hash each,
     sum per-bit signs, reassemble. Returns (doc, simhash)."""
-    tok = df.select(
+    tok = widen_for_cpu(df).select(
         F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("w")
     ).withColumn("h", F.xxhash64("w"))
     bit_aggs = [

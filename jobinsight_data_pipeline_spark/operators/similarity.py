@@ -20,6 +20,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
+from jobinsight_data_pipeline_spark.operators.parallelism import widen_for_cpu
+
 
 def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
@@ -58,7 +60,7 @@ def cosine_topk(
             F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
         ).withColumn("qnorm", norm(F.col("qv")))
     )
-    c = corpus.select(
+    c = widen_for_cpu(corpus).select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
     ).withColumn("cnorm", norm(F.col("cv")))
     scored = (
@@ -89,7 +91,7 @@ def cosine_near_pairs(
     are hoisted to once per row; the threshold compares the 6-decimal
     rounded similarity so membership matches the DuckDB oracle bit-for-
     bit at the boundary."""
-    base = df.select(
+    base = widen_for_cpu(df).select(
         F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v")
     ).withColumn("_n", norm(F.col("_v")))
     a = base.select(
@@ -171,6 +173,21 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return rng.standard_normal((n_planes, dim)).round(6).tolist()
 
 
+def _matrix_sql(rows: list[list[float]]) -> str:
+    """Render a small matrix as ONE array<array<double>> SQL literal.
+
+    Inlining it element-by-element with F.lit costs a py4j round trip
+    per element — ~2.5s of pure driver time for a 16x64 plane set
+    (measured); a single parsed literal is milliseconds."""
+    return (
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{float(x)!r}D" for x in row) + ")" for row in rows
+        )
+        + ")"
+    )
+
+
 def lsh_sketch(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -181,14 +198,21 @@ def lsh_sketch(
 ) -> DataFrame:
     """Sign-bit sketch: bit i = (v · plane_i) > 0, packed into a long."""
     planes = _hyperplanes(dim, n_planes, seed)
-    v = _as_double(F.col(vec_col))
-    sketch = None
-    for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(x) for x in plane])
-        bit = (dot(v, p) > 0).cast("long")
-        term = F.shiftleft(bit, i)
-        sketch = term if sketch is None else sketch.bitwiseOR(term)
-    return df.select(
+    sketch = F.expr(
+        f"""
+        aggregate(
+          zip_with({_matrix_sql(planes)}, sequence(0, {n_planes - 1}),
+                   (p, i) -> struct(p, i)),
+          0L,
+          (acc, x) -> acc + shiftleft(
+            cast(aggregate(zip_with(`{vec_col}`, x.p,
+                                    (a, b) -> cast(a AS double) * b),
+                           0.0D, (s, y) -> s + y) > 0 AS long),
+            x.i))
+        """
+    )
+    # n_planes dot products per row: widen before the scan-fused sketch
+    return widen_for_cpu(df).select(
         F.col(id_col).alias("doc"), F.col(vec_col).alias("vec"), sketch.alias("sketch")
     )
 
@@ -226,36 +250,37 @@ def ivf_cosine_topk(
                 c = members.mean(axis=0)
                 centroids[j] = c / max(np.linalg.norm(c), 1e-12)
 
-    cent_cols = [
-        F.array(*[F.lit(float(x)) for x in c]).alias(f"_c{j}")
-        for j, c in enumerate(centroids)
-    ]
+    cent_sql = _matrix_sql([c.tolist() for c in centroids])
 
-    def nearest_cells(vec: Column, n: int) -> Column:
-        """indices of the n highest-dot centroids (scored inline)."""
-        scored = F.array(
-            *[
-                F.struct(
-                    dot(vec, F.array(*[F.lit(float(x)) for x in c])).alias("s"),
-                    F.lit(j).alias("j"),
-                )
-                for j, c in enumerate(centroids)
-            ]
+    def nearest_cells(vec_col_name: str, n: int) -> Column:
+        """indices of the n highest-dot centroids — one parsed SQL
+        literal for the centroid matrix (see _matrix_sql)."""
+        return F.expr(
+            f"""
+            transform(
+              slice(reverse(array_sort(
+                zip_with({cent_sql}, sequence(0, {len(centroids) - 1}),
+                         (c, j) -> struct(
+                           aggregate(zip_with(`{vec_col_name}`, c,
+                                              (a, b) -> a * b),
+                                     0.0D, (s, y) -> s + y) AS s,
+                           j AS j)))),
+                1, {n}),
+              t -> t.j)
+            """
         )
-        top = F.slice(F.reverse(F.array_sort(scored)), 1, n)
-        return F.transform(top, lambda t: t["j"])
 
-    c = corpus.select(
+    c = widen_for_cpu(corpus).select(
         F.col(id_col).alias("doc"), _as_double(F.col(vec_col)).alias("vec")
     ).withColumn("cnorm", norm(F.col("vec")))
-    c = c.withColumn("cell", nearest_cells(F.col("vec"), 1)[0])
+    c = c.withColumn("cell", nearest_cells("vec", 1)[0])
 
     q = broadcast(
         queries.select(
             F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
         )
         .withColumn("qnorm", norm(F.col("qv")))
-        .withColumn("cell", F.explode(nearest_cells(F.col("qv"), n_probe)))
+        .withColumn("cell", F.explode(nearest_cells("qv", n_probe)))
     )
     scored = (
         c.join(q, "cell")

@@ -100,9 +100,12 @@ def fingerprint(text: ColumnOrName) -> Column:
 
 
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Attach the full stats block in one narrow projection."""
+    """Attach the full stats block in one narrow projection (widened
+    first: the regex battery is CPU-dense scan-stage work)."""
+    from jobinsight_data_pipeline_spark.operators.parallelism import widen_for_cpu
+
     return (
-        df.withColumn("n_words", word_count(text_col))
+        widen_for_cpu(df).withColumn("n_words", word_count(text_col))
         .withColumn("n_unique_words", unique_word_count(text_col))
         .withColumn("stop_count_en", stopword_count(text_col, "en"))
         .withColumn("punct_chars", punct_count(text_col))
