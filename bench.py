@@ -33,6 +33,7 @@ HEADLINE = [
     "dedup_keepmin",
     "scd2_rebuild",
     "sessionize",
+    "asof_discount",
     "windowed_events",
     "event_percentiles",
     "salary_parse",

@@ -405,8 +405,70 @@ GROUP BY event_type
 """
 
 
+def q_asof_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (point-in-time) join: each order picks the discount version
+    in effect at o_orderdate from a deterministic 3-version-per-customer
+    history — union + forward-fill, one shuffle, no fan-out
+    (operators/asof.py). Early orders precede every version → NULL
+    payload (left semantics). Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from jobinsight_data_pipeline_spark.operators.asof import asof_join
+
+    t = load(spark, sf_dir, "orders", "customer")
+    versions = spark.sql(
+        """
+        SELECT c_custkey AS o_custkey, v AS version_no,
+               timestampadd(DAY, cast((v * 900) + (c_custkey % 600) AS int),
+                            TIMESTAMP_NTZ '1994-01-01 00:00:00') AS valid_from,
+               round(0.5D + v * 0.25D + (c_custkey % 10) / 100.0D, 4) AS discount_rate
+        FROM customer LATERAL VIEW explode(array(0, 1, 2)) AS v
+        """
+    )
+    probes = t["orders"].select("o_orderkey", "o_custkey", "o_orderdate")
+    return asof_join(
+        probes, versions, "o_custkey", "o_orderdate", "valid_from",
+        ["version_no", "discount_rate"],
+    )
+
+
+O_ASOF_DISCOUNT = """
+WITH v AS (
+  SELECT c_custkey AS custkey, v.v AS version_no,
+         TIMESTAMP '1994-01-01' + ((v.v * 900) + (c_custkey % 600)) * INTERVAL 1 DAY
+             AS valid_from,
+         round(0.5 + v.v * 0.25 + (c_custkey % 10) / 100.0, 4) AS discount_rate
+  FROM customer CROSS JOIN (VALUES (0), (1), (2)) v(v)
+)
+SELECT o_orderkey, o_custkey, o_orderdate, version_no, discount_rate
+FROM orders o
+ASOF LEFT JOIN v ON o.o_custkey = v.custkey AND o.o_orderdate >= v.valid_from
+"""
+
+
+def q_event_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: quantile SKETCH path — approx_percentile (Greenwald-
+    Khanna) per event type; `event_percentiles` pins the exact
+    interpolated semantics this approximates (DuckDB's quantile sketch
+    differs numerically, so no value-hash oracle)."""
+    t = load(spark, sf_dir, "events")
+    pct = F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), 10_000)
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(pct.alias("p"), F.count("*").alias("n"))
+        .select(
+            "event_type",
+            F.round(F.col("p")[0], 4).alias("p50"),
+            F.round(F.col("p")[1], 4).alias("p90"),
+            F.round(F.col("p")[2], 4).alias("p99"),
+            "n",
+        )
+    )
+
+
 QUERIES = {
     "star_revenue": q_star_revenue,
+    "asof_discount": q_asof_discount,
+    "event_percentiles_approx": q_event_percentiles_approx,
     "monthly_orders_approx": q_monthly_orders_approx,
     "windowed_events": q_windowed_events,
     "sessionize": q_sessionize,
@@ -424,6 +486,7 @@ QUERIES = {
 
 ORACLES = {
     "star_revenue": O_STAR_REVENUE,
+    "asof_discount": O_ASOF_DISCOUNT,
     "windowed_events": O_WINDOWED_EVENTS,
     "sessionize": O_SESSIONIZE,
     "event_percentiles": O_EVENT_PERCENTILES,

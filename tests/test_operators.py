@@ -4,6 +4,8 @@ the expected output exact."""
 
 from __future__ import annotations
 
+import datetime as dt
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -87,6 +89,51 @@ def test_simhash_properties(docs):
     pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in
              simhash_near_pairs(docs, "doc_id", "text", max_hamming=8).collect()}
     assert pairs[(1, 2)] == 0
+
+
+def test_asof_join_known_answers(spark):
+    from jobinsight_data_pipeline_spark.operators.asof import asof_join
+
+    def ts(day, hour=0):
+        return dt.datetime(2024, 1, day, hour)
+
+    versions = spark.createDataFrame(
+        [
+            (1, ts(1), 10, "a"),
+            (1, ts(5), 20, None),   # NULL payload field must not bleed from v1
+            (1, ts(9), 30, "c"),
+            (2, ts(6), 99, "z"),
+        ],
+        "key long, valid_from timestamp, rate long, tag string",
+    )
+    probes = spark.createDataFrame(
+        [
+            (100, 1, ts(4, 12)),  # between v1 and v2 → v1
+            (101, 1, ts(5)),      # exactly at v2 → v2 (<= semantics)
+            (102, 1, ts(30)),     # after v3 → v3
+            (103, 2, ts(1)),      # before key 2's only version → no match
+            (104, 3, ts(10)),     # key with no versions → no match
+        ],
+        "probe_id long, key long, event_ts timestamp",
+    )
+    out = {
+        r["probe_id"]: (r["rate"], r["tag"])
+        for r in asof_join(
+            probes, versions, "key", "event_ts", "valid_from", ["rate", "tag"]
+        ).collect()
+    }
+    assert out == {
+        100: (10, "a"),
+        101: (20, None),
+        102: (30, "c"),
+        103: (None, None),
+        104: (None, None),
+    }
+    inner = asof_join(
+        probes, versions, "key", "event_ts", "valid_from", ["rate", "tag"],
+        how="inner",
+    )
+    assert {r["probe_id"] for r in inner.collect()} == {100, 101, 102}
 
 
 def test_cosine_topk_exact(spark):
