@@ -88,19 +88,66 @@ def assign_surrogate_keys(
     sk_col: str,
     existing_max: int,
     order_by: list[str],
+    scalable: bool | None = None,
 ) -> DataFrame:
     """SC5: dense surrogate keys without a sequence object —
     ``existing_max + row_number() over (order by natural key)``.
 
-    A global row_number is a single-partition sort of the NEW rows only;
-    daily dim/fact deltas are small relative to the base table, so this
-    never becomes the scale bottleneck (the base table is untouched).
-    The reference seeds sequences at 10000 (sql/schema_dwh.sql:3-6);
-    callers pass ``existing_max=9999`` for an empty table to match.
+    The naive form is a single-partition sort of the new rows — fine for
+    daily deltas, a straggler for bulk/initial loads. The scalable form
+    (default whenever the session has parallelism) produces IDENTICAL
+    keys with no global sort:
+
+    1. ``repartitionByRange`` on the natural key — partition i holds
+       strictly earlier keys than partition i+1;
+    2. ``row_number`` within each range partition (parallel sorts);
+    3. global position = local rank + the cumulative row count of the
+       earlier partitions — a window over ≤ numPartitions rows.
+
+    Keys are reproducible when ``order_by`` is unique per row (true for
+    every caller: dims key on the deduped natural key, facts on the
+    grain). The reference seeds sequences at 10000
+    (sql/schema_dwh.sql:3-6); callers pass ``existing_max=9999`` for an
+    empty table to match.
+
+    ``scalable`` defaults to False because the two-phase form is only
+    safe when the result is consumed ONCE (or materialized first): a
+    multi-consumer plan re-executes the subtree per branch, and the
+    range-sample + spark_partition_id assignment is not guaranteed
+    identical across re-evaluations (same hazard class as
+    monotonically_increasing_id mid-plan — measured: composite gate
+    joins fan out on mismatched keys). The lake pipeline writes each
+    keyed table before reuse, so it opts in for bulk-load parallelism.
     """
-    w = Window.orderBy(*[F.col(c).asc_nulls_last() for c in order_by])
-    return df.withColumn(
-        sk_col, (F.row_number().over(w) + F.lit(existing_max)).cast("long")
+    cols = [F.col(c).asc_nulls_last() for c in order_by]
+    if scalable is None:
+        scalable = False
+    if not scalable:
+        w = Window.orderBy(*cols)
+        return df.withColumn(
+            sk_col, (F.row_number().over(w) + F.lit(existing_max)).cast("long")
+        )
+    parts = df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(parts, *cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    local = ranged.withColumn(
+        "_lrn", F.row_number().over(Window.partitionBy("_pid").orderBy(*cols))
+    )
+    counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    prior = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn("_off", F.coalesce(F.sum("_n").over(prior), F.lit(0)))
+    return (
+        local.join(F.broadcast(offsets.select("_pid", "_off")), "_pid")
+        .withColumn(
+            sk_col,
+            (F.col("_lrn") + F.col("_off") + F.lit(existing_max)).cast("long"),
+        )
+        .drop("_pid", "_lrn", "_off")
     )
 
 

@@ -76,6 +76,7 @@ def scd2_merge(
     config: Scd2Config,
     run_date: dt.date,
     order_col: str | None = None,
+    scalable: bool = False,
 ) -> Scd2Result:
     """SC1: merge an incoming batch (natural key + tracked + attr columns)
     into an SCD2 dimension. Returns the new dimension table plus lazily
@@ -88,7 +89,8 @@ def scd2_merge(
 
     if current_dim is None or not current_dim.columns:
         new_rows = assign_surrogate_keys(
-            _with_version_cols(batch, run_date), config.sk_col, SEQUENCE_START - 1, nk
+            _with_version_cols(batch, run_date), config.sk_col, SEQUENCE_START - 1,
+            nk, scalable=scalable,
         )
         dim = new_rows.select(
             config.sk_col, *value_cols, "effective_date", "expiry_date", "is_current"
@@ -158,6 +160,7 @@ def scd2_merge(
         config.sk_col,
         max_key(current_dim, config.sk_col),
         nk,
+        scalable=scalable,
     ).select(base.columns)
 
     dim = base.unionByName(new_rows)
@@ -181,6 +184,7 @@ def insert_only_merge(
     incoming: DataFrame,
     config: Scd2Config,
     run_date: dt.date,
+    scalable: bool = False,
 ) -> Scd2Result:
     """SC2: insert-only dimension (DimLocation) — existing natural keys
     (null-safe composite compare) are skipped, new ones appended as
@@ -202,7 +206,8 @@ def insert_only_merge(
         dim_base = current_dim
 
     new_rows = assign_surrogate_keys(
-        _with_version_cols(fresh, run_date), config.sk_col, start, nk
+        _with_version_cols(fresh, run_date), config.sk_col, start, nk,
+        scalable=scalable,
     ).select(
         config.sk_col, *value_cols, "effective_date", "expiry_date", "is_current"
     )

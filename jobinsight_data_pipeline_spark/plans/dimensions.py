@@ -103,15 +103,18 @@ def prepare_dim_location(staging: DataFrame) -> DataFrame:
 
 
 def build_dim_job(
-    current: DataFrame | None, staging: DataFrame, run_date: dt.date
+    current: DataFrame | None, staging: DataFrame, run_date: dt.date,
+    scalable: bool = False,
 ) -> Scd2Result:
     return scd2_merge(
-        current, prepare_dim_job(staging), DIM_JOB_CONFIG, run_date, order_col="crawled_at"
+        current, prepare_dim_job(staging), DIM_JOB_CONFIG, run_date,
+        order_col="crawled_at", scalable=scalable,
     )
 
 
 def build_dim_company(
-    current: DataFrame | None, staging: DataFrame, run_date: dt.date
+    current: DataFrame | None, staging: DataFrame, run_date: dt.date,
+    scalable: bool = False,
 ) -> Scd2Result:
     return scd2_merge(
         current,
@@ -119,14 +122,17 @@ def build_dim_company(
         DIM_COMPANY_CONFIG,
         run_date,
         order_col="crawled_at",
+        scalable=scalable,
     )
 
 
 def build_dim_location(
-    current: DataFrame | None, staging: DataFrame, run_date: dt.date
+    current: DataFrame | None, staging: DataFrame, run_date: dt.date,
+    scalable: bool = False,
 ) -> Scd2Result:
     return insert_only_merge(
-        current, prepare_dim_location(staging), DIM_LOCATION_CONFIG, run_date
+        current, prepare_dim_location(staging), DIM_LOCATION_CONFIG, run_date,
+        scalable=scalable,
     )
 
 

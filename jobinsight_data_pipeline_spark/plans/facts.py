@@ -102,7 +102,7 @@ def build_fact_batch(
 
 
 def merge_facts(
-    existing: DataFrame | None, incoming: DataFrame
+    existing: DataFrame | None, incoming: DataFrame, scalable: bool = False
 ) -> DataFrame:
     """SC3: grain-level merge. Matched grains keep fact_id and load_month
     but take all new measures; unmatched grains get new fact_ids
@@ -112,7 +112,8 @@ def merge_facts(
 
     if existing is None or not existing.columns:
         return assign_surrogate_keys(
-            incoming, "fact_id", max_key(None, "fact_id"), grain
+            incoming, "fact_id", max_key(None, "fact_id"), grain,
+            scalable=scalable,
         ).select("fact_id", *incoming.columns)
 
     inc = incoming.select(
@@ -141,7 +142,8 @@ def merge_facts(
 
     fresh = incoming.join(existing.select(grain[0], grain[1]), grain, "left_anti")
     fresh_keyed = assign_surrogate_keys(
-        fresh, "fact_id", max_key(existing, "fact_id"), grain
+        fresh, "fact_id", max_key(existing, "fact_id"), grain,
+        scalable=scalable,
     ).select(existing.columns)
     return updated.unionByName(fresh_keyed)
 

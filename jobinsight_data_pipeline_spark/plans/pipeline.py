@@ -75,15 +75,18 @@ def run_staging_to_dwh(
     staging = staging_full.filter(F.col("crawled_at") >= F.lit(cutoff))
 
     # --- dimensions
-    r_job = build_dim_job(lake.read(spark, "dim_job"), staging, run_date)
+    # each keyed table is written (materialized) before any reuse, so
+    # the range-partitioned surrogate-key path is safe here — see
+    # operators/merge.assign_surrogate_keys
+    r_job = build_dim_job(lake.read(spark, "dim_job"), staging, run_date, scalable=True)
     lake.write(r_job.dim, "dim_job")
     dim_job = lake.read(spark, "dim_job")
 
-    r_co = build_dim_company(lake.read(spark, "dim_company"), staging, run_date)
+    r_co = build_dim_company(lake.read(spark, "dim_company"), staging, run_date, scalable=True)
     lake.write(r_co.dim, "dim_company")
     dim_company = lake.read(spark, "dim_company")
 
-    r_loc = build_dim_location(lake.read(spark, "dim_location"), staging, run_date)
+    r_loc = build_dim_location(lake.read(spark, "dim_location"), staging, run_date, scalable=True)
     lake.write(r_loc.dim, "dim_location")
     dim_location = lake.read(spark, "dim_location")
 
@@ -101,7 +104,9 @@ def run_staging_to_dwh(
     incoming = facts_plan.build_fact_batch(
         staging, dim_job, dim_company, run_ts, fanout_days
     )
-    merged_fact = facts_plan.merge_facts(lake.read(spark, "fact_job_posting_daily"), incoming)
+    merged_fact = facts_plan.merge_facts(
+        lake.read(spark, "fact_job_posting_daily"), incoming, scalable=True
+    )
     lake.write(merged_fact, "fact_job_posting_daily", partition_by=["load_month"])
     fact = lake.read(spark, "fact_job_posting_daily")
 

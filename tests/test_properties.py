@@ -136,3 +136,30 @@ def test_scd2_random_batches(spark):
     for r in rows:
         if not r["is_current"]:
             assert r["expiry_date"] is not None
+
+
+def test_surrogate_keys_scalable_matches_global(spark):
+    """The range-partitioned two-phase numbering must assign EXACTLY the
+    keys the single-partition global row_number assigns — including with
+    null keys, skewed duplicates in non-key columns, and a delta larger
+    than one partition."""
+    from jobinsight_data_pipeline_spark.operators.merge import assign_surrogate_keys
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(10_000)
+        .select(
+            F.when(F.col("id") % 997 != 0, F.format_string("k%07d", "id")).alias("nk"),
+            F.col("id").alias("u"),
+        )
+    )
+    # (nk, u) is unique — the documented contract for reproducible keys;
+    # nulls in the leading key exercise asc_nulls_last on both paths
+    a = assign_surrogate_keys(df, "sk", 9999, ["nk", "u"], scalable=False)
+    b = assign_surrogate_keys(df, "sk", 9999, ["nk", "u"], scalable=True)
+    rows_a = {(r["nk"], r["u"]): r["sk"] for r in a.collect()}
+    rows_b = {(r["nk"], r["u"]): r["sk"] for r in b.collect()}
+    assert len(rows_a) == len(rows_b) == 10_000
+    assert rows_a == rows_b
+    sks = sorted(rows_b.values())
+    assert sks[0] == 10_000 and sks[-1] == 9999 + len(sks)  # dense, seeded
