@@ -405,6 +405,94 @@ GROUP BY event_type
 """
 
 
+def q_rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: time-RANGE window frame — per-customer 30-day trailing average
+    order value. Value-based frames (rangeBetween on epoch seconds — the
+    NTZ-safe arithmetic) stay deterministic under order-date ties, where
+    a ROWS frame would not be."""
+    t = load(spark, sf_dir, "orders")
+    day = 86_400
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-30 * day, 0)
+    )
+    return t["orders"].select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.avg("o_totalprice").over(w), 4).alias("trailing_avg_30d"),
+    )
+
+
+O_ROLLING_AVG = """
+SELECT o_custkey, o_orderkey,
+       round(avg(o_totalprice) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate
+           RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW), 4)
+           AS trailing_avg_30d
+FROM orders
+"""
+
+
+def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: pivot — events per (user bucket, event_type) widened to one
+    column per type. The explicit value list keeps the plan one pass
+    (no distinct-scan) and the schema stable at any scale."""
+    t = load(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        t["events"]
+        .groupBy((F.col("user_id") % 10).alias("user_bucket"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+
+
+O_PIVOT_EVENTS = """
+SELECT mod(user_id, 10) AS user_bucket,
+       count(*) FILTER (event_type = 'click')    AS click,
+       count(*) FILTER (event_type = 'error')    AS error,
+       count(*) FILTER (event_type = 'purchase') AS purchase,
+       count(*) FILTER (event_type = 'signup')   AS signup,
+       count(*) FILTER (event_type = 'view')     AS view
+FROM events
+GROUP BY 1
+"""
+
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: grouping sets — revenue at (region, nation), per-region, and
+    grand-total levels in ONE pass (partial aggs feed every level; no
+    three-scan union)."""
+    t = load(spark, sf_dir, "lineitem", "orders", "customer", "nation", "region")
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .rollup("r_name", "n_name")
+        .agg(
+            F.round(F.sum(REVENUE()), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+    )
+
+
+O_ROLLUP_REVENUE = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS line_count
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
 def q_asof_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of (point-in-time) join: each order picks the discount version
     in effect at o_orderdate from a deterministic 3-version-per-customer
@@ -469,6 +557,9 @@ QUERIES = {
     "star_revenue": q_star_revenue,
     "asof_discount": q_asof_discount,
     "event_percentiles_approx": q_event_percentiles_approx,
+    "rolling_avg": q_rolling_avg,
+    "pivot_events": q_pivot_events,
+    "rollup_revenue": q_rollup_revenue,
     "monthly_orders_approx": q_monthly_orders_approx,
     "windowed_events": q_windowed_events,
     "sessionize": q_sessionize,
@@ -487,6 +578,9 @@ QUERIES = {
 ORACLES = {
     "star_revenue": O_STAR_REVENUE,
     "asof_discount": O_ASOF_DISCOUNT,
+    "rolling_avg": O_ROLLING_AVG,
+    "pivot_events": O_PIVOT_EVENTS,
+    "rollup_revenue": O_ROLLUP_REVENUE,
     "windowed_events": O_WINDOWED_EVENTS,
     "sessionize": O_SESSIONIZE,
     "event_percentiles": O_EVENT_PERCENTILES,
