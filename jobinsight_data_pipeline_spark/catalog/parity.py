@@ -96,6 +96,30 @@ END
 """
 
 
+def q_salary_parse_sqludf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11: the reference's plpgsql normalize_salary TABLE function
+    (sql/stored_procedures.sql:6-105) reproduced as a Spark SQL UDTF and
+    invoked with the same calling convention — a LATERAL row source.
+    The body reuses functions/salary.py's regex constants, so the SQL
+    surface and the Column surface cannot drift; both hash-match the
+    same DuckDB oracle."""
+    from jobinsight_data_pipeline_spark.functions.sqludf import register_sql_functions
+
+    register_sql_functions(spark)
+    load(spark, sf_dir, "lineitem")
+    return spark.sql(
+        f"""
+        SELECT l_orderkey, l_linenumber, salary,
+               round(p.salary_min, 4) AS salary_min,
+               round(p.salary_max, 4) AS salary_max,
+               p.salary_type
+        FROM (SELECT l_orderkey, l_linenumber, {SALARY_FRAG} AS salary
+              FROM lineitem),
+             LATERAL normalize_salary(salary) p
+        """
+    )
+
+
 def q_relative_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "orders")
     base = spark.sql(
@@ -439,6 +463,7 @@ FROM orders
 
 QUERIES = {
     "salary_parse": q_salary_parse,
+    "salary_parse_sqludf": q_salary_parse_sqludf,
     "clean_company": q_clean_company,
     "html_location": q_html_location,
     "relative_time": q_relative_time,
@@ -452,6 +477,7 @@ QUERIES = {
 
 ORACLES = {
     "salary_parse": O_SALARY_PARSE,
+    "salary_parse_sqludf": O_SALARY_PARSE,
     "clean_company": O_CLEAN_COMPANY,
     "html_location": O_HTML_LOCATION,
     "relative_time": O_RELATIVE_TIME,

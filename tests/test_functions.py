@@ -279,3 +279,25 @@ def test_daily_fact_dates(spark):
     assert by_id["a"] == [dt.date(2025, 5, 25), dt.date(2025, 5, 26), dt.date(2025, 5, 27)]
     assert len(by_id["b"]) == 31 and by_id["b"][0] == run
     assert by_id["c"] == []  # start > end after clamp → empty, no fact rows
+
+
+def test_normalize_salary_sqludf_matches_column_api(spark):
+    """The SQL UDTF surface (§2.11, LATERAL calling convention) must
+    agree with functions/salary.py on every pinned case."""
+    from jobinsight_data_pipeline_spark.functions.sqludf import register_sql_functions
+
+    register_sql_functions(spark)
+    one_col(spark, [c[0] for c in SALARY_CASES], "salary").createOrReplaceTempView(
+        "_sal_in"
+    )
+    got = spark.sql(
+        "SELECT salary, p.salary_min, p.salary_max, p.salary_type "
+        "FROM _sal_in, LATERAL normalize_salary(salary) p"
+    )
+    by_input = {r["salary"]: r for r in got.collect()}
+    assert len(by_input) == len({c[0] for c in SALARY_CASES})
+    for text, (lo, hi, ty) in SALARY_CASES:
+        r = by_input[text]
+        assert (r["salary_min"], r["salary_max"], r["salary_type"]) == pytest.approx(
+            (lo, hi, ty)
+        ), f"sqludf salary {text!r}"
