@@ -493,6 +493,74 @@ GROUP BY ROLLUP (r_name, n_name)
 """
 
 
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 explicit set semantics in one frame: customers ordering in
+    both 1995 and 1998 (INTERSECT), 1995-only (EXCEPT), either (UNION)
+    — each tagged with its cardinality."""
+    t = load(spark, sf_dir, "orders")
+    def buyers(year: int) -> DataFrame:
+        return (
+            t["orders"]
+            .filter(F.year("o_orderdate") == year)
+            .select("o_custkey")
+        )
+    y95, y98 = buyers(1995), buyers(1998)
+    tagged = [
+        ("both_years", y95.intersect(y98)),
+        ("only_1995", y95.distinct().exceptAll(y98.distinct())),
+        ("either_year", y95.union(y98).distinct()),
+    ]
+    out = None
+    for tag, frame in tagged:
+        row = frame.agg(F.count(F.lit(1)).alias("n_customers")).select(
+            F.lit(tag).alias("set_op"), "n_customers"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+O_SET_OPS = """
+WITH y95 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+y98 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998)
+SELECT 'both_years' AS set_op,
+       (SELECT count(*) FROM (SELECT o_custkey FROM y95 INTERSECT SELECT o_custkey FROM y98)) AS n_customers
+UNION ALL
+SELECT 'only_1995',
+       (SELECT count(*) FROM (SELECT o_custkey FROM y95 EXCEPT SELECT o_custkey FROM y98))
+UNION ALL
+SELECT 'either_year',
+       (SELECT count(*) FROM (SELECT o_custkey FROM y95 UNION SELECT o_custkey FROM y98))
+"""
+
+
+def q_profile_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V-family data profiling: per-column row/null/exact-distinct
+    counts in ONE scan (expand + partial agg; operators/profiling.py)."""
+    from jobinsight_data_pipeline_spark.operators.profiling import profile_columns
+
+    t = load(spark, sf_dir, "customer")
+    return profile_columns(
+        t["customer"], ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"]
+    )
+
+
+O_PROFILE_CUSTOMER = """
+SELECT 'c_custkey' AS column, count(*) AS n_rows,
+       count(*) FILTER (c_custkey IS NULL) AS n_null,
+       count(DISTINCT c_custkey) AS n_distinct
+FROM customer
+UNION ALL
+SELECT 'c_name', count(*), count(*) FILTER (c_name IS NULL),
+       count(DISTINCT c_name) FROM customer
+UNION ALL
+SELECT 'c_nationkey', count(*), count(*) FILTER (c_nationkey IS NULL),
+       count(DISTINCT c_nationkey) FROM customer
+UNION ALL
+SELECT 'c_mktsegment', count(*), count(*) FILTER (c_mktsegment IS NULL),
+       count(DISTINCT c_mktsegment) FROM customer
+"""
+
+
 def q_asof_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of (point-in-time) join: each order picks the discount version
     in effect at o_orderdate from a deterministic 3-version-per-customer
@@ -560,6 +628,8 @@ QUERIES = {
     "rolling_avg": q_rolling_avg,
     "pivot_events": q_pivot_events,
     "rollup_revenue": q_rollup_revenue,
+    "set_ops": q_set_ops,
+    "profile_customer": q_profile_customer,
     "monthly_orders_approx": q_monthly_orders_approx,
     "windowed_events": q_windowed_events,
     "sessionize": q_sessionize,
@@ -581,6 +651,8 @@ ORACLES = {
     "rolling_avg": O_ROLLING_AVG,
     "pivot_events": O_PIVOT_EVENTS,
     "rollup_revenue": O_ROLLUP_REVENUE,
+    "set_ops": O_SET_OPS,
+    "profile_customer": O_PROFILE_CUSTOMER,
     "windowed_events": O_WINDOWED_EVENTS,
     "sessionize": O_SESSIONIZE,
     "event_percentiles": O_EVENT_PERCENTILES,

@@ -276,8 +276,46 @@ GROUP BY source
 """
 
 
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by md5 key bucket
+    (operators/sampling.py) — reproducible across engines/appends, the
+    stable-split technique training pipelines need; summarized per
+    split. DuckDB reproduces the exact assignment."""
+    from jobinsight_data_pipeline_spark.operators.sampling import hash_split
+
+    t = load(spark, sf_dir, "documents")
+    return (
+        hash_split(t["documents"], "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).alias("n_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
+
+
+O_HASH_SPLIT = """
+WITH b AS (
+    SELECT doc_id, text,
+           CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 100 AS bucket
+    FROM documents
+)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       sum(length(text)) AS n_chars,
+       min(doc_id) AS min_doc_id
+FROM b
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "corpus_curation": q_corpus_curation,
+    "hash_split": q_hash_split,
     "exact_dedup": q_exact_dedup,
     "text_stats": q_text_stats,
     "ngram_jaccard": q_ngram_jaccard,
@@ -292,6 +330,7 @@ QUERIES = {
 
 ORACLES = {
     "corpus_curation": O_CORPUS_CURATION,
+    "hash_split": O_HASH_SPLIT,
     "exact_dedup": O_EXACT_DEDUP,
     "text_stats": O_TEXT_STATS,
     "ngram_jaccard": O_NGRAM_JACCARD,

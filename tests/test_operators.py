@@ -91,6 +91,33 @@ def test_simhash_properties(docs):
     assert pairs[(1, 2)] == 0
 
 
+def test_hash_split_stability_and_coverage(spark):
+    from jobinsight_data_pipeline_spark.operators.sampling import (
+        deterministic_sample,
+        hash_split,
+    )
+
+    df = spark.range(5_000).withColumnRenamed("id", "k")
+    splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r["k"]: r["split"] for r in hash_split(df, "k", splits).collect()}
+    # every row assigned; fractions roughly honored
+    assert len(a) == 5_000
+    n_train = sum(1 for v in a.values() if v == "train")
+    assert 0.75 < n_train / 5_000 < 0.85
+    # appending rows never reassigns existing keys
+    b = {r["k"]: r["split"] for r in
+         hash_split(spark.range(10_000).withColumnRenamed("id", "k"), "k", splits).collect()}
+    assert all(b[k] == v for k, v in a.items())
+    # a different salt is an independent re-split
+    c = {r["k"]: r["split"] for r in hash_split(df, "k", splits, salt="v2").collect()}
+    assert any(c[k] != v for k, v in a.items())
+    # deterministic_sample picks a stable subset of ~the right size
+    s1 = {r["k"] for r in deterministic_sample(df, "k", 0.1).collect()}
+    s2 = {r["k"] for r in deterministic_sample(df, "k", 0.2).collect()}
+    assert 0.07 < len(s1) / 5_000 < 0.13
+    assert s1 <= s2  # growing the fraction only adds rows
+
+
 def test_asof_join_known_answers(spark):
     from jobinsight_data_pipeline_spark.operators.asof import asof_join
 
