@@ -108,3 +108,30 @@ def test_salted_join_equivalence(spark):
         .count()
     )
     assert spread == 8
+
+
+def test_no_accidental_cartesian_or_nested_loop(spark):
+    """Sweep EVERY catalog query's physical plan for join shapes that
+    explode at scale. Cartesian/broadcast-nested-loop joins are allowed
+    only where they are the algorithm (brute-force all-pairs scoring or
+    a broadcast theta-join), never as an optimizer accident."""
+    from jobinsight_data_pipeline_spark.catalog import build_catalog
+
+    # intentional non-equi joins (documented in each operator):
+    #   embedding_topk / *_near_dup: all-pairs cosine baseline vs a
+    #     broadcast query side; asof_discount: broadcast offsets range
+    #     tag; top10_avg_salary inherits the views' null-tolerant joins
+    allowed_nested = {
+        "embedding_topk",
+        "embedding_near_dup",
+        "asof_discount",
+    }
+    queries, _ = build_catalog()
+    offenders: dict[str, str] = {}
+    for name, fn in queries.items():
+        plan = physical_plan(fn(spark, SF))
+        if "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in allowed_nested:
+            offenders[name] = "BroadcastNestedLoopJoin"
+    assert not offenders, f"unexpected scale-hostile joins: {offenders}"
