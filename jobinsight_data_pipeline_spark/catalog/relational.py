@@ -372,7 +372,12 @@ numbered AS (
     FROM gapped
 ),
 sessions AS (
-    SELECT user_id, session_no, min(ts) AS session_start, max(ts) AS session_end,
+    SELECT user_id, session_no,
+           -- events.parquet is TIMESTAMP(NANOS): cast to µs TIMESTAMP so the
+           -- oracle renders identically to Spark's NTZ (catalog.load converts
+           -- nanos→micros on the Spark side)
+           CAST(min(ts) AS TIMESTAMP) AS session_start,
+           CAST(max(ts) AS TIMESTAMP) AS session_end,
            count(*) AS n_events
     FROM numbered GROUP BY user_id, session_no
 )

@@ -266,7 +266,7 @@ survivors AS (
 )
 SELECT source,
        count(*) AS kept_docs,
-       sum(n_words) AS kept_words,
+       CAST(sum(n_words) AS BIGINT) AS kept_words,
        round(avg(quality), 4) AS avg_quality,
        round(avg(n_unique_words), 2) AS avg_vocab
 FROM scored
@@ -306,7 +306,7 @@ SELECT CASE WHEN bucket < 80 THEN 'train'
             WHEN bucket < 90 THEN 'val'
             ELSE 'test' END AS split,
        count(*) AS n_docs,
-       sum(length(text)) AS n_chars,
+       CAST(sum(length(text)) AS BIGINT) AS n_chars,
        min(doc_id) AS min_doc_id
 FROM b
 GROUP BY 1

@@ -15,6 +15,8 @@ import sys
 import time
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 sys.path.insert(0, ".")
 
@@ -23,14 +25,19 @@ from jobinsight_data_pipeline_spark.session import get_spark
 
 
 def normalize_cell(v):
-    if v is None:
+    # Mirror the driver gate: both sides cross the arrow/pandas bridge, so
+    # DuckDB HUGEINT arrives as float64 and TIMESTAMP_NS keeps nanosecond
+    # text — type drift must show up HERE, not only in the driver's gate.
+    if v is None or v is pd.NaT:
         return "NULL"
-    if isinstance(v, bool):
-        return "true" if v else "false"
-    if isinstance(v, float):
+    if isinstance(v, (bool, np.bool_)):
+        return "true" if bool(v) else "false"
+    if isinstance(v, float):  # includes np.float64
         if v != v:
-            return "NaN"
+            return "NULL"
         return f"{v:.6f}".rstrip("0").rstrip(".")
+    if isinstance(v, np.integer):
+        return str(int(v))
     return str(v)
 
 
@@ -69,9 +76,14 @@ def main() -> int:
             print(f"{name:24s} rows-only: {len(srows):7d} rows   ({spark_s:.1f}s)")
             continue
         t0 = time.time()
-        ores = con.sql(oracles[name])
-        ocols = [d[0] for d in ores.description]
-        orows = ores.fetchall()
+        # .df() (arrow/pandas) rather than fetchall(): fetchall yields native
+        # Python ints/datetimes and masked the HUGEINT→float64 and
+        # TIMESTAMP_NS renderings that fail the driver's hash (round-1 bug).
+        # date_as_object keeps DATE as datetime.date — the combination that
+        # reproduces every round-1 driver pass/fail exactly.
+        odf = con.sql(oracles[name]).df(date_as_object=True)
+        ocols = list(odf.columns)
+        orows = [tuple(r) for r in odf.itertuples(index=False, name=None)]
         duck_s = time.time() - t0
         problems = []
         if sorted(scols) != sorted(ocols):
