@@ -141,11 +141,26 @@ FROM orders
 )
 
 
-def q_views_salary_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+# one warehouse is registered per (session, sf_dir); every view gate shares
+# it so the SCD2/fact/bridge build runs once, not once per gate query
+_VIEWS_WAREHOUSE_KEYS: set[tuple[str, str]] = set()
+
+
+def _ensure_views_warehouse(spark: SparkSession, sf_dir: str):
+    """Build the location-bearing engine warehouse (dims via scd2_merge /
+    insert_only_merge, fact via build_fact_batch + merge_facts, bridge via
+    build_bridge) and register the DWH temp views over it. Cached per
+    (applicationId, sf_dir) — the dims/fact/bridge DataFrames are .cache()d
+    so the five view gates don't re-run the dimensional pipeline each."""
     from jobinsight_data_pipeline_spark.plans import views as views_plan
     from jobinsight_data_pipeline_spark.plans.dimensions import (
         build_dim_location,
     )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _VIEWS_WAREHOUSE_KEYS:
+        return views_plan
+    _VIEWS_WAREHOUSE_KEYS.clear()  # temp views hold one warehouse at a time
 
     load(spark, sf_dir, "orders")
     staging = (
@@ -161,19 +176,25 @@ def q_views_salary_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_date = RUN_TS.date()
 
-    dim_job = scd2_merge(None, staging, DIM_JOB_CONFIG, run_date).dim
-    dim_company = scd2_merge(None, staging, DIM_COMPANY_CONFIG, run_date).dim
-    dim_location = build_dim_location(None, staging, run_date).dim
+    dim_job = scd2_merge(None, staging, DIM_JOB_CONFIG, run_date).dim.cache()
+    dim_company = scd2_merge(None, staging, DIM_COMPANY_CONFIG, run_date).dim.cache()
+    dim_location = build_dim_location(None, staging, run_date).dim.cache()
     incoming = facts_plan.build_fact_batch(staging, dim_job, dim_company, RUN_TS)
-    fact = facts_plan.merge_facts(None, incoming)
+    fact = facts_plan.merge_facts(None, incoming).cache()
     bridge = facts_plan.build_bridge(
         fact, incoming, staging, dim_job, dim_location, None
-    )
+    ).cache()
     dim_date = spark.createDataFrame([], "date_id date, day int, month int, quarter int, year int, weekday string")
     views_plan.register_dwh_views(
         spark, dim_job, dim_company, dim_location, dim_date, fact, bridge
     )
-    out = views_plan.vw_job_salary_filter(spark, run_date)
+    _VIEWS_WAREHOUSE_KEYS.add(key)
+    return views_plan
+
+
+def q_views_salary_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views_plan = _ensure_views_warehouse(spark, sf_dir)
+    out = views_plan.vw_job_salary_filter(spark, RUN_TS.date())
     return out.select(
         "job_id",
         "title_clean",
@@ -187,16 +208,20 @@ def q_views_salary_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-O_VIEWS_SALARY_FILTER = f"""
+# shared oracle warehouse: reproduces the engine's surrogate assignment
+# (9999 + row_number over natural-key order), 5-day fan-out, fact_id order
+# (job_sk, date_id), and the bridge's NULL→Unknown location mapping — every
+# view oracle below selects off these CTEs
+O_VIEWS_CTES = f"""
 WITH staging AS ({STAGING_LOC_SQL}),
 dim_job AS (
     SELECT job_id, title_clean, 9999 + row_number() OVER (ORDER BY job_id) AS job_sk
     FROM staging
 ),
 dim_company AS (
-    SELECT company_name_standardized,
+    SELECT company_name_standardized, verified_employer,
            9999 + row_number() OVER (ORDER BY company_name_standardized) AS company_sk
-    FROM (SELECT DISTINCT company_name_standardized FROM staging)
+    FROM (SELECT DISTINCT company_name_standardized, verified_employer FROM staging)
 ),
 locs AS (
     SELECT DISTINCT
@@ -214,18 +239,24 @@ dim_location AS (
                         district ASC NULLS LAST) AS location_sk
     FROM locs
 ),
-fact AS (
+fact0 AS (
     SELECT j.job_sk, c.company_sk, s.job_id, s.title_clean,
-           s.company_name_standardized, s.salary_min, s.salary_max,
-           s.due_dt AS due_date, s.location,
+           s.company_name_standardized, c.verified_employer,
+           s.salary_min, s.salary_max,
+           s.due_dt AS due_date, s.location, '1998-06' AS load_month,
            CAST(unnest(generate_series(DATE '1998-06-01', DATE '1998-06-05',
                                        INTERVAL 1 DAY)) AS DATE) AS date_id
     FROM staging s
     JOIN dim_job j ON s.job_id = j.job_id
     JOIN dim_company c ON s.company_name_standardized = c.company_name_standardized
 ),
+fact AS (
+    SELECT *, 9999 + row_number() OVER (ORDER BY job_sk, date_id) AS fact_id
+    FROM fact0
+),
 bridge AS (
-    SELECT DISTINCT f.job_sk, f.date_id, l.location_sk, l.province, l.city, l.district
+    SELECT DISTINCT f.fact_id, f.job_sk, f.date_id, l.location_sk,
+           l.province, l.city, l.district
     FROM fact f
     JOIN dim_location l
       ON l.city IS NOT DISTINCT FROM (CASE WHEN f.location IS NULL THEN 'Unknown'
@@ -233,6 +264,9 @@ bridge AS (
      AND l.district IS NOT DISTINCT FROM (CASE WHEN f.location IS NULL THEN CAST(NULL AS VARCHAR)
                                                ELSE trim(split_part(f.location, ':', 2)) END)
 )
+"""
+
+O_VIEWS_SALARY_FILTER = O_VIEWS_CTES + """
 SELECT DISTINCT
     f.job_id, f.title_clean, f.company_name_standardized,
     f.salary_min, f.salary_max, f.due_date,
@@ -245,6 +279,94 @@ WHERE f.salary_min >= 10.00
   AND f.salary_min IS NOT NULL
   AND f.salary_max IS NOT NULL
 """
+
+# --------------------------------------------------------------------------
+# The remaining 5 reference views (schema_dwh.sql:91-143) over the same
+# engine-built warehouse. Each gate selects the view's stable scalar columns
+# (skills arrays and date_trunc timestamps are normalized) so the driver's
+# sorted-column value hash is well-defined.
+# --------------------------------------------------------------------------
+def q_view_current_jobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views_plan = _ensure_views_warehouse(spark, sf_dir)
+    return views_plan.vw_current_jobs(spark).select(
+        "job_sk",
+        "job_id",
+        "title_clean",
+        "company_name_standardized",
+        "verified_employer",
+    )
+
+
+O_VIEW_CURRENT_JOBS = O_VIEWS_CTES + """
+SELECT job_sk, job_id, title_clean, company_name_standardized, verified_employer
+FROM fact
+"""
+
+
+def q_view_job_locations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views_plan = _ensure_views_warehouse(spark, sf_dir)
+    return views_plan.vw_job_locations(spark).select(
+        "fact_id", "job_sk", "date_id", "province", "city", "district"
+    )
+
+
+O_VIEW_JOB_LOCATIONS = O_VIEWS_CTES + """
+SELECT fact_id, job_sk, date_id, province, city, district
+FROM bridge
+"""
+
+
+def q_view_monthly_jobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views_plan = _ensure_views_warehouse(spark, sf_dir)
+    out = views_plan.vw_monthly_jobs(spark)
+    # Spark's DATE_TRUNC returns TIMESTAMP; cast to DATE to match DuckDB
+    return out.select(
+        "load_month",
+        F.col("month").cast("date").alias("month"),
+        "job_count",
+        "company_count",
+        F.round("avg_salary_min", 2).alias("avg_salary_min"),
+        F.round("avg_salary_max", 2).alias("avg_salary_max"),
+    )
+
+
+O_VIEW_MONTHLY_JOBS = O_VIEWS_CTES + """
+SELECT load_month,
+       CAST(date_trunc('month', date_id) AS DATE) AS month,
+       count(DISTINCT job_sk) AS job_count,
+       count(DISTINCT company_sk) AS company_count,
+       round(avg(salary_min), 2) AS avg_salary_min,
+       round(avg(salary_max), 2) AS avg_salary_max
+FROM fact
+GROUP BY load_month, CAST(date_trunc('month', date_id) AS DATE)
+"""
+
+
+def q_view_top_companies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views_plan = _ensure_views_warehouse(spark, sf_dir)
+    return views_plan.vw_top_companies(spark)
+
+
+O_VIEW_TOP_COMPANIES = O_VIEWS_CTES + """
+SELECT company_name_standardized, verified_employer,
+       count(DISTINCT job_sk) AS job_count
+FROM fact
+GROUP BY company_name_standardized, verified_employer
+"""
+
+
+def q_view_top_locations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views_plan = _ensure_views_warehouse(spark, sf_dir)
+    return views_plan.vw_top_locations(spark)
+
+
+O_VIEW_TOP_LOCATIONS = O_VIEWS_CTES + """
+SELECT coalesce(province, 'Unknown') AS province, city,
+       count(DISTINCT job_sk) AS job_count
+FROM bridge
+GROUP BY province, city
+"""
+
 
 # --------------------------------------------------------------------------
 # SCD2 UPDATE path under the gate: two-batch evolution. Batch 1 inserts
@@ -571,6 +693,11 @@ QUERIES = {
     "top10_avg_salary": q_top10_avg_salary,
     "warehouse_rollup": q_warehouse_rollup,
     "views_salary_filter": q_views_salary_filter,
+    "view_current_jobs": q_view_current_jobs,
+    "view_job_locations": q_view_job_locations,
+    "view_monthly_jobs": q_view_monthly_jobs,
+    "view_top_companies": q_view_top_companies,
+    "view_top_locations": q_view_top_locations,
     "scd2_update": q_scd2_update,
     "fact_merge": q_fact_merge,
     "bridge_rebuild": q_bridge_rebuild,
@@ -579,6 +706,11 @@ ORACLES = {
     "top10_avg_salary": O_TOP10_AVG_SALARY,
     "warehouse_rollup": O_WAREHOUSE_ROLLUP,
     "views_salary_filter": O_VIEWS_SALARY_FILTER,
+    "view_current_jobs": O_VIEW_CURRENT_JOBS,
+    "view_job_locations": O_VIEW_JOB_LOCATIONS,
+    "view_monthly_jobs": O_VIEW_MONTHLY_JOBS,
+    "view_top_companies": O_VIEW_TOP_COMPANIES,
+    "view_top_locations": O_VIEW_TOP_LOCATIONS,
     "scd2_update": O_SCD2_UPDATE,
     "fact_merge": O_FACT_MERGE,
     "bridge_rebuild": O_BRIDGE_REBUILD,
