@@ -126,9 +126,12 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: SimHash hamming-≤8 near-dup candidate pairs."""
+    """Rows-only: SimHash hamming-≤3 near-dup pairs, recall-complete via
+    4×16-bit banding (bands = max_hamming + 1 pigeonhole — the Manku et
+    al. web-crawl radius; wider radii narrow the bands and densify the
+    bucket join, so the headline query models the at-scale setting)."""
     t = load(spark, sf_dir, "documents")
-    return simhash_near_pairs(t["documents"], "doc_id", "text", max_hamming=8)
+    return simhash_near_pairs(t["documents"], "doc_id", "text", max_hamming=3)
 
 
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -266,17 +266,34 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_near_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 8
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance, banded: split the 64
-    bits into 4 16-bit bands; any pair within hamming ≤ (bands-1) shares
-    at least one exact band (pigeonhole) — join per band, verify exact
-    hamming with bit_count(xor)."""
+    """Near-dup pairs by SimHash hamming distance, banded COMPLETE: the 64
+    bits split into (max_hamming + 1) near-even bands, so any pair within
+    hamming ≤ max_hamming agrees exactly on ≥1 band (pigeonhole) — join
+    per band bucket, verify exact hamming with bit_count(xor). Recall is
+    1.0 by construction (pinned by test_simhash_banding_complete);
+    precision is 1.0 because candidates are hamming-verified.
+
+    Scale note: band width is 64 // bands, and bucket count is 2^width —
+    wider radii mean narrower bands and denser buckets (max_hamming=3 →
+    4×16-bit bands, the Manku et al. WWW'07 web-crawl setting;
+    max_hamming=8 → 9×7-bit bands whose ≤128-value buckets collide far
+    more). Prefer small radii at corpus scale, or pre-partition by a
+    coarse key before widening the radius."""
+    bands = max_hamming + 1
+    if not 1 <= bands <= 64:
+        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
+    base, rem = divmod(64, bands)
+    widths = [base + (1 if i < rem else 0) for i in range(bands)]
+    offsets = [sum(widths[:i]) for i in range(bands)]
     sig = simhash(df, id_col, text_col).cache()
     band_buckets = F.array(
         *[
-            F.shiftright(F.col("simhash"), band * 16).bitwiseAND(F.lit(0xFFFF))
-            for band in range(4)
+            F.col("simhash")
+            if w >= 64
+            else F.shiftright(F.col("simhash"), o).bitwiseAND(F.lit((1 << w) - 1))
+            for o, w in zip(offsets, widths)
         ]
     )
     buckets = sig.select(
@@ -297,6 +314,9 @@ def simhash_near_pairs(
                 F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
             ).alias("hamming"),
         )
-        .distinct()
+        # verify BEFORE distinct: the hamming filter runs map-side on the
+        # candidate stream, so the dedup shuffle carries only true pairs
+        # (matters at wide radii, where buckets are dense)
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )

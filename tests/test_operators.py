@@ -91,6 +91,37 @@ def test_simhash_properties(docs):
     assert pairs[(1, 2)] == 0
 
 
+def test_simhash_banding_complete(spark):
+    """bands = max_hamming + 1 makes the banded join recall-COMPLETE:
+    for each radius, the banded pairs equal the exact all-pairs
+    bit_count(xor) ≤ radius set (and hamming values agree)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sig = simhash(docs, "doc_id", "text").cache()
+    a = sig.select(F.col("doc").alias("doc_a"), F.col("simhash").alias("sig_a"))
+    b = sig.select(F.col("doc").alias("doc_b"), F.col("simhash").alias("sig_b"))
+    exact_all = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 8)
+        .collect()
+    }
+    for radius in (3, 8):
+        expect = {p: h for p, h in exact_all.items() if h <= radius}
+        got = {
+            (r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in simhash_near_pairs(
+                docs, "doc_id", "text", max_hamming=radius
+            ).collect()
+        }
+        assert got == expect, f"radius {radius}: banded != exact"
+        assert expect, f"radius {radius}: fixture has no near pairs to check"
+
+
 def test_hash_split_stability_and_coverage(spark):
     from jobinsight_data_pipeline_spark.operators.sampling import (
         deterministic_sample,
