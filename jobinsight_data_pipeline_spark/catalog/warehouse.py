@@ -60,10 +60,12 @@ def q_warehouse_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_date = RUN_TS.date()
 
-    dim_job = scd2_merge(None, staging, DIM_JOB_CONFIG, run_date).dim
-    dim_company = scd2_merge(None, staging, DIM_COMPANY_CONFIG, run_date).dim
+    # bulk single-batch build → the bucketed (scalable) assigner; this
+    # puts the no-global-sort key path itself under the hash-match gate
+    dim_job = scd2_merge(None, staging, DIM_JOB_CONFIG, run_date, scalable=True).dim
+    dim_company = scd2_merge(None, staging, DIM_COMPANY_CONFIG, run_date, scalable=True).dim
     incoming = facts_plan.build_fact_batch(staging, dim_job, dim_company, RUN_TS)
-    fact = facts_plan.merge_facts(None, incoming)
+    fact = facts_plan.merge_facts(None, incoming, scalable=True)
 
     return (
         fact.join(
@@ -176,11 +178,11 @@ def _ensure_views_warehouse(spark: SparkSession, sf_dir: str):
     )
     run_date = RUN_TS.date()
 
-    dim_job = scd2_merge(None, staging, DIM_JOB_CONFIG, run_date).dim.cache()
-    dim_company = scd2_merge(None, staging, DIM_COMPANY_CONFIG, run_date).dim.cache()
-    dim_location = build_dim_location(None, staging, run_date).dim.cache()
+    dim_job = scd2_merge(None, staging, DIM_JOB_CONFIG, run_date, scalable=True).dim.cache()
+    dim_company = scd2_merge(None, staging, DIM_COMPANY_CONFIG, run_date, scalable=True).dim.cache()
+    dim_location = build_dim_location(None, staging, run_date, scalable=True).dim.cache()
     incoming = facts_plan.build_fact_batch(staging, dim_job, dim_company, RUN_TS)
-    fact = facts_plan.merge_facts(None, incoming).cache()
+    fact = facts_plan.merge_facts(None, incoming, scalable=True).cache()
     bridge = facts_plan.build_bridge(
         fact, incoming, staging, dim_job, dim_location, None
     ).cache()
@@ -653,10 +655,10 @@ def q_top10_avg_salary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "skills", F.lit(None).cast("array<string>")
     )
     run_date = RUN_TS.date()
-    dim_job = scd2_merge(None, staging, DIM_JOB_CONFIG, run_date).dim
-    dim_company = scd2_merge(None, staging, DIM_COMPANY_CONFIG, run_date).dim
+    dim_job = scd2_merge(None, staging, DIM_JOB_CONFIG, run_date, scalable=True).dim
+    dim_company = scd2_merge(None, staging, DIM_COMPANY_CONFIG, run_date, scalable=True).dim
     incoming = facts_plan.build_fact_batch(staging, dim_job, dim_company, RUN_TS)
-    fact = facts_plan.merge_facts(None, incoming)
+    fact = facts_plan.merge_facts(None, incoming, scalable=True)
     avg_mid = F.avg(
         (F.coalesce("salary_min", F.lit(0.0)) + F.coalesce("salary_max", F.lit(0.0)))
         / 2.0

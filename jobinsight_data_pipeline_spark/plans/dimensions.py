@@ -104,7 +104,7 @@ def prepare_dim_location(staging: DataFrame) -> DataFrame:
 
 def build_dim_job(
     current: DataFrame | None, staging: DataFrame, run_date: dt.date,
-    scalable: bool = False,
+    scalable: bool | None = None,
 ) -> Scd2Result:
     return scd2_merge(
         current, prepare_dim_job(staging), DIM_JOB_CONFIG, run_date,
@@ -114,7 +114,7 @@ def build_dim_job(
 
 def build_dim_company(
     current: DataFrame | None, staging: DataFrame, run_date: dt.date,
-    scalable: bool = False,
+    scalable: bool | None = None,
 ) -> Scd2Result:
     return scd2_merge(
         current,
@@ -128,7 +128,7 @@ def build_dim_company(
 
 def build_dim_location(
     current: DataFrame | None, staging: DataFrame, run_date: dt.date,
-    scalable: bool = False,
+    scalable: bool | None = None,
 ) -> Scd2Result:
     return insert_only_merge(
         current, prepare_dim_location(staging), DIM_LOCATION_CONFIG, run_date,

@@ -102,7 +102,7 @@ def build_fact_batch(
 
 
 def merge_facts(
-    existing: DataFrame | None, incoming: DataFrame, scalable: bool = False
+    existing: DataFrame | None, incoming: DataFrame, scalable: bool | None = None
 ) -> DataFrame:
     """SC3: grain-level merge. Matched grains keep fact_id and load_month
     but take all new measures; unmatched grains get new fact_ids

@@ -83,4 +83,21 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+
+    # WindowExec warns "No Partition Defined" on EVERY partition-less
+    # window, with no size threshold. The engine's remaining global
+    # windows are delta-bounded by contract (surrogate-key assignment
+    # over a daily batch — see operators/merge.assign_surrogate_keys;
+    # bulk loads route through the bucketed assigner instead), so the
+    # warning is noise here: demote that one logger to ERROR. Plan-shape
+    # tests (test_plans_physical) still police accidental global sorts.
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass  # logging backend not log4j2 — cosmetic only
+    return spark
