@@ -290,8 +290,13 @@ WHERE rk <= 3
 def q_monthly_orders_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1's 100 TB upgrade: HyperLogLog++ approx_count_distinct replaces
     the exact distinct (which shuffles every (month, custkey) pair).
-    Rows-only check — the estimate is deterministic for a given dataset
-    but has no DuckDB-equivalent bit-for-bit oracle."""
+
+    Bounded-error containment gate: the sketch has no bit-for-bit DuckDB
+    twin, so the query emits |approx − exact| / exact ≤ 3·rsd as a
+    boolean next to the exact aggregates, and the oracle emits TRUE —
+    the driver's value hash then fails iff the estimate leaves its
+    published 3σ envelope (the exact-count columns keep the rest of the
+    row honest)."""
     t = load(spark, sf_dir, "orders")
     return (
         t["orders"]
@@ -301,9 +306,36 @@ def q_monthly_orders_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("order_count"),
-            F.approx_count_distinct("o_custkey", rsd=0.02).alias("customer_count_approx"),
+            F.countDistinct("o_custkey").alias("customer_count"),
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("_approx"),
+        )
+        .select(
+            "order_year",
+            "order_month",
+            "order_count",
+            "customer_count",
+            (
+                F.abs(F.col("_approx") - F.col("customer_count"))
+                # 3σ relative envelope, with a ±2 absolute floor: Spark's
+                # HLL++ has no sparse mode, so tiny cardinalities carry a
+                # small constant bias (measured ±1 at n≈15)
+                <= F.greatest(
+                    3 * 0.02 * F.col("customer_count"), F.lit(2.0)
+                )
+            ).alias("approx_within_3rsd"),
         )
     )
+
+
+O_MONTHLY_ORDERS_APPROX = """
+SELECT year(o_orderdate) AS order_year,
+       month(o_orderdate) AS order_month,
+       count(*) AS order_count,
+       count(DISTINCT o_custkey) AS customer_count,
+       TRUE AS approx_within_3rsd
+FROM orders
+GROUP BY 1, 2
+"""
 
 
 def q_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -606,24 +638,50 @@ ASOF LEFT JOIN v ON o.o_custkey = v.custkey AND o.o_orderdate >= v.valid_from
 
 
 def q_event_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: quantile SKETCH path — approx_percentile (Greenwald-
-    Khanna) per event type; `event_percentiles` pins the exact
-    interpolated semantics this approximates (DuckDB's quantile sketch
-    differs numerically, so no value-hash oracle)."""
+    """Quantile SKETCH path — approx_percentile (Greenwald-Khanna) per
+    event type; `event_percentiles` pins the exact interpolated
+    semantics this approximates.
+
+    Bounded-error containment gate: GK at accuracy=10000 guarantees rank
+    error ≤ 1/accuracy, so each sketch value must lie within the exact
+    quantile envelope at p ± 0.01 (the guarantee is 100× tighter, but the
+    envelope needs ≥1-rank width at the small test n, and a broken sketch
+    misses ±1% rank by orders of magnitude). The query emits containment
+    booleans beside the exact row count; the oracle emits TRUE — the
+    hash fails iff the sketch leaves the envelope (DuckDB has no
+    bit-for-bit GK twin)."""
     t = load(spark, sf_dir, "events")
-    pct = F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), 10_000)
+    pct = F.percentile_approx(
+        "value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), 10_000
+    )
+    lo = F.expr("percentile(value, array(0.49, 0.89, 0.98))")
+    hi = F.expr("percentile(value, array(0.51, 0.91, 1.0))")
     return (
         t["events"]
         .groupBy("event_type")
-        .agg(pct.alias("p"), F.count("*").alias("n"))
+        .agg(pct.alias("p"), lo.alias("lo"), hi.alias("hi"), F.count("*").alias("n"))
         .select(
             "event_type",
-            F.round(F.col("p")[0], 4).alias("p50"),
-            F.round(F.col("p")[1], 4).alias("p90"),
-            F.round(F.col("p")[2], 4).alias("p99"),
             "n",
+            *[
+                (
+                    (F.col("p")[i] >= F.col("lo")[i])
+                    & (F.col("p")[i] <= F.col("hi")[i])
+                ).alias(name)
+                for i, name in enumerate(
+                    ["p50_in_bounds", "p90_in_bounds", "p99_in_bounds"]
+                )
+            ],
         )
     )
+
+
+O_EVENT_PERCENTILES_APPROX = """
+SELECT event_type, count(*) AS n,
+       TRUE AS p50_in_bounds, TRUE AS p90_in_bounds, TRUE AS p99_in_bounds
+FROM events
+GROUP BY event_type
+"""
 
 
 QUERIES = {
@@ -653,6 +711,8 @@ QUERIES = {
 ORACLES = {
     "star_revenue": O_STAR_REVENUE,
     "asof_discount": O_ASOF_DISCOUNT,
+    "event_percentiles_approx": O_EVENT_PERCENTILES_APPROX,
+    "monthly_orders_approx": O_MONTHLY_ORDERS_APPROX,
     "rolling_avg": O_ROLLING_AVG,
     "pivot_events": O_PIVOT_EVENTS,
     "rollup_revenue": O_ROLLUP_REVENUE,
