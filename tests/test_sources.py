@@ -40,15 +40,15 @@ JOB_CARD = """
     <span data-original-title="Senior Python Developer - Urgent">Senior Python…</span></a></h3>
   <a class="company" href="https://www.topcv.vn/company/abc">Công ty TNHH ABC</a>
   <span class="salary">15 - 20 triệu</span>
-  <span class="address">Hà Nội</span>
+  <label class="address">Hà Nội</label>
   <span class="deadline">Còn 30 ngày</span>
   <span class="vip-badge">VIP</span>
-  <img src="https://logo/1001.png"/>
+  <a href="/job-detail/python-dev-1001.html"><img src="https://logo/1001.png"/></a>
 </div>
 <div class="job-item-2" data-job-id="1002">
   <h3 class="title">Data Engineer</h3>
   <span class="salary">Thoả thuận</span>
-  <span class="address">Đà Nẵng</span>
+  <label class="address">Đà Nẵng</label>
 </div>
 </div>
 """
