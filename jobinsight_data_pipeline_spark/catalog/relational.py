@@ -380,10 +380,33 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             w.rowsBetween(Window.unboundedPreceding, 0)
         ),
     )
-    return gapped.groupBy("user_id", "session_no").agg(
-        F.min("ts").alias("session_start"),
-        F.max("ts").alias("session_end"),
-        F.count("*").alias("n_events"),
+    # session bounds are emitted as INTEGER epoch-micros, not timestamps:
+    # these are the only gate values with sub-second precision, and rendered
+    # fractional timestamps proved non-portable across DuckDB builds (the
+    # driver's ns rendering differs from local 1.0.0, which truncates
+    # TIMESTAMP(NANOS) to µs on read — failed the hash two rounds running
+    # while passing locally). Integer µs sidestep every cast/rounding/
+    # rendering semantic. CLAUDE.md invariant + test_no_fractional_timestamps
+    # police the class.
+    epoch = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+    return (
+        gapped.groupBy("user_id", "session_no")
+        .agg(
+            F.min("ts").alias("_start"),
+            F.max("ts").alias("_end"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            "user_id",
+            "session_no",
+            F.expr(f"timestampdiff(MICROSECOND, {epoch}, _start)").alias(
+                "session_start_us"
+            ),
+            F.expr(f"timestampdiff(MICROSECOND, {epoch}, _end)").alias(
+                "session_end_us"
+            ),
+            "n_events",
+        )
     )
 
 
@@ -404,12 +427,13 @@ numbered AS (
     FROM gapped
 ),
 sessions AS (
+    -- integer epoch-micros on both sides (see q_sessionize): date_diff in
+    -- microseconds floors the nanos exactly like Spark's nanos→µs read
     SELECT user_id, session_no,
-           -- events.parquet is TIMESTAMP(NANOS): cast to µs TIMESTAMP so the
-           -- oracle renders identically to Spark's NTZ (catalog.load converts
-           -- nanos→micros on the Spark side)
-           CAST(min(ts) AS TIMESTAMP) AS session_start,
-           CAST(max(ts) AS TIMESTAMP) AS session_end,
+           date_diff('microseconds', TIMESTAMP '1970-01-01 00:00:00', min(ts))
+               AS session_start_us,
+           date_diff('microseconds', TIMESTAMP '1970-01-01 00:00:00', max(ts))
+               AS session_end_us,
            count(*) AS n_events
     FROM numbered GROUP BY user_id, session_no
 )

@@ -30,7 +30,16 @@ RUN_TS = dt.datetime(1998, 6, 1, 12, 0, 0)
 
 # portable staging construction (runs verbatim in Spark SQL and DuckDB);
 # verified_employer is a function of the company key on purpose (see
-# module docstring)
+# module docstring).
+#
+# Every staging fragment below takes a deterministic ~10% slice of orders
+# (mod filters on o_orderkey). Round 2's full-size gates blew the driver's
+# correctness time budget and truncated the last 6 queries; the slice keeps
+# every branch of the dimensional state machine firing (insert/update/
+# unchanged, overlap/fresh grains, NULL→Unknown locations) at a tenth of
+# the wall. Sub-conditions that used to key off mod 2/4/5/8 are scaled to
+# mod 20/40/50/80/100 so they still split the sliced keys (multiples of 10
+# are all ≡0 mod 5, etc.).
 STAGING_SQL = """
 SELECT
     CAST(o_orderkey AS STRING)                           AS job_id,
@@ -50,6 +59,7 @@ SELECT
     CAST(NULL AS STRING)                                 AS time_remaining,
     TIMESTAMP '1998-06-01 09:00:00'                      AS crawled_at
 FROM orders
+WHERE mod(o_orderkey, 10) = 0
 """
 
 
@@ -130,7 +140,7 @@ GROUP BY company_sk, company_name_standardized
 STAGING_LOC_SQL = STAGING_SQL.replace(
     "FROM orders",
     """,
-    CASE WHEN mod(o_orderkey, 5) = 0 THEN NULL
+    CASE WHEN mod(o_orderkey, 50) = 0 THEN NULL
          ELSE concat('City', CAST(mod(o_orderkey, 7) AS STRING), ': D',
                      CAST(mod(o_orderkey, 3) AS STRING))
     END AS location,
@@ -144,8 +154,11 @@ FROM orders
 
 
 # one warehouse is registered per (session, sf_dir); every view gate shares
-# it so the SCD2/fact/bridge build runs once, not once per gate query
-_VIEWS_WAREHOUSE_KEYS: set[tuple[str, str]] = set()
+# it so the SCD2/fact/bridge build runs once, not once per gate query.
+# _VIEWS_WAREHOUSE holds the active key AND its cached DataFrames so a
+# rebuild (sf_dir switch) unpersists the old set instead of leaking it in
+# executor storage.
+_VIEWS_WAREHOUSE: dict[tuple[str, str], list[DataFrame]] = {}
 
 
 def _ensure_views_warehouse(spark: SparkSession, sf_dir: str):
@@ -160,9 +173,13 @@ def _ensure_views_warehouse(spark: SparkSession, sf_dir: str):
     )
 
     key = (spark.sparkContext.applicationId, sf_dir)
-    if key in _VIEWS_WAREHOUSE_KEYS:
+    if key in _VIEWS_WAREHOUSE:
         return views_plan
-    _VIEWS_WAREHOUSE_KEYS.clear()  # temp views hold one warehouse at a time
+    # temp views hold one warehouse at a time; release the old one's storage
+    for cached in _VIEWS_WAREHOUSE.values():
+        for df in cached:
+            df.unpersist()
+    _VIEWS_WAREHOUSE.clear()
 
     load(spark, sf_dir, "orders")
     staging = (
@@ -190,7 +207,7 @@ def _ensure_views_warehouse(spark: SparkSession, sf_dir: str):
     views_plan.register_dwh_views(
         spark, dim_job, dim_company, dim_location, dim_date, fact, bridge
     )
-    _VIEWS_WAREHOUSE_KEYS.add(key)
+    _VIEWS_WAREHOUSE[key] = [dim_job, dim_company, dim_location, fact, bridge]
     return views_plan
 
 
@@ -384,11 +401,12 @@ SELECT CAST(o_orderkey AS STRING) AS job_id,
        CAST(NULL AS STRING) AS last_update,
        CAST(NULL AS STRING) AS logo_url
 FROM orders
+WHERE mod(o_orderkey, 10) = 0
 """
 
 D2_SQL = """
 SELECT CAST(o_orderkey AS STRING) AS job_id,
-       CASE WHEN mod(o_orderkey, 4) = 0
+       CASE WHEN mod(o_orderkey, 40) = 0
             THEN concat('T', CAST(mod(o_orderkey, 9) AS STRING), 'v2')
             ELSE concat('T', CAST(mod(o_orderkey, 9) AS STRING))
        END AS title_clean,
@@ -396,7 +414,7 @@ SELECT CAST(o_orderkey AS STRING) AS job_id,
        CAST(NULL AS STRING) AS last_update,
        CAST(NULL AS STRING) AS logo_url
 FROM orders
-WHERE mod(o_orderkey, 2) = 0
+WHERE mod(o_orderkey, 20) = 0
 """
 
 
@@ -406,7 +424,8 @@ def q_scd2_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     b1 = spark.sql(D1_SQL).withColumn("skills", null_sk)
     b2 = spark.sql(D2_SQL).withColumn("skills", null_sk)
     d1, d2 = dt.date(1998, 6, 1), dt.date(1998, 6, 2)
-    dim = scd2_merge(None, b1, DIM_JOB_CONFIG, d1).dim
+    # lazy batch-boundary cache (see q_warehouse_incremental)
+    dim = scd2_merge(None, b1, DIM_JOB_CONFIG, d1).dim.cache()
     dim = scd2_merge(dim, b2, DIM_JOB_CONFIG, d2).dim
     return dim.select(
         "job_sk", "job_id", "title_clean", "effective_date", "expiry_date", "is_current"
@@ -484,19 +503,20 @@ def q_fact_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "company_name", F.col("company_name_standardized")
         ).withColumn("company_url", F.lit(None).cast("string"))
 
-    # run 1: every other order, May 30; run 2: every 4th order (a subset),
+    # run 1: every 20th order, May 30; run 2: every 40th order (a subset),
     # June 2 — fan-outs [May 30..Jun 3] and [Jun 2..Jun 6] overlap on
     # Jun 2-3.
-    s1 = staging(0, "1998-05-30 09:00:00", 2)
-    s2 = staging(100, "1998-06-02 09:00:00", 4)
+    s1 = staging(0, "1998-05-30 09:00:00", 20)
+    s2 = staging(100, "1998-06-02 09:00:00", 40)
     r1 = dt.datetime(1998, 5, 30, 12, 0, 0)
     r2 = dt.datetime(1998, 6, 2, 12, 0, 0)
 
-    dim_job = scd2_merge(None, s1, DIM_JOB_CONFIG, r1.date()).dim
-    dim_company = scd2_merge(None, s1, DIM_COMPANY_CONFIG, r1.date()).dim
+    # lazy batch-boundary caches (see q_warehouse_incremental)
+    dim_job = scd2_merge(None, s1, DIM_JOB_CONFIG, r1.date()).dim.cache()
+    dim_company = scd2_merge(None, s1, DIM_COMPANY_CONFIG, r1.date()).dim.cache()
     fact = facts_plan.merge_facts(
         None, facts_plan.build_fact_batch(s1, dim_job, dim_company, r1)
-    )
+    ).cache()
     fact = facts_plan.merge_facts(
         fact, facts_plan.build_fact_batch(s2, dim_job, dim_company, r2)
     )
@@ -506,8 +526,8 @@ def q_fact_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 O_FACT_MERGE = f"""
-WITH s1 AS ({FACT_STAGING_SQL.format(bump=0, crawl='1998-05-30 09:00:00', modulus=2)}),
-s2 AS ({FACT_STAGING_SQL.format(bump=100, crawl='1998-06-02 09:00:00', modulus=4)}),
+WITH s1 AS ({FACT_STAGING_SQL.format(bump=0, crawl='1998-05-30 09:00:00', modulus=20)}),
+s2 AS ({FACT_STAGING_SQL.format(bump=100, crawl='1998-06-02 09:00:00', modulus=40)}),
 dim_job AS (
     SELECT job_id, 9999 + row_number() OVER (ORDER BY job_id) AS job_sk FROM s1
 ),
@@ -589,20 +609,21 @@ def q_bridge_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("location_pairs", F.array("location"))
         )
 
-    s1 = staging("CityA", "1998-06-01 09:00:00", 2)
-    s2 = staging("CityB", "1998-06-03 09:00:00", 4)
+    s1 = staging("CityA", "1998-06-01 09:00:00", 20)
+    s2 = staging("CityB", "1998-06-03 09:00:00", 40)
     r1 = dt.datetime(1998, 6, 1, 12, 0, 0)
     r2 = dt.datetime(1998, 6, 3, 12, 0, 0)
 
-    dim_job = scd2_merge(None, s1, DIM_JOB_CONFIG, r1.date()).dim
-    dim_company = scd2_merge(None, s1, DIM_COMPANY_CONFIG, r1.date()).dim
-    dim_loc = build_dim_location(None, s1, r1.date()).dim
+    # lazy batch-boundary caches (see q_warehouse_incremental)
+    dim_job = scd2_merge(None, s1, DIM_JOB_CONFIG, r1.date()).dim.cache()
+    dim_company = scd2_merge(None, s1, DIM_COMPANY_CONFIG, r1.date()).dim.cache()
+    dim_loc = build_dim_location(None, s1, r1.date()).dim.cache()
 
     inc1 = facts_plan.build_fact_batch(s1, dim_job, dim_company, r1)
-    fact = facts_plan.merge_facts(None, inc1)
-    bridge = facts_plan.build_bridge(fact, inc1, s1, dim_job, dim_loc, None)
+    fact = facts_plan.merge_facts(None, inc1).cache()
+    bridge = facts_plan.build_bridge(fact, inc1, s1, dim_job, dim_loc, None).cache()
 
-    dim_loc = build_dim_location(dim_loc, s2, r2.date()).dim
+    dim_loc = build_dim_location(dim_loc, s2, r2.date()).dim.cache()
     inc2 = facts_plan.build_fact_batch(s2, dim_job, dim_company, r2)
     fact = facts_plan.merge_facts(fact, inc2)
     bridge = facts_plan.build_bridge(fact, inc2, s2, dim_job, dim_loc, bridge)
@@ -618,8 +639,8 @@ def q_bridge_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 O_BRIDGE_REBUILD = f"""
-WITH s1 AS ({BRIDGE_STAGING_SQL.format(city='CityA', crawl='1998-06-01 09:00:00', modulus=2)}),
-s2 AS ({BRIDGE_STAGING_SQL.format(city='CityB', crawl='1998-06-03 09:00:00', modulus=4)}),
+WITH s1 AS ({BRIDGE_STAGING_SQL.format(city='CityA', crawl='1998-06-01 09:00:00', modulus=20)}),
+s2 AS ({BRIDGE_STAGING_SQL.format(city='CityB', crawl='1998-06-03 09:00:00', modulus=40)}),
 grains AS (
     SELECT job_id,
            CAST(unnest(generate_series(DATE '1998-06-01', DATE '1998-06-05',
@@ -707,7 +728,7 @@ LIMIT 10
 # --------------------------------------------------------------------------
 WH_INC_SQL = """
 SELECT CAST(o_orderkey AS STRING) AS job_id,
-       CASE WHEN {v2} AND mod(o_orderkey, 8) = 0
+       CASE WHEN {v2} AND mod(o_orderkey, 80) = 0
             THEN concat('T', CAST(mod(o_orderkey, 9) AS STRING), 'v2')
             ELSE concat('T', CAST(mod(o_orderkey, 9) AS STRING)) END AS title_clean,
        concat('Co ', CAST(mod(o_custkey, 40) AS STRING)) AS company_name_standardized,
@@ -727,12 +748,12 @@ FROM orders WHERE mod(o_orderkey, {modulus}) = 0
 """
 
 _WH_INC_B1 = WH_INC_SQL.format(
-    v2="FALSE", nullloc="mod(o_orderkey, 5) = 0", city="CityA",
-    bump=0, crawl="1998-05-30 09:00:00", modulus=2,
+    v2="FALSE", nullloc="mod(o_orderkey, 100) = 0", city="CityA",
+    bump=0, crawl="1998-05-30 09:00:00", modulus=20,
 )
 _WH_INC_B2 = WH_INC_SQL.format(
     v2="TRUE", nullloc="FALSE", city="CityB",
-    bump=100, crawl="1998-06-02 09:00:00", modulus=4,
+    bump=100, crawl="1998-06-02 09:00:00", modulus=40,
 )
 
 
@@ -760,7 +781,10 @@ def q_warehouse_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache at batch boundaries — the run-to-run materialization points
     # the lake pipeline gets from its table writes (plans/pipeline.py);
     # without them every max_key/unknown-location collect in batch 2
-    # re-executes batch 1's whole DAG
+    # re-executes batch 1's whole DAG. (Eager localCheckpoint was measured
+    # 2.3× SLOWER here — 33s vs 14s at sf0.01 — each checkpoint pays full
+    # per-job overhead on these small-batch, UDF-bearing subtrees, while
+    # lazy caches piggyback on actions the gate runs anyway.)
     dim_job = scd2_merge(None, s1, DIM_JOB_CONFIG, r1.date()).dim.cache()
     dim_co = scd2_merge(None, s1, DIM_COMPANY_CONFIG, r1.date()).dim.cache()
     dim_loc = build_dim_location(None, s1, r1.date()).dim.cache()
@@ -874,11 +898,11 @@ SELECT f.job_id, f.date_id, f.job_sk, f.fact_id, d.title_clean,
        d.is_current AS points_current, f.salary_min, f.salary_max,
        f.load_month,
        CASE WHEN a.job_sk IS NOT NULL THEN 'CityB'
-            WHEN mod(CAST(f.job_id AS BIGINT), 5) = 0 THEN 'Unknown'
+            WHEN mod(CAST(f.job_id AS BIGINT), 100) = 0 THEN 'Unknown'
             ELSE 'CityA' END AS city,
        CASE WHEN a.job_sk IS NOT NULL
                  THEN concat('D', CAST(mod(CAST(f.job_id AS BIGINT), 3) AS STRING))
-            WHEN mod(CAST(f.job_id AS BIGINT), 5) = 0 THEN CAST(NULL AS STRING)
+            WHEN mod(CAST(f.job_id AS BIGINT), 100) = 0 THEN CAST(NULL AS STRING)
             ELSE concat('D', CAST(mod(CAST(f.job_id AS BIGINT), 3) AS STRING))
        END AS district
 FROM fact f
@@ -886,8 +910,15 @@ JOIN dim_job d USING (job_sk)
 LEFT JOIN affected a ON f.job_sk = a.job_sk AND f.date_id = a.date_id
 """
 
+# Registration order = the driver's execution order within this module.
+# Cheapest-first, the single heaviest (the full two-run incremental
+# warehouse) last: if a future driver time budget truncates again, it
+# drops the one query whose parts are all gated individually above it,
+# not six unique gates (the round-2 failure mode).
 QUERIES = {
-    "warehouse_incremental": q_warehouse_incremental,
+    "scd2_update": q_scd2_update,
+    "fact_merge": q_fact_merge,
+    "bridge_rebuild": q_bridge_rebuild,
     "top10_avg_salary": q_top10_avg_salary,
     "warehouse_rollup": q_warehouse_rollup,
     "views_salary_filter": q_views_salary_filter,
@@ -896,12 +927,12 @@ QUERIES = {
     "view_monthly_jobs": q_view_monthly_jobs,
     "view_top_companies": q_view_top_companies,
     "view_top_locations": q_view_top_locations,
-    "scd2_update": q_scd2_update,
-    "fact_merge": q_fact_merge,
-    "bridge_rebuild": q_bridge_rebuild,
+    "warehouse_incremental": q_warehouse_incremental,
 }
 ORACLES = {
-    "warehouse_incremental": O_WAREHOUSE_INCREMENTAL,
+    "scd2_update": O_SCD2_UPDATE,
+    "fact_merge": O_FACT_MERGE,
+    "bridge_rebuild": O_BRIDGE_REBUILD,
     "top10_avg_salary": O_TOP10_AVG_SALARY,
     "warehouse_rollup": O_WAREHOUSE_ROLLUP,
     "views_salary_filter": O_VIEWS_SALARY_FILTER,
@@ -910,7 +941,5 @@ ORACLES = {
     "view_monthly_jobs": O_VIEW_MONTHLY_JOBS,
     "view_top_companies": O_VIEW_TOP_COMPANIES,
     "view_top_locations": O_VIEW_TOP_LOCATIONS,
-    "scd2_update": O_SCD2_UPDATE,
-    "fact_merge": O_FACT_MERGE,
-    "bridge_rebuild": O_BRIDGE_REBUILD,
+    "warehouse_incremental": O_WAREHOUSE_INCREMENTAL,
 }
