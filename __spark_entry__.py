@@ -38,8 +38,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every oracle-expressible query. Entries
-    absent here (minhash_lsh, simhash_pairs, embedding_lsh_topk) are
-    xxhash64-based LSH paths DuckDB cannot reproduce; their exact
-    counterparts (ngram_jaccard, embedding_topk) ARE oracle-checked."""
+    """DuckDB-equivalent SQL for every oracle-expressible query. The only
+    entries absent (embedding_lsh_topk, embedding_ivf_topk) are
+    approximate top-k paths DuckDB cannot reproduce; their exact
+    counterpart (embedding_topk) IS oracle-checked, and the other
+    approximate operators carry exact or containment oracles
+    (catalog/textml.py module docstring)."""
     return dict(_ORACLES)

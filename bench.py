@@ -9,6 +9,12 @@ local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
 Each query is fully materialized through the noop sink (no driver-side
 collect, no result-size bias). Session startup is excluded from per-query
 times; a separate "startup_sec" field reports it.
+
+Round-over-round comparability (round-2 lesson: a 1.3× uniform drift on
+untouched queries was unattributable): each query runs TWICE and the best
+time is reported (ambient-load spikes hit one run, rarely both), and the
+JSON carries `loadavg` (1/5/15-min, captured before and after) so a loaded
+machine is visible in the artifact instead of guessed at later.
 """
 
 from __future__ import annotations
@@ -21,7 +27,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from jobinsight_data_pipeline_spark.catalog import build_catalog
-from jobinsight_data_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+from jobinsight_data_pipeline_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
 from jobinsight_data_pipeline_spark.session import get_spark
 
 # the scale-representative subset: joins/aggs/windows, parsing projections,
@@ -41,8 +51,6 @@ HEADLINE = [
     "date_fanout",
     "exact_dedup",
     "text_stats",
-    "minhash_lsh",
-    "simhash_pairs",
     "embedding_topk",
     "embedding_lsh_topk",
     # Phase-3-equivalent work, directly comparable to the reference's
@@ -76,18 +84,40 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     warmup = time.time() - t0
 
+    load_before = os.getloadavg()
+
+    def timed(fn) -> float:
+        """Best of two runs — a fresh plan each run (no cross-run cache
+        reuse: catalog queries build new lineage per call)."""
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            fn()
+            best = min(best, time.time() - t0)
+        return round(best, 3)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        materialize(queries[name](spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+        timings[name] = timed(lambda: materialize(queries[name](spark, sf_dir)))
 
-    # exact n-gram jaccard at its bench threshold (minhash_lsh above is
-    # the approximate/scale path over the same corpus)
-    t0 = time.time()
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    materialize(ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5))
-    timings["ngram_jaccard"] = round(time.time() - t0, 3)
+    # dedup operators benched directly at production settings (their gate
+    # queries now bundle exact twins / md5 hashing for oracle checking —
+    # correct for the gate, not what the scale path runs): exact n-gram
+    # jaccard, xxhash64 minhash-LSH, xxhash64 64-bit simhash
+    timings["ngram_jaccard"] = timed(
+        lambda: materialize(
+            ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5)
+        )
+    )
+    timings["minhash_lsh"] = timed(
+        lambda: materialize(minhash_lsh_pairs(docs, "doc_id", "text"))
+    )
+    timings["simhash_pairs"] = timed(
+        lambda: materialize(
+            simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
+        )
+    )
 
     total = round(sum(timings.values()), 3)
     print(
@@ -100,6 +130,9 @@ def main() -> None:
                 "sf": float(sf),
                 "startup_sec": round(startup, 3),
                 "warmup_sec": round(warmup, 3),
+                "runs_per_query": 2,
+                "loadavg": [round(v, 2) for v in load_before],
+                "loadavg_after": [round(v, 2) for v in os.getloadavg()],
             }
         )
     )

@@ -205,12 +205,22 @@ def q_scd2_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
     )
     w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # effective bounds emitted as integer epoch-micros, not timestamps —
+    # the CLAUDE.md fractional-second invariant (same class as sessionize:
+    # event ts has sub-second precision, and rendered fractional
+    # timestamps are non-portable across DuckDB builds)
+    epoch = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
     return changes.select(
         "user_id",
         "event_type",
-        F.col("ts").alias("effective_from"),
-        F.lead("ts").over(w2).alias("effective_to"),
-    ).withColumn("is_current", F.col("effective_to").isNull())
+        F.expr(f"timestampdiff(MICROSECOND, {epoch}, ts)").alias(
+            "effective_from_us"
+        ),
+        F.expr(
+            f"timestampdiff(MICROSECOND, {epoch}, lead(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id))"
+        ).alias("effective_to_us"),
+    ).withColumn("is_current", F.col("effective_to_us").isNull())
 
 
 O_SCD2_REBUILD = """
@@ -222,11 +232,19 @@ WITH ordered AS (
 changes AS (
     SELECT user_id, event_type, ts, event_id FROM ordered
     WHERE prev IS NULL OR prev <> event_type
+),
+bounded AS (
+    SELECT user_id, event_type, ts,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ts_to
+    FROM changes
 )
-SELECT user_id, event_type, ts AS effective_from,
-       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS effective_to,
-       (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL) AS is_current
-FROM changes
+SELECT user_id, event_type,
+       date_diff('microseconds', TIMESTAMP '1970-01-01 00:00:00', ts)
+           AS effective_from_us,
+       date_diff('microseconds', TIMESTAMP '1970-01-01 00:00:00', ts_to)
+           AS effective_to_us,
+       (ts_to IS NULL) AS is_current
+FROM bounded
 """
 
 

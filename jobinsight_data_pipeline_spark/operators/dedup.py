@@ -243,22 +243,43 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash per doc, fully native: explode tokens, hash each,
-    sum per-bit signs, reassemble. Returns (doc, simhash)."""
+def md5_token_hash60(c) -> "F.Column":
+    """60-bit token hash from the first 15 hex chars of md5 — the
+    engine-portable alternative to xxhash64 (DuckDB computes the same
+    value via ``CAST('0x' || substring(md5(w), 1, 15) AS BIGINT)``),
+    which puts the ENTIRE simhash pipeline under an exact cross-engine
+    oracle (catalog/textml.py:q_simhash_pairs). xxhash64 stays the
+    production default: one JVM intrinsic vs md5's digest + hex parse."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 64,
+    token_hash=None,
+) -> DataFrame:
+    """``bits``-wide SimHash per doc, fully native: explode tokens, hash
+    each, sum per-bit signs, reassemble. Returns (doc, simhash).
+    ``token_hash`` swaps the token hash function (default xxhash64);
+    ``bits`` must not exceed the hash's usable width."""
+    hash_col = (
+        token_hash(F.col("w")) if token_hash is not None else F.xxhash64("w")
+    )
     tok = widen_for_cpu(df).select(
         F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("w")
-    ).withColumn("h", F.xxhash64("w"))
+    ).withColumn("h", hash_col)
     # branch-free per-bit tallies: sum the raw bit and compare against
     # the token count (sum(±1) > 0 ⟺ 2·sum(bit) > n) — ~30% faster than
     # when(+1/-1) sums and far cheaper to codegen (measured at sf0.1)
     bit_aggs = [
         F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"b{b}")
-        for b in range(64)
+        for b in range(bits)
     ]
     sums = tok.groupBy("doc").agg(F.count(F.lit(1)).alias("n"), *bit_aggs)
     sig = None
-    for b in range(64):
+    for b in range(bits):
         bit = (2 * F.col(f"b{b}") > F.col("n")).cast("long")
         term = F.shiftleft(bit, b)
         sig = term if sig is None else sig.bitwiseOR(term)
@@ -266,32 +287,38 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_near_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bits: int = 64,
+    token_hash=None,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance, banded COMPLETE: the 64
-    bits split into (max_hamming + 1) near-even bands, so any pair within
-    hamming ≤ max_hamming agrees exactly on ≥1 band (pigeonhole) — join
-    per band bucket, verify exact hamming with bit_count(xor). Recall is
-    1.0 by construction (pinned by test_simhash_banding_complete);
-    precision is 1.0 because candidates are hamming-verified.
+    """Near-dup pairs by SimHash hamming distance, banded COMPLETE: the
+    ``bits`` sketch bits split into (max_hamming + 1) near-even bands, so
+    any pair within hamming ≤ max_hamming agrees exactly on ≥1 band
+    (pigeonhole) — join per band bucket, verify exact hamming with
+    bit_count(xor). Recall is 1.0 by construction (pinned by
+    test_simhash_banding_complete); precision is 1.0 because candidates
+    are hamming-verified.
 
-    Scale note: band width is 64 // bands, and bucket count is 2^width —
+    Scale note: band width is bits // bands, and bucket count is 2^width —
     wider radii mean narrower bands and denser buckets (max_hamming=3 →
     4×16-bit bands, the Manku et al. WWW'07 web-crawl setting;
     max_hamming=8 → 9×7-bit bands whose ≤128-value buckets collide far
     more). Prefer small radii at corpus scale, or pre-partition by a
     coarse key before widening the radius."""
     bands = max_hamming + 1
-    if not 1 <= bands <= 64:
-        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
-    base, rem = divmod(64, bands)
+    if not 1 <= bands <= bits:
+        raise ValueError(f"max_hamming must be in [0, {bits - 1}], got {max_hamming}")
+    base, rem = divmod(bits, bands)
     widths = [base + (1 if i < rem else 0) for i in range(bands)]
     offsets = [sum(widths[:i]) for i in range(bands)]
-    sig = simhash(df, id_col, text_col).cache()
+    sig = simhash(df, id_col, text_col, bits=bits, token_hash=token_hash).cache()
     band_buckets = F.array(
         *[
             F.col("simhash")
-            if w >= 64
+            if w >= bits
             else F.shiftright(F.col("simhash"), o).bitwiseAND(F.lit((1 << w) - 1))
             for o, w in zip(offsets, widths)
         ]

@@ -20,7 +20,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 
 def null_safe_cond(left: DataFrame, right: DataFrame, keys: list[str]) -> Column:
@@ -87,26 +86,36 @@ def insert_if_absent(
 
 
 _SAMPLE_PER_PART = 257
-_SMALL_DELTA_ROWS_PER_CORE = 8192
 
 
-def _split_points(df: DataFrame, col: str, parts: int, n: int) -> list:
-    """Split points for range-bucketing ``col``: a bounded sample
-    (hash-thinned when the input is large) is collected, sorted on the
-    driver, and ≤ P-1 evenly spaced values are frozen as plan literals.
-    Works for any orderable type — strings included, which quantile
-    sketches (percentile_approx) don't cover. One cheap single-column
-    job; the values only steer partition BALANCE — key values never
-    depend on them, so sample quality is correctness-safe."""
-    vals_df = df.select(F.col(col).alias("v")).where(F.col("v").isNotNull())
-    target = _SAMPLE_PER_PART * parts
-    if n > 4 * target:
-        # deterministic thinning: keep values whose hash lands in 1/denom
-        denom = int(n // target)
-        vals_df = vals_df.where(F.pmod(F.xxhash64("v"), F.lit(denom)) == 0)
-    vals = sorted(r["v"] for r in vals_df.limit(8 * target).collect())
-    if len(vals) < 2:
+def _split_points(df: DataFrame, col: str, parts: int) -> list:
+    """Split points for range-bucketing ``col``, from ONE sizing job.
+
+    Bottom-k by ``xxhash64(value)`` (TakeOrderedAndProject: a per-partition
+    k-heap, then a driver merge — no full sort, no shuffle, scans the
+    column-pruned input once) is a uniform random sample of the non-null
+    values at any input size, so no separate ``count()`` pass is needed to
+    pick a thinning rate — the fixed k IS the thinning. The same job
+    doubles as the smallness probe: a sample that comes back short proves
+    the input has < k non-null keys, and the caller takes the fused
+    single-partition delta plan instead (returns ``[]``).
+
+    Sampled values are sorted on the driver and ≤ P-1 evenly spaced ones
+    are frozen as plan literals. Works for any orderable type — strings
+    included, which quantile sketches (percentile_approx) don't cover.
+    The values only steer partition BALANCE — key values never depend on
+    them, so sample quality is correctness-safe."""
+    k = _SAMPLE_PER_PART * parts
+    sample = (
+        df.select(F.col(col).alias("v"))
+        .where(F.col("v").isNotNull())
+        .orderBy(F.xxhash64("v").asc(), F.col("v").asc())
+        .limit(k)
+        .collect()
+    )
+    if len(sample) < k:
         return []
+    vals = sorted(r["v"] for r in sample)
     out: list = []
     for i in range(1, parts):
         v = vals[min(len(vals) - 1, int(i * len(vals) / parts))]
@@ -148,10 +157,13 @@ def assign_surrogate_keys(
        window's partitionBy supplies the hash shuffle);
     3. global position = local rank + cumulative count of earlier buckets
        (a window over ≤ P rows).
-    The two sizing jobs are column-pruned; the keyed output is persisted
-    because every caller feeds it to multiple consumers (join +
-    anti-join + max_key), and eviction is recompute-safe since the
-    bucketing literals are frozen.
+    Sizing is ONE column-pruned job (see ``_split_points`` — the bottom-k
+    hash sample doubles as the smallness probe, so no ``count()`` pass
+    executes the upstream DAG; round 2's separate count + sample jobs per
+    call regressed the bench 1.8×). Inputs with < k non-null keys fall
+    back to the delta plan. The output is NOT persisted here — keys are
+    reproducible on re-execution (frozen literals, total-order ranks), so
+    callers own the caching decision at their materialization boundaries.
 
     Keys are reproducible across reruns/layout changes when ``order_by``
     is unique per row (true for every caller: dims key on the deduped
@@ -171,12 +183,7 @@ def assign_surrogate_keys(
             sk_col, (F.row_number().over(single) + F.lit(existing_max)).cast("long")
         )
     parts = df.sparkSession.sparkContext.defaultParallelism
-    n = df.select(order_by[0]).count()
-    bounds = (
-        _split_points(df, order_by[0], parts, n)
-        if n > parts * _SMALL_DELTA_ROWS_PER_CORE
-        else []
-    )
+    bounds = _split_points(df, order_by[0], parts)
     if not bounds:
         # small bulk (or constant leading key) — the delta plan is right
         return df.withColumn(
@@ -206,7 +213,6 @@ def assign_surrogate_keys(
             (F.col("_lrn") + F.col("_off") + F.lit(existing_max)).cast("long"),
         )
         .drop("_pid", "_lrn", "_off")
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
 
