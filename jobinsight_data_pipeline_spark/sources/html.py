@@ -26,8 +26,16 @@ from pyspark.sql import functions as F
 
 from jobinsight_data_pipeline_spark.schemas import RAW_JOBS
 
+# Opening tags are matched quote-aware — `(?:[^>"]|"[^"]*")*` steps over
+# '>' INSIDE double-quoted attribute values (the address-tooltip branch
+# anticipates data-original-title holding literal HTML like
+# 'Hà Nội<br>HCM'; a naive [^>]* truncates the attr list there, losing
+# data-job-id and silently dropping the card).
+_QA = r'(?:[^>"]|"[^"]*")*'
+
 _JOB_ITEM_RE = re.compile(
-    r"<div[^>]*class=\"[^\"]*job-item-2[^\"]*\"[^>]*>(.*?)(?=<div[^>]*class=\"[^\"]*job-item-2|\Z)",
+    rf"<div\b({_QA}class=\"[^\"]*job-item-2[^\"]*\"{_QA})>"
+    rf"(.*?)(?=<div\b{_QA}class=\"[^\"]*job-item-2|\Z)",
     re.DOTALL,
 )
 
@@ -39,7 +47,7 @@ def _tag_re(tag: str) -> re.Pattern:
     pat = _TAG_RES.get(tag)
     if pat is None:
         pat = re.compile(
-            rf"<{tag}\b([^>]*)>(.*?)</{tag}>", re.DOTALL | re.IGNORECASE
+            rf"<{tag}\b({_QA})>(.*?)</{tag}>", re.DOTALL | re.IGNORECASE
         )
         _TAG_RES[tag] = pat
     return pat
@@ -63,7 +71,7 @@ def _find(block: str, tag: str, cls: str | None = None):
 
 def _find_img(block: str, cls: str | None = None):
     """Void-element variant of ``_find`` for <img …>."""
-    for m in re.finditer(r"<img\b([^>]*?)/?>", block, re.IGNORECASE):
+    for m in re.finditer(rf"<img\b({_QA})/?>", block, re.IGNORECASE):
         attrs = dict(_ATTRS_RE.findall(m.group(1)))
         if cls is None or cls in attrs.get("class", "").split():
             return attrs
@@ -102,15 +110,14 @@ def parse_job_cards(html: str, as_of: dt.datetime) -> list[dict]:
     regex-extracts the number later — data_prepare's due-date parse;
     due_date_from_deadline consumes the count directly here)."""
     jobs: list[dict] = []
-    if not re.search(r"<div[^>]*class=\"[^\"]*job-item-2", html):
+    if "job-item-2" not in html:
         return jobs
     for m in _JOB_ITEM_RE.finditer(html):
-        full = html[m.start(): m.end()]
-        card_attrs = dict(_ATTRS_RE.findall(full[: full.index(">") + 1]))
-        # search the card's INNER html — otherwise the first <div> the
-        # tag regex sees is the card wrapper itself and nested siblings
-        # get skipped by finditer's non-overlapping scan
-        head = full[full.index(">") + 1:]
+        card_attrs = dict(_ATTRS_RE.findall(m.group(1)))
+        # group(2) is the card's INNER html — searching the full match
+        # would make the tag regex see the card wrapper itself first and
+        # skip nested siblings (finditer is non-overlapping)
+        head = m.group(2)
 
         # job_id: data-job-id | derived from the first href (parser.py:220-233)
         job_id = card_attrs.get("data-job-id") or None
