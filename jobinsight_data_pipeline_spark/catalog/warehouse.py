@@ -65,15 +65,19 @@ WHERE mod(o_orderkey, 10) = 0
 
 def q_warehouse_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "orders")
+    # cache the constructed staging: each scalable assigner's sizing job
+    # plus the twice-consumed dims would otherwise re-execute the
+    # staging SQL subtree (~3s of the gate's wall at sf0.1)
     staging = spark.sql(STAGING_SQL).withColumn(
         "skills", F.lit(None).cast("array<string>")
-    )
+    ).cache()
     run_date = RUN_TS.date()
 
     # bulk single-batch build → the bucketed (scalable) assigner; this
-    # puts the no-global-sort key path itself under the hash-match gate
-    dim_job = scd2_merge(None, staging, DIM_JOB_CONFIG, run_date, scalable=True).dim
-    dim_company = scd2_merge(None, staging, DIM_COMPANY_CONFIG, run_date, scalable=True).dim
+    # puts the no-global-sort key path itself under the hash-match gate.
+    # dims cache lazily: both feed the fact build AND a later join
+    dim_job = scd2_merge(None, staging, DIM_JOB_CONFIG, run_date, scalable=True).dim.cache()
+    dim_company = scd2_merge(None, staging, DIM_COMPANY_CONFIG, run_date, scalable=True).dim.cache()
     incoming = facts_plan.build_fact_batch(staging, dim_job, dim_company, RUN_TS)
     fact = facts_plan.merge_facts(None, incoming, scalable=True)
 
@@ -192,6 +196,9 @@ def _ensure_views_warehouse(spark: SparkSession, sf_dir: str):
             ),
         )
         .withColumn("due_date", F.col("due_dt"))
+        # lazy cache for the sizing jobs (see q_warehouse_rollup); tracked
+        # in _VIEWS_WAREHOUSE for unpersist on rebuild
+        .cache()
     )
     run_date = RUN_TS.date()
 
@@ -207,7 +214,9 @@ def _ensure_views_warehouse(spark: SparkSession, sf_dir: str):
     views_plan.register_dwh_views(
         spark, dim_job, dim_company, dim_location, dim_date, fact, bridge
     )
-    _VIEWS_WAREHOUSE[key] = [dim_job, dim_company, dim_location, fact, bridge]
+    _VIEWS_WAREHOUSE[key] = [
+        staging, dim_job, dim_company, dim_location, fact, bridge
+    ]
     return views_plan
 
 
@@ -672,12 +681,13 @@ LEFT JOIN affected a ON g.job_id = a.job_id AND g.date_id = a.date_id
 # --------------------------------------------------------------------------
 def q_top10_avg_salary(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "orders")
+    # lazy cache for the sizing jobs (see q_warehouse_rollup)
     staging = spark.sql(STAGING_SQL).withColumn(
         "skills", F.lit(None).cast("array<string>")
-    )
+    ).cache()
     run_date = RUN_TS.date()
-    dim_job = scd2_merge(None, staging, DIM_JOB_CONFIG, run_date, scalable=True).dim
-    dim_company = scd2_merge(None, staging, DIM_COMPANY_CONFIG, run_date, scalable=True).dim
+    dim_job = scd2_merge(None, staging, DIM_JOB_CONFIG, run_date, scalable=True).dim.cache()
+    dim_company = scd2_merge(None, staging, DIM_COMPANY_CONFIG, run_date, scalable=True).dim.cache()
     incoming = facts_plan.build_fact_batch(staging, dim_job, dim_company, RUN_TS)
     fact = facts_plan.merge_facts(None, incoming, scalable=True)
     avg_mid = F.avg(
