@@ -370,6 +370,31 @@ GROUP BY load_month, CAST(date_trunc('month', date_id) AS DATE)
 """
 
 
+def q_view_monthly_jobs_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 grouping-sets variant of the monthly view: detail rows +
+    load_month subtotals + grand total from one fact scan, gid
+    disambiguating subtotal NULLs (DuckDB GROUPING and Spark GROUPING_ID
+    share the first-arg-is-MSB bit order — verified empirically)."""
+    views_plan = _ensure_views_warehouse(spark, sf_dir)
+    return views_plan.vw_monthly_jobs_sets(spark)
+
+
+O_VIEW_MONTHLY_JOBS_SETS = O_VIEWS_CTES + """
+SELECT load_month,
+       CAST(date_trunc('month', date_id) AS DATE) AS month,
+       CAST(GROUPING(load_month, CAST(date_trunc('month', date_id) AS DATE))
+            AS INTEGER) AS gid,
+       count(DISTINCT job_sk) AS job_count,
+       count(DISTINCT company_sk) AS company_count,
+       round(avg(salary_min), 2) AS avg_salary_min,
+       round(avg(salary_max), 2) AS avg_salary_max
+FROM fact
+GROUP BY GROUPING SETS
+    ((load_month, CAST(date_trunc('month', date_id) AS DATE)),
+     (load_month), ())
+"""
+
+
 def q_view_top_companies(spark: SparkSession, sf_dir: str) -> DataFrame:
     views_plan = _ensure_views_warehouse(spark, sf_dir)
     return views_plan.vw_top_companies(spark)
@@ -920,6 +945,107 @@ JOIN dim_job d USING (job_sk)
 LEFT JOIN affected a ON f.job_sk = a.job_sk AND f.date_id = a.date_id
 """
 
+# --------------------------------------------------------------------------
+# Streaming foreachBatch end-to-end: readStream over crawler parquet drops
+# → checkpointed availableNow drain → foreachBatch running the REAL
+# raw→staging→dwh plans (plans/pipeline.py) against a temp lake → the
+# final warehouse state summarized at job grain under the hash gate.
+# --------------------------------------------------------------------------
+RAW_STREAM_SQL = """
+SELECT CAST(o_orderkey AS STRING) AS job_id,
+       concat('T', CAST(mod(o_orderkey, 9) AS STRING)) AS title,
+       CAST(NULL AS STRING) AS job_url,
+       concat('Co ', CAST(mod(o_custkey, 40) AS STRING)) AS company_name,
+       CAST(NULL AS STRING) AS company_url,
+       CAST(NULL AS STRING) AS salary,
+       CAST(NULL AS ARRAY<STRING>) AS skills,
+       CAST(NULL AS STRING) AS location,
+       CAST(NULL AS STRING) AS location_detail,
+       CAST(NULL AS STRING) AS deadline,
+       FALSE AS verified_employer,
+       CAST(NULL AS STRING) AS last_update,
+       CAST(NULL AS STRING) AS logo_url,
+       CAST(NULL AS TIMESTAMP) AS posted_time,
+       TIMESTAMP '1998-05-30 09:00:00' AS crawled_at
+FROM orders WHERE mod(o_orderkey, 200) = {rem}
+"""
+
+
+def q_stream_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 foreachBatch end-to-end under the hash gate: two disjoint
+    crawler drops (constructed from orders, ~150 jobs total) land in a
+    watched directory; ``stream_raw_ingest`` drains them with an
+    availableNow trigger through the SAME ingest → staging-derive →
+    dim/fact/bridge merge plans batch mode runs, into a fresh temp lake.
+    The gate returns the resulting warehouse at job grain. The oracle
+    re-derives that state from the drop definition: free-text fields are
+    NULL on purpose, so the staging derivations land on their documented
+    defaults (salary_type 'negotiable', Unknown location) and the only
+    moving parts under test are the streaming plumbing — schema-enforced
+    readStream, checkpointing, the foreachBatch handoff — and the merge
+    plans it drives. Multi-batch incremental sequencing is gated
+    separately by ``warehouse_incremental``; both drops here drain in one
+    deterministic micro-batch (maxFilesPerTrigger ≥ file count)."""
+    import tempfile
+
+    from jobinsight_data_pipeline_spark.schemas import RAW_JOBS
+    from jobinsight_data_pipeline_spark.sources.lake import ParquetLake
+    from jobinsight_data_pipeline_spark.streaming.incremental import (
+        stream_raw_ingest,
+    )
+
+    load(spark, sf_dir, "orders")
+    base = tempfile.mkdtemp(prefix="stream-gate-")
+    raw_dir = f"{base}/drops"
+    cols = [f.name for f in RAW_JOBS.fields]
+    for rem in (0, 100):
+        spark.sql(RAW_STREAM_SQL.format(rem=rem)).select(cols).coalesce(
+            1
+        ).write.mode("append").parquet(raw_dir)
+
+    lake = ParquetLake(f"{base}/lake")
+    query = stream_raw_ingest(
+        spark, raw_dir, lake, f"{base}/ckpt", RUN_TS, dwh_stats=False
+    )
+    query.awaitTermination()
+
+    fact = lake.read(spark, "fact_job_posting_daily")
+    dim_job = lake.read(spark, "dim_job")
+    dim_co = lake.read(spark, "dim_company")
+    return (
+        fact.join(
+            dim_job.select("job_sk", "job_id", "title_clean", "is_current"),
+            "job_sk",
+        )
+        .join(dim_co.select("company_sk", "company_name_standardized"), "company_sk")
+        .groupBy("job_id", "title_clean", "company_name_standardized", "load_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.min("date_id").alias("first_day"),
+            F.max("date_id").alias("last_day"),
+            F.max("salary_type").alias("salary_type"),
+            F.max(F.col("is_current").cast("int")).cast("boolean").alias(
+                "is_current"
+            ),
+        )
+    )
+
+
+O_STREAM_PIPELINE = """
+SELECT CAST(o_orderkey AS STRING) AS job_id,
+       concat('T', CAST(mod(o_orderkey, 9) AS STRING)) AS title_clean,
+       concat('Co ', CAST(mod(o_custkey, 40) AS STRING))
+           AS company_name_standardized,
+       '1998-06' AS load_month,
+       CAST(5 AS BIGINT) AS n_days,
+       DATE '1998-06-01' AS first_day,
+       DATE '1998-06-05' AS last_day,
+       'negotiable' AS salary_type,
+       TRUE AS is_current
+FROM orders WHERE mod(o_orderkey, 200) IN (0, 100)
+"""
+
+
 # Registration order = the driver's execution order within this module.
 # Cheapest-first, the single heaviest (the full two-run incremental
 # warehouse) last: if a future driver time budget truncates again, it
@@ -935,9 +1061,13 @@ QUERIES = {
     "view_current_jobs": q_view_current_jobs,
     "view_job_locations": q_view_job_locations,
     "view_monthly_jobs": q_view_monthly_jobs,
+    "view_monthly_jobs_sets": q_view_monthly_jobs_sets,
     "view_top_companies": q_view_top_companies,
     "view_top_locations": q_view_top_locations,
     "warehouse_incremental": q_warehouse_incremental,
+    # registered last on purpose: the newest (least-critical) gate is the
+    # one a driver time-budget truncation should drop first
+    "stream_pipeline": q_stream_pipeline,
 }
 ORACLES = {
     "scd2_update": O_SCD2_UPDATE,
@@ -949,7 +1079,9 @@ ORACLES = {
     "view_current_jobs": O_VIEW_CURRENT_JOBS,
     "view_job_locations": O_VIEW_JOB_LOCATIONS,
     "view_monthly_jobs": O_VIEW_MONTHLY_JOBS,
+    "view_monthly_jobs_sets": O_VIEW_MONTHLY_JOBS_SETS,
     "view_top_companies": O_VIEW_TOP_COMPANIES,
     "view_top_locations": O_VIEW_TOP_LOCATIONS,
     "warehouse_incremental": O_WAREHOUSE_INCREMENTAL,
+    "stream_pipeline": O_STREAM_PIPELINE,
 }

@@ -78,6 +78,33 @@ def vw_monthly_jobs(spark: SparkSession) -> DataFrame:
     )
 
 
+def vw_monthly_jobs_sets(spark: SparkSession) -> DataFrame:
+    """A1 extended with GROUPING SETS — the monthly view plus its
+    load_month subtotals and a grand total in ONE scan (the cube/rollup
+    family the reference approximates by re-querying the monthly view;
+    grouping_id disambiguates subtotal NULLs from data NULLs). At scale
+    this is strictly cheaper than three separate aggregations: Spark
+    expands the sets after a single shuffle of the fact."""
+    return spark.sql(
+        """
+        WITH f AS (
+            SELECT load_month,
+                   CAST(DATE_TRUNC('month', date_id) AS DATE) AS month,
+                   job_sk, company_sk, salary_min, salary_max
+            FROM FactJobPostingDaily
+        )
+        SELECT load_month, month,
+               CAST(GROUPING_ID(load_month, month) AS INT) AS gid,
+               COUNT(DISTINCT job_sk) AS job_count,
+               COUNT(DISTINCT company_sk) AS company_count,
+               ROUND(AVG(salary_min), 2) AS avg_salary_min,
+               ROUND(AVG(salary_max), 2) AS avg_salary_max
+        FROM f
+        GROUP BY GROUPING SETS ((load_month, month), (load_month), ())
+        """
+    )
+
+
 def vw_top_companies(spark: SparkSession) -> DataFrame:
     """A2 (schema_dwh.sql:121-130)."""
     return spark.sql(

@@ -33,6 +33,7 @@ def stream_raw_ingest(
     run_ts: dt.datetime,
     process_dwh: bool = True,
     available_now: bool = True,
+    dwh_stats: bool = True,
 ):
     """Stream crawler output (parquet drops in ``raw_dir``) into the
     warehouse: each micro-batch runs ingest → staging derive → dim/fact
@@ -59,7 +60,9 @@ def stream_raw_ingest(
         ingest_raw(lake, batch)
         run_raw_to_staging(lake, batch.sparkSession, run_ts)
         if process_dwh:
-            run_staging_to_dwh(lake, batch.sparkSession, run_ts)
+            run_staging_to_dwh(
+                lake, batch.sparkSession, run_ts, collect_stats=dwh_stats
+            )
 
     writer = (
         stream.writeStream.foreachBatch(handle_batch)

@@ -120,11 +120,16 @@ def test_no_accidental_cartesian_or_nested_loop(spark):
     # intentional non-equi joins (documented in each operator):
     #   embedding_topk / *_near_dup: all-pairs cosine baseline vs a
     #     broadcast query side; asof_discount: broadcast offsets range
-    #     tag; top10_avg_salary inherits the views' null-tolerant joins
+    #     tag; top10_avg_salary inherits the views' null-tolerant joins;
+    #   minhash_lsh / embedding_lsh_near_dup: containment gates crossJoin
+    #     three 1-row aggregates into the scalar verdict row (and their
+    #     exact-twin halves are the sanctioned all-pairs baselines)
     allowed_nested = {
         "embedding_topk",
         "embedding_near_dup",
         "asof_discount",
+        "minhash_lsh",
+        "embedding_lsh_near_dup",
     }
     queries, _ = build_catalog()
     offenders: dict[str, str] = {}
