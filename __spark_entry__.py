@@ -38,10 +38,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every oracle-expressible query. The only
-    entries absent (embedding_lsh_topk, embedding_ivf_topk) are
-    approximate top-k paths DuckDB cannot reproduce; their exact
-    counterpart (embedding_topk) IS oracle-checked, and the other
-    approximate operators carry exact or containment oracles
+    """DuckDB-equivalent SQL for EVERY registered query — no rows-only
+    entries remain. Approximate operators (LSH/IVF/sketches) are gated
+    via exact cross-engine twins or bounded-error containment oracles
     (catalog/textml.py module docstring)."""
     return dict(_ORACLES)

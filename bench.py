@@ -32,6 +32,7 @@ from jobinsight_data_pipeline_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_near_pairs,
 )
+from jobinsight_data_pipeline_spark.operators.similarity import lsh_cosine_topk
 from jobinsight_data_pipeline_spark.session import get_spark
 
 # the scale-representative subset: joins/aggs/windows, parsing projections,
@@ -52,7 +53,6 @@ HEADLINE = [
     "exact_dedup",
     "text_stats",
     "embedding_topk",
-    "embedding_lsh_topk",
     # Phase-3-equivalent work, directly comparable to the reference's
     # staging→DWH baseline (51 rec/s per-row loop — BASELINE.md): full
     # SCD2 dims + 5-day fan-out + grain merge over every order row.
@@ -117,6 +117,11 @@ def main() -> None:
         lambda: materialize(
             simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
         )
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb_queries = emb.filter("vec_id < 20")
+    timings["embedding_lsh_topk"] = timed(
+        lambda: materialize(lsh_cosine_topk(emb, emb_queries, k=5))
     )
 
     total = round(sum(timings.values()), 3)

@@ -130,6 +130,8 @@ def test_no_accidental_cartesian_or_nested_loop(spark):
         "asof_discount",
         "minhash_lsh",
         "embedding_lsh_near_dup",
+        "embedding_lsh_topk",
+        "embedding_ivf_topk",
     }
     queries, _ = build_catalog()
     offenders: dict[str, str] = {}
