@@ -400,6 +400,66 @@ FROM exact
 """
 
 
+def _md5_feature4(content: bytes | None) -> list[float] | None:
+    """Gate-side deterministic decode kernel: 4 md5-digest bytes
+    normalized to [0,1] and rounded to 6 decimals (round-trips float32
+    exactly — verified over all 256 byte values). md5 because DuckDB has
+    no sha1; the operator's default sha1 fake and the real-decode stub
+    are unchanged (operators/multimodal.py)."""
+    import hashlib
+
+    if content is None:
+        return None
+    return [round(b / 255.0, 6) for b in hashlib.md5(content).digest()[:4]]
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing under the hash gate: documents.text cast to a
+    binary media column with a typed metadata struct, pushed through the
+    REAL Arrow-batched ``extract_features`` mapInPandas stage (bounded
+    record batches, executor-side byte handling) with the md5 kernel
+    above as ``feature_fn``. The oracle recomputes n_bytes and each
+    feature dim from md5 hex in SQL — so the gate pins the batch
+    iteration, binary round-trip, and UDF output contract, with only the
+    codec call itself stubbed (libs absent from the image, documented).
+    content_sha1 is projected away (DuckDB lacks sha1)."""
+    from jobinsight_data_pipeline_spark.operators.multimodal import extract_features
+
+    t = load(spark, sf_dir, "documents")
+    media = t["documents"].selectExpr(
+        "CAST(doc_id AS BIGINT) AS media_id",
+        "CAST(text AS BINARY) AS content",
+        "named_struct('mime', 'text/plain', 'width', CAST(NULL AS INT),"
+        " 'height', CAST(NULL AS INT),"
+        " 'duration_ms', CAST(length(text) AS INT)) AS meta",
+    )
+    # batch_rows=256 exercises the bounded-batch contract (500 rows → 2
+    # Arrow batches) without leaving the shared session's Arrow batch
+    # size pathologically small for later pandas-UDF gates (the operator
+    # sets the session conf — its documented contract)
+    feats = extract_features(media, feature_fn=_md5_feature4, batch_rows=256)
+    f = lambda i: F.round(F.element_at("feature", i).cast("double"), 6)  # noqa: E731
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        f(1).alias("f0"),
+        f(2).alias("f1"),
+        f(3).alias("f2"),
+        f(4).alias("f3"),
+    )
+
+
+O_MEDIA_FEATURES = """
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+       round(CAST(('0x' || substring(md5(text), 1, 2)) AS INTEGER) / 255.0, 6) AS f0,
+       round(CAST(('0x' || substring(md5(text), 3, 2)) AS INTEGER) / 255.0, 6) AS f1,
+       round(CAST(('0x' || substring(md5(text), 5, 2)) AS INTEGER) / 255.0, 6) AS f2,
+       round(CAST(('0x' || substring(md5(text), 7, 2)) AS INTEGER) / 255.0, 6) AS f3
+FROM documents
+"""
+
+
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data prep flow: quality-score every doc,
     drop exact duplicates (keep min doc_id), keep quality ≥ 0.5 docs with
@@ -514,6 +574,7 @@ QUERIES = {
     "embedding_ivf_topk": q_embedding_ivf_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_lsh_near_dup": q_embedding_lsh_near_dup,
+    "media_features": q_media_features,
 }
 
 ORACLES = {
@@ -529,4 +590,5 @@ ORACLES = {
     "embedding_ivf_topk": O_TOPK_CONTAINMENT,
     "embedding_near_dup": O_EMBEDDING_NEAR_DUP,
     "embedding_lsh_near_dup": O_EMBEDDING_LSH_NEAR_DUP,
+    "media_features": O_MEDIA_FEATURES,
 }
