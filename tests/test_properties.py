@@ -163,3 +163,21 @@ def test_surrogate_keys_scalable_matches_global(spark):
     assert rows_a == rows_b
     sks = sorted(rows_b.values())
     assert sks[0] == 10_000 and sks[-1] == 9999 + len(sks)  # dense, seeded
+
+
+def test_surrogate_keys_scalable_constant_leading_key(spark):
+    """A constant leading order column degenerates every split point to
+    one value — the bucketed path must still produce the global keys
+    (single dense bucket + NULLs bucket), identical to the delta plan."""
+    from jobinsight_data_pipeline_spark.operators.merge import assign_surrogate_keys
+    from pyspark.sql import functions as F
+
+    df = spark.range(9_000).select(
+        F.when(F.col("id") % 1000 != 0, F.lit("same")).alias("nk"),
+        F.col("id").alias("u"),
+    )
+    a = assign_surrogate_keys(df, "sk", 9999, ["nk", "u"], scalable=False)
+    b = assign_surrogate_keys(df, "sk", 9999, ["nk", "u"], scalable=True)
+    rows_a = {(r["nk"], r["u"]): r["sk"] for r in a.collect()}
+    rows_b = {(r["nk"], r["u"]): r["sk"] for r in b.collect()}
+    assert rows_a == rows_b and len(rows_b) == 9_000
