@@ -946,6 +946,134 @@ LEFT JOIN affected a ON f.job_sk = a.job_sk AND f.date_id = a.date_id
 """
 
 # --------------------------------------------------------------------------
+# S10/S11/S13 under the hash gate: partitioned export → damage a month in
+# the live table → restore it from the export → apply retention to the
+# export → summarize both sides. The oracle recomputes the expected
+# post-repair/post-retention state from the construction alone, so a
+# partition written/restored/pruned wrongly fails the value hash.
+# --------------------------------------------------------------------------
+EXPORT_SRC_SQL = """
+SELECT CAST(o_orderkey AS STRING) AS job_id,
+       CASE mod(o_orderkey, 3) WHEN 0 THEN '1998-05'
+                               WHEN 1 THEN '1998-06'
+                               ELSE '1998-07' END AS load_month,
+       CAST(mod(o_orderkey, 97) AS DOUBLE) AS val
+FROM orders WHERE mod(o_orderkey, 10) = 0
+"""
+
+
+def q_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 partitioned export + S11 partition restore + S13 retention,
+    end-to-end: June's values are corrupted in the live table and
+    repaired from the export (a wrong restore leaves -1 values → sum_val
+    flips sign → hash fails); retention at keep_months=5 as of Dec 1
+    prunes exactly the 1998-05 partition directory from the export
+    (n_exported goes to 0 for May, stays whole elsewhere)."""
+    import tempfile
+
+    from jobinsight_data_pipeline_spark.sources.export import (
+        export_partitioned,
+        restore_partition,
+        retention_partitions,
+    )
+
+    load(spark, sf_dir, "orders")
+    src = spark.sql(EXPORT_SRC_SQL)
+    out = tempfile.mkdtemp(prefix="export-gate-") + "/fact"
+    export_partitioned(src, out)
+
+    damaged = src.withColumn(
+        "val",
+        F.when(F.col("load_month") == "1998-06", F.lit(-1.0)).otherwise(
+            F.col("val")
+        ),
+    )
+    repaired = restore_partition(spark, out, damaged, "1998-06")
+    retention_partitions(out, keep_months=5, as_of=dt.date(1998, 12, 1))
+
+    exported = (
+        spark.read.parquet(out)
+        .groupBy("load_month")
+        .agg(F.count(F.lit(1)).alias("n_exported"))
+    )
+    return (
+        repaired.groupBy("load_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("val"), 2).alias("sum_val"),
+        )
+        .join(exported, "load_month", "left")
+        .withColumn("n_exported", F.coalesce("n_exported", F.lit(0)))
+    )
+
+
+O_EXPORT_ROUNDTRIP = f"""
+WITH src AS ({EXPORT_SRC_SQL})
+SELECT load_month,
+       count(*) AS n_rows,
+       round(sum(val), 2) AS sum_val,
+       CASE WHEN load_month >= '1998-06' THEN count(*) ELSE 0 END AS n_exported
+FROM src GROUP BY load_month
+"""
+
+
+# --------------------------------------------------------------------------
+# S8/S9 under the hash gate: two upsert batches journaled through the CDC
+# sink (insert/update classified set-wise against the pre-merge table),
+# replayed schema-on-read, summarized per action. The oracle derives the
+# expected journal from the batch definitions: batch1 (mod 40) is a
+# subset of batch2 (mod 20), so batch2 splits into |b1| updates and
+# |b2|-|b1| fresh inserts.
+# --------------------------------------------------------------------------
+CDC_BATCH_SQL = """
+SELECT CAST(o_orderkey AS STRING) AS job_id,
+       concat('T', CAST(mod(o_orderkey, 9) AS STRING)) AS title,
+       CAST(mod(o_custkey, 40) AS INT) AS company_code
+FROM orders WHERE mod(o_orderkey, {modulus}) = 0
+"""
+
+
+def q_cdc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from jobinsight_data_pipeline_spark.sources.cdc import read_cdc, write_cdc
+
+    load(spark, sf_dir, "orders")
+    b1 = spark.sql(CDC_BATCH_SQL.format(modulus=40))
+    b2 = spark.sql(CDC_BATCH_SQL.format(modulus=20))
+    root = tempfile.mkdtemp(prefix="cdc-gate-")
+    write_cdc(b1, None, root, dt.datetime(1998, 6, 1, 9, 0, 0))
+    write_cdc(b2, b1, root, dt.datetime(1998, 6, 2, 9, 0, 0))
+    return (
+        read_cdc(spark, root)
+        .groupBy("action")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.countDistinct("job_id").alias("n_jobs"),
+            F.sum("data.company_code").alias("sum_code"),
+            F.min("timestamp").alias("first_ts"),
+        )
+    )
+
+
+O_CDC_ROUNDTRIP = f"""
+WITH b1 AS ({CDC_BATCH_SQL.format(modulus=40)}),
+b2 AS ({CDC_BATCH_SQL.format(modulus=20)})
+SELECT 'insert' AS action,
+       (SELECT count(*) FROM b2) AS n_records,
+       (SELECT count(*) FROM b2) AS n_jobs,
+       (SELECT CAST(sum(company_code) AS BIGINT) FROM b2) AS sum_code,
+       '1998-06-01T09:00:00' AS first_ts
+UNION ALL
+SELECT 'update',
+       (SELECT count(*) FROM b1),
+       (SELECT count(*) FROM b1),
+       (SELECT CAST(sum(company_code) AS BIGINT) FROM b1),
+       '1998-06-02T09:00:00'
+"""
+
+
+# --------------------------------------------------------------------------
 # Streaming foreachBatch end-to-end: readStream over crawler parquet drops
 # → checkpointed availableNow drain → foreachBatch running the REAL
 # raw→staging→dwh plans (plans/pipeline.py) against a temp lake → the
@@ -1052,6 +1180,8 @@ FROM orders WHERE mod(o_orderkey, 200) IN (0, 100)
 # drops the one query whose parts are all gated individually above it,
 # not six unique gates (the round-2 failure mode).
 QUERIES = {
+    "export_roundtrip": q_export_roundtrip,
+    "cdc_roundtrip": q_cdc_roundtrip,
     "scd2_update": q_scd2_update,
     "fact_merge": q_fact_merge,
     "bridge_rebuild": q_bridge_rebuild,
@@ -1070,6 +1200,8 @@ QUERIES = {
     "stream_pipeline": q_stream_pipeline,
 }
 ORACLES = {
+    "export_roundtrip": O_EXPORT_ROUNDTRIP,
+    "cdc_roundtrip": O_CDC_ROUNDTRIP,
     "scd2_update": O_SCD2_UPDATE,
     "fact_merge": O_FACT_MERGE,
     "bridge_rebuild": O_BRIDGE_REBUILD,
