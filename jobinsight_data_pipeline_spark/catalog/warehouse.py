@@ -1018,6 +1018,124 @@ FROM src GROUP BY load_month
 
 
 # --------------------------------------------------------------------------
+# S1 under the hash gate: the distributed HTML job-card ingest
+# (binaryFile scan → mapInPandas regex extractor → raw_jobs rows) over a
+# two-card fixture page covering both selector generations — the modern
+# card (data-job-id, title tooltip, address tooltip holding literal HTML,
+# label.title-salary, skills '+' tooltip, label.time strong deadline,
+# vip-badge, span.time) and the legacy card (id-from-href, h3 text,
+# div.info span, div.salary, span.tag-item, div.deadline,
+# div.label-content). The oracle is the literal expected row set;
+# per-branch micro-fixtures live in tests/test_html_fidelity.py.
+# --------------------------------------------------------------------------
+_HTML_FIXTURE = """
+<div class="job-item-2" data-original-title="x<br>y" data-job-id="101">
+  <h3 class="title"><a href="/viec-lam/ky-su-101.html">
+    <span data-original-title="Kỹ sư dữ liệu">K…</span></a></h3>
+  <a class="company" href="/cty/alpha">Công ty Alpha</a>
+  <label class="address" data-original-title="Hà Nội: Cầu Giấy<br>HCM: Quận 1">
+    Hà Nội và 1 nơi khác</label>
+  <label class="title-salary">15 - 20 triệu</label>
+  <div class="skills"><label class="item">Java</label>
+    <label class="item" data-original-title="SQL, Docker">+2 +</label></div>
+  <label class="time"><strong>12</strong> ngày để ứng tuyển</label>
+  <span class="vip-badge"></span>
+  <span class="time">3 ngày trước</span>
+  <a href="/x"><img src="https://cdn/logo-a.png"/></a>
+</div>
+<div class="job-item-2">
+  <a href="/viec-lam/nhan-vien-202.html?src=1"></a>
+  <h3 class="title">Nhân viên kinh doanh</h3>
+  <div class="info"><span>Đà Nẵng</span></div>
+  <div class="salary">Thoả thuận</div>
+  <span class="tag-item">PHP</span><span class="tag-item">Laravel</span>
+  <div class="deadline">Còn 5 ngày</div>
+  <div class="label-content">Cập nhật 1 tuần trước</div>
+  <img class="img-responsive" src="/logo-b.png">
+</div>
+"""
+
+
+def q_html_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from jobinsight_data_pipeline_spark.sources.html import read_html_jobs
+
+    d = tempfile.mkdtemp(prefix="html-gate-")
+    with open(f"{d}/it_p1.html", "w", encoding="utf-8") as fh:
+        fh.write(_HTML_FIXTURE)
+    raw = read_html_jobs(spark, d, RUN_TS)
+    return raw.select(
+        "job_id",
+        "title",
+        "job_url",
+        "company_name",
+        "salary",
+        "location",
+        "location_detail",
+        F.concat_ws("|", "skills").alias("skills_csv"),
+        "deadline",
+        "verified_employer",
+        "last_update",
+        "logo_url",
+        # string-render the derived timestamps: tz/rendering-proof (the
+        # CLAUDE.md fractional-second discipline, applied to LTZ too)
+        F.date_format("posted_time", "yyyy-MM-dd HH:mm:ss").alias("posted_str"),
+        F.date_format("crawled_at", "yyyy-MM-dd HH:mm:ss").alias("crawled_str"),
+    )
+
+
+O_HTML_INGEST = """
+SELECT * FROM (VALUES
+  ('101', 'Kỹ sư dữ liệu', 'https://www.topcv.vn/viec-lam/ky-su-101.html',
+   'Công ty Alpha', '15 - 20 triệu', 'Hà Nội và 1 nơi khác',
+   'Hà Nội: Cầu Giấy HCM: Quận 1', 'Java|SQL|Docker', '12', TRUE,
+   '3 ngày trước', 'https://cdn/logo-a.png',
+   '1998-05-29 12:00:00', '1998-06-01 12:00:00'),
+  ('202', 'Nhân viên kinh doanh',
+   'https://www.topcv.vn/viec-lam/nhan-vien-202.html?src=1',
+   CAST(NULL AS VARCHAR), 'Thoả thuận', 'Đà Nẵng', 'Đà Nẵng',
+   'PHP|Laravel', '5', FALSE, 'Cập nhật 1 tuần trước', '/logo-b.png',
+   '1998-05-25 12:00:00', '1998-06-01 12:00:00')
+) AS t(job_id, title, job_url, company_name, salary, location,
+       location_detail, skills_csv, deadline, verified_employer,
+       last_update, logo_url, posted_str, crawled_str)
+"""
+
+
+# --------------------------------------------------------------------------
+# S12 under the hash gate: the versioned-dir lake's backup/restore — write
+# v0, overwrite with a corrupted v1, roll the pointer back, verify the
+# read surface equals v0 (the reference restores its DuckDB file backup
+# on ETL failure — src/etl/etl_main.py:62-201; the atomic pointer flip is
+# the parquet-lake equivalent of that file swap).
+# --------------------------------------------------------------------------
+def q_lake_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from jobinsight_data_pipeline_spark.sources.lake import ParquetLake
+
+    load(spark, sf_dir, "orders")
+    lake = ParquetLake(tempfile.mkdtemp(prefix="lake-gate-"))
+    good = spark.sql(EXPORT_SRC_SQL)
+    lake.write(good, "fact")
+    lake.write(good.withColumn("val", F.lit(-1.0)), "fact")  # bad deploy
+    lake.restore("fact")  # roll back to v0
+    restored = lake.read(spark, "fact")
+    return restored.groupBy("load_month").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("val"), 2).alias("sum_val"),
+    )
+
+
+O_LAKE_RESTORE = f"""
+WITH src AS ({EXPORT_SRC_SQL})
+SELECT load_month, count(*) AS n_rows, round(sum(val), 2) AS sum_val
+FROM src GROUP BY load_month
+"""
+
+
+# --------------------------------------------------------------------------
 # S8/S9 under the hash gate: two upsert batches journaled through the CDC
 # sink (insert/update classified set-wise against the pre-merge table),
 # replayed schema-on-read, summarized per action. The oracle derives the
@@ -1180,6 +1298,8 @@ FROM orders WHERE mod(o_orderkey, 200) IN (0, 100)
 # drops the one query whose parts are all gated individually above it,
 # not six unique gates (the round-2 failure mode).
 QUERIES = {
+    "html_ingest": q_html_ingest,
+    "lake_restore": q_lake_restore,
     "export_roundtrip": q_export_roundtrip,
     "cdc_roundtrip": q_cdc_roundtrip,
     "scd2_update": q_scd2_update,
@@ -1200,6 +1320,8 @@ QUERIES = {
     "stream_pipeline": q_stream_pipeline,
 }
 ORACLES = {
+    "html_ingest": O_HTML_INGEST,
+    "lake_restore": O_LAKE_RESTORE,
     "export_roundtrip": O_EXPORT_ROUNDTRIP,
     "cdc_roundtrip": O_CDC_ROUNDTRIP,
     "scd2_update": O_SCD2_UPDATE,
