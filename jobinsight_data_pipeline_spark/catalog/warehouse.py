@@ -1104,6 +1104,190 @@ SELECT * FROM (VALUES
 
 
 # --------------------------------------------------------------------------
+# §2.12 (V1–V8) under the hash gate: the validation suite's DETECTORS run
+# over a literal fixture warehouse seeded with one known instance of each
+# defect class (dup current keys, SCD2 overlap, calendar gap, orphans at
+# every edge, dup grain, salary inversion, future timestamp, unbridged
+# fact, NULL criticals). Spark runs the real plans/validation.py
+# operators; the oracle recomputes every count with independent SQL over
+# the same VALUES — so a detector that under- or over-counts fails the
+# hash. Expected counts are in comments; the oracle COMPUTES them.
+# --------------------------------------------------------------------------
+_V_DIM_JOB = """VALUES
+  (1, 'J1', 'a',  DATE '2025-01-01', CAST(NULL AS DATE), TRUE),
+  (2, 'J1', 'b',  DATE '2025-02-01', CAST(NULL AS DATE), TRUE),
+  (3, 'J2', 'c',  DATE '2025-01-01', DATE '2025-03-01',  FALSE),
+  (4, 'J2', 'd',  DATE '2025-02-01', CAST(NULL AS DATE), TRUE),
+  (5, 'J3', CAST(NULL AS STRING), DATE '2025-01-01', CAST(NULL AS DATE), TRUE)
+"""  # dup current J1 (1); overlaps: J1 row1 + J2 row1 (2); null title (1)
+_V_DIM_CO = """VALUES
+  (10, 'CoA', DATE '2025-01-01', CAST(NULL AS DATE), TRUE),
+  (11, 'CoB', DATE '2025-01-01', DATE '2025-02-01',  FALSE),
+  (12, 'CoB', DATE '2025-02-01', CAST(NULL AS DATE), TRUE)
+"""  # clean: dup 0, overlap 0 (expiry == next effective is allowed)
+_V_DIM_LOC = """VALUES
+  (100, CAST(NULL AS STRING), 'Hanoi', CAST(NULL AS STRING),
+   DATE '2025-01-01', CAST(NULL AS DATE), TRUE)
+"""
+_V_DIM_DATE = """VALUES
+  (DATE '2025-01-01'), (DATE '2025-01-02'),
+  (DATE '2025-01-04'), (DATE '2025-01-05')
+"""  # gap: 2025-01-03 missing (1)
+_V_FACT = """VALUES
+  (1000, 1,  10, DATE '2025-01-01', 1.0, 2.0, TIMESTAMP '2025-01-01 00:00:00'),
+  (1001, 3,  10, DATE '2025-01-01', 1.0, 2.0, TIMESTAMP '2025-01-01 00:00:00'),
+  (1002, 99, 10, DATE '2025-01-01', 1.0, 2.0, TIMESTAMP '2025-01-01 00:00:00'),
+  (1003, 1,  98, DATE '2025-01-02', 1.0, 2.0, TIMESTAMP '2025-01-01 00:00:00'),
+  (1004, 1,  11, DATE '2025-01-03', 1.0, 2.0, TIMESTAMP '2025-01-01 00:00:00'),
+  (1005, 4,  10, DATE '2025-01-02', 5.0, 3.0, TIMESTAMP '2025-01-01 00:00:00'),
+  (1006, 4,  10, DATE '2025-01-02', 1.0, 2.0, TIMESTAMP '2025-01-01 00:00:00'),
+  (1007, 2,  10, DATE '2025-01-04', 1.0, 2.0, TIMESTAMP '2026-01-01 00:00:00')
+"""  # job orphans: current 2 (sk 3 closed, 99 missing), any 1 (99);
+#     company orphans: current 2 (98 missing, 11 closed), any 1 (98);
+#     dup grain (4, 01-02) ×2 → 1; inversion 1005 → 1; future 1007 → 1
+_V_BRIDGE = """VALUES
+  (1000, 100), (1001, 100), (1002, 100), (1003, 100),
+  (1004, 100), (1005, 100), (1006, 100), (9999, 100), (1000, 555)
+"""  # bridge→fact orphan 9999 (1); bridge→location orphan 555 (1);
+#     fact 1007 unbridged (1)
+
+_V_AS_OF = dt.datetime(2025, 6, 1, 0, 0, 0)
+
+
+def q_warehouse_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobinsight_data_pipeline_spark.plans import validation as V
+
+    dim_job = spark.sql(
+        f"SELECT * FROM ({_V_DIM_JOB}) AS t(job_sk, job_id, title_clean,"
+        " effective_date, expiry_date, is_current)"
+    )
+    dim_co = spark.sql(
+        f"SELECT * FROM ({_V_DIM_CO}) AS t(company_sk,"
+        " company_name_standardized, effective_date, expiry_date, is_current)"
+    )
+    dim_loc = spark.sql(
+        f"SELECT * FROM ({_V_DIM_LOC}) AS t(location_sk, province, city,"
+        " district, effective_date, expiry_date, is_current)"
+    )
+    dim_date = spark.sql(f"SELECT * FROM ({_V_DIM_DATE}) AS t(date_id)")
+    fact = spark.sql(
+        f"SELECT * FROM ({_V_FACT}) AS t(fact_id, job_sk, company_sk,"
+        " date_id, salary_min, salary_max, posted_time)"
+    )
+    bridge = spark.sql(
+        f"SELECT * FROM ({_V_BRIDGE}) AS t(fact_id, location_sk)"
+    )
+
+    counts = [
+        ("dup_current_job_keys", V.duplicate_current_keys(dim_job, ["job_id"])),
+        ("dup_current_company_keys",
+         V.duplicate_current_keys(dim_co, ["company_name_standardized"])),
+        ("dup_current_location_keys",
+         V.duplicate_current_keys(dim_loc, ["province", "city", "district"])),
+        ("calendar_gaps", V.calendar_gaps(dim_date)),
+        ("orphan_fact_job_current",
+         V.orphaned_facts(fact, dim_job, "job_sk", "job_sk")),
+        ("orphan_fact_job_any",
+         V.orphaned_facts(fact, dim_job, "job_sk", "job_sk", current_only=False)),
+        ("orphan_fact_company_current",
+         V.orphaned_facts(fact, dim_co, "company_sk", "company_sk")),
+        ("orphan_fact_company_any",
+         V.orphaned_facts(fact, dim_co, "company_sk", "company_sk", current_only=False)),
+        ("orphan_bridge_location",
+         V.orphaned_facts(bridge, dim_loc, "location_sk", "location_sk", current_only=False)),
+        ("orphan_bridge_fact",
+         V.orphaned_facts(bridge, fact.select("fact_id"), "fact_id", "fact_id", False)),
+        ("dup_fact_grain", V.duplicate_fact_grain(fact)),
+        ("salary_inversions", V.salary_inversions(fact)),
+        ("future_posted_time", V.future_posted(fact, _V_AS_OF)),
+        ("facts_without_bridge", V.facts_without_bridge(fact, bridge)),
+        ("scd2_overlap_job", V.scd2_overlaps(dim_job, ["job_id"])),
+        ("scd2_overlap_company",
+         V.scd2_overlaps(dim_co, ["company_name_standardized"])),
+        ("null_title_clean",
+         V.null_criticals(dim_job.filter(F.col("is_current")), ["title_clean"])["title_clean"]),
+        ("null_city",
+         V.null_criticals(dim_loc.filter(F.col("is_current")), ["city"])["city"]),
+    ]
+    return spark.createDataFrame(
+        [(n, int(c)) for n, c in counts], "check string, failed_count bigint"
+    )
+
+
+O_WAREHOUSE_VALIDATION = f"""
+WITH dim_job AS (SELECT * FROM ({_V_DIM_JOB}) AS t(job_sk, job_id,
+         title_clean, effective_date, expiry_date, is_current)),
+dim_co AS (SELECT * FROM ({_V_DIM_CO}) AS t(company_sk,
+         company_name_standardized, effective_date, expiry_date, is_current)),
+dim_loc AS (SELECT * FROM ({_V_DIM_LOC}) AS t(location_sk, province, city,
+         district, effective_date, expiry_date, is_current)),
+dim_date AS (SELECT * FROM ({_V_DIM_DATE}) AS t(date_id)),
+fact AS (SELECT * FROM ({_V_FACT}) AS t(fact_id, job_sk, company_sk,
+         date_id, salary_min, salary_max, posted_time)),
+bridge AS (SELECT * FROM ({_V_BRIDGE}) AS t(fact_id, location_sk))
+SELECT 'dup_current_job_keys' AS check, (
+    SELECT count(*) FROM (SELECT job_id FROM dim_job WHERE is_current
+                          GROUP BY job_id HAVING count(*) > 1)) AS failed_count
+UNION ALL SELECT 'dup_current_company_keys', (
+    SELECT count(*) FROM (SELECT company_name_standardized FROM dim_co
+                          WHERE is_current GROUP BY 1 HAVING count(*) > 1))
+UNION ALL SELECT 'dup_current_location_keys', (
+    SELECT count(*) FROM (SELECT province, city, district FROM dim_loc
+                          WHERE is_current GROUP BY 1, 2, 3 HAVING count(*) > 1))
+UNION ALL SELECT 'calendar_gaps', (
+    SELECT date_diff('day', min(date_id), max(date_id)) + 1 - count(*)
+    FROM dim_date)
+UNION ALL SELECT 'orphan_fact_job_current', (
+    SELECT count(*) FROM fact f WHERE NOT EXISTS (
+        SELECT 1 FROM dim_job d WHERE d.is_current AND d.job_sk = f.job_sk))
+UNION ALL SELECT 'orphan_fact_job_any', (
+    SELECT count(*) FROM fact f WHERE NOT EXISTS (
+        SELECT 1 FROM dim_job d WHERE d.job_sk = f.job_sk))
+UNION ALL SELECT 'orphan_fact_company_current', (
+    SELECT count(*) FROM fact f WHERE NOT EXISTS (
+        SELECT 1 FROM dim_co d WHERE d.is_current
+        AND d.company_sk = f.company_sk))
+UNION ALL SELECT 'orphan_fact_company_any', (
+    SELECT count(*) FROM fact f WHERE NOT EXISTS (
+        SELECT 1 FROM dim_co d WHERE d.company_sk = f.company_sk))
+UNION ALL SELECT 'orphan_bridge_location', (
+    SELECT count(*) FROM bridge b WHERE NOT EXISTS (
+        SELECT 1 FROM dim_loc d WHERE d.location_sk = b.location_sk))
+UNION ALL SELECT 'orphan_bridge_fact', (
+    SELECT count(*) FROM bridge b WHERE NOT EXISTS (
+        SELECT 1 FROM fact f WHERE f.fact_id = b.fact_id))
+UNION ALL SELECT 'dup_fact_grain', (
+    SELECT count(*) FROM (SELECT job_sk, date_id FROM fact
+                          GROUP BY 1, 2 HAVING count(*) > 1))
+UNION ALL SELECT 'salary_inversions', (
+    SELECT count(*) FROM fact WHERE salary_min > salary_max)
+UNION ALL SELECT 'future_posted_time', (
+    SELECT count(*) FROM fact
+    WHERE posted_time > TIMESTAMP '2025-06-01 00:00:00')
+UNION ALL SELECT 'facts_without_bridge', (
+    SELECT count(*) FROM fact f WHERE NOT EXISTS (
+        SELECT 1 FROM bridge b WHERE b.fact_id = f.fact_id))
+UNION ALL SELECT 'scd2_overlap_job', (
+    SELECT count(*) FROM (
+        SELECT expiry_date, lead(effective_date) OVER (
+            PARTITION BY job_id ORDER BY effective_date) AS ne
+        FROM dim_job) WHERE ne IS NOT NULL
+        AND (expiry_date IS NULL OR expiry_date > ne))
+UNION ALL SELECT 'scd2_overlap_company', (
+    SELECT count(*) FROM (
+        SELECT expiry_date, lead(effective_date) OVER (
+            PARTITION BY company_name_standardized
+            ORDER BY effective_date) AS ne
+        FROM dim_co) WHERE ne IS NOT NULL
+        AND (expiry_date IS NULL OR expiry_date > ne))
+UNION ALL SELECT 'null_title_clean', (
+    SELECT count(*) FROM dim_job WHERE is_current AND title_clean IS NULL)
+UNION ALL SELECT 'null_city', (
+    SELECT count(*) FROM dim_loc WHERE is_current AND city IS NULL)
+"""
+
+
+# --------------------------------------------------------------------------
 # S12 under the hash gate: the versioned-dir lake's backup/restore — write
 # v0, overwrite with a corrupted v1, roll the pointer back, verify the
 # read surface equals v0 (the reference restores its DuckDB file backup
@@ -1298,6 +1482,7 @@ FROM orders WHERE mod(o_orderkey, 200) IN (0, 100)
 # drops the one query whose parts are all gated individually above it,
 # not six unique gates (the round-2 failure mode).
 QUERIES = {
+    "warehouse_validation": q_warehouse_validation,
     "html_ingest": q_html_ingest,
     "lake_restore": q_lake_restore,
     "export_roundtrip": q_export_roundtrip,
@@ -1320,6 +1505,7 @@ QUERIES = {
     "stream_pipeline": q_stream_pipeline,
 }
 ORACLES = {
+    "warehouse_validation": O_WAREHOUSE_VALIDATION,
     "html_ingest": O_HTML_INGEST,
     "lake_restore": O_LAKE_RESTORE,
     "export_roundtrip": O_EXPORT_ROUNDTRIP,
