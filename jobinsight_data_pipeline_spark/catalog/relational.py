@@ -438,9 +438,13 @@ WITH gapped AS (
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 numbered AS (
+    -- CAST: DuckDB integer window-sum is HUGEINT, which crosses the
+    -- Arrow/pandas bridge as float64 (7.0 vs Spark's 7) and fails the
+    -- driver's value hash. BIGINT keeps it int64 end-to-end.
     SELECT user_id, ts,
-           sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT)
                AS session_no
     FROM gapped
 ),

@@ -1078,10 +1078,15 @@ def q_html_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "verified_employer",
         "last_update",
         "logo_url",
-        # string-render the derived timestamps: tz/rendering-proof (the
-        # CLAUDE.md fractional-second discipline, applied to LTZ too)
-        F.date_format("posted_time", "yyyy-MM-dd HH:mm:ss").alias("posted_str"),
-        F.date_format("crawled_at", "yyyy-MM-dd HH:mm:ss").alias("crawled_str"),
+        # TZ-invariant check of the F12 derivation: crawled−posted in
+        # epoch seconds. Both columns are LTZ built from naive F.lit — any
+        # rendered wall-clock depends on the Python-process vs Spark-session
+        # TZ pairing on the *driver host* (r3 html_ingest hash fail), but
+        # the epoch offsets cancel in the difference, so the parsed
+        # relative age (3 days / 1 week) survives any TZ configuration.
+        (F.unix_timestamp("crawled_at") - F.unix_timestamp("posted_time"))
+        .cast("bigint")
+        .alias("posted_age_sec"),
     )
 
 
@@ -1091,15 +1096,15 @@ SELECT * FROM (VALUES
    'Công ty Alpha', '15 - 20 triệu', 'Hà Nội và 1 nơi khác',
    'Hà Nội: Cầu Giấy HCM: Quận 1', 'Java|SQL|Docker', '12', TRUE,
    '3 ngày trước', 'https://cdn/logo-a.png',
-   '1998-05-29 12:00:00', '1998-06-01 12:00:00'),
+   CAST(259200 AS BIGINT)),
   ('202', 'Nhân viên kinh doanh',
    'https://www.topcv.vn/viec-lam/nhan-vien-202.html?src=1',
    CAST(NULL AS VARCHAR), 'Thoả thuận', 'Đà Nẵng', 'Đà Nẵng',
    'PHP|Laravel', '5', FALSE, 'Cập nhật 1 tuần trước', '/logo-b.png',
-   '1998-05-25 12:00:00', '1998-06-01 12:00:00')
+   CAST(604800 AS BIGINT))
 ) AS t(job_id, title, job_url, company_name, salary, location,
        location_detail, skills_csv, deadline, verified_employer,
-       last_update, logo_url, posted_str, crawled_str)
+       last_update, logo_url, posted_age_sec)
 """
 
 

@@ -41,6 +41,33 @@ def normalize_cell(v):
     return str(v)
 
 
+def dtype_drift_problems(sdtypes: dict[str, str], odf: pd.DataFrame) -> list[str]:
+    """Integer-vs-float dtype divergence between the Spark result and the
+    oracle's pandas frame: DuckDB HUGEINT (integer sum(), plain or
+    windowed) crosses the Arrow/pandas bridge as float64 while Spark
+    emits int64 — normalize_cell renders both as "7", so the value hash
+    below can never catch it, but the driver's gate DOES (`sessionize`
+    failed it three consecutive rounds). Flag the dtype mismatch itself,
+    in either direction."""
+    _INT = ("tinyint", "smallint", "int", "bigint")
+    out = []
+    for c in odf.columns:
+        o_float = str(odf[c].dtype) == "float64"
+        o_int = str(odf[c].dtype).startswith(("int", "uint"))
+        s_t = sdtypes.get(c, "")
+        if o_float and s_t in _INT and odf[c].dropna().mod(1).eq(0).all():
+            out.append(
+                f"dtype drift col={c}: oracle float64-integral (HUGEINT?) "
+                f"vs spark {s_t} — CAST the oracle expression to BIGINT"
+            )
+        elif o_int and s_t in ("float", "double"):
+            out.append(
+                f"dtype drift col={c}: oracle {odf[c].dtype} vs spark "
+                f"{s_t} — round/cast both sides identically"
+            )
+    return out
+
+
 def value_hash(cols: list[str], rows: list[tuple]) -> str:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     canon = sorted(
@@ -88,6 +115,8 @@ def main() -> int:
         problems = []
         if sorted(scols) != sorted(ocols):
             problems.append(f"cols spark={sorted(scols)} duck={sorted(ocols)}")
+        else:
+            problems.extend(dtype_drift_problems(dict(sdf.dtypes), odf))
         if len(srows) != len(orows):
             problems.append(f"rows spark={len(srows)} duck={len(orows)}")
         if not problems:
