@@ -433,11 +433,13 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         " 'height', CAST(NULL AS INT),"
         " 'duration_ms', CAST(length(text) AS INT)) AS meta",
     )
-    # batch_rows=256 exercises the bounded-batch contract (500 rows → 2
-    # Arrow batches) without leaving the shared session's Arrow batch
-    # size pathologically small for later pandas-UDF gates (the operator
-    # sets the session conf — its documented contract)
-    feats = extract_features(media, feature_fn=_md5_feature4, batch_rows=256)
+    # batch_rows=None: the gate must not mutate the shared session's
+    # Arrow batch size (the driver runs 47 other gates in this session,
+    # and the conf is read at action time — a 256-row bound here would
+    # silently shrink every later pandas-UDF stage). The bounded-batch
+    # contract is exercised in pytest via arrow_batch_bound, which
+    # scopes the conf around the materializing action.
+    feats = extract_features(media, feature_fn=_md5_feature4)
     f = lambda i: F.round(F.element_at("feature", i).cast("double"), 6)  # noqa: E731
     return feats.select(
         "media_id",

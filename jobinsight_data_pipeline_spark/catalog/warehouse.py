@@ -78,6 +78,7 @@ def q_warehouse_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dims cache lazily: both feed the fact build AND a later join
     dim_job = scd2_merge(None, staging, DIM_JOB_CONFIG, run_date, scalable=True).dim.cache()
     dim_company = scd2_merge(None, staging, DIM_COMPANY_CONFIG, run_date, scalable=True).dim.cache()
+    _track_gate_caches(spark, "warehouse_rollup", sf_dir, [staging, dim_job, dim_company])
     incoming = facts_plan.build_fact_batch(staging, dim_job, dim_company, RUN_TS)
     fact = facts_plan.merge_facts(None, incoming, scalable=True)
 
@@ -163,6 +164,23 @@ FROM orders
 # rebuild (sf_dir switch) unpersists the old set instead of leaking it in
 # executor storage.
 _VIEWS_WAREHOUSE: dict[tuple[str, str], list[DataFrame]] = {}
+
+# Ad-hoc gate caches (q_warehouse_rollup / q_top10_avg_salary build their
+# own staging+dims): keyed per (gate, applicationId, sf_dir) so a repeat
+# invocation in the same session (bench runs every query twice; repeated
+# check_oracles runs) unpersists the previous generation instead of
+# re-registering it forever ("already cached" CacheManager warnings +
+# unreclaimed executor storage, round-3 advice).
+_GATE_CACHES: dict[tuple[str, str, str], list[DataFrame]] = {}
+
+
+def _track_gate_caches(
+    spark: SparkSession, gate: str, sf_dir: str, frames: list[DataFrame]
+) -> None:
+    key = (gate, spark.sparkContext.applicationId, sf_dir)
+    for df in _GATE_CACHES.pop(key, []):
+        df.unpersist()
+    _GATE_CACHES[key] = frames
 
 
 def _ensure_views_warehouse(spark: SparkSession, sf_dir: str):
@@ -460,6 +478,7 @@ def q_scd2_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     d1, d2 = dt.date(1998, 6, 1), dt.date(1998, 6, 2)
     # lazy batch-boundary cache (see q_warehouse_incremental)
     dim = scd2_merge(None, b1, DIM_JOB_CONFIG, d1).dim.cache()
+    _track_gate_caches(spark, "scd2_update", sf_dir, [dim])
     dim = scd2_merge(dim, b2, DIM_JOB_CONFIG, d2).dim
     return dim.select(
         "job_sk", "job_id", "title_clean", "effective_date", "expiry_date", "is_current"
@@ -551,6 +570,7 @@ def q_fact_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact = facts_plan.merge_facts(
         None, facts_plan.build_fact_batch(s1, dim_job, dim_company, r1)
     ).cache()
+    _track_gate_caches(spark, "fact_merge", sf_dir, [dim_job, dim_company, fact])
     fact = facts_plan.merge_facts(
         fact, facts_plan.build_fact_batch(s2, dim_job, dim_company, r2)
     )
@@ -657,7 +677,12 @@ def q_bridge_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact = facts_plan.merge_facts(None, inc1).cache()
     bridge = facts_plan.build_bridge(fact, inc1, s1, dim_job, dim_loc, None).cache()
 
-    dim_loc = build_dim_location(dim_loc, s2, r2.date()).dim.cache()
+    dim_loc2 = build_dim_location(dim_loc, s2, r2.date()).dim.cache()
+    _track_gate_caches(
+        spark, "bridge_rebuild", sf_dir,
+        [dim_job, dim_company, dim_loc, fact, bridge, dim_loc2],
+    )
+    dim_loc = dim_loc2
     inc2 = facts_plan.build_fact_batch(s2, dim_job, dim_company, r2)
     fact = facts_plan.merge_facts(fact, inc2)
     bridge = facts_plan.build_bridge(fact, inc2, s2, dim_job, dim_loc, bridge)
@@ -713,6 +738,7 @@ def q_top10_avg_salary(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_date = RUN_TS.date()
     dim_job = scd2_merge(None, staging, DIM_JOB_CONFIG, run_date, scalable=True).dim.cache()
     dim_company = scd2_merge(None, staging, DIM_COMPANY_CONFIG, run_date, scalable=True).dim.cache()
+    _track_gate_caches(spark, "top10_avg_salary", sf_dir, [staging, dim_job, dim_company])
     incoming = facts_plan.build_fact_batch(staging, dim_job, dim_company, RUN_TS)
     fact = facts_plan.merge_facts(None, incoming, scalable=True)
     avg_mid = F.avg(
@@ -827,9 +853,14 @@ def q_warehouse_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact = facts_plan.merge_facts(None, inc1).cache()
     bridge = facts_plan.build_bridge(fact, inc1, s1, dim_job, dim_loc, None).cache()
 
-    dim_job = scd2_merge(dim_job, s2, DIM_JOB_CONFIG, r2.date()).dim.cache()
-    dim_co = scd2_merge(dim_co, s2, DIM_COMPANY_CONFIG, r2.date()).dim
-    dim_loc = build_dim_location(dim_loc, s2, r2.date()).dim.cache()
+    dim_job2 = scd2_merge(dim_job, s2, DIM_JOB_CONFIG, r2.date()).dim.cache()
+    dim_co2 = scd2_merge(dim_co, s2, DIM_COMPANY_CONFIG, r2.date()).dim
+    dim_loc2 = build_dim_location(dim_loc, s2, r2.date()).dim.cache()
+    _track_gate_caches(
+        spark, "warehouse_incremental", sf_dir,
+        [dim_job, dim_co, dim_loc, fact, bridge, dim_job2, dim_loc2],
+    )
+    dim_job, dim_co, dim_loc = dim_job2, dim_co2, dim_loc2
     inc2 = facts_plan.build_fact_batch(s2, dim_job, dim_co, r2)
     fact = facts_plan.merge_facts(fact, inc2)
     bridge = facts_plan.build_bridge(fact, inc2, s2, dim_job, dim_loc, bridge)

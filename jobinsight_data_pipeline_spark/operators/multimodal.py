@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import hashlib
 from collections.abc import Callable, Iterator
+from contextlib import contextmanager
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -68,19 +69,48 @@ def real_decode(content: bytes, mime: str):  # pragma: no cover - stub
     )
 
 
+_ARROW_BATCH_KEY = "spark.sql.execution.arrow.maxRecordsPerBatch"
+
+
+@contextmanager
+def arrow_batch_bound(spark, batch_rows: int):
+    """Bound Arrow batch rows for actions run inside the block, restoring
+    the session conf on exit.
+
+    The conf is read at ACTION time, not plan-build time (verified:
+    a mapInPandas built under batch=7 but collected under batch=10000
+    sees 10000-row batches) — so the bound must wrap the
+    write/collect/count that materializes the stage, and a set-and-forget
+    inside the operator builder would both leak the conf session-wide and
+    fail to guarantee the bound for later actions.
+    """
+    prev = spark.conf.get(_ARROW_BATCH_KEY, None)
+    spark.conf.set(_ARROW_BATCH_KEY, str(batch_rows))
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(_ARROW_BATCH_KEY)
+        else:
+            spark.conf.set(_ARROW_BATCH_KEY, prev)
+
+
 def extract_features(
     media: DataFrame,
     feature_fn: Callable[[bytes | None], list[float] | None] = fake_decode_features,
-    batch_rows: int = 64,
+    batch_rows: int | None = None,
 ) -> DataFrame:
     """binary column → feature vectors, Arrow-batched.
 
-    ``batch_rows`` bounds the bytes held per pandas batch (media blobs are
-    large; default Arrow batches of 10k rows would OOM an executor — this
-    is the knob that makes the stage safe at scale).
+    ``batch_rows`` bounds the rows (hence bytes) per pandas batch — media
+    blobs are large, and default 10k-row Arrow batches would OOM an
+    executor at real blob sizes. Because the conf is read when the stage
+    RUNS, passing ``batch_rows`` here sets it for the session (documented
+    side effect for one-shot pipelines); callers that need scoping should
+    pass None and wrap their action in ``arrow_batch_bound`` instead.
     """
-    conf_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
-    media.sparkSession.conf.set(conf_key, str(batch_rows))
+    if batch_rows is not None:
+        media.sparkSession.conf.set(_ARROW_BATCH_KEY, str(batch_rows))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

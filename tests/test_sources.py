@@ -281,3 +281,38 @@ def test_multimodal_plumbing(spark):
     frames = sample_frames(media.filter("media_id = 3"), every_ms=1000, max_frames=16)
     got = [r["frame_ts_ms"] for r in frames.collect()]
     assert got == [0, 1000, 2000, 3000]  # 3500ms → 4 sampled frames
+
+
+def test_arrow_batch_bound_scopes_conf_and_bounds_batches(spark):
+    """The Arrow batch-row bound applies to actions INSIDE the context
+    (conf is read at action time, not plan-build time) and the session
+    conf is restored afterwards — no session-global leak."""
+    import pandas as pd
+
+    from jobinsight_data_pipeline_spark.operators.multimodal import (
+        _ARROW_BATCH_KEY,
+        arrow_batch_bound,
+    )
+
+    def batch_sizes(batches):
+        for pdf in batches:
+            yield pd.DataFrame({"n": [len(pdf)]})
+
+    df = spark.range(1000).repartition(1).toDF("id")
+    plan = df.mapInPandas(batch_sizes, "n long")  # built OUTSIDE the bound
+    before = spark.conf.get(_ARROW_BATCH_KEY, "10000")
+    with arrow_batch_bound(spark, 100):
+        sizes = [r["n"] for r in plan.collect()]
+    assert max(sizes) <= 100 and sum(sizes) == 1000
+    assert spark.conf.get(_ARROW_BATCH_KEY, "10000") == before
+
+
+def test_media_features_gate_leaves_arrow_conf_alone(spark):
+    """The catalog gate must not mutate the shared session's Arrow batch
+    size (the driver runs every other gate in the same session)."""
+    from jobinsight_data_pipeline_spark.catalog.textml import q_media_features
+    from jobinsight_data_pipeline_spark.operators.multimodal import _ARROW_BATCH_KEY
+
+    before = spark.conf.get(_ARROW_BATCH_KEY, "10000")
+    q_media_features(spark, "/root/testdata/sf0.001").count()
+    assert spark.conf.get(_ARROW_BATCH_KEY, "10000") == before
