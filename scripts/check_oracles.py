@@ -41,29 +41,43 @@ def normalize_cell(v):
     return str(v)
 
 
-def dtype_drift_problems(sdtypes: dict[str, str], odf: pd.DataFrame) -> list[str]:
+def dtype_drift_problems(
+    sdtypes: dict[str, str], duck_types: dict[str, str], odf: pd.DataFrame
+) -> list[str]:
     """Integer-vs-float dtype divergence between the Spark result and the
-    oracle's pandas frame: DuckDB HUGEINT (integer sum(), plain or
-    windowed) crosses the Arrow/pandas bridge as float64 while Spark
-    emits int64 — normalize_cell renders both as "7", so the value hash
-    below can never catch it, but the driver's gate DOES (`sessionize`
-    failed it three consecutive rounds). Flag the dtype mismatch itself,
-    in either direction."""
+    oracle: DuckDB HUGEINT (integer sum(), plain or windowed) crosses the
+    Arrow/pandas bridge as float64 while Spark emits int64 —
+    normalize_cell renders both as "7", so the value hash below can never
+    catch it, but the driver's gate DOES (`sessionize` failed it three
+    consecutive rounds).
+
+    The flag keys off DuckDB's DECLARED type (DESCRIBE), not the pandas
+    dtype: a BIGINT/INTEGER column containing NULLs also arrives as
+    float64 (pandas NULL upcast), but that class demonstrably PASSES the
+    driver (asof_discount/scd2_rebuild green in r3 with exactly that
+    shape) — only type-level divergence is the hazard."""
     _INT = ("tinyint", "smallint", "int", "bigint")
+    _DUCK_INT = ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "UTINYINT",
+                 "USMALLINT", "UINTEGER", "UBIGINT")
     out = []
     for c in odf.columns:
-        o_float = str(odf[c].dtype) == "float64"
-        o_int = str(odf[c].dtype).startswith(("int", "uint"))
+        d_t = duck_types.get(c, "").upper()
         s_t = sdtypes.get(c, "")
-        if o_float and s_t in _INT and odf[c].dropna().mod(1).eq(0).all():
+        if "HUGEINT" in d_t:
             out.append(
-                f"dtype drift col={c}: oracle float64-integral (HUGEINT?) "
-                f"vs spark {s_t} — CAST the oracle expression to BIGINT"
+                f"dtype drift col={c}: oracle typed {d_t} (crosses the "
+                "Arrow bridge as float64) — CAST the oracle expression "
+                "to BIGINT"
             )
-        elif o_int and s_t in ("float", "double"):
+        elif d_t in ("DOUBLE", "FLOAT", "REAL") and s_t in _INT:
             out.append(
-                f"dtype drift col={c}: oracle {odf[c].dtype} vs spark "
-                f"{s_t} — round/cast both sides identically"
+                f"dtype drift col={c}: oracle {d_t} vs spark {s_t} — "
+                "round/cast both sides identically"
+            )
+        elif d_t in _DUCK_INT and s_t in ("float", "double"):
+            out.append(
+                f"dtype drift col={c}: oracle {d_t} vs spark {s_t} — "
+                "round/cast both sides identically"
             )
     return out
 
@@ -109,6 +123,9 @@ def main() -> int:
         # date_as_object keeps DATE as datetime.date — the combination that
         # reproduces every round-1 driver pass/fail exactly.
         odf = con.sql(oracles[name]).df(date_as_object=True)
+        duck_types = {
+            r[0]: r[1] for r in con.sql(f"DESCRIBE {oracles[name]}").fetchall()
+        }
         ocols = list(odf.columns)
         orows = [tuple(r) for r in odf.itertuples(index=False, name=None)]
         duck_s = time.time() - t0
@@ -116,7 +133,9 @@ def main() -> int:
         if sorted(scols) != sorted(ocols):
             problems.append(f"cols spark={sorted(scols)} duck={sorted(ocols)}")
         else:
-            problems.extend(dtype_drift_problems(dict(sdf.dtypes), odf))
+            problems.extend(
+                dtype_drift_problems(dict(sdf.dtypes), duck_types, odf)
+            )
         if len(srows) != len(orows):
             problems.append(f"rows spark={len(srows)} duck={len(orows)}")
         if not problems:

@@ -135,19 +135,27 @@ def test_checker_flags_integer_float_dtype_drift():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
 
-    # r3 sessionize: DuckDB window-sum crossed as float64 7.0, Spark bigint 7
-    odf = pd.DataFrame({"session_no": [1.0, 7.0, None]})
-    assert mod.dtype_drift_problems({"session_no": "bigint"}, odf)
-    # reverse direction: oracle int64 vs Spark double is drift too
+    # r3 sessionize: DuckDB HUGEINT window-sum crossed as float64 7.0,
+    # Spark bigint 7 — flagged off the DECLARED type
+    odf = pd.DataFrame({"session_no": [1.0, 7.0]})
+    assert mod.dtype_drift_problems(
+        {"session_no": "bigint"}, {"session_no": "HUGEINT"}, odf
+    )
+    # reverse direction: oracle BIGINT vs Spark double is drift too
     odf2 = pd.DataFrame({"x": pd.array([1, 2], dtype="int64")})
-    assert mod.dtype_drift_problems({"x": "double"}, odf2)
+    assert mod.dtype_drift_problems({"x": "double"}, {"x": "BIGINT"}, odf2)
+    # oracle DOUBLE vs Spark int: drift
+    odf3 = pd.DataFrame({"y": [1.0, 2.0]})
+    assert mod.dtype_drift_problems({"y": "int"}, {"y": "DOUBLE"}, odf3)
     # legit float on both sides: no flag
-    odf3 = pd.DataFrame({"v": [1.5, 2.0]})
-    assert not mod.dtype_drift_problems({"v": "double"}, odf3)
-    # float64 oracle with non-integral values vs int spark: the hash
-    # itself will fail loudly; the dtype probe only owns the masked case
     odf4 = pd.DataFrame({"v": [1.5, 2.0]})
-    assert not mod.dtype_drift_problems({"v": "bigint"}, odf4)
+    assert not mod.dtype_drift_problems({"v": "double"}, {"v": "DOUBLE"}, odf4)
+    # NULL-upcast: BIGINT-typed oracle column with NULLs arrives float64 —
+    # the driver tolerates this (asof_discount green in r3); no flag
+    odf5 = pd.DataFrame({"version_no": [1.0, None]})
+    assert not mod.dtype_drift_problems(
+        {"version_no": "int"}, {"version_no": "BIGINT"}, odf5
+    )
 
 
 def test_driver_surface_fits_cap():
