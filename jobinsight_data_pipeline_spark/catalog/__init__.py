@@ -182,6 +182,7 @@ DRIVER_QUERIES: list[str] = [
     "hash_split",
     "exact_dedup",
     "text_stats",
+    "repetition_signals",
     "ngram_jaccard",
     "minhash_lsh",
     "simhash_pairs",

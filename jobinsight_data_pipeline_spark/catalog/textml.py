@@ -50,6 +50,93 @@ GROUP BY 1
 """
 
 
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/format quality signals (dup-line/dup-word
+    fractions, mean word length, top-bigram char coverage, bullet/ellipsis
+    line fractions) — per-row native Column expressions, shuffle-free;
+    the bigram mode is a sorted-array run-length fold (operators/
+    textstats.top_bigram_char_fraction). The oracle recomputes every
+    signal independently (the bigram mode via unnest+count+row_number,
+    tie-break ORDER BY count DESC, gram ASC to match the fold's
+    strict-> in sorted order)."""
+    from jobinsight_data_pipeline_spark.operators.textstats import (
+        with_repetition_signals,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    return with_repetition_signals(t["documents"], "text").select(
+        "doc_id",
+        "dup_line_frac",
+        "dup_word_frac",
+        "mean_word_len",
+        "top_bigram_frac",
+        "bullet_line_frac",
+        "ellipsis_line_frac",
+    )
+
+
+O_REPETITION_SIGNALS = """
+WITH base AS (
+    SELECT doc_id, text,
+           list_filter(list_transform(string_split(text, chr(10)),
+                                      x -> trim(x)), x -> x <> '') AS ls,
+           regexp_split_to_array(trim(text), '\\s+') AS words
+    FROM documents
+),
+grams AS (
+    SELECT doc_id, t.g
+    FROM (SELECT doc_id,
+                 list_transform(range(1, greatest(len(words), 1)),
+                                i -> words[i] || ' ' || words[i + 1]) AS gs
+          FROM base),
+         unnest(gs) AS t(g)
+),
+gcount AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2),
+gmode AS (
+    SELECT doc_id, g, c FROM (
+        SELECT doc_id, g, c,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY c DESC, g ASC) AS rn
+        FROM gcount) WHERE rn = 1
+),
+stats AS (
+    SELECT b.doc_id,
+           len(b.ls) AS n_lines,
+           len(array_distinct(b.ls)) AS n_uniq_lines,
+           CASE WHEN trim(b.text) = '' THEN 0 ELSE len(b.words) END AS n_words,
+           len(array_distinct(b.words)) AS n_uniq_words,
+           list_sum(list_transform(b.words, w -> length(w))) AS word_chars,
+           length(array_to_string(b.words, ' ')) AS total_chars,
+           m.c AS mode_c, m.g AS mode_g,
+           len(list_filter(b.ls,
+               x -> regexp_matches(x, '^([-*•‣▪]|[0-9]+[.)])\\s'))) AS n_bullet,
+           len(list_filter(b.ls,
+               x -> regexp_matches(x, '(\\.\\.\\.|…)$'))) AS n_ellipsis
+    FROM base b LEFT JOIN gmode m USING (doc_id)
+)
+SELECT doc_id,
+       CASE WHEN n_lines > 0
+            THEN round(1.0 - n_uniq_lines / CAST(n_lines AS DOUBLE), 4)
+            ELSE 0.0 END AS dup_line_frac,
+       CASE WHEN n_words > 0
+            THEN round(1.0 - n_uniq_words / CAST(n_words AS DOUBLE), 4)
+            ELSE 0.0 END AS dup_word_frac,
+       CASE WHEN n_words > 0
+            THEN round(word_chars / CAST(n_words AS DOUBLE), 4)
+            ELSE 0.0 END AS mean_word_len,
+       CASE WHEN mode_c IS NOT NULL AND total_chars > 0
+            THEN round(mode_c * length(mode_g) / CAST(total_chars AS DOUBLE), 4)
+            ELSE 0.0 END AS top_bigram_frac,
+       CASE WHEN n_lines > 0
+            THEN round(n_bullet / CAST(n_lines AS DOUBLE), 4)
+            ELSE 0.0 END AS bullet_line_frac,
+       CASE WHEN n_lines > 0
+            THEN round(n_ellipsis / CAST(n_lines AS DOUBLE), 4)
+            ELSE 0.0 END AS ellipsis_line_frac
+FROM stats
+"""
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load(spark, sf_dir, "documents")
     return with_text_stats(t["documents"], "text").select(
@@ -568,6 +655,7 @@ QUERIES = {
     "hash_split": q_hash_split,
     "exact_dedup": q_exact_dedup,
     "text_stats": q_text_stats,
+    "repetition_signals": q_repetition_signals,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_lsh": q_minhash_lsh,
     "simhash_pairs": q_simhash_pairs,
@@ -584,6 +672,7 @@ ORACLES = {
     "hash_split": O_HASH_SPLIT,
     "exact_dedup": O_EXACT_DEDUP,
     "text_stats": O_TEXT_STATS,
+    "repetition_signals": O_REPETITION_SIGNALS,
     "ngram_jaccard": O_NGRAM_JACCARD,
     "minhash_lsh": O_MINHASH_LSH,
     "simhash_pairs": O_SIMHASH_PAIRS,

@@ -99,6 +99,120 @@ def fingerprint(text: ColumnOrName) -> Column:
     return F.xxhash64(normalized)
 
 
+def lines(text: ColumnOrName) -> Column:
+    """Non-empty trimmed lines."""
+    raw = F.split(_col(text), r"\n")
+    return F.filter(F.transform(raw, F.trim), lambda ln: ln != "")
+
+
+def duplicate_line_fraction(text: ColumnOrName) -> Column:
+    """Gopher-style repetition signal: fraction of lines that are exact
+    duplicates of an earlier line (0.0 for empty docs)."""
+    ls = lines(text)
+    n = F.size(ls)
+    return F.when(
+        n > 0, F.round(1.0 - F.size(F.array_distinct(ls)) / n, 4)
+    ).otherwise(F.lit(0.0))
+
+
+def duplicate_word_fraction(text: ColumnOrName) -> Column:
+    t = _col(text)
+    n = word_count(t)
+    return F.when(
+        n > 0, F.round(1.0 - unique_word_count(t) / n, 4)
+    ).otherwise(F.lit(0.0))
+
+
+def mean_word_length(text: ColumnOrName) -> Column:
+    t = _col(text)
+    n = word_count(t)
+    total = F.aggregate(
+        tokens(t), F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    return F.when(n > 0, F.round(total / n, 4)).otherwise(F.lit(0.0))
+
+
+def word_bigrams(text: ColumnOrName) -> Column:
+    """Adjacent word 2-grams joined with a single space."""
+    w = tokens(_col(text))
+    return F.transform(
+        F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
+        lambda x, i: F.concat(x, F.lit(" "), F.element_at(w, i + 2)),
+    )
+
+
+def top_bigram_char_fraction(text: ColumnOrName) -> Column:
+    """Gopher-style: fraction of the (whitespace-normalized) text's
+    characters covered by occurrences of the most frequent word 2-gram.
+
+    Computed per-row with NO shuffle: sort the bigram array, then a
+    single higher-order ``aggregate`` fold finds the longest run (= the
+    mode of a sorted array). Ties break to the lexicographically
+    smallest gram (strict > while folding in sorted order) — the oracle
+    must use ORDER BY count DESC, gram ASC. O(k log k) per doc vs the
+    explode+groupBy formulation's full (doc, gram) shuffle."""
+    t = _col(text)
+    grams = F.array_sort(word_bigrams(t))
+    state = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+        F.lit("").alias("best_gram"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run2 = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        better = run2 > acc["best"]
+        return F.struct(
+            x.alias("prev"),
+            run2.alias("run"),
+            F.when(better, run2).otherwise(acc["best"]).alias("best"),
+            F.when(better, x).otherwise(acc["best_gram"]).alias("best_gram"),
+        )
+
+    mode = F.aggregate(grams, state, step)
+    total_chars = F.length(F.concat_ws(" ", tokens(t)))
+    return F.when(
+        (F.size(grams) > 0) & (total_chars > 0),
+        F.round(mode["best"] * F.length(mode["best_gram"]) / total_chars, 4),
+    ).otherwise(F.lit(0.0))
+
+
+def bullet_line_fraction(text: ColumnOrName) -> Column:
+    ls = lines(text)
+    n = F.size(ls)
+    bullets = F.size(
+        F.filter(ls, lambda ln: ln.rlike(r"^([-*•‣▪]|\d+[.)])\s"))
+    )
+    return F.when(n > 0, F.round(bullets / n, 4)).otherwise(F.lit(0.0))
+
+
+def ellipsis_line_fraction(text: ColumnOrName) -> Column:
+    ls = lines(text)
+    n = F.size(ls)
+    ell = F.size(F.filter(ls, lambda ln: ln.rlike(r"(\.\.\.|…)$")))
+    return F.when(n > 0, F.round(ell / n, 4)).otherwise(F.lit(0.0))
+
+
+def with_repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the Gopher-style repetition/format quality block in one
+    narrow projection — per-row independent, shuffle-free, codegen'd
+    (the higher-order fold included); filters built on it (e.g.
+    dup_line_frac < 0.3 AND top_bigram_frac < 0.18) push down to the
+    scan like any other predicate."""
+    from jobinsight_data_pipeline_spark.operators.parallelism import widen_for_cpu
+
+    return (
+        widen_for_cpu(df)
+        .withColumn("dup_line_frac", duplicate_line_fraction(text_col))
+        .withColumn("dup_word_frac", duplicate_word_fraction(text_col))
+        .withColumn("mean_word_len", mean_word_length(text_col))
+        .withColumn("top_bigram_frac", top_bigram_char_fraction(text_col))
+        .withColumn("bullet_line_frac", bullet_line_fraction(text_col))
+        .withColumn("ellipsis_line_frac", ellipsis_line_fraction(text_col))
+    )
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full stats block in one narrow projection (widened
     first: the regex battery is CPU-dense scan-stage work)."""

@@ -293,3 +293,47 @@ def test_text_stats(spark):
     fp1 = out[1]["fingerprint"]
     fp2 = with_text_stats(df2, "text").collect()[0]["fingerprint"]
     assert fp1 == fp2
+
+
+def test_repetition_signals_known_answers(spark):
+    from jobinsight_data_pipeline_spark.operators.textstats import (
+        with_repetition_signals,
+    )
+
+    docs = [
+        # 4 lines, one duplicate; "- " bullet; trailing ellipsis
+        (1, "buy now\nbuy now\n- item one\nwait for it..."),
+        # "a b" occurs 3x in "a b a b a b" (grams: 'a b','b a','a b','b a',
+        # 'a b'); top gram 'a b' count 3, len 3; total chars 11
+        (2, "a b a b a b"),
+        (3, ""),  # empty: every signal 0
+        (4, None),  # NULL text: every signal 0
+        (5, "unique words only here"),  # no repetition
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in with_repetition_signals(df, "text").collect()}
+
+    r = out[1]
+    assert r["dup_line_frac"] == 0.25  # 1 of 4 lines repeated
+    assert r["bullet_line_frac"] == 0.25
+    assert r["ellipsis_line_frac"] == 0.25
+
+    r = out[2]
+    assert r["dup_word_frac"] == round(1 - 2 / 6, 4)
+    assert r["top_bigram_frac"] == round(3 * 3 / 11, 4)
+    assert r["mean_word_len"] == 1.0
+
+    for empty_id in (3, 4):
+        r = out[empty_id]
+        for c in (
+            "dup_line_frac", "dup_word_frac", "mean_word_len",
+            "top_bigram_frac", "bullet_line_frac", "ellipsis_line_frac",
+        ):
+            assert r[c] == 0.0, (empty_id, c, r[c])
+
+    r = out[5]
+    assert r["dup_word_frac"] == 0.0
+    # each bigram occurs once: coverage = len of the lexicographically
+    # smallest gram ('here' is last word; grams sorted, strict > keeps
+    # the first) over total chars
+    assert r["dup_line_frac"] == 0.0
