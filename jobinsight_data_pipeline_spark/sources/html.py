@@ -26,21 +26,34 @@ from pyspark.sql import functions as F
 
 from jobinsight_data_pipeline_spark.schemas import RAW_JOBS
 
-# Opening tags are matched quote-aware — `(?:[^>"]|"[^"]*")*` steps over
-# '>' INSIDE double-quoted attribute values (the address-tooltip branch
-# anticipates data-original-title holding literal HTML like
-# 'Hà Nội<br>HCM'; a naive [^>]* truncates the attr list there, losing
-# data-job-id and silently dropping the card).
-_QA = r'(?:[^>"]|"[^"]*")*'
+# Opening tags are matched quote-aware — the alternation steps over '>'
+# INSIDE quoted attribute values (the address-tooltip branch anticipates
+# data-original-title holding literal HTML like 'Hà Nội<br>HCM'; a naive
+# [^>]* truncates the attr list there, losing data-job-id and silently
+# dropping the card). Both quote styles are stepped over: real crawled
+# pages mix them, and bs4 (the reference parser) accepts either.
+_QA = r"(?:[^>\"']|\"[^\"]*\"|'[^']*')*"
 
+_CLS_JOB_ITEM = "(?:\"[^\"]*job-item-2[^\"]*\"|'[^']*job-item-2[^']*')"
 _JOB_ITEM_RE = re.compile(
-    rf"<div\b({_QA}class=\"[^\"]*job-item-2[^\"]*\"{_QA})>"
-    rf"(.*?)(?=<div\b{_QA}class=\"[^\"]*job-item-2|\Z)",
+    rf"<div\b({_QA}class={_CLS_JOB_ITEM}{_QA})>"
+    rf"(.*?)(?=<div\b{_QA}class={_CLS_JOB_ITEM}|\Z)",
     re.DOTALL,
 )
 
-_ATTRS_RE = re.compile(r'([\w-]+)\s*=\s*"([^"]*)"')
+# html.parser attribute forms bs4 accepts: double-quoted, single-quoted,
+# unquoted (terminated by whitespace or '>')
+_ATTRS_RE = re.compile(
+    r"([\w-]+)\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>\"'=]+))"
+)
 _TAG_RES: dict[str, re.Pattern] = {}
+
+
+def _parse_attrs(s: str) -> dict[str, str]:
+    return {
+        m.group(1): next(g for g in m.groups()[1:] if g is not None)
+        for m in _ATTRS_RE.finditer(s)
+    }
 
 
 def _tag_re(tag: str) -> re.Pattern:
@@ -56,7 +69,7 @@ def _tag_re(tag: str) -> re.Pattern:
 def _iter_tags(block: str, tag: str):
     """(attrs dict, inner html) for each non-nested <tag>…</tag>."""
     for m in _tag_re(tag).finditer(block):
-        yield dict(_ATTRS_RE.findall(m.group(1))), m.group(2)
+        yield _parse_attrs(m.group(1)), m.group(2)
 
 
 def _find(block: str, tag: str, cls: str | None = None):
@@ -72,7 +85,7 @@ def _find(block: str, tag: str, cls: str | None = None):
 def _find_img(block: str, cls: str | None = None):
     """Void-element variant of ``_find`` for <img …>."""
     for m in re.finditer(rf"<img\b({_QA})/?>", block, re.IGNORECASE):
-        attrs = dict(_ATTRS_RE.findall(m.group(1)))
+        attrs = _parse_attrs(m.group(1))
         if cls is None or cls in attrs.get("class", "").split():
             return attrs
     return None
@@ -113,7 +126,7 @@ def parse_job_cards(html: str, as_of: dt.datetime) -> list[dict]:
     if "job-item-2" not in html:
         return jobs
     for m in _JOB_ITEM_RE.finditer(html):
-        card_attrs = dict(_ATTRS_RE.findall(m.group(1)))
+        card_attrs = _parse_attrs(m.group(1))
         # group(2) is the card's INNER html — searching the full match
         # would make the tag regex see the card wrapper itself first and
         # skip nested siblings (finditer is non-overlapping)

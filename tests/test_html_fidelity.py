@@ -291,3 +291,49 @@ def test_two_cards_split_and_semicolon_hygiene():
     assert [j["job_id"] for j in jobs] == ["1", "2"]
     # _validate_job_data hygiene: ';' → ',' (parser.py:379-389)
     assert jobs[0]["title"] == "A, B"
+
+
+# --- malformed attribute forms bs4's html.parser accepts -------------------
+# (the reference parses with BeautifulSoup, which tolerates all three
+# quote styles; real crawled pages mix them)
+
+def test_single_quoted_attributes():
+    j = one(
+        "<div class='job-item-2' data-job-id='88'>"
+        "<h3 class='title'><a href='/x-9.html'><span "
+        "data-original-title='Kỹ sư'>K</span></a></h3></div>"
+    )
+    assert j["job_id"] == "88"
+    assert j["title"] == "Kỹ sư"
+    assert j["job_url"] == "https://www.topcv.vn/x-9.html"
+
+
+def test_unquoted_attributes():
+    j = one(card("<h3 class=title>Dev</h3>", attrs="data-job-id=99"))
+    assert j["job_id"] == "99"
+    assert j["title"] == "Dev"
+
+
+def test_mixed_quote_styles_with_gt_in_single_quoted_tooltip():
+    # '>' inside a SINGLE-quoted tooltip must not truncate the attr list
+    html = (
+        "<div class='job-item-2' data-original-title='a<br>b' "
+        'data-job-id="61"><h3 class="title">Dev</h3>'
+        "<label class='address' data-original-title='HN<br>HCM'>HN</label>"
+        "</div>"
+    )
+    j = one(html)
+    assert j["job_id"] == "61"
+    assert j["location_detail"] == "HN HCM"
+
+
+def test_unquoted_img_src_and_single_quoted_skills_tooltip():
+    html = card(
+        '<h3 class="title">Dev</h3>'
+        "<div class='skills'><label class='item' "
+        "data-original-title='SQL, Docker'>+2 +</label></div>"
+        "<a href='/y'><img src=https://cdn/l.png></a>"
+    )
+    j = one(html)
+    assert j["skills"] == ["SQL", "Docker"]
+    assert j["logo_url"] == "https://cdn/l.png"
