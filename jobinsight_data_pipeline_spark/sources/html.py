@@ -6,12 +6,23 @@ file list IS the DataFrame: ``binaryFile`` scan → ``mapInPandas`` batch
 parser → raw_jobs rows. Partition parallelism replaces the thread pool;
 dedupe is a dropDuplicates.
 
-BeautifulSoup is not available in this container, so the extractor is a
-regex parser for the job-card contract (div.job-item-2 with data-job-id,
-title span[data-original-title], company/salary/location/deadline
-fields — parser.py:192-377). When bs4 IS importable it is used for the
-text-extraction fallbacks. The field contract (15 columns) is identical
-either way.
+bs4 itself is not in this image, but its ``'html.parser'`` backend — the
+exact treebuilder the reference selects (parser.py:151) — is a wrapper
+over the stdlib ``html.parser``, so sources/htmltree.py rebuilds the
+same tolerant element tree on that stdlib event stream and this module
+walks it with the reference's selector-fallback branches one-for-one
+(parser.py:192-377). Nested same-name tags, unclosed tags, stray end
+tags, comments, and entity references all behave as bs4 would; fixture
+parity is pinned per branch by tests/test_html_fidelity.py.
+
+Pinned deviations (documented in tests/test_html_fidelity.py):
+- deadline keeps only the day count (the reference stores the raw text
+  and regex-extracts the number later; due_date_from_deadline consumes
+  the count directly here);
+- text extraction joins fragments with a single space (bs4
+  ``get_text(strip=True)`` concatenates bare);
+- a '+N' skill chip whose tooltip is HTML keeps the visible chip text
+  (the reference drops the chip entirely, parser.py:309-318).
 """
 
 from __future__ import annotations
@@ -25,78 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from jobinsight_data_pipeline_spark.schemas import RAW_JOBS
-
-# Opening tags are matched quote-aware — the alternation steps over '>'
-# INSIDE quoted attribute values (the address-tooltip branch anticipates
-# data-original-title holding literal HTML like 'Hà Nội<br>HCM'; a naive
-# [^>]* truncates the attr list there, losing data-job-id and silently
-# dropping the card). Both quote styles are stepped over: real crawled
-# pages mix them, and bs4 (the reference parser) accepts either.
-_QA = r"(?:[^>\"']|\"[^\"]*\"|'[^']*')*"
-
-_CLS_JOB_ITEM = "(?:\"[^\"]*job-item-2[^\"]*\"|'[^']*job-item-2[^']*')"
-_JOB_ITEM_RE = re.compile(
-    rf"<div\b({_QA}class={_CLS_JOB_ITEM}{_QA})>"
-    rf"(.*?)(?=<div\b{_QA}class={_CLS_JOB_ITEM}|\Z)",
-    re.DOTALL,
-)
-
-# html.parser attribute forms bs4 accepts: double-quoted, single-quoted,
-# unquoted (terminated by whitespace or '>')
-_ATTRS_RE = re.compile(
-    r"([\w-]+)\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>\"'=]+))"
-)
-_TAG_RES: dict[str, re.Pattern] = {}
-
-
-def _parse_attrs(s: str) -> dict[str, str]:
-    return {
-        m.group(1): next(g for g in m.groups()[1:] if g is not None)
-        for m in _ATTRS_RE.finditer(s)
-    }
-
-
-def _tag_re(tag: str) -> re.Pattern:
-    pat = _TAG_RES.get(tag)
-    if pat is None:
-        pat = re.compile(
-            rf"<{tag}\b({_QA})>(.*?)</{tag}>", re.DOTALL | re.IGNORECASE
-        )
-        _TAG_RES[tag] = pat
-    return pat
-
-
-def _iter_tags(block: str, tag: str):
-    """(attrs dict, inner html) for each non-nested <tag>…</tag>."""
-    for m in _tag_re(tag).finditer(block):
-        yield _parse_attrs(m.group(1)), m.group(2)
-
-
-def _find(block: str, tag: str, cls: str | None = None):
-    """First <tag> whose class ATTRIBUTE TOKEN list contains ``cls`` —
-    token match, not substring, so cls='title' won't hit 'title-salary'
-    (BeautifulSoup class_ semantics)."""
-    for attrs, inner in _iter_tags(block, tag):
-        if cls is None or cls in attrs.get("class", "").split():
-            return attrs, inner
-    return None, None
-
-
-def _find_img(block: str, cls: str | None = None):
-    """Void-element variant of ``_find`` for <img …>."""
-    for m in re.finditer(rf"<img\b({_QA})/?>", block, re.IGNORECASE):
-        attrs = _parse_attrs(m.group(1))
-        if cls is None or cls in attrs.get("class", "").split():
-            return attrs
-    return None
-
-
-def _text(html: str | None) -> str | None:
-    """get_text(strip=True) equivalent."""
-    if html is None:
-        return None
-    out = re.sub(r"\s+", " ", re.sub(r"<[^>]+>", " ", html)).strip()
-    return out
+from jobinsight_data_pipeline_spark.sources.htmltree import Element, parse_html
 
 
 def _clean_field(v: str | None) -> str | None:
@@ -114,31 +54,26 @@ def _prefix_url(href: str | None) -> str | None:
     return f"https://www.topcv.vn{href}" if href.startswith("/") else href
 
 
+def _text(el: Element | None) -> str | None:
+    return el.get_text() if el is not None else None
+
+
 def parse_job_cards(html: str, as_of: dt.datetime) -> list[dict]:
     """Extract the 15-field raw_jobs contract from one listing page,
     mirroring the reference's selector-fallback branches one-for-one
-    (parser.py:192-377); fixture parity is pinned per branch by
-    tests/test_html_fidelity.py. One deliberate normalization: deadline
-    keeps only the day count (the reference stores the raw text and
-    regex-extracts the number later — data_prepare's due-date parse;
-    due_date_from_deadline consumes the count directly here)."""
+    (parser.py:192-377)."""
     jobs: list[dict] = []
     if "job-item-2" not in html:
         return jobs
-    for m in _JOB_ITEM_RE.finditer(html):
-        card_attrs = _parse_attrs(m.group(1))
-        # group(2) is the card's INNER html — searching the full match
-        # would make the tag regex see the card wrapper itself first and
-        # skip nested siblings (finditer is non-overlapping)
-        head = m.group(2)
-
+    root = parse_html(html)
+    for item in root.find_all("div", "job-item-2"):
         # job_id: data-job-id | derived from the first href (parser.py:220-233)
-        job_id = card_attrs.get("data-job-id") or None
+        job_id = item.get("data-job-id") or None
         job_url = None
         if job_id is None:
-            first_a, _ = _find(head, "a")
-            href = first_a.get("href") if first_a else None
-            if href:
+            link = item.find("a", href=True)
+            if link is not None:
+                href = link.attrs["href"]
                 tail = href.split("?")[0].rsplit("-", 1)[-1].replace(".html", "")
                 if tail:
                     job_id = tail
@@ -147,127 +82,109 @@ def parse_job_cards(html: str, as_of: dt.datetime) -> list[dict]:
             continue
 
         # title: h3.title a span[data-original-title] | h3.title text
-        _, h3_inner = _find(head, "h3", "title")
+        # (parser.py:236-243)
         title = None
-        if h3_inner is not None:
-            for attrs, _inner in _iter_tags(h3_inner, "span"):
-                if attrs.get("data-original-title"):
-                    title = attrs["data-original-title"].strip()
-                    break
-            if title is None:
-                title = _text(h3_inner)
+        span = item.select_one("h3.title a span[data-original-title]")
+        if span is not None and span.get("data-original-title"):
+            title = span.attrs["data-original-title"].strip()
+        else:
+            title = _text(item.find("h3", "title"))
         if not title:  # parser.py:168 — job_id AND title required
             continue
 
         # job_url: h3.title a href overrides the fallback (parser.py:246-249)
-        if h3_inner is not None:
-            a_attrs, _ = _find(h3_inner, "a")
-            if a_attrs and a_attrs.get("href"):
-                job_url = _prefix_url(a_attrs["href"])
+        title_a = item.select_one("h3.title a")
+        if title_a is not None and title_a.get("href"):
+            job_url = _prefix_url(title_a.attrs["href"])
 
         # company (parser.py:252-257)
-        co_attrs, co_inner = _find(head, "a", "company")
-        company = _text(co_inner) if co_inner is not None else None
-        company_url = _prefix_url(co_attrs.get("href")) if co_attrs else None
+        company = company_url = None
+        co = item.find("a", "company")
+        if co is not None:
+            company = co.get_text()
+            company_url = _prefix_url(co.get("href"))
 
         # location: label.address (+tooltip → detail) | div.info span
-        # (parser.py:259-287); tooltip may itself hold HTML
+        # (parser.py:259-287); tooltip may itself hold HTML — the
+        # reference parses it with a nested soup
         location = loc_detail = None
-        addr_attrs, addr_inner = _find(head, "label", "address")
-        if addr_inner is not None:
-            location = _text(addr_inner)
-            tooltip = addr_attrs.get("data-original-title")
+        addr = item.select_one("label.address")
+        if addr is not None:
+            location = addr.get_text()
+            tooltip = addr.get("data-original-title")
             if tooltip:
-                loc_detail = _clean_field(_text(tooltip))
+                loc_detail = _clean_field(parse_html(tooltip).get_text())
             if not loc_detail:
                 loc_detail = location
         else:
-            _, info_inner = _find(head, "div", "info")
-            if info_inner is not None:
-                _, span_inner = _find(info_inner, "span")
-                if span_inner is not None:
-                    location = _text(span_inner)
-                    loc_detail = location
+            info = item.find("div", "info")
+            if info is not None:
+                location = _text(info.find("span"))
+                loc_detail = location
 
         # salary: label.title-salary | div.salary (parser.py:289-297);
         # span.salary tolerated for older captures
-        _, sal_inner = _find(head, "label", "title-salary")
-        if sal_inner is None:
-            _, sal_inner = _find(head, "div", "salary")
-        if sal_inner is None:
-            _, sal_inner = _find(head, "span", "salary")
-        salary = _text(sal_inner) if sal_inner is not None else None
+        sal = (
+            item.select_one("label.title-salary")
+            or item.find("div", "salary")
+            or item.find("span", "salary")
+        )
+        salary = _text(sal)
 
         # skills: div.skills label.item ('+' pulls tooltip skills) |
         # span.tag-item fallback (parser.py:299-324)
         skills: list[str] = []
-        _, skills_inner = _find(head, "div", "skills")
-        if skills_inner is not None:
-            for attrs, inner in _iter_tags(skills_inner, "label"):
-                if "item" not in attrs.get("class", "").split():
-                    continue
-                skill_text = _text(inner) or ""
-                tooltip = attrs.get("data-original-title")
+        chips = item.select("div.skills label.item")
+        if chips:
+            for chip in chips:
+                skill_text = chip.get_text()
+                tooltip = chip.get("data-original-title")
                 if skill_text.endswith("+") and tooltip and not tooltip.startswith("<"):
                     skills.extend(s.strip() for s in tooltip.split(","))
                 else:
                     skills.append(skill_text)
         else:
-            for attrs, inner in _iter_tags(head, "span"):
-                if "tag-item" in attrs.get("class", "").split():
-                    t = _text(inner)
-                    if t:
-                        skills.append(t)
+            for tag_el in item.find_all("span", "tag-item"):
+                t = tag_el.get_text()
+                if t:
+                    skills.append(t)
 
         # deadline: label.time strong | div.deadline (parser.py:326-334),
         # normalized to the day count; span.deadline tolerated
-        deadline = None
-        _, time_inner = _find(head, "label", "time")
-        if time_inner is not None:
-            _, strong_inner = _find(time_inner, "strong")
-            if strong_inner is not None:
-                deadline = _text(strong_inner)
-        if deadline is None:
-            _, dl_inner = _find(head, "div", "deadline")
-            if dl_inner is None:
-                _, dl_inner = _find(head, "span", "deadline")
-            if dl_inner is not None:
-                deadline = _text(dl_inner)
+        dl = (
+            item.select_one("label.time strong")
+            or item.find("div", "deadline")
+            or item.find("span", "deadline")
+        )
+        deadline = _text(dl)
         if deadline is not None:
             num = re.search(r"\d+", deadline)
             deadline = num.group(0) if num else None
 
         # verified employer: span.vip-badge presence (parser.py:336-339)
-        verified = _find(head, "span", "vip-badge")[0] is not None
+        verified = item.select_one("span.vip-badge") is not None
 
         # last_update: label.deadline | span.time | div.label-content
         # containing 'Cập nhật' (parser.py:341-358)
-        last_update = None
-        _, lu_inner = _find(head, "label", "deadline")
-        if lu_inner is not None:
-            last_update = _text(lu_inner)
-        else:
-            _, lu_inner = _find(head, "span", "time")
-            if lu_inner is not None:
-                last_update = _text(lu_inner)
-            else:
-                for attrs, inner in _iter_tags(head, "div"):
-                    if "label-content" in attrs.get("class", "").split():
-                        t = _text(inner) or ""
-                        if "Cập nhật" in t:
-                            last_update = t
-                            break
+        last_update = _text(
+            item.select_one("label.deadline") or item.select_one("span.time")
+        )
+        if last_update is None:
+            for label in item.find_all("div", "label-content"):
+                t = label.get_text()
+                if "Cập nhật" in t:
+                    last_update = t
+                    break
 
-        # logo: first a>img | img.img-responsive (parser.py:360-368)
+        # logo: first a>img (must carry src) | img.img-responsive
+        # (parser.py:360-368)
         logo = None
-        for _a_attrs, a_inner in _iter_tags(head, "a"):
-            img = _find_img(a_inner)
-            if img and img.get("src"):
-                logo = img["src"]
-                break
-        if logo is None:
-            img = _find_img(head, "img-responsive")
-            if img:
+        logo_el = item.select_one("a img")
+        if logo_el is not None and logo_el.get("src"):
+            logo = logo_el.attrs["src"]
+        else:
+            img = item.find("img", "img-responsive")
+            if img is not None:
                 logo = img.get("src", "")
 
         jobs.append(

@@ -337,3 +337,128 @@ def test_unquoted_img_src_and_single_quoted_skills_tooltip():
     j = one(html)
     assert j["skills"] == ["SQL", "Docker"]
     assert j["logo_url"] == "https://cdn/l.png"
+
+
+# --- tree-structural parity (sources/htmltree.py) --------------------------
+# Cases a flat regex scan cannot honor but BeautifulSoup('html.parser') —
+# the reference's backend — does: nested same-name tags, comments,
+# entity references, unclosed/stray tags, and true element scoping.
+
+def test_nested_div_inside_info_does_not_truncate():
+    # div.info contains a nested div BEFORE the span — naive first-</div>
+    # matching would cut the span off
+    html = card(
+        '<h3 class="title">Dev</h3>'
+        '<div class="info"><div class="icon"></div><span>Huế</span></div>'
+    )
+    j = one(html)
+    assert j["location"] == "Huế"
+
+
+def test_commented_out_card_ignored():
+    html = (
+        '<!-- <div class="job-item-2" data-job-id="1"><h3 class="title">X</h3></div> -->'
+        + card('<h3 class="title">Real</h3>', attrs='data-job-id="2"')
+    )
+    jobs = parse_job_cards(html, AS_OF)
+    assert [j["job_id"] for j in jobs] == ["2"]
+    assert jobs[0]["title"] == "Real"
+
+
+def test_entity_references_decoded():
+    # bs4 html.parser decodes charrefs; '&amp;' must not survive literally
+    html = card(
+        '<h3 class="title">C&amp;B Executive</h3>'
+        '<a class="company" href="/c">D&#x2019;Arcy &amp; Sons</a>'
+    )
+    j = one(html)
+    assert j["title"] == "C&B Executive"
+    assert j["company_name"] == "D’Arcy & Sons"
+
+
+def test_unclosed_label_still_scopes_following_sibling():
+    # label.address never closed — auto-closes at the card boundary;
+    # the salary label nested inside it must still be found
+    html = card(
+        '<h3 class="title">Dev</h3>'
+        '<label class="address">HN'
+        '<label class="title-salary">7 triệu</label>'
+    )
+    j = one(html)
+    assert j["salary"] == "7 triệu"
+    assert j["location"] is not None and j["location"].startswith("HN")
+
+
+def test_stray_end_tags_ignored():
+    html = card(
+        "</span></div2></label>"
+        '<h3 class="title">Dev</h3></strong>'
+        '<div class="salary">8 triệu</div>'
+    )
+    j = one(html)
+    assert j["title"] == "Dev"
+    assert j["salary"] == "8 triệu"
+
+
+def test_fields_after_card_close_do_not_leak_in():
+    # bs4 scopes extract_job_data to the job_item ELEMENT — a salary
+    # sitting after </div> belongs to no card
+    html = (
+        card('<h3 class="title">Dev</h3>')
+        + '<div class="salary">outside</div>'
+    )
+    assert one(html)["salary"] is None
+
+
+def test_title_span_requires_anchor_ancestor():
+    # reference selector is 'h3.title a span[data-original-title]' — a
+    # tooltip span directly under h3 (no <a>) falls back to h3 text
+    html = card(
+        '<h3 class="title"><span data-original-title="Tooltip">Visible</span></h3>'
+    )
+    assert one(html)["title"] == "Visible"
+
+
+def test_job_id_fallback_skips_anchor_without_href():
+    # reference: find('a', href=True) — the first bare <a> is skipped
+    html = card(
+        '<a class="x"></a><a href="/real-777.html"></a>'
+        '<h3 class="title">Dev</h3>',
+        attrs="",
+    )
+    j = one(html)
+    assert j["job_id"] == "777"
+    assert j["job_url"] == "https://www.topcv.vn/real-777.html"
+
+
+def test_logo_anchor_img_without_src_falls_back():
+    # reference checks has_attr('src') on the FIRST 'a img' only, then
+    # falls back to img.img-responsive
+    html = card(
+        '<h3 class="title">Dev</h3>'
+        '<a href="/x"><img class="lazy"></a>'
+        '<img class="img-responsive" src="/fallback.png">'
+    )
+    assert one(html)["logo_url"] == "/fallback.png"
+
+
+def test_script_content_not_parsed_as_markup():
+    html = card(
+        '<script>var s = "<div class=\'salary\'>99 triệu</div>";</script>'
+        '<h3 class="title">Dev</h3>'
+    )
+    assert one(html)["salary"] is None
+
+
+def test_nested_card_found_as_its_own_item():
+    # bs4 find_all returns nested matches too (document order)
+    html = (
+        '<div class="job-item-2" data-job-id="10"><h3 class="title">Outer</h3>'
+        '<div class="job-item-2" data-job-id="11"><h3 class="title">Inner</h3></div>'
+        "</div>"
+    )
+    jobs = parse_job_cards(html, AS_OF)
+    assert [(j["job_id"], j["title"]) for j in jobs] == [
+        ("10", "Outer"),
+        ("11", "Inner"),
+    ]
