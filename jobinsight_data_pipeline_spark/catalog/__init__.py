@@ -190,6 +190,9 @@ DRIVER_QUERIES: list[str] = [
     "embedding_lsh_topk",
     "embedding_near_dup",
     "media_features",
+    # last on purpose: the heaviest gate in the module (iterative CC),
+    # and position 50 exactly fills the driver cap
+    "dedup_clusters",
 ]
 
 

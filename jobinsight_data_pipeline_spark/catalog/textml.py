@@ -650,6 +650,43 @@ GROUP BY 1
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clustering: the exact n-gram Jaccard pairs
+    (already under the `ngram_jaccard` gate) feed the alternating
+    large-star/small-star connected-components operator, and every
+    clustered document comes back with its component root, cluster size,
+    and keep-min canonical flag. The oracle recomputes the transitive
+    closure from the SAME pair SQL with a recursive CTE — an iterative
+    distributed graph algorithm checked against an exact sequential one.
+    """
+    from jobinsight_data_pipeline_spark.operators.components import dedup_clusters
+
+    t = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(t["documents"], "doc_id", "text", n=3, threshold=0.5)
+    return dedup_clusters(pairs).orderBy("doc_id")
+
+
+O_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS ({O_NGRAM_JACCARD}),
+sym AS (
+    SELECT doc_a AS u, doc_b AS v FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+),
+reach(node, r) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+    UNION
+    SELECT w.node, s.v FROM reach w JOIN sym s ON s.u = w.r
+),
+lbl AS (SELECT node AS doc_id, min(r) AS component FROM reach GROUP BY node),
+sz AS (SELECT component, count(*) AS cluster_size FROM lbl GROUP BY component)
+SELECT l.doc_id, l.component, sz.cluster_size,
+       l.doc_id = l.component AS is_canonical
+FROM lbl l JOIN sz USING (component)
+ORDER BY l.doc_id
+"""
+
+
 QUERIES = {
     "corpus_curation": q_corpus_curation,
     "hash_split": q_hash_split,
@@ -657,6 +694,7 @@ QUERIES = {
     "text_stats": q_text_stats,
     "repetition_signals": q_repetition_signals,
     "ngram_jaccard": q_ngram_jaccard,
+    "dedup_clusters": q_dedup_clusters,
     "minhash_lsh": q_minhash_lsh,
     "simhash_pairs": q_simhash_pairs,
     "embedding_topk": q_embedding_topk,
@@ -674,6 +712,7 @@ ORACLES = {
     "text_stats": O_TEXT_STATS,
     "repetition_signals": O_REPETITION_SIGNALS,
     "ngram_jaccard": O_NGRAM_JACCARD,
+    "dedup_clusters": O_DEDUP_CLUSTERS,
     "minhash_lsh": O_MINHASH_LSH,
     "simhash_pairs": O_SIMHASH_PAIRS,
     "embedding_topk": O_EMBEDDING_TOPK,

@@ -1,0 +1,136 @@
+"""Connected components over near-duplicate pair graphs.
+
+Pair emitters (operators/dedup.py: MinHash-LSH, SimHash, n-gram Jaccard)
+produce EDGES; corpus-level dedup needs CLUSTERS — transitively closed
+groups with one canonical survivor each (A~B and B~C must collapse to
+one document even when A~C was never emitted). The reference has no
+graph step (its dedupe is a per-key drop_duplicates,
+/root/reference/src/crawler/parser.py:455); this operator is part of the
+training-data namespace the engine adds on top.
+
+Algorithm: alternating Large-Star / Small-Star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SOCC 2014) — each round
+is two groupBy-min shuffles over the edge list, and the edge set
+contracts toward a star forest rooted at each component's minimum node
+id in O(log²) rounds regardless of graph diameter. That diameter
+independence is the 100 TB property: naive label propagation needs
+diameter-many rounds, and near-dup chains (A~B~C~…) can be long; the
+star steps short-circuit them. No step materializes a component in one
+task, so skewed giant clusters (boilerplate duplicated millions of
+times) stay distributed until the final star edges.
+
+Driver-side loop state is two scalars per round (edge count + order-
+insensitive xor fingerprint) plus an exact set-equality probe on the
+final round — bounded regardless of data size. Lineage is truncated
+every round with localCheckpoint (on a multi-executor cluster, point
+spark.sql.checkpoint.dir at durable storage and use checkpoint()).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _large_star(sym: DataFrame) -> DataFrame:
+    """Connect every neighbor v > u to min(N(u) ∪ {u}).
+
+    ``sym`` is the symmetric edge list (both directions present)."""
+    mins = sym.groupBy("u").agg(F.min("v").alias("m"))
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(
+            F.col("v").alias("u"),
+            F.least("m", F.col("u")).alias("v"),
+        )
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Connect every smaller neighbor (and u itself) to the minimum.
+
+    ``edges`` is oriented large→small (u > v for every row)."""
+    mins = edges.groupBy("u").agg(F.min("v").alias("m"))
+    relink = (
+        edges.join(mins, "u")
+        .where(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    return relink.unionByName(mins.select("u", F.col("m").alias("v"))).distinct()
+
+
+def connected_components(
+    pairs: DataFrame, src: str, dst: str, max_iter: int = 25
+) -> DataFrame:
+    """Label every node of the pair graph with its component id.
+
+    Returns ``(node, component)`` where ``component`` is the smallest
+    node id in the connected component — deterministic, join-stable, and
+    engine-portable (no generated ids).
+    """
+    edges = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        )
+        .distinct()
+    )
+    nodes = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .distinct()
+    )
+
+    edges = edges.localCheckpoint(eager=True)
+    prev_sig = None
+    for _ in range(max_iter):
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        new_edges = _small_star(_large_star(sym)).localCheckpoint(eager=True)
+        row = new_edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("sig"),
+        ).first()
+        sig = (row["n"], row["sig"])
+        if sig == prev_sig:
+            # fingerprint says converged — confirm with an exact
+            # set-equality probe (count equal + empty difference)
+            if new_edges.exceptAll(edges).isEmpty():
+                edges = new_edges
+                break
+        prev_sig = sig
+        edges = new_edges
+
+    # star forest: every non-root points at its component's minimum
+    return nodes.join(
+        edges.select(F.col("u").alias("node"), F.col("v").alias("root")),
+        "node",
+        "left",
+    ).select("node", F.coalesce("root", "node").alias("component"))
+
+
+def dedup_clusters(
+    pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b"
+) -> DataFrame:
+    """Near-dup pairs → per-document cluster assignment.
+
+    Returns ``(doc_id, component, cluster_size, is_canonical)``: one row
+    per document that appears in any pair, where the canonical survivor
+    is the smallest doc id of its transitive cluster (the deterministic
+    keep-min rule the exact-dedup path uses, operators/dedup.py).
+    Documents in no pair are implicitly their own canonical — callers
+    drop ``is_canonical = false`` rows from the corpus.
+    """
+    labels = connected_components(pairs, src, dst)
+    sizes = labels.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return labels.join(sizes, "component").select(
+        F.col("node").alias("doc_id"),
+        "component",
+        "cluster_size",
+        (F.col("node") == F.col("component")).alias("is_canonical"),
+    )

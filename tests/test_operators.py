@@ -337,3 +337,41 @@ def test_repetition_signals_known_answers(spark):
     # smallest gram ('here' is last word; grams sorted, strict > keeps
     # the first) over total chars
     assert r["dup_line_frac"] == 0.0
+
+
+# --- connected components (operators/components.py) ------------------------
+
+def test_connected_components_chain_and_islands(spark):
+    from jobinsight_data_pipeline_spark.operators.components import (
+        connected_components,
+        dedup_clusters,
+    )
+
+    # a diameter-9 path (forces multiple star rounds), a 2-cluster,
+    # a duplicate edge, and a self-loop (dropped)
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 10)] + [(21, 20), (20, 21), (30, 30)],
+        "doc_a: long, doc_b: long",
+    )
+    labels = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs, "doc_a", "doc_b").collect()
+    }
+    assert labels == {**{i: 1 for i in range(1, 11)}, 20: 20, 21: 20}
+
+    cl = dedup_clusters(pairs).collect()
+    assert {r["doc_id"]: r["cluster_size"] for r in cl if r["doc_id"] in (1, 20)} == {
+        1: 10,
+        20: 2,
+    }
+    canon = sorted(r["doc_id"] for r in cl if r["is_canonical"])
+    assert canon == [1, 20]
+
+
+def test_connected_components_empty_pairs(spark):
+    from jobinsight_data_pipeline_spark.operators.components import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame([], "doc_a: long, doc_b: long")
+    assert connected_components(pairs, "doc_a", "doc_b").count() == 0
