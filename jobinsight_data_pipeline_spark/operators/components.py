@@ -77,13 +77,15 @@ def connected_components(
         )
         .distinct()
     )
+    # checkpoint BEFORE deriving nodes: both the iteration and the final
+    # label join must read the materialized edge list, not re-run the
+    # (possibly expensive) upstream pair pipeline
+    edges = edges.localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("u").alias("node"))
         .unionByName(edges.select(F.col("v").alias("node")))
         .distinct()
     )
-
-    edges = edges.localCheckpoint(eager=True)
     prev_sig = None
     for _ in range(max_iter):
         sym = edges.unionByName(
