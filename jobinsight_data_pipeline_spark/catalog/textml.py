@@ -181,6 +181,87 @@ FROM stats
 """
 
 
+def q_c4_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher heuristic-filter block (operators/textstats.
+    with_c4_signals): line-level fractions, sentence proxy, doc-shape
+    guards, and the combined c4_keep verdict. The oracle recomputes every
+    signal independently; the boolean verdict re-derives from the same
+    ROUNDED columns on both sides so threshold boundaries cannot drift."""
+    from jobinsight_data_pipeline_spark.operators.textstats import with_c4_signals
+
+    t = load(spark, sf_dir, "documents")
+    return with_c4_signals(t["documents"], "text").select(
+        "doc_id",
+        "terminal_punct_line_frac",
+        "short_line_frac",
+        "sentence_cnt",
+        "alpha_word_frac",
+        "symbol_word_ratio",
+        "stopword_presence",
+        "mean_word_len",
+        "has_lorem_ipsum",
+        "has_curly_brace",
+        "c4_keep",
+    )
+
+
+O_C4_SIGNALS = """
+WITH base AS (
+    SELECT doc_id, text,
+           list_filter(list_transform(string_split(text, chr(10)),
+                                      x -> trim(x)), x -> x <> '') AS ls,
+           regexp_split_to_array(trim(text), '\\s+') AS words
+    FROM documents
+),
+stats AS (
+    SELECT doc_id, text,
+           len(ls) AS n_lines,
+           CASE WHEN trim(text) = '' THEN 0 ELSE len(words) END AS n_words,
+           len(list_filter(ls, x -> regexp_matches(x, '[.!?…"”]$'))) AS n_term,
+           len(list_filter(ls,
+               x -> len(regexp_split_to_array(x, '\\s+')) < 5)) AS n_short,
+           len(regexp_extract_all(text, '[.!?]+')) AS sentence_cnt,
+           len(list_filter(words, w -> regexp_matches(w, '\\p{L}'))) AS n_alpha,
+           len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS n_sym,
+           len(list_filter(list_distinct(list_transform(words, w -> lower(w))),
+               w -> w IN ('the','be','to','of','and','that','have','with')))
+               AS stopword_presence,
+           list_sum(list_transform(words, w -> length(w))) AS word_chars,
+           contains(lower(text), 'lorem ipsum') AS has_lorem_ipsum,
+           contains(text, '{') AS has_curly_brace
+    FROM base
+),
+sig AS (
+    SELECT doc_id, sentence_cnt, stopword_presence,
+           has_lorem_ipsum, has_curly_brace,
+           CASE WHEN n_lines > 0
+                THEN round(n_term / CAST(n_lines AS DOUBLE), 4)
+                ELSE 0.0 END AS terminal_punct_line_frac,
+           CASE WHEN n_lines > 0
+                THEN round(n_short / CAST(n_lines AS DOUBLE), 4)
+                ELSE 0.0 END AS short_line_frac,
+           CASE WHEN n_words > 0
+                THEN round(n_alpha / CAST(n_words AS DOUBLE), 4)
+                ELSE 0.0 END AS alpha_word_frac,
+           CASE WHEN n_words > 0
+                THEN round(n_sym / CAST(n_words AS DOUBLE), 4)
+                ELSE 0.0 END AS symbol_word_ratio,
+           CASE WHEN n_words > 0
+                THEN round(word_chars / CAST(n_words AS DOUBLE), 4)
+                ELSE 0.0 END AS mean_word_len
+    FROM stats
+)
+SELECT doc_id, terminal_punct_line_frac, short_line_frac, sentence_cnt,
+       alpha_word_frac, symbol_word_ratio, stopword_presence, mean_word_len,
+       has_lorem_ipsum, has_curly_brace,
+       sentence_cnt >= 3 AND NOT has_lorem_ipsum AND NOT has_curly_brace
+           AND alpha_word_frac >= 0.8
+           AND mean_word_len BETWEEN 3.0 AND 10.0
+           AND stopword_presence >= 2 AS c4_keep
+FROM sig
+"""
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(t["documents"], "doc_id", "text", n=3, threshold=0.5)
@@ -693,6 +774,7 @@ QUERIES = {
     "exact_dedup": q_exact_dedup,
     "text_stats": q_text_stats,
     "repetition_signals": q_repetition_signals,
+    "c4_signals": q_c4_signals,
     "ngram_jaccard": q_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,
     "minhash_lsh": q_minhash_lsh,
@@ -711,6 +793,7 @@ ORACLES = {
     "exact_dedup": O_EXACT_DEDUP,
     "text_stats": O_TEXT_STATS,
     "repetition_signals": O_REPETITION_SIGNALS,
+    "c4_signals": O_C4_SIGNALS,
     "ngram_jaccard": O_NGRAM_JACCARD,
     "dedup_clusters": O_DEDUP_CLUSTERS,
     "minhash_lsh": O_MINHASH_LSH,

@@ -228,3 +228,98 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("quality", quality_score(text_col))
         .withColumn("fingerprint", fingerprint(text_col))
     )
+
+
+# --- C4-style heuristic filters (Raffel et al. 2020, §2.2) ------------------
+# Doc/line-level cleanup rules the C4 pipeline applies before training:
+# terminal-punctuation lines, minimum sentence counts, code/boilerplate
+# markers, plus the Gopher doc-shape guards (alphabetic-word fraction,
+# required-stopword presence). All native Column expressions — per-row,
+# shuffle-free, whole-stage-codegen'd.
+
+#: Gopher's required-stopword list: a document is expected to contain
+#: at least two of these (MassiveText quality filter).
+REQUIRED_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def terminal_punct_line_fraction(text: ColumnOrName) -> Column:
+    """Fraction of non-empty lines ending in terminal punctuation
+    (C4 keeps only such lines)."""
+    ls = lines(text)
+    n = F.size(ls)
+    ok = F.size(F.filter(ls, lambda ln: ln.rlike(r"[.!?…\"”]$")))
+    return F.when(n > 0, F.round(ok / n, 4)).otherwise(F.lit(0.0))
+
+
+def short_line_fraction(text: ColumnOrName, min_words: int = 5) -> Column:
+    """Fraction of non-empty lines with fewer than ``min_words`` words
+    (C4 drops lines under 5 words)."""
+    ls = lines(text)
+    n = F.size(ls)
+    short = F.size(
+        F.filter(ls, lambda ln: F.size(F.split(ln, r"\s+")) < min_words)
+    )
+    return F.when(n > 0, F.round(short / n, 4)).otherwise(F.lit(0.0))
+
+
+def sentence_count(text: ColumnOrName) -> Column:
+    """Terminal-punctuation-run count — the cheap sentence proxy C4 uses
+    for its ≥3-sentence rule."""
+    return F.size(F.regexp_extract_all(_col(text), F.lit(r"[.!?]+"), F.lit(0)))
+
+
+def alpha_word_fraction(text: ColumnOrName) -> Column:
+    """Fraction of words containing at least one letter (Gopher keeps
+    docs where ≥80% of words do)."""
+    t = _col(text)
+    n = word_count(t)
+    alpha = F.size(F.filter(tokens(t), lambda w: w.rlike(r"\p{L}")))
+    return F.when(n > 0, F.round(alpha / n, 4)).otherwise(F.lit(0.0))
+
+
+def symbol_word_ratio(text: ColumnOrName) -> Column:
+    """(# + ellipsis occurrences) / words (Gopher drops ratios > 0.1)."""
+    t = _col(text)
+    n = word_count(t)
+    syms = F.size(F.regexp_extract_all(t, F.lit(r"#|\.\.\.|…"), F.lit(0)))
+    return F.when(n > 0, F.round(syms / n, 4)).otherwise(F.lit(0.0))
+
+
+def required_stopword_presence(text: ColumnOrName) -> Column:
+    """How many DISTINCT required stopwords the document contains."""
+    toks = F.array_distinct(F.transform(tokens(text), F.lower))
+    return F.size(
+        F.filter(toks, lambda w: w.isin(REQUIRED_STOPWORDS))
+    )
+
+
+def with_c4_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the C4/Gopher heuristic-filter block plus the combined
+    ``c4_keep`` verdict (the doc-level rules: ≥3 sentences, no
+    'lorem ipsum', no '{', ≥80% alphabetic words, mean word length in
+    [3, 10], ≥2 required stopwords). Line-level fractions are emitted as
+    signals so callers can re-threshold instead of re-scanning."""
+    from jobinsight_data_pipeline_spark.operators.parallelism import widen_for_cpu
+
+    t = F.col(text_col)
+    out = (
+        widen_for_cpu(df)
+        .withColumn("terminal_punct_line_frac", terminal_punct_line_fraction(t))
+        .withColumn("short_line_frac", short_line_fraction(t))
+        .withColumn("sentence_cnt", sentence_count(t))
+        .withColumn("alpha_word_frac", alpha_word_fraction(t))
+        .withColumn("symbol_word_ratio", symbol_word_ratio(t))
+        .withColumn("stopword_presence", required_stopword_presence(t))
+        .withColumn("mean_word_len", mean_word_length(t))
+        .withColumn("has_lorem_ipsum", F.contains(F.lower(t), F.lit("lorem ipsum")))
+        .withColumn("has_curly_brace", F.contains(t, F.lit("{")))
+    )
+    return out.withColumn(
+        "c4_keep",
+        (F.col("sentence_cnt") >= 3)
+        & ~F.col("has_lorem_ipsum")
+        & ~F.col("has_curly_brace")
+        & (F.col("alpha_word_frac") >= 0.8)
+        & F.col("mean_word_len").between(3.0, 10.0)
+        & (F.col("stopword_presence") >= 2),
+    )

@@ -375,3 +375,41 @@ def test_connected_components_empty_pairs(spark):
 
     pairs = spark.createDataFrame([], "doc_a: long, doc_b: long")
     assert connected_components(pairs, "doc_a", "doc_b").count() == 0
+
+
+# --- C4-style heuristic filters (operators/textstats.py) --------------------
+
+def test_c4_signals_known_answers(spark):
+    from jobinsight_data_pipeline_spark.operators.textstats import with_c4_signals
+
+    good = (
+        "The weather is fine and the cats have names. "
+        "We went to the park. It was that good of a day!"
+    )
+    code = "function f() { return 1; }"
+    lorem = "Lorem ipsum dolor sit amet. More of the lorem ipsum text here. And that."
+    df = spark.createDataFrame(
+        [(1, good), (2, code), (3, lorem), (4, "")], "doc_id: long, text: string"
+    )
+    out = {r["doc_id"]: r for r in with_c4_signals(df, "text").collect()}
+
+    assert out[1]["c4_keep"] is True
+    assert out[1]["sentence_cnt"] == 3
+    assert out[1]["stopword_presence"] >= 2
+    assert out[1]["alpha_word_frac"] == 1.0
+
+    assert out[2]["has_curly_brace"] is True and out[2]["c4_keep"] is False
+    assert out[3]["has_lorem_ipsum"] is True and out[3]["c4_keep"] is False
+    assert out[4]["c4_keep"] is False and out[4]["alpha_word_frac"] == 0.0
+
+
+def test_c4_terminal_and_short_line_fractions(spark):
+    from jobinsight_data_pipeline_spark.operators.textstats import with_c4_signals
+
+    text = "A full sentence ends here.\nshort line\nAnother proper sentence again!\n"
+    df = spark.createDataFrame([(1, text)], "doc_id: long, text: string")
+    r = with_c4_signals(df, "text").first()
+    assert r["terminal_punct_line_frac"] == round(2 / 3, 4)
+    # 'short line' (2 words) and the 4-word final line are short; the
+    # 5-word first line is not
+    assert r["short_line_frac"] == round(2 / 3, 4)
