@@ -730,6 +730,65 @@ GROUP BY event_type
 """
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10: exactly-once streaming dedup with bounded state
+    (streaming/incremental.stream_dedup). Two overlapping event drops
+    (event_id mod 3 ∈ {0,1} and ∈ {1,2} — the middle third lands twice,
+    in different micro-batches because maxFilesPerTrigger=1) drain
+    through dropDuplicatesWithinWatermark into a checkpointed native
+    parquet file sink. The oracle re-derives the sink from the drop
+    definition with UNION ALL + DISTINCT: any duplicate that survives
+    cross-batch state, or any row the sink loses, shifts the per-type
+    counts and fails the hash."""
+    import tempfile
+
+    from jobinsight_data_pipeline_spark.streaming.incremental import stream_dedup
+
+    t = load(spark, sf_dir, "events")
+    # Spark event-time (watermarks) requires TIMESTAMP, not TIMESTAMP_NTZ
+    # — cast for the stream only; the gate output carries no timestamps,
+    # so the session-TZ-dependent instant never reaches the hash.
+    ev = t["events"].withColumn("ts", F.col("ts").cast("timestamp"))
+    base = tempfile.mkdtemp(prefix="streamdedup-gate-")
+    raw = f"{base}/drops"
+    for mods in ((0, 1), (1, 2)):
+        ev.filter((F.col("event_id") % 3).isin(*mods)).coalesce(1).write.mode(
+            "append"
+        ).parquet(raw)
+
+    query = stream_dedup(
+        spark, raw, ev.schema, f"{base}/sink", f"{base}/ckpt", ["event_id"]
+    )
+    query.awaitTermination()
+
+    return (
+        spark.read.parquet(f"{base}/sink")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_id").alias("n_ids"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+        )
+    )
+
+
+O_STREAM_DEDUP = """
+WITH uni AS (
+    SELECT * FROM events WHERE mod(event_id, 3) IN (0, 1)
+    UNION ALL
+    SELECT * FROM events WHERE mod(event_id, 3) IN (1, 2)
+),
+ded AS (SELECT DISTINCT * FROM uni)
+SELECT event_type, count(*) AS n_events, count(DISTINCT event_id) AS n_ids,
+       round(sum(value), 2) AS total_value,
+       min(event_id) AS min_id, max(event_id) AS max_id
+FROM ded
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "star_revenue": q_star_revenue,
     "asof_discount": q_asof_discount,
@@ -741,6 +800,7 @@ QUERIES = {
     "profile_customer": q_profile_customer,
     "monthly_orders_approx": q_monthly_orders_approx,
     "windowed_events": q_windowed_events,
+    "stream_dedup": q_stream_dedup,
     "sessionize": q_sessionize,
     "event_percentiles": q_event_percentiles,
     "monthly_orders": q_monthly_orders,
@@ -765,6 +825,7 @@ ORACLES = {
     "set_ops": O_SET_OPS,
     "profile_customer": O_PROFILE_CUSTOMER,
     "windowed_events": O_WINDOWED_EVENTS,
+    "stream_dedup": O_STREAM_DEDUP,
     "sessionize": O_SESSIONIZE,
     "event_percentiles": O_EVENT_PERCENTILES,
     "monthly_orders": O_MONTHLY_ORDERS,
