@@ -262,6 +262,52 @@ FROM sig
 """
 
 
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (operators/packing.py): global
+    token start offsets in doc_id order and the 2048-token pack each
+    document starts in. Explicit split-point literals force the bucketed
+    no-global-sort cumsum path (sf0.01 sits below the sampler's
+    smallness threshold, and the gate exists to verify the distributed
+    plan, not the single-partition fallback; pytest pins both paths
+    equal). The oracle is the sequential definition: a plain window
+    cumsum (CAST to BIGINT — DuckDB window sums are HUGEINT)."""
+    from jobinsight_data_pipeline_spark.operators.packing import pack_sequences
+    from jobinsight_data_pipeline_spark.operators.textstats import (
+        bpe_ish_token_count,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    toks = t["documents"].select(
+        "doc_id", bpe_ish_token_count("text").alias("n_tokens")
+    )
+    return pack_sequences(
+        toks,
+        "n_tokens",
+        capacity=2048,
+        order_by=["doc_id"],
+        bounds=[100, 200, 300, 400],
+    ).select("doc_id", "n_tokens", "start_offset", "pack_id")
+
+
+O_SEQUENCE_PACKING = """
+WITH toks AS (
+    SELECT doc_id,
+           len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_tokens
+    FROM documents
+),
+c AS (
+    SELECT doc_id, n_tokens,
+           CAST(COALESCE(SUM(n_tokens) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) AS start_offset
+    FROM toks
+)
+SELECT doc_id, n_tokens, start_offset, start_offset // 2048 AS pack_id
+FROM c
+"""
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(t["documents"], "doc_id", "text", n=3, threshold=0.5)
@@ -775,6 +821,7 @@ QUERIES = {
     "text_stats": q_text_stats,
     "repetition_signals": q_repetition_signals,
     "c4_signals": q_c4_signals,
+    "sequence_packing": q_sequence_packing,
     "ngram_jaccard": q_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,
     "minhash_lsh": q_minhash_lsh,
@@ -794,6 +841,7 @@ ORACLES = {
     "text_stats": O_TEXT_STATS,
     "repetition_signals": O_REPETITION_SIGNALS,
     "c4_signals": O_C4_SIGNALS,
+    "sequence_packing": O_SEQUENCE_PACKING,
     "ngram_jaccard": O_NGRAM_JACCARD,
     "dedup_clusters": O_DEDUP_CLUSTERS,
     "minhash_lsh": O_MINHASH_LSH,

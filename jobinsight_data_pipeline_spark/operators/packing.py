@@ -1,0 +1,94 @@
+"""Sequence packing for training-data pipelines.
+
+Pretraining consumes documents as one concatenated token stream chunked
+into fixed ``capacity``-token windows. The operator computes, for every
+document, its global token ``start_offset`` in that stream and the
+``pack_id`` (= which window its first token lands in) — concat-and-chunk
+packing semantics, a pure deterministic function of the document order.
+
+The global running sum is the scale problem: a naive
+``sum() over (order by id)`` is a single-partition global sort. This
+reuses the bucketed-assigner pattern (operators/merge.py:127-216, the
+SC5 surrogate-key design): bucket rows by frozen split-point literals
+from ONE bottom-k sizing job, cumsum locally per bucket (parallel local
+sorts), then add broadcast prior-bucket token totals — shuffle-bounded,
+deterministic across re-executions, no global sort at any size. Inputs
+too small to sample fall back to the fused single-partition plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from jobinsight_data_pipeline_spark.operators.merge import _split_points
+
+
+def pack_sequences(
+    df: DataFrame,
+    tokens_col: str,
+    capacity: int,
+    order_by: list[str],
+    scalable: bool | None = None,
+    bounds: list | None = None,
+) -> DataFrame:
+    """Attach ``start_offset`` (exclusive global token cumsum in
+    ``order_by`` order) and ``pack_id`` (= start_offset div capacity).
+
+    ``order_by`` must be unique per row (callers order by the document
+    id) — offsets then depend only on the total order, never on the
+    split points, which only steer partition balance. ``bounds`` lets a
+    caller who already knows the key distribution supply split-point
+    literals directly (skipping the sizing job); inputs smaller than the
+    sampler's threshold otherwise take the single-partition delta plan.
+    """
+    cols = [F.col(c).asc_nulls_last() for c in order_by]
+    toks = F.col(tokens_col).cast("long")
+    single = (
+        Window.partitionBy(F.lit(0))
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+
+    def finish(with_start: DataFrame) -> DataFrame:
+        return with_start.withColumn(
+            "pack_id", F.expr(f"start_offset div {int(capacity)}")
+        )
+
+    if bounds is None:
+        parts = df.sparkSession.sparkContext.defaultParallelism
+        bounds = _split_points(df, order_by[0], parts) if scalable is not False else []
+    if not bounds:
+        # bounded delta (or constant leading key): single local sort is
+        # the right plan, stated by the constant partition key
+        return finish(
+            df.withColumn(
+                "start_offset", F.coalesce(F.sum(toks).over(single), F.lit(0))
+            )
+        )
+
+    first = F.col(order_by[0])
+    bucket = sum((first > F.lit(b)).cast("int") for b in bounds)
+    bucketed = df.withColumn(
+        "_pid", F.when(first.isNull(), F.lit(len(bounds))).otherwise(bucket)
+    )
+    local_w = (
+        Window.partitionBy("_pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = bucketed.withColumn(
+        "_lstart", F.coalesce(F.sum(toks).over(local_w), F.lit(0))
+    )
+    totals = bucketed.groupBy("_pid").agg(F.sum(toks).alias("_t"))
+    prior = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn("_off", F.coalesce(F.sum("_t").over(prior), F.lit(0)))
+    return finish(
+        local.join(F.broadcast(offsets.select("_pid", "_off")), "_pid")
+        .withColumn("start_offset", F.col("_lstart") + F.col("_off"))
+        .drop("_pid", "_lstart", "_off")
+    )

@@ -413,3 +413,40 @@ def test_c4_terminal_and_short_line_fractions(spark):
     # 'short line' (2 words) and the 4-word final line are short; the
     # 5-word first line is not
     assert r["short_line_frac"] == round(2 / 3, 4)
+
+
+# --- sequence packing (operators/packing.py) --------------------------------
+
+def test_pack_sequences_known_answers_and_path_equivalence(spark):
+    from jobinsight_data_pipeline_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, 100), (2, 900), (3, 30), (4, 1000), (5, 500)],
+        "doc_id: long, n_tokens: int",
+    )
+    # capacity 1000: offsets 0,100,1000,1030,2030 -> packs 0,0,1,1,2
+    expect = {1: (0, 0), 2: (100, 0), 3: (1000, 1), 4: (1030, 1), 5: (2030, 2)}
+
+    delta = pack_sequences(df, "n_tokens", 1000, ["doc_id"], scalable=False)
+    got = {r["doc_id"]: (r["start_offset"], r["pack_id"]) for r in delta.collect()}
+    assert got == expect
+
+    # bucketed path with explicit split points must agree exactly —
+    # offsets depend only on the total order, never on the bounds
+    for bounds in ([2], [1, 3], [3, 3, 4]):
+        buck = pack_sequences(
+            df, "n_tokens", 1000, ["doc_id"], bounds=bounds
+        )
+        got = {r["doc_id"]: (r["start_offset"], r["pack_id"]) for r in buck.collect()}
+        assert got == expect, bounds
+
+
+def test_pack_sequences_empty_and_single(spark):
+    from jobinsight_data_pipeline_spark.operators.packing import pack_sequences
+
+    empty = spark.createDataFrame([], "doc_id: long, n_tokens: int")
+    assert pack_sequences(empty, "n_tokens", 512, ["doc_id"]).count() == 0
+
+    one = spark.createDataFrame([(7, 9000)], "doc_id: long, n_tokens: int")
+    r = pack_sequences(one, "n_tokens", 512, ["doc_id"]).first()
+    assert (r["start_offset"], r["pack_id"]) == (0, 0)
