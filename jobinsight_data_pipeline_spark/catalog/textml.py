@@ -308,6 +308,52 @@ FROM c
 """
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination (operators/dedup.
+    ngram_containment_pairs): even doc_ids play the training corpus, odd
+    ones the benchmark; the gate returns every benchmark doc ≥80%
+    shingle-contained in a training doc. Asymmetric containment, not
+    Jaccard — the embedded-verbatim leak has low symmetric similarity.
+    The oracle recomputes containment from the same split in SQL."""
+    from jobinsight_data_pipeline_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    docs = t["documents"]
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    test = docs.filter(F.col("doc_id") % 2 == 1)
+    return ngram_containment_pairs(train, test, "doc_id", "text", n=3, threshold=0.8)
+
+
+O_DECONTAMINATE = """
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+    FROM documents
+    WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3
+),
+sh AS (
+    SELECT DISTINCT doc_id AS doc, unnest(
+        list_transform(range(len(w) - 2),
+                       i -> concat(w[i + 1], ' ', w[i + 2], ' ', w[i + 3]))
+    ) AS shingle
+    FROM toks
+),
+te AS (SELECT doc AS test_id, shingle FROM sh WHERE mod(doc, 2) = 1),
+tr AS (SELECT doc AS train_id, shingle FROM sh WHERE mod(doc, 2) = 0),
+sizes AS (SELECT test_id, count(*) AS sz FROM te GROUP BY test_id),
+inter AS (
+    SELECT te.test_id, tr.train_id, count(*) AS inter
+    FROM te JOIN tr USING (shingle)
+    GROUP BY te.test_id, tr.train_id
+)
+SELECT test_id, train_id,
+       round(inter / CAST(sz AS DOUBLE), 4) AS containment
+FROM inter JOIN sizes USING (test_id)
+WHERE round(inter / CAST(sz AS DOUBLE), 4) >= 0.8
+"""
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(t["documents"], "doc_id", "text", n=3, threshold=0.5)
@@ -823,6 +869,7 @@ QUERIES = {
     "c4_signals": q_c4_signals,
     "sequence_packing": q_sequence_packing,
     "ngram_jaccard": q_ngram_jaccard,
+    "decontaminate": q_decontaminate,
     "dedup_clusters": q_dedup_clusters,
     "minhash_lsh": q_minhash_lsh,
     "simhash_pairs": q_simhash_pairs,
@@ -843,6 +890,7 @@ ORACLES = {
     "c4_signals": O_C4_SIGNALS,
     "sequence_packing": O_SEQUENCE_PACKING,
     "ngram_jaccard": O_NGRAM_JACCARD,
+    "decontaminate": O_DECONTAMINATE,
     "dedup_clusters": O_DEDUP_CLUSTERS,
     "minhash_lsh": O_MINHASH_LSH,
     "simhash_pairs": O_SIMHASH_PAIRS,

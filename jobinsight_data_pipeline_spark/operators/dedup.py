@@ -180,6 +180,44 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Decontamination: benchmark/test documents whose n-gram shingle set
+    is substantially COVERED by some training document —
+    ``|S(test) ∩ S(train)| / |S(test)| ≥ threshold``. Asymmetric on
+    purpose: a short eval prompt embedded verbatim inside a long training
+    page has low Jaccard but containment ≈ 1, which is exactly the leak
+    decontamination must catch (the reason eval-overlap checks use
+    containment, not symmetric similarity).
+
+    Same scale shape as ``ngram_jaccard_pairs``: inverted-index join on
+    the shingle, intersection counted straight off the join, only the
+    small per-test-doc size frame broadcast. EXACT (the correctness
+    baseline); for web-scale train corpora, bucket the join through
+    MinHash bands first and verify candidates with this.
+    """
+    tr = shingles(train, id_col, text_col, n).withColumnRenamed("doc", "train_id")
+    te = shingles(test, id_col, text_col, n).withColumnRenamed("doc", "test_id")
+    sizes = te.groupBy("test_id").agg(F.count("*").alias("sz"))
+    inter = (
+        te.join(tr, "shingle")
+        .groupBy("test_id", "train_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(F.broadcast(sizes), "test_id")
+        .withColumn("containment", F.round(F.col("inter") / F.col("sz"), 4))
+        .filter(F.col("containment") >= threshold)
+        .select("test_id", "train_id", "containment")
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n_hashes: int = 16, shingle_n: int = 3
 ) -> DataFrame:

@@ -450,3 +450,36 @@ def test_pack_sequences_empty_and_single(spark):
     one = spark.createDataFrame([(7, 9000)], "doc_id: long, n_tokens: int")
     r = pack_sequences(one, "n_tokens", 512, ["doc_id"]).first()
     assert (r["start_offset"], r["pack_id"]) == (0, 0)
+
+
+# --- decontamination (operators/dedup.ngram_containment_pairs) --------------
+
+def test_ngram_containment_catches_embedded_eval_prompt(spark):
+    from jobinsight_data_pipeline_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    prompt = "what is the capital of france answer briefly"
+    page = (
+        "welcome to quiz corner where we collect trivia for everyone "
+        + prompt
+        + " and many other fascinating questions about geography and history "
+        "that readers send in every week for our popular newsletter"
+    )
+    train = spark.createDataFrame([(0, page)], "doc_id: long, text: string")
+    test = spark.createDataFrame(
+        [(1, prompt), (3, "completely unrelated sentence about cooking pasta")],
+        "doc_id: long, text: string",
+    )
+    hits = ngram_containment_pairs(train, test, "doc_id", "text", n=3, threshold=0.8)
+    rows = hits.collect()
+    assert [(r["test_id"], r["train_id"], r["containment"]) for r in rows] == [
+        (1, 0, 1.0)
+    ]
+
+    # the same pair is INVISIBLE to symmetric Jaccard at any useful
+    # threshold — the reason decontamination uses containment
+    both = train.unionByName(test)
+    jac = ngram_jaccard_pairs(both, "doc_id", "text", n=3, threshold=0.5)
+    assert jac.filter("doc_a = 0 AND doc_b = 1").count() == 0
