@@ -308,6 +308,39 @@ FROM c
 """
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-N-per-stratum deterministic sampling (operators/sampling.
+    stratified_sample_exact): 7 documents per source, ranked by the same
+    engine-portable md5 order hash_split uses — the oracle reproduces the
+    pick bit-for-bit with a window over the identical hash."""
+    from jobinsight_data_pipeline_spark.operators.sampling import (
+        stratified_sample_exact,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    return stratified_sample_exact(
+        t["documents"].select("doc_id", "source"),
+        ["source"],
+        "doc_id",
+        n_per_stratum=7,
+        salt="r4",
+    )
+
+
+O_STRATIFIED_SAMPLE = """
+SELECT doc_id, source
+FROM (
+    SELECT doc_id, source,
+           row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('r4' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+           ) AS rn
+    FROM documents
+)
+WHERE rn <= 7
+"""
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval decontamination (operators/dedup.
     ngram_containment_pairs): even doc_ids play the training corpus, odd
@@ -863,6 +896,7 @@ ORDER BY l.doc_id
 QUERIES = {
     "corpus_curation": q_corpus_curation,
     "hash_split": q_hash_split,
+    "stratified_sample": q_stratified_sample,
     "exact_dedup": q_exact_dedup,
     "text_stats": q_text_stats,
     "repetition_signals": q_repetition_signals,
@@ -884,6 +918,7 @@ QUERIES = {
 ORACLES = {
     "corpus_curation": O_CORPUS_CURATION,
     "hash_split": O_HASH_SPLIT,
+    "stratified_sample": O_STRATIFIED_SAMPLE,
     "exact_dedup": O_EXACT_DEDUP,
     "text_stats": O_TEXT_STATS,
     "repetition_signals": O_REPETITION_SIGNALS,

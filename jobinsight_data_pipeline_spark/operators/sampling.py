@@ -57,3 +57,32 @@ def deterministic_sample(
     """Keep ~``fraction`` of rows, chosen by key hash — stable across
     runs, engines, and appends (new keys don't disturb old picks)."""
     return df.filter(hash_bucket(F.col(key_col), 10_000, salt) < int(fraction * 10_000))
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    stratum_cols: list[str],
+    key_col: str,
+    n_per_stratum: int,
+    salt: str = "",
+) -> DataFrame:
+    """Exactly ``n_per_stratum`` rows from every stratum, deterministic:
+    rank by md5(salt || key) within the stratum (key as tie-break) and
+    keep the first N — the same engine-portable hash order as
+    ``hash_bucket``, so the pick is reproducible across engines, runs,
+    and relayouts, and re-salting draws an independent sample.
+
+    One shuffle (the window's partitionBy). The per-stratum sort is
+    bounded by stratum size; for mega-strata pre-thin with
+    ``deterministic_sample`` (hash-stable, so the composition is still
+    deterministic) before the exact rank.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    w = Window.partitionBy(*stratum_cols).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("_srn", F.row_number().over(w))
+        .filter(F.col("_srn") <= n_per_stratum)
+        .drop("_srn")
+    )

@@ -483,3 +483,34 @@ def test_ngram_containment_catches_embedded_eval_prompt(spark):
     both = train.unionByName(test)
     jac = ngram_jaccard_pairs(both, "doc_id", "text", n=3, threshold=0.5)
     assert jac.filter("doc_a = 0 AND doc_b = 1").count() == 0
+
+
+def test_stratified_sample_exact_counts_and_stability(spark):
+    from jobinsight_data_pipeline_spark.operators.sampling import (
+        stratified_sample_exact,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "s" + str(i % 3)) for i in range(60)], "doc_id: long, stratum: string"
+    )
+    s1 = stratified_sample_exact(df, ["stratum"], "doc_id", 5)
+    counts = {r["stratum"]: r["n"] for r in s1.groupBy("stratum").agg(
+        F.count("*").alias("n")).collect()}
+    assert counts == {"s0": 5, "s1": 5, "s2": 5}
+
+    # deterministic: same pick on a re-run and after a relayout
+    s2 = stratified_sample_exact(df.repartition(7), ["stratum"], "doc_id", 5)
+    assert sorted(r["doc_id"] for r in s1.collect()) == sorted(
+        r["doc_id"] for r in s2.collect()
+    )
+
+    # a different salt draws a different (still exact-N) sample
+    s3 = stratified_sample_exact(df, ["stratum"], "doc_id", 5, salt="other")
+    assert sorted(r["doc_id"] for r in s3.collect()) != sorted(
+        r["doc_id"] for r in s1.collect()
+    )
+
+    # undersized stratum keeps all its rows
+    small = spark.createDataFrame([(1, "only"), (2, "only")],
+                                  "doc_id: long, stratum: string")
+    assert stratified_sample_exact(small, ["stratum"], "doc_id", 5).count() == 2
