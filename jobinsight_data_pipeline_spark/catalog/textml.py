@@ -308,6 +308,39 @@ FROM c
 """
 
 
+def q_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-LM quality score (operators/textstats.
+    unigram_logprob): every document's mean token log-probability under
+    the corpus's own add-one-smoothed unigram distribution (uncapped
+    vocabulary — the exact form; the capped broadcast-vocab scale path is
+    pinned by pytest). The oracle rebuilds the LM and the scores in SQL."""
+    from jobinsight_data_pipeline_spark.operators.textstats import unigram_logprob
+
+    t = load(spark, sf_dir, "documents")
+    return unigram_logprob(t["documents"], "doc_id", "text")
+
+
+O_UNIGRAM_LM = """
+WITH words AS (
+    SELECT doc_id, lower(t.w) AS w
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+          FROM documents),
+         unnest(ws) AS t(w)
+    WHERE t.w <> ''
+),
+vocab AS (SELECT w, count(*) AS c FROM words GROUP BY w),
+totals AS (SELECT CAST(sum(c) AS BIGINT) AS tot, count(*) AS v FROM vocab),
+scored AS (
+    SELECT doc_id,
+           ln((COALESCE(c, 0) + 1) / CAST(tot + v + 1 AS DOUBLE)) AS lp
+    FROM words LEFT JOIN vocab USING (w) CROSS JOIN totals
+)
+SELECT doc_id, count(*) AS n_scored_tokens, round(avg(lp), 4) AS mean_logprob
+FROM scored
+GROUP BY doc_id
+"""
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-N-per-stratum deterministic sampling (operators/sampling.
     stratified_sample_exact): 7 documents per source, ranked by the same
@@ -899,6 +932,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "exact_dedup": q_exact_dedup,
     "text_stats": q_text_stats,
+    "unigram_lm": q_unigram_lm,
     "repetition_signals": q_repetition_signals,
     "c4_signals": q_c4_signals,
     "sequence_packing": q_sequence_packing,
@@ -921,6 +955,7 @@ ORACLES = {
     "stratified_sample": O_STRATIFIED_SAMPLE,
     "exact_dedup": O_EXACT_DEDUP,
     "text_stats": O_TEXT_STATS,
+    "unigram_lm": O_UNIGRAM_LM,
     "repetition_signals": O_REPETITION_SIGNALS,
     "c4_signals": O_C4_SIGNALS,
     "sequence_packing": O_SEQUENCE_PACKING,

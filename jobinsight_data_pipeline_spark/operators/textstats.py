@@ -7,7 +7,7 @@ billions of documents — per-row independent, no shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 ColumnOrName = Column | str
@@ -322,4 +322,64 @@ def with_c4_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
         & (F.col("alpha_word_frac") >= 0.8)
         & F.col("mean_word_len").between(3.0, 10.0)
         & (F.col("stopword_presence") >= 2),
+    )
+
+
+# --- corpus-LM quality scoring (CCNet-style) --------------------------------
+# CCNet ranks web documents by a language-model perplexity; the honest
+# no-external-model equivalent is a corpus-derived unigram LM: one
+# aggregation builds the vocabulary, one explode+join+re-agg scores every
+# document by its mean token log-probability. Gibberish, boilerplate, and
+# wrong-language text all score far below fluent prose.
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    vocab_limit: int | None = None,
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    add-one-smoothed unigram distribution.
+
+    Two shuffles: the vocabulary aggregation (map-side partial combine on
+    the word key) and the word→vocab equi-join + per-doc re-aggregation.
+    ``vocab_limit`` caps the vocabulary at the N most frequent words
+    (ties broken by word; everything else scores as an unseen token) —
+    at web scale the capped vocabulary broadcasts, turning the score
+    join into a map-side lookup. Tokens are lowercased whitespace words
+    (the same tokenizer every other textstats signal uses).
+
+    Returns ``(id_col, n_scored_tokens, mean_logprob)`` — higher is more
+    fluent relative to the corpus. Empty/whitespace docs score NULL.
+    """
+    words = df.select(
+        F.col(id_col), F.explode(F.transform(tokens(text_col), F.lower)).alias("w")
+    ).where(F.col("w") != "")
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    if vocab_limit is not None:
+        keep = Window.orderBy(F.desc("c"), F.asc("w"))
+        vocab = (
+            vocab.withColumn("_r", F.row_number().over(keep))
+            .where(F.col("_r") <= vocab_limit)
+            .drop("_r")
+        )
+    totals = vocab.agg(
+        F.sum("c").alias("tot"), F.count(F.lit(1)).alias("v")
+    )
+    # add-one smoothing over the (possibly capped) vocabulary + 1 OOV bin
+    scored = (
+        words.join(F.broadcast(vocab), "w", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col(id_col),
+            F.log(
+                (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1))
+                / (F.col("tot") + F.col("v") + F.lit(1))
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_scored_tokens"),
+        F.round(F.avg("lp"), 4).alias("mean_logprob"),
     )

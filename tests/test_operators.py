@@ -514,3 +514,25 @@ def test_stratified_sample_exact_counts_and_stability(spark):
     small = spark.createDataFrame([(1, "only"), (2, "only")],
                                   "doc_id: long, stratum: string")
     assert stratified_sample_exact(small, ["stratum"], "doc_id", 5).count() == 2
+
+
+def test_unigram_logprob_orders_fluent_above_gibberish(spark):
+    from jobinsight_data_pipeline_spark.operators.textstats import unigram_logprob
+
+    fluent = "the cat sat on the mat and the dog sat on the rug"
+    gibberish = "zxqv wjkp qqzt plmn vvxr"
+    df = spark.createDataFrame(
+        [(1, fluent), (2, gibberish), (3, fluent + " again"), (4, "  ")],
+        "doc_id: long, text: string",
+    )
+    out = {r["doc_id"]: r for r in unigram_logprob(df, "doc_id").collect()}
+    assert out[1]["mean_logprob"] > out[2]["mean_logprob"]
+    assert out[1]["n_scored_tokens"] == 13
+    assert 4 not in out  # whitespace-only docs score nothing
+
+    # capped vocabulary: unseen-vocab words score as the OOV floor and
+    # ordering is preserved; every word still gets scored
+    capped = {r["doc_id"]: r for r in
+              unigram_logprob(df, "doc_id", vocab_limit=5).collect()}
+    assert capped[1]["n_scored_tokens"] == 13
+    assert capped[1]["mean_logprob"] > capped[2]["mean_logprob"]
