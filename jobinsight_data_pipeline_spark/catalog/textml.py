@@ -453,6 +453,85 @@ WHERE round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 4) >= 0.5
 """
 
 
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus preparation under ONE exact hash —
+    the round-4 operators composed the way a real pipeline chains them:
+    C4/Gopher keep-filter → n-gram near-dup pairs among survivors →
+    transitive connected-components clustering (keep-min canonical) →
+    concat-and-chunk sequence packing of the final corpus. The oracle
+    recomputes the whole chain in SQL (recursive-CTE closure + window
+    cumsum), so a drift in ANY stage — a filter threshold, a missed
+    transitive merge, an offset — fails the gate."""
+    from jobinsight_data_pipeline_spark.operators.components import (
+        connected_components,
+    )
+    from jobinsight_data_pipeline_spark.operators.packing import pack_sequences
+    from jobinsight_data_pipeline_spark.operators.textstats import (
+        bpe_ish_token_count,
+        with_c4_signals,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    kept = (
+        with_c4_signals(t["documents"], "text")
+        .filter(F.col("c4_keep"))
+        .select("doc_id", "text")
+    )
+    pairs = ngram_jaccard_pairs(kept, "doc_id", "text", n=3, threshold=0.5)
+    labels = connected_components(pairs, "doc_a", "doc_b")
+    dropped = labels.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    survivors = kept.join(dropped, "doc_id", "left_anti")
+    toks = survivors.select(
+        "doc_id", bpe_ish_token_count("text").alias("n_tokens")
+    )
+    return pack_sequences(
+        toks, "n_tokens", capacity=2048, order_by=["doc_id"], bounds=[150, 300]
+    ).select("doc_id", "n_tokens", "start_offset", "pack_id")
+
+
+O_CORPUS_PREP = f"""
+WITH RECURSIVE
+kept AS (SELECT doc_id FROM ({O_C4_SIGNALS}) WHERE c4_keep),
+pairs AS (
+    SELECT doc_a, doc_b FROM ({O_NGRAM_JACCARD})
+    WHERE doc_a IN (SELECT doc_id FROM kept)
+      AND doc_b IN (SELECT doc_id FROM kept)
+),
+sym AS (
+    SELECT doc_a AS u, doc_b AS v FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+),
+reach(node, r) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+    UNION
+    SELECT w.node, s.v FROM reach w JOIN sym s ON s.u = w.r
+),
+lbl AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+survivors AS (
+    SELECT doc_id FROM kept
+    WHERE doc_id NOT IN (SELECT node FROM lbl WHERE node <> component)
+),
+toks AS (
+    SELECT d.doc_id,
+           len(regexp_extract_all(d.text, '\\w+|[^\\w\\s]')) AS n_tokens
+    FROM documents d JOIN survivors USING (doc_id)
+),
+c AS (
+    SELECT doc_id, n_tokens,
+           CAST(COALESCE(SUM(n_tokens) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) AS start_offset
+    FROM toks
+)
+SELECT doc_id, n_tokens, start_offset, start_offset // 2048 AS pack_id
+FROM c
+"""
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH under a bounded-recall containment oracle (the sketch
     trick from monthly_orders_approx): DuckDB cannot reproduce xxhash64
@@ -803,11 +882,21 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats.join(survivors, "doc_id", "left_semi")
         .filter((F.col("quality") >= 0.5) & (F.col("lang_guess") == "en"))
     )
+    # Averages in EXACT integer arithmetic, half-up at a fixed scale:
+    # per-doc quality is 1e-4-quantized, so group means land on exact
+    # .XXXX5 rationals and round(avg(double), 4) becomes a coin toss on
+    # float summation order — the r4 full-sweep flake (src11: 0.7595 vs
+    # 0.7594). (2·scale·sum + n) div (2n) has no floats anywhere.
     return curated.groupBy("source").agg(
         F.count("*").alias("kept_docs"),
         F.sum("n_words").alias("kept_words"),
-        F.round(F.avg("quality"), 4).alias("avg_quality"),
-        F.round(F.avg("n_unique_words"), 2).alias("avg_vocab"),
+        F.expr(
+            "(2 * sum(cast(round(quality * 10000) as bigint)) + count(1))"
+            " div (2 * count(1))"
+        ).alias("avg_quality_x1e4"),
+        F.expr(
+            "(2 * 100 * sum(n_unique_words) + count(1)) div (2 * count(1))"
+        ).alias("avg_vocab_x100"),
     )
 
 
@@ -843,8 +932,10 @@ survivors AS (
 SELECT source,
        count(*) AS kept_docs,
        CAST(sum(n_words) AS BIGINT) AS kept_words,
-       round(avg(quality), 4) AS avg_quality,
-       round(avg(n_unique_words), 2) AS avg_vocab
+       CAST((2 * sum(CAST(round(quality * 10000) AS BIGINT)) + count(*))
+            // (2 * count(*)) AS BIGINT) AS avg_quality_x1e4,
+       CAST((2 * 100 * sum(n_unique_words) + count(*))
+            // (2 * count(*)) AS BIGINT) AS avg_vocab_x100
 FROM scored
 JOIN survivors USING (doc_id)
 WHERE quality >= 0.5 AND stop_count_en > 0
@@ -928,6 +1019,7 @@ ORDER BY l.doc_id
 
 QUERIES = {
     "corpus_curation": q_corpus_curation,
+    "corpus_prep": q_corpus_prep,
     "hash_split": q_hash_split,
     "stratified_sample": q_stratified_sample,
     "exact_dedup": q_exact_dedup,
@@ -951,6 +1043,7 @@ QUERIES = {
 
 ORACLES = {
     "corpus_curation": O_CORPUS_CURATION,
+    "corpus_prep": O_CORPUS_PREP,
     "hash_split": O_HASH_SPLIT,
     "stratified_sample": O_STRATIFIED_SAMPLE,
     "exact_dedup": O_EXACT_DEDUP,
