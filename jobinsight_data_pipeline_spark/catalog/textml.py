@@ -455,12 +455,15 @@ WHERE round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 4) >= 0.5
 
 def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-corpus preparation under ONE exact hash —
-    the round-4 operators composed the way a real pipeline chains them:
-    C4/Gopher keep-filter → n-gram near-dup pairs among survivors →
+    the operators composed the way a real pipeline chains them:
+    quality keep-filter → n-gram near-dup pairs among survivors →
     transitive connected-components clustering (keep-min canonical) →
-    concat-and-chunk sequence packing of the final corpus. The oracle
+    concat-and-chunk sequence packing of the final corpus. The filter is
+    the composite quality score (the C4 verdict legitimately keeps zero
+    docs on this punctuation-free synthetic corpus — a 0-row gate checks
+    nothing; c4_signals gates those rules per-signal instead). The oracle
     recomputes the whole chain in SQL (recursive-CTE closure + window
-    cumsum), so a drift in ANY stage — a filter threshold, a missed
+    cumsum), so a drift in ANY stage — the filter threshold, a missed
     transitive merge, an offset — fails the gate."""
     from jobinsight_data_pipeline_spark.operators.components import (
         connected_components,
@@ -468,13 +471,13 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jobinsight_data_pipeline_spark.operators.packing import pack_sequences
     from jobinsight_data_pipeline_spark.operators.textstats import (
         bpe_ish_token_count,
-        with_c4_signals,
+        quality_score,
     )
 
     t = load(spark, sf_dir, "documents")
     kept = (
-        with_c4_signals(t["documents"], "text")
-        .filter(F.col("c4_keep"))
+        t["documents"]
+        .filter(quality_score("text") >= 0.5)
         .select("doc_id", "text")
     )
     pairs = ngram_jaccard_pairs(kept, "doc_id", "text", n=3, threshold=0.5)
@@ -493,7 +496,7 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 O_CORPUS_PREP = f"""
 WITH RECURSIVE
-kept AS (SELECT doc_id FROM ({O_C4_SIGNALS}) WHERE c4_keep),
+kept AS (SELECT doc_id FROM ({O_TEXT_STATS}) WHERE quality >= 0.5),
 pairs AS (
     SELECT doc_a, doc_b FROM ({O_NGRAM_JACCARD})
     WHERE doc_a IN (SELECT doc_id FROM kept)
