@@ -181,3 +181,79 @@ def test_surrogate_keys_scalable_constant_leading_key(spark):
     rows_a = {(r["nk"], r["u"]): r["sk"] for r in a.collect()}
     rows_b = {(r["nk"], r["u"]): r["sk"] for r in b.collect()}
     assert rows_a == rows_b and len(rows_b) == 9_000
+
+
+def test_connected_components_random_graphs_match_union_find(spark):
+    """Distributed large-star/small-star CC vs a sequential union-find
+    on seeded random graphs — including shapes that stress the star
+    steps (long paths, stars, cliques, isolated pairs)."""
+    import random
+
+    from jobinsight_data_pipeline_spark.operators.components import (
+        connected_components,
+    )
+
+    rng = random.Random(42)
+    for trial in range(4):
+        n = rng.randint(10, 60)
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randint(5, 2 * n))
+        ]
+        edges += [(i, i + 1) for i in range(trial * 7, trial * 7 + 5)]  # a path
+
+        parent = list(range(n + 40))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            if a != b:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+
+        expected = {
+            v: find(v)
+            for e in edges
+            for v in e
+            if e[0] != e[1]
+        }
+        # canonical root = min of component
+        roots = {}
+        for v, r in expected.items():
+            roots.setdefault(find(r), []).append(v)
+        want = {v: min(vs) for r, vs in roots.items() for v in vs}
+
+        df = spark.createDataFrame(edges, "doc_a: long, doc_b: long")
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(df, "doc_a", "doc_b").collect()
+        }
+        assert got == want, f"trial {trial}"
+
+
+def test_pack_sequences_matches_sequential_cumsum(spark):
+    import random
+
+    from jobinsight_data_pipeline_spark.operators.packing import pack_sequences
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(0, 3000)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id: long, n_tokens: int")
+
+    run = 0
+    want = {}
+    for i, tok in rows:
+        want[i] = (run, run // 1024)
+        run += tok
+
+    for kwargs in ({"scalable": False}, {"bounds": [50, 120, 170]}):
+        got = {
+            r["doc_id"]: (r["start_offset"], r["pack_id"])
+            for r in pack_sequences(df, "n_tokens", 1024, ["doc_id"], **kwargs).collect()
+        }
+        assert got == want, kwargs
