@@ -367,9 +367,13 @@ def unigram_logprob(
     totals = vocab.agg(
         F.sum("c").alias("tot"), F.count(F.lit(1)).alias("v")
     )
-    # add-one smoothing over the (possibly capped) vocabulary + 1 OOV bin
+    # add-one smoothing over the (possibly capped) vocabulary + 1 OOV bin.
+    # Broadcast ONLY the capped vocabulary (bounded by construction); the
+    # uncapped full vocabulary is corpus-sized — that join must shuffle
+    # on the word key (AQE may still broadcast it when it proves small).
+    vocab_side = F.broadcast(vocab) if vocab_limit is not None else vocab
     scored = (
-        words.join(F.broadcast(vocab), "w", "left")
+        words.join(vocab_side, "w", "left")
         .crossJoin(F.broadcast(totals))
         .select(
             F.col(id_col),
