@@ -316,3 +316,39 @@ def test_media_features_gate_leaves_arrow_conf_alone(spark):
     before = spark.conf.get(_ARROW_BATCH_KEY, "10000")
     q_media_features(spark, "/root/testdata/sf0.001").count()
     assert spark.conf.get(_ARROW_BATCH_KEY, "10000") == before
+
+
+def test_stream_dedup_checkpoint_resume_across_runs(spark, tmp_path):
+    """dropDuplicatesWithinWatermark state survives a query RESTART: a
+    second availableNow run from the same checkpoint must drop
+    duplicates of rows already emitted in the first run (state-store
+    recovery), while still emitting genuinely new keys."""
+    import pandas as pd
+
+    from jobinsight_data_pipeline_spark.streaming.incremental import stream_dedup
+
+    raw = str(tmp_path / "drops")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "event_id long, ts timestamp, value double"
+
+    def drop(name, rows):
+        pdf = pd.DataFrame(rows, columns=["event_id", "ts", "value"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        spark.createDataFrame(pdf, schema).coalesce(1).write.mode("append").parquet(raw)
+
+    t0 = "2024-01-01 00:00:00"
+    drop("a", [(1, t0, 1.0), (2, t0, 2.0)])
+    q = stream_dedup(spark, raw, schema, sink, ckpt, ["event_id"])
+    q.awaitTermination()
+    assert sorted(
+        r["event_id"] for r in spark.read.parquet(sink).collect()
+    ) == [1, 2]
+
+    # restart with a new file: id=2 is a cross-RUN duplicate, id=3 is new
+    drop("b", [(2, t0, 2.0), (3, t0, 3.0)])
+    q2 = stream_dedup(spark, raw, schema, sink, ckpt, ["event_id"])
+    q2.awaitTermination()
+    assert sorted(
+        r["event_id"] for r in spark.read.parquet(sink).collect()
+    ) == [1, 2, 3]
