@@ -142,3 +142,49 @@ def test_no_accidental_cartesian_or_nested_loop(spark):
         elif "BroadcastNestedLoopJoin" in plan and name not in allowed_nested:
             offenders[name] = "BroadcastNestedLoopJoin"
     assert not offenders, f"unexpected scale-hostile joins: {offenders}"
+
+
+def test_pack_sequences_bucketed_avoids_global_sort(spark):
+    """The bucketed cumsum's DATA path must never collapse to a single
+    partition: the only SinglePartition exchange allowed is the tiny
+    per-bucket offsets window (≤ P rows), which then broadcasts."""
+    from jobinsight_data_pipeline_spark.operators.packing import pack_sequences
+
+    df = spark.range(0, 10_000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 997).cast("int").alias("n_tokens")
+    )
+    out = pack_sequences(df, "n_tokens", 2048, ["doc_id"], bounds=[2500, 5000, 7500])
+    plan = physical_plan(out)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    # exactly one SinglePartition exchange — the ≤P-row offsets frame
+    assert plan.count("Exchange SinglePartition") <= 1
+    # the row-level window partitions by bucket, not by a constant
+    assert "hashpartitioning(_pid" in plan
+
+
+def test_decontaminate_broadcasts_size_frame_only(spark):
+    from jobinsight_data_pipeline_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    test = docs.filter(F.col("doc_id") % 2 == 1)
+    plan = physical_plan(
+        ngram_containment_pairs(train, test, "doc_id", "text", n=3, threshold=0.8)
+    )
+    assert "BroadcastHashJoin" in plan  # per-test-doc sizes broadcast
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_stratified_sample_is_single_shuffle(spark):
+    from jobinsight_data_pipeline_spark.operators.sampling import (
+        stratified_sample_exact,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "source")
+    plan = physical_plan(stratified_sample_exact(docs, ["source"], "doc_id", 5))
+    # one hash shuffle on the stratum for the window; nothing global
+    assert plan.count("Exchange") == 1
+    assert "Exchange SinglePartition" not in plan
