@@ -257,3 +257,44 @@ def test_pack_sequences_matches_sequential_cumsum(spark):
             for r in pack_sequences(df, "n_tokens", 1024, ["doc_id"], **kwargs).collect()
         }
         assert got == want, kwargs
+
+
+@given(st.text(max_size=400))
+@settings(max_examples=300, deadline=None)
+def test_parse_job_cards_total_on_arbitrary_text(s):
+    """The tree parser is total: arbitrary text (including unbalanced
+    markup) never raises and always yields a list of complete rows."""
+    from jobinsight_data_pipeline_spark.sources.html import parse_job_cards
+
+    out = parse_job_cards(s, dt.datetime(2025, 7, 1))
+    assert isinstance(out, list)
+    for row in out:
+        assert row["job_id"] and row["title"]
+
+
+@given(st.data())
+@settings(max_examples=150, deadline=None)
+def test_parse_job_cards_survives_mutated_cards(data):
+    """Deleting arbitrary character spans from a valid page must never
+    raise — and whenever both the id and title survive mutation, the
+    extracted row is well-formed."""
+    from jobinsight_data_pipeline_spark.sources.html import parse_job_cards
+
+    page = (
+        '<div class="job-item-2" data-job-id="42">'
+        '<h3 class="title"><a href="/x-42.html">'
+        '<span data-original-title="Dev">D</span></a></h3>'
+        '<a class="company" href="/c">Co</a>'
+        '<label class="address" data-original-title="HN<br>HCM">HN</label>'
+        '<label class="title-salary">10 triệu</label>'
+        '<div class="skills"><label class="item">Java</label></div>'
+        '<label class="time"><strong>9</strong> ngày</label>'
+        "</div>"
+    )
+    i = data.draw(st.integers(0, len(page) - 1))
+    j = data.draw(st.integers(i, min(len(page), i + 40)))
+    mutated = page[:i] + page[j:]
+    out = parse_job_cards(mutated, dt.datetime(2025, 7, 1))
+    assert isinstance(out, list)
+    for row in out:
+        assert row["job_id"] and row["title"]
