@@ -129,3 +129,36 @@ class ParquetLake:
             fh.write(version)
         os.replace(tmp, self._pointer(table))
         return version
+
+
+def write_sized(
+    df: DataFrame,
+    path: str,
+    target_mb: int = 128,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Write parquet with byte-targeted output files — the small-files
+    guard for high-volume sinks.
+
+    Spark-native mechanism, no extra pass over the data: a REBALANCE
+    hint lets AQE split/coalesce output partitions to the advisory byte
+    size at runtime (skew-splitting included), instead of the classic
+    estimate-rows-then-repartition dance that needs a count() of the
+    full input. The advisory conf is saved and restored around the
+    write — no session-global side effect (the r3 Arrow-batch lesson).
+    """
+    spark = df.sparkSession
+    key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, str(target_mb * 1024 * 1024))
+    try:
+        writer = df.hint("rebalance").write.mode(mode)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)

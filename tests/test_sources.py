@@ -352,3 +352,30 @@ def test_stream_dedup_checkpoint_resume_across_runs(spark, tmp_path):
     assert sorted(
         r["event_id"] for r in spark.read.parquet(sink).collect()
     ) == [1, 2, 3]
+
+
+def test_write_sized_targets_output_file_bytes(spark, tmp_path):
+    """Smaller byte targets must yield more, smaller files; the advisory
+    conf must be restored afterwards (no session-global side effect)."""
+    import glob
+
+    from jobinsight_data_pipeline_spark.sources.lake import write_sized
+
+    key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    before = spark.conf.get(key, None)
+    df = spark.range(0, 300_000).selectExpr(
+        "id", "repeat(uuid(), 4) AS pad"  # ~150 bytes/row
+    )
+
+    big = str(tmp_path / "big")
+    small = str(tmp_path / "small")
+    write_sized(df, big, target_mb=512)
+    write_sized(df, small, target_mb=1)
+
+    n_big = len(glob.glob(f"{big}/part-*"))
+    n_small = len(glob.glob(f"{small}/part-*"))
+    assert n_big < n_small, (n_big, n_small)
+    assert n_small >= 4
+
+    after = spark.conf.get(key, None)
+    assert after == before
