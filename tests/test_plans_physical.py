@@ -123,8 +123,11 @@ def test_no_accidental_cartesian_or_nested_loop(spark):
     #     tag; top10_avg_salary inherits the views' null-tolerant joins;
     #   minhash_lsh / embedding_lsh_near_dup: containment gates crossJoin
     #     three 1-row aggregates into the scalar verdict row (and their
-    #     exact-twin halves are the sanctioned all-pairs baselines)
+    #     exact-twin halves are the sanctioned all-pairs baselines);
+    #   unigram_lm: the smoothing denominator is a broadcast 1-row
+    #     (total, vocab_size) aggregate crossJoined onto every word
     allowed_nested = {
+        "unigram_lm",
         "embedding_topk",
         "embedding_near_dup",
         "asof_discount",
