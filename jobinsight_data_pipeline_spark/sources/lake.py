@@ -58,12 +58,28 @@ class ParquetLake:
     def exists(self, table: str) -> bool:
         return self.current_version(table) is not None
 
-    def path(self, table: str) -> str | None:
-        v = self.current_version(table)
+    def _resolve_version(self, table: str, version: str | int | None) -> str | None:
+        if version is None:
+            return self.current_version(table)
+        v = f"_v{version:05d}" if isinstance(version, int) else version
+        if v not in self.versions(table):
+            raise ValueError(f"unknown version {v} for {table}")
+        return v
+
+    def path(self, table: str, version: str | int | None = None) -> str | None:
+        v = self._resolve_version(table, version)
         return os.path.join(self._table_dir(table), v) if v else None
 
-    def read(self, spark: SparkSession, table: str) -> DataFrame | None:
-        p = self.path(table)
+    def read(
+        self, spark: SparkSession, table: str, version: str | int | None = None
+    ) -> DataFrame | None:
+        """Read the table — current pointer by default, or a pinned
+        snapshot (``version=17`` / ``"_v00017"``): time-travel over the
+        retained version window, without moving the pointer (the
+        Delta/Iceberg ``VERSION AS OF`` read, native to the versioned-dir
+        layout — no extra machinery, old versions are already immutable).
+        """
+        p = self.path(table, version)
         if not p:
             return None
         # the schema sidecar makes empty tables (e.g. a partitioned write

@@ -218,3 +218,23 @@ def test_lake_restore(spark, lake):
     restored = lake.restore("dim_job", v1)
     assert restored == v1
     assert lake.read(spark, "dim_job").filter("job_id = 'J9'").count() == 0
+
+
+def test_lake_time_travel_read(spark, tmp_path):
+    """Version-pinned reads: every retained snapshot stays readable
+    without moving the pointer; the pointer keeps serving the latest."""
+    import pytest
+
+    from jobinsight_data_pipeline_spark.sources.lake import ParquetLake
+
+    lake = ParquetLake(str(tmp_path / "lake"), keep_versions=5)
+    for i in range(3):
+        lake.write(spark.range(i, i + 2).selectExpr("id", f"{i} AS batch"), "t")
+
+    assert lake.read(spark, "t").agg({"batch": "max"}).first()[0] == 2
+    assert lake.read(spark, "t", version=0).first()["batch"] == 0
+    assert lake.read(spark, "t", version="_v00001").first()["batch"] == 1
+    # time-travel read does NOT move the pointer
+    assert lake.current_version("t") == "_v00002"
+    with pytest.raises(ValueError):
+        lake.read(spark, "t", version=99)
