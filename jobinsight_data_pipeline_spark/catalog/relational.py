@@ -789,6 +789,35 @@ GROUP BY event_type
 """
 
 
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/Z-order clustering keys (operators/zorder.py): interleave
+    customer id and order date (days) so a sort on one key gives BOTH
+    dimensions parquet min/max locality. The oracle reproduces the bit
+    interleave exactly (list_transform over the 16 bit positions)."""
+    from jobinsight_data_pipeline_spark.operators.zorder import zorder_key
+
+    t = load(spark, sf_dir, "orders")
+    o = t["orders"].select(
+        "o_orderkey",
+        F.col("o_custkey").alias("x"),
+        F.datediff("o_orderdate", F.lit("1970-01-01")).alias("y"),
+    )
+    return o.select(
+        "o_orderkey", zorder_key(["x", "y"], bits=16).alias("zkey")
+    )
+
+
+O_ZORDER_LAYOUT = """
+SELECT o_orderkey,
+       CAST(list_sum(list_transform(range(0, 16), b ->
+           (((o_custkey >> b) & 1) << (b * 2))
+         + (((date_diff('day', DATE '1970-01-01', o_orderdate) >> b) & 1)
+            << (b * 2 + 1))
+       )) AS BIGINT) AS zkey
+FROM orders
+"""
+
+
 QUERIES = {
     "star_revenue": q_star_revenue,
     "asof_discount": q_asof_discount,
@@ -801,6 +830,7 @@ QUERIES = {
     "monthly_orders_approx": q_monthly_orders_approx,
     "windowed_events": q_windowed_events,
     "stream_dedup": q_stream_dedup,
+    "zorder_layout": q_zorder_layout,
     "sessionize": q_sessionize,
     "event_percentiles": q_event_percentiles,
     "monthly_orders": q_monthly_orders,
@@ -826,6 +856,7 @@ ORACLES = {
     "profile_customer": O_PROFILE_CUSTOMER,
     "windowed_events": O_WINDOWED_EVENTS,
     "stream_dedup": O_STREAM_DEDUP,
+    "zorder_layout": O_ZORDER_LAYOUT,
     "sessionize": O_SESSIONIZE,
     "event_percentiles": O_EVENT_PERCENTILES,
     "monthly_orders": O_MONTHLY_ORDERS,

@@ -536,3 +536,39 @@ def test_unigram_logprob_orders_fluent_above_gibberish(spark):
               unigram_logprob(df, "doc_id", vocab_limit=5).collect()}
     assert capped[1]["n_scored_tokens"] == 13
     assert capped[1]["mean_logprob"] > capped[2]["mean_logprob"]
+
+
+def test_zorder_key_aligned_square_is_contiguous(spark):
+    """Exact Morton property: a 2^k-aligned square maps to one contiguous
+    key range — the locality that makes min/max stats prune on BOTH
+    dimensions after a z-sort."""
+    from jobinsight_data_pipeline_spark.operators.zorder import zorder_key
+
+    grid = (
+        spark.range(0, 256 * 256)
+        .selectExpr("id % 256 AS x", "id div 256 AS y")
+        .select("x", "y", )
+    )
+    keys = (
+        grid.filter("x >= 64 AND x < 128 AND y >= 64 AND y < 128")
+        .select(zorder_key(["x", "y"], bits=8).alias("z"))
+        .agg(
+            F.min("z").alias("lo"),
+            F.max("z").alias("hi"),
+            F.count("*").alias("n"),
+            F.countDistinct("z").alias("d"),
+        )
+        .first()
+    )
+    assert keys["n"] == keys["d"] == 64 * 64
+    assert keys["hi"] - keys["lo"] + 1 == 64 * 64  # contiguous range
+
+
+def test_zorder_sort_preserves_rows(spark):
+    from jobinsight_data_pipeline_spark.operators.zorder import zorder_sort
+
+    df = spark.range(0, 1000).selectExpr("id % 37 AS x", "id % 53 AS y", "id")
+    out = zorder_sort(df, ["x", "y"], bits=8)
+    assert out.columns == df.columns
+    assert out.count() == 1000
+    assert out.exceptAll(df).isEmpty()
