@@ -308,6 +308,32 @@ FROM c
 """
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (operators/textstats.
+    chunk_documents): 64-token chunks with 16 tokens of overlap. The
+    oracle re-slices every document with DuckDB list ranges — start set,
+    ordinals, token counts, and the chunk text itself all hash-checked."""
+    from jobinsight_data_pipeline_spark.operators.textstats import chunk_documents
+
+    t = load(spark, sf_dir, "documents")
+    return chunk_documents(
+        t["documents"], "doc_id", "text", chunk_tokens=64, overlap=16
+    )
+
+
+O_DOC_CHUNKS = """
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+    FROM documents WHERE trim(text) <> ''
+)
+SELECT doc_id,
+       CAST(t.s // 48 AS INTEGER) AS chunk_id,
+       len(w[t.s + 1 : t.s + 64]) AS chunk_n_tokens,
+       array_to_string(w[t.s + 1 : t.s + 64], ' ') AS chunk_text
+FROM toks, unnest(range(0, len(w), 48)) AS t(s)
+"""
+
+
 def q_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style corpus-LM quality score (operators/textstats.
     unigram_logprob): every document's mean token log-probability under
@@ -1028,6 +1054,7 @@ QUERIES = {
     "exact_dedup": q_exact_dedup,
     "text_stats": q_text_stats,
     "unigram_lm": q_unigram_lm,
+    "doc_chunks": q_doc_chunks,
     "repetition_signals": q_repetition_signals,
     "c4_signals": q_c4_signals,
     "sequence_packing": q_sequence_packing,
@@ -1052,6 +1079,7 @@ ORACLES = {
     "exact_dedup": O_EXACT_DEDUP,
     "text_stats": O_TEXT_STATS,
     "unigram_lm": O_UNIGRAM_LM,
+    "doc_chunks": O_DOC_CHUNKS,
     "repetition_signals": O_REPETITION_SIGNALS,
     "c4_signals": O_C4_SIGNALS,
     "sequence_packing": O_SEQUENCE_PACKING,

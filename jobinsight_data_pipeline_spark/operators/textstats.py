@@ -387,3 +387,46 @@ def unigram_logprob(
         F.count(F.lit(1)).alias("n_scored_tokens"),
         F.round(F.avg("lp"), 4).alias("mean_logprob"),
     )
+
+
+# --- document chunking ------------------------------------------------------
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    chunk_tokens: int = 256,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split each document into whitespace-token windows of
+    ``chunk_tokens`` with ``overlap`` tokens of context carry-over — the
+    slicing step RAG indexes and fixed-window pretraining both need.
+
+    Pure array Column arithmetic (sequence → slice → posexplode): per-row
+    independent, shuffle-free, codegen'd; the fan-out multiplies rows,
+    never widens state. Empty/whitespace docs emit no chunks. Returns
+    ``(id_col, chunk_id, chunk_n_tokens, chunk_text)``.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    step = chunk_tokens - overlap
+    w = tokens(text_col)
+    n = F.size(w)
+    starts = F.sequence(F.lit(0), n - 1, F.lit(step))
+    chunks = F.transform(
+        starts, lambda s: F.slice(w, s + 1, chunk_tokens)
+    )
+    return (
+        df.where(F.trim(F.col(text_col)) != "")
+        .select(
+            F.col(id_col),
+            F.posexplode(chunks).alias("chunk_id", "_toks"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.size("_toks").alias("chunk_n_tokens"),
+            F.concat_ws(" ", "_toks").alias("chunk_text"),
+        )
+    )

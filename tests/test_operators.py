@@ -572,3 +572,31 @@ def test_zorder_sort_preserves_rows(spark):
     assert out.columns == df.columns
     assert out.count() == 1000
     assert out.exceptAll(df).isEmpty()
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from jobinsight_data_pipeline_spark.operators.textstats import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text), (2, "a b"), (3, " ")],
+                               "doc_id: long, text: string")
+    out = chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=1).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["chunk_n_tokens"], r["chunk_text"])
+        )
+    # step 3: starts 0,3,6,9 over 10 tokens
+    assert by_doc[1] == [
+        (0, 4, "w0 w1 w2 w3"),
+        (1, 4, "w3 w4 w5 w6"),
+        (2, 4, "w6 w7 w8 w9"),
+        (3, 1, "w9"),
+    ]
+    assert by_doc[2] == [(0, 2, "a b")]
+    assert 3 not in by_doc  # whitespace-only doc emits nothing
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=4)
