@@ -308,6 +308,37 @@ FROM c
 """
 
 
+def q_embedding_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss random projection (operators/similarity.
+    random_projection): every embedding reduced 64→8 dims by a seeded
+    ±1/sqrt(k) literal matrix. The oracle multiplies the SAME literal
+    matrix in SQL — projected values are exactly hash-checked; the
+    distance-preservation property is pinned by pytest."""
+    from jobinsight_data_pipeline_spark.operators.similarity import (
+        random_projection,
+    )
+
+    t = load(spark, sf_dir, "embeddings")
+    return random_projection(t["embeddings"], "vec_id", "embedding", dim=64, k=8)
+
+
+def _o_embedding_rp() -> str:
+    from jobinsight_data_pipeline_spark.operators.similarity import _sign_matrix
+
+    planes = _sign_matrix(64, 8, 7)
+    cols = []
+    for j, row in enumerate(planes):
+        lit = "[" + ",".join(repr(float(x)) for x in row) + "]"
+        cols.append(
+            f"round(list_sum(list_transform(range(1, 65),"
+            f" i -> CAST(embedding[i] AS DOUBLE) * ({lit})[i])), 4) AS p{j}"
+        )
+    return "SELECT vec_id, " + ", ".join(cols) + " FROM embeddings"
+
+
+O_EMBEDDING_RP = _o_embedding_rp()
+
+
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunking (operators/textstats.
     chunk_documents): 64-token chunks with 16 tokens of overlap. The
@@ -1055,6 +1086,7 @@ QUERIES = {
     "text_stats": q_text_stats,
     "unigram_lm": q_unigram_lm,
     "doc_chunks": q_doc_chunks,
+    "embedding_rp": q_embedding_rp,
     "repetition_signals": q_repetition_signals,
     "c4_signals": q_c4_signals,
     "sequence_packing": q_sequence_packing,
@@ -1080,6 +1112,7 @@ ORACLES = {
     "text_stats": O_TEXT_STATS,
     "unigram_lm": O_UNIGRAM_LM,
     "doc_chunks": O_DOC_CHUNKS,
+    "embedding_rp": O_EMBEDDING_RP,
     "repetition_signals": O_REPETITION_SIGNALS,
     "c4_signals": O_C4_SIGNALS,
     "sequence_packing": O_SEQUENCE_PACKING,

@@ -360,3 +360,41 @@ def lsh_cosine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", F.col("doc").alias("neighbor_id"), F.round("sim", 4).alias("sim"))
     )
+
+
+def _sign_matrix(dim: int, k: int, seed: int = 7) -> list[list[float]]:
+    """Achlioptas-style ±1/sqrt(k) projection rows (seeded, rounded so
+    the literal matrix is identical in every engine)."""
+    rng = np.random.default_rng(seed)
+    scale = 1.0 / float(np.sqrt(k))
+    return (rng.choice([-1.0, 1.0], size=(k, dim)) * scale).round(6).tolist()
+
+
+def random_projection(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction: project each
+    embedding onto ``k`` seeded ±1/sqrt(k) rows — the cheap first stage
+    before ANN indexing or clustering when the raw dimension is large.
+
+    The matrix inlines as ONE SQL literal (the lsh_sketch pattern), so
+    the projection is a pure per-row zip_with fold — scan-fused,
+    shuffle-free, deterministic, and bit-reproducible in any engine that
+    evaluates the same literal. Emits ``p0..p{k-1}`` rounded to 4."""
+    planes = _sign_matrix(dim, k, seed)
+    cols = [F.col(id_col)]
+    for j, row in enumerate(planes):
+        row_sql = "array(" + ",".join(f"{float(x)!r}D" for x in row) + ")"
+        cols.append(
+            F.expr(
+                f"round(aggregate(zip_with(`{vec_col}`, {row_sql},"
+                " (a, b) -> cast(a AS double) * b),"
+                " 0.0D, (s, y) -> s + y), 4)"
+            ).alias(f"p{j}")
+        )
+    return widen_for_cpu(df).select(*cols)

@@ -600,3 +600,36 @@ def test_chunk_documents_windows_and_overlap(spark):
 
     with pytest.raises(ValueError):
         chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=4)
+
+
+def test_random_projection_preserves_relative_distances(spark):
+    """JL property check: with k=32 the projected pairwise distances of
+    unit-ish vectors stay within a loose multiplicative envelope of the
+    originals, and the Spearman-ish rank agreement is strong enough that
+    nearest-vs-farthest ordering survives the projection."""
+    import numpy as np
+
+    from jobinsight_data_pipeline_spark.operators.similarity import (
+        random_projection,
+    )
+
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal(64)
+    vecs = [base + rng.standard_normal(64) * (0.1 * i) for i in range(12)]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id: long, embedding: array<float>",
+    )
+    out = random_projection(df, "vec_id", "embedding", dim=64, k=32)
+    proj = {
+        r["vec_id"]: np.array([r[f"p{j}"] for j in range(32)])
+        for r in out.collect()
+    }
+    d0 = [float(np.linalg.norm(np.array(vecs[0]) - np.array(vecs[i]))) for i in range(1, 12)]
+    dp = [float(np.linalg.norm(proj[0] - proj[i])) for i in range(1, 12)]
+    # the farthest original neighbor must not project nearer than the
+    # nearest original neighbor (gross ordering preserved)
+    assert dp[d0.index(max(d0))] > dp[d0.index(min(d0))]
+    # loose JL multiplicative envelope
+    for o, p in zip(d0, dp):
+        assert 0.4 * o <= p <= 1.8 * o, (o, p)
