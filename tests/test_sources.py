@@ -379,3 +379,38 @@ def test_write_sized_targets_output_file_bytes(spark, tmp_path):
 
     after = spark.conf.get(key, None)
     assert after == before
+
+
+def test_text_quality_projections_run_on_streams(spark, tmp_path):
+    """The textstats/C4 blocks are stateless projections, so the SAME
+    code path runs on a readStream frame — corpus quality filtering
+    drops straight into a streaming ingest without a batch detour."""
+    from jobinsight_data_pipeline_spark.operators.textstats import (
+        with_c4_signals,
+        with_text_stats,
+    )
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "The weather is fine and that is good. We went out. It was fun!"),
+         (2, "xx yy")],
+        "doc_id: long, text: string",
+    ).coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    out = with_c4_signals(with_text_stats(stream), "text").select(
+        "doc_id", "quality", "c4_keep"
+    )
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("quality_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {r["doc_id"]: r for r in spark.sql("SELECT * FROM quality_stream").collect()}
+    assert rows[1]["c4_keep"] is True
+    assert rows[2]["c4_keep"] is False
+    assert rows[1]["quality"] > rows[2]["quality"]
