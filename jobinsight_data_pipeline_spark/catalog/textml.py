@@ -1040,6 +1040,70 @@ GROUP BY 1
 """
 
 
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling, row-level exact oracle: every emitted
+    (doc, copy) pair — upsampled sources repeat, downsampled ones thin,
+    one source drops to zero — is recomputed by DuckDB from the same
+    md5-bucket accept rule and integer thresholds."""
+    from jobinsight_data_pipeline_spark.operators.sampling import mixture_sample
+
+    t = load(spark, sf_dir, "documents")
+    return mixture_sample(
+        t["documents"].select("doc_id", "source"),
+        "source",
+        {"src0": 3.0, "src1": 2.5, "src2": 0.3, "src3": 0.0},
+        "doc_id",
+    ).select("doc_id", "source", "copy")
+
+
+O_MIXTURE_SAMPLE = """
+WITH w(source, base, thr) AS (VALUES
+    ('src0', 3, 0), ('src1', 2, 5000), ('src2', 0, 3000), ('src3', 0, 0)
+),
+d AS (
+    SELECT doc_id, source,
+           CAST(('0x' || substring(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 8))
+                AS BIGINT) % 10000 AS bucket
+    FROM documents
+),
+c AS (
+    SELECT d.doc_id, d.source,
+           coalesce(w.base, 1)
+           + CASE WHEN d.bucket < coalesce(w.thr, 0) THEN 1 ELSE 0 END AS copies
+    FROM d LEFT JOIN w USING (source)
+)
+SELECT doc_id, source, CAST(u.copy AS INTEGER) AS copy
+FROM c, unnest(generate_series(0, copies - 1)) AS u(copy)
+"""
+
+
+def q_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + fixed-size shard assignment; the
+    oracle recomputes the md5 permutation rank with a plain window —
+    the engine's bucketed no-global-sort cumsum must equal the exact
+    sequential row_number bit-for-bit."""
+    from jobinsight_data_pipeline_spark.operators.packing import shuffle_shard
+
+    t = load(spark, sf_dir, "documents")
+    return shuffle_shard(
+        t["documents"].select("doc_id"), "doc_id", shard_size=64
+    ).select("doc_id", "rank", "shard", "shard_pos")
+
+
+O_SHUFFLE_SHARD = """
+WITH r AS (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC,
+                              doc_id ASC) - 1 AS rank
+    FROM documents
+)
+SELECT doc_id, rank,
+       CAST(rank // 64 AS INTEGER) AS shard,
+       CAST(rank % 64 AS INTEGER) AS shard_pos
+FROM r
+"""
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup clustering: the exact n-gram Jaccard pairs
     (already under the `ngram_jaccard` gate) feed the alternating
@@ -1077,6 +1141,71 @@ ORDER BY l.doc_id
 """
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup under a FULL exact oracle: cluster
+    assignment (argmax cosine against a seeded literal centroid matrix,
+    ties to the lowest index), within-cluster near-dup pairing at
+    cosine ≥ 0.4, and the keep-min survivor rule are all recomputed
+    bit-for-bit by DuckDB from the same literals. The production path
+    swaps the literal matrix for `fit_centroids` seeded KMeans — same
+    plan, data-fitted cells (pytest pins that path's containment)."""
+    from jobinsight_data_pipeline_spark.operators.similarity import (
+        semantic_dedup,
+        unit_centroids,
+    )
+
+    t = load(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        t["embeddings"], threshold=0.4, centroids=unit_centroids(64, 8, seed=11)
+    )
+
+
+def _semdedup_oracle() -> str:
+    from jobinsight_data_pipeline_spark.operators.similarity import unit_centroids
+
+    cents = unit_centroids(64, 8, seed=11)
+    values = ",\n    ".join(
+        "({}, CAST([{}] AS DOUBLE[]))".format(
+            j, ",".join(repr(float(x)) for x in row)
+        )
+        for j, row in enumerate(cents)
+    )
+    return f"""
+WITH cents(j, c) AS (VALUES
+    {values}
+),
+n AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[]))) AS nrm
+    FROM embeddings
+),
+scored AS (
+    SELECT vec_id, v, nrm, j,
+           round(list_dot_product(v, c) / nrm, 6) AS s
+    FROM n CROSS JOIN cents
+),
+assigned AS (
+    SELECT vec_id, v, nrm, CAST(j AS INTEGER) AS cell
+    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY s DESC, j ASC) AS rn
+          FROM scored)
+    WHERE rn = 1
+),
+dropped AS (
+    SELECT DISTINCT b.vec_id AS d
+    FROM assigned a JOIN assigned b
+      ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.4
+)
+SELECT a.vec_id, a.cell, d.d IS NULL AS kept
+FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.d
+"""
+
+
+O_SEMANTIC_DEDUP = _semdedup_oracle()
+
+
 QUERIES = {
     "corpus_curation": q_corpus_curation,
     "corpus_prep": q_corpus_prep,
@@ -1100,6 +1229,9 @@ QUERIES = {
     "embedding_ivf_topk": q_embedding_ivf_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_lsh_near_dup": q_embedding_lsh_near_dup,
+    "semantic_dedup": q_semantic_dedup,
+    "mixture_sample": q_mixture_sample,
+    "shuffle_shard": q_shuffle_shard,
     "media_features": q_media_features,
 }
 
@@ -1126,5 +1258,8 @@ ORACLES = {
     "embedding_ivf_topk": O_TOPK_CONTAINMENT,
     "embedding_near_dup": O_EMBEDDING_NEAR_DUP,
     "embedding_lsh_near_dup": O_EMBEDDING_LSH_NEAR_DUP,
+    "semantic_dedup": O_SEMANTIC_DEDUP,
+    "mixture_sample": O_MIXTURE_SAMPLE,
+    "shuffle_shard": O_SHUFFLE_SHARD,
     "media_features": O_MEDIA_FEATURES,
 }

@@ -92,3 +92,42 @@ def pack_sequences(
         .withColumn("start_offset", F.col("_lstart") + F.col("_off"))
         .drop("_pid", "_lstart", "_off")
     )
+
+
+def shuffle_shard(
+    df: DataFrame,
+    key_col: str,
+    shard_size: int,
+    salt: str = "",
+    scalable: bool | None = None,
+    bounds: list | None = None,
+) -> DataFrame:
+    """Deterministic global shuffle + fixed-size training shards.
+
+    Training loaders want the corpus in a reproducible pseudo-random
+    order, cut into equal ``shard_size`` files. Ordering by
+    ``md5(salt || key)`` IS that permutation — engine-portable, stable
+    across runs and relayouts, re-salt for an independent epoch order —
+    and the global rank in it assigns ``shard = rank div shard_size``,
+    ``shard_pos = rank % shard_size``.
+
+    The rank is :func:`pack_sequences` with a unit token per row (global
+    cumsum of 1s = 0-based rank), so it inherits the bucketed
+    no-global-sort plan: md5-hex prefixes are ORDER-ALIGNED with the
+    full hash order, so bucket-local ranks plus broadcast prior-bucket
+    counts compose the exact total order with no single-partition sort
+    at any size. Writers can ``partitionBy("shard")`` the result to get
+    one file per shard.
+    """
+    hashed = df.withColumn(
+        "_h", F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    ).withColumn("_one", F.lit(1))
+    packed = pack_sequences(
+        hashed, "_one", shard_size, ["_h", key_col], scalable, bounds
+    )
+    return (
+        packed.withColumn("rank", F.col("start_offset"))
+        .withColumn("shard", F.col("pack_id").cast("int"))
+        .withColumn("shard_pos", (F.col("rank") % shard_size).cast("int"))
+        .drop("_h", "_one", "start_offset", "pack_id")
+    )

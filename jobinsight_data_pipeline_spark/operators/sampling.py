@@ -59,6 +59,60 @@ def deterministic_sample(
     return df.filter(hash_bucket(F.col(key_col), 10_000, salt) < int(fraction * 10_000))
 
 
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    weights: dict[str, float],
+    key_col: str,
+    default_weight: float = 1.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Domain-mixture resampling: re-weight each source/domain by a
+    target factor — the data-mixing step of a pretraining pipeline
+    (e.g. upsample curated sources, downsample boilerplate-heavy ones).
+
+    Weight w gives every row ``floor(w)`` guaranteed copies plus one
+    more iff its key-hash bucket falls below ``frac(w)`` — so expected
+    multiplicity is exactly w, and the decision is the same
+    engine-portable md5 bucket as ``hash_bucket``: stable across runs,
+    engines, and relayouts, and appends never reassign existing rows.
+    Thresholds are pre-scaled to integers driver-side, so no float
+    arithmetic participates in the accept decision.
+
+    Pure per-row projection + explode — no shuffle, no state; rows with
+    zero copies drop via an empty sequence. Emits ``copy`` (0-based)
+    alongside the original columns; downstream shard assignment should
+    key on (key, copy).
+    """
+    base_items: list = []
+    thr_items: list = []
+    for name, w in weights.items():
+        if w < 0:
+            raise ValueError(f"negative mixture weight for {name!r}: {w}")
+        base_items += [F.lit(name), F.lit(int(w))]
+        thr_items += [F.lit(name), F.lit(int(round((w - int(w)) * 10_000)))]
+    dbase = int(default_weight)
+    dthr = int(round((default_weight - dbase) * 10_000))
+    g = F.col(group_col)
+    base = F.coalesce(F.create_map(*base_items)[g] if base_items else F.lit(None), F.lit(dbase))
+    thr = F.coalesce(F.create_map(*thr_items)[g] if thr_items else F.lit(None), F.lit(dthr))
+    bucket = hash_bucket(F.col(key_col), 10_000, salt)
+    copies = (base + (bucket < thr).cast("int")).cast("int")
+    return (
+        df.withColumn("_copies", copies)
+        .withColumn(
+            "copy",
+            F.explode(
+                F.when(
+                    F.col("_copies") > 0,
+                    F.sequence(F.lit(0), F.col("_copies") - 1),
+                ).otherwise(F.array().cast("array<int>"))
+            ),
+        )
+        .drop("_copies")
+    )
+
+
 def stratified_sample_exact(
     df: DataFrame,
     stratum_cols: list[str],

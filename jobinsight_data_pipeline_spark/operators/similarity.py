@@ -217,6 +217,32 @@ def lsh_sketch(
     )
 
 
+def fit_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    seed: int = 42,
+    sample_rows: int = 4096,
+) -> list[list[float]]:
+    """Seeded spherical-KMeans centroids fit driver-side on a bounded
+    sample (cosine ≈ dot on the unit sphere). The model is tiny — it
+    inlines as one SQL literal — while assignment stays a distributed
+    one-pass projection; the collect is capped at ``sample_rows``."""
+    sample = corpus.select(vec_col).limit(sample_rows).collect()
+    X = np.array([r[vec_col] for r in sample], dtype=np.float64)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    centroids = Xn[rng.choice(len(Xn), size=min(n_lists, len(Xn)), replace=False)]
+    for _ in range(10):  # Lloyd iterations on the sample
+        assign = np.argmax(Xn @ centroids.T, axis=1)
+        for j in range(len(centroids)):
+            members = Xn[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                centroids[j] = c / max(np.linalg.norm(c), 1e-12)
+    return [c.tolist() for c in centroids]
+
+
 def ivf_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -235,22 +261,8 @@ def ivf_cosine_topk(
     assignment is one broadcast-join pass. Recall rises with n_probe
     (n_probe = n_lists degenerates to exact brute force).
     """
-    import numpy as np
-
-    sample = corpus.select(vec_col).limit(4096).collect()
-    X = np.array([r[vec_col] for r in sample], dtype=np.float64)
-    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-    rng = np.random.default_rng(seed)
-    centroids = Xn[rng.choice(len(Xn), size=min(n_lists, len(Xn)), replace=False)]
-    for _ in range(10):  # Lloyd iterations on the sample (cosine ≈ dot on unit sphere)
-        assign = np.argmax(Xn @ centroids.T, axis=1)
-        for j in range(len(centroids)):
-            members = Xn[assign == j]
-            if len(members):
-                c = members.mean(axis=0)
-                centroids[j] = c / max(np.linalg.norm(c), 1e-12)
-
-    cent_sql = _matrix_sql([c.tolist() for c in centroids])
+    centroids = fit_centroids(corpus, vec_col, n_lists, seed)
+    cent_sql = _matrix_sql(centroids)
 
     def nearest_cells(vec_col_name: str, n: int) -> Column:
         """indices of the n highest-dot centroids — one parsed SQL
@@ -359,6 +371,92 @@ def lsh_cosine_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", F.col("doc").alias("neighbor_id"), F.round("sim", 4).alias("sim"))
+    )
+
+
+def unit_centroids(dim: int, n_clusters: int, seed: int = 11) -> list[list[float]]:
+    """Data-independent seeded centroids: Gaussian rows, unit-normalized,
+    rounded to 6 decimals. A deterministic Voronoi partition of the unit
+    sphere that any engine reproduces from the same literal matrix —
+    the engine-portable stand-in for :func:`fit_centroids` when a gate
+    (or a reproducibility contract) needs bit-identical assignment."""
+    rng = np.random.default_rng(seed)
+    M = rng.standard_normal((n_clusters, dim))
+    M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    return M.round(6).tolist()
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    centroids: list[list[float]] | None = None,
+    n_clusters: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): assign every embedding to its nearest centroid,
+    compare pairs only WITHIN a cluster, and drop any document whose
+    cluster holds a smaller-id neighbor with cosine ≥ ``threshold``
+    (keep-min canonical — the greedy per-neighborhood survivor rule).
+
+    Scale posture: the cluster key bounds the quadratic — pairwise work
+    is Σ|cell|², never n². At corpus scale raise ``n_clusters`` so the
+    largest cell stays join-sized (SemDeDup itself runs ~100k clusters);
+    assignment is a scan-fused projection against one literal centroid
+    matrix, and the pair join shuffles on ``cell`` exactly once.
+
+    ``centroids=None`` fits seeded KMeans on a bounded sample (the
+    production path); pass an explicit matrix (e.g.
+    :func:`unit_centroids`) for bit-reproducible cross-engine runs.
+    Returns one row per input document: (id, cell, kept).
+    """
+    if centroids is None:
+        centroids = fit_centroids(df, vec_col, n_clusters, seed)
+    cent_sql = _matrix_sql(centroids)
+    kk = len(centroids)
+    base = (
+        widen_for_cpu(df)
+        .select(F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v"))
+        .withColumn("_n", norm(F.col("_v")))
+    )
+    # argmax over rounded centroid cosine, ties to the smallest index:
+    # sort (-sim6, j) ascending and take the head — same rule the SQL
+    # oracle expresses as ORDER BY s DESC, j ASC
+    cell = F.expr(
+        f"""
+        array_sort(
+          zip_with({cent_sql}, sequence(0, {kk - 1}),
+            (c, j) -> struct(
+              -round(aggregate(zip_with(`_v`, c, (a, b) -> a * b),
+                               0.0D, (s, y) -> s + y) / `_n`, 6) AS negsim,
+              j AS j)))[0].j
+        """
+    ).cast("int")
+    assigned = base.withColumn("cell", cell)
+    a = assigned.select(
+        "cell", F.col("_id").alias("ida"), F.col("_v").alias("va"), F.col("_n").alias("na")
+    )
+    b = assigned.select(
+        "cell", F.col("_id").alias("idb"), F.col("_v").alias("vb"), F.col("_n").alias("nb")
+    )
+    sim6 = F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("ida") < F.col("idb"))
+        .withColumn("sim6", sim6)
+        .filter(F.col("sim6") >= threshold)
+        .select(F.col("idb").alias("_dropped"))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped, assigned["_id"] == dropped["_dropped"], "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "cell",
+            F.col("_dropped").isNull().alias("kept"),
+        )
     )
 
 

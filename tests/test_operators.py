@@ -633,3 +633,95 @@ def test_random_projection_preserves_relative_distances(spark):
     # loose JL multiplicative envelope
     for o, p in zip(d0, dp):
         assert 0.4 * o <= p <= 1.8 * o, (o, p)
+
+
+def test_semantic_dedup_kmeans_path_containment(spark):
+    """Production path (fit_centroids seeded KMeans): every dropped doc
+    must have a smaller-id exact-cosine near neighbor (dropping is only
+    ever justified by a real near-duplicate), the kept set plus dropped
+    set partitions the corpus, and re-running yields the identical
+    verdict (seeded fit ⇒ deterministic)."""
+    import numpy as np
+
+    from jobinsight_data_pipeline_spark.operators.similarity import (
+        cosine_near_pairs,
+        semantic_dedup,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(30):
+        v = rng.standard_normal(16)
+        rows.append((i, [float(x) for x in v]))
+        # planted near-duplicate: tiny perturbation, higher id
+        rows.append((100 + i, [float(x) for x in v + rng.standard_normal(16) * 0.01]))
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    out = semantic_dedup(
+        df, threshold=0.9, n_clusters=4, seed=5
+    ).cache()
+    assert out.count() == 60
+    dropped = {r["vec_id"] for r in out.filter(~F.col("kept")).collect()}
+    assert dropped, "planted near-duplicates must produce drops"
+    exact = cosine_near_pairs(df, threshold=0.9)
+    justified = {r["vec_b"] for r in exact.collect()}
+    assert dropped <= justified
+    again = semantic_dedup(df, threshold=0.9, n_clusters=4, seed=5)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+    out.unpersist()
+
+
+def test_mixture_sample_multiplicity_and_stability(spark):
+    """Weight w ⇒ every row appears floor(w) or ceil(w) times, zero
+    weight drops the group entirely, unlisted groups default to 1 copy,
+    and the draw is a pure function of the key (append-stable: the same
+    rows keep their copies when the frame doubles)."""
+    from jobinsight_data_pipeline_spark.operators.sampling import mixture_sample
+
+    rows = [(i, ["a", "b", "c", "d"][i % 4]) for i in range(400)]
+    df = spark.createDataFrame(rows, "k: long, g: string")
+    out = mixture_sample(df, "g", {"a": 2.5, "b": 0.4, "c": 0.0}, "k").cache()
+    per_key = {
+        (r["k"]): r["n"]
+        for r in out.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for k, g in rows:
+        n = per_key.get(k, 0)
+        if g == "a":
+            assert n in (2, 3)
+        elif g == "b":
+            assert n in (0, 1)
+        elif g == "c":
+            assert n == 0
+        else:
+            assert n == 1
+    # expected multiplicity ≈ w on a 100-key group
+    n_a = out.filter(F.col("g") == "a").count()
+    assert 200 <= n_a <= 300
+    # append-stability: same keys, bigger frame → identical copies
+    bigger = df.union(
+        spark.createDataFrame([(i, "a") for i in range(1000, 1400)], "k: long, g: string")
+    )
+    out2 = mixture_sample(bigger, "g", {"a": 2.5, "b": 0.4, "c": 0.0}, "k")
+    old = out2.filter(F.col("k") < 400)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, old.collect()))
+    out.unpersist()
+
+
+def test_shuffle_shard_permutation_and_path_equivalence(spark):
+    """Ranks form an exact 0..n-1 permutation, every shard except the
+    last is full, and the bucketed no-global-sort plan (explicit split
+    bounds) emits bit-identical assignments to the single-sort plan."""
+    from jobinsight_data_pipeline_spark.operators.packing import shuffle_shard
+
+    df = spark.createDataFrame([(i,) for i in range(257)], "k: long")
+    out = shuffle_shard(df, "k", shard_size=32, scalable=False).cache()
+    ranks = sorted(r["rank"] for r in out.collect())
+    assert ranks == list(range(257))
+    sizes = {
+        r["shard"]: r["n"]
+        for r in out.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert all(sizes[s] == 32 for s in range(8)) and sizes[8] == 1
+    bucketed = shuffle_shard(df, "k", shard_size=32, bounds=["4", "8", "c"])
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, bucketed.collect()))
+    out.unpersist()
