@@ -1104,6 +1104,112 @@ FROM r
 """
 
 
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-substring spans (ExactSubstr, Lee et al. 2022)
+    over the documents corpus; the oracle replays the windowed shingle
+    count and gaps-and-islands merge with plain SQL windows, so every
+    span boundary and merged-window count is hash-checked."""
+    from jobinsight_data_pipeline_spark.operators.dedup import duplicate_spans
+
+    t = load(spark, sf_dir, "documents")
+    return duplicate_spans(t["documents"], "doc_id", "text", n=8).select(
+        F.col("doc").alias("doc_id"),
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        F.col("n_windows").cast("long").alias("n_windows"),
+    )
+
+
+O_DUPLICATE_SPANS = r"""
+WITH t AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+    FROM documents
+),
+w AS (
+    SELECT doc_id AS doc, g - 1 AS pos,
+           md5(array_to_string(toks[g:g+7], ' ')) AS whash
+    FROM t, unnest(generate_series(1, len(toks) - 7)) AS u(g)
+    WHERE len(toks) >= 8
+),
+f AS (
+    SELECT doc, pos FROM (
+        SELECT doc, pos, count(*) OVER (PARTITION BY whash) AS c FROM w
+    ) WHERE c > 1
+),
+i AS (
+    SELECT doc, pos,
+           CASE WHEN max(pos + 8) OVER (PARTITION BY doc ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                  OR pos > max(pos + 8) OVER (PARTITION BY doc ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                THEN 1 ELSE 0 END AS nw
+    FROM f
+),
+s AS (
+    SELECT doc, pos,
+           CAST(sum(nw) OVER (PARTITION BY doc ORDER BY pos) AS BIGINT) AS island
+    FROM i
+)
+SELECT doc AS doc_id, min(pos) AS span_start, max(pos) + 8 AS span_end,
+       count(*) AS n_windows
+FROM s GROUP BY doc, island
+"""
+
+
+#: planted-PII fixture shared verbatim by the Spark gate and its oracle
+PII_FIXTURE: list[tuple[int, str]] = [
+    (1, "contact john.doe@example.com or jane_x@sub.domain.org for details"),
+    (2, "call 555 123 4567 or 555-123-4567 after hours"),
+    (3, "ssn 123-45-6789 on server 192.168.1.10 port 8080"),
+    (4, "no pii here just words and numbers 12345"),
+    (5, "mixed: a@b.io then 10.0.0.1 then 987-65-4321 then 800-555-1212"),
+    (6, "edge email.with+plus@long.co.uk and fake 1.2.3 not ip"),
+]
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over a planted literal fixture (the synthetic
+    documents corpus contains no PII, so the gate seeds every class —
+    the warehouse_validation seeded-defect pattern): per-class counts
+    and the fully redacted text are recomputed by DuckDB from the SAME
+    pattern constants, sequentially, so pattern drift or ordering drift
+    between the engine and the oracle fails the hash."""
+    from jobinsight_data_pipeline_spark.operators.textstats import redact_pii
+
+    df = spark.createDataFrame(PII_FIXTURE, "id: long, text: string")
+    return redact_pii(df, "text").select(
+        "id", "n_email", "n_ssn", "n_phone", "n_ip", "redacted"
+    )
+
+
+def _pii_oracle() -> str:
+    from jobinsight_data_pipeline_spark.operators.textstats import PII_PATTERNS
+
+    values = ",\n    ".join(f"({i}, '{txt}')" for i, txt in PII_FIXTURE)
+    sql = f"WITH t0(id, r0) AS (VALUES\n    {values}\n)"
+    prev = "t0"
+    for step, (name, pat, tok) in enumerate(PII_PATTERNS):
+        cnts = ", ".join(f"n_{p[0]}" for p in PII_PATTERNS[:step])
+        carry = f", {cnts}" if cnts else ""
+        sql += (
+            f",\nt{step + 1} AS (\n"
+            f"    SELECT id{carry},\n"
+            f"           CAST(len(regexp_extract_all(r{step}, '{pat}')) AS BIGINT)"
+            f" AS n_{name},\n"
+            f"           regexp_replace(r{step}, '{pat}', '{tok}', 'g') AS r{step + 1}\n"
+            f"    FROM t{step}\n)"
+        )
+        prev = f"t{step + 1}"
+    all_counts = ", ".join(f"n_{p[0]}" for p in PII_PATTERNS)
+    sql += (
+        f"\nSELECT id, {all_counts}, r{len(PII_PATTERNS)} AS redacted FROM {prev}"
+    )
+    return sql
+
+
+O_PII_SCRUB = _pii_oracle()
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup clustering: the exact n-gram Jaccard pairs
     (already under the `ngram_jaccard` gate) feed the alternating
@@ -1232,6 +1338,8 @@ QUERIES = {
     "semantic_dedup": q_semantic_dedup,
     "mixture_sample": q_mixture_sample,
     "shuffle_shard": q_shuffle_shard,
+    "duplicate_spans": q_duplicate_spans,
+    "pii_scrub": q_pii_scrub,
     "media_features": q_media_features,
 }
 
@@ -1261,5 +1369,7 @@ ORACLES = {
     "semantic_dedup": O_SEMANTIC_DEDUP,
     "mixture_sample": O_MIXTURE_SAMPLE,
     "shuffle_shard": O_SHUFFLE_SHARD,
+    "duplicate_spans": O_DUPLICATE_SPANS,
+    "pii_scrub": O_PII_SCRUB,
     "media_features": O_MEDIA_FEATURES,
 }

@@ -385,3 +385,77 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def positional_windows(
+    df: DataFrame, id_col: str, text_col: str, n: int = 8
+) -> DataFrame:
+    """Every n-token window WITH its 0-based start position:
+    (doc, pos, whash) — the positional sibling of ``shingles`` (same
+    zipped-shifted-slices build, but keeping duplicates and order).
+    The window text never leaves the scan stage: only its md5 (an
+    engine-portable 16-byte key) is emitted."""
+    toks = tokens(text_col)
+    sz = F.size(toks)
+    width = sz - (n - 1)
+    shifted = [F.slice(toks, i + 1, width).alias(f"g{i}") for i in range(n)]
+    grams = F.transform(
+        F.arrays_zip(*shifted),
+        lambda x: F.md5(F.concat_ws(" ", *[x[f"g{i}"] for i in range(n)])),
+    )
+    return (
+        widen_for_cpu(df)
+        .filter(sz >= n)
+        .select(F.col(id_col).alias("doc"), F.posexplode(grams).alias("pos", "whash"))
+    )
+
+
+def duplicate_spans(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 8
+) -> DataFrame:
+    """Exact repeated-substring spans — the ExactSubstr pass of Lee et
+    al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better"): flag every n-token window whose exact text occurs more
+    than once in the corpus (including within one document), and merge a
+    document's overlapping flagged windows into maximal token spans for
+    removal/masking.
+
+    Suffix arrays are the single-node tool; the distributed
+    re-expression is windowed shingle counting: one pass emits
+    (doc, pos, window-md5), ONE shuffle on the 16-byte hash counts
+    occurrences (a window aggregate — no join back), and a
+    gaps-and-islands window per doc merges overlaps. Nothing is
+    all-pairs and nothing collects; the count shuffle is the same key
+    pattern as ``exact_dedup``.
+
+    Returns (doc, span_start, span_end, n_windows): token-index spans
+    [span_start, span_end) with the number of flagged windows merged
+    into each.
+    """
+    w = positional_windows(df, id_col, text_col, n)
+    flagged = (
+        w.withColumn("_c", F.count(F.lit(1)).over(Window.partitionBy("whash")))
+        .filter(F.col("_c") > 1)
+        .select("doc", "pos")
+    )
+    order = Window.partitionBy("doc").orderBy("pos")
+    prev_end = F.max(F.col("pos") + n).over(
+        Window.partitionBy("doc").orderBy("pos").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+    )
+    islands = (
+        flagged.withColumn(
+            "_new", F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0)
+        )
+        .withColumn("_island", F.sum("_new").over(order))
+    )
+    return (
+        islands.groupBy("doc", "_island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + n).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .drop("_island")
+    )

@@ -430,3 +430,38 @@ def chunk_documents(
             F.concat_ws(" ", "_toks").alias("chunk_text"),
         )
     )
+
+
+# PII redaction: applied sequentially (each class counts matches in the
+# text the previous classes already redacted, then replaces them), so
+# the classes compose without double-counting. Patterns stay inside the
+# Java-regex ∩ RE2 common subset (no lookaround, no backreferences) —
+# the scrub is reproducible on any engine. Email precedes IP so dotted
+# domains are gone before the all-digit IP scan; SSN precedes phone so
+# the 3-2-4 grouping isn't half-eaten by the 3-3-4 one.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}[ .-]\d{3}[ .-]\d{4}\b", "<PHONE>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", out_col: str = "redacted"
+) -> DataFrame:
+    """Scrub emails / SSNs / phone numbers / IPv4s from a text column,
+    emitting the redacted text plus one ``n_<class>`` count per class —
+    the PII-masking pass of a training-data pipeline (cf. C4/Dolma
+    scrubbing). Pure native-regex projection: scan-fused, shuffle-free,
+    no UDF."""
+    cur = F.col(text_col)
+    counts = []
+    for name, pat, tok in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0)))
+            .cast("long")
+            .alias(f"n_{name}")
+        )
+        cur = F.regexp_replace(cur, pat, tok)
+    return df.select("*", *counts, cur.alias(out_col))

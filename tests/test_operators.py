@@ -725,3 +725,58 @@ def test_shuffle_shard_permutation_and_path_equivalence(spark):
     bucketed = shuffle_shard(df, "k", shard_size=32, bounds=["4", "8", "c"])
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, bucketed.collect()))
     out.unpersist()
+
+
+def test_redact_pii_known_answers(spark):
+    """Each PII class is counted and replaced; sequential application
+    means no double counting (the SSN is not also a phone, the IP is
+    not half-eaten), and clean text passes through untouched."""
+    from jobinsight_data_pipeline_spark.operators.textstats import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@x-y.org and ip 10.0.0.255 and ssn 123-45-6789"),
+            (2, "phones 555 123 4567, 555-123-4567; plain 12345"),
+            (3, "nothing sensitive here"),
+        ],
+        "id: long, text: string",
+    )
+    rows = {r["id"]: r for r in redact_pii(df, "text").collect()}
+    r1 = rows[1]
+    assert (r1["n_email"], r1["n_ssn"], r1["n_phone"], r1["n_ip"]) == (1, 1, 0, 1)
+    assert r1["redacted"] == "mail <EMAIL> and ip <IP> and ssn <SSN>"
+    r2 = rows[2]
+    assert (r2["n_email"], r2["n_ssn"], r2["n_phone"], r2["n_ip"]) == (0, 0, 2, 0)
+    assert r2["redacted"] == "phones <PHONE>, <PHONE>; plain 12345"
+    r3 = rows[3]
+    assert r3["redacted"] == "nothing sensitive here"
+    assert (r3["n_email"], r3["n_ssn"], r3["n_phone"], r3["n_ip"]) == (0, 0, 0, 0)
+
+
+def test_duplicate_spans_known_answers(spark):
+    """A 4-token run planted in two docs is flagged in both; overlapping
+    flagged windows merge into ONE maximal span; a doc with no repeats
+    emits nothing; an in-document repeat also counts."""
+    from jobinsight_data_pipeline_spark.operators.dedup import duplicate_spans
+
+    shared = "alpha beta gamma delta epsilon"  # 5 tokens → two 4-windows
+    df = spark.createDataFrame(
+        [
+            (1, f"one two {shared} three four"),
+            (2, f"x y z {shared} w"),
+            (3, "totally unique words only here today friends again"),
+            (4, "p q r s p q r s p q r s"),  # in-doc repeats
+        ],
+        "doc_id: long, text: string",
+    )
+    out = {
+        (r["doc"], r["span_start"], r["span_end"]): r["n_windows"]
+        for r in duplicate_spans(df, "doc_id", "text", n=4).collect()
+    }
+    # doc 1: tokens 2..6 are the shared run → windows at pos 2,3 merge to [2,7)
+    assert out.get((1, 2, 7)) == 2
+    # doc 2: shared run at tokens 3..7 → [3,8)
+    assert out.get((2, 3, 8)) == 2
+    assert not any(k[0] == 3 for k in out)
+    # doc 4: every 4-window of the repeated phrase duplicates → one span [0,12)
+    assert out.get((4, 0, 12)) == 9
