@@ -191,3 +191,66 @@ def test_stratified_sample_is_single_shuffle(spark):
     # one hash shuffle on the stratum for the window; nothing global
     assert plan.count("Exchange") == 1
     assert "Exchange SinglePartition" not in plan
+
+
+def test_mixture_sample_and_pii_are_shuffle_free(spark):
+    """Both are pure per-row projections (explode / regex chains): any
+    Exchange in the plan means a regression re-introduced a shuffle."""
+    from jobinsight_data_pipeline_spark.operators.sampling import mixture_sample
+    from jobinsight_data_pipeline_spark.operators.textstats import redact_pii
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p1 = physical_plan(
+        mixture_sample(docs.select("doc_id", "source"), "source", {"src0": 2.5}, "doc_id")
+    )
+    assert "Exchange" not in p1
+    p2 = physical_plan(redact_pii(docs.select("doc_id", "text"), "text"))
+    assert "Exchange" not in p2
+
+
+def test_semantic_dedup_shuffles_on_cell_only(spark):
+    """The pair join must hash-shuffle on the cluster key — never a
+    cartesian/nested-loop all-pairs plan — and the centroid argmax must
+    stay a scan-fused projection (no extra exchange before the join)."""
+    from jobinsight_data_pipeline_spark.operators.similarity import (
+        semantic_dedup,
+        unit_centroids,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = physical_plan(
+        semantic_dedup(emb, threshold=0.4, centroids=unit_centroids(64, 8, seed=11))
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the pair join is keyed on the cluster cell — broadcast-hash at
+    # small scale (the plan here) or shuffled-hash at corpus scale;
+    # either way an equi-join on cell, never all-pairs
+    assert "HashJoin [cell" in plan or "hashpartitioning(cell" in plan
+
+
+def test_shuffle_shard_bucketed_avoids_global_sort(spark):
+    """Same contract as pack_sequences: the only SinglePartition
+    exchange is the ≤P-row bucket-offsets frame; row data ranks inside
+    hash buckets."""
+    from jobinsight_data_pipeline_spark.operators.packing import shuffle_shard
+
+    df = spark.range(0, 10_000).select(F.col("id").alias("k"))
+    out = shuffle_shard(df, "k", shard_size=512, bounds=["4", "8", "c"])
+    plan = physical_plan(out)
+    assert plan.count("Exchange SinglePartition") <= 1
+    assert "hashpartitioning(_pid" in plan
+
+
+def test_duplicate_spans_no_join_back(spark):
+    """The occurrence count is a window over the hash partition — the
+    plan must contain no join at all (a join-back of the counts frame
+    would shuffle the windows twice), and no single-partition stage."""
+    from jobinsight_data_pipeline_spark.operators.dedup import duplicate_spans
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = physical_plan(duplicate_spans(docs, "doc_id", "text", n=8))
+    assert "Join" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "hashpartitioning(whash" in plan
+    assert "hashpartitioning(doc" in plan

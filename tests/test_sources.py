@@ -414,3 +414,33 @@ def test_text_quality_projections_run_on_streams(spark, tmp_path):
     assert rows[1]["c4_keep"] is True
     assert rows[2]["c4_keep"] is False
     assert rows[1]["quality"] > rows[2]["quality"]
+
+
+def test_pii_redaction_runs_on_streams(spark, tmp_path):
+    """redact_pii is a stateless native-regex projection, so the same
+    code path scrubs a readStream frame — PII masking belongs at the
+    ingest boundary, before anything persists."""
+    from jobinsight_data_pipeline_spark.operators.textstats import redact_pii
+
+    src = str(tmp_path / "pii_docs")
+    spark.createDataFrame(
+        [(1, "reach me at ops@example.net or 555-867-5309 x"),
+         (2, "clean")],
+        "doc_id: long, text: string",
+    ).coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    out = redact_pii(stream, "text").select("doc_id", "n_email", "n_phone", "redacted")
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("pii_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {r["doc_id"]: r for r in spark.sql("SELECT * FROM pii_stream").collect()}
+    assert rows[1]["redacted"] == "reach me at <EMAIL> or <PHONE> x"
+    assert (rows[1]["n_email"], rows[1]["n_phone"]) == (1, 1)
+    assert rows[2]["redacted"] == "clean"
