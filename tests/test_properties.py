@@ -298,3 +298,75 @@ def test_parse_job_cards_survives_mutated_cards(data):
     assert isinstance(out, list)
     for row in out:
         assert row["job_id"] and row["title"]
+
+
+def test_duplicate_spans_matches_sequential_reference(spark):
+    """Distributed windowed-shingle span detection vs a brute-force
+    sequential reference on seeded random corpora with planted repeats:
+    identical (doc, start, end, n_windows) sets, for several n."""
+    import random
+
+    from jobinsight_data_pipeline_spark.operators.dedup import duplicate_spans
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(12)]  # tiny vocab → organic repeats
+    for trial, n in [(0, 3), (1, 4), (2, 5)]:
+        docs = []
+        for d in range(25):
+            toks = [rng.choice(vocab) for _ in range(rng.randint(1, 40))]
+            docs.append((d, " ".join(toks)))
+
+        # sequential reference: count every n-window, flag count>1,
+        # merge overlapping/adjacent windows per doc
+        from collections import Counter
+
+        win = {}
+        counts = Counter()
+        for d, text in docs:
+            toks = text.split()
+            ws = [
+                (p, " ".join(toks[p : p + n]))
+                for p in range(len(toks) - n + 1)
+            ]
+            win[d] = ws
+            counts.update(w for _, w in ws)
+        want = set()
+        for d, ws in win.items():
+            flagged = sorted(p for p, w in ws if counts[w] > 1)
+            span = None
+            for p in flagged:
+                if span and p <= span[1]:
+                    span = (span[0], p + n, span[2] + 1)
+                else:
+                    if span:
+                        want.add((d, *span))
+                    span = (p, p + n, 1)
+            if span:
+                want.add((d, *span))
+
+        df = spark.createDataFrame(docs, "doc_id: long, text: string")
+        got = {
+            (r["doc"], r["span_start"], r["span_end"], r["n_windows"])
+            for r in duplicate_spans(df, "doc_id", "text", n=n).collect()
+        }
+        assert got == want, f"trial {trial} n={n}"
+
+
+def test_mixture_sample_expected_multiplicity_converges(spark):
+    """Over a large keyspace the realized per-group multiplicity must
+    converge to the target weight (the md5 bucket is uniform), for
+    weights below, at, and above 1."""
+    from jobinsight_data_pipeline_spark.operators.sampling import mixture_sample
+
+    rows = [(i, ["lo", "one", "hi"][i % 3]) for i in range(9000)]
+    df = spark.createDataFrame(rows, "k: long, g: string")
+    out = (
+        mixture_sample(df, "g", {"lo": 0.25, "one": 1.0, "hi": 3.75}, "k")
+        .groupBy("g")
+        .count()
+        .collect()
+    )
+    got = {r["g"]: r["count"] / 3000 for r in out}
+    assert abs(got.get("lo", 0) - 0.25) < 0.05
+    assert got["one"] == 1.0
+    assert abs(got["hi"] - 3.75) < 0.05
