@@ -17,7 +17,7 @@ Approximate operators are gated two ways, strongest applicable first:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from jobinsight_data_pipeline_spark.catalog import load
@@ -1210,6 +1210,84 @@ def _pii_oracle() -> str:
 O_PII_SCRUB = _pii_oracle()
 
 
+def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OTHER half of corpus prep under ONE exact hash — after
+    curation comes dataset assembly: language keep-filter → exact dedup
+    (keep-min survivor) → domain-mixture resampling (src0 upweighted to
+    2.5, src1 thinned to 0.5) → deterministic shuffle-and-shard of the
+    resampled (doc, copy) stream. A drift in any stage — a survivor
+    flip, a copy-count change, one rank off in the permutation —
+    shifts every downstream shard assignment and fails the hash."""
+    from jobinsight_data_pipeline_spark.operators.packing import shuffle_shard
+    from jobinsight_data_pipeline_spark.operators.sampling import mixture_sample
+
+    t = load(spark, sf_dir, "documents")
+    kept = t["documents"].filter(F.col("lang") == "en").select(
+        "doc_id", "text", "source"
+    )
+    survivors = (
+        kept.withColumn("_h", F.md5(F.col("text")))
+        .withColumn(
+            "_keep",
+            F.row_number().over(
+                Window.partitionBy("_h").orderBy(F.col("doc_id").asc())
+            ),
+        )
+        .filter(F.col("_keep") == 1)
+        .select("doc_id", "source")
+    )
+    mixed = mixture_sample(
+        survivors, "source", {"src0": 2.5, "src1": 0.5}, "doc_id"
+    )
+    keyed = mixed.withColumn(
+        "skey", F.concat_ws(":", F.col("doc_id"), F.col("copy"))
+    )
+    return shuffle_shard(keyed, "skey", shard_size=32).select(
+        "doc_id", "copy", "rank", "shard", "shard_pos"
+    )
+
+
+O_TRAINING_SHARDS = """
+WITH kept AS (
+    SELECT doc_id, text, source FROM documents WHERE lang = 'en'
+),
+survivors AS (
+    SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY md5(text)
+                                  ORDER BY doc_id ASC) AS rn
+        FROM kept
+    ) WHERE rn = 1
+),
+w(source, base, thr) AS (VALUES ('src0', 2, 5000), ('src1', 0, 5000)),
+mixed AS (
+    SELECT s.doc_id, s.source, CAST(u.copy AS INTEGER) AS copy
+    FROM (
+        SELECT sv.doc_id, sv.source,
+               coalesce(w.base, 1) + CASE WHEN
+                   CAST(('0x' || substring(md5('mix' || CAST(sv.doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 10000 < coalesce(w.thr, 0)
+                   THEN 1 ELSE 0 END AS copies
+        FROM survivors sv LEFT JOIN w USING (source)
+    ) s, unnest(generate_series(0, s.copies - 1)) AS u(copy)
+),
+keyed AS (
+    SELECT doc_id, copy,
+           CAST(doc_id AS VARCHAR) || ':' || CAST(copy AS VARCHAR) AS skey
+    FROM mixed
+),
+r AS (
+    SELECT doc_id, copy,
+           row_number() OVER (ORDER BY md5(skey) ASC, skey ASC) - 1 AS rank
+    FROM keyed
+)
+SELECT doc_id, copy, rank,
+       CAST(rank // 32 AS INTEGER) AS shard,
+       CAST(rank % 32 AS INTEGER) AS shard_pos
+FROM r
+"""
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup clustering: the exact n-gram Jaccard pairs
     (already under the `ngram_jaccard` gate) feed the alternating
@@ -1340,6 +1418,7 @@ QUERIES = {
     "shuffle_shard": q_shuffle_shard,
     "duplicate_spans": q_duplicate_spans,
     "pii_scrub": q_pii_scrub,
+    "training_shards": q_training_shards,
     "media_features": q_media_features,
 }
 
@@ -1371,5 +1450,6 @@ ORACLES = {
     "shuffle_shard": O_SHUFFLE_SHARD,
     "duplicate_spans": O_DUPLICATE_SPANS,
     "pii_scrub": O_PII_SCRUB,
+    "training_shards": O_TRAINING_SHARDS,
     "media_features": O_MEDIA_FEATURES,
 }
