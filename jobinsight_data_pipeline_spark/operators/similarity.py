@@ -227,8 +227,22 @@ def fit_centroids(
     """Seeded spherical-KMeans centroids fit driver-side on a bounded
     sample (cosine ≈ dot on the unit sphere). The model is tiny — it
     inlines as one SQL literal — while assignment stays a distributed
-    one-pass projection; the collect is capped at ``sample_rows``."""
-    sample = corpus.select(vec_col).limit(sample_rows).collect()
+    one-pass projection; the collect is capped at ``sample_rows``.
+
+    The sample is bottom-k by ``xxhash64(vec)`` (TakeOrderedAndProject:
+    per-partition k-heaps + a driver merge) — a UNIFORM random sample at
+    any corpus size. A bare ``limit`` would take the head of the scan
+    order, which on partition-ordered data (by source, by date) trains
+    centroids on one slice of the distribution; duplicate vectors tie on
+    the hash, but identical vectors contribute identical centroids, so
+    the fit stays value-deterministic."""
+    sample = (
+        corpus.select(vec_col)
+        .where(F.col(vec_col).isNotNull())
+        .orderBy(F.xxhash64(vec_col).asc())
+        .limit(sample_rows)
+        .collect()
+    )
     X = np.array([r[vec_col] for r in sample], dtype=np.float64)
     Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
