@@ -370,3 +370,48 @@ def test_mixture_sample_expected_multiplicity_converges(spark):
     assert abs(got.get("lo", 0) - 0.25) < 0.05
     assert got["one"] == 1.0
     assert abs(got["hi"] - 3.75) < 0.05
+
+
+def test_new_text_operators_total_on_fuzzed_corpus(spark):
+    """Totality over one batched Spark call on adversarial text (unicode
+    soup, regex metacharacters, digits near PII shapes, NULL, empty):
+    no exception, NULL propagates (NULL text → NULL counts/redaction,
+    no spans), and every emitted span sits inside the doc's token range."""
+    import random
+
+    from jobinsight_data_pipeline_spark.operators.dedup import duplicate_spans
+    from jobinsight_data_pipeline_spark.operators.textstats import redact_pii
+
+    rng = random.Random(23)
+    pieces = [
+        "a@b", "@", "...", "1.2.3.4.5", "000-00-0000x", "(((", "\\b", "$1",
+        "ó", "漢字", "\t", "\n\n", "5" * 40, ".", "-", "e+1", "héllo@wörld.com",
+        "192.168.0.1", "123-45-6789", "555-123-4567",
+    ]
+    rows = [(0, None), (1, ""), (2, " \n ")]
+    for i in range(3, 120):
+        rows.append((i, " ".join(rng.choice(pieces) for _ in range(rng.randint(0, 30)))))
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+
+    red = redact_pii(df, "text").collect()  # must not throw (ANSI mode)
+    by_id = {r["doc_id"]: r for r in red}
+    assert by_id[0]["redacted"] is None and by_id[0]["n_email"] is None
+    assert by_id[1]["redacted"] == "" and by_id[1]["n_email"] == 0
+    for r in red:
+        if r["text"] is not None:
+            assert r["redacted"] is not None
+            assert min(r["n_email"], r["n_ssn"], r["n_phone"], r["n_ip"]) >= 0
+
+    n = 3
+    # mirror the engine's tokenization exactly: Spark (and DuckDB) trim
+    # strips SPACES only, so text leading with \t/\n keeps an empty
+    # leading token after the \s+ split — python's .split() does not
+    import re
+
+    toklen = {
+        i: len(re.split(r"\s+", t.strip(" "))) for i, t in rows if t is not None
+    }
+    for r in duplicate_spans(df, "doc_id", "text", n=n).collect():
+        assert r["doc"] >= 2  # NULL/empty docs emit nothing
+        assert 0 <= r["span_start"] < r["span_end"] <= toklen[r["doc"]]
+        assert r["n_windows"] >= 1
