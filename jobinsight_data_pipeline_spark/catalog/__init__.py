@@ -130,7 +130,11 @@ def build_catalog() -> tuple[
 #     (salary_parse_sqludf, *_approx, embedding_ivf_topk,
 #     embedding_lsh_near_dup, scd2_rebuild, topk_per_group,
 #     customers_no_orders, dedup_keepmin — each covered by a registered
-#     gate or a driver-verified warehouse path);
+#     gate or a driver-verified warehouse path; exact_dedup — its md5
+#     keep-min runs inside the registered training_shards chain;
+#     embedding_near_dup — semantic_dedup's within-cell pairing is the
+#     same exact cosine≥τ math under a FULL exact oracle, and the O(n²)
+#     twin stays the local oracle for the LSH containment gates);
 #   * the cheap scalar-function gates fold into two wide gates
 #     (scalar_functions, location_suite — catalog/parity.py) whose
 #     unfolded originals stay local-only.
@@ -180,7 +184,6 @@ DRIVER_QUERIES: list[str] = [
     # --- training-data / text-ML operators ---
     "corpus_curation",
     "hash_split",
-    "exact_dedup",
     "text_stats",
     "repetition_signals",
     "ngram_jaccard",
@@ -188,10 +191,11 @@ DRIVER_QUERIES: list[str] = [
     "simhash_pairs",
     "embedding_topk",
     "embedding_lsh_topk",
-    "embedding_near_dup",
+    "semantic_dedup",
     "media_features",
-    # last on purpose: the heaviest gate in the module (iterative CC),
-    # and position 50 exactly fills the driver cap
+    # the two heaviest sit last on purpose (composed chain; iterative
+    # CC) — position 50 exactly fills the driver cap
+    "training_shards",
     "dedup_clusters",
 ]
 
