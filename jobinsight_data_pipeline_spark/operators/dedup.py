@@ -422,22 +422,28 @@ def duplicate_spans(
 
     Suffix arrays are the single-node tool; the distributed
     re-expression is windowed shingle counting: one pass emits
-    (doc, pos, window-md5), ONE shuffle on the 16-byte hash counts
-    occurrences (a window aggregate — no join back), and a
-    gaps-and-islands window per doc merges overlaps. Nothing is
-    all-pairs and nothing collects; the count shuffle is the same key
-    pattern as ``exact_dedup``.
+    (doc, pos, window-md5); a groupBy on the 16-byte hash finds the
+    duplicated hashes (map-side partial aggregation collapses hot
+    boilerplate windows before the shuffle) and a semi-join flags
+    their positions; then a gaps-and-islands window per doc merges
+    overlaps. The join shape is deliberate: a count-over-window
+    alternative measures the same here but piles every occurrence of a
+    hot window onto one sort task with no mitigation, while AQE's
+    skew-join splits oversized probe partitions. Nothing is all-pairs
+    and nothing collects.
 
     Returns (doc, span_start, span_end, n_windows): token-index spans
     [span_start, span_end) with the number of flagged windows merged
     into each.
     """
     w = positional_windows(df, id_col, text_col, n)
-    flagged = (
-        w.withColumn("_c", F.count(F.lit(1)).over(Window.partitionBy("whash")))
+    dup_hashes = (
+        w.groupBy("whash")
+        .agg(F.count(F.lit(1)).alias("_c"))
         .filter(F.col("_c") > 1)
-        .select("doc", "pos")
+        .select("whash")
     )
+    flagged = w.join(dup_hashes, "whash", "left_semi").select("doc", "pos")
     order = Window.partitionBy("doc").orderBy("pos")
     prev_end = F.max(F.col("pos") + n).over(
         Window.partitionBy("doc").orderBy("pos").rowsBetween(

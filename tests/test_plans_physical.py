@@ -242,15 +242,18 @@ def test_shuffle_shard_bucketed_avoids_global_sort(spark):
     assert "hashpartitioning(_pid" in plan
 
 
-def test_duplicate_spans_no_join_back(spark):
-    """The occurrence count is a window over the hash partition — the
-    plan must contain no join at all (a join-back of the counts frame
-    would shuffle the windows twice), and no single-partition stage."""
+def test_duplicate_spans_skew_tolerant_shape(spark):
+    """Duplicated hashes come from a partial-aggregated groupBy and flag
+    positions via an equi-semi-join (AQE can split a skewed probe side;
+    a count-over-window would pile a hot boilerplate window onto one
+    sort task) — and nothing runs single-partition or all-pairs."""
     from jobinsight_data_pipeline_spark.operators.dedup import duplicate_spans
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     plan = physical_plan(duplicate_spans(docs, "doc_id", "text", n=8))
-    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
     assert "Exchange SinglePartition" not in plan
-    assert "hashpartitioning(whash" in plan
+    assert "partial_count" in plan  # map-side combine before the shuffle
+    assert "LeftSemi" in plan
     assert "hashpartitioning(doc" in plan
