@@ -1288,6 +1288,35 @@ FROM r
 """
 
 
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard integrity manifest (counts, order-insensitive bit_xor
+    content checksum, rank ranges) — the oracle recomputes every
+    checksum from the same md5 prefixes, so one changed or misplaced
+    row in any shard fails the hash."""
+    from jobinsight_data_pipeline_spark.operators.packing import shard_manifest
+
+    t = load(spark, sf_dir, "documents")
+    return shard_manifest(
+        t["documents"].select("doc_id", "text"), "doc_id", "text", shard_size=64
+    )
+
+
+O_SHARD_MANIFEST = """
+WITH r AS (
+    SELECT doc_id, text,
+           row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC,
+                              doc_id ASC) - 1 AS rank
+    FROM documents
+)
+SELECT CAST(rank // 64 AS INTEGER) AS shard,
+       count(*) AS n_rows,
+       bit_xor(CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT))
+           AS content_checksum,
+       min(rank) AS rank_min, max(rank) AS rank_max
+FROM r GROUP BY 1
+"""
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup clustering: the exact n-gram Jaccard pairs
     (already under the `ngram_jaccard` gate) feed the alternating
@@ -1419,6 +1448,7 @@ QUERIES = {
     "duplicate_spans": q_duplicate_spans,
     "pii_scrub": q_pii_scrub,
     "training_shards": q_training_shards,
+    "shard_manifest": q_shard_manifest,
     "media_features": q_media_features,
 }
 
@@ -1451,5 +1481,6 @@ ORACLES = {
     "duplicate_spans": O_DUPLICATE_SPANS,
     "pii_scrub": O_PII_SCRUB,
     "training_shards": O_TRAINING_SHARDS,
+    "shard_manifest": O_SHARD_MANIFEST,
     "media_features": O_MEDIA_FEATURES,
 }

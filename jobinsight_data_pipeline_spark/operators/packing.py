@@ -131,3 +131,37 @@ def shuffle_shard(
         .withColumn("shard_pos", (F.col("rank") % shard_size).cast("int"))
         .drop("_h", "_one", "start_offset", "pack_id")
     )
+
+
+def shard_manifest(
+    df: DataFrame,
+    key_col: str,
+    content_col: str,
+    shard_size: int,
+    salt: str = "",
+) -> DataFrame:
+    """Per-shard integrity manifest for a sharded training set: row
+    count, an order-insensitive content checksum, and the rank range —
+    the artifact a training run pins so any later re-materialization of
+    the same corpus version can be verified shard-by-shard.
+
+    The checksum is ``bit_xor`` over the 8-hex md5 prefix of each row's
+    content: engine-portable (any engine agrees on md5), associative and
+    commutative (computable with map-side partial aggregation, immune to
+    row order), and overflow-free (unlike a sum under ANSI arithmetic).
+    One shuffle: the groupBy on shard after :func:`shuffle_shard`'s
+    assignment."""
+    sharded = shuffle_shard(df, key_col, shard_size, salt)
+    chk = F.conv(
+        F.substring(F.md5(F.col(content_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    return (
+        sharded.withColumn("_chk", chk)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.bit_xor("_chk").alias("content_checksum"),
+            F.min("rank").alias("rank_min"),
+            F.max("rank").alias("rank_max"),
+        )
+    )

@@ -780,3 +780,33 @@ def test_duplicate_spans_known_answers(spark):
     assert not any(k[0] == 3 for k in out)
     # doc 4: every 4-window of the repeated phrase duplicates → one span [0,12)
     assert out.get((4, 0, 12)) == 9
+
+
+def test_shard_manifest_detects_any_row_change(spark):
+    """The manifest must be reproducible across re-materializations and
+    sensitive to a single changed row: full shards carry exactly
+    shard_size rows with contiguous rank ranges, and editing one row's
+    content flips exactly that shard's checksum."""
+    from jobinsight_data_pipeline_spark.operators.packing import shard_manifest
+
+    df = spark.createDataFrame(
+        [(i, f"content-{i}") for i in range(130)], "k: long, body: string"
+    )
+    m1 = {r["shard"]: r for r in shard_manifest(df, "k", "body", 32).collect()}
+    m2 = {r["shard"]: r for r in shard_manifest(df, "k", "body", 32).collect()}
+    assert m1.keys() == m2.keys() == {0, 1, 2, 3, 4}
+    for s in m1:
+        assert tuple(m1[s]) == tuple(m2[s])
+        assert m1[s]["rank_max"] - m1[s]["rank_min"] + 1 == m1[s]["n_rows"]
+        assert m1[s]["n_rows"] == (32 if s < 4 else 2)
+
+    edited = df.withColumn(
+        "body",
+        F.when(F.col("k") == 77, F.lit("tampered")).otherwise(F.col("body")),
+    )
+    m3 = {r["shard"]: r for r in shard_manifest(edited, "k", "body", 32).collect()}
+    diff = [
+        s for s in m1 if m1[s]["content_checksum"] != m3[s]["content_checksum"]
+    ]
+    assert len(diff) == 1  # exactly the shard holding row 77
+    assert all(m1[s]["n_rows"] == m3[s]["n_rows"] for s in m1)
