@@ -1156,6 +1156,46 @@ FROM s GROUP BY doc, island
 """
 
 
+def q_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detection AND removal of duplicated substrings under one hash:
+    every doc comes back with its masked text, token count, and removed
+    count — the oracle re-derives the spans (O_DUPLICATE_SPANS chain)
+    and re-joins the surviving tokens with an ordered string_agg, so a
+    mis-masked token anywhere in the corpus fails the gate."""
+    from jobinsight_data_pipeline_spark.operators.dedup import remove_spans
+
+    t = load(spark, sf_dir, "documents")
+    return remove_spans(t["documents"], "doc_id", "text", n=8)
+
+
+O_SPAN_REMOVAL = rf"""
+WITH spans AS ({O_DUPLICATE_SPANS}),
+t AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+    FROM documents
+),
+pos AS (
+    SELECT t.doc_id, toks[g] AS tok, g - 1 AS idx, len(toks) AS n_tokens
+    FROM t, unnest(generate_series(1, len(toks))) AS u(g)
+),
+kept AS (
+    SELECT p.* FROM pos p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM spans s
+        WHERE s.doc_id = p.doc_id
+          AND p.idx >= s.span_start AND p.idx < s.span_end
+    )
+)
+SELECT p.doc_id,
+       coalesce(string_agg(k.tok, ' ' ORDER BY k.idx), '') AS cleaned,
+       CAST(p.n_tokens AS BIGINT) AS n_tokens,
+       CAST(p.n_tokens - count(k.tok) AS BIGINT) AS n_removed
+FROM (SELECT DISTINCT doc_id, n_tokens FROM pos) p
+LEFT JOIN kept k USING (doc_id)
+GROUP BY p.doc_id, p.n_tokens
+"""
+
+
 #: planted-PII fixture shared verbatim by the Spark gate and its oracle
 PII_FIXTURE: list[tuple[int, str]] = [
     (1, "contact john.doe@example.com or jane_x@sub.domain.org for details"),
@@ -1449,6 +1489,7 @@ QUERIES = {
     "pii_scrub": q_pii_scrub,
     "training_shards": q_training_shards,
     "shard_manifest": q_shard_manifest,
+    "span_removal": q_span_removal,
     "media_features": q_media_features,
 }
 
@@ -1482,5 +1523,6 @@ ORACLES = {
     "pii_scrub": O_PII_SCRUB,
     "training_shards": O_TRAINING_SHARDS,
     "shard_manifest": O_SHARD_MANIFEST,
+    "span_removal": O_SPAN_REMOVAL,
     "media_features": O_MEDIA_FEATURES,
 }

@@ -465,3 +465,54 @@ def duplicate_spans(
         )
         .drop("_island")
     )
+
+
+def remove_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    spans: DataFrame | None = None,
+) -> DataFrame:
+    """The removal half of the ExactSubstr pass: drop every token that
+    falls inside a duplicated span (all copies — the aggressive masking
+    variant; keep-one-copy needs a global copy election, which the span
+    frame's keep-min canon can drive if wanted) and re-join the
+    survivors. Emits (id, cleaned, n_tokens, n_removed); documents with
+    no spans pass through with n_removed = 0.
+
+    Spans aggregate to ONE array per doc (bounded by document length,
+    never corpus size), broadcast-joined or hash-joined on the doc id;
+    the token filter is a scan-fused higher-order function — no explode,
+    no per-token shuffle."""
+    if spans is None:
+        spans = duplicate_spans(df, id_col, text_col, n)
+    sp = spans.groupBy("doc").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_sp")
+    )
+    toks = tokens(text_col)
+    joined = df.select(F.col(id_col), F.col(text_col)).join(
+        sp, F.col(id_col) == F.col("doc"), "left"
+    )
+    kept = F.expr(
+        f"""
+        filter(
+          transform({text_col}_toks, (t, i) -> struct(t AS t, i AS i)),
+          x -> NOT exists(coalesce(_sp, array()),
+                          s -> x.i >= s.span_start AND x.i < s.span_end))
+        """
+    )
+    with_toks = joined.withColumn(f"{text_col}_toks", toks)
+    return (
+        with_toks.withColumn("_kept", kept)
+        .select(
+            F.col(id_col),
+            F.concat_ws(
+                " ", F.expr("transform(_kept, x -> x.t)")
+            ).alias("cleaned"),
+            F.size(f"{text_col}_toks").cast("long").alias("n_tokens"),
+            (F.size(f"{text_col}_toks") - F.size("_kept"))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )

@@ -810,3 +810,28 @@ def test_shard_manifest_detects_any_row_change(spark):
     ]
     assert len(diff) == 1  # exactly the shard holding row 77
     assert all(m1[s]["n_rows"] == m3[s]["n_rows"] for s in m1)
+
+
+def test_remove_spans_known_answers(spark):
+    """All copies of a duplicated run are masked in every holder, clean
+    docs pass through byte-identical, and n_tokens/n_removed reconcile
+    with the cleaned text."""
+    from jobinsight_data_pipeline_spark.operators.dedup import remove_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "one two alpha beta gamma delta three"),
+            (2, "x alpha beta gamma delta y"),
+            (3, "unique words entirely here"),
+        ],
+        "doc_id: long, text: string",
+    )
+    rows = {r["doc_id"]: r for r in remove_spans(df, n=4).collect()}
+    assert rows[1]["cleaned"] == "one two three"
+    assert (rows[1]["n_tokens"], rows[1]["n_removed"]) == (7, 4)
+    assert rows[2]["cleaned"] == "x y"
+    assert rows[3]["cleaned"] == "unique words entirely here"
+    assert rows[3]["n_removed"] == 0
+    for r in rows.values():
+        kept = len(r["cleaned"].split()) if r["cleaned"] else 0
+        assert kept == r["n_tokens"] - r["n_removed"]
