@@ -1196,6 +1196,39 @@ GROUP BY p.doc_id, p.n_tokens
 """
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row importance resampling under a row-level exact oracle:
+    the weight derives deterministically from doc length (one-decimal
+    values 0.0–3.4, identical doubles on both engines), so every
+    (doc, copy) materialization is recomputed bit-for-bit."""
+    from jobinsight_data_pipeline_spark.operators.sampling import weighted_sample
+
+    t = load(spark, sf_dir, "documents")
+    weighted = t["documents"].select(
+        "doc_id", ((F.col("n_chars") % 35) / 10.0).alias("w")
+    )
+    return weighted_sample(weighted, "w", "doc_id").select("doc_id", "w", "copy")
+
+
+O_WEIGHTED_SAMPLE = """
+WITH d AS (
+    SELECT doc_id, (n_chars % 35) / 10.0 AS w,
+           CAST(('0x' || substring(md5('w' || CAST(doc_id AS VARCHAR)), 1, 8))
+                AS BIGINT) % 10000 AS bucket
+    FROM documents
+),
+c AS (
+    SELECT doc_id, w,
+           CAST(floor(w) AS INTEGER)
+           + CASE WHEN bucket < round(w * 10000) - CAST(floor(w) AS BIGINT) * 10000
+                  THEN 1 ELSE 0 END AS copies
+    FROM d
+)
+SELECT doc_id, w, CAST(u.copy AS INTEGER) AS copy
+FROM c, unnest(generate_series(0, copies - 1)) AS u(copy)
+"""
+
+
 #: planted-PII fixture shared verbatim by the Spark gate and its oracle
 PII_FIXTURE: list[tuple[int, str]] = [
     (1, "contact john.doe@example.com or jane_x@sub.domain.org for details"),
@@ -1490,6 +1523,7 @@ QUERIES = {
     "training_shards": q_training_shards,
     "shard_manifest": q_shard_manifest,
     "span_removal": q_span_removal,
+    "weighted_sample": q_weighted_sample,
     "media_features": q_media_features,
 }
 
@@ -1524,5 +1558,6 @@ ORACLES = {
     "training_shards": O_TRAINING_SHARDS,
     "shard_manifest": O_SHARD_MANIFEST,
     "span_removal": O_SPAN_REMOVAL,
+    "weighted_sample": O_WEIGHTED_SAMPLE,
     "media_features": O_MEDIA_FEATURES,
 }

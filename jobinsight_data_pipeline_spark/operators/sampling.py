@@ -113,6 +113,41 @@ def mixture_sample(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    key_col: str,
+    salt: str = "w",
+) -> DataFrame:
+    """Per-ROW importance resampling: each row carries its own target
+    multiplicity ``w`` (a quality score mapped to a sampling weight, a
+    perplexity-derived factor, …) and materializes ``floor(w)``
+    guaranteed copies plus one more iff its key-hash bucket falls under
+    ``frac(w)`` — :func:`mixture_sample` generalized from per-group
+    literals to a weight column. Negative/NULL weights clamp to 0
+    (dropped). The fractional threshold is ``round(w·10000)`` computed
+    identically on any engine from the same double, so the draw stays
+    engine-portable and append-stable. Pure projection + explode."""
+    w = F.greatest(F.coalesce(F.col(weight_col).cast("double"), F.lit(0.0)), F.lit(0.0))
+    base = F.floor(w).cast("int")
+    thr = (F.round(w * 10_000) - base.cast("long") * 10_000).cast("long")
+    bucket = hash_bucket(F.col(key_col), 10_000, salt)
+    copies = base + (bucket < thr).cast("int")
+    return (
+        df.withColumn("_copies", copies)
+        .withColumn(
+            "copy",
+            F.explode(
+                F.when(
+                    F.col("_copies") > 0,
+                    F.sequence(F.lit(0), F.col("_copies") - 1),
+                ).otherwise(F.array().cast("array<int>"))
+            ),
+        )
+        .drop("_copies")
+    )
+
+
 def stratified_sample_exact(
     df: DataFrame,
     stratum_cols: list[str],

@@ -835,3 +835,31 @@ def test_remove_spans_known_answers(spark):
     for r in rows.values():
         kept = len(r["cleaned"].split()) if r["cleaned"] else 0
         assert kept == r["n_tokens"] - r["n_removed"]
+
+
+def test_weighted_sample_per_row_multiplicity(spark):
+    """Each row materializes floor(w) or ceil(w) copies of ITS OWN
+    weight; w=0, negative, and NULL all drop; realized multiplicity
+    converges to w over a large keyspace."""
+    from jobinsight_data_pipeline_spark.operators.sampling import weighted_sample
+
+    rows = [(i, [0.0, -1.0, None, 0.5, 1.0, 2.25][i % 6]) for i in range(6000)]
+    df = spark.createDataFrame(rows, "k: long, w: double")
+    out = weighted_sample(df, "w", "k").cache()
+    per_key = {
+        r["k"]: r["n"]
+        for r in out.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for k, w in rows:
+        n = per_key.get(k, 0)
+        if not w or w <= 0:
+            assert n == 0
+        else:
+            import math
+
+            assert n in (math.floor(w), math.ceil(w)), (k, w, n)
+    half = out.filter(F.col("w") == 0.5).count() / 1000
+    assert abs(half - 0.5) < 0.06
+    q = out.filter(F.col("w") == 2.25).count() / 1000
+    assert abs(q - 2.25) < 0.06
+    out.unpersist()
