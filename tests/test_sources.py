@@ -444,3 +444,28 @@ def test_pii_redaction_runs_on_streams(spark, tmp_path):
     assert rows[1]["redacted"] == "reach me at <EMAIL> or <PHONE> x"
     assert (rows[1]["n_email"], rows[1]["n_phone"]) == (1, 1)
     assert rows[2]["redacted"] == "clean"
+
+
+def test_shuffle_shard_writes_one_file_per_shard(spark, tmp_path):
+    """The sharded frame partitionBy("shard")-writes to one parquet file
+    per shard directory (the training-loader layout the operator
+    promises), and the readback round-trips every assignment."""
+    import glob
+
+    from jobinsight_data_pipeline_spark.operators.packing import shuffle_shard
+
+    df = spark.range(0, 300).selectExpr("id AS k", "concat('doc-', id) AS body")
+    sharded = shuffle_shard(df, "k", shard_size=64)
+    out = str(tmp_path / "shards")
+    sharded.repartition("shard").write.partitionBy("shard").parquet(out)
+
+    dirs = sorted(glob.glob(f"{out}/shard=*"))
+    assert len(dirs) == 5  # 300 rows / 64 per shard
+    for d in dirs:
+        assert len(glob.glob(f"{d}/*.parquet")) == 1
+
+    back = spark.read.parquet(out)
+    assert back.count() == 300
+    orig = {(r["k"], r["shard"], r["shard_pos"]) for r in sharded.collect()}
+    got = {(r["k"], int(r["shard"]), r["shard_pos"]) for r in back.collect()}
+    assert got == orig
