@@ -818,8 +818,107 @@ FROM orders
 """
 
 
+def _revenue_units() -> F.Column:
+    """Line revenue in EXACT integer 10^-4 units: price and discount are
+    2-decimal quantized doubles, so round(x*100) recovers the exact
+    integers and the product/sum never touches float summation — immune
+    to the round(sum(double), 2) order-dependence flake (the q14-style
+    MEDIUM group lands exactly on a .5 cent boundary at sf0.01)."""
+    return F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join with the correlated local-supplier
+    predicate (customer and supplier share a nation), date-windowed,
+    revenue per nation in exact integer cents (HALF_UP from 10^-4
+    units)."""
+    t = load(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier",
+        "nation", "region",
+    )
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            t["supplier"],
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(
+            (F.col("r_name") == "ASIA")
+            & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1999-01-01").cast("date"))
+        )
+        .withColumn("_units", _revenue_units())
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.expr("(sum(_units) + 50) div 100").alias("revenue_cents"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+        .withColumn("revenue_cents", F.col("revenue_cents").cast("long"))
+    )
+
+
+def q_promo_type_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: lineitem x part with a ship-date window, revenue
+    and volume per part type (PROMO vs the rest) in exact integer
+    cents."""
+    t = load(spark, sf_dir, "lineitem", "part")
+    return (
+        t["lineitem"]
+        .join(broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+        )
+        .withColumn("_units", _revenue_units())
+        .groupBy("p_type")
+        .agg(
+            F.expr("(sum(_units) + 50) div 100").alias("revenue_cents"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+        .withColumn("revenue_cents", F.col("revenue_cents").cast("long"))
+    )
+
+
+O_LOCAL_SUPPLIER_VOLUME = """
+SELECT n_name AS nation_name,
+       CAST((sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT))) + 50) // 100
+            AS BIGINT) AS revenue_cents,
+       count(*) AS line_count
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1999-01-01'
+GROUP BY n_name
+"""
+
+O_PROMO_TYPE_REVENUE = """
+SELECT p_type,
+       CAST((sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT))) + 50) // 100
+            AS BIGINT) AS revenue_cents,
+       count(*) AS line_count
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1998-01-01'
+GROUP BY p_type
+"""
+
+
 QUERIES = {
     "star_revenue": q_star_revenue,
+    "local_supplier_volume": q_local_supplier_volume,
+    "promo_type_revenue": q_promo_type_revenue,
     "asof_discount": q_asof_discount,
     "event_percentiles_approx": q_event_percentiles_approx,
     "rolling_avg": q_rolling_avg,
@@ -846,6 +945,8 @@ QUERIES = {
 
 ORACLES = {
     "star_revenue": O_STAR_REVENUE,
+    "local_supplier_volume": O_LOCAL_SUPPLIER_VOLUME,
+    "promo_type_revenue": O_PROMO_TYPE_REVENUE,
     "asof_discount": O_ASOF_DISCOUNT,
     "event_percentiles_approx": O_EVENT_PERCENTILES_APPROX,
     "monthly_orders_approx": O_MONTHLY_ORDERS_APPROX,
