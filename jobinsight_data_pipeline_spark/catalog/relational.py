@@ -915,10 +915,48 @@ GROUP BY p_type
 """
 
 
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F17/F18 JSON surface on a raw column: parse the events `props`
+    JSON with the native from_json path (schema'd, codegen'd — never a
+    UDF) and aggregate the extracted field per event type. try-parse
+    semantics: a malformed document yields NULL, not an error."""
+    t = load(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k INT")["k"]
+    return (
+        t["events"]
+        .withColumn("_k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("_k").alias("n_parsed"),
+            F.sum("_k").cast("long").alias("sum_k"),
+            F.min("_k").alias("min_k"),
+            F.max("_k").alias("max_k"),
+        )
+    )
+
+
+O_JSON_PROPS = """
+SELECT event_type,
+       count(*) AS n_events,
+       count(k) AS n_parsed,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       min(k) AS min_k,
+       max(k) AS max_k
+FROM (
+    SELECT event_type,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS k
+    FROM events
+)
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "star_revenue": q_star_revenue,
     "local_supplier_volume": q_local_supplier_volume,
     "promo_type_revenue": q_promo_type_revenue,
+    "json_props": q_json_props,
     "asof_discount": q_asof_discount,
     "event_percentiles_approx": q_event_percentiles_approx,
     "rolling_avg": q_rolling_avg,
@@ -947,6 +985,7 @@ ORACLES = {
     "star_revenue": O_STAR_REVENUE,
     "local_supplier_volume": O_LOCAL_SUPPLIER_VOLUME,
     "promo_type_revenue": O_PROMO_TYPE_REVENUE,
+    "json_props": O_JSON_PROPS,
     "asof_discount": O_ASOF_DISCOUNT,
     "event_percentiles_approx": O_EVENT_PERCENTILES_APPROX,
     "monthly_orders_approx": O_MONTHLY_ORDERS_APPROX,
