@@ -740,26 +740,47 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     definition with UNION ALL + DISTINCT: any duplicate that survives
     cross-batch state, or any row the sink loses, shifts the per-type
     counts and fails the hash."""
+    import hashlib
+    import os
+    import shutil
     import tempfile
 
     from jobinsight_data_pipeline_spark.streaming.incremental import stream_dedup
 
     t = load(spark, sf_dir, "events")
     # Spark event-time (watermarks) requires TIMESTAMP, not TIMESTAMP_NTZ
-    # — cast for the stream only; the gate output carries no timestamps,
-    # so the session-TZ-dependent instant never reaches the hash.
+    # (verified: EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE on NTZ) — cast for
+    # the stream only; the gate output carries no timestamps, so the
+    # session-TZ-dependent instant never reaches the hash.
     ev = t["events"].withColumn("ts", F.col("ts").cast("timestamp"))
-    base = tempfile.mkdtemp(prefix="streamdedup-gate-")
-    raw = f"{base}/drops"
-    for mods in ((0, 1), (1, 2)):
-        ev.filter((F.col("event_id") % 3).isin(*mods)).coalesce(1).write.mode(
-            "append"
-        ).parquet(raw)
-
-    query = stream_dedup(
-        spark, raw, ev.schema, f"{base}/sink", f"{base}/ckpt", ["event_id"]
+    # deterministic per-(session, sf_dir) scratch dir, wiped on entry —
+    # a fresh mkdtemp per call leaked two event copies + sink + ckpt on
+    # every sweep/driver round
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "streamdedup-gate-{}-{}".format(
+            spark.sparkContext.applicationId,
+            hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+        ),
     )
-    query.awaitTermination()
+    done = os.path.join(base, "_gate_done")
+    if not os.path.exists(done):
+        # rebuild from scratch; leave a completed sink alone (its content
+        # is deterministic, and a frame returned by an earlier invocation
+        # may still lazily read those files)
+        shutil.rmtree(base, ignore_errors=True)
+        raw = f"{base}/drops"
+        for mods in ((0, 1), (1, 2)):
+            ev.filter((F.col("event_id") % 3).isin(*mods)).coalesce(1).write.mode(
+                "append"
+            ).parquet(raw)
+
+        query = stream_dedup(
+            spark, raw, ev.schema, f"{base}/sink", f"{base}/ckpt", ["event_id"]
+        )
+        query.awaitTermination()
+        with open(done, "w") as fh:
+            fh.write("ok")
 
     return (
         spark.read.parquet(f"{base}/sink")
@@ -944,8 +965,14 @@ SELECT event_type,
        min(k) AS min_k,
        max(k) AS max_k
 FROM (
+    -- mirror from_json's try-parse + strict typing: malformed JSON,
+    -- a missing key, or a non-integer value all yield NULL instead of
+    -- erroring (plain json_extract + CAST raises on both)
     SELECT event_type,
-           CAST(json_extract(props, '$.k') AS INTEGER) AS k
+           CASE WHEN json_valid(props)
+                 AND json_type(json(props), '$.k') IN ('BIGINT', 'UBIGINT')
+                THEN TRY_CAST(json_extract(props, '$.k') AS INTEGER)
+           END AS k
     FROM events
 )
 GROUP BY event_type

@@ -1171,12 +1171,13 @@ def q_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 O_SPAN_REMOVAL = rf"""
 WITH spans AS ({O_DUPLICATE_SPANS}),
 t AS (
-    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+    SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks
     FROM documents
 ),
 pos AS (
-    SELECT t.doc_id, toks[g] AS tok, g - 1 AS idx, len(toks) AS n_tokens
+    SELECT t.doc_id, toks[g] AS tok, g - 1 AS idx
     FROM t, unnest(generate_series(1, len(toks))) AS u(g)
+    WHERE t.text IS NOT NULL
 ),
 kept AS (
     SELECT p.* FROM pos p
@@ -1185,14 +1186,21 @@ kept AS (
         WHERE s.doc_id = p.doc_id
           AND p.idx >= s.span_start AND p.idx < s.span_end
     )
+),
+agg AS (
+    SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS cleaned_txt,
+           count(*) AS n_kept
+    FROM kept GROUP BY doc_id
 )
-SELECT p.doc_id,
-       coalesce(string_agg(k.tok, ' ' ORDER BY k.idx), '') AS cleaned,
-       CAST(p.n_tokens AS BIGINT) AS n_tokens,
-       CAST(p.n_tokens - count(k.tok) AS BIGINT) AS n_removed
-FROM (SELECT DISTINCT doc_id, n_tokens FROM pos) p
-LEFT JOIN kept k USING (doc_id)
-GROUP BY p.doc_id, p.n_tokens
+SELECT t.doc_id,
+       CASE WHEN t.text IS NULL THEN NULL
+            ELSE coalesce(a.cleaned_txt, '') END AS cleaned,
+       CASE WHEN t.text IS NULL THEN NULL
+            ELSE CAST(len(t.toks) AS BIGINT) END AS n_tokens,
+       CASE WHEN t.text IS NULL THEN NULL
+            ELSE CAST(len(t.toks) - coalesce(a.n_kept, 0) AS BIGINT)
+       END AS n_removed
+FROM t LEFT JOIN agg a USING (doc_id)
 """
 
 

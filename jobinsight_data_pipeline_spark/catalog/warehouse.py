@@ -198,7 +198,13 @@ def _gate_frames(
         return _GATE_CACHES[key]
     for k in [k for k in _GATE_CACHES if k[0] == gate]:
         for df in _GATE_CACHES.pop(k):
-            df.unpersist()
+            try:
+                df.unpersist()
+            except Exception:
+                # frames belonging to a stopped SparkSession (stale
+                # applicationId after a session recycle): nothing to
+                # free — evicting the dict entry is enough
+                pass
     frames = build()
     _GATE_CACHES[key] = frames
     return frames

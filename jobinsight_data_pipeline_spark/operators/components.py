@@ -60,6 +60,21 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return relink.unionByName(mins.select("u", F.col("m").alias("v"))).distinct()
 
 
+def _free_local_checkpoint(df: DataFrame) -> None:
+    """Release a localCheckpoint'd DataFrame's storage blocks NOW.
+
+    The checkpointed data lives in the RDD behind the plan's LogicalRDD;
+    ``df.unpersist()`` only consults the CacheManager and leaves those
+    blocks untouched (verified empirically). The caller must never use
+    ``df`` again — the lineage was truncated, so the blocks are the only
+    copy. Best-effort: any plan-shape surprise just leaves the blocks
+    for the context cleaner."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def connected_components(
     pairs: DataFrame, src: str, dst: str, max_iter: int = 25
 ) -> DataFrame:
@@ -81,6 +96,7 @@ def connected_components(
     # label join must read the materialized edge list, not re-run the
     # (possibly expensive) upstream pair pipeline
     edges = edges.localCheckpoint(eager=True)
+    first = edges
     nodes = (
         edges.select(F.col("u").alias("node"))
         .unionByName(edges.select(F.col("v").alias("node")))
@@ -97,14 +113,20 @@ def connected_components(
             F.bit_xor(F.xxhash64("u", "v")).alias("sig"),
         ).first()
         sig = (row["n"], row["sig"])
-        if sig == prev_sig:
-            # fingerprint says converged — confirm with an exact
-            # set-equality probe (count equal + empty difference)
-            if new_edges.exceptAll(edges).isEmpty():
-                edges = new_edges
-                break
+        done = sig == prev_sig and new_edges.exceptAll(edges).isEmpty()
+        # free the superseded generation's checkpoint blocks — NOT the
+        # first (the `nodes` plan reads it) and NOT the one just built.
+        # df.unpersist() can't reach localCheckpoint storage (the blocks
+        # belong to the plan's LogicalRDD, not the CacheManager), so
+        # without this the loop accumulates O(rounds x edges) executor
+        # storage that only a much later context-cleaner GC reclaims.
+        if edges is not first:
+            _free_local_checkpoint(edges)
         prev_sig = sig
         edges = new_edges
+        if done:
+            # fingerprint + exact set-equality probe both converged
+            break
 
     # star forest: every non-root points at its component's minimum
     return nodes.join(

@@ -507,8 +507,11 @@ def remove_spans(
         with_toks.withColumn("_kept", kept)
         .select(
             F.col(id_col),
-            F.concat_ws(
-                " ", F.expr("transform(_kept, x -> x.t)")
+            # NULL text propagates as NULL (the redact_pii discipline) —
+            # concat_ws would otherwise silently render it as ""
+            F.when(
+                F.col(text_col).isNotNull(),
+                F.concat_ws(" ", F.expr("transform(_kept, x -> x.t)")),
             ).alias("cleaned"),
             F.size(f"{text_col}_toks").cast("long").alias("n_tokens"),
             (F.size(f"{text_col}_toks") - F.size("_kept"))

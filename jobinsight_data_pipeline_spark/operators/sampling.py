@@ -59,6 +59,27 @@ def deterministic_sample(
     return df.filter(hash_bucket(F.col(key_col), 10_000, salt) < int(fraction * 10_000))
 
 
+
+def _explode_copies(df: DataFrame, copies: Column) -> DataFrame:
+    """Materialize ``copies`` rows per input row with a 0-based ``copy``
+    index; zero copies drop the row via an empty sequence (sequence with
+    stop < start would otherwise generate DESCENDING values). Shared by
+    the group-weighted and row-weighted resamplers."""
+    return (
+        df.withColumn("_copies", copies)
+        .withColumn(
+            "copy",
+            F.explode(
+                F.when(
+                    F.col("_copies") > 0,
+                    F.sequence(F.lit(0), F.col("_copies") - 1),
+                ).otherwise(F.array().cast("array<int>"))
+            ),
+        )
+        .drop("_copies")
+    )
+
+
 def mixture_sample(
     df: DataFrame,
     group_col: str,
@@ -98,19 +119,7 @@ def mixture_sample(
     thr = F.coalesce(F.create_map(*thr_items)[g] if thr_items else F.lit(None), F.lit(dthr))
     bucket = hash_bucket(F.col(key_col), 10_000, salt)
     copies = (base + (bucket < thr).cast("int")).cast("int")
-    return (
-        df.withColumn("_copies", copies)
-        .withColumn(
-            "copy",
-            F.explode(
-                F.when(
-                    F.col("_copies") > 0,
-                    F.sequence(F.lit(0), F.col("_copies") - 1),
-                ).otherwise(F.array().cast("array<int>"))
-            ),
-        )
-        .drop("_copies")
-    )
+    return _explode_copies(df, copies)
 
 
 def weighted_sample(
@@ -133,19 +142,7 @@ def weighted_sample(
     thr = (F.round(w * 10_000) - base.cast("long") * 10_000).cast("long")
     bucket = hash_bucket(F.col(key_col), 10_000, salt)
     copies = base + (bucket < thr).cast("int")
-    return (
-        df.withColumn("_copies", copies)
-        .withColumn(
-            "copy",
-            F.explode(
-                F.when(
-                    F.col("_copies") > 0,
-                    F.sequence(F.lit(0), F.col("_copies") - 1),
-                ).otherwise(F.array().cast("array<int>"))
-            ),
-        )
-        .drop("_copies")
-    )
+    return _explode_copies(df, copies)
 
 
 def stratified_sample_exact(

@@ -243,6 +243,10 @@ def fit_centroids(
         .limit(sample_rows)
         .collect()
     )
+    if not sample:
+        raise ValueError(
+            f"fit_centroids: no non-null `{vec_col}` vectors to fit"
+        )
     X = np.array([r[vec_col] for r in sample], dtype=np.float64)
     Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)

@@ -415,3 +415,17 @@ def test_new_text_operators_total_on_fuzzed_corpus(spark):
         assert r["doc"] >= 2  # NULL/empty docs emit nothing
         assert 0 <= r["span_start"] < r["span_end"] <= toklen[r["doc"]]
         assert r["n_windows"] >= 1
+
+    from jobinsight_data_pipeline_spark.operators.dedup import remove_spans
+
+    cleaned = {r["doc_id"]: r for r in remove_spans(df, n=n).collect()}
+    assert cleaned[0]["cleaned"] is None and cleaned[0]["n_tokens"] is None
+    for i, t in rows:
+        if t is not None:
+            r = cleaned[i]
+            assert 0 <= r["n_removed"] <= r["n_tokens"]
+            if r["cleaned"]:
+                # cleaned is single-space-joined, so split(" ") recovers
+                # the kept tokens exactly (including empty ones); "" is
+                # ambiguous (nothing kept vs one empty token) so skipped
+                assert len(r["cleaned"].split(" ")) == r["n_tokens"] - r["n_removed"]
