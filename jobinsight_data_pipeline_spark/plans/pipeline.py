@@ -146,8 +146,18 @@ def run_staging_to_dwh(
 def run_full_pipeline(
     lake: ParquetLake, spark: SparkSession, raw_batch: DataFrame, run_ts: dt.datetime
 ) -> dict:
-    """Crawl-output → warehouse in one call (the two DAGs end-to-end)."""
-    ingest_raw(lake, raw_batch)
-    staging_report = run_raw_to_staging(lake, spark, run_ts)
-    dwh_report = run_staging_to_dwh(lake, spark, run_ts)
-    return {"staging": staging_report, "dwh": dwh_report}
+    """Crawl-output → warehouse in one call (the two DAGs end-to-end).
+    Each phase runs under a performance monitor (wall / jobs / driver
+    heap — the reference timed its phases the same way,
+    src/etl/raw_to_staging.py:65-108); the measurements come back in the
+    report under ``perf``."""
+    from jobinsight_data_pipeline_spark.observability import performance_monitor
+
+    perf: list[dict] = []
+    with performance_monitor(spark, "Raw Ingest", perf):
+        ingest_raw(lake, raw_batch)
+    with performance_monitor(spark, "Raw to Staging", perf):
+        staging_report = run_raw_to_staging(lake, spark, run_ts)
+    with performance_monitor(spark, "Staging to DWH", perf):
+        dwh_report = run_staging_to_dwh(lake, spark, run_ts)
+    return {"staging": staging_report, "dwh": dwh_report, "perf": perf}

@@ -238,3 +238,39 @@ def test_lake_time_travel_read(spark, tmp_path):
     assert lake.current_version("t") == "_v00002"
     with pytest.raises(ValueError):
         lake.read(spark, "t", version=99)
+
+
+def test_performance_monitor_attributes_jobs_and_nests(spark):
+    """Wall time, per-phase Spark-job attribution via job groups, nesting
+    restores the outer group, and a failing phase records ok=False
+    before re-raising — the reference's per-phase monitor contract."""
+    import pytest as _pytest
+
+    from jobinsight_data_pipeline_spark.observability import (
+        performance_monitor,
+    )
+
+    report: list[dict] = []
+    with performance_monitor(spark, "outer", report):
+        spark.range(10).count()
+        with performance_monitor(spark, "inner", report):
+            spark.range(10).count()
+            spark.range(10).count()
+        # after the nested block the outer group is restored, so this
+        # job attributes to OUTER
+        spark.range(10).count()
+
+    inner, outer = report
+    assert (inner["phase"], outer["phase"]) == ("inner", "outer")
+    assert inner["ok"] and outer["ok"]
+    # jobs-per-action varies with AQE, so assert attribution, not exact
+    # counts: both phases ran work, and the nested phase's two actions
+    # never collapse below two jobs
+    assert inner["n_jobs"] >= 2
+    assert outer["n_jobs"] >= 2  # the first count + the post-nest count
+    assert inner["wall_s"] <= outer["wall_s"]
+
+    with _pytest.raises(RuntimeError):
+        with performance_monitor(spark, "boom", report):
+            raise RuntimeError("phase failed")
+    assert report[-1]["phase"] == "boom" and report[-1]["ok"] is False
