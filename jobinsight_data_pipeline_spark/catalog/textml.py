@@ -1500,6 +1500,58 @@ FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.d
 O_SEMANTIC_DEDUP = _semdedup_oracle()
 
 
+def q_semantic_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the TRANSITIVE survivor rule (one doc per connected
+    within-cell near-dup group, via large-star/small-star CC) — the
+    oracle recomputes the closure with a recursive CTE over the same
+    literal-centroid pair derivation."""
+    from jobinsight_data_pipeline_spark.operators.similarity import (
+        semantic_dedup,
+        unit_centroids,
+    )
+
+    t = load(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        t["embeddings"],
+        threshold=0.4,
+        centroids=unit_centroids(64, 8, seed=11),
+        transitive=True,
+    )
+
+
+def _semdedup_groups_oracle() -> str:
+    base = _semdedup_oracle()
+    # reuse everything up to `dropped` (cents/n/scored/assigned CTEs),
+    # swapping the greedy rule for the transitive closure
+    head = base.split("dropped AS (")[0]
+    head = head.replace("WITH cents", "WITH RECURSIVE cents", 1)
+    return (
+        head
+        + """pairs AS (
+    SELECT a.vec_id AS u, b.vec_id AS v
+    FROM assigned a JOIN assigned b
+      ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.4
+),
+sym AS (
+    SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
+),
+reach(node, r) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+    UNION
+    SELECT w.node, s.v FROM reach w JOIN sym s ON s.u = w.r
+),
+lbl AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+dropped AS (SELECT node AS d FROM lbl WHERE node <> component)
+SELECT a.vec_id, a.cell, d.d IS NULL AS kept
+FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.d
+"""
+    )
+
+
+O_SEMANTIC_DEDUP_GROUPS = _semdedup_groups_oracle()
+
+
 QUERIES = {
     "corpus_curation": q_corpus_curation,
     "corpus_prep": q_corpus_prep,
@@ -1524,6 +1576,7 @@ QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_lsh_near_dup": q_embedding_lsh_near_dup,
     "semantic_dedup": q_semantic_dedup,
+    "semantic_dedup_groups": q_semantic_dedup_groups,
     "mixture_sample": q_mixture_sample,
     "shuffle_shard": q_shuffle_shard,
     "duplicate_spans": q_duplicate_spans,
@@ -1559,6 +1612,7 @@ ORACLES = {
     "embedding_near_dup": O_EMBEDDING_NEAR_DUP,
     "embedding_lsh_near_dup": O_EMBEDDING_LSH_NEAR_DUP,
     "semantic_dedup": O_SEMANTIC_DEDUP,
+    "semantic_dedup_groups": O_SEMANTIC_DEDUP_GROUPS,
     "mixture_sample": O_MIXTURE_SAMPLE,
     "shuffle_shard": O_SHUFFLE_SHARD,
     "duplicate_spans": O_DUPLICATE_SPANS,

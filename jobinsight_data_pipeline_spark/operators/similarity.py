@@ -412,12 +412,17 @@ def semantic_dedup(
     centroids: list[list[float]] | None = None,
     n_clusters: int = 8,
     seed: int = 42,
+    transitive: bool = False,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): assign every embedding to its nearest centroid,
     compare pairs only WITHIN a cluster, and drop any document whose
     cluster holds a smaller-id neighbor with cosine ≥ ``threshold``
     (keep-min canonical — the greedy per-neighborhood survivor rule).
+    ``transitive=True`` instead keeps exactly ONE document per connected
+    near-dup group (pairs → large-star/small-star components → keep the
+    component minimum): stricter — a survivor chain a~b, b~c with a≁c
+    drops BOTH b and c, where the greedy rule keeps c.
 
     Scale posture: the cluster key bounds the quadratic — pairwise work
     is Σ|cell|², never n². At corpus scale raise ``n_clusters`` so the
@@ -460,14 +465,24 @@ def semantic_dedup(
         "cell", F.col("_id").alias("idb"), F.col("_v").alias("vb"), F.col("_n").alias("nb")
     )
     sim6 = F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
-    dropped = (
+    pairs = (
         a.join(b, "cell")
         .filter(F.col("ida") < F.col("idb"))
         .withColumn("sim6", sim6)
         .filter(F.col("sim6") >= threshold)
-        .select(F.col("idb").alias("_dropped"))
-        .distinct()
     )
+    if transitive:
+        from jobinsight_data_pipeline_spark.operators.components import (
+            connected_components,
+        )
+
+        dropped = (
+            connected_components(pairs.select("ida", "idb"), "ida", "idb")
+            .filter(F.col("node") != F.col("component"))
+            .select(F.col("node").alias("_dropped"))
+        )
+    else:
+        dropped = pairs.select(F.col("idb").alias("_dropped")).distinct()
     return (
         assigned.join(dropped, assigned["_id"] == dropped["_dropped"], "left")
         .select(

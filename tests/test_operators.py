@@ -863,3 +863,39 @@ def test_weighted_sample_per_row_multiplicity(spark):
     q = out.filter(F.col("w") == 2.25).count() / 1000
     assert abs(q - 2.25) < 0.06
     out.unpersist()
+
+
+def test_semantic_dedup_transitive_vs_greedy(spark):
+    """Planted triples (base, near-dup, slightly-farther near-dup) pin
+    the relationship between the two survivor rules: the transitive
+    (connected-component) rule is stricter-or-equal to the greedy
+    smaller-id-neighbor rule, every planted group keeps at least one
+    survivor, and each group's base vector (the component minimum)
+    survives both."""
+    import numpy as np
+
+    from jobinsight_data_pipeline_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    rng = np.random.default_rng(9)
+    rows = []
+    for i in range(20):
+        v = rng.standard_normal(16)
+        rows.append((i, [float(x) for x in v]))
+        rows.append((100 + i, [float(x) for x in v + rng.standard_normal(16) * 0.01]))
+        rows.append((200 + i, [float(x) for x in v + rng.standard_normal(16) * 0.015]))
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    greedy = {r["vec_id"]: r["kept"] for r in
+              semantic_dedup(df, threshold=0.9, n_clusters=4, seed=5).collect()}
+    trans = {r["vec_id"]: r["kept"] for r in
+             semantic_dedup(df, threshold=0.9, n_clusters=4, seed=5,
+                            transitive=True).collect()}
+    assert set(greedy) == set(trans)
+    kept_g = {k for k, v in greedy.items() if v}
+    kept_t = {k for k, v in trans.items() if v}
+    assert kept_t <= kept_g  # transitive is strictly stricter-or-equal
+    assert len(kept_t) >= 20  # at least one survivor per planted triple
+    # every base vector (i < 100) survives both rules: it is the min of
+    # its planted group
+    assert all(i in kept_t for i in range(20) if True)
