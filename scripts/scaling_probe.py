@@ -1,0 +1,141 @@
+#!/usr/bin/env python
+"""Measure operator wall time across the three testdata scale factors
+(sf0.001 → sf0.01 → sf0.1: 100x row growth on the relational tables,
+10x on documents/embeddings at sf0.1) and emit a markdown table.
+
+The point is the SHAPE of each curve, not the absolute numbers: an
+operator whose wall time grows far slower than its input (flat curve)
+is fixed-overhead-bound at these sizes — the design headroom the 100 TB
+posture claims. An operator growing FASTER than its input would flag a
+super-linear plan (all-pairs leak, collapsing partition, driver
+bottleneck) long before a cluster run would.
+
+Usage: python scripts/scaling_probe.py [> SCALING.md section]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from jobinsight_data_pipeline_spark.session import get_spark
+
+SFS = ["0.001", "0.01", "0.1"]
+BASE = "/root/testdata/sf{}"
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def probes(spark, sf_dir):
+    """name -> thunk building the operator's frame at sf_dir (production
+    settings, mirroring bench.py's direct-operator calls)."""
+    import pyspark.sql.functions as F
+
+    from jobinsight_data_pipeline_spark.catalog import load
+    from jobinsight_data_pipeline_spark.operators.dedup import (
+        duplicate_spans,
+        exact_dedup,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+    from jobinsight_data_pipeline_spark.operators.packing import shuffle_shard
+    from jobinsight_data_pipeline_spark.operators.sampling import mixture_sample
+    from jobinsight_data_pipeline_spark.operators.similarity import (
+        lsh_cosine_near_pairs,
+        semantic_dedup,
+        unit_centroids,
+    )
+    from jobinsight_data_pipeline_spark.operators.textstats import (
+        redact_pii,
+        with_c4_signals,
+        with_text_stats,
+    )
+    from jobinsight_data_pipeline_spark.catalog.relational import (
+        q_local_supplier_volume,
+        q_star_revenue,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return {
+        "star_revenue (5-way join+agg)": lambda: q_star_revenue(spark, sf_dir),
+        "local_supplier_volume (6-way)": lambda: q_local_supplier_volume(
+            spark, sf_dir
+        ),
+        "exact_dedup": lambda: exact_dedup(docs, "doc_id", "text"),
+        "text_stats+c4 (projections)": lambda: with_c4_signals(
+            with_text_stats(docs), "text"
+        ),
+        "redact_pii": lambda: redact_pii(docs, "text"),
+        "ngram_jaccard (index join)": lambda: ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.5
+        ),
+        "minhash_lsh (banded)": lambda: minhash_lsh_pairs(docs, "doc_id", "text"),
+        "duplicate_spans (ExactSubstr)": lambda: duplicate_spans(
+            docs, "doc_id", "text", n=8
+        ),
+        "semantic_dedup (literal cells)": lambda: semantic_dedup(
+            emb, threshold=0.4, centroids=unit_centroids(64, 8, seed=11)
+        ),
+        "lsh_cosine_near_pairs": lambda: lsh_cosine_near_pairs(
+            emb, threshold=0.4
+        ),
+        "mixture+shard (assembly)": lambda: shuffle_shard(
+            mixture_sample(docs.select("doc_id", "source"), "source",
+                           {"src0": 2.0}, "doc_id")
+            .withColumn("skey", F.concat_ws(":", "doc_id", "copy")),
+            "skey", 256,
+        ),
+    }
+
+
+def main() -> None:
+    spark = get_spark(app_name="scaling-probe")
+    # warm: file indexes + codegen
+    for sf in SFS:
+        for t in ("documents", "embeddings", "lineitem"):
+            spark.read.parquet(BASE.format(sf) + f"/{t}.parquet").count()
+
+    rows_at = {}
+    for sf in SFS:
+        rows_at[sf] = {
+            "docs": spark.read.parquet(BASE.format(sf) + "/documents.parquet").count(),
+            "lineitem": spark.read.parquet(BASE.format(sf) + "/lineitem.parquet").count(),
+        }
+
+    names = list(probes(spark, BASE.format(SFS[0])))
+    results: dict[str, dict[str, float]] = {n: {} for n in names}
+    for sf in SFS:
+        sf_dir = BASE.format(sf)
+        p = probes(spark, sf_dir)
+        for name, thunk in p.items():
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                materialize(thunk())
+                best = min(best, time.time() - t0)
+            results[name][sf] = round(best, 2)
+
+    print("| operator | sf0.001 | sf0.01 | sf0.1 | wall x at 100x rows |")
+    print("|---|---|---|---|---|")
+    for name in names:
+        r = results[name]
+        ratio = round(r["0.1"] / max(r["0.001"], 0.01), 1)
+        print(
+            f"| {name} | {r['0.001']}s | {r['0.01']}s | {r['0.1']}s | {ratio}x |"
+        )
+    print()
+    print(
+        f"rows: lineitem {rows_at['0.001']['lineitem']} -> "
+        f"{rows_at['0.1']['lineitem']} (100x); documents "
+        f"{rows_at['0.001']['docs']} -> {rows_at['0.1']['docs']}"
+    )
+
+
+if __name__ == "__main__":
+    main()
