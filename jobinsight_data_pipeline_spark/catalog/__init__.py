@@ -65,6 +65,23 @@ def prepare_session(spark: SparkSession) -> None:
     spark._jobinsight_prepared = True  # type: ignore[attr-defined]
 
 
+def scratch_dir(prefix: str) -> str:
+    """Gate scratch space that cleans itself up at interpreter exit.
+
+    Several gates build real on-disk state (lakes, CDC journals, export
+    trees, streaming sinks); a bare mkdtemp per invocation accumulates
+    in /tmp across every sweep, pytest run, and driver round — cleanup
+    must not be earlier than exit, because the returned frames read the
+    files lazily."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, True)
+    return d
+
+
 def load(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     """Read the requested testdata tables and register them as temp views
     (so shared portable-SQL input fragments can run verbatim)."""

@@ -18,7 +18,7 @@ import datetime as dt
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from jobinsight_data_pipeline_spark.catalog import load
+from jobinsight_data_pipeline_spark.catalog import load, scratch_dir
 from jobinsight_data_pipeline_spark.operators.scd2 import scd2_merge
 from jobinsight_data_pipeline_spark.plans import facts as facts_plan
 from jobinsight_data_pipeline_spark.plans.dimensions import (
@@ -1035,7 +1035,7 @@ def q_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load(spark, sf_dir, "orders")
     src = spark.sql(EXPORT_SRC_SQL)
-    out = tempfile.mkdtemp(prefix="export-gate-") + "/fact"
+    out = scratch_dir("export-gate-") + "/fact"
     export_partitioned(src, out)
 
     damaged = src.withColumn(
@@ -1117,7 +1117,7 @@ def q_html_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from jobinsight_data_pipeline_spark.sources.html import read_html_jobs
 
-    d = tempfile.mkdtemp(prefix="html-gate-")
+    d = scratch_dir("html-gate-")
     with open(f"{d}/it_p1.html", "w", encoding="utf-8") as fh:
         fh.write(_HTML_FIXTURE)
     raw = read_html_jobs(spark, d, RUN_TS)
@@ -1361,7 +1361,7 @@ def q_lake_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jobinsight_data_pipeline_spark.sources.lake import ParquetLake
 
     load(spark, sf_dir, "orders")
-    lake = ParquetLake(tempfile.mkdtemp(prefix="lake-gate-"))
+    lake = ParquetLake(scratch_dir("lake-gate-"))
     good = spark.sql(EXPORT_SRC_SQL)
     lake.write(good, "fact")
     lake.write(good.withColumn("val", F.lit(-1.0)), "fact")  # bad deploy
@@ -1404,7 +1404,7 @@ def q_cdc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "orders")
     b1 = spark.sql(CDC_BATCH_SQL.format(modulus=40))
     b2 = spark.sql(CDC_BATCH_SQL.format(modulus=20))
-    root = tempfile.mkdtemp(prefix="cdc-gate-")
+    root = scratch_dir("cdc-gate-")
     write_cdc(b1, None, root, dt.datetime(1998, 6, 1, 9, 0, 0))
     write_cdc(b2, b1, root, dt.datetime(1998, 6, 2, 9, 0, 0))
     return (
@@ -1486,7 +1486,7 @@ def q_stream_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     load(spark, sf_dir, "orders")
-    base = tempfile.mkdtemp(prefix="stream-gate-")
+    base = scratch_dir("stream-gate-")
     raw_dir = f"{base}/drops"
     cols = [f.name for f in RAW_JOBS.fields]
     for rem in (0, 100):
