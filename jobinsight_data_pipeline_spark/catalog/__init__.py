@@ -65,20 +65,34 @@ def prepare_session(spark: SparkSession) -> None:
     spark._jobinsight_prepared = True  # type: ignore[attr-defined]
 
 
-def scratch_dir(prefix: str) -> str:
+_SCRATCH_REGISTERED: set[str] = set()
+
+
+def scratch_dir(prefix: str, name: str | None = None) -> str:
     """Gate scratch space that cleans itself up at interpreter exit.
 
     Several gates build real on-disk state (lakes, CDC journals, export
     trees, streaming sinks); a bare mkdtemp per invocation accumulates
     in /tmp across every sweep, pytest run, and driver round — cleanup
     must not be earlier than exit, because the returned frames read the
-    files lazily."""
+    files lazily.
+
+    With ``name``, the path is DETERMINISTIC (prefix+name under the temp
+    root) and reused across invocations in the same process — for gates
+    that memoize their built state behind a done-sentinel. The cleanup
+    handler registers once per path."""
     import atexit
+    import os
     import shutil
     import tempfile
 
-    d = tempfile.mkdtemp(prefix=prefix)
-    atexit.register(shutil.rmtree, d, True)
+    if name is None:
+        d = tempfile.mkdtemp(prefix=prefix)
+    else:
+        d = os.path.join(tempfile.gettempdir(), prefix + name)
+    if d not in _SCRATCH_REGISTERED:
+        _SCRATCH_REGISTERED.add(d)
+        atexit.register(shutil.rmtree, d, True)
     return d
 
 

@@ -743,7 +743,6 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
     import os
     import shutil
-    import tempfile
 
     from jobinsight_data_pipeline_spark.streaming.incremental import stream_dedup
 
@@ -753,20 +752,19 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the stream only; the gate output carries no timestamps, so the
     # session-TZ-dependent instant never reaches the hash.
     ev = t["events"].withColumn("ts", F.col("ts").cast("timestamp"))
-    # deterministic per-(session, sf_dir) scratch dir — a fresh mkdtemp
-    # per call leaked two event copies + sink + ckpt on every sweep and
-    # driver round; the done-sentinel also lets repeat invocations skip
-    # re-running the stream. Cleaned at interpreter exit.
-    import atexit
+    # deterministic per-(session, sf_dir) scratch dir (exit-cleaned) —
+    # a fresh mkdtemp per call leaked two event copies + sink + ckpt on
+    # every sweep and driver round; the done-sentinel also lets repeat
+    # invocations skip re-running the stream
+    from jobinsight_data_pipeline_spark.catalog import scratch_dir
 
-    base = os.path.join(
-        tempfile.gettempdir(),
-        "streamdedup-gate-{}-{}".format(
+    base = scratch_dir(
+        "streamdedup-gate-",
+        "{}-{}".format(
             spark.sparkContext.applicationId,
             hashlib.md5(sf_dir.encode()).hexdigest()[:8],
         ),
     )
-    atexit.register(shutil.rmtree, base, True)
     done = os.path.join(base, "_gate_done")
     if not os.path.exists(done):
         # rebuild from scratch; leave a completed sink alone (its content

@@ -53,10 +53,23 @@ def performance_monitor(
     counted; materialize inside the block for attribution, exactly like
     the reference timed the save, not the plan construction.
     """
-    sc = spark.sparkContext
+    _PROPS = (
+        "spark.jobGroup.id",
+        "spark.job.description",
+        "spark.job.interruptOnCancel",
+    )
+    try:
+        sc = spark.sparkContext
+    except Exception:
+        sc = None  # Spark Connect: no classic SparkContext — wall only
     group = f"perf-{uuid.uuid4().hex[:8]}"
-    prev_group = sc.getLocalProperty("spark.jobGroup.id")
-    sc.setJobGroup(group, f"performance_monitor:{phase}")
+    prev = {}
+    if sc is not None:
+        # setJobGroup overwrites all three thread-local properties —
+        # restore every one, or the caller's own group/description is
+        # clobbered for every job submitted after the phase
+        prev = {k: sc.getLocalProperty(k) for k in _PROPS}
+        sc.setJobGroup(group, f"performance_monitor:{phase}")
     entry: dict = {"phase": phase}
     t0 = time.perf_counter()
     try:
@@ -67,13 +80,17 @@ def performance_monitor(
         raise
     finally:
         entry["wall_s"] = round(time.perf_counter() - t0, 3)
-        try:
-            entry["n_jobs"] = len(sc.statusTracker().getJobIdsForGroup(group))
-        except Exception:
-            entry["n_jobs"] = None
+        entry["n_jobs"] = None
+        if sc is not None:
+            try:
+                entry["n_jobs"] = len(
+                    sc.statusTracker().getJobIdsForGroup(group)
+                )
+            except Exception:
+                pass
+            for k, v in prev.items():
+                sc.setLocalProperty(k, v)
         entry["driver_heap_used_mb"] = _driver_heap_used_mb(spark)
-        # restore the caller's group so nested monitors compose
-        sc.setLocalProperty("spark.jobGroup.id", prev_group)
         if report is not None:
             report.append(entry)
         logger.info(

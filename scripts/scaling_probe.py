@@ -121,7 +121,7 @@ def main() -> None:
                 best = min(best, time.time() - t0)
             results[name][sf] = round(best, 2)
 
-    print("| operator | sf0.001 | sf0.01 | sf0.1 | wall x at 100x rows |")
+    print("| operator | sf0.001 | sf0.01 | sf0.1 | wall x at max input x |")
     print("|---|---|---|---|---|")
     for name in names:
         r = results[name]

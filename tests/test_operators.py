@@ -898,4 +898,4 @@ def test_semantic_dedup_transitive_vs_greedy(spark):
     assert len(kept_t) >= 20  # at least one survivor per planted triple
     # every base vector (i < 100) survives both rules: it is the min of
     # its planted group
-    assert all(i in kept_t for i in range(20) if True)
+    assert set(range(20)) <= kept_t
