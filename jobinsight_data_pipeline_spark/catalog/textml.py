@@ -1237,6 +1237,55 @@ FROM c, unnest(generate_series(0, copies - 1)) AS u(copy)
 """
 
 
+def q_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary tokenization under an exact hash: build the corpus
+    vocab (count-desc/token-asc dense ids, min_count=2, capped at 256 →
+    broadcastable), encode every document to ids with OOV=-1, and emit
+    the id sequence as a string — the oracle rebuilds vocab and
+    sequences in SQL, so a rank flip, a truncation error, or one OOV
+    mis-encode fails the gate."""
+    from pyspark.sql.functions import broadcast as _bc
+
+    from jobinsight_data_pipeline_spark.operators.textstats import (
+        build_vocab,
+        encode_documents,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    vocab = build_vocab(t["documents"], "text", min_count=2, max_size=256)
+    enc = encode_documents(t["documents"], _bc(vocab), "doc_id", "text")
+    return enc.select(
+        "doc_id",
+        F.concat_ws(" ", F.col("ids")).alias("ids_str"),
+        "n_tokens",
+        "n_oov",
+    )
+
+
+O_TOKENIZE_CORPUS = r"""
+WITH tok AS (
+    SELECT doc_id, u.g - 1 AS pos, toks[u.g] AS token
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+          FROM documents) t,
+         unnest(generate_series(1, len(toks))) AS u(g)
+),
+vocab AS (
+    SELECT token, CAST(row_number() OVER (ORDER BY count(*) DESC, token ASC)
+                       - 1 AS INTEGER) AS token_id
+    FROM tok GROUP BY token HAVING count(*) >= 2
+    QUALIFY token_id < 256
+)
+SELECT t.doc_id,
+       string_agg(CAST(coalesce(v.token_id, -1) AS VARCHAR), ' '
+                  ORDER BY t.pos) AS ids_str,
+       count(*) AS n_tokens,
+       CAST(sum(CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_oov
+FROM tok t LEFT JOIN vocab v USING (token)
+GROUP BY t.doc_id
+"""
+
+
 #: planted-PII fixture shared verbatim by the Spark gate and its oracle
 PII_FIXTURE: list[tuple[int, str]] = [
     (1, "contact john.doe@example.com or jane_x@sub.domain.org for details"),
@@ -1584,6 +1633,7 @@ QUERIES = {
     "training_shards": q_training_shards,
     "shard_manifest": q_shard_manifest,
     "span_removal": q_span_removal,
+    "tokenize_corpus": q_tokenize_corpus,
     "weighted_sample": q_weighted_sample,
     "media_features": q_media_features,
 }
@@ -1620,6 +1670,7 @@ ORACLES = {
     "training_shards": O_TRAINING_SHARDS,
     "shard_manifest": O_SHARD_MANIFEST,
     "span_removal": O_SPAN_REMOVAL,
+    "tokenize_corpus": O_TOKENIZE_CORPUS,
     "weighted_sample": O_WEIGHTED_SAMPLE,
     "media_features": O_MEDIA_FEATURES,
 }

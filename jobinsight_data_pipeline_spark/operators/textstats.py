@@ -465,3 +465,70 @@ def redact_pii(
         )
         cur = F.regexp_replace(cur, pat, tok)
     return df.select("*", *counts, cur.alias(out_col))
+
+
+def build_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+    max_size: int | None = None,
+) -> DataFrame:
+    """Corpus vocabulary with dense 0-based ids: rank tokens by
+    (count DESC, token ASC) — deterministic, engine-portable (no
+    monotonically_increasing_id), truncatable to ``max_size`` for a
+    broadcastable model. Returns (token, token_id, count).
+
+    The ranking window is a single global sort over the vocabulary —
+    DISTINCT tokens, not corpus tokens — which is the standard tokenizer
+    assumption (vocab ≪ corpus; cap with max_size if a corpus breaks
+    it)."""
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .filter(F.col("count") >= min_count)
+    )
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("count"), F.asc("token"))
+    vocab = counts.withColumn(
+        "token_id", (F.row_number().over(w) - 1).cast("int")
+    )
+    if max_size is not None:
+        vocab = vocab.filter(F.col("token_id") < max_size)
+    return vocab.select("token", "token_id", "count")
+
+
+def encode_documents(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    oov_id: int = -1,
+) -> DataFrame:
+    """Tokenize every document to vocabulary ids — the doc→ids step a
+    training pipeline runs before sequence packing. Out-of-vocabulary
+    tokens encode as ``oov_id``.
+
+    Positions ride through posexplode, the vocab join broadcasts when
+    the model is capped (hint it yourself for a known-small vocab), and
+    per-doc arrays re-assemble with an order-pinned aggregation — no
+    assumption that shuffle preserves order. Returns
+    (id, ids: array<int>, n_tokens, n_oov)."""
+    pos = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "token")
+    )
+    joined = pos.join(vocab.select("token", "token_id"), "token", "left")
+    tid = F.coalesce(F.col("token_id"), F.lit(oov_id)).cast("int")
+    return (
+        joined.withColumn("_tid", tid)
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "_tid"))),
+                lambda x: x["_tid"],
+            ).alias("ids"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum((F.col("_tid") == oov_id).cast("long")).alias("n_oov"),
+        )
+    )

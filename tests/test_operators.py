@@ -899,3 +899,33 @@ def test_semantic_dedup_transitive_vs_greedy(spark):
     # every base vector (i < 100) survives both rules: it is the min of
     # its planted group
     assert set(range(20)) <= kept_t
+
+
+def test_vocab_encode_known_answers(spark):
+    """Vocabulary ids are dense count-desc/token-asc ranks; encoding
+    preserves token order, maps OOV to the sentinel, and min_count/
+    max_size truncation behaves."""
+    from jobinsight_data_pipeline_spark.operators.textstats import (
+        build_vocab,
+        encode_documents,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "b a b c b a rare"), (2, "a c c b")],
+        "doc_id: long, text: string",
+    )
+    vocab = {r["token"]: (r["token_id"], r["count"])
+             for r in build_vocab(df, "text", min_count=2).collect()}
+    # counts: b=4, a=3, c=3 → ids 0,1,2 (count desc, token asc on the tie)
+    assert vocab == {"b": (0, 4), "a": (1, 3), "c": (2, 3)}
+    assert "rare" not in vocab  # min_count=2 dropped it
+
+    enc = {r["doc_id"]: r for r in encode_documents(
+        df, build_vocab(df, "text", min_count=2), "doc_id", "text").collect()}
+    assert enc[1]["ids"] == [0, 1, 0, 2, 0, 1, -1]
+    assert (enc[1]["n_tokens"], enc[1]["n_oov"]) == (7, 1)
+    assert enc[2]["ids"] == [1, 2, 2, 0]
+    assert enc[2]["n_oov"] == 0
+
+    capped = build_vocab(df, "text", min_count=1, max_size=2)
+    assert {r["token"] for r in capped.collect()} == {"b", "a"}
