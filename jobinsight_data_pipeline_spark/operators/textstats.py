@@ -515,7 +515,13 @@ def encode_documents(
     per-doc arrays re-assemble with an order-pinned aggregation — no
     assumption that shuffle preserves order. Returns
     (id, ids: array<int>, n_tokens, n_oov)."""
-    pos = df.select(
+    from jobinsight_data_pipeline_spark.operators.parallelism import (
+        widen_for_cpu,
+    )
+
+    # tokenize+explode is CPU-dense scan work — widen when the source's
+    # row-group count under-parallelizes it (the shingles pattern)
+    pos = widen_for_cpu(df).select(
         F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "token")
     )
     joined = pos.join(vocab.select("token", "token_id"), "token", "left")
