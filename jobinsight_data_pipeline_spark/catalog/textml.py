@@ -1286,6 +1286,68 @@ GROUP BY t.doc_id
 """
 
 
+def q_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full tokenize→pack chain materialized: vocab → doc ids →
+    global offsets → ACTUAL fixed-512 training sequences, every id in
+    every window hash-checked (the `sequence_packing` gate pins offsets;
+    this one pins the emitted sequences themselves)."""
+    from pyspark.sql.functions import broadcast as _bc
+
+    from jobinsight_data_pipeline_spark.operators.packing import (
+        materialize_packs,
+    )
+    from jobinsight_data_pipeline_spark.operators.textstats import (
+        build_vocab,
+        encode_documents,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    vocab = build_vocab(t["documents"], "text", min_count=2, max_size=256)
+    enc = encode_documents(t["documents"], _bc(vocab), "doc_id", "text")
+    packs = materialize_packs(enc, capacity=512)
+    return packs.select(
+        F.col("seq_id").cast("long").alias("seq_id"),
+        "n_tokens",
+        F.concat_ws(" ", F.col("ids")).alias("ids_str"),
+    )
+
+
+O_PACKED_SEQUENCES = r"""
+WITH tok AS (
+    SELECT doc_id, u.g - 1 AS pos, toks[u.g] AS token
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+          FROM documents) t,
+         unnest(generate_series(1, len(toks))) AS u(g)
+),
+vocab AS (
+    SELECT token, CAST(row_number() OVER (ORDER BY count(*) DESC, token ASC)
+                       - 1 AS INTEGER) AS token_id
+    FROM tok GROUP BY token HAVING count(*) >= 2
+    QUALIFY token_id < 256
+),
+enc AS (
+    SELECT t.doc_id, t.pos, coalesce(v.token_id, -1) AS tid
+    FROM tok t LEFT JOIN vocab v USING (token)
+),
+doclen AS (SELECT doc_id, count(*) AS n FROM enc GROUP BY doc_id),
+off AS (
+    SELECT doc_id,
+           CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS start_offset
+    FROM doclen
+),
+g AS (
+    SELECT o.start_offset + e.pos AS gpos, e.tid
+    FROM enc e JOIN off o USING (doc_id)
+)
+SELECT CAST(gpos // 512 AS BIGINT) AS seq_id,
+       count(*) AS n_tokens,
+       string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY gpos) AS ids_str
+FROM g GROUP BY 1
+"""
+
+
 #: planted-PII fixture shared verbatim by the Spark gate and its oracle
 PII_FIXTURE: list[tuple[int, str]] = [
     (1, "contact john.doe@example.com or jane_x@sub.domain.org for details"),
@@ -1634,6 +1696,7 @@ QUERIES = {
     "shard_manifest": q_shard_manifest,
     "span_removal": q_span_removal,
     "tokenize_corpus": q_tokenize_corpus,
+    "packed_sequences": q_packed_sequences,
     "weighted_sample": q_weighted_sample,
     "media_features": q_media_features,
 }
@@ -1671,6 +1734,7 @@ ORACLES = {
     "shard_manifest": O_SHARD_MANIFEST,
     "span_removal": O_SPAN_REMOVAL,
     "tokenize_corpus": O_TOKENIZE_CORPUS,
+    "packed_sequences": O_PACKED_SEQUENCES,
     "weighted_sample": O_WEIGHTED_SAMPLE,
     "media_features": O_MEDIA_FEATURES,
 }

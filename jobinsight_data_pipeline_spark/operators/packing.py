@@ -165,3 +165,47 @@ def shard_manifest(
             F.max("rank").alias("rank_max"),
         )
     )
+
+
+def materialize_packs(
+    encoded: DataFrame,
+    capacity: int,
+    id_col: str = "doc_id",
+    ids_col: str = "ids",
+    scalable: bool | None = None,
+    bounds: list | None = None,
+) -> DataFrame:
+    """Materialize the actual fixed-``capacity`` training sequences from
+    encoded documents — the final assembly step after tokenization and
+    offset computation: concatenate every document's id stream in
+    ``id_col`` order and cut it into windows.
+
+    :func:`pack_sequences` supplies each document's global start offset
+    (bucketed no-global-sort cumsum); a token-level posexplode then gives
+    every token its global position, and windows re-assemble with an
+    order-pinned aggregation on (seq_pos, id). The token-level explode is
+    the honest cost — one row per corpus token, exactly the data volume a
+    training-shard writer must emit anyway — and it shuffles once, on the
+    sequence id. The tail window is short; all others hold exactly
+    ``capacity`` ids. Returns (seq_id, n_tokens, ids).
+    """
+    toks = encoded.withColumn("_n", F.size(ids_col))
+    packed = pack_sequences(toks, "_n", capacity, [id_col], scalable, bounds)
+    g = packed.select(
+        F.col("start_offset"),
+        F.posexplode(ids_col).alias("_p", "_tid"),
+    ).select(
+        (F.col("start_offset") + F.col("_p")).alias("_gpos"), "_tid"
+    )
+    return (
+        g.withColumn("seq_id", F.expr(f"_gpos div {int(capacity)}"))
+        .withColumn("seq_pos", (F.col("_gpos") % capacity).cast("int"))
+        .groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seq_pos", "_tid"))),
+                lambda x: x["_tid"],
+            ).alias("ids"),
+        )
+    )

@@ -929,3 +929,32 @@ def test_vocab_encode_known_answers(spark):
 
     capped = build_vocab(df, "text", min_count=1, max_size=2)
     assert {r["token"] for r in capped.collect()} == {"b", "a"}
+
+
+def test_materialize_packs_reassembles_stream(spark):
+    """The materialized windows are exactly the concatenated id stream
+    in doc order: every window except the tail holds capacity ids, the
+    concatenation round-trips, and the bucketed offsets path emits
+    bit-identical windows."""
+    from jobinsight_data_pipeline_spark.operators.packing import (
+        materialize_packs,
+    )
+
+    rows = [(i, list(range(i * 10, i * 10 + 3 + (i % 4)))) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id: long, ids: array<int>")
+    expect_stream = [x for _, ids in rows for x in ids]
+
+    out = {r["seq_id"]: r for r in
+           materialize_packs(df, capacity=16, scalable=False).collect()}
+    got_stream = []
+    for s in sorted(out):
+        r = out[s]
+        assert r["n_tokens"] == len(r["ids"])
+        if s != max(out):
+            assert r["n_tokens"] == 16
+        got_stream.extend(r["ids"])
+    assert got_stream == expect_stream
+
+    bucketed = {r["seq_id"]: list(r["ids"]) for r in
+                materialize_packs(df, capacity=16, bounds=[10, 20, 30]).collect()}
+    assert bucketed == {s: list(r["ids"]) for s, r in out.items()}
