@@ -1266,7 +1266,7 @@ O_TOKENIZE_CORPUS = r"""
 WITH tok AS (
     SELECT doc_id, u.g - 1 AS pos, toks[u.g] AS token
     FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
-          FROM documents) t,
+          FROM documents WHERE trim(text) <> '') t,
          unnest(generate_series(1, len(toks))) AS u(g)
 ),
 vocab AS (
@@ -1304,7 +1304,11 @@ def q_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load(spark, sf_dir, "documents")
     vocab = build_vocab(t["documents"], "text", min_count=2, max_size=256)
     enc = encode_documents(t["documents"], _bc(vocab), "doc_id", "text")
-    packs = materialize_packs(enc, capacity=512)
+    # explicit split bounds: sf0.01 sits below the sampler's smallness
+    # threshold, and the gate must verify the DISTRIBUTED offsets path
+    # (and skip the pointless sizing pass) — the sequence_packing
+    # gate's design
+    packs = materialize_packs(enc, capacity=512, bounds=[100, 200, 300, 400])
     return packs.select(
         F.col("seq_id").cast("long").alias("seq_id"),
         "n_tokens",
@@ -1316,7 +1320,7 @@ O_PACKED_SEQUENCES = r"""
 WITH tok AS (
     SELECT doc_id, u.g - 1 AS pos, toks[u.g] AS token
     FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
-          FROM documents) t,
+          FROM documents WHERE trim(text) <> '') t,
          unnest(generate_series(1, len(toks))) AS u(g)
 ),
 vocab AS (

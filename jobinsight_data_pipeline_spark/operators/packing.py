@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from jobinsight_data_pipeline_spark.operators.merge import _split_points
+from jobinsight_data_pipeline_spark.operators.parallelism import ordered_collect
 
 
 def pack_sequences(
@@ -203,9 +204,6 @@ def materialize_packs(
         .groupBy("seq_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("seq_pos", "_tid"))),
-                lambda x: x["_tid"],
-            ).alias("ids"),
+            ordered_collect("seq_pos", "_tid").alias("ids"),
         )
     )

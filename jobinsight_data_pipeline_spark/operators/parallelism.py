@@ -28,3 +28,16 @@ def widen_for_cpu(df: DataFrame, factor: int = 1) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def ordered_collect(pos_col: str, val_col: str):
+    """Aggregation expression re-assembling values in ``pos_col`` order —
+    the shuffle-order-pinning idiom (collect_list gives arbitrary order;
+    sorting (pos, val) structs and projecting the value restores the
+    true sequence). Shared by token re-assembly and window packing."""
+    from pyspark.sql import functions as F
+
+    return F.transform(
+        F.array_sort(F.collect_list(F.struct(pos_col, val_col))),
+        lambda x: x[val_col],
+    )

@@ -481,11 +481,11 @@ def build_vocab(
     The ranking window is a single global sort over the vocabulary —
     DISTINCT tokens, not corpus tokens — which is the standard tokenizer
     assumption (vocab ≪ corpus; cap with max_size if a corpus breaks
-    it)."""
-    from pyspark.sql import Window
-
+    it). Empty/whitespace-only documents contribute nothing (and emit
+    nothing from ``encode_documents`` — repair or drop them upstream)."""
     counts = (
-        df.select(F.explode(tokens(text_col)).alias("token"))
+        df.where(F.trim(F.col(text_col)) != "")
+        .select(F.explode(tokens(text_col)).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("count"))
         .filter(F.col("count") >= min_count)
@@ -516,12 +516,16 @@ def encode_documents(
     assumption that shuffle preserves order. Returns
     (id, ids: array<int>, n_tokens, n_oov)."""
     from jobinsight_data_pipeline_spark.operators.parallelism import (
+        ordered_collect,
         widen_for_cpu,
     )
 
     # tokenize+explode is CPU-dense scan work — widen when the source's
     # row-group count under-parallelizes it (the shingles pattern)
-    pos = widen_for_cpu(df).select(
+    # empty/whitespace-only documents carry ZERO tokens (the word_count
+    # contract) — without the guard, split("") yields a phantom '' token
+    # that can enter the vocabulary and leak into training sequences
+    pos = widen_for_cpu(df.where(F.trim(F.col(text_col)) != "")).select(
         F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "token")
     )
     joined = pos.join(vocab.select("token", "token_id"), "token", "left")
@@ -530,10 +534,7 @@ def encode_documents(
         joined.withColumn("_tid", tid)
         .groupBy(id_col)
         .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "_tid"))),
-                lambda x: x["_tid"],
-            ).alias("ids"),
+            ordered_collect("pos", "_tid").alias("ids"),
             F.count(F.lit(1)).alias("n_tokens"),
             F.sum((F.col("_tid") == oov_id).cast("long")).alias("n_oov"),
         )

@@ -958,3 +958,24 @@ def test_materialize_packs_reassembles_stream(spark):
     bucketed = {r["seq_id"]: list(r["ids"]) for r in
                 materialize_packs(df, capacity=16, bounds=[10, 20, 30]).collect()}
     assert bucketed == {s: list(r["ids"]) for s, r in out.items()}
+
+
+def test_vocab_encode_ignores_empty_documents(spark):
+    """Empty/whitespace-only documents contribute ZERO tokens: no
+    phantom '' enters the vocabulary and such docs emit nothing from
+    encoding (the word_count contract)."""
+    from jobinsight_data_pipeline_spark.operators.textstats import (
+        build_vocab,
+        encode_documents,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "a b a"), (4, None)],
+        "doc_id: long, text: string",
+    )
+    vocab = build_vocab(df, "text", min_count=1)
+    assert {r["token"] for r in vocab.collect()} == {"a", "b"}
+    enc = {r["doc_id"]: r for r in
+           encode_documents(df, vocab, "doc_id", "text").collect()}
+    assert set(enc) == {3}
+    assert enc[3]["ids"] == [0, 1, 0]
