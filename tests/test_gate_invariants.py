@@ -191,3 +191,14 @@ def test_sessionize_emits_epoch_micro_bigints(spark):
     assert types["session_end_us"] == "bigint"
     row = df.orderBy("user_id", "session_no").first()
     assert row is not None and row["session_start_us"] <= row["session_end_us"]
+
+
+def test_every_catalog_query_has_an_oracle():
+    """The full local catalog carries NO rows-only entries: every query
+    pairs with a DuckDB oracle (exact, exact twin, or bounded-error
+    containment) — the invariant COVERAGE.md claims."""
+    from jobinsight_data_pipeline_spark.catalog import build_catalog
+
+    queries, oracles = build_catalog()
+    assert set(queries) == set(oracles)
+    assert len(queries) >= 93
