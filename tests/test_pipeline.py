@@ -274,3 +274,31 @@ def test_performance_monitor_attributes_jobs_and_nests(spark):
         with performance_monitor(spark, "boom", report):
             raise RuntimeError("phase failed")
     assert report[-1]["phase"] == "boom" and report[-1]["ok"] is False
+
+
+def test_lake_crash_consistency(spark, tmp_path):
+    """A writer that dies AFTER materializing a version dir but BEFORE
+    the atomic pointer flip must be invisible to readers, and the next
+    successful write must claim a fresh version number (never reuse or
+    serve the orphan)."""
+    from jobinsight_data_pipeline_spark.sources.lake import ParquetLake
+
+    lake = ParquetLake(str(tmp_path / "lake"))
+    lake.write(spark.range(0, 10).withColumnRenamed("id", "k"), "t")
+    assert lake.current_version("t") == "_v00000"
+
+    # simulate the crash: a fully-materialized _v00001 with no pointer flip
+    orphan = str(tmp_path / "lake" / "t" / "_v00001")
+    spark.range(100, 105).withColumnRenamed("id", "k").write.parquet(orphan)
+
+    # readers still serve the pointer version, untouched
+    assert lake.current_version("t") == "_v00000"
+    assert lake.read(spark, "t").count() == 10
+
+    # the next writer does not reuse the orphan's number and the pointer
+    # lands on the NEW write's content
+    lake.write(spark.range(0, 20).withColumnRenamed("id", "k"), "t")
+    assert lake.current_version("t") == "_v00002"
+    assert lake.read(spark, "t").count() == 20
+    # the orphan is still pinnable for forensics until vacuumed
+    assert lake.read(spark, "t", version="_v00001").count() == 5
