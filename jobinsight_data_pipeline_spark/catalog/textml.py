@@ -1352,6 +1352,93 @@ FROM g GROUP BY 1
 """
 
 
+#: URL fixture shared verbatim by the Spark gate and its oracle (the
+#: documents corpus carries no URLs, so the gate plants every
+#: normalization class: case, default/explicit ports, fragments,
+#: tracking params, param reordering, userinfo, non-URL text)
+URL_FIXTURE: list[tuple[int, str]] = [
+    (1, "HTTPS://Example.COM:443/Path/Page?b=2&utm_source=x&a=1#frag"),
+    (2, "https://example.com/Path/Page?a=1&b=2"),
+    (3, "http://EXAMPLE.com:80/other?gclid=zz"),
+    (4, "not a url"),
+    (5, "https://user:pw@sub.Example.org:8080/x?ref=abc&z=9"),
+    (6, "https://example.com/Path/Page?utm_campaign=only"),
+    (7, "https://example.com/Path/Page#just-frag"),
+    (8, "http://a.b/?z=1&y=2&utm_x=3"),
+]
+
+
+def q_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + canonical dedup over the planted fixture:
+    domain, canonical form, and the keep-min survivor per canonical
+    group are recomputed by DuckDB from the same regex/array pipeline —
+    a drift in any normalization rule (port stripping, param sort,
+    tracking removal) splits or merges a group and fails the hash."""
+    from pyspark.sql import Window
+
+    from jobinsight_data_pipeline_spark.operators.urls import (
+        canonicalize_url,
+        url_domain,
+    )
+
+    df = spark.createDataFrame(URL_FIXTURE, "doc_id: long, url: string")
+    w = Window.partitionBy("canonical")
+    return (
+        df.select(
+            "doc_id",
+            url_domain("url").alias("domain"),
+            canonicalize_url("url").alias("canonical"),
+        )
+        .withColumn("survivor_id", F.min("doc_id").over(w))
+        .withColumn("dup_count", F.count(F.lit(1)).over(w))
+    )
+
+
+def _url_oracle() -> str:
+    values = ",\n    ".join(f"({i}, '{u}')" for i, u in URL_FIXTURE)
+    return f"""
+WITH t(doc_id, url) AS (VALUES
+    {values}
+),
+parts AS (
+    SELECT doc_id, url,
+           regexp_replace(url, '#.*$', '') AS no_frag
+    FROM t
+),
+pre AS (
+    SELECT doc_id, url, no_frag,
+           regexp_extract(no_frag, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)
+               AS prefix0
+    FROM parts
+),
+canon AS (
+    SELECT doc_id,
+           nullif(regexp_extract(lower(url),
+               '^[a-z][a-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1), '')
+               AS domain,
+           regexp_replace(lower(prefix0), ':(80|443)$', '')
+           || regexp_replace(substr(no_frag, length(prefix0) + 1), '\\?.*$', '')
+           || CASE WHEN len(p.params) > 0
+                   THEN '?' || array_to_string(p.params, '&')
+                   ELSE '' END AS canonical
+    FROM pre,
+         LATERAL (SELECT list_sort(list_filter(
+                    string_split(regexp_extract(
+                        substr(no_frag, length(prefix0) + 1), '\\?(.*)$', 1),
+                        '&'),
+                    x -> x <> '' AND NOT regexp_matches(x,
+                        '^(utm_[^=]*|gclid|fbclid|ref)='))) AS params) p
+)
+SELECT doc_id, domain, canonical,
+       min(doc_id) OVER (PARTITION BY canonical) AS survivor_id,
+       count(*) OVER (PARTITION BY canonical) AS dup_count
+FROM canon
+"""
+
+
+O_URL_CANON = _url_oracle()
+
+
 #: planted-PII fixture shared verbatim by the Spark gate and its oracle
 PII_FIXTURE: list[tuple[int, str]] = [
     (1, "contact john.doe@example.com or jane_x@sub.domain.org for details"),
@@ -1701,6 +1788,7 @@ QUERIES = {
     "span_removal": q_span_removal,
     "tokenize_corpus": q_tokenize_corpus,
     "packed_sequences": q_packed_sequences,
+    "url_canon": q_url_canon,
     "weighted_sample": q_weighted_sample,
     "media_features": q_media_features,
 }
@@ -1739,6 +1827,7 @@ ORACLES = {
     "span_removal": O_SPAN_REMOVAL,
     "tokenize_corpus": O_TOKENIZE_CORPUS,
     "packed_sequences": O_PACKED_SEQUENCES,
+    "url_canon": O_URL_CANON,
     "weighted_sample": O_WEIGHTED_SAMPLE,
     "media_features": O_MEDIA_FEATURES,
 }

@@ -979,3 +979,38 @@ def test_vocab_encode_ignores_empty_documents(spark):
            encode_documents(df, vocab, "doc_id", "text").collect()}
     assert set(enc) == {3}
     assert enc[3]["ids"] == [0, 1, 0]
+
+
+def test_url_canonicalization_known_answers(spark):
+    """Tracking params stripped, remaining params sorted, scheme/host
+    lowercased, default ports dropped, fragments dropped — reordered and
+    tracked duplicates collide; explicit non-default ports and path case
+    survive; non-URLs pass through with a NULL domain."""
+    from jobinsight_data_pipeline_spark.operators.urls import (
+        canonicalize_url,
+        dedup_canonical_urls,
+        url_domain,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "HTTPS://Example.COM:443/Path?b=2&utm_source=x&a=1#f"),
+            (2, "https://example.com/Path?a=1&b=2"),
+            (3, "plain text"),
+            (4, "https://h.io:8443/UPPER?z=1"),
+        ],
+        "doc_id: long, url: string",
+    )
+    rows = {r["doc_id"]: r for r in df.select(
+        "doc_id",
+        url_domain("url").alias("d"),
+        canonicalize_url("url").alias("c"),
+    ).collect()}
+    assert rows[1]["c"] == rows[2]["c"] == "https://example.com/Path?a=1&b=2"
+    assert rows[1]["d"] == "example.com"
+    assert rows[3]["d"] is None and rows[3]["c"] == "plain text"
+    assert rows[4]["c"] == "https://h.io:8443/UPPER?z=1"  # non-default port kept
+
+    survivors = {r["canonical"]: (r["survivor_id"], r["dup_count"])
+                 for r in dedup_canonical_urls(df).collect()}
+    assert survivors["https://example.com/Path?a=1&b=2"] == (1, 2)
