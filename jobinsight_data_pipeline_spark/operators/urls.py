@@ -78,3 +78,33 @@ def dedup_canonical_urls(
             F.count(F.lit(1)).alias("dup_count"),
         )
     )
+
+
+def filter_blocked_domains(
+    df: DataFrame,
+    blocked: list[str] | DataFrame,
+    url_col: str = "url",
+    include_subdomains: bool = True,
+) -> DataFrame:
+    """Drop rows whose URL host is on (or under) a blocked domain — the
+    blocklist-filtering step of crawl curation.
+
+    A small list inlines as literal predicates (scan-fused, no shuffle);
+    a DataFrame blocklist (column ``domain``) anti-joins — broadcast it
+    when it fits. ``include_subdomains`` also blocks ``*.domain``. Rows
+    without a parseable host (NULL domain) are KEPT — they are not web
+    URLs and blocklists don't speak for them."""
+    dom = url_domain(url_col)
+    if isinstance(blocked, list):
+        hit: Column = F.lit(False)
+        for b in blocked:
+            b = b.lower()
+            hit = hit | (dom == b)
+            if include_subdomains:
+                hit = hit | dom.endswith("." + b)
+        return df.filter(dom.isNull() | ~hit)
+    bl = blocked.select(F.lower(F.col("domain")).alias("_bd"))
+    cond = dom == F.col("_bd")
+    if include_subdomains:
+        cond = cond | dom.endswith(F.concat(F.lit("."), F.col("_bd")))
+    return df.join(bl, cond, "left_anti")

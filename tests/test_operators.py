@@ -1014,3 +1014,32 @@ def test_url_canonicalization_known_answers(spark):
     survivors = {r["canonical"]: (r["survivor_id"], r["dup_count"])
                  for r in dedup_canonical_urls(df).collect()}
     assert survivors["https://example.com/Path?a=1&b=2"] == (1, 2)
+
+
+def test_filter_blocked_domains_both_paths(spark):
+    """Literal-list and anti-join blocklists agree: exact domain and all
+    subdomains drop, similar-but-different hosts and non-URLs survive."""
+    from jobinsight_data_pipeline_spark.operators.urls import (
+        filter_blocked_domains,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://spam.example.com/x"),
+            (2, "https://example.com/y"),
+            (3, "https://notexample.com/z"),  # suffix but NOT a subdomain
+            (4, "not a url"),
+            (5, "http://deep.sub.example.com/q"),
+        ],
+        "doc_id: long, url: string",
+    )
+    kept = sorted(r["doc_id"] for r in
+                  filter_blocked_domains(df, ["Example.COM"]).collect())
+    assert kept == [3, 4]
+    bl = spark.createDataFrame([("example.com",)], "domain: string")
+    kept2 = sorted(r["doc_id"] for r in filter_blocked_domains(df, bl).collect())
+    assert kept2 == kept
+    # exact-only mode keeps the subdomains
+    kept3 = sorted(r["doc_id"] for r in filter_blocked_domains(
+        df, ["example.com"], include_subdomains=False).collect())
+    assert kept3 == [1, 3, 4, 5]
