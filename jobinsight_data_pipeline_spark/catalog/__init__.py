@@ -66,6 +66,7 @@ def prepare_session(spark: SparkSession) -> None:
 
 
 _SCRATCH_REGISTERED: set[str] = set()
+_SCRATCH_ROOT: str | None = None
 
 
 def scratch_dir(prefix: str, name: str | None = None) -> str:
@@ -77,10 +78,15 @@ def scratch_dir(prefix: str, name: str | None = None) -> str:
     must not be earlier than exit, because the returned frames read the
     files lazily.
 
-    With ``name``, the path is DETERMINISTIC (prefix+name under the temp
-    root) and reused across invocations in the same process — for gates
-    that memoize their built state behind a done-sentinel. The cleanup
-    handler registers once per path."""
+    With ``name``, the path is DETERMINISTIC within the process (a
+    named subdir of one per-process mkdtemp root) and reused across
+    invocations — for gates that memoize their built state behind a
+    done-sentinel. Rooting named dirs under mkdtemp (0700, unpredictable)
+    rather than bare ``$TMPDIR/prefix+name`` means a pre-created or
+    symlinked /tmp entry on a multi-user host can neither be followed by
+    the exit-time rmtree nor shadow the gate's state; the dir is also
+    actually CREATED here, so callers can write into it directly. The
+    cleanup handler registers once per path."""
     import atexit
     import os
     import shutil
@@ -89,7 +95,12 @@ def scratch_dir(prefix: str, name: str | None = None) -> str:
     if name is None:
         d = tempfile.mkdtemp(prefix=prefix)
     else:
-        d = os.path.join(tempfile.gettempdir(), prefix + name)
+        global _SCRATCH_ROOT
+        if _SCRATCH_ROOT is None:
+            _SCRATCH_ROOT = tempfile.mkdtemp(prefix="jobinsight_scratch_")
+            atexit.register(shutil.rmtree, _SCRATCH_ROOT, True)
+        d = os.path.join(_SCRATCH_ROOT, prefix + name)
+        os.makedirs(d, exist_ok=True)
     if d not in _SCRATCH_REGISTERED:
         _SCRATCH_REGISTERED.add(d)
         atexit.register(shutil.rmtree, d, True)

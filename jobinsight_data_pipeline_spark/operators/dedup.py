@@ -60,6 +60,25 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
     )
 
 
+def _drop_hot_shingles(sh: DataFrame, max_shingle_freq: int | None) -> DataFrame:
+    """Drop shingles whose document frequency exceeds the cap BEFORE any
+    pair join. The inverted-index self-join emits ~df² candidate rows per
+    shingle; one boilerplate 3-gram in 10⁶ docs would yield ~5·10¹¹ pairs
+    on a single join key — the classic skew bomb on a zipfian web corpus.
+    Capping is lossy one-sided: only similarity carried by ubiquitous
+    boilerplate shingles can be missed (capped result ⊆ uncapped — pinned
+    by test_ngram_freq_cap_subset)."""
+    if max_shingle_freq is None:
+        return sh
+    kept = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= max_shingle_freq)
+        .select("shingle")
+    )
+    return sh.join(kept, "shingle", "left_semi")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -67,19 +86,31 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.2,
     prefix_filter: bool = False,
+    max_shingle_freq: int | None = 100_000,
 ) -> DataFrame:
-    """All pairs (a < b) with shingle-set Jaccard ≥ threshold — EXACT.
+    """All pairs (a < b) with shingle-set Jaccard ≥ threshold.
 
-    ``prefix_filter=True`` enables PPJoin-style prefix filtering (Xiao et
-    al., "Efficient Similarity Joins for Near Duplicate Detection",
-    WWW'08): shingles are ordered globally by (frequency, shingle); a
-    pair with J ≥ t must share a shingle within each doc's first
-    ``|x| - ceil(t·|x|) + 1`` shingles, so only prefixes are
-    inverted-index-joined — LOSSLESS. Worth it on realistic (zipfian)
-    corpora where hot shingles dominate the candidate join; on
-    near-unique-shingle corpora the extra freq-join/window shuffles cost
-    more than they save (measured 2x slower on the synthetic bench), so
-    the default is the plain inverted-index join. MinHash-LSH
+    ``max_shingle_freq`` bounds the candidate join: shingles appearing in
+    more than that many documents are dropped from the inverted index
+    (set sizes and the Jaccard denominator still use the FULL shingle
+    sets, so reported similarities only ever UNDERestimate and the capped
+    pair set is a subset of the exact one). The default (10⁵) is a no-op
+    below ~10⁵ docs — exact at test scale — while bounding any one join
+    key to ~10¹⁰ candidate pairs at corpus scale; pass ``None`` for
+    strict exact mode.
+
+    Decision rule for the two join strategies (this docstring is the one
+    place it lives): with the frequency cap active (the default), the
+    plain inverted-index join is bounded and measured ~2x faster, so use
+    it. Reach for ``prefix_filter=True`` (PPJoin-style prefix filtering,
+    Xiao et al., "Efficient Similarity Joins for Near Duplicate
+    Detection", WWW'08 — shingles ordered globally by (frequency,
+    shingle); a pair with J ≥ t must share a shingle within each doc's
+    first ``|x| - ceil(t·|x|) + 1`` shingles, so only prefixes are
+    joined) only when you need EXACT results (``max_shingle_freq=None``)
+    on a zipfian corpus: it is lossless yet still prunes hot-shingle
+    candidates, at the price of extra freq-join/window shuffles that
+    make it ~2x slower on near-unique-shingle corpora. MinHash-LSH
     (``minhash_lsh_pairs``) is the true 100 TB path either way.
     Verification intersects per-doc shingle sets (bounded by doc length,
     no second corpus-wide join).
@@ -92,7 +123,10 @@ def ngram_jaccard_pairs(
         # array_intersect verify, and the per-doc size frame is small
         # enough to broadcast — two shuffles total (index join + pair
         # count) instead of four (measured 6.2s → 2.5s at sf0.1).
+        # Sizes come from the FULL shingle sets (exact denominators);
+        # only the index join is frequency-capped.
         sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+        sh = _drop_hot_shingles(sh, max_shingle_freq)
         a, b = sh.alias("a"), sh.alias("b")
         inter = (
             a.join(
@@ -133,6 +167,9 @@ def ngram_jaccard_pairs(
         F.collect_set("shingle").alias("sset"), F.count("*").alias("sz")
     ).cache()
 
+    # verification stays on the full sets; the cap only prunes the
+    # candidate-generating prefix index
+    sh = _drop_hot_shingles(sh, max_shingle_freq)
     freq = sh.groupBy("shingle").agg(F.count("*").alias("freq"))
     w = Window.partitionBy("doc").orderBy("freq", "shingle")
     ranked = (
@@ -187,6 +224,7 @@ def ngram_containment_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.8,
+    max_shingle_freq: int | None = 100_000,
 ) -> DataFrame:
     """Decontamination: benchmark/test documents whose n-gram shingle set
     is substantially COVERED by some training document —
@@ -198,13 +236,26 @@ def ngram_containment_pairs(
 
     Same scale shape as ``ngram_jaccard_pairs``: inverted-index join on
     the shingle, intersection counted straight off the join, only the
-    small per-test-doc size frame broadcast. EXACT (the correctness
-    baseline); for web-scale train corpora, bucket the join through
-    MinHash bands first and verify candidates with this.
+    small per-test-doc size frame broadcast. ``max_shingle_freq`` caps
+    the TRAIN-side document frequency per shingle before the join (the
+    train corpus is the web-scale side where boilerplate shingles
+    detonate the join); test-doc set sizes stay FULL, so containment
+    only underestimates and the capped result is a subset of exact.
+    Default 10⁵ is exact below ~10⁵ train docs; ``None`` = strict exact.
+    For web-scale train corpora, bucket the join through MinHash bands
+    first and verify candidates with this.
     """
     tr = shingles(train, id_col, text_col, n).withColumnRenamed("doc", "train_id")
     te = shingles(test, id_col, text_col, n).withColumnRenamed("doc", "test_id")
     sizes = te.groupBy("test_id").agg(F.count("*").alias("sz"))
+    if max_shingle_freq is not None:
+        kept = (
+            tr.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_shingle_freq)
+            .select("shingle")
+        )
+        tr = tr.join(kept, "shingle", "left_semi")
     inter = (
         te.join(tr, "shingle")
         .groupBy("test_id", "train_id")

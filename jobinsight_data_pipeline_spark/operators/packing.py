@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from jobinsight_data_pipeline_spark.operators.merge import _split_points
 from jobinsight_data_pipeline_spark.operators.parallelism import ordered_collect
+from jobinsight_data_pipeline_spark.operators.sampling import reserve_columns
 
 
 def pack_sequences(
@@ -42,7 +43,11 @@ def pack_sequences(
     caller who already knows the key distribution supply split-point
     literals directly (skipping the sizing job); inputs smaller than the
     sampler's threshold otherwise take the single-partition delta plan.
+    Reserves/emits ``start_offset`` and ``pack_id``.
     """
+    reserve_columns(
+        df, ["start_offset", "pack_id", "_pid", "_lstart", "_off"], "pack_sequences"
+    )
     cols = [F.col(c).asc_nulls_last() for c in order_by]
     toks = F.col(tokens_col).cast("long")
     single = (
@@ -118,8 +123,10 @@ def shuffle_shard(
     full hash order, so bucket-local ranks plus broadcast prior-bucket
     counts compose the exact total order with no single-partition sort
     at any size. Writers can ``partitionBy("shard")`` the result to get
-    one file per shard.
+    one file per shard. Reserves/emits ``rank``, ``shard``,
+    ``shard_pos``.
     """
+    reserve_columns(df, ["_h", "_one", "rank", "shard", "shard_pos"], "shuffle_shard")
     hashed = df.withColumn(
         "_h", F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
     ).withColumn("_one", F.lit(1))

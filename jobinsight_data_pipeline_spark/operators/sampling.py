@@ -18,6 +18,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+#: per-row multiplicity ceiling for weighted_sample — far above any sane
+#: upsample factor, far below int overflow / explode detonation
+MAX_SAMPLE_WEIGHT = 1_000_000
+
+
 def hash_bucket(key: Column, buckets: int = 100, salt: str = "") -> Column:
     """Deterministic bucket in [0, buckets): first 8 md5-hex chars of
     (salt || key) as an integer, mod buckets. Salt shifts the whole
@@ -60,11 +65,26 @@ def deterministic_sample(
 
 
 
+def reserve_columns(df: DataFrame, names: list[str], op: str) -> None:
+    """Refuse to run when an operator's working/output column names
+    already exist on the input — ``withColumn`` would silently REPLACE
+    them and corrupt the caller's data. The emitted names are part of
+    each operator's documented contract; rename yours before calling."""
+    clash = [c for c in df.columns if c in names]
+    if clash:
+        raise ValueError(
+            f"{op} reserves column name(s) {clash} (working/output columns); "
+            f"rename them on the input first"
+        )
+
+
 def _explode_copies(df: DataFrame, copies: Column) -> DataFrame:
     """Materialize ``copies`` rows per input row with a 0-based ``copy``
     index; zero copies drop the row via an empty sequence (sequence with
     stop < start would otherwise generate DESCENDING values). Shared by
-    the group-weighted and row-weighted resamplers."""
+    the group-weighted and row-weighted resamplers. Reserves/emits
+    ``copy``."""
+    reserve_columns(df, ["copy", "_copies"], "explode_copies")
     return (
         df.withColumn("_copies", copies)
         .withColumn(
@@ -133,11 +153,18 @@ def weighted_sample(
     perplexity-derived factor, …) and materializes ``floor(w)``
     guaranteed copies plus one more iff its key-hash bucket falls under
     ``frac(w)`` — :func:`mixture_sample` generalized from per-group
-    literals to a weight column. Negative/NULL weights clamp to 0
-    (dropped). The fractional threshold is ``round(w·10000)`` computed
-    identically on any engine from the same double, so the draw stays
-    engine-portable and append-stable. Pure projection + explode."""
-    w = F.greatest(F.coalesce(F.col(weight_col).cast("double"), F.lit(0.0)), F.lit(0.0))
+    literals to a weight column. Weights are sanitized: negative/NULL
+    clamp to 0 (dropped) and values above ``MAX_SAMPLE_WEIGHT`` (10⁶)
+    clamp down to it — a corrupt weight column (e.g. a blown-up
+    perplexity factor) must degrade to a bounded upsample, not throw an
+    ANSI int overflow or detonate the explode. The fractional threshold
+    is ``round(w·10000)`` computed identically on any engine from the
+    same double, so the draw stays engine-portable and append-stable.
+    Pure projection + explode."""
+    w = F.least(
+        F.greatest(F.coalesce(F.col(weight_col).cast("double"), F.lit(0.0)), F.lit(0.0)),
+        F.lit(float(MAX_SAMPLE_WEIGHT)),
+    )
     base = F.floor(w).cast("int")
     thr = (F.round(w * 10_000) - base.cast("long") * 10_000).cast("long")
     bucket = hash_bucket(F.col(key_col), 10_000, salt)

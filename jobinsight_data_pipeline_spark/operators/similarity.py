@@ -27,6 +27,30 @@ def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
+#: default row ceiling for the brute-force O(n²) baselines — far above
+#: any oracle/test corpus, far below where all-pairs scoring is sane
+BRUTE_FORCE_MAX_ROWS = 1_000_000
+
+
+def _guard_brute_force(df: DataFrame, max_rows: int | None, alternative: str) -> None:
+    """Refuse to run an all-pairs plan on a corpus-scale frame. The
+    brute-force operators are the exact baselines (oracles, re-rankers,
+    recall measurement) — at 10⁸ embeddings their crossJoin is 10¹⁶
+    score evaluations, and nothing in the plan would stop it. One cheap
+    count() action per call (parquet count is metadata-fast); pass
+    ``max_rows=None`` as the explicit escape hatch."""
+    if max_rows is None:
+        return
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"brute-force similarity refused: corpus has {n:,} rows > "
+            f"max_rows={max_rows:,} (the plan is O(n²) all-pairs). Use "
+            f"{alternative} — the bucketed scale path — or pass "
+            f"max_rows=None to force the exact baseline."
+        )
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
@@ -49,9 +73,16 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    max_rows: int | None = BRUTE_FORCE_MAX_ROWS,
 ) -> DataFrame:
     """Exact top-k neighbors for each query vector (excluding itself).
-    Deterministic: rank on rounded cosine with id tie-break."""
+    Deterministic: rank on rounded cosine with id tie-break.
+
+    O(corpus × queries) by design — the exact baseline. Guarded by
+    ``max_rows`` (corpus side; raises with a pointer to
+    ``lsh_cosine_topk`` / ``ivf_cosine_topk`` above it; ``None`` to
+    force)."""
+    _guard_brute_force(corpus, max_rows, "lsh_cosine_topk/ivf_cosine_topk")
     # norms are hoisted to one computation per ROW (not per pair) — at
     # k-NN fan-out this removes 2/3 of the array-lambda work (measured
     # 3.5x on the sf0.1 bench)
@@ -84,13 +115,15 @@ def cosine_near_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.4,
+    max_rows: int | None = BRUTE_FORCE_MAX_ROWS,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, EXACT: every (a < b) with
     cosine ≥ threshold. O(n²) all-pairs verify — the correctness baseline
-    that ``lsh_cosine_near_pairs`` approximates at corpus scale. Norms
-    are hoisted to once per row; the threshold compares the 6-decimal
-    rounded similarity so membership matches the DuckDB oracle bit-for-
-    bit at the boundary."""
+    that ``lsh_cosine_near_pairs`` approximates at corpus scale (guarded
+    by ``max_rows``; ``None`` to force). Norms are hoisted to once per
+    row; the threshold compares the 6-decimal rounded similarity so
+    membership matches the DuckDB oracle bit-for-bit at the boundary."""
+    _guard_brute_force(df, max_rows, "lsh_cosine_near_pairs/semantic_dedup")
     base = widen_for_cpu(df).select(
         F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v")
     ).withColumn("_n", norm(F.col("_v")))

@@ -89,11 +89,19 @@ def filter_blocked_domains(
     """Drop rows whose URL host is on (or under) a blocked domain — the
     blocklist-filtering step of crawl curation.
 
-    A small list inlines as literal predicates (scan-fused, no shuffle);
-    a DataFrame blocklist (column ``domain``) anti-joins — broadcast it
-    when it fits. ``include_subdomains`` also blocks ``*.domain``. Rows
-    without a parseable host (NULL domain) are KEPT — they are not web
-    URLs and blocklists don't speak for them."""
+    A small list inlines as literal predicates (scan-fused, no shuffle).
+    A DataFrame blocklist (column ``domain``) anti-joins on an EQUI key:
+    each row's host explodes into its bounded domain-suffix set (host,
+    parent, grandparent, … — at most the label count, ~4-6 in practice)
+    and any suffix matching a blocklist entry blocks the row. The
+    OR-of-equality-and-endswith predicate this replaces planned as a
+    BroadcastNestedLoopJoin — O(rows × blocklist) comparisons per
+    partition, quadratic against a large (100k-entry) blocklist — while
+    the suffix explode is a plain hash/broadcast anti-join: O(rows ×
+    labels) keys probed once each. ``include_subdomains`` also blocks
+    ``*.domain`` (suffix set collapses to just the host when False).
+    Rows without a parseable host (NULL domain) are KEPT — they are not
+    web URLs and blocklists don't speak for them."""
     dom = url_domain(url_col)
     if isinstance(blocked, list):
         hit: Column = F.lit(False)
@@ -103,8 +111,29 @@ def filter_blocked_domains(
             if include_subdomains:
                 hit = hit | dom.endswith("." + b)
         return df.filter(dom.isNull() | ~hit)
-    bl = blocked.select(F.lower(F.col("domain")).alias("_bd"))
-    cond = dom == F.col("_bd")
-    if include_subdomains:
-        cond = cond | dom.endswith(F.concat(F.lit("."), F.col("_bd")))
-    return df.join(bl, cond, "left_anti")
+    bl = blocked.select(F.lower(F.col("domain")).alias("_suffix")).distinct()
+    # host "a.b.example.com" → ["a.b.example.com", "b.example.com",
+    # "example.com", "com"]; a blocklist entry matches iff it equals one
+    # of these suffixes (exact host, or host endswith "."+entry).
+    # Blocked hosts resolved over DISTINCT hosts (≪ rows on a crawl
+    # corpus), then anti-joined back on the host itself — two equi
+    # joins, both broadcastable when the blocklist/blocked-host side is
+    # small, never a nested-loop scan.
+    host = F.col("_host")
+    labels = F.split(host, r"\.")
+    suffixes = (
+        F.transform(
+            F.sequence(F.lit(1), F.size(labels)),
+            lambda i: F.array_join(F.slice(labels, i, F.size(labels)), "."),
+        )
+        if include_subdomains
+        else F.array(host)
+    )
+    hosts = df.select(dom.alias("_host")).filter(host.isNotNull()).distinct()
+    blocked_hosts = (
+        hosts.select("_host", F.explode(suffixes).alias("_suffix"))
+        .join(bl, "_suffix", "left_semi")
+        .select("_host")
+        .distinct()
+    )
+    return df.join(blocked_hosts, dom == F.col("_host"), "left_anti")

@@ -1043,3 +1043,133 @@ def test_filter_blocked_domains_both_paths(spark):
     kept3 = sorted(r["doc_id"] for r in filter_blocked_domains(
         df, ["example.com"], include_subdomains=False).collect())
     assert kept3 == [1, 3, 4, 5]
+
+
+# --- round-5: hot-shingle cap, brute-force guard, reserved columns ---
+
+
+@pytest.fixture()
+def boiler_corpus(spark):
+    """8 docs sharing a ubiquitous 6-token boilerplate header; docs 1/2
+    also share real content; docs 3-8 are otherwise unique."""
+    boiler = "b1 b2 b3 b4 b5 b6"
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    rows = [
+        (1, f"{boiler} {shared}"),
+        (2, f"{boiler} {shared} u2x u2y"),
+    ] + [
+        (i, f"{boiler} u{i}a u{i}b u{i}c u{i}d u{i}e u{i}f")
+        for i in range(3, 9)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_ngram_freq_cap_subset(boiler_corpus):
+    """The hot-shingle cap is lossy one-sided: capped pairs ⊆ uncapped,
+    capped jaccard ≤ exact jaccard (denominators stay full-set), pairs
+    whose overlap is ONLY boilerplate disappear, real overlap survives."""
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            boiler_corpus, "doc_id", "text", threshold=0.15, max_shingle_freq=None
+        ).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            boiler_corpus, "doc_id", "text", threshold=0.15, max_shingle_freq=3
+        ).collect()
+    }
+    assert set(capped) <= set(exact)
+    assert all(capped[p] <= exact[p] for p in capped)
+    assert (3, 4) in exact and (3, 4) not in capped  # boilerplate-only pair
+    assert (1, 2) in capped  # real shared content survives the cap
+    # the default cap (1e5) is a no-op at test scale → identical to exact
+    default = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            boiler_corpus, "doc_id", "text", threshold=0.15
+        ).collect()
+    }
+    assert default == exact
+    # cap composes with the PPJoin prefix path too (subset holds)
+    capped_pref = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            boiler_corpus, "doc_id", "text", threshold=0.15,
+            prefix_filter=True, max_shingle_freq=3,
+        ).collect()
+    }
+    assert set(capped_pref) <= set(exact)
+    assert (1, 2) in capped_pref
+
+
+def test_ngram_containment_cap_subset(spark, boiler_corpus):
+    """Train-side frequency cap: a test doc made ONLY of boilerplate is
+    flagged uncapped (containment 1.0) but not under the cap; capped
+    flags ⊆ uncapped flags."""
+    from jobinsight_data_pipeline_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    test_docs = spark.createDataFrame(
+        [(100, "b1 b2 b3 b4 b5 b6")], "doc_id long, text string"
+    )
+    uncapped = {
+        (r["test_id"], r["train_id"])
+        for r in ngram_containment_pairs(
+            boiler_corpus, test_docs, "doc_id", "text",
+            threshold=0.8, max_shingle_freq=None,
+        ).collect()
+    }
+    capped = {
+        (r["test_id"], r["train_id"])
+        for r in ngram_containment_pairs(
+            boiler_corpus, test_docs, "doc_id", "text",
+            threshold=0.8, max_shingle_freq=3,
+        ).collect()
+    }
+    assert capped <= uncapped
+    assert any(t == 100 for t, _ in uncapped)  # boilerplate doc flagged exact
+    assert not capped  # cap drops the ubiquitous shingles → no candidates
+
+
+def test_brute_force_guard(spark):
+    """cosine_topk / cosine_near_pairs refuse corpus-scale inputs and
+    point at the bucketed siblings; max_rows=None is the escape hatch."""
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(5)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="lsh_cosine_topk"):
+        cosine_topk(emb, emb.limit(1), k=2, max_rows=3)
+    with pytest.raises(ValueError, match="lsh_cosine_near_pairs"):
+        cosine_near_pairs(emb, threshold=0.9, max_rows=3)
+    assert cosine_topk(emb, emb.limit(1), k=2, max_rows=None).count() > 0
+    assert cosine_topk(emb, emb.limit(1), k=2).count() > 0  # default ceiling
+
+
+def test_reserved_column_collision(spark):
+    """Operators that emit working columns refuse inputs already carrying
+    those names instead of silently replacing them."""
+    from jobinsight_data_pipeline_spark.operators.packing import shuffle_shard
+    from jobinsight_data_pipeline_spark.operators.sampling import weighted_sample
+
+    bad = spark.createDataFrame([(1, 0)], "doc_id long, shard int")
+    with pytest.raises(ValueError, match="shuffle_shard reserves"):
+        shuffle_shard(bad, "doc_id", 8)
+    bad2 = spark.createDataFrame([(1, 2.0, 9)], "doc_id long, w double, copy int")
+    with pytest.raises(ValueError, match="explode_copies reserves"):
+        weighted_sample(bad2, "w", "doc_id")
+
+
+def test_weighted_sample_clamps_huge_weight(spark):
+    """A corrupt giant weight degrades to the documented ceiling instead
+    of throwing ANSI int overflow or detonating the explode."""
+    from jobinsight_data_pipeline_spark.operators.sampling import (
+        MAX_SAMPLE_WEIGHT,
+        weighted_sample,
+    )
+
+    df = spark.createDataFrame([(1, 5.0e9)], "doc_id long, w double")
+    assert weighted_sample(df, "w", "doc_id").count() == MAX_SAMPLE_WEIGHT
