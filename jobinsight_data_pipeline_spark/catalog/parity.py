@@ -595,6 +595,103 @@ FROM ({O_LOCATION_PARSE})
 """
 
 
+# ----------------------------------------------- F20 CSV hygiene
+# planted dirty-field fixture (the testdata has no CSV-breaking strings;
+# the pii_scrub seeded-fixture pattern): every reference branch — \n/\r,
+# ';'→',', whitespace collapse, NULL/'' passthrough, per-skill strip +
+# empty/NULL-element drop, NULL/[] skills passthrough.
+CSV_FIXTURE: list[tuple[int, str | None, list[str | None] | None]] = [
+    (1, "Data Engineer;\nRemote ok", ["python\n", "  sql  ", "", None, "spark"]),
+    (2, "Line1\r\nLine2   spaced\tout", []),
+    (3, "  already clean  ", ["ok"]),
+    (4, None, None),
+    (5, "", ["a;b", "\r\n", " keep me "]),
+    (6, "semi;colon;everywhere", ["skill   one", " skill\ntwo "]),
+]
+
+
+def q_csv_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobinsight_data_pipeline_spark.functions.text import (
+        clean_csv_field,
+        clean_csv_skills,
+    )
+
+    df = spark.createDataFrame(
+        CSV_FIXTURE, "id long, raw string, skills array<string>"
+    )
+    cleaned = clean_csv_skills("skills")
+    # arrays leave the gate as a joined scalar: Spark rows cross the
+    # bridge as Python lists but DuckDB lists arrive as numpy arrays, and
+    # the hash stringifies them differently (same invariant family as the
+    # no-fractional-timestamps rule)
+    return df.select(
+        "id",
+        clean_csv_field("raw").alias("text_clean"),
+        F.array_join(cleaned, "|").alias("skills_clean"),
+        F.when(cleaned.isNotNull(), F.size(cleaned).cast("long")).alias("n_skills"),
+    )
+
+
+def _csv_sql_str(s: str | None) -> str:
+    """DuckDB string literal for a value containing control characters
+    (no escape-string syntax assumed: chr() concatenation)."""
+    if s is None:
+        return "CAST(NULL AS VARCHAR)"
+    ctrl = {"\n": "chr(10)", "\r": "chr(13)", "\t": "chr(9)"}
+    parts: list[str] = []
+    buf = ""
+    for ch in s:
+        if ch in ctrl:
+            if buf:
+                parts.append("'" + buf.replace("'", "''") + "'")
+                buf = ""
+            parts.append(ctrl[ch])
+        else:
+            buf += ch
+    if buf or not parts:
+        parts.append("'" + buf.replace("'", "''") + "'")
+    return "(" + " || ".join(parts) + ")" if len(parts) > 1 else parts[0]
+
+
+def _csv_oracle() -> str:
+    rows = []
+    for i, raw, skills in CSV_FIXTURE:
+        if skills is None:
+            sk = "CAST(NULL AS VARCHAR[])"
+        else:
+            sk = "[" + ", ".join(_csv_sql_str(s) for s in skills) + "]"
+            if not skills:
+                sk = "CAST([] AS VARCHAR[])"
+        rows.append(f"({i}, {_csv_sql_str(raw)}, {sk})")
+    values = ",\n    ".join(rows)
+    return f"""
+WITH t(id, raw, skills) AS (VALUES
+    {values}
+)
+SELECT id,
+       CASE WHEN raw IS NULL OR raw = '' THEN raw
+            ELSE trim(regexp_replace(
+                   replace(regexp_replace(raw, '[\\n\\r]', ' ', 'g'), ';', ','),
+                   '\\s+', ' ', 'g'))
+       END AS text_clean,
+       CASE WHEN cl.skills_clean IS NULL THEN NULL
+            ELSE coalesce(array_to_string(cl.skills_clean, '|'), '') END
+         AS skills_clean,
+       CAST(len(cl.skills_clean) AS BIGINT) AS n_skills
+FROM t, LATERAL (
+    SELECT CASE WHEN skills IS NULL THEN NULL
+                ELSE list_filter(
+                       list_transform(skills, s ->
+                         regexp_replace(regexp_replace(s, '[\\n\\r]', ' ', 'g'),
+                                        '^\\s+|\\s+$', '', 'g')),
+                       s -> s IS NOT NULL AND s <> '')
+           END AS skills_clean) cl
+"""
+
+
+O_CSV_HYGIENE = _csv_oracle()
+
+
 QUERIES = {
     "salary_parse": q_salary_parse,
     "scalar_functions": q_scalar_functions,
@@ -609,6 +706,7 @@ QUERIES = {
     "date_fanout": q_date_fanout,
     "location_parse": q_location_parse,
     "clean_title": q_clean_title,
+    "csv_hygiene": q_csv_hygiene,
 }
 
 ORACLES = {
@@ -625,4 +723,5 @@ ORACLES = {
     "date_fanout": O_DATE_FANOUT,
     "location_parse": O_LOCATION_PARSE,
     "clean_title": O_CLEAN_TITLE,
+    "csv_hygiene": O_CSV_HYGIENE,
 }

@@ -1,10 +1,12 @@
-"""Text cleaning functions (F4, F5, F11).
+"""Text cleaning functions (F4, F5, F11, F20).
 
 - ``clean_title`` / ``parse_last_update``: native Column expressions.
   Java regex needs the ``(?U)`` flag so ``\\w`` matches Vietnamese
   letters like Python 3's ``re`` does (SURVEY §7.3 watch-list).
 - ``clean_company_name``: pandas UDF — the per-word tech-casing pass
   is Python-level by nature (ref src/processing/data_processing.py:94-153).
+- ``clean_csv_field`` / ``clean_csv_skills``: native regexp chains
+  (ref src/crawler/parser.py:379-402).
 """
 
 from __future__ import annotations
@@ -70,6 +72,53 @@ def parse_last_update(update_text: ColumnOrName) -> Column:
         chain = (F.when(cond, val) if chain is None else chain.when(cond, val))
     return F.when(t.isNull() | (t == ""), out).otherwise(
         F.coalesce(chain, out)  # type: ignore[arg-type]
+    )
+
+
+# --------------------------------------------------------------------------
+# F20: CSV-hygiene field cleaning (ref src/crawler/parser.py:379-402,
+# _validate_job_data). The reference scrubs string fields before CSV
+# export: \n and \r become spaces, ';' becomes ',' (the CSV delimiter
+# escape), and whitespace is collapsed/stripped via ' '.join(s.split()).
+# Moot under parquet interchange (SURVEY agrees) but implemented for
+# literal §2 completeness — a pure native regexp chain, scan-fused.
+# --------------------------------------------------------------------------
+
+
+def clean_csv_field(field: ColumnOrName) -> Column:
+    """NULL/empty pass through unchanged (the reference only cleans
+    truthy fields); otherwise newlines/CRs → spaces, ';' → ',',
+    whitespace runs collapsed to one space, ends stripped — exactly
+    ``' '.join(s.replace('\\n',' ').replace('\\r',' ')
+    .replace(';',',').split())`` for ASCII whitespace."""
+    c = _col(field)
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(c, r"[\n\r]", " "), ";", ","
+            ),
+            r"\s+",
+            " ",
+        )
+    )
+    return F.when(c.isNull() | (c == ""), c).otherwise(cleaned)
+
+
+def clean_csv_skills(skills: ColumnOrName) -> Column:
+    """Per-skill cleaning of the reference's skills list: each element
+    stripped, \\n/\\r → spaces, empties and non-strings (NULLs) dropped;
+    a NULL/absent list passes through unchanged. Internal whitespace is
+    deliberately NOT collapsed (the reference doesn't)."""
+    c = _col(skills)
+    cleaned = F.transform(
+        c,
+        lambda s: F.regexp_replace(
+            F.regexp_replace(s, r"[\n\r]", " "), r"^\s+|\s+$", ""
+        ),
+    )
+    return F.when(
+        c.isNotNull(),
+        F.filter(cleaned, lambda s: s.isNotNull() & (s != "")),
     )
 
 

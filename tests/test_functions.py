@@ -301,3 +301,55 @@ def test_normalize_salary_sqludf_matches_column_api(spark):
         assert (r["salary_min"], r["salary_max"], r["salary_type"]) == pytest.approx(
             (lo, hi, ty)
         ), f"sqludf salary {text!r}"
+
+
+def test_clean_csv_field_matches_reference_semantics(spark):
+    """F20 (ref src/crawler/parser.py:379-402): \n/\r → space, ';' → ',',
+    whitespace collapsed via ' '.join(split()), falsy fields unchanged;
+    skills per-element stripped with empties/NULLs dropped."""
+    from jobinsight_data_pipeline_spark.functions.text import (
+        clean_csv_field,
+        clean_csv_skills,
+    )
+
+    def ref_clean(s):  # the reference's loop body
+        if not s:
+            return s
+        cleaned = s.replace("\n", " ").replace("\r", " ").replace(";", ",")
+        return " ".join(cleaned.split())
+
+    raws = [
+        "a;b\nc", "x\r\ny   z\t!", "  pad  ", "", None, "no change",
+        ";;", " \t ",
+    ]
+    df = spark.createDataFrame(
+        [(i, r) for i, r in enumerate(raws)], "i long, raw string"
+    )
+    got = {
+        r["i"]: r["c"]
+        for r in df.select("i", clean_csv_field("raw").alias("c")).collect()
+    }
+    for i, r in enumerate(raws):
+        assert got[i] == ref_clean(r), (i, r, got[i], ref_clean(r))
+
+    def ref_skills(sk):
+        if not sk:
+            return sk
+        out = []
+        for s in sk:
+            if s and isinstance(s, str):
+                c = s.strip().replace("\n", " ").replace("\r", " ")
+                if c:
+                    out.append(c)
+        return out
+
+    skills = [["a\n", " b ", "", None, "c;d", "x  y"], [], None, ["\r\n"]]
+    df2 = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(skills)], "i long, sk array<string>"
+    )
+    got2 = {
+        r["i"]: r["c"]
+        for r in df2.select("i", clean_csv_skills("sk").alias("c")).collect()
+    }
+    for i, s in enumerate(skills):
+        assert got2[i] == ref_skills(s), (i, s, got2[i])
