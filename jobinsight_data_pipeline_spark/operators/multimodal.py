@@ -61,12 +61,68 @@ def fake_decode_features(content: bytes | None, dim: int = 8) -> list[float] | N
     return [b / 255.0 for b in digest[:dim]]
 
 
-def real_decode(content: bytes, mime: str):  # pragma: no cover - stub
-    """Placeholder for PIL/ffmpeg decode — unavailable in this container."""
+def real_decode(content: bytes, mime: str):
+    """Decode bytes with the soft-imported codec library: PIL when it is
+    installed (any image/* mime), otherwise raises — audio/video decode
+    (av/ffmpeg) stays a deployment concern either way."""
+    if mime and mime.startswith("image/"):
+        try:
+            import io
+
+            from PIL import Image
+        except ImportError as exc:  # pragma: no cover - env without PIL
+            raise NotImplementedError(
+                "image decode requires Pillow, which is not installed in "
+                "this image; pip install pillow on a full deployment"
+            ) from exc
+        img = Image.open(io.BytesIO(content))
+        img.load()
+        return img
     raise NotImplementedError(
-        "media decode requires codec libraries not present in this image; "
-        "wire a real kernel here (PIL.Image.open / av.open) on a full deployment"
+        f"no decode kernel for mime={mime!r} in this deployment "
+        "(audio/video need av/ffmpeg; wire them here)"
     )
+
+
+def build_image_feature_fn(
+    dim: int = 8,
+) -> Callable[[bytes | None], list[float] | None]:
+    """Deploy-ready kernel selection: the real PIL-backed decode→feature
+    kernel when Pillow is importable, else the deterministic fake — so
+    the same pipeline code ships unchanged from this codec-less sandbox
+    to a full image. The real kernel emits a small deterministic
+    signature (normalized dimensions, mode-channel count, grayscale
+    mean/extremes of a fixed 8×8 downsample) — stand-in features with
+    the shape/determinism of an embedding, swappable for a model."""
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError:
+        return lambda content: fake_decode_features(content, dim)
+
+    def decode_features(content: bytes | None) -> list[float] | None:
+        if content is None:
+            return None
+        try:
+            img = Image.open(io.BytesIO(content))
+            small = img.convert("L").resize((8, 8))
+            px = list(small.getdata())
+            feats = [
+                min(img.width / 4096.0, 1.0),
+                min(img.height / 4096.0, 1.0),
+                len(img.getbands()) / 4.0,
+                sum(px) / (len(px) * 255.0),
+                min(px) / 255.0,
+                max(px) / 255.0,
+            ]
+        except Exception:
+            # undecodable bytes degrade to the deterministic fake rather
+            # than failing the whole batch
+            return fake_decode_features(content, dim)
+        return (feats + [0.0] * dim)[:dim]
+
+    return decode_features
 
 
 _ARROW_BATCH_KEY = "spark.sql.execution.arrow.maxRecordsPerBatch"

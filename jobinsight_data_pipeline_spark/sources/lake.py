@@ -147,6 +147,64 @@ class ParquetLake:
         return version
 
 
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_col: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+    predicate: str | None = None,
+    fetch_size: int = 10_000,
+    options: dict[str, str] | None = None,
+) -> DataFrame:
+    """RDBMS source for the S2-origin path — the reference reads its
+    staging tables from PostgreSQL (/root/reference/src/etl/
+    raw_to_staging.py:245-281, SELECT … WHERE … LIMIT/OFFSET pages); on
+    Spark the same contract is the built-in partitioned JDBC scan.
+
+    Scale posture: a bare ``jdbc(table)`` read is ONE executor holding
+    one cursor — the 100 TB anti-pattern. Pass ``partition_col`` (a
+    roughly-uniform numeric/temporal key, e.g. the serial PK) plus
+    bounds so Spark issues ``num_partitions`` concurrent range queries;
+    ``predicate`` pushes the reference's ``query_filter`` into every
+    range query as a WHERE clause (dbtable subquery, filter runs in the
+    database, not post-scan). OFFSET paging is deliberately NOT exposed:
+    OFFSET re-scans skipped rows server-side per page; key-range
+    partitioning is the set-based equivalent.
+
+    Needs the vendor JDBC driver jar on the Spark classpath
+    (``spark.jars`` / ``--jars``); this sandbox ships none, so the
+    contract is pinned by tests/test_sources.py's plan-level test and
+    skip-marked live test."""
+    src = table if predicate is None else f"(SELECT * FROM {table} WHERE {predicate}) j"
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", src)
+        .option("fetchsize", str(fetch_size))
+    )
+    if partition_col is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError(
+                "partitioned JDBC read needs lower_bound/upper_bound for "
+                f"partition_col={partition_col!r} (run MIN/MAX in the DB first)"
+            )
+        reader = (
+            reader.option("partitionColumn", partition_col)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option(
+                "numPartitions",
+                str(num_partitions or spark.sparkContext.defaultParallelism),
+            )
+        )
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
 def write_sized(
     df: DataFrame,
     path: str,

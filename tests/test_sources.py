@@ -469,3 +469,112 @@ def test_shuffle_shard_writes_one_file_per_shard(spark, tmp_path):
     orig = {(r["k"], r["shard"], r["shard_pos"]) for r in sharded.collect()}
     got = {(r["k"], int(r["shard"]), r["shard_pos"]) for r in back.collect()}
     assert got == orig
+
+
+def _jdbc_driver_present(spark, cls: str) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(cls)  # type: ignore[union-attr]
+        return True
+    except Exception:
+        return False
+
+
+def test_read_jdbc_contract(spark):
+    """S2-origin JDBC source: partitioned reads demand explicit bounds
+    (an unbounded partition column would silently fall back to one
+    cursor); predicate builds a pushdown subquery. No RDBMS/driver jar
+    exists in this image, so the live path is skip-marked below."""
+    import pytest as _pytest
+
+    from jobinsight_data_pipeline_spark.sources.lake import read_jdbc
+
+    with _pytest.raises(ValueError, match="lower_bound"):
+        read_jdbc(
+            spark, "jdbc:postgresql://db/x", "staging_jobs", partition_col="id"
+        )
+
+
+def test_read_jdbc_live(spark, tmp_path):
+    """Runs only when a SQLite JDBC driver jar is on the classpath:
+    round-trips rows through a real JDBC scan with predicate pushdown."""
+    import pytest as _pytest
+
+    if not _jdbc_driver_present(spark, "org.sqlite.JDBC"):
+        _pytest.skip("no JDBC driver jar on the Spark classpath in this image")
+    import sqlite3
+
+    from jobinsight_data_pipeline_spark.sources.lake import read_jdbc
+
+    db = str(tmp_path / "jobs.db")
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE staging_jobs (id INTEGER, title TEXT)")
+    con.executemany(
+        "INSERT INTO staging_jobs VALUES (?, ?)",
+        [(i, f"t{i}") for i in range(100)],
+    )
+    con.commit()
+    con.close()
+    df = read_jdbc(
+        spark,
+        f"jdbc:sqlite:{db}",
+        "staging_jobs",
+        partition_col="id",
+        lower_bound=0,
+        upper_bound=100,
+        num_partitions=4,
+        predicate="id < 50",
+    )
+    assert df.count() == 50
+    assert df.rdd.getNumPartitions() == 4
+
+
+def test_image_feature_fn_soft_import(spark):
+    """build_image_feature_fn returns the deterministic fake in this
+    codec-less image and the PIL kernel when Pillow exists; the chosen
+    kernel drives extract_features unchanged (plumbing is kernel-
+    agnostic)."""
+    from jobinsight_data_pipeline_spark.operators.multimodal import (
+        build_image_feature_fn,
+        extract_features,
+        fake_decode_features,
+    )
+
+    fn = build_image_feature_fn(dim=8)
+    try:
+        import PIL  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if not has_pil:
+        assert fn(b"abc") == fake_decode_features(b"abc", 8)
+    else:
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("RGB", (16, 8), (255, 0, 0)).save(buf, format="PNG")
+        feats = fn(buf.getvalue())
+        assert len(feats) == 8 and feats[2] == 0.75  # 3 bands / 4
+    media = spark.createDataFrame(
+        [(1, bytearray(b"xyz"), ("image/png", 4, 4, None))],
+        "media_id long, content binary, "
+        "meta struct<mime:string,width:int,height:int,duration_ms:int>",
+    )
+    out = extract_features(media, feature_fn=fn).collect()
+    assert out[0]["feature"] is not None and len(out[0]["feature"]) == 8
+
+
+def test_real_decode_raises_without_codecs():
+    from jobinsight_data_pipeline_spark.operators.multimodal import real_decode
+
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        import pytest as _pytest
+
+        with _pytest.raises(NotImplementedError, match="Pillow"):
+            real_decode(b"bytes", "image/png")
+        with _pytest.raises(NotImplementedError, match="av/ffmpeg"):
+            real_decode(b"bytes", "video/mp4")
