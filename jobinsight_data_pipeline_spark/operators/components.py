@@ -76,13 +76,23 @@ def _free_local_checkpoint(df: DataFrame) -> None:
 
 
 def connected_components(
-    pairs: DataFrame, src: str, dst: str, max_iter: int = 25
+    pairs: DataFrame,
+    src: str,
+    dst: str,
+    max_iter: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Label every node of the pair graph with its component id.
 
     Returns ``(node, component)`` where ``component`` is the smallest
     node id in the connected component — deterministic, join-stable, and
     engine-portable (no generated ids).
+
+    ``stats`` (optional dict, filled in place) records ``rounds`` and
+    per-round ``edge_counts`` — the observability hook the adversarial
+    scale tests use to pin convergence (rounds stay O(log n) on a
+    diameter-n chain; intermediate edge counts stay O(nodes), never
+    quadratic) without changing the return contract.
     """
     edges = (
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -103,6 +113,9 @@ def connected_components(
         .distinct()
     )
     prev_sig = None
+    if stats is not None:
+        stats["rounds"] = 0
+        stats["edge_counts"] = []
     for _ in range(max_iter):
         sym = edges.unionByName(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -113,6 +126,9 @@ def connected_components(
             F.bit_xor(F.xxhash64("u", "v")).alias("sig"),
         ).first()
         sig = (row["n"], row["sig"])
+        if stats is not None:
+            stats["rounds"] += 1
+            stats["edge_counts"].append(row["n"])
         done = sig == prev_sig and new_edges.exceptAll(edges).isEmpty()
         # free the superseded generation's checkpoint blocks — NOT the
         # first (the `nodes` plan reads it) and NOT the one just built.

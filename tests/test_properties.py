@@ -429,3 +429,56 @@ def test_new_text_operators_total_on_fuzzed_corpus(spark):
                 # the kept tokens exactly (including empty ones); "" is
                 # ambiguous (nothing kept vs one empty token) so skipped
                 assert len(r["cleaned"].split(" ")) == r["n_tokens"] - r["n_removed"]
+
+
+def test_connected_components_adversarial_scale(spark):
+    """Adversarial topologies at 10⁵ nodes: (a) one giant chain — the
+    diameter-n worst case where naive label propagation needs 10⁵
+    rounds; (b) a power-law hub graph with a super-node. Pins the
+    Kiveris large/small-star properties: convergence in O(log n) rounds
+    (≤ 20 here vs diameter 10⁵), intermediate edge counts bounded by
+    O(nodes) (never quadratic blowup), and exact labels."""
+    from pyspark.sql import functions as F
+
+    from jobinsight_data_pipeline_spark.operators.components import (
+        connected_components,
+    )
+
+    n = 100_000
+    # (a) chain 0-1-2-…-(n-1)
+    chain = spark.range(n - 1).selectExpr("id AS doc_a", "id + 1 AS doc_b")
+    stats: dict = {}
+    labels = connected_components(chain, "doc_a", "doc_b", stats=stats)
+    agg = labels.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("component").alias("ncomp"),
+        F.max("component").alias("maxc"),
+    ).first()
+    assert (agg["n"], agg["ncomp"], agg["maxc"]) == (n, 1, 0)
+    assert stats["rounds"] <= 20, stats  # O(log n), not O(diameter)
+    assert max(stats["edge_counts"]) <= 2 * n, stats  # linear in nodes
+
+    # (b) power-law: hub 0 wired to 1..50k, plus chains hanging off
+    # nodes 1..10 (hub skew + depth), and 1000 isolated 2-cliques
+    hub = spark.range(1, 50_001).selectExpr("0 AS doc_a", "id AS doc_b")
+    tails = spark.range(10_000).selectExpr(
+        "50001 + id AS doc_a", "50001 + id + 1 AS doc_b"
+    )
+    bridge = spark.sql("SELECT 1 AS doc_a, 50001 AS doc_b")
+    cliq = spark.range(1_000).selectExpr(
+        "100000 + 2*id AS doc_a", "100000 + 2*id + 1 AS doc_b"
+    )
+    pl = hub.unionByName(tails).unionByName(bridge).unionByName(cliq)
+    stats2: dict = {}
+    labels2 = connected_components(pl, "doc_a", "doc_b", stats=stats2)
+    comp_sizes = {
+        r["component"]: r["sz"]
+        for r in labels2.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .collect()
+    }
+    # giant component: hub 0 + 1..50k + the 10k tail chain = 60,002 nodes
+    assert comp_sizes[0] == 60_002
+    assert sum(1 for s in comp_sizes.values() if s == 2) == 1_000
+    assert stats2["rounds"] <= 20, stats2
+    assert max(stats2["edge_counts"]) <= 2 * 62_002, stats2
