@@ -85,16 +85,29 @@ def main() -> None:
     warmup = time.time() - t0
 
     load_before = os.getloadavg()
+    arbitrations: list[int] = []
 
     def timed(fn) -> float:
         """Best of two runs — a fresh plan each run (no cross-run cache
-        reuse: catalog queries build new lineage per call)."""
-        best = float("inf")
+        reuse: catalog queries build new lineage per call). When the two
+        runs disagree by >15% (an ambient-load spike hit one of them), a
+        third run arbitrates — r4's +15% drift on unchanged code was
+        pure machine noise; this bounds it without tripling every
+        query's cost."""
+        times = []
         for _ in range(2):
             t0 = time.time()
             fn()
-            best = min(best, time.time() - t0)
-        return round(best, 3)
+            times.append(time.time() - t0)
+        # relative spread gate + absolute floor: sub-second queries show
+        # >15% JIT/GC jitter constantly — only arbitrate when the gap is
+        # also big enough to matter in the total
+        if max(times) > 1.15 * min(times) and max(times) - min(times) > 0.2:
+            arbitrations.append(1)
+            t0 = time.time()
+            fn()
+            times.append(time.time() - t0)
+        return round(min(times), 3)
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     timings: dict[str, float] = {}
@@ -155,6 +168,7 @@ def main() -> None:
                 "startup_sec": round(startup, 3),
                 "warmup_sec": round(warmup, 3),
                 "runs_per_query": 2,
+                "arbitration_runs": len(arbitrations),
                 "loadavg": [round(v, 2) for v in load_before],
                 "loadavg_after": [round(v, 2) for v in os.getloadavg()],
             }
