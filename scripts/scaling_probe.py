@@ -72,7 +72,7 @@ def probes(spark, sf_dir):
             with_text_stats(docs), "text"
         ),
         "redact_pii": lambda: redact_pii(docs, "text"),
-        "ngram_jaccard (index join)": lambda: ngram_jaccard_pairs(
+        "ngram_jaccard (capped index join)": lambda: ngram_jaccard_pairs(
             docs, "doc_id", "text", threshold=0.5
         ),
         "minhash_lsh (banded)": lambda: minhash_lsh_pairs(docs, "doc_id", "text"),
