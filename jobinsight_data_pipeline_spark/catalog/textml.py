@@ -26,6 +26,7 @@ from jobinsight_data_pipeline_spark.operators.dedup import (
     md5_token_hash60,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    winnow_fingerprints,
     simhash_near_pairs,
 )
 from jobinsight_data_pipeline_spark.operators.similarity import (
@@ -474,6 +475,46 @@ SELECT test_id, train_id,
        round(inter / CAST(sz AS DOUBLE), 4) AS containment
 FROM inter JOIN sizes USING (test_id)
 WHERE round(inter / CAST(sz AS DOUBLE), 4) >= 0.8
+"""
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing local fingerprints (SIGMOD'03) under a FULL exact
+    oracle: the 60-bit md5-prefix window hash is engine-portable, so
+    DuckDB replays k-gram hashing, the w-run window minimum, and the
+    distinct selection bit-for-bit. The gate emits the selected (doc,
+    fp) set — position-free, so rightmost-tie selection (which only
+    matters when one hash value repeats inside a run) cannot flake the
+    hash; fp_pos exactness is pinned by the unit test against a Python
+    reference instead."""
+    t = load(spark, sf_dir, "documents")
+    return (
+        winnow_fingerprints(t["documents"], "doc_id", "text", k=5, window=4)
+        .select("doc", "fp")
+        .distinct()
+    )
+
+
+O_WINNOW_FINGERPRINTS = """
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+),
+grams AS (
+    SELECT doc_id, CAST(u.i AS BIGINT) - 1 AS pos,
+           CAST(('0x' || substring(md5(array_to_string(
+                t[CAST(u.i AS INTEGER):CAST(u.i + 4 AS INTEGER)], ' ')), 1, 15))
+                AS BIGINT) AS h
+    FROM toks,
+         unnest(CASE WHEN len(t) >= 5
+                     THEN generate_series(1, len(t) - 4) ELSE [] END) AS u(i)
+),
+sel AS (
+    SELECT doc_id, pos,
+           min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+    FROM grams
+)
+SELECT DISTINCT doc_id AS doc, fp FROM sel WHERE pos >= 3
 """
 
 
@@ -1782,6 +1823,7 @@ QUERIES = {
     "mixture_sample": q_mixture_sample,
     "shuffle_shard": q_shuffle_shard,
     "duplicate_spans": q_duplicate_spans,
+    "winnow_fingerprints": q_winnow_fingerprints,
     "pii_scrub": q_pii_scrub,
     "training_shards": q_training_shards,
     "shard_manifest": q_shard_manifest,
@@ -1821,6 +1863,7 @@ ORACLES = {
     "mixture_sample": O_MIXTURE_SAMPLE,
     "shuffle_shard": O_SHUFFLE_SHARD,
     "duplicate_spans": O_DUPLICATE_SPANS,
+    "winnow_fingerprints": O_WINNOW_FINGERPRINTS,
     "pii_scrub": O_PII_SCRUB,
     "training_shards": O_TRAINING_SHARDS,
     "shard_manifest": O_SHARD_MANIFEST,

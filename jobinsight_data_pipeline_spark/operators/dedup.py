@@ -70,11 +70,12 @@ def _drop_hot_shingles(sh: DataFrame, max_shingle_freq: int | None) -> DataFrame
     by test_ngram_freq_cap_subset).
 
     Implemented as a count-over-window on the shingle (no ORDER BY — a
-    whole-partition frame, so no sort): ONE shuffle whose hash
-    partitioning the downstream self-join on the shingle REUSES, making
-    the capped plan measurably faster than even the uncapped one at
-    sf0.1 (1.21s vs 1.36s; a groupBy + left-semi alternative costs
-    2.34s because it shuffles the index twice). Scale note: the window
+    whole-partition frame, so no sort): one shuffle per self-join side
+    in the initial plan, which AQE's runtime exchange reuse collapses
+    (the two sides are identical subtrees) — measured at parity with
+    the uncapped plan at sf0.1 (1.21s vs 1.36s best-of-3; a groupBy +
+    left-semi alternative costs 2.34s, shuffling the full index twice
+    with no reuse). Scale note: the window
     DOES concentrate a hot shingle's rows on one task — but for a single
     LINEAR count-and-filter pass (df rows read once, hot rows dropped in
     place), which is exactly the bounded work that prevents the df² join
@@ -461,6 +462,60 @@ def positional_windows(
         widen_for_cpu(df)
         .filter(sz >= n)
         .select(F.col(id_col).alias("doc"), F.posexplode(grams).alias("pos", "whash"))
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken —
+    "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD'03): hash every k-token window, then keep the minimum hash of
+    each run of ``window`` consecutive positions (rightmost on ties).
+    Guarantees any shared token run of length ≥ k + window - 1 yields at
+    least one IDENTICAL selected fingerprint in both documents, at
+    density ~2/(window+1) — the standard local-fingerprint scheme for
+    partial-overlap/plagiarism detection, complementing the whole-doc
+    ``fingerprint`` (operators/textstats.py) and the exact
+    ``duplicate_spans`` pass.
+
+    Fully native and shuffle-bounded: one pass emits positional window
+    hashes (scan-fused), one window-function shuffle per doc computes
+    the per-run minimum — min over a ``struct(hash, -pos)`` makes the
+    rightmost-tie selection a single expression, no self-join. The
+    60-bit md5-prefix hash is the engine-portable twin (the DuckDB
+    oracle replays it bit-for-bit; see ``md5_token_hash60``).
+
+    Returns (doc, fp_pos, fp): selected fingerprint hashes with the
+    token position of the k-gram each was taken from.
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    win = positional_windows(df, id_col, text_col, k)
+    h = F.conv(F.substring("whash", 1, 15), 16, 10).cast("long")
+    frame = (
+        Window.partitionBy("doc")
+        .orderBy("pos")
+        .rowsBetween(-(window - 1), 0)
+    )
+    pick = F.min(F.struct(F.col("_h").alias("h"), (-F.col("pos")).alias("np"))).over(
+        frame
+    )
+    return (
+        win.withColumn("_h", h)
+        .withColumn("_m", pick)
+        # only full windows select (the first window ends at pos w-1)
+        .filter(F.col("pos") >= window - 1)
+        .select(
+            "doc",
+            (-F.col("_m.np")).cast("long").alias("fp_pos"),
+            F.col("_m.h").alias("fp"),
+        )
+        .distinct()
     )
 
 

@@ -1173,3 +1173,54 @@ def test_weighted_sample_clamps_huge_weight(spark):
 
     df = spark.createDataFrame([(1, 5.0e9)], "doc_id long, w double")
     assert weighted_sample(df, "w", "doc_id").count() == MAX_SAMPLE_WEIGHT
+
+
+def test_winnow_fingerprints_exact_and_guarantee(spark):
+    """Winnowing matches a literal Python reference (hash values,
+    positions, rightmost tie-break) and honors the SIGMOD'03 guarantee:
+    two docs sharing a token run of length >= k + window - 1 share at
+    least one selected fingerprint."""
+    import hashlib
+
+    from jobinsight_data_pipeline_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    k, w = 3, 4
+
+    def ref(tokens):
+        hs = [
+            int(
+                hashlib.md5(" ".join(tokens[i : i + k]).encode()).hexdigest()[:15],
+                16,
+            )
+            for i in range(len(tokens) - k + 1)
+        ]
+        sel = set()
+        for t in range(w - 1, len(hs)):
+            lo = t - w + 1
+            m = min(hs[lo : t + 1])
+            p = max(i for i in range(lo, t + 1) if hs[i] == m)  # rightmost
+            sel.add((p, m))
+        return sel
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens >= k+w-1
+    texts = {
+        1: "one two three four five six seven " + shared,
+        2: shared + " eight nine ten eleven twelve",
+        3: "rep rep rep rep rep rep rep rep",  # tie-break stress
+        4: "too short",  # < k tokens -> no fingerprints
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    got: dict[int, set] = {}
+    for r in winnow_fingerprints(df, "doc_id", "text", k=k, window=w).collect():
+        got.setdefault(r["doc"], set()).add((r["fp_pos"], r["fp"]))
+    for i, t in texts.items():
+        toks = t.split()
+        expect = ref(toks) if len(toks) >= k + w - 1 else set()
+        assert got.get(i, set()) == expect, (i, got.get(i), expect)
+    fps1 = {fp for _, fp in got[1]}
+    fps2 = {fp for _, fp in got[2]}
+    assert fps1 & fps2  # shared run guarantees a common fingerprint
