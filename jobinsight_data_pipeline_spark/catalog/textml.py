@@ -518,6 +518,30 @@ SELECT DISTINCT doc_id AS doc, fp FROM sel WHERE pos >= 3
 """
 
 
+def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint-overlap candidate pairs under the same FULL exact
+    oracle family as winnow_fingerprints: DuckDB recomputes selection
+    AND the pair join, so the candidate set and shared counts
+    hash-match bit-for-bit."""
+    from jobinsight_data_pipeline_spark.operators.dedup import (
+        winnow_overlap_pairs,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    return winnow_overlap_pairs(
+        t["documents"], "doc_id", "text", k=5, window=4, min_shared=2
+    )
+
+
+O_WINNOW_OVERLAP = f"""
+WITH fps AS ({O_WINNOW_FINGERPRINTS})
+SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS shared_fps
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc < b.doc
+GROUP BY a.doc, b.doc
+HAVING count(*) >= 2
+"""
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(t["documents"], "doc_id", "text", n=3, threshold=0.5)
@@ -1824,6 +1848,7 @@ QUERIES = {
     "shuffle_shard": q_shuffle_shard,
     "duplicate_spans": q_duplicate_spans,
     "winnow_fingerprints": q_winnow_fingerprints,
+    "winnow_overlap": q_winnow_overlap,
     "pii_scrub": q_pii_scrub,
     "training_shards": q_training_shards,
     "shard_manifest": q_shard_manifest,
@@ -1864,6 +1889,7 @@ ORACLES = {
     "shuffle_shard": O_SHUFFLE_SHARD,
     "duplicate_spans": O_DUPLICATE_SPANS,
     "winnow_fingerprints": O_WINNOW_FINGERPRINTS,
+    "winnow_overlap": O_WINNOW_OVERLAP,
     "pii_scrub": O_PII_SCRUB,
     "training_shards": O_TRAINING_SHARDS,
     "shard_manifest": O_SHARD_MANIFEST,

@@ -82,10 +82,16 @@ def _drop_hot_shingles(sh: DataFrame, max_shingle_freq: int | None) -> DataFrame
     those rows would otherwise feed."""
     if max_shingle_freq is None:
         return sh
-    w = Window.partitionBy("shingle")
+    return _cap_key_freq(sh, "shingle", max_shingle_freq)
+
+
+def _cap_key_freq(df: DataFrame, key: str, cap: int) -> DataFrame:
+    """Generic hot-key frequency cap (count-over-window form — see
+    _drop_hot_shingles for the plan rationale)."""
+    w = Window.partitionBy(key)
     return (
-        sh.withColumn("_df", F.count(F.lit(1)).over(w))
-        .filter(F.col("_df") <= max_shingle_freq)
+        df.withColumn("_df", F.count(F.lit(1)).over(w))
+        .filter(F.col("_df") <= cap)
         .drop("_df")
     )
 
@@ -516,6 +522,45 @@ def winnow_fingerprints(
             F.col("_m.h").alias("fp"),
         )
         .distinct()
+    )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+    max_fp_freq: int | None = 100_000,
+) -> DataFrame:
+    """Near-dup candidate pairs from shared winnowing fingerprints —
+    what the fingerprints are FOR (MOSS-style overlap detection): docs
+    sharing ≥ ``min_shared`` selected fingerprints. By the winnowing
+    guarantee every shared token run of length ≥ k + window - 1
+    contributes a shared fingerprint, so real content overlap is caught,
+    while the inverted index carries only ~2/(window+1) of the entries a
+    full shingle index would — the same join shape as
+    ``ngram_jaccard_pairs`` at a fraction of the shuffle volume (the
+    scale trade: position-blind shingling finds ANY shared shingle;
+    winnowing needs the run to be long enough to survive selection).
+    ``max_fp_freq`` caps boilerplate fingerprints exactly like
+    ``max_shingle_freq``. Returns (doc_a, doc_b, shared_fps).
+    """
+    fps = winnow_fingerprints(df, id_col, text_col, k, window).select(
+        "doc", "fp"
+    ).distinct()
+    if max_fp_freq is not None:
+        fps = _cap_key_freq(fps, "fp", max_fp_freq)
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
     )
 
 

@@ -1224,3 +1224,52 @@ def test_winnow_fingerprints_exact_and_guarantee(spark):
     fps1 = {fp for _, fp in got[1]}
     fps2 = {fp for _, fp in got[2]}
     assert fps1 & fps2  # shared run guarantees a common fingerprint
+
+
+def test_winnow_overlap_pairs(spark):
+    """Docs sharing a run >= k+window-1 pair up with the exact shared-
+    fingerprint count of the Python reference; unrelated docs don't;
+    min_shared filters."""
+    import hashlib
+
+    from jobinsight_data_pipeline_spark.operators.dedup import (
+        winnow_overlap_pairs,
+    )
+
+    k, w = 3, 4
+
+    def ref_fps(tokens):
+        hs = [
+            int(
+                hashlib.md5(" ".join(tokens[i : i + k]).encode()).hexdigest()[:15],
+                16,
+            )
+            for i in range(len(tokens) - k + 1)
+        ]
+        sel = set()
+        for t in range(w - 1, len(hs)):
+            sel.add(min(hs[t - w + 1 : t + 1]))
+        return sel
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    texts = {
+        1: "one two three four five " + shared,
+        2: shared + " six seven eight nine ten",
+        3: "totally unrelated content with different words entirely here now",
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["shared_fps"]
+        for r in winnow_overlap_pairs(
+            df, "doc_id", "text", k=k, window=w, min_shared=1
+        ).collect()
+    }
+    expect12 = len(ref_fps(texts[1].split()) & ref_fps(texts[2].split()))
+    assert got.get((1, 2)) == expect12 and expect12 >= 1
+    assert not any(3 in p for p in got)
+    high = winnow_overlap_pairs(
+        df, "doc_id", "text", k=k, window=w, min_shared=expect12 + 1
+    ).count()
+    assert high == 0
