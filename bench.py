@@ -156,6 +156,32 @@ def main() -> None:
         lambda: materialize(shuffle_shard(docs.select("doc_id"), "doc_id", 256))
     )
 
+    # round-5 operators, production settings: BM25 corpus slicing
+    # (scan-fused fixed-query form), corpus-wide paragraph dedup (the
+    # synthetic docs are single-line, so this times the explode/hash/agg
+    # machinery), MOSS-style fingerprint-overlap candidate pairs
+    from jobinsight_data_pipeline_spark.operators.dedup import (
+        winnow_overlap_pairs,
+    )
+    from jobinsight_data_pipeline_spark.operators.ranking import bm25_topk
+    from jobinsight_data_pipeline_spark.operators.textstats import (
+        dedup_paragraphs,
+    )
+
+    timings["bm25_topk"] = timed(
+        lambda: materialize(
+            bm25_topk(docs, ["spark", "vector", "customer"], k=100)
+        )
+    )
+    timings["paragraph_dedup"] = timed(
+        lambda: materialize(dedup_paragraphs(docs, mode="keep_first"))
+    )
+    timings["winnow_overlap"] = timed(
+        lambda: materialize(
+            winnow_overlap_pairs(docs, "doc_id", "text", k=5, window=4, min_shared=2)
+        )
+    )
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -1819,6 +1819,260 @@ FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.d
 O_SEMANTIC_DEDUP_GROUPS = _semdedup_groups_oracle()
 
 
+# --------------------------------------------------------------------------
+# BM25 keyword relevance (operators/ranking.py) under a FULL exact oracle.
+# +, *, / on doubles are IEEE-identical across engines; ln is NOT (measured
+# 1-ulp disagreements), so the operator quantizes idf — round(ln(x), 6) —
+# identically on both sides and tests/test_properties.py audits the actual
+# per-term idf arguments of this corpus for rounding-boundary proximity.
+# Literals are interpolated via repr() so both engines parse the SAME double.
+# --------------------------------------------------------------------------
+BM25_TERMS = ["spark", "vector", "customer"]
+BM25_K = 15
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 documents by BM25 for a fixed 3-term query — the corpus
+    slicing / audit-ranking primitive. Scan-fused per-term tf, one-row
+    broadcast stats, TakeOrderedAndProject top-k; ties broken by doc_id.
+    Scores emitted as floor(score·10⁶) BIGINT (identical doubles →
+    identical integers; no float column crosses the gate bridge)."""
+    from jobinsight_data_pipeline_spark.operators.ranking import bm25_topk
+
+    t = load(spark, sf_dir, "documents")
+    top = bm25_topk(t["documents"], BM25_TERMS, k=BM25_K)
+    return top.select(
+        "doc_id",
+        "dl",
+        *[f"tf_{i}" for i in range(len(BM25_TERMS))],
+        F.floor(F.col("score") * F.lit(1000000.0)).cast("long").alias("score_micro"),
+    )
+
+
+def _bm25_oracle() -> str:
+    from jobinsight_data_pipeline_spark.operators.ranking import (
+        DEFAULT_B,
+        DEFAULT_K1,
+    )
+
+    k1, b = repr(float(DEFAULT_K1)), repr(float(DEFAULT_B))
+    k1p1 = repr(float(DEFAULT_K1) + 1.0)
+    toks = "regexp_split_to_array(trim(text), '\\s+')"
+    tf_cols = ",\n           ".join(
+        f"len(list_filter({toks}, x -> x = '{t}')) AS tf_{i}"
+        for i, t in enumerate(BM25_TERMS)
+    )
+    df_cols = ",\n           ".join(
+        f"CAST(sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_{i}"
+        for i in range(len(BM25_TERMS))
+    )
+    term_scores = "\n           + ".join(
+        f"round(ln((n - df_{i} + 0.5) / (df_{i} + 0.5) + 1.0), 6)"
+        f" * (CAST(tf_{i} AS DOUBLE) * {k1p1})"
+        f" / (CAST(tf_{i} AS DOUBLE)"
+        f" + {k1} * (1.0 - {b} + {b} * CAST(dl AS DOUBLE) / (sumdl / n)))"
+        for i in range(len(BM25_TERMS))
+    )
+    tf_names = ", ".join(f"tf_{i}" for i in range(len(BM25_TERMS)))
+    return f"""
+WITH base AS (
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len({toks}) END AS dl,
+           {tf_cols}
+    FROM documents
+),
+stats AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n,
+           CAST(sum(dl) AS DOUBLE) AS sumdl,
+           {df_cols}
+    FROM base
+),
+scored AS (
+    SELECT doc_id, dl, {tf_names},
+           {term_scores} AS score
+    FROM base, stats
+)
+SELECT doc_id, dl, {tf_names},
+       CAST(floor(score * 1000000.0) AS BIGINT) AS score_micro
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {BM25_K}
+"""
+
+
+O_BM25_SEARCH = _bm25_oracle()
+
+
+# --------------------------------------------------------------------------
+# Corpus-wide paragraph dedup (operators/textstats.dedup_paragraphs) over a
+# planted fixture: the synthetic documents are single-line, so the gate
+# derives 10-token lines from each doc and appends shared boilerplate
+# paragraphs (every doc gets one, every third doc a second) — exactly the
+# repeated-across-pages furniture the Dolma/RefinedWeb line-dedup stage
+# exists to strip. The oracle replays chunking, hashing, keep-first window,
+# drop-common df filter, and order-pinned reassembly in SQL; both modes'
+# outputs ride under one hash.
+# --------------------------------------------------------------------------
+PARA_BOILER_1 = "subscribe to our newsletter for daily updates"
+PARA_BOILER_2 = "all rights reserved contact us at example dot com"
+
+
+def _paragraph_fixture(docs: DataFrame) -> DataFrame:
+    from jobinsight_data_pipeline_spark.operators.textstats import tokens
+
+    toks = tokens("text")
+    nl = F.ceil(F.size(toks) / F.lit(10.0)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), nl - F.lit(1)),
+        lambda i: F.array_join(F.slice(toks, i * F.lit(10) + F.lit(1), 10), " "),
+    )
+    text2 = F.concat(
+        F.array_join(lines, "\n"),
+        F.lit("\n" + PARA_BOILER_1),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("\n" + PARA_BOILER_2)).otherwise(
+            F.lit("")
+        ),
+    )
+    return docs.select("doc_id", text2.alias("text"))
+
+
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobinsight_data_pipeline_spark.operators.textstats import (
+        dedup_paragraphs,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    fixture = _paragraph_fixture(t["documents"])
+    kf = dedup_paragraphs(fixture, mode="keep_first")
+    dc = dedup_paragraphs(fixture, mode="drop_common", max_df=3).select(
+        "doc_id", F.col("n_dropped").alias("n_dropped_common")
+    )
+    return kf.join(dc, "doc_id")
+
+
+O_PARAGRAPH_DEDUP = f"""
+WITH base AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+),
+fix AS (
+    SELECT doc_id,
+           array_to_string(
+               list_transform(range(CAST(ceil(len(t) / 10.0) AS BIGINT)),
+                   i -> array_to_string(
+                       t[CAST(i * 10 + 1 AS INTEGER):CAST(i * 10 + 10 AS INTEGER)],
+                       ' ')),
+               chr(10))
+           || chr(10) || '{PARA_BOILER_1}'
+           || CASE WHEN doc_id % 3 = 0
+                   THEN chr(10) || '{PARA_BOILER_2}' ELSE '' END AS text2
+    FROM base
+),
+sp AS (SELECT doc_id, string_split(text2, chr(10)) AS s FROM fix),
+paras AS (
+    SELECT doc_id, CAST(u.i AS BIGINT) - 1 AS pos, s[CAST(u.i AS INTEGER)] AS para
+    FROM sp, unnest(generate_series(1, len(s))) AS u(i)
+),
+marked AS (
+    SELECT doc_id, pos, para, trim(para) = '' AS blank, md5(trim(para)) AS h,
+           row_number() OVER (PARTITION BY md5(trim(para))
+                              ORDER BY doc_id, pos) AS rn
+    FROM paras
+),
+dfc AS (
+    SELECT h, count(DISTINCT doc_id) AS c FROM marked WHERE NOT blank GROUP BY h
+),
+kf AS (
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN blank OR rn = 1 THEN para END,
+                               chr(10) ORDER BY pos), '') AS text,
+           count(*) AS n_paras,
+           CAST(sum(CASE WHEN blank OR rn = 1 THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_dropped
+    FROM marked GROUP BY doc_id
+),
+dc AS (
+    SELECT m.doc_id,
+           CAST(sum(CASE WHEN m.blank OR d.c <= 3 THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_dropped_common
+    FROM marked m LEFT JOIN dfc d ON m.h = d.h
+    GROUP BY m.doc_id
+)
+SELECT kf.doc_id, kf.text, kf.n_paras, kf.n_dropped, dc.n_dropped_common
+FROM kf JOIN dc ON kf.doc_id = dc.doc_id
+"""
+
+
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL interchange fidelity end-to-end: write the documents table
+    as 4 JSON-Lines shards, plant one malformed line alongside them,
+    read back under the frozen schema in permissive mode, and emit
+    per-source (count, Σchars, order-insensitive bit_xor content
+    checksum) plus a '_corrupt' quarantine row. A writer/reader that
+    mangles text, drops rows, or mis-types a field flips the checksum;
+    a fail-fast or silently-dropping reader loses the quarantine row."""
+    import os
+
+    from jobinsight_data_pipeline_spark.catalog import scratch_dir
+    from jobinsight_data_pipeline_spark.sources.jsonl import (
+        read_jsonl,
+        write_jsonl,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    docs = t["documents"]
+    out = scratch_dir("jsonl-gate-") + "/docs"
+    write_jsonl(docs, out, shards=4)
+    with open(os.path.join(out, "part-corrupt.json"), "w", encoding="utf-8") as fh:
+        fh.write('{"doc_id": definitely not json}\n')
+
+    back = read_jsonl(spark, out, docs.schema, keep_corrupt=True)
+    corrupt = F.col("_corrupt_record").isNotNull()
+    chk = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "\x1f",
+                    F.col("doc_id").cast("string"),
+                    F.col("text"),
+                    F.col("lang"),
+                    F.col("source"),
+                    F.col("n_chars").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        back.withColumn("_chk", F.when(corrupt, F.lit(0)).otherwise(chk))
+        .withColumn(
+            "_src", F.when(corrupt, F.lit("_corrupt")).otherwise(F.col("source"))
+        )
+        .groupBy(F.col("_src").alias("source"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.coalesce(F.col("n_chars"), F.lit(0))).alias("sum_chars"),
+            F.bit_xor("_chk").alias("checksum"),
+        )
+    )
+
+
+O_JSONL_ROUNDTRIP = """
+SELECT source, count(*) AS n_rows,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       bit_xor(CAST(('0x' || substring(md5(
+           CAST(doc_id AS VARCHAR) || chr(31) || text || chr(31) || lang
+           || chr(31) || source || chr(31) || CAST(n_chars AS VARCHAR)
+       ), 1, 8)) AS BIGINT)) AS checksum
+FROM documents GROUP BY source
+UNION ALL
+SELECT '_corrupt', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+"""
+
+
 QUERIES = {
     "corpus_curation": q_corpus_curation,
     "corpus_prep": q_corpus_prep,
@@ -1858,6 +2112,9 @@ QUERIES = {
     "url_canon": q_url_canon,
     "weighted_sample": q_weighted_sample,
     "media_features": q_media_features,
+    "bm25_search": q_bm25_search,
+    "paragraph_dedup": q_paragraph_dedup,
+    "jsonl_roundtrip": q_jsonl_roundtrip,
 }
 
 ORACLES = {
@@ -1899,4 +2156,7 @@ ORACLES = {
     "url_canon": O_URL_CANON,
     "weighted_sample": O_WEIGHTED_SAMPLE,
     "media_features": O_MEDIA_FEATURES,
+    "bm25_search": O_BM25_SEARCH,
+    "paragraph_dedup": O_PARAGRAPH_DEDUP,
+    "jsonl_roundtrip": O_JSONL_ROUNDTRIP,
 }

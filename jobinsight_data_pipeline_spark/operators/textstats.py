@@ -539,3 +539,102 @@ def encode_documents(
             F.sum((F.col("_tid") == oov_id).cast("long")).alias("n_oov"),
         )
     )
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    mode: str = "keep_first",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Corpus-wide paragraph-level exact dedup — the Dolma/RefinedWeb
+    line-dedup stage: a boilerplate paragraph ("subscribe to our
+    newsletter…") repeated across thousands of pages is removed from the
+    text while the unique prose stays, which document-level dedup can
+    never do.
+
+    Paragraphs are the literal ``sep`` splits of ``text_col`` (structure
+    preserved — no trimming of the segments themselves); a paragraph's
+    identity is ``md5(trim(paragraph))`` and whitespace-only segments are
+    never deduped (they are layout, not content).
+
+    Modes:
+    - ``keep_first``: an occurrence survives iff it is the globally first
+      — minimal ``(id, pos)`` — for its content hash. Deterministic under
+      any partitioning, no wall-clock or load-order dependence.
+    - ``drop_common``: drop every occurrence whose content appears in
+      more than ``max_df`` DISTINCT documents (pure boilerplate filter;
+      symmetric, keeps nothing of the offender).
+
+    Plan: posexplode → per-hash stats via groupBy (NOT a window: a
+    window partitioned by the hash ships every occurrence of a hot
+    boilerplate hash to one task, while groupBy partial-aggregates
+    map-side so a hash repeated 10⁶ times costs O(partitions) rows in
+    the shuffle, each carrying a single min-struct / count) → equi-join
+    the one-row-per-hash stats back → one shuffle on the doc id for the
+    order-pinned reassembly. Returns (id_col, text_col, n_paras,
+    n_dropped).
+    """
+    from jobinsight_data_pipeline_spark.operators.parallelism import (
+        widen_for_cpu,
+    )
+
+    if mode not in ("keep_first", "drop_common"):
+        raise ValueError(f"unknown dedup_paragraphs mode: {mode!r}")
+    if mode == "drop_common" and (max_df is None or max_df < 1):
+        raise ValueError("drop_common needs max_df >= 1")
+
+    paras = widen_for_cpu(df.select(id_col, text_col)).select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), F.lit(sep), -1)).alias(
+            "pos", "para"
+        ),
+    )
+    content = F.trim(F.col("para"))
+    h = F.md5(content)
+    paras = paras.withColumn("_blank", content == "").withColumn("_h", h)
+
+    if mode == "keep_first":
+        stats = (
+            paras.filter(~F.col("_blank"))
+            .groupBy("_h")
+            .agg(F.min(F.struct(F.col("_id"), F.col("pos"))).alias("_first"))
+        )
+        marked = paras.join(stats, "_h", "left").withColumn(
+            "_keep",
+            F.col("_blank")
+            | (F.struct(F.col("_id"), F.col("pos")) == F.col("_first")),
+        )
+    else:
+        stats = (
+            paras.filter(~F.col("_blank"))
+            .groupBy("_h")
+            .agg(F.count_distinct(F.col("_id")).alias("_ndocs"))
+        )
+        marked = paras.join(stats, "_h", "left").withColumn(
+            "_keep", F.col("_blank") | (F.col("_ndocs") <= int(max_df))
+        )
+
+    return (
+        marked.groupBy(F.col("_id").alias(id_col))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.filter(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("pos", F.col("_keep"), "para")
+                            )
+                        ),
+                        lambda x: x["_keep"],
+                    ),
+                    lambda x: x["para"],
+                ),
+                sep,
+            ).alias(text_col),
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum((~F.col("_keep")).cast("long")).alias("n_dropped"),
+        )
+    )

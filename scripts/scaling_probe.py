@@ -50,7 +50,11 @@ def probes(spark, sf_dir):
         semantic_dedup,
         unit_centroids,
     )
+    from jobinsight_data_pipeline_spark.operators.ranking import (
+        bm25_topk as _bm25_topk,
+    )
     from jobinsight_data_pipeline_spark.operators.textstats import (
+        dedup_paragraphs as _dedup_paragraphs,
         redact_pii,
         with_c4_signals,
         with_text_stats,
@@ -90,6 +94,12 @@ def probes(spark, sf_dir):
                            {"src0": 2.0}, "doc_id")
             .withColumn("skey", F.concat_ws(":", "doc_id", "copy")),
             "skey", 256,
+        ),
+        "bm25_topk (scan-fused)": lambda: _bm25_topk(
+            docs, ["spark", "vector", "customer"], k=100
+        ),
+        "paragraph_dedup (keep_first)": lambda: _dedup_paragraphs(
+            docs, mode="keep_first"
         ),
     }
 

@@ -1273,3 +1273,147 @@ def test_winnow_overlap_pairs(spark):
         df, "doc_id", "text", k=k, window=w, min_shared=expect12 + 1
     ).count()
     assert high == 0
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranking
+# ---------------------------------------------------------------------------
+def test_bm25_matches_python_reference(spark):
+    """Score a tiny corpus and replay the exact arithmetic in Python:
+    quantized idf (round(ln, 6)), Lucene non-negative idf form,
+    left-to-right term summation."""
+    import math
+
+    from jobinsight_data_pipeline_spark.operators.ranking import bm25_scores
+
+    docs = {
+        1: "cat dog cat bird",
+        2: "dog dog dog fish fish",
+        3: "bird bird bird bird cat",
+        4: "fish",
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in docs.items()], "doc_id long, text string"
+    )
+    terms = ["cat", "dog"]
+    got = {
+        r["doc_id"]: (r["dl"], r["tf_0"], r["tf_1"], r["score"])
+        for r in bm25_scores(df, terms).collect()
+    }
+
+    toks = {i: t.split() for i, t in docs.items()}
+    n = float(len(docs))
+    avgdl = sum(len(t) for t in toks.values()) / n
+    k1, b = 1.2, 0.75
+    for i, t in toks.items():
+        dl, tf0, tf1, score = got[i]
+        assert dl == len(t)
+        exp = 0.0
+        for j, (term, tf) in enumerate([("cat", tf0), ("dog", tf1)]):
+            assert tf == t.count(term)
+            dfreq = float(sum(1 for tt in toks.values() if term in tt))
+            idf = round(math.log((n - dfreq + 0.5) / (dfreq + 0.5) + 1.0), 6)
+            exp = exp + idf * (tf * (k1 + 1.0)) / (tf + k1 * (1 - b + b * len(t) / avgdl))
+        assert abs(score - exp) < 1e-12, (i, score, exp)
+
+
+def test_bm25_topk_deterministic_tiebreak(spark):
+    from jobinsight_data_pipeline_spark.operators.ranking import bm25_topk
+
+    # identical docs → identical scores → tie broken by doc_id ascending
+    df = spark.createDataFrame(
+        [(i, "same words here") for i in range(20)], "doc_id long, text string"
+    )
+    top = bm25_topk(df, ["words"], k=5).select("doc_id").collect()
+    assert [r["doc_id"] for r in top] == [0, 1, 2, 3, 4]
+
+
+def test_bm25_rejects_bad_queries(spark):
+    import pytest as _pytest
+
+    from jobinsight_data_pipeline_spark.operators.ranking import bm25_scores
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        bm25_scores(df, [])
+    with _pytest.raises(ValueError):
+        bm25_scores(df, ["a", "a"])
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level exact dedup
+# ---------------------------------------------------------------------------
+def test_dedup_paragraphs_keep_first(spark):
+    from jobinsight_data_pipeline_spark.operators.textstats import (
+        dedup_paragraphs,
+    )
+
+    rows = [
+        (1, "unique one\nBOILER\nunique two"),
+        (2, "BOILER\nother text"),
+        (3, "third doc\nBOILER"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["n_paras"], r["n_dropped"])
+        for r in dedup_paragraphs(df, mode="keep_first").collect()
+    }
+    # globally first occurrence (doc 1, pos 1) survives; later ones drop
+    assert got[1] == ("unique one\nBOILER\nunique two", 3, 0)
+    assert got[2] == ("other text", 2, 1)
+    assert got[3] == ("third doc", 2, 1)
+
+
+def test_dedup_paragraphs_drop_common_and_blanks(spark):
+    from jobinsight_data_pipeline_spark.operators.textstats import (
+        dedup_paragraphs,
+    )
+
+    # BOILER appears in 3 distinct docs (> max_df=2) → dropped everywhere,
+    # including all copies inside doc 1; blank lines always survive
+    rows = [
+        (1, "a\n\nBOILER\nBOILER"),
+        (2, "BOILER\nb"),
+        (3, "c\nBOILER"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["n_paras"], r["n_dropped"])
+        for r in dedup_paragraphs(df, mode="drop_common", max_df=2).collect()
+    }
+    assert got[1] == ("a\n", 4, 2)
+    assert got[2] == ("b", 2, 1)
+    assert got[3] == ("c", 2, 1)
+    assert got[4] == ("", 1, 0)  # empty text: one blank paragraph, kept
+
+
+def test_dedup_paragraphs_trim_identity_but_verbatim_output(spark):
+    """Identity is md5(trim(para)) — '  BOILER ' and 'BOILER' dedup
+    together — but the SURVIVING occurrence is emitted verbatim."""
+    from jobinsight_data_pipeline_spark.operators.textstats import (
+        dedup_paragraphs,
+    )
+
+    rows = [(1, "  BOILER \nx"), (2, "BOILER\ny")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["text"]
+        for r in dedup_paragraphs(df, mode="keep_first").collect()
+    }
+    assert got[1] == "  BOILER \nx"
+    assert got[2] == "y"
+
+
+def test_dedup_paragraphs_rejects_bad_mode(spark):
+    import pytest as _pytest
+
+    from jobinsight_data_pipeline_spark.operators.textstats import (
+        dedup_paragraphs,
+    )
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        dedup_paragraphs(df, mode="nope")
+    with _pytest.raises(ValueError):
+        dedup_paragraphs(df, mode="drop_common")  # max_df required

@@ -125,9 +125,12 @@ def test_no_accidental_cartesian_or_nested_loop(spark):
     #     three 1-row aggregates into the scalar verdict row (and their
     #     exact-twin halves are the sanctioned all-pairs baselines);
     #   unigram_lm: the smoothing denominator is a broadcast 1-row
-    #     (total, vocab_size) aggregate crossJoined onto every word
+    #     (total, vocab_size) aggregate crossJoined onto every word;
+    #   bm25_search: the corpus stats (N, Σdl, per-term df) reduce to ONE
+    #     row broadcast back onto the scan — bytes, not a join explosion
     allowed_nested = {
         "unigram_lm",
+        "bm25_search",
         "embedding_topk",
         "embedding_near_dup",
         "asof_discount",
@@ -300,3 +303,42 @@ def test_ngram_cap_shuffle_budget(spark):
     assert capped.count("Exchange") <= uncapped.count("Exchange") + 2
     assert "CartesianProduct" not in capped
     assert "BroadcastNestedLoopJoin" not in capped
+
+
+def test_bm25_topk_scan_fused_heap_topk(spark):
+    """BM25's plan contract: per-term tf stays a scan-fused projection
+    (no explode, no token join), the corpus-stats side is a single-row
+    broadcast, and top-k is TakeOrderedAndProject — per-partition heaps,
+    never a global sort."""
+    from jobinsight_data_pipeline_spark.operators.ranking import bm25_topk
+
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = physical_plan(bm25_topk(df, ["spark", "vector"], k=10))
+    assert "TakeOrderedAndProject" in plan
+    assert "Generate" not in plan  # no posexplode in the fixed-query form
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastExchange" in plan
+    # only the stats aggregation exchanges data (partial → single row)
+    assert plan.count("Exchange hashpartitioning") == 0
+
+
+def test_dedup_paragraphs_partial_aggregates_not_window(spark):
+    """The per-hash stats must come from a partial-aggregating groupBy +
+    join-back, never a Window partitioned by the hash: a window ships
+    every occurrence of a hot boilerplate hash to one task, the groupBy
+    ships one min-struct per map partition."""
+    from jobinsight_data_pipeline_spark.operators.textstats import (
+        dedup_paragraphs,
+    )
+
+    df = spark.read.parquet(f"{SF}/documents.parquet").selectExpr(
+        "doc_id", "text"
+    )
+    for mode, kw in (("keep_first", {}), ("drop_common", {"max_df": 3})):
+        plan = physical_plan(dedup_paragraphs(df, mode=mode, **kw))
+        # the only Window allowed is none at all on this path
+        assert "Window" not in plan, mode
+        assert "partial_min" in plan or "partial_count" in plan or (
+            "HashAggregate" in plan
+        ), mode
+        assert "CartesianProduct" not in plan, mode

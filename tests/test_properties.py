@@ -482,3 +482,47 @@ def test_connected_components_adversarial_scale(spark):
     assert sum(1 for s in comp_sizes.values() if s == 2) == 1_000
     assert stats2["rounds"] <= 20, stats2
     assert max(stats2["edge_counts"]) <= 2 * 62_002, stats2
+
+
+def test_bm25_idf_quantization_cross_engine_audit(spark):
+    """The bm25_search gate's exactness rests on round(ln(x), 6) being
+    identical in Spark and DuckDB for the idf arguments this corpus can
+    produce. ln is NOT correctly rounded in either engine (measured
+    1-ulp disagreements), so audit the composite: for every (N, df) the
+    gate can see at each test scale factor, Spark's round(ln, 6) must
+    equal DuckDB's bit-for-bit, and the unquantized ln must sit clear of
+    the rounding boundary (the corpus_curation .XX5 lesson)."""
+    import math
+
+    import duckdb
+
+    from jobinsight_data_pipeline_spark.catalog.textml import BM25_TERMS
+
+    con = duckdb.connect()
+    cases = []
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        con.execute(
+            "CREATE OR REPLACE VIEW documents AS "
+            f"SELECT * FROM '/root/testdata/{sf}/documents.parquet'"
+        )
+        n, = con.execute("SELECT count(*) FROM documents").fetchone()
+        for t in BM25_TERMS:
+            dfreq, = con.execute(
+                "SELECT count(*) FROM documents WHERE len(list_filter("
+                "regexp_split_to_array(trim(text), '\\s+'), "
+                f"x -> x = '{t}')) > 0"
+            ).fetchone()
+            cases.append((float(n), float(dfreq)))
+
+    args = [(n - d + 0.5) / (d + 0.5) + 1.0 for n, d in cases]
+    spark_q = [
+        r[0]
+        for r in spark.createDataFrame([(a,) for a in args], "x: double")
+        .selectExpr("round(ln(x), 6)")
+        .collect()
+    ]
+    duck_q = [con.execute("SELECT round(ln(?), 6)", [a]).fetchone()[0] for a in args]
+    assert spark_q == duck_q, list(zip(cases, spark_q, duck_q))
+    for a in args:
+        frac = (math.log(a) * 1e6) % 1.0
+        assert abs(frac - 0.5) > 1e-9, (a, frac)

@@ -578,3 +578,71 @@ def test_real_decode_raises_without_codecs():
             real_decode(b"bytes", "image/png")
         with _pytest.raises(NotImplementedError, match="av/ffmpeg"):
             real_decode(b"bytes", "video/mp4")
+
+
+# ---------------------------------------------------------------------------
+# JSONL interchange
+# ---------------------------------------------------------------------------
+def test_jsonl_roundtrip_exact(spark, tmp_path):
+    """Write → read under a frozen schema must be value-exact, including
+    JSON-hostile strings (quotes, backslashes, tabs, unicode)."""
+    from jobinsight_data_pipeline_spark.sources.jsonl import (
+        read_jsonl,
+        write_jsonl,
+    )
+
+    rows = [
+        (1, 'he said "hi"', 3.5),
+        (2, "back\\slash and\ttab", -0.0),
+        (3, "unicode: café — déjà", 1e-300),
+        (4, "", 2.0),
+    ]
+    df = spark.createDataFrame(rows, "id long, s string, x double")
+    p = str(tmp_path / "docs")
+    write_jsonl(df, p, shards=2)
+    back = read_jsonl(spark, p, df.schema)
+    assert sorted(map(tuple, back.collect())) == sorted(rows)
+    assert [f.name for f in back.schema.fields] == ["id", "s", "x"]
+
+
+def test_jsonl_corrupt_rows_quarantined_not_leaked(spark, tmp_path):
+    """A malformed line must neither fail the read nor surface as a
+    phantom all-NULL row; it lands in the quarantine view verbatim."""
+    import os
+
+    from jobinsight_data_pipeline_spark.sources.jsonl import (
+        corrupt_lines,
+        read_jsonl,
+        write_jsonl,
+    )
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    p = str(tmp_path / "docs")
+    write_jsonl(df, p)
+    with open(os.path.join(p, "extra.json"), "w") as fh:
+        fh.write('{broken\n{"id": "not a long", "s": "typed wrong"}\n')
+
+    clean = read_jsonl(spark, p, df.schema)
+    assert sorted((r.id, r.s) for r in clean.collect()) == [(1, "a"), (2, "b")]
+
+    bad = sorted(r.line for r in corrupt_lines(spark, p, df.schema).collect())
+    assert bad == ['{"id": "not a long", "s": "typed wrong"}', "{broken"]
+    # the count-only plan must be legal too (SPARK-21610 regression guard)
+    assert corrupt_lines(spark, p, df.schema).count() == 2
+
+
+def test_jsonl_shard_count_and_compression(spark, tmp_path):
+    import glob
+
+    from jobinsight_data_pipeline_spark.sources.jsonl import (
+        read_jsonl,
+        write_jsonl,
+    )
+
+    df = spark.range(100).selectExpr("id", "CAST(id AS STRING) AS s")
+    p = str(tmp_path / "sharded")
+    write_jsonl(df, p, shards=3, compression="gzip")
+    parts = glob.glob(p + "/part-*.json.gz")
+    assert len(parts) == 3
+    back = read_jsonl(spark, p, df.schema)
+    assert back.count() == 100
