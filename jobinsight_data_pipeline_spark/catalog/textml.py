@@ -1904,6 +1904,28 @@ LIMIT {BM25_K}
 O_BM25_SEARCH = _bm25_oracle()
 
 
+def q_bm25_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inverted-index BM25 query path under the SAME oracle as the
+    scan path (the embedding_lsh_topk shared-oracle pattern): postings +
+    doc-length sidecar built once, query = term-filter + pivot + score.
+    The pivot pins term-summation order, so every returned score is
+    bit-identical to the scan form — one hash covers both routes."""
+    from jobinsight_data_pipeline_spark.operators.ranking import (
+        bm25_topk_indexed,
+        build_inverted_index,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    postings, lens = build_inverted_index(t["documents"])
+    top = bm25_topk_indexed(postings, lens, BM25_TERMS, k=BM25_K)
+    return top.select(
+        F.col("doc").alias("doc_id"),
+        "dl",
+        *[f"tf_{i}" for i in range(len(BM25_TERMS))],
+        F.floor(F.col("score") * F.lit(1000000.0)).cast("long").alias("score_micro"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Corpus-wide paragraph dedup (operators/textstats.dedup_paragraphs) over a
 # planted fixture: the synthetic documents are single-line, so the gate
@@ -2113,6 +2135,7 @@ QUERIES = {
     "weighted_sample": q_weighted_sample,
     "media_features": q_media_features,
     "bm25_search": q_bm25_search,
+    "bm25_index_search": q_bm25_index_search,
     "paragraph_dedup": q_paragraph_dedup,
     "jsonl_roundtrip": q_jsonl_roundtrip,
 }
@@ -2157,6 +2180,7 @@ ORACLES = {
     "weighted_sample": O_WEIGHTED_SAMPLE,
     "media_features": O_MEDIA_FEATURES,
     "bm25_search": O_BM25_SEARCH,
+    "bm25_index_search": O_BM25_SEARCH,
     "paragraph_dedup": O_PARAGRAPH_DEDUP,
     "jsonl_roundtrip": O_JSONL_ROUNDTRIP,
 }

@@ -132,3 +132,111 @@ def bm25_topk(
     TakeOrderedAndProject — per-partition heaps, no global sort."""
     scored = bm25_scores(df, terms, id_col=id_col, text_col=text_col, k1=k1, b=b)
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def build_inverted_index(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """Materialize the corpus's inverted index: ``postings`` (term, doc,
+    tf) and ``lens`` (doc, dl) — built ONCE (one tokenize+explode pass,
+    one shuffle on (term, doc)), then every ad-hoc query is an
+    equi-filter + small aggregation instead of a corpus rescan. Persist
+    ``postings`` bucketed (or partitioned) BY TERM so query-term filters
+    prune at the scan; that turns a 100 TB corpus question into reading
+    a handful of term slices."""
+    from jobinsight_data_pipeline_spark.operators.parallelism import (
+        widen_for_cpu,
+    )
+
+    lens = df.select(
+        F.col(id_col).alias("doc"),
+        word_count(F.col(text_col)).cast("long").alias("dl"),
+    )
+    postings = (
+        widen_for_cpu(df.where(F.trim(F.col(text_col)) != ""))
+        .select(F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("term"))
+        .groupBy("term", "doc")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return postings, lens
+
+
+def bm25_topk_indexed(
+    postings: DataFrame,
+    lens: DataFrame,
+    terms: list[str],
+    k: int,
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+    idf_decimals: int = 6,
+) -> DataFrame:
+    """Top-``k`` BM25 against a prebuilt inverted index — the ad-hoc /
+    many-term query path :func:`bm25_scores` points at. Work is
+    proportional to the query terms' postings, not the corpus: filter
+    postings to the terms, pivot to fixed per-term tf columns (pinning
+    the term-summation order so results are BIT-IDENTICAL to the scan
+    path — a bag-of-rows SUM would re-order float addition), join doc
+    lengths, score, heap top-k.
+
+    Contract difference vs the scan path: only documents containing at
+    least one query term are ranked (an all-zero-score doc has no
+    postings row). Scores for every returned doc are bit-equal to
+    :func:`bm25_scores`; the catalog gates pin the two paths to ONE
+    shared oracle.
+    """
+    if not terms:
+        raise ValueError("bm25_topk_indexed needs at least one query term")
+    if len(set(terms)) != len(terms):
+        raise ValueError(f"duplicate query terms: {terms}")
+
+    hits = postings.filter(F.col("term").isin(*terms))
+    # one row: N and Σdl from the lens side, per-term document
+    # frequencies from the filtered postings ((term, doc) is unique, so
+    # df_t = count of that term's rows)
+    corpus = lens.agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("dl").alias("_sumdl")
+    )
+    dfs = hits.agg(
+        *[
+            F.count(F.when(F.col("term") == t, F.lit(1))).alias(f"_df_{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    stats = corpus.crossJoin(dfs)
+
+    per_doc = hits.groupBy("doc").agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("term") == t, F.col("tf"))), F.lit(0)
+            )
+            .cast("long")
+            .alias(f"tf_{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    scored = (
+        per_doc.join(lens, "doc")
+        .crossJoin(F.broadcast(stats))
+    )
+    n = F.col("_n").cast("double")
+    avgdl = F.col("_sumdl").cast("double") / n
+    norm = F.lit(float(k1)) * (
+        F.lit(1.0) - F.lit(float(b)) + F.lit(float(b)) * F.col("dl").cast("double") / avgdl
+    )
+
+    def term_score(i: int) -> Column:
+        dfreq = F.col(f"_df_{i}").cast("double")
+        idf = F.round(
+            F.log((n - dfreq + F.lit(0.5)) / (dfreq + F.lit(0.5)) + F.lit(1.0)),
+            idf_decimals,
+        )
+        tf = F.col(f"tf_{i}").cast("double")
+        return idf * (tf * F.lit(float(k1) + 1.0)) / (tf + norm)
+
+    score = reduce(lambda a, c: a + c, [term_score(i) for i in range(len(terms))])
+    return (
+        scored.withColumn("score", score)
+        .drop("_n", "_sumdl", *[f"_df_{i}" for i in range(len(terms))])
+        .orderBy(F.col("score").desc(), F.col("doc").asc())
+        .limit(k)
+    )

@@ -1417,3 +1417,38 @@ def test_dedup_paragraphs_rejects_bad_mode(spark):
         dedup_paragraphs(df, mode="nope")
     with _pytest.raises(ValueError):
         dedup_paragraphs(df, mode="drop_common")  # max_df required
+
+
+def test_bm25_index_path_bit_identical_to_scan(spark):
+    """The inverted-index query route must reproduce the scan route's
+    doubles BIT-FOR-BIT for every doc with ≥1 hit (the pivot pins float
+    summation order); zero-hit docs are absent from the index route by
+    contract."""
+    from jobinsight_data_pipeline_spark.operators.ranking import (
+        bm25_scores,
+        bm25_topk_indexed,
+        build_inverted_index,
+    )
+
+    rows = [
+        (1, "cat dog cat bird"),
+        (2, "dog dog dog fish fish"),
+        (3, "bird bird bird bird cat"),
+        (4, "fish only here"),  # zero hits for the query below
+        (5, "cat"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    terms = ["cat", "dog"]
+
+    scan = {
+        r["doc_id"]: (r["dl"], r["tf_0"], r["tf_1"], r["score"])
+        for r in bm25_scores(df, terms).collect()
+    }
+    postings, lens = build_inverted_index(df)
+    idx = {
+        r["doc"]: (r["dl"], r["tf_0"], r["tf_1"], r["score"])
+        for r in bm25_topk_indexed(postings, lens, terms, k=10).collect()
+    }
+    assert set(idx) == {1, 2, 3, 5}  # doc 4 has no query-term postings
+    for d, vals in idx.items():
+        assert vals == scan[d], (d, vals, scan[d])  # exact, incl. doubles

@@ -131,6 +131,7 @@ def test_no_accidental_cartesian_or_nested_loop(spark):
     allowed_nested = {
         "unigram_lm",
         "bm25_search",
+        "bm25_index_search",
         "embedding_topk",
         "embedding_near_dup",
         "asof_discount",
