@@ -165,6 +165,7 @@ def main() -> None:
     )
     from jobinsight_data_pipeline_spark.operators.ranking import bm25_topk
     from jobinsight_data_pipeline_spark.operators.textstats import (
+        bigram_logprob,
         dedup_paragraphs,
     )
 
@@ -175,6 +176,9 @@ def main() -> None:
     )
     timings["paragraph_dedup"] = timed(
         lambda: materialize(dedup_paragraphs(docs, mode="keep_first"))
+    )
+    timings["bigram_lm"] = timed(
+        lambda: materialize(bigram_logprob(docs, "doc_id"))
     )
     timings["winnow_overlap"] = timed(
         lambda: materialize(

@@ -2025,6 +2025,61 @@ FROM kf JOIN dc ON kf.doc_id = dc.doc_id
 """
 
 
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram corpus-LM scores (operators/textstats.
+    bigram_logprob) under a FULL exact oracle: every token's
+    log-probability is quantized to floor(ln·10⁶) BIGINT before the
+    per-doc SUM, so the gate carries no float column and no
+    summation-order sensitivity — unlike round(avg(float)) gates, this
+    CANNOT flake on boundary means. tests/test_properties.py audits all
+    distinct probabilities of this corpus for floor-boundary proximity
+    (ln's 1-ulp cross-engine wobble)."""
+    from jobinsight_data_pipeline_spark.operators.textstats import (
+        bigram_logprob,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    return bigram_logprob(t["documents"], "doc_id")
+
+
+O_BIGRAM_LM = """
+WITH arrs AS (
+    SELECT doc_id,
+           list_filter(list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                                      x -> lower(x)), x -> x <> '') AS a
+    FROM documents
+),
+uni AS (
+    SELECT t.w AS w, count(*) AS cu FROM arrs, unnest(a) AS t(w) GROUP BY t.w
+),
+totals AS (SELECT CAST(sum(cu) AS BIGINT) AS tot, count(*) AS v FROM uni),
+tokd AS (
+    SELECT doc_id, a[CAST(u.i AS INTEGER)] AS p, a[CAST(u.i + 1 AS INTEGER)] AS w,
+           count(*) AS nd
+    FROM arrs,
+         unnest(CASE WHEN len(a) >= 2
+                     THEN generate_series(1, len(a) - 1) ELSE [] END) AS u(i)
+    GROUP BY doc_id, p, w
+),
+bcnt AS (SELECT p, w, CAST(sum(nd) AS BIGINT) AS cb FROM tokd GROUP BY p, w),
+pcnt AS (SELECT p, CAST(sum(cb) AS BIGINT) AS cp FROM bcnt GROUP BY p),
+scored_bigram AS (
+    SELECT p, w,
+           CAST(floor(ln(0.75 * (CAST(cb AS DOUBLE) / CAST(cp AS DOUBLE))
+                         + 0.25 * ((cu + 1) / CAST(tot + v + 1 AS DOUBLE)))
+                      * 1000000.0) AS BIGINT) AS lpm
+    FROM bcnt
+    JOIN pcnt USING (p)
+    JOIN uni USING (w)
+    CROSS JOIN totals
+)
+SELECT doc_id, CAST(sum(nd) AS BIGINT) AS n_scored,
+       CAST(sum(nd * lpm) AS BIGINT) AS sum_lp_micro
+FROM tokd JOIN scored_bigram USING (p, w)
+GROUP BY doc_id
+"""
+
+
 def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL interchange fidelity end-to-end: write the documents table
     as 4 JSON-Lines shards, plant one malformed line alongside them,
@@ -2136,6 +2191,7 @@ QUERIES = {
     "media_features": q_media_features,
     "bm25_search": q_bm25_search,
     "bm25_index_search": q_bm25_index_search,
+    "bigram_lm": q_bigram_lm,
     "paragraph_dedup": q_paragraph_dedup,
     "jsonl_roundtrip": q_jsonl_roundtrip,
 }
@@ -2181,6 +2237,7 @@ ORACLES = {
     "media_features": O_MEDIA_FEATURES,
     "bm25_search": O_BM25_SEARCH,
     "bm25_index_search": O_BM25_SEARCH,
+    "bigram_lm": O_BIGRAM_LM,
     "paragraph_dedup": O_PARAGRAPH_DEDUP,
     "jsonl_roundtrip": O_JSONL_ROUNDTRIP,
 }

@@ -638,3 +638,101 @@ def dedup_paragraphs(
             F.sum((~F.col("_keep")).cast("long")).alias("n_dropped"),
         )
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    lam: float = 0.75,
+) -> DataFrame:
+    """Per-document interpolated bigram log-likelihood under the
+    corpus's own LM — the next step up from :func:`unigram_logprob`
+    toward the CCNet-style perplexity filter: a document of common words
+    in an UNCOMMON order now scores low, which no unigram model can see.
+
+    Model: ``P(w|p) = λ·c(p,w)/c(p·) + (1−λ)·(c(w)+1)/(tot+V+1)`` —
+    maximum-likelihood bigram interpolated with the add-one unigram
+    (λ=0.75 default), over lowercased whitespace tokens with empty
+    tokens squeezed out BEFORE pairing (so a tab-leading document does
+    not fabricate an empty-string bigram).
+
+    Exactness discipline (the corpus_curation float-order lesson,
+    applied preemptively): each token's log-probability is quantized to
+    an exact integer — ``floor(ln(P)·10⁶)`` as BIGINT — and per-doc
+    results are the SUM of those integers plus the token count. Integer
+    sums are associative: no float-summation-order flake is possible,
+    across engines or across partitionings. The float mean is left to
+    the caller (``sum_lp_micro / 1e6 / n_scored``). ln itself is not
+    correctly rounded in either Spark or DuckDB; the companion property
+    test audits every distinct probability this corpus produces for
+    floor-boundary proximity.
+
+    Shape: the token stream is aggregated to per-doc bigram COUNTS at
+    the first shuffle (map-side combine — a doc repeating one bigram 10⁴
+    times ships one row), every corpus-level statistic (bigram counts,
+    prev-marginals, unigram interpolation, totals) derives from that
+    frame or the unigram pass, scoring happens once per DISTINCT bigram,
+    and one equi-join + integer dot-product (Σ nd·lpm) lands the per-doc
+    result. The token stream is never joined row-at-a-time. Docs with <2
+    non-empty tokens have no bigrams and are absent from the result.
+
+    Returns ``(id_col, n_scored, sum_lp_micro)``.
+    """
+    from jobinsight_data_pipeline_spark.operators.parallelism import (
+        widen_for_cpu,
+    )
+
+    arr = F.filter(
+        F.transform(tokens(text_col), F.lower), lambda x: x != F.lit("")
+    )
+    base = widen_for_cpu(df.select(F.col(id_col), arr.alias("_a")))
+
+    uni = (
+        base.select(F.explode("_a").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    totals = uni.agg(F.sum("cu").alias("tot"), F.count(F.lit(1)).alias("v"))
+
+    pairs = F.transform(
+        F.sequence(F.lit(2), F.size("_a")),
+        lambda i: F.struct(
+            F.element_at(F.col("_a"), i - F.lit(1)).alias("p"),
+            F.element_at(F.col("_a"), i).alias("w"),
+        ),
+    )
+    # per-doc bigram counts: the ONLY shuffle the token stream takes
+    tokd = (
+        base.where(F.size("_a") >= 2)
+        .select(F.col(id_col), F.explode(pairs).alias("bg"))
+        .groupBy(id_col, F.col("bg.p").alias("p"), F.col("bg.w").alias("w"))
+        .agg(F.count(F.lit(1)).alias("nd"))
+    )
+    bcnt = tokd.groupBy("p", "w").agg(F.sum("nd").alias("cb"))
+    pcnt = bcnt.groupBy("p").agg(F.sum("cb").alias("cp"))
+
+    lam_f = float(lam)
+    prob = F.lit(lam_f) * (
+        F.col("cb").cast("double") / F.col("cp").cast("double")
+    ) + F.lit(1.0 - lam_f) * (
+        (F.col("cu") + F.lit(1))
+        / (F.col("tot") + F.col("v") + F.lit(1)).cast("double")
+    )
+    scored_bigram = (
+        bcnt.join(pcnt, "p")
+        .join(uni, "w")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "p", "w", F.floor(F.log(prob) * F.lit(1000000.0)).alias("lpm")
+        )
+    )
+
+    return (
+        tokd.join(scored_bigram, ["p", "w"])
+        .groupBy(id_col)
+        .agg(
+            F.sum("nd").alias("n_scored"),
+            F.sum(F.col("nd") * F.col("lpm")).alias("sum_lp_micro"),
+        )
+    )

@@ -1452,3 +1452,53 @@ def test_bm25_index_path_bit_identical_to_scan(spark):
     assert set(idx) == {1, 2, 3, 5}  # doc 4 has no query-term postings
     for d, vals in idx.items():
         assert vals == scan[d], (d, vals, scan[d])  # exact, incl. doubles
+
+
+def test_bigram_logprob_matches_python_reference(spark):
+    """Replay the interpolated bigram LM in pure Python (math.log,
+    floor micro-quantization) and require exact integer equality."""
+    import math
+    from collections import Counter
+
+    from jobinsight_data_pipeline_spark.operators.textstats import (
+        bigram_logprob,
+    )
+
+    docs = {
+        1: "the cat sat on the mat",
+        2: "the cat ran",
+        3: "a dog sat",
+        4: "single",          # <2 tokens → absent from result
+        5: "\t the  cat ",    # empty tokens squeezed before pairing
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in docs.items()], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_scored"], r["sum_lp_micro"])
+        for r in bigram_logprob(df, "doc_id").collect()
+    }
+
+    toks = {i: t.lower().split() for i, t in docs.items()}
+    uni = Counter(w for t in toks.values() for w in t)
+    tot, v = sum(uni.values()), len(uni)
+    big = Counter(
+        (t[j - 1], t[j]) for t in toks.values() for j in range(1, len(t))
+    )
+    prev = Counter()
+    for (p, _), c in big.items():
+        prev[p] += c
+    lam = 0.75
+
+    def lpm(p, w):
+        prob = lam * (big[(p, w)] / prev[p]) + (1 - lam) * (
+            (uni[w] + 1) / float(tot + v + 1)
+        )
+        return math.floor(math.log(prob) * 1000000.0)
+
+    assert 4 not in got
+    for i, t in toks.items():
+        if len(t) < 2:
+            continue
+        exp = sum(lpm(t[j - 1], t[j]) for j in range(1, len(t)))
+        assert got[i] == (len(t) - 1, exp), (i, got[i], (len(t) - 1, exp))

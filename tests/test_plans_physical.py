@@ -130,6 +130,7 @@ def test_no_accidental_cartesian_or_nested_loop(spark):
     #     row broadcast back onto the scan — bytes, not a join explosion
     allowed_nested = {
         "unigram_lm",
+        "bigram_lm",
         "bm25_search",
         "bm25_index_search",
         "embedding_topk",

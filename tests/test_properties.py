@@ -526,3 +526,52 @@ def test_bm25_idf_quantization_cross_engine_audit(spark):
     for a in args:
         frac = (math.log(a) * 1e6) % 1.0
         assert abs(frac - 0.5) > 1e-9, (a, frac)
+
+
+def test_bigram_lm_floor_boundary_audit(spark):
+    """bigram_lm's exactness rests on floor(ln(P)·10⁶) agreeing across
+    engines. ln wobbles by 1 ulp between Spark and DuckDB, so audit
+    EVERY distinct interpolated probability the sf0.01 corpus produces:
+    the two engines' quantized integers must be identical, and ln·10⁶
+    must sit clear of integer floor boundaries."""
+    import math
+
+    import duckdb
+
+    from jobinsight_data_pipeline_spark.catalog.textml import O_BIGRAM_LM
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE OR REPLACE VIEW documents AS "
+        "SELECT * FROM '/root/testdata/sf0.01/documents.parquet'"
+    )
+    # lift the distinct probabilities out of the oracle's own CTE chain
+    prob_sql = O_BIGRAM_LM.split("scored_bigram AS (")[0] + """probs AS (
+    SELECT DISTINCT 0.75 * (CAST(cb AS DOUBLE) / CAST(cp AS DOUBLE))
+           + 0.25 * ((cu + 1) / CAST(tot + v + 1 AS DOUBLE)) AS prob
+    FROM bcnt JOIN pcnt USING (p) JOIN uni USING (w) CROSS JOIN totals
+)
+SELECT prob FROM probs"""
+    probs = [r[0] for r in con.execute(prob_sql).fetchall()]
+    assert len(probs) > 100  # the corpus genuinely exercises the model
+
+    duck_q = [
+        r[0]
+        for r in con.execute(
+            "SELECT CAST(floor(ln(prob) * 1000000.0) AS BIGINT) "
+            f"FROM ({prob_sql}) ORDER BY prob"
+        ).fetchall()
+    ]
+    probs.sort()
+    spark_q = [
+        r[0]
+        for r in spark.createDataFrame([(p,) for p in probs], "prob: double")
+        .selectExpr("floor(ln(prob) * 1000000.0) AS q", "prob")
+        .orderBy("prob")
+        .select("q")
+        .collect()
+    ]
+    assert spark_q == duck_q
+    for p in probs:
+        frac = (math.log(p) * 1e6) % 1.0
+        assert min(frac, 1.0 - frac) > 1e-7, (p, frac)
