@@ -2104,6 +2104,14 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         fh.write('{"doc_id": definitely not json}\n')
 
     back = read_jsonl(spark, out, docs.schema, keep_corrupt=True)
+    return _jsonl_ingest_summary(back)
+
+
+def _jsonl_ingest_summary(back: DataFrame) -> DataFrame:
+    """Per-source (count, Σchars, bit_xor content checksum) + '_corrupt'
+    quarantine row over a raw parsed-JSONL frame (data columns +
+    ``_corrupt_record``) — shared by the batch roundtrip and streaming
+    ingest gates so ONE oracle pins both paths."""
     corrupt = F.col("_corrupt_record").isNotNull()
     chk = F.conv(
         F.substring(
@@ -2135,6 +2143,50 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.bit_xor("_chk").alias("checksum"),
         )
     )
+
+
+def q_stream_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming JSONL crawl ingestion (streaming/incremental.
+    stream_jsonl_ingest) under the SAME oracle as the batch roundtrip:
+    the documents table is dropped as 4 JSONL shards + 1 malformed line,
+    drained one file per micro-batch through the permissive text+
+    from_json parse into ONE exactly-once parquet sink (data columns +
+    quarantine column), and the sink must reproduce the batch path's
+    per-source checksums and quarantine count bit-for-bit."""
+    import hashlib
+    import os
+    import shutil
+
+    from jobinsight_data_pipeline_spark.catalog import scratch_dir
+    from jobinsight_data_pipeline_spark.sources.jsonl import write_jsonl
+    from jobinsight_data_pipeline_spark.streaming.incremental import (
+        stream_jsonl_ingest,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    docs = t["documents"]
+    base = scratch_dir(
+        "streamjsonl-gate-",
+        "{}-{}".format(
+            spark.sparkContext.applicationId,
+            hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+        ),
+    )
+    done = os.path.join(base, "_gate_done")
+    if not os.path.exists(done):
+        shutil.rmtree(base, ignore_errors=True)
+        raw = f"{base}/drops"
+        write_jsonl(docs, raw, shards=4)
+        with open(os.path.join(raw, "part-corrupt.json"), "w", encoding="utf-8") as fh:
+            fh.write('{"doc_id": definitely not json}\n')
+        query = stream_jsonl_ingest(
+            spark, raw, docs.schema, f"{base}/sink", f"{base}/ckpt"
+        )
+        query.awaitTermination()
+        with open(done, "w") as fh:
+            fh.write("ok")
+
+    return _jsonl_ingest_summary(spark.read.parquet(f"{base}/sink"))
 
 
 O_JSONL_ROUNDTRIP = """
@@ -2194,6 +2246,7 @@ QUERIES = {
     "bigram_lm": q_bigram_lm,
     "paragraph_dedup": q_paragraph_dedup,
     "jsonl_roundtrip": q_jsonl_roundtrip,
+    "stream_jsonl_ingest": q_stream_jsonl_ingest,
 }
 
 ORACLES = {
@@ -2240,4 +2293,5 @@ ORACLES = {
     "bigram_lm": O_BIGRAM_LM,
     "paragraph_dedup": O_PARAGRAPH_DEDUP,
     "jsonl_roundtrip": O_JSONL_ROUNDTRIP,
+    "stream_jsonl_ingest": O_JSONL_ROUNDTRIP,
 }

@@ -151,3 +151,52 @@ def stream_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_jsonl_ingest(
+    spark: SparkSession,
+    raw_dir: str,
+    schema,
+    sink_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+):
+    """Streaming crawl ingestion from JSON-Lines drops — the streaming
+    twin of ``sources/jsonl.read_jsonl``: a text readStream parsed with
+    the SAME permissive ``from_json`` + corrupt-record options, landing
+    in ONE unified parquet sink that carries the data columns plus
+    ``_corrupt_record``. Clean view = filter corrupt IS NULL; quarantine
+    view = the complement — and because a single native file sink is
+    exactly-once under its checkpoint, neither view can double-count on
+    retry (a clean/quarantine two-sink split via foreachBatch would
+    demote both to at-least-once).
+
+    Blank lines are skipped like the json datasource does.
+    ``max_files_per_trigger=1`` gives one micro-batch per dropped shard,
+    the cross-batch behavior tests want exercised."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    full = StructType(
+        list(schema.fields) + [StructField("_corrupt_record", StringType())]
+    )
+    parsed = F.from_json(
+        F.col("value"),
+        full,
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+    )
+    stream = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(raw_dir)
+        .filter(F.length(F.trim(F.col("value"))) > 0)
+        .select(parsed.alias("_p"))
+        .select("_p.*")
+    )
+    return (
+        stream.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -54,6 +54,7 @@ def probes(spark, sf_dir):
         bm25_topk as _bm25_topk,
     )
     from jobinsight_data_pipeline_spark.operators.textstats import (
+        bigram_logprob as _bigram_logprob,
         dedup_paragraphs as _dedup_paragraphs,
         redact_pii,
         with_c4_signals,
@@ -101,6 +102,7 @@ def probes(spark, sf_dir):
         "paragraph_dedup (keep_first)": lambda: _dedup_paragraphs(
             docs, mode="keep_first"
         ),
+        "bigram_lm (integer-exact)": lambda: _bigram_logprob(docs, "doc_id"),
     }
 
 

@@ -1502,3 +1502,44 @@ def test_bigram_logprob_matches_python_reference(spark):
             continue
         exp = sum(lpm(t[j - 1], t[j]) for j in range(1, len(t)))
         assert got[i] == (len(t) - 1, exp), (i, got[i], (len(t) - 1, exp))
+
+
+def test_dedup_paragraphs_randomized_python_reference(spark):
+    """Seeded randomized corpus vs a pure-Python model of keep_first:
+    paragraphs drawn from a tiny pool so cross-doc collisions are dense,
+    verifying the global (doc, pos) ordering rule under real contention."""
+    import random
+
+    from jobinsight_data_pipeline_spark.operators.textstats import (
+        dedup_paragraphs,
+    )
+
+    rng = random.Random(7)
+    pool = [f"para {i} text" for i in range(12)] + ["", "  "]
+    docs = {
+        i: "\n".join(rng.choice(pool) for _ in range(rng.randint(1, 9)))
+        for i in range(40)
+    }
+    df = spark.createDataFrame(
+        sorted(docs.items()), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["text"], r["n_paras"], r["n_dropped"])
+        for r in dedup_paragraphs(df, mode="keep_first").collect()
+    }
+
+    seen: set[str] = set()
+    for i in sorted(docs):
+        paras = docs[i].split("\n")
+        kept = []
+        dropped = 0
+        for para in paras:
+            key = para.strip()
+            if key == "":
+                kept.append(para)
+            elif key not in seen:
+                seen.add(key)
+                kept.append(para)
+            else:
+                dropped += 1
+        assert got[i] == ("\n".join(kept), len(paras), dropped), i
