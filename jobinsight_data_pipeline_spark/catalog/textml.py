@@ -2025,6 +2025,71 @@ FROM kf JOIN dc ON kf.doc_id = dc.doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# Hashed linear classifier inference (operators/classifier.py) under a FULL
+# exact oracle: integer micro-weights make the document score a pure BIGINT
+# dot product — no float anywhere, so the oracle replays hashing, bucket
+# lookup, and summation with literally zero tolerance. The weight table is
+# the seeded deterministic stand-in for a real exported fastText/LR model.
+# --------------------------------------------------------------------------
+from jobinsight_data_pipeline_spark.operators.classifier import (  # noqa: E402
+    seeded_int_weights,
+)
+
+CLF_WEIGHTS = seeded_int_weights(256, seed=11)
+CLF_BIAS = 1_500
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobinsight_data_pipeline_spark.operators.classifier import (
+        with_quality_classification,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    return with_quality_classification(
+        t["documents"], "text", CLF_WEIGHTS, bias=CLF_BIAS, threshold_micro=0
+    ).select("doc_id", "score_micro", "keep")
+
+
+def _clf_oracle() -> str:
+    arr = "[" + ",".join(str(v) for v in CLF_WEIGHTS) + "]"
+    b = len(CLF_WEIGHTS)
+
+    def fold(col: str, salt: str) -> str:
+        return (
+            f"coalesce(list_sum(list_transform({col}, t -> warr["
+            f"CAST(CAST(('0x' || substring(md5('{salt}' || t), 1, 8)) AS BIGINT)"
+            f" % {b} AS INTEGER) + 1])), 0)"
+        )
+
+    return f"""
+WITH w AS (SELECT {arr} AS warr),
+arrs AS (
+    SELECT doc_id,
+           list_filter(list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                                      x -> lower(x)), x -> x <> '') AS a
+    FROM documents
+),
+feats AS (
+    SELECT doc_id, a,
+           CASE WHEN len(a) >= 2
+                THEN list_transform(range(len(a) - 1),
+                     i -> a[CAST(i + 1 AS INTEGER)] || ' '
+                          || a[CAST(i + 2 AS INTEGER)])
+                ELSE [] END AS g
+    FROM arrs
+)
+SELECT doc_id,
+       CAST({CLF_BIAS} + {fold('a', 'u:')} + {fold('g', 'b:')} AS BIGINT)
+           AS score_micro,
+       ({CLF_BIAS} + {fold('a', 'u:')} + {fold('g', 'b:')}) >= 0 AS keep
+FROM feats, w
+"""
+
+
+O_QUALITY_CLASSIFIER = _clf_oracle()
+
+
 def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated bigram corpus-LM scores (operators/textstats.
     bigram_logprob) under a FULL exact oracle: every token's
@@ -2244,6 +2309,7 @@ QUERIES = {
     "bm25_search": q_bm25_search,
     "bm25_index_search": q_bm25_index_search,
     "bigram_lm": q_bigram_lm,
+    "quality_classifier": q_quality_classifier,
     "paragraph_dedup": q_paragraph_dedup,
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "stream_jsonl_ingest": q_stream_jsonl_ingest,
@@ -2291,6 +2357,7 @@ ORACLES = {
     "bm25_search": O_BM25_SEARCH,
     "bm25_index_search": O_BM25_SEARCH,
     "bigram_lm": O_BIGRAM_LM,
+    "quality_classifier": O_QUALITY_CLASSIFIER,
     "paragraph_dedup": O_PARAGRAPH_DEDUP,
     "jsonl_roundtrip": O_JSONL_ROUNDTRIP,
     "stream_jsonl_ingest": O_JSONL_ROUNDTRIP,

@@ -1543,3 +1543,45 @@ def test_dedup_paragraphs_randomized_python_reference(spark):
             else:
                 dropped += 1
         assert got[i] == ("\n".join(kept), len(paras), dropped), i
+
+
+def test_hashed_classifier_matches_python_reference(spark):
+    """Replay hashing-trick bucketing and the integer dot product in
+    pure Python; require exact BIGINT equality (no float tolerance —
+    the whole point of micro-weights)."""
+    import hashlib
+
+    from jobinsight_data_pipeline_spark.operators.classifier import (
+        seeded_int_weights,
+        with_quality_classification,
+    )
+
+    w = seeded_int_weights(64, seed=3)
+    docs = {
+        1: "The quick brown fox",
+        2: "single",
+        3: "",
+        4: "\t spaced   out tokens ",
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in docs.items()], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["score_micro"], r["keep"])
+        for r in with_quality_classification(
+            df, "text", w, bias=100, threshold_micro=0
+        ).collect()
+    }
+
+    def bucket(salt, t):
+        return int(hashlib.md5((salt + t).encode()).hexdigest()[:8], 16) % len(w)
+
+    for i, t in docs.items():
+        toks = t.lower().split()
+        grams = [f"{toks[j - 1]} {toks[j]}" for j in range(1, len(toks))]
+        z = (
+            100
+            + sum(w[bucket("u:", x)] for x in toks)
+            + sum(w[bucket("b:", g)] for g in grams)
+        )
+        assert got[i] == (z, z >= 0), (i, got[i], z)

@@ -344,3 +344,22 @@ def test_dedup_paragraphs_partial_aggregates_not_window(spark):
             "HashAggregate" in plan
         ), mode
         assert "CartesianProduct" not in plan, mode
+
+
+def test_classifier_inference_is_shuffle_free(spark):
+    """Classifier inference must be a pure scan-fused projection: no
+    Exchange, no Generate (explode), no join — the weight table is a
+    parsed literal inside the fold, not a broadcast side."""
+    from jobinsight_data_pipeline_spark.operators.classifier import (
+        seeded_int_weights,
+        with_quality_classification,
+    )
+
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    out = with_quality_classification(
+        df, "text", seeded_int_weights(256, seed=11), bias=7
+    )
+    plan = physical_plan(out)
+    assert "Exchange" not in plan
+    assert "Generate" not in plan
+    assert "Join" not in plan
