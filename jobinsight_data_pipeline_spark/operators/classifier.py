@@ -112,7 +112,13 @@ def with_quality_classification(
     """Attach the classifier's integer margin and the keep/drop label in
     one scan-fused projection — the corpus-filter step, composable with
     every other textstats signal and pushdown-friendly like any other
-    predicate."""
+    predicate. ``score_col``/``label_col`` are reserved on the input
+    (withColumn silently replaces same-named columns)."""
+    from jobinsight_data_pipeline_spark.operators.sampling import (
+        reserve_columns,
+    )
+
+    reserve_columns(df, [score_col, label_col], "with_quality_classification")
     score = hashed_linear_score(text_col, weights, bias)
     return df.withColumn(score_col, score).withColumn(
         label_col, F.col(score_col) >= F.lit(int(threshold_micro))

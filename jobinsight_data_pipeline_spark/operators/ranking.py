@@ -77,6 +77,11 @@ def bm25_scores(
         raise ValueError("bm25_scores needs at least one query term")
     if len(set(terms)) != len(terms):
         raise ValueError(f"duplicate query terms: {terms}")
+    reserved = {"dl", "score", *[f"tf_{i}" for i in range(len(terms))]}
+    if id_col in reserved:
+        raise ValueError(
+            f"bm25_scores emits column {id_col!r}; rename the id column"
+        )
 
     base = df.select(
         F.col(id_col),
