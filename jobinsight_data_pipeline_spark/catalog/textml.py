@@ -2145,6 +2145,166 @@ GROUP BY doc_id
 """
 
 
+def q_corpus_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 capstone composition under ONE hash (the training_shards
+    pattern): boilerplate-planted fixture → corpus-wide paragraph
+    keep-first dedup → hashed-classifier margins over the CLEANED text →
+    bigram corpus-LM (trained on the cleaned corpus) → per-source
+    integer scorecard. Every intermediate is integer-exact, so a single
+    paragraph surviving in the wrong doc, one flipped classifier bucket,
+    or one bigram scored against a stale count shifts a BIGINT and fails
+    the hash."""
+    from jobinsight_data_pipeline_spark.operators.classifier import (
+        with_quality_classification,
+    )
+    from jobinsight_data_pipeline_spark.operators.textstats import (
+        bigram_logprob,
+        dedup_paragraphs,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    docs = t["documents"]
+    cleaned = dedup_paragraphs(_paragraph_fixture(docs), mode="keep_first")
+    classified = with_quality_classification(
+        cleaned, "text", CLF_WEIGHTS, bias=CLF_BIAS, threshold_micro=0
+    )
+    lm = bigram_logprob(cleaned, "doc_id")
+    src = docs.select("doc_id", "source")
+    return (
+        classified.join(lm, "doc_id", "left")
+        .join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_dropped").alias("n_dropped_paras"),
+            F.sum(F.col("keep").cast("long")).alias("n_keep"),
+            F.sum("score_micro").alias("sum_score_micro"),
+            F.sum(F.coalesce(F.col("n_scored"), F.lit(0))).alias("n_bigrams"),
+            F.sum(F.coalesce(F.col("sum_lp_micro"), F.lit(0))).alias(
+                "sum_lp_micro"
+            ),
+        )
+    )
+
+
+def _corpus_refine_oracle() -> str:
+    arr = "[" + ",".join(str(v) for v in CLF_WEIGHTS) + "]"
+    b = len(CLF_WEIGHTS)
+
+    def fold(col: str, salt: str) -> str:
+        return (
+            f"coalesce(list_sum(list_transform({col}, t -> warr["
+            f"CAST(CAST(('0x' || substring(md5('{salt}' || t), 1, 8)) AS BIGINT)"
+            f" % {b} AS INTEGER) + 1])), 0)"
+        )
+
+    return f"""
+WITH base AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+),
+fix AS (
+    SELECT doc_id,
+           array_to_string(
+               list_transform(range(CAST(ceil(len(t) / 10.0) AS BIGINT)),
+                   i -> array_to_string(
+                       t[CAST(i * 10 + 1 AS INTEGER):CAST(i * 10 + 10 AS INTEGER)],
+                       ' ')),
+               chr(10))
+           || chr(10) || '{PARA_BOILER_1}'
+           || CASE WHEN doc_id % 3 = 0
+                   THEN chr(10) || '{PARA_BOILER_2}' ELSE '' END AS text2
+    FROM base
+),
+sp AS (SELECT doc_id, string_split(text2, chr(10)) AS s FROM fix),
+paras AS (
+    SELECT doc_id, CAST(u.i AS BIGINT) - 1 AS pos, s[CAST(u.i AS INTEGER)] AS para
+    FROM sp, unnest(generate_series(1, len(s))) AS u(i)
+),
+marked AS (
+    SELECT doc_id, pos, para, trim(para) = '' AS blank,
+           row_number() OVER (PARTITION BY md5(trim(para))
+                              ORDER BY doc_id, pos) AS rn
+    FROM paras
+),
+kf AS (
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN blank OR rn = 1 THEN para END,
+                               chr(10) ORDER BY pos), '') AS text,
+           CAST(sum(CASE WHEN blank OR rn = 1 THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_dropped
+    FROM marked GROUP BY doc_id
+),
+w AS (SELECT {arr} AS warr),
+arrs AS (
+    SELECT doc_id,
+           list_filter(list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                                      x -> lower(x)), x -> x <> '') AS a
+    FROM kf
+),
+feats AS (
+    SELECT doc_id, a,
+           CASE WHEN len(a) >= 2
+                THEN list_transform(range(len(a) - 1),
+                     i -> a[CAST(i + 1 AS INTEGER)] || ' '
+                          || a[CAST(i + 2 AS INTEGER)])
+                ELSE [] END AS g
+    FROM arrs
+),
+clf AS (
+    SELECT doc_id,
+           CAST({CLF_BIAS} + {fold('a', 'u:')} + {fold('g', 'b:')} AS BIGINT)
+               AS score_micro
+    FROM feats, w
+),
+uni AS (
+    SELECT t.w AS wd, count(*) AS cu FROM arrs, unnest(a) AS t(w) GROUP BY t.w
+),
+totals AS (SELECT CAST(sum(cu) AS BIGINT) AS tot, count(*) AS v FROM uni),
+tokd AS (
+    SELECT doc_id, a[CAST(u.i AS INTEGER)] AS p, a[CAST(u.i + 1 AS INTEGER)] AS wd,
+           count(*) AS nd
+    FROM arrs,
+         unnest(CASE WHEN len(a) >= 2
+                     THEN generate_series(1, len(a) - 1) ELSE [] END) AS u(i)
+    GROUP BY doc_id, p, wd
+),
+bcnt AS (SELECT p, wd, CAST(sum(nd) AS BIGINT) AS cb FROM tokd GROUP BY p, wd),
+pcnt AS (SELECT p, CAST(sum(cb) AS BIGINT) AS cp FROM bcnt GROUP BY p),
+scored_bigram AS (
+    SELECT p, wd,
+           CAST(floor(ln(0.75 * (CAST(cb AS DOUBLE) / CAST(cp AS DOUBLE))
+                         + 0.25 * ((cu + 1) / CAST(tot + v + 1 AS DOUBLE)))
+                      * 1000000.0) AS BIGINT) AS lpm
+    FROM bcnt
+    JOIN pcnt USING (p)
+    JOIN uni USING (wd)
+    CROSS JOIN totals
+),
+lm AS (
+    SELECT doc_id, CAST(sum(nd) AS BIGINT) AS n_scored,
+           CAST(sum(nd * lpm) AS BIGINT) AS sum_lp_micro
+    FROM tokd JOIN scored_bigram USING (p, wd)
+    GROUP BY doc_id
+)
+SELECT d.source,
+       count(*) AS n_docs,
+       CAST(sum(kf.n_dropped) AS BIGINT) AS n_dropped_paras,
+       CAST(sum(CASE WHEN clf.score_micro >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_keep,
+       CAST(sum(clf.score_micro) AS BIGINT) AS sum_score_micro,
+       CAST(sum(coalesce(lm.n_scored, 0)) AS BIGINT) AS n_bigrams,
+       CAST(sum(coalesce(lm.sum_lp_micro, 0)) AS BIGINT) AS sum_lp_micro
+FROM kf
+JOIN clf USING (doc_id)
+LEFT JOIN lm USING (doc_id)
+JOIN documents d USING (doc_id)
+GROUP BY d.source
+"""
+
+
+O_CORPUS_REFINE = _corpus_refine_oracle()
+
+
 def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL interchange fidelity end-to-end: write the documents table
     as 4 JSON-Lines shards, plant one malformed line alongside them,
@@ -2310,6 +2470,7 @@ QUERIES = {
     "bm25_index_search": q_bm25_index_search,
     "bigram_lm": q_bigram_lm,
     "quality_classifier": q_quality_classifier,
+    "corpus_refine": q_corpus_refine,
     "paragraph_dedup": q_paragraph_dedup,
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "stream_jsonl_ingest": q_stream_jsonl_ingest,
@@ -2358,6 +2519,7 @@ ORACLES = {
     "bm25_index_search": O_BM25_SEARCH,
     "bigram_lm": O_BIGRAM_LM,
     "quality_classifier": O_QUALITY_CLASSIFIER,
+    "corpus_refine": O_CORPUS_REFINE,
     "paragraph_dedup": O_PARAGRAPH_DEDUP,
     "jsonl_roundtrip": O_JSONL_ROUNDTRIP,
     "stream_jsonl_ingest": O_JSONL_ROUNDTRIP,

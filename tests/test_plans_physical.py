@@ -131,6 +131,7 @@ def test_no_accidental_cartesian_or_nested_loop(spark):
     allowed_nested = {
         "unigram_lm",
         "bigram_lm",
+        "corpus_refine",
         "bm25_search",
         "bm25_index_search",
         "embedding_topk",
