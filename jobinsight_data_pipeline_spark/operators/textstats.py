@@ -555,8 +555,11 @@ def dedup_paragraphs(
     text while the unique prose stays, which document-level dedup can
     never do.
 
-    Paragraphs are the literal ``sep`` splits of ``text_col`` (structure
-    preserved — no trimming of the segments themselves); a paragraph's
+    Paragraphs are the ``sep`` splits of ``text_col`` — ``sep`` is a
+    Java regex (Spark's split contract); keep it metachar-free (plain
+    ``\\n`` / ``\\n\\n+``) when mirroring with a literal-split engine.
+    Structure is preserved (no trimming of the segments themselves,
+    empty segments kept as layout); a paragraph's
     identity is ``md5(trim(paragraph))`` and whitespace-only segments are
     never deduped (they are layout, not content).
 
@@ -668,13 +671,17 @@ def bigram_logprob(
     test audits every distinct probability this corpus produces for
     floor-boundary proximity.
 
-    Shape: the token stream is aggregated to per-doc bigram COUNTS at
-    the first shuffle (map-side combine — a doc repeating one bigram 10⁴
+    Shape: ONE scan, ONE explode — each token rides out as a
+    ``(token, next_token)`` struct (``try_element_at`` NULLs the last
+    position), so the unigram model and the per-doc bigram counts both
+    derive from the same exploded stream instead of scanning the corpus
+    twice. The token stream is aggregated to per-doc bigram COUNTS at
+    its first shuffle (map-side combine — a doc repeating one bigram 10⁴
     times ships one row), every corpus-level statistic (bigram counts,
-    prev-marginals, unigram interpolation, totals) derives from that
-    frame or the unigram pass, scoring happens once per DISTINCT bigram,
-    and one equi-join + integer dot-product (Σ nd·lpm) lands the per-doc
-    result. The token stream is never joined row-at-a-time. Docs with <2
+    prev-marginals, unigram interpolation, totals) derives from those
+    aggregates, scoring happens once per DISTINCT bigram, and one
+    equi-join + integer dot-product (Σ nd·lpm) lands the per-doc result.
+    The token stream is never joined row-at-a-time. Docs with <2
     non-empty tokens have no bigrams and are absent from the result.
 
     Returns ``(id_col, n_scored, sum_lp_micro)``.
@@ -688,25 +695,31 @@ def bigram_logprob(
     )
     base = widen_for_cpu(df.select(F.col(id_col), arr.alias("_a")))
 
-    uni = (
-        base.select(F.explode("_a").alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("cu"))
-    )
-    totals = uni.agg(F.sum("cu").alias("tot"), F.count(F.lit(1)).alias("v"))
-
     pairs = F.transform(
-        F.sequence(F.lit(2), F.size("_a")),
+        F.sequence(F.lit(1), F.size("_a")),
         lambda i: F.struct(
-            F.element_at(F.col("_a"), i - F.lit(1)).alias("p"),
             F.element_at(F.col("_a"), i).alias("w"),
+            F.try_element_at(F.col("_a"), i + F.lit(1)).alias("wn"),
         ),
     )
-    # per-doc bigram counts: the ONLY shuffle the token stream takes
-    tokd = (
-        base.where(F.size("_a") >= 2)
+    stream = (
+        base.where(F.size("_a") >= 1)
         .select(F.col(id_col), F.explode(pairs).alias("bg"))
-        .groupBy(id_col, F.col("bg.p").alias("p"), F.col("bg.w").alias("w"))
+        .select(
+            F.col(id_col),
+            F.col("bg.w").alias("w"),
+            F.col("bg.wn").alias("wn"),
+        )
+    )
+
+    uni = stream.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
+    totals = uni.agg(F.sum("cu").alias("tot"), F.count(F.lit(1)).alias("v"))
+
+    # per-doc bigram counts: the ONLY shuffle the token stream takes
+    # beyond the unigram aggregation over the SAME exploded frame
+    tokd = (
+        stream.where(F.col("wn").isNotNull())
+        .groupBy(id_col, F.col("w").alias("p"), F.col("wn").alias("w"))
         .agg(F.count(F.lit(1)).alias("nd"))
     )
     bcnt = tokd.groupBy("p", "w").agg(F.sum("nd").alias("cb"))
