@@ -2026,6 +2026,125 @@ FROM kf JOIN dc ON kf.doc_id = dc.doc_id
 
 
 # --------------------------------------------------------------------------
+# Product quantization (operators/similarity.pq_encode / pq_adc_topk) under
+# FULL exact oracles: codes are argmins over a seeded literal codebook
+# (first-occurrence tie-break pinned on both engines), and ADC distances are
+# sums of IEEE-identical doubles in pinned subspace order — DuckDB replays
+# encoding AND the asymmetric top-k bit-for-bit (the semantic_dedup literal-
+# matrix pattern, one level deeper).
+# --------------------------------------------------------------------------
+PQ_M, PQ_K, PQ_SUB = 8, 16, 8
+
+
+def _pq_cb() -> list[list[list[float]]]:
+    from jobinsight_data_pipeline_spark.operators.similarity import (
+        pq_codebooks,
+    )
+
+    return pq_codebooks(dim=64, m=PQ_M, k=PQ_K, seed=5)
+
+
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobinsight_data_pipeline_spark.operators.similarity import pq_encode
+
+    t = load(spark, sf_dir, "embeddings")
+    enc = pq_encode(t["embeddings"], _pq_cb())
+    return enc.select(
+        "vec_id",
+        F.array_join("codes", ",").alias("codes"),
+    )
+
+
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobinsight_data_pipeline_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+    )
+
+    t = load(spark, sf_dir, "embeddings")
+    emb = t["embeddings"]
+    cb = _pq_cb()
+    # bounded 1-row collect: the serving-path query vector
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    top = pq_adc_topk(pq_encode(emb, cb), query, cb, k=20)
+    return top.select(
+        "vec_id",
+        F.floor(F.col("adc") * F.lit(1000000.0)).cast("long").alias("adc_micro"),
+    )
+
+
+def _duck_cube(cube: list[list[list[float]]]) -> str:
+    return (
+        "["
+        + ",".join(
+            "["
+            + ",".join(
+                "[" + ",".join(repr(float(x)) for x in c) + "]" for c in mat
+            )
+            + "]"
+            for mat in cube
+        )
+        + "]"
+    )
+
+
+def _pq_codes_cte() -> str:
+    sub = PQ_SUB
+    diff = (
+        f"list_transform(range({sub}), t -> "
+        f"v[CAST(u.j * {sub} + t + 1 AS INTEGER)] - c[CAST(t + 1 AS INTEGER)])"
+    )
+    return f"""cube AS (SELECT {_duck_cube(_pq_cb())} AS cb),
+e AS (SELECT vec_id, embedding AS v FROM embeddings),
+darrs AS (
+    SELECT vec_id, u.j AS j,
+           list_transform(cb[CAST(u.j + 1 AS INTEGER)],
+                          c -> list_dot_product({diff}, {diff})) AS darr
+    FROM e, cube, unnest(range({PQ_M})) AS u(j)
+),
+codes AS (
+    SELECT vec_id, j, list_position(darr, list_min(darr)) - 1 AS code
+    FROM darrs
+)"""
+
+
+O_PQ_CODES = f"""
+WITH {_pq_codes_cte()}
+SELECT vec_id, string_agg(CAST(code AS VARCHAR), ',' ORDER BY j) AS codes
+FROM codes GROUP BY vec_id
+"""
+
+
+def _pq_adc_oracle() -> str:
+    sub = PQ_SUB
+    qdiff = (
+        f"list_transform(range({sub}), t -> "
+        f"qv[CAST(c.j * {sub} + t + 1 AS INTEGER)] - "
+        f"cb[CAST(c.j + 1 AS INTEGER)][CAST(c.code + 1 AS INTEGER)]"
+        f"[CAST(t + 1 AS INTEGER)])"
+    )
+    chain = " + ".join(
+        f"max(CASE WHEN j = {j} THEN d END)" for j in range(PQ_M)
+    )
+    return f"""
+WITH {_pq_codes_cte()},
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+dists AS (
+    SELECT c.vec_id, c.j, list_dot_product({qdiff}, {qdiff}) AS d
+    FROM codes c, q, cube
+),
+adc AS (
+    SELECT vec_id, {chain} AS adc FROM dists GROUP BY vec_id
+)
+SELECT vec_id, CAST(floor(adc * 1000000.0) AS BIGINT) AS adc_micro
+FROM adc ORDER BY adc ASC, vec_id ASC LIMIT 20
+"""
+
+
+O_PQ_ADC_TOPK = _pq_adc_oracle()
+
+
+# --------------------------------------------------------------------------
 # Hashed linear classifier inference (operators/classifier.py) under a FULL
 # exact oracle: integer micro-weights make the document score a pure BIGINT
 # dot product — no float anywhere, so the oracle replays hashing, bucket
@@ -2471,6 +2590,8 @@ QUERIES = {
     "bigram_lm": q_bigram_lm,
     "quality_classifier": q_quality_classifier,
     "corpus_refine": q_corpus_refine,
+    "pq_codes": q_pq_codes,
+    "pq_adc_topk": q_pq_adc_topk,
     "paragraph_dedup": q_paragraph_dedup,
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "stream_jsonl_ingest": q_stream_jsonl_ingest,
@@ -2520,6 +2641,8 @@ ORACLES = {
     "bigram_lm": O_BIGRAM_LM,
     "quality_classifier": O_QUALITY_CLASSIFIER,
     "corpus_refine": O_CORPUS_REFINE,
+    "pq_codes": O_PQ_CODES,
+    "pq_adc_topk": O_PQ_ADC_TOPK,
     "paragraph_dedup": O_PARAGRAPH_DEDUP,
     "jsonl_roundtrip": O_JSONL_ROUNDTRIP,
     "stream_jsonl_ingest": O_JSONL_ROUNDTRIP,

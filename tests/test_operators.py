@@ -1585,3 +1585,30 @@ def test_hashed_classifier_matches_python_reference(spark):
             + sum(w[bucket("b:", g)] for g in grams)
         )
         assert got[i] == (z, z >= 0), (i, got[i], z)
+
+
+def test_pq_encode_recovers_centroid_built_vectors(spark):
+    """A vector assembled FROM codebook centroids must encode exactly to
+    those centroid indices, and ADC must rank it at distance 0 for a
+    query equal to itself."""
+    from jobinsight_data_pipeline_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    cb = pq_codebooks(dim=64, m=8, k=16, seed=5)
+    picks = [3, 0, 15, 7, 9, 1, 12, 5]
+    vec = [x for j, c in enumerate(picks) for x in cb[j][c]]
+    other = [x for j in range(8) for x in cb[j][(picks[j] + 1) % 16]]
+    df = spark.createDataFrame(
+        [(1, vec), (2, other)], "vec_id long, embedding array<double>"
+    )
+    enc = pq_encode(df, cb)
+    got = {r["vec_id"]: r["codes"] for r in enc.collect()}
+    assert got[1] == picks
+    assert got[2] == [(p + 1) % 16 for p in picks]
+
+    top = pq_adc_topk(enc, vec, cb, k=2).collect()
+    assert top[0]["vec_id"] == 1 and top[0]["adc"] == 0.0
+    assert top[1]["vec_id"] == 2 and top[1]["adc"] > 0.0

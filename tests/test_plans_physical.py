@@ -364,3 +364,24 @@ def test_classifier_inference_is_shuffle_free(spark):
     assert "Exchange" not in plan
     assert "Generate" not in plan
     assert "Join" not in plan
+
+
+def test_pq_paths_scan_fused(spark):
+    """PQ encode must be a shuffle-free projection (codebook is a parsed
+    literal, not a join side); ADC top-k must plan per-partition heaps."""
+    from jobinsight_data_pipeline_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    cb = pq_codebooks()
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    enc = pq_encode(emb, cb)
+    plan = physical_plan(enc)
+    assert "Exchange" not in plan and "Join" not in plan
+
+    top = pq_adc_topk(enc, [0.1] * 64, cb, k=5)
+    plan = physical_plan(top)
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
