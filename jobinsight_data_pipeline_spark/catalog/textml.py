@@ -2088,14 +2088,16 @@ def _duck_cube(cube: list[list[list[float]]]) -> str:
     )
 
 
-def _pq_codes_cte() -> str:
+def _pq_codes_cte(
+    e_cte: str = "e AS (SELECT vec_id, embedding AS v FROM embeddings)",
+) -> str:
     sub = PQ_SUB
     diff = (
         f"list_transform(range({sub}), t -> "
         f"v[CAST(u.j * {sub} + t + 1 AS INTEGER)] - c[CAST(t + 1 AS INTEGER)])"
     )
     return f"""cube AS (SELECT {_duck_cube(_pq_cb())} AS cb),
-e AS (SELECT vec_id, embedding AS v FROM embeddings),
+{e_cte},
 darrs AS (
     SELECT vec_id, u.j AS j,
            list_transform(cb[CAST(u.j + 1 AS INTEGER)],
@@ -2142,6 +2144,102 @@ FROM adc ORDER BY adc ASC, vec_id ASC LIMIT 20
 
 
 O_PQ_ADC_TOPK = _pq_adc_oracle()
+
+
+IVFPQ_LISTS, IVFPQ_PROBE, IVFPQ_K = 16, 4, 10
+
+
+def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed IVF-PQ serving path (operators/similarity.
+    ivf_pq_topk) under a FULL exact oracle — cell pruning, PQ encoding,
+    and asymmetric distances are all deterministic, so the oracle
+    replays the whole composition bit-for-bit (no recall containment
+    needed)."""
+    from jobinsight_data_pipeline_spark.operators.similarity import (
+        ivf_pq_topk,
+        unit_centroids,
+    )
+
+    t = load(spark, sf_dir, "embeddings")
+    emb = t["embeddings"]
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    top = ivf_pq_topk(
+        emb,
+        query,
+        unit_centroids(64, IVFPQ_LISTS, seed=11),
+        _pq_cb(),
+        k=IVFPQ_K,
+        n_probe=IVFPQ_PROBE,
+    )
+    return top.select(
+        "vec_id",
+        F.floor(F.col("adc") * F.lit(1000000.0)).cast("long").alias("adc_micro"),
+    )
+
+
+def _ivfpq_oracle() -> str:
+    from jobinsight_data_pipeline_spark.operators.similarity import (
+        unit_centroids,
+    )
+
+    cents = unit_centroids(64, IVFPQ_LISTS, seed=11)
+    cents_lit = (
+        "["
+        + ",".join(
+            "[" + ",".join(repr(float(x)) for x in c) + "]" for c in cents
+        )
+        + "]"
+    )
+    sub = PQ_SUB
+    cand_cte = f"""cents AS (SELECT {cents_lit} AS cm),
+allv AS (
+    SELECT vec_id, embedding AS v,
+           list_transform(cm, c -> list_dot_product(
+               CAST(embedding AS DOUBLE[]), c)) AS sarr
+    FROM embeddings, cents
+),
+assigned AS (
+    SELECT vec_id, v, list_position(sarr, list_max(sarr)) - 1 AS cell
+    FROM allv
+),
+probe AS (
+    SELECT CAST(u.j AS BIGINT) - 1 AS cell
+    FROM (SELECT list_transform(cm, c -> list_dot_product(qq.qv_d, c)) AS qd
+          FROM cents,
+               (SELECT CAST(embedding AS DOUBLE[]) AS qv_d
+                FROM embeddings WHERE vec_id = 0) qq) s,
+         unnest(generate_series(1, {IVFPQ_LISTS})) AS u(j)
+    ORDER BY qd[CAST(u.j AS INTEGER)] DESC, u.j ASC
+    LIMIT {IVFPQ_PROBE}
+),
+e AS (
+    SELECT vec_id, v FROM assigned WHERE cell IN (SELECT cell FROM probe)
+)"""
+    qdiff = (
+        f"list_transform(range({sub}), t -> "
+        f"qv[CAST(c.j * {sub} + t + 1 AS INTEGER)] - "
+        f"cb[CAST(c.j + 1 AS INTEGER)][CAST(c.code + 1 AS INTEGER)]"
+        f"[CAST(t + 1 AS INTEGER)])"
+    )
+    chain = " + ".join(
+        f"max(CASE WHEN j = {j} THEN d END)" for j in range(PQ_M)
+    )
+    return f"""
+WITH {_pq_codes_cte(cand_cte)},
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+dists AS (
+    SELECT c.vec_id, c.j, list_dot_product({qdiff}, {qdiff}) AS d
+    FROM codes c, q, cube
+),
+adc AS (
+    SELECT vec_id, {chain} AS adc FROM dists GROUP BY vec_id
+)
+SELECT vec_id, CAST(floor(adc * 1000000.0) AS BIGINT) AS adc_micro
+FROM adc ORDER BY adc ASC, vec_id ASC LIMIT {IVFPQ_K}
+"""
+
+
+O_IVF_PQ_TOPK = _ivfpq_oracle()
 
 
 # --------------------------------------------------------------------------
@@ -2592,6 +2690,7 @@ QUERIES = {
     "corpus_refine": q_corpus_refine,
     "pq_codes": q_pq_codes,
     "pq_adc_topk": q_pq_adc_topk,
+    "ivf_pq_topk": q_ivf_pq_topk,
     "paragraph_dedup": q_paragraph_dedup,
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "stream_jsonl_ingest": q_stream_jsonl_ingest,
@@ -2643,6 +2742,7 @@ ORACLES = {
     "corpus_refine": O_CORPUS_REFINE,
     "pq_codes": O_PQ_CODES,
     "pq_adc_topk": O_PQ_ADC_TOPK,
+    "ivf_pq_topk": O_IVF_PQ_TOPK,
     "paragraph_dedup": O_PARAGRAPH_DEDUP,
     "jsonl_roundtrip": O_JSONL_ROUNDTRIP,
     "stream_jsonl_ingest": O_JSONL_ROUNDTRIP,

@@ -600,6 +600,27 @@ def _sq_dist(a, b):
     return F.aggregate(diffsq, F.lit(0.0), lambda s, y: s + y)
 
 
+def pq_codes_column(
+    vec_col: str, codebooks: list[list[list[float]]]
+) -> Column:
+    """The PQ encoding as a composable Column expression (array<int> of
+    per-subspace argmin codes; ties → lowest index via first-occurrence
+    ``array_position``) — scan-fused, codebook as one parsed literal."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    CB = F.expr(_cube_sql(codebooks))
+
+    def code_j(j: Column) -> Column:
+        subv = F.slice(F.col(vec_col), j * sub + 1, sub)
+        darr = F.transform(
+            F.element_at(CB, (j + F.lit(1)).cast("int")),
+            lambda c: _sq_dist(subv, c),
+        )
+        return (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+
+    return F.transform(F.sequence(F.lit(0), F.lit(m - 1)), code_j)
+
+
 def pq_encode(
     df: DataFrame,
     codebooks: list[list[list[float]]],
@@ -616,20 +637,9 @@ def pq_encode(
     Returns (id_col, codes array<int>). Reconstruction error is bounded
     by codebook quality, not corpus size; refine exact distances on the
     top candidates when recall matters (the standard IVF-PQ re-rank)."""
-    m = len(codebooks)
-    sub = len(codebooks[0][0])
-    CB = F.expr(_cube_sql(codebooks))
-
-    def code_j(j: Column) -> Column:
-        subv = F.slice(F.col(vec_col), j * sub + 1, sub)
-        darr = F.transform(
-            F.element_at(CB, (j + F.lit(1)).cast("int")),
-            lambda c: _sq_dist(subv, c),
-        )
-        return (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
-
-    codes = F.transform(F.sequence(F.lit(0), F.lit(m - 1)), code_j)
-    return df.select(F.col(id_col), codes.alias("codes"))
+    return df.select(
+        F.col(id_col), pq_codes_column(vec_col, codebooks).alias("codes")
+    )
 
 
 def pq_adc_topk(
@@ -674,3 +684,55 @@ def pq_adc_topk(
         .orderBy(F.col("adc").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    query: list[float],
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ — the production serving composition: Voronoi cells prune
+    the corpus to the query's ``n_probe`` nearest lists, PQ codes +
+    asymmetric distance rank the survivors. At 100 TB the cell filter is
+    a partition-prunable predicate (persist the corpus partitioned by
+    cell) and the scored set is ``n_probe/n_lists`` of the data as
+    one-byte codes — the memory-and-IO shape FAISS ships.
+
+    Cell assignment is ``argmax_j dot(vec, centroid_j)`` (ties → lowest
+    index, first-occurrence ``array_position`` — with unit centroids
+    this equals cosine assignment without the norm divide); the query's
+    probe cells are chosen driver-side from the same literal centroids
+    with the same tie rule (sort by (−dot, j)). Everything is
+    deterministic, so the composed path carries a FULL exact oracle in
+    the catalog — no recall hand-waving.
+    """
+    CENTS = F.expr(_matrix_sql(centroids))
+    sarr = F.transform(
+        CENTS,
+        lambda c: F.aggregate(
+            F.zip_with(
+                F.col(vec_col), c, lambda a, b: a.cast("double") * b
+            ),
+            F.lit(0.0),
+            lambda s, y: s + y,
+        ),
+    )
+    cell = (F.array_position(sarr, F.array_max(sarr)) - 1).cast("int")
+
+    qdots = [
+        sum(float(query[t]) * c[t] for t in range(len(c))) for c in centroids
+    ]
+    probe = [j for j in sorted(range(len(centroids)), key=lambda j: (-qdots[j], j))[:n_probe]]
+
+    cand = corpus.withColumn("_cell", cell).filter(
+        F.col("_cell").isin(*probe)
+    )
+    enc = cand.select(
+        F.col(id_col), pq_codes_column(vec_col, codebooks).alias("codes")
+    )
+    return pq_adc_topk(enc, query, codebooks, k, id_col=id_col)

@@ -1612,3 +1612,36 @@ def test_pq_encode_recovers_centroid_built_vectors(spark):
     top = pq_adc_topk(enc, vec, cb, k=2).collect()
     assert top[0]["vec_id"] == 1 and top[0]["adc"] == 0.0
     assert top[1]["vec_id"] == 2 and top[1]["adc"] > 0.0
+
+
+def test_ivf_pq_full_probe_equals_plain_adc(spark):
+    """With n_probe = n_lists the IVF filter prunes nothing, so the
+    composed path must equal plain PQ + ADC exactly; with a small
+    n_probe the result is a subset-ranking of the same scores."""
+    from jobinsight_data_pipeline_spark.operators.similarity import (
+        ivf_pq_topk,
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode,
+        unit_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cb = pq_codebooks()
+    cents = unit_centroids(64, 16, seed=11)
+    query = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+
+    full = ivf_pq_topk(emb, query, cents, cb, k=10, n_probe=16).collect()
+    plain = pq_adc_topk(pq_encode(emb, cb), query, cb, k=10).collect()
+    assert [(r["vec_id"], r["adc"]) for r in full] == [
+        (r["vec_id"], r["adc"]) for r in plain
+    ]
+
+    pruned = ivf_pq_topk(emb, query, cents, cb, k=10, n_probe=4).collect()
+    assert len(pruned) == 10
+    plain_scores = {r["vec_id"]: r["adc"] for r in plain}
+    # every pruned result that also appears in the full ranking carries
+    # the identical ADC score (same codes, same LUT)
+    for r in pruned:
+        if r["vec_id"] in plain_scores:
+            assert r["adc"] == plain_scores[r["vec_id"]]
