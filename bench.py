@@ -186,6 +186,23 @@ def main() -> None:
         )
     )
 
+    # PQ family, production settings: encode the corpus, then the
+    # composed IVF-PQ serving query (cell prune + ADC rank)
+    from jobinsight_data_pipeline_spark.operators.similarity import (
+        ivf_pq_topk,
+        pq_codebooks,
+        pq_encode,
+        unit_centroids,
+    )
+
+    cb = pq_codebooks()
+    timings["pq_encode"] = timed(lambda: materialize(pq_encode(emb, cb)))
+    qvec = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+    cents = unit_centroids(64, 16, seed=11)
+    timings["ivf_pq_topk"] = timed(
+        lambda: materialize(ivf_pq_topk(emb, qvec, cents, cb, k=10, n_probe=4))
+    )
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -47,6 +47,8 @@ def probes(spark, sf_dir):
     from jobinsight_data_pipeline_spark.operators.sampling import mixture_sample
     from jobinsight_data_pipeline_spark.operators.similarity import (
         lsh_cosine_near_pairs,
+        pq_codebooks as _pq_codebooks,
+        pq_encode as _pq_encode,
         semantic_dedup,
         unit_centroids,
     )
@@ -103,6 +105,7 @@ def probes(spark, sf_dir):
             docs, mode="keep_first"
         ),
         "bigram_lm (integer-exact)": lambda: _bigram_logprob(docs, "doc_id"),
+        "pq_encode (scan-fused)": lambda: _pq_encode(emb, _pq_codebooks()),
     }
 
 
