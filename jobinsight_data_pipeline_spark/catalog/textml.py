@@ -2362,6 +2362,95 @@ GROUP BY doc_id
 """
 
 
+def q_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8/S9 under schema EVOLUTION: day-1 journal records carry a
+    2-field payload, day-2 records add two new fields (and re-upsert
+    every 10th doc, exercising insert-vs-update classification across
+    days). The JSONL journal is schema-on-read, so replay unions the
+    schemas — legacy rows surface the new fields as NULL instead of
+    failing the reader or silently dropping columns. The oracle
+    recomputes per-action counts, legacy-row counts, and the evolved
+    field's sum straight from the documents table."""
+    import datetime as _dt
+
+    from jobinsight_data_pipeline_spark.catalog import scratch_dir
+    from jobinsight_data_pipeline_spark.sources.cdc import read_cdc, write_cdc
+
+    t = load(spark, sf_dir, "documents")
+    docs = t["documents"]
+    root = scratch_dir("cdcevo-gate-") + "/journal"
+
+    batch1 = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang")
+    batch2 = docs.filter(
+        (F.col("doc_id") % 2 == 1) | (F.col("doc_id") % 10 == 0)
+    ).select("doc_id", "lang", "source", "n_chars")
+    write_cdc(
+        batch1, None, root, _dt.datetime(1998, 6, 1, 12, 0), key="doc_id"
+    )
+    write_cdc(
+        batch2, batch1, root, _dt.datetime(1998, 6, 2, 12, 0), key="doc_id"
+    )
+
+    replay = read_cdc(spark, root)
+    return replay.groupBy("action").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("data.source").isNull().cast("long")).alias("n_legacy"),
+        F.sum(F.coalesce(F.col("data.n_chars"), F.lit(0))).alias("sum_chars"),
+        F.count_distinct(F.col("job_id")).alias("n_keys"),
+    )
+
+
+O_CDC_SCHEMA_EVOLUTION = """
+WITH day1 AS (
+    SELECT doc_id FROM documents WHERE doc_id % 2 = 0
+),
+day2 AS (
+    SELECT doc_id, n_chars FROM documents
+    WHERE doc_id % 2 = 1 OR doc_id % 10 = 0
+),
+journal AS (
+    SELECT 'insert' AS action, doc_id, TRUE AS legacy, 0 AS n_chars FROM day1
+    UNION ALL
+    SELECT CASE WHEN doc_id % 2 = 0 THEN 'update' ELSE 'insert' END AS action,
+           doc_id, FALSE AS legacy, n_chars
+    FROM day2
+)
+SELECT action, count(*) AS n_rows,
+       CAST(sum(CASE WHEN legacy THEN 1 ELSE 0 END) AS BIGINT) AS n_legacy,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       count(DISTINCT doc_id) AS n_keys
+FROM journal GROUP BY action
+"""
+
+
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus top-20 word bigrams with doc/occurrence counts
+    (operators/textstats.top_ngrams) — the corpus-statistics report.
+    Deterministic cut: occurrences desc, gram asc."""
+    from jobinsight_data_pipeline_spark.operators.textstats import top_ngrams
+
+    t = load(spark, sf_dir, "documents")
+    return top_ngrams(t["documents"], "doc_id", n=2, k=20)
+
+
+O_TOP_NGRAMS = """
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+),
+grams AS (
+    SELECT doc_id,
+           unnest(list_transform(range(len(t) - 1),
+                  i -> t[CAST(i + 1 AS INTEGER)] || ' '
+                       || t[CAST(i + 2 AS INTEGER)])) AS gram
+    FROM toks WHERE len(t) >= 2
+)
+SELECT gram, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences
+FROM grams GROUP BY gram
+ORDER BY n_occurrences DESC, gram ASC
+LIMIT 20
+"""
+
+
 def q_corpus_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-5 capstone composition under ONE hash (the training_shards
     pattern): boilerplate-planted fixture → corpus-wide paragraph
@@ -2688,6 +2777,8 @@ QUERIES = {
     "bigram_lm": q_bigram_lm,
     "quality_classifier": q_quality_classifier,
     "corpus_refine": q_corpus_refine,
+    "top_ngrams": q_top_ngrams,
+    "cdc_schema_evolution": q_cdc_schema_evolution,
     "pq_codes": q_pq_codes,
     "pq_adc_topk": q_pq_adc_topk,
     "ivf_pq_topk": q_ivf_pq_topk,
@@ -2740,6 +2831,8 @@ ORACLES = {
     "bigram_lm": O_BIGRAM_LM,
     "quality_classifier": O_QUALITY_CLASSIFIER,
     "corpus_refine": O_CORPUS_REFINE,
+    "top_ngrams": O_TOP_NGRAMS,
+    "cdc_schema_evolution": O_CDC_SCHEMA_EVOLUTION,
     "pq_codes": O_PQ_CODES,
     "pq_adc_topk": O_PQ_ADC_TOPK,
     "ivf_pq_topk": O_IVF_PQ_TOPK,

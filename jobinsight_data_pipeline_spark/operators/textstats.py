@@ -749,3 +749,47 @@ def bigram_logprob(
             F.sum(F.col("nd") * F.col("lpm")).alias("sum_lp_micro"),
         )
     )
+
+
+def top_ngrams(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 2,
+    k: int = 20,
+) -> DataFrame:
+    """Exact corpus-wide top-``k`` word ``n``-grams with document and
+    occurrence counts — the corpus-statistics report behind boilerplate
+    discovery, tokenizer diagnostics, and contamination screening
+    (which exact phrases dominate my corpus?).
+
+    Grams come from zipped shifted slices of the token array (the
+    shingles pattern — one pass, no per-gram lambda overhead), then one
+    partial-aggregating groupBy on the gram and a heap top-k
+    (TakeOrderedAndProject). Ties break to the lexicographically
+    smallest gram so the cut is deterministic. Returns
+    (gram, n_docs, n_occurrences) ordered by occurrences desc."""
+    from jobinsight_data_pipeline_spark.operators.parallelism import (
+        widen_for_cpu,
+    )
+
+    toks = tokens(text_col)
+    sz = F.size(toks)
+    width = sz - (n - 1)
+    shifted = [F.slice(toks, i + 1, width).alias(f"g{i}") for i in range(n)]
+    grams = F.transform(
+        F.arrays_zip(*shifted),
+        lambda x: F.concat_ws(" ", *[x[f"g{i}"] for i in range(n)]),
+    )
+    return (
+        widen_for_cpu(df)
+        .filter(sz >= n)
+        .select(F.col(id_col).alias("_doc"), F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(
+            F.count_distinct("_doc").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("gram"))
+        .limit(k)
+    )
