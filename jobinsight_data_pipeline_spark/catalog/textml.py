@@ -2423,6 +2423,67 @@ FROM journal GROUP BY action
 """
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized-integer PageRank (operators/components.
+    pagerank_quantized) over a deterministic doc-link graph (every doc
+    links to two formula-derived hub nodes in 0..96 — skewed indegree on
+    purpose). Integer micro-rank arithmetic makes an ITERATIVE algorithm
+    fully oracle-able: DuckDB replays all 5 iterations as unrolled CTEs
+    and every rank must match to the unit."""
+    from jobinsight_data_pipeline_spark.operators.components import (
+        pagerank_quantized,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    d = t["documents"]
+    edges = d.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 3 + 1) % 97).alias("dst"),
+    ).unionAll(
+        d.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 7 + 2) % 97).alias("dst"),
+        )
+    )
+    return pagerank_quantized(edges, iterations=5)
+
+
+def _pagerank_oracle(iterations: int = 5) -> str:
+    head = """
+WITH edges AS (
+    SELECT doc_id AS src, (doc_id * 3 + 1) % 97 AS dst FROM documents
+    UNION ALL
+    SELECT doc_id AS src, (doc_id * 7 + 2) % 97 AS dst FROM documents
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+params AS (
+    SELECT CAST(1000000000000 // count(*) AS BIGINT) AS init,
+           CAST(((1000000000000 // count(*)) * 150000) // 1000000 AS BIGINT)
+               AS base
+    FROM nodes
+),
+outdeg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src),
+r0 AS (SELECT node, init AS rank FROM nodes, params)"""
+    steps = ""
+    for i in range(1, iterations + 1):
+        steps += f""",
+r{i} AS (
+    SELECT n.node,
+           base + CAST((850000 * coalesce(s.s, 0)) // 1000000 AS BIGINT)
+               AS rank
+    FROM nodes n CROSS JOIN params LEFT JOIN (
+        SELECT e.dst AS node, CAST(sum(r.rank // d.deg) AS BIGINT) AS s
+        FROM edges e
+        JOIN r{i - 1} r ON e.src = r.node
+        JOIN outdeg d ON e.src = d.node
+        GROUP BY e.dst) s ON n.node = s.node
+)"""
+    return head + steps + f"\nSELECT node, rank FROM r{iterations}\n"
+
+
+O_PAGERANK = _pagerank_oracle()
+
+
 def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact corpus top-20 word bigrams with doc/occurrence counts
     (operators/textstats.top_ngrams) — the corpus-statistics report.
@@ -2779,6 +2840,7 @@ QUERIES = {
     "corpus_refine": q_corpus_refine,
     "top_ngrams": q_top_ngrams,
     "cdc_schema_evolution": q_cdc_schema_evolution,
+    "pagerank": q_pagerank,
     "pq_codes": q_pq_codes,
     "pq_adc_topk": q_pq_adc_topk,
     "ivf_pq_topk": q_ivf_pq_topk,
@@ -2833,6 +2895,7 @@ ORACLES = {
     "corpus_refine": O_CORPUS_REFINE,
     "top_ngrams": O_TOP_NGRAMS,
     "cdc_schema_evolution": O_CDC_SCHEMA_EVOLUTION,
+    "pagerank": O_PAGERANK,
     "pq_codes": O_PQ_CODES,
     "pq_adc_topk": O_PQ_ADC_TOPK,
     "ivf_pq_topk": O_IVF_PQ_TOPK,

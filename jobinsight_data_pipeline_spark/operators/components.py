@@ -174,3 +174,80 @@ def dedup_clusters(
         "cluster_size",
         (F.col("node") == F.col("component")).alias("is_canonical"),
     )
+
+
+def pagerank_quantized(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping_micro: int = 850_000,
+    scale: int = 10**12,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Deterministic integer PageRank — the link-quality signal a
+    web-corpus curation pipeline ranks domains/pages with (CommonCrawl
+    publishes exactly this family of centrality scores).
+
+    All arithmetic is BIGINT micro-units: ranks start at
+    ``scale // N``, each iteration distributes ``rank // outdeg`` along
+    edges (integer division; every quantity non-negative, so Spark's
+    truncating ``div`` and DuckDB's flooring ``//`` agree) and damps
+    with integer multiply-then-divide. Integer sums are associative —
+    the result is bit-identical on any engine, partitioning, or retry,
+    which float PageRank cannot promise (per-node float sums depend on
+    shuffle arrival order). Quantization error is bounded by
+    outdeg/scale per node per iteration — with scale=10¹² it is noise
+    far below ranking granularity. Dangling-node mass evaporates
+    (documented policy; redistribute explicitly if your graph needs it).
+
+    Scale shape: per iteration, one equi-join of ranks onto edges (on
+    src) and one partial-aggregating groupBy (on dst) — the standard
+    distributed PageRank; lineage truncates per round with
+    localCheckpoint exactly like :func:`connected_components`. Driver
+    state: the node count (one bounded scalar).
+
+    Returns (node, rank) — micro-rank BIGINTs summing to ≈ scale.
+    """
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0).cast("long"))
+    init = scale // n
+    base = (init * (1_000_000 - damping_micro)) // 1_000_000
+    outdeg = edges.groupBy(F.col(src).alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    e = edges.select(F.col(src).alias("node"), F.col(dst).alias("_dst")).join(
+        outdeg, "node"
+    ).localCheckpoint(eager=True)
+
+    r = nodes.withColumn("rank", F.lit(init).cast("long"))
+    r_is_checkpointed = False  # only free frames THIS loop checkpointed
+    for _ in range(iterations):
+        sums = (
+            e.join(r, "node")
+            .select(
+                F.col("_dst").alias("node"),
+                F.expr("rank div deg").alias("_c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_s"))
+        )
+        new_r = nodes.join(sums, "node", "left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.expr(
+                    f"({damping_micro} * coalesce(_s, 0L)) div 1000000"
+                )
+            ).alias("rank"),
+        ).localCheckpoint(eager=True)
+        if r_is_checkpointed:
+            _free_local_checkpoint(r)
+        r, r_is_checkpointed = new_r, True
+    return r

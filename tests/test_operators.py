@@ -1645,3 +1645,35 @@ def test_ivf_pq_full_probe_equals_plain_adc(spark):
     for r in pruned:
         if r["vec_id"] in plain_scores:
             assert r["adc"] == plain_scores[r["vec_id"]]
+
+
+def test_pagerank_quantized_matches_python_reference(spark):
+    """Replay the integer PageRank recurrence in pure Python on a small
+    skewed graph; ranks must match to the unit after every iteration's
+    truncating division."""
+    from jobinsight_data_pipeline_spark.operators.components import (
+        pagerank_quantized,
+    )
+
+    edges = [(0, 1), (1, 2), (2, 0), (3, 0), (4, 0), (0, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank_quantized(df, iterations=4).collect()
+    }
+
+    nodes = sorted({x for e in edges for x in e})
+    n = len(nodes)
+    scale, damping = 10**12, 850_000
+    init = scale // n
+    base = (init * (1_000_000 - damping)) // 1_000_000
+    deg = {u: sum(1 for s, _ in edges if s == u) for u in nodes}
+    rank = {u: init for u in nodes}
+    for _ in range(4):
+        s = {u: 0 for u in nodes}
+        for u, v in edges:
+            s[v] += rank[u] // deg[u]
+        rank = {u: base + (damping * s[u]) // 1_000_000 for u in nodes}
+    assert got == rank
+    # dangling-free graph: total mass stays within rounding slack of scale
+    assert abs(sum(got.values()) - scale) < n * 2
