@@ -2423,6 +2423,91 @@ FROM journal GROUP BY action
 """
 
 
+BUDGET_TOKENS = 12_000
+
+
+def q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted corpus selection: classifier micro-margins rank the
+    documents, the bucketed no-global-sort cumsum fills a 12k-token
+    budget greedily (operators/sampling.select_until_budget over
+    packing's pack_sequences plan). Every quantity is BIGINT, so the
+    oracle replays ranking, the exclusive cumsum, and the greedy-prefix
+    cut exactly."""
+    from jobinsight_data_pipeline_spark.operators.classifier import (
+        with_quality_classification,
+    )
+    from jobinsight_data_pipeline_spark.operators.sampling import (
+        select_until_budget,
+    )
+    from jobinsight_data_pipeline_spark.operators.textstats import word_count
+
+    t = load(spark, sf_dir, "documents")
+    scored = with_quality_classification(
+        t["documents"], "text", CLF_WEIGHTS, bias=CLF_BIAS
+    ).select(
+        "doc_id",
+        "score_micro",
+        word_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    kept = select_until_budget(
+        scored, "score_micro", "n_tokens", BUDGET_TOKENS, ["doc_id"]
+    )
+    return kept.select("doc_id", "score_micro", "n_tokens", "start_offset")
+
+
+def _budget_select_oracle() -> str:
+    arr = "[" + ",".join(str(v) for v in CLF_WEIGHTS) + "]"
+    b = len(CLF_WEIGHTS)
+
+    def fold(col: str, salt: str) -> str:
+        return (
+            f"coalesce(list_sum(list_transform({col}, t -> warr["
+            f"CAST(CAST(('0x' || substring(md5('{salt}' || t), 1, 8)) AS BIGINT)"
+            f" % {b} AS INTEGER) + 1])), 0)"
+        )
+
+    return f"""
+WITH w AS (SELECT {arr} AS warr),
+arrs AS (
+    SELECT doc_id,
+           list_filter(list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                                      x -> lower(x)), x -> x <> '') AS a,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+               AS n_tokens
+    FROM documents
+),
+feats AS (
+    SELECT doc_id, a, n_tokens,
+           CASE WHEN len(a) >= 2
+                THEN list_transform(range(len(a) - 1),
+                     i -> a[CAST(i + 1 AS INTEGER)] || ' '
+                          || a[CAST(i + 2 AS INTEGER)])
+                ELSE [] END AS g
+    FROM arrs
+),
+scored AS (
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST({CLF_BIAS} + {fold('a', 'u:')} + {fold('g', 'b:')} AS BIGINT)
+               AS score_micro
+    FROM feats, w
+),
+cum AS (
+    SELECT doc_id, score_micro, n_tokens,
+           CAST(coalesce(sum(n_tokens) OVER (
+               ORDER BY score_micro DESC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS start_offset
+    FROM scored
+)
+SELECT doc_id, score_micro, n_tokens, start_offset
+FROM cum WHERE start_offset < {BUDGET_TOKENS}
+"""
+
+
+O_BUDGET_SELECT = _budget_select_oracle()
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantized-integer PageRank (operators/components.
     pagerank_quantized) over a deterministic doc-link graph (every doc
@@ -2841,6 +2926,7 @@ QUERIES = {
     "top_ngrams": q_top_ngrams,
     "cdc_schema_evolution": q_cdc_schema_evolution,
     "pagerank": q_pagerank,
+    "budget_select": q_budget_select,
     "pq_codes": q_pq_codes,
     "pq_adc_topk": q_pq_adc_topk,
     "ivf_pq_topk": q_ivf_pq_topk,
@@ -2896,6 +2982,7 @@ ORACLES = {
     "top_ngrams": O_TOP_NGRAMS,
     "cdc_schema_evolution": O_CDC_SCHEMA_EVOLUTION,
     "pagerank": O_PAGERANK,
+    "budget_select": O_BUDGET_SELECT,
     "pq_codes": O_PQ_CODES,
     "pq_adc_topk": O_PQ_ADC_TOPK,
     "ivf_pq_topk": O_IVF_PQ_TOPK,

@@ -199,3 +199,42 @@ def stratified_sample_exact(
         .filter(F.col("_srn") <= n_per_stratum)
         .drop("_srn")
     )
+
+
+def select_until_budget(
+    df: DataFrame,
+    score_col: str,
+    tokens_col: str,
+    budget: int,
+    id_cols: list[str],
+) -> DataFrame:
+    """Greedy budgeted selection — the "fill a token budget with the
+    best data" step of dataset assembly: rank rows by ``score_col``
+    descending (``id_cols`` break ties, so the order is total and the
+    cut deterministic) and keep rows until ``budget`` tokens are taken.
+    A row is kept iff its EXCLUSIVE cumulative token count starts inside
+    the budget — greedy-prefix semantics: the boundary row is included
+    and may overshoot by at most its own length (cap rows first if that
+    matters).
+
+    The global cumsum reuses :func:`~jobinsight_data_pipeline_spark.
+    operators.packing.pack_sequences`'s bucketed no-global-sort plan —
+    range-split by the order key, per-bucket window, broadcast offsets —
+    so the selection never collapses to one partition. With an integer
+    score (the classifier's micro-margin, a quantized LM score) the
+    whole decision is integer-exact.
+
+    Returns the kept rows with ``start_offset`` (tokens taken before
+    this row) attached; ``score_col`` rides through untouched."""
+    from jobinsight_data_pipeline_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    reserve_columns(df, ["_negscore", "start_offset"], "select_until_budget")
+    work = df.withColumn("_negscore", -F.col(score_col))
+    packed = pack_sequences(
+        work, tokens_col, int(budget), ["_negscore", *id_cols]
+    )
+    return packed.filter(F.col("start_offset") < int(budget)).drop(
+        "_negscore", "pack_id"
+    )

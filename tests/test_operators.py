@@ -1677,3 +1677,24 @@ def test_pagerank_quantized_matches_python_reference(spark):
     assert got == rank
     # dangling-free graph: total mass stays within rounding slack of scale
     assert abs(sum(got.values()) - scale) < n * 2
+
+
+def test_select_until_budget_greedy_prefix(spark):
+    """Best-score-first, boundary row included (starts inside budget),
+    next row excluded; ties break by id."""
+    from jobinsight_data_pipeline_spark.operators.sampling import (
+        select_until_budget,
+    )
+
+    rows = [
+        (1, 100, 40),   # 2nd: start 30
+        (2, 100, 30),   # 3rd (tie -> id): start 70, still < 80 -> kept
+        (3, 200, 30),   # best: start 0
+        (4, 50, 10),    # start 100 >= 80 -> dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, score long, n long")
+    got = {
+        r["doc_id"]: r["start_offset"]
+        for r in select_until_budget(df, "score", "n", 80, ["doc_id"]).collect()
+    }
+    assert got == {3: 0, 1: 30, 2: 70}
