@@ -2423,6 +2423,77 @@ FROM journal GROUP BY action
 """
 
 
+def q_date_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15 (functions/dates.daily_fact_dates) under a dedicated oracle:
+    every order fans a posted→due date range clamped to
+    [run−90d, run+180d], due derived per-key so the corpus exercises
+    both clamps AND the reversed-range empty branch. Output is the
+    array's summary (count + ISO endpoint strings — no ARRAY/DATE
+    columns cross the gate bridge)."""
+    import datetime as _dt
+
+    from jobinsight_data_pipeline_spark.functions.dates import (
+        daily_fact_dates,
+    )
+
+    t = load(spark, sf_dir, "orders")
+    due = F.date_add(
+        F.col("o_orderdate"),
+        (F.col("o_orderkey") % 400 - 100).cast("int"),
+    )
+    arr = daily_fact_dates(F.col("o_orderdate"), due, _dt.date(1998, 6, 1))
+    n = F.size(arr)
+    return t["orders"].select(
+        "o_orderkey",
+        n.alias("n_days"),
+        F.coalesce(
+            F.when(n > 0, F.date_format(F.element_at(arr, 1), "yyyy-MM-dd")),
+            F.lit(""),
+        ).alias("first_day"),
+        F.coalesce(
+            F.when(n > 0, F.date_format(F.element_at(arr, -1), "yyyy-MM-dd")),
+            F.lit(""),
+        ).alias("last_day"),
+    )
+
+
+def _date_clamp_oracle() -> str:
+    import datetime as _dt
+
+    epoch = _dt.date(1970, 1, 1)
+    lo = (_dt.date(1998, 6, 1) - _dt.timedelta(days=90) - epoch).days
+    hi = (_dt.date(1998, 6, 1) + _dt.timedelta(days=180) - epoch).days
+    day = "DATE '1970-01-01' + to_days(CAST({} AS INTEGER))"
+    return f"""
+WITH base AS (
+    SELECT o_orderkey,
+           (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS s_days,
+           (CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+               + (o_orderkey % 400 - 100) AS e_days
+    FROM orders
+),
+c AS (
+    SELECT o_orderkey,
+           greatest(s_days, {lo}) AS lo_d,
+           least(e_days, {hi}) AS hi_d
+    FROM base
+)
+SELECT o_orderkey,
+       CAST(CASE WHEN lo_d <= hi_d THEN hi_d - lo_d + 1 ELSE 0 END AS INTEGER)
+           AS n_days,
+       CASE WHEN lo_d <= hi_d
+            THEN strftime({day.format('lo_d')}, '%Y-%m-%d') ELSE '' END
+           AS first_day,
+       CASE WHEN lo_d <= hi_d
+            THEN strftime({day.format('hi_d')}, '%Y-%m-%d') ELSE '' END
+           AS last_day
+FROM c
+"""
+
+
+O_DATE_CLAMP = _date_clamp_oracle()
+
+
 BUDGET_TOKENS = 12_000
 
 
@@ -2927,6 +2998,7 @@ QUERIES = {
     "cdc_schema_evolution": q_cdc_schema_evolution,
     "pagerank": q_pagerank,
     "budget_select": q_budget_select,
+    "date_clamp": q_date_clamp,
     "pq_codes": q_pq_codes,
     "pq_adc_topk": q_pq_adc_topk,
     "ivf_pq_topk": q_ivf_pq_topk,
@@ -2983,6 +3055,7 @@ ORACLES = {
     "cdc_schema_evolution": O_CDC_SCHEMA_EVOLUTION,
     "pagerank": O_PAGERANK,
     "budget_select": O_BUDGET_SELECT,
+    "date_clamp": O_DATE_CLAMP,
     "pq_codes": O_PQ_CODES,
     "pq_adc_topk": O_PQ_ADC_TOPK,
     "ivf_pq_topk": O_IVF_PQ_TOPK,
