@@ -197,6 +197,16 @@ def main() -> None:
 
     cb = pq_codebooks()
     timings["pq_encode"] = timed(lambda: materialize(pq_encode(emb, cb)))
+    from jobinsight_data_pipeline_spark.operators.components import (
+        pagerank_quantized,
+    )
+
+    pr_edges = docs.selectExpr(
+        "doc_id AS src", "(doc_id * 3 + 1) % 97 AS dst"
+    ).unionAll(docs.selectExpr("doc_id AS src", "(doc_id * 7 + 2) % 97 AS dst"))
+    timings["pagerank"] = timed(
+        lambda: materialize(pagerank_quantized(pr_edges, iterations=5))
+    )
     qvec = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
     cents = unit_centroids(64, 16, seed=11)
     timings["ivf_pq_topk"] = timed(
