@@ -2423,6 +2423,68 @@ FROM journal GROUP BY action
 """
 
 
+def q_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release-to-release dataset diff (operators/packing.bucket_manifest
+    + manifest_diff): v2 drops every 17th doc and edits every 23rd, and
+    the bucket-level diff must light up exactly the touched md5 buckets
+    as 'changed' while the rest read 'unchanged'. The oracle replays
+    bucketing, bit_xor checksums, and the status join."""
+    from jobinsight_data_pipeline_spark.operators.packing import (
+        bucket_manifest,
+        manifest_diff,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    v1 = t["documents"].select("doc_id", "text")
+    v2 = (
+        t["documents"]
+        .filter(F.col("doc_id") % 17 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 23 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    m1 = bucket_manifest(v1, "doc_id", "text", buckets=16)
+    m2 = bucket_manifest(v2, "doc_id", "text", buckets=16)
+    return manifest_diff(m1, m2)
+
+
+O_DATASET_DIFF = """
+WITH v1 AS (SELECT doc_id, text FROM documents),
+v2 AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 23 = 0 THEN text || ' v2' ELSE text END AS text
+    FROM documents WHERE doc_id % 17 <> 0
+),
+m1 AS (
+    SELECT CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % 16 AS bucket,
+           count(*) AS n,
+           bit_xor(CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT)) AS c
+    FROM v1 GROUP BY 1
+),
+m2 AS (
+    SELECT CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % 16 AS bucket,
+           count(*) AS n,
+           bit_xor(CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT)) AS c
+    FROM v2 GROUP BY 1
+)
+SELECT coalesce(m1.bucket, m2.bucket) AS bucket,
+       CASE WHEN m1.bucket IS NULL THEN 'added'
+            WHEN m2.bucket IS NULL THEN 'removed'
+            WHEN m1.n <> m2.n OR m1.c <> m2.c THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       coalesce(m1.n, 0) AS n_rows_old,
+       coalesce(m2.n, 0) AS n_rows_new
+FROM m1 FULL OUTER JOIN m2 ON m1.bucket = m2.bucket
+"""
+
+
 def q_date_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F15 (functions/dates.daily_fact_dates) under a dedicated oracle:
     every order fans a posted→due date range clamped to
@@ -2999,6 +3061,7 @@ QUERIES = {
     "pagerank": q_pagerank,
     "budget_select": q_budget_select,
     "date_clamp": q_date_clamp,
+    "dataset_diff": q_dataset_diff,
     "pq_codes": q_pq_codes,
     "pq_adc_topk": q_pq_adc_topk,
     "ivf_pq_topk": q_ivf_pq_topk,
@@ -3056,6 +3119,7 @@ ORACLES = {
     "pagerank": O_PAGERANK,
     "budget_select": O_BUDGET_SELECT,
     "date_clamp": O_DATE_CLAMP,
+    "dataset_diff": O_DATASET_DIFF,
     "pq_codes": O_PQ_CODES,
     "pq_adc_topk": O_PQ_ADC_TOPK,
     "ivf_pq_topk": O_IVF_PQ_TOPK,

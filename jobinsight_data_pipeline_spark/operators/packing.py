@@ -214,3 +214,70 @@ def materialize_packs(
             ordered_collect("seq_pos", "_tid").alias("ids"),
         )
     )
+
+
+def bucket_manifest(
+    df: DataFrame,
+    key_col: str,
+    content_col: str,
+    buckets: int = 256,
+    salt: str = "",
+) -> DataFrame:
+    """Append-STABLE dataset manifest: rows group by their key's
+    engine-portable md5 bucket (never by rank), so editing one document
+    perturbs exactly one bucket's (count, checksum) — the property that
+    makes two corpus versions DIFFABLE. :func:`shard_manifest`'s
+    rank-based shards shift wholesale when a row is inserted; use that
+    for pinning a frozen release, this for comparing releases.
+
+    One partial-aggregating groupBy on a bounded key space. Returns
+    (bucket, n_rows, content_checksum) — bit_xor over 8-hex md5 row
+    prefixes, order-insensitive and engine-portable."""
+    from jobinsight_data_pipeline_spark.operators.sampling import hash_bucket
+
+    chk = F.conv(
+        F.substring(F.md5(F.col(content_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    return (
+        df.withColumn("bucket", hash_bucket(F.col(key_col), buckets, salt))
+        .withColumn("_chk", chk)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.bit_xor("_chk").alias("content_checksum"),
+        )
+    )
+
+
+def manifest_diff(a: DataFrame, b: DataFrame, key_col: str = "bucket") -> DataFrame:
+    """Diff two manifests (old ``a`` → new ``b``): full-outer join on the
+    bucket/shard id, status per bucket — ``added`` (only in b),
+    ``removed`` (only in a), ``changed`` (count or checksum moved),
+    ``unchanged``. The release-verification step: after re-materializing
+    a dataset version, everything must read ``unchanged``; after an
+    incremental update, exactly the touched buckets read ``changed``."""
+    fa = a.select(
+        F.col(key_col),
+        F.col("n_rows").alias("_na"),
+        F.col("content_checksum").alias("_ca"),
+    )
+    fb = b.select(
+        F.col(key_col),
+        F.col("n_rows").alias("_nb"),
+        F.col("content_checksum").alias("_cb"),
+    )
+    status = (
+        F.when(F.col("_na").isNull(), F.lit("added"))
+        .when(F.col("_nb").isNull(), F.lit("removed"))
+        .when(
+            (F.col("_na") != F.col("_nb")) | (F.col("_ca") != F.col("_cb")),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("unchanged"))
+    )
+    return fa.join(fb, key_col, "full_outer").select(
+        key_col,
+        status.alias("status"),
+        F.coalesce("_na", F.lit(0)).alias("n_rows_old"),
+        F.coalesce("_nb", F.lit(0)).alias("n_rows_new"),
+    )

@@ -1698,3 +1698,50 @@ def test_select_until_budget_greedy_prefix(spark):
         for r in select_until_budget(df, "score", "n", 80, ["doc_id"]).collect()
     }
     assert got == {3: 0, 1: 30, 2: 70}
+
+
+def test_manifest_diff_all_four_statuses(spark):
+    from jobinsight_data_pipeline_spark.operators.packing import manifest_diff
+
+    a = spark.createDataFrame(
+        [(0, 5, 111), (1, 3, 222), (2, 4, 333)],
+        "bucket long, n_rows long, content_checksum long",
+    )
+    b = spark.createDataFrame(
+        [(0, 5, 111), (1, 3, 999), (3, 2, 444)],
+        "bucket long, n_rows long, content_checksum long",
+    )
+    got = {
+        r["bucket"]: (r["status"], r["n_rows_old"], r["n_rows_new"])
+        for r in manifest_diff(a, b).collect()
+    }
+    assert got == {
+        0: ("unchanged", 5, 5),
+        1: ("changed", 3, 3),
+        2: ("removed", 4, 0),
+        3: ("added", 0, 2),
+    }
+
+
+def test_bucket_manifest_append_stability(spark):
+    """Adding one row must change exactly ONE bucket's manifest entry —
+    the property rank-based shard_manifest cannot offer."""
+    from jobinsight_data_pipeline_spark.operators.packing import (
+        bucket_manifest,
+        manifest_diff,
+    )
+
+    v1 = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(50)], "doc_id long, text string"
+    )
+    v2 = v1.unionAll(
+        spark.createDataFrame([(999, "new doc")], "doc_id long, text string")
+    )
+    diff = manifest_diff(
+        bucket_manifest(v1, "doc_id", "text", buckets=8),
+        bucket_manifest(v2, "doc_id", "text", buckets=8),
+    ).collect()
+    changed = [r for r in diff if r["status"] != "unchanged"]
+    assert len(changed) == 1
+    assert changed[0]["status"] in ("changed", "added")
+    assert changed[0]["n_rows_new"] == changed[0]["n_rows_old"] + 1
