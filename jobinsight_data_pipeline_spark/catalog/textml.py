@@ -2423,6 +2423,85 @@ FROM journal GROUP BY action
 """
 
 
+def q_posted_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12 (functions/text.posted_time_from_last_update) under a
+    dedicated oracle: derive every unit's relative-time phrase (plus the
+    empty-string zero branch) per order key, subtract from a fixed NTZ
+    as_of, and emit epoch-microsecond BIGINTs (the no-timestamp-on-the-
+    bridge rule). The oracle recomputes seconds per unit table and
+    subtracts from the same literal epoch."""
+    t = load(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    unit = (
+        F.when(key % 6 == 0, F.lit("tháng"))
+        .when(key % 6 == 1, F.lit("tuần"))
+        .when(key % 6 == 2, F.lit("ngày"))
+        .when(key % 6 == 3, F.lit("giờ"))
+        .when(key % 6 == 4, F.lit("phút"))
+        .otherwise(F.lit("giây"))
+    )
+    lu = F.when(key % 97 == 0, F.lit("")).otherwise(
+        F.concat((key % 59 + 1).cast("string"), F.lit(" "), unit, F.lit(" trước"))
+    )
+    from jobinsight_data_pipeline_spark.functions.text import (
+        posted_time_from_last_update,
+    )
+
+    as_of = F.expr("TIMESTAMP_NTZ '1998-06-01 12:00:00'")
+    return (
+        t["orders"]
+        .select("o_orderkey", lu.alias("last_update"))
+        .withColumn(
+            "_posted", posted_time_from_last_update(F.col("last_update"), as_of)
+        )
+        .select(
+            "o_orderkey",
+            "last_update",
+            F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+                " _posted)"
+            ).alias("posted_us"),
+        )
+    )
+
+
+def _posted_time_oracle() -> str:
+    import datetime as _dt
+
+    base_us = int(
+        (_dt.datetime(1998, 6, 1, 12) - _dt.datetime(1970, 1, 1)).total_seconds()
+        * 1_000_000
+    )
+    return f"""
+WITH base AS (
+    SELECT o_orderkey,
+           CASE o_orderkey % 6
+               WHEN 0 THEN 'tháng' WHEN 1 THEN 'tuần' WHEN 2 THEN 'ngày'
+               WHEN 3 THEN 'giờ' WHEN 4 THEN 'phút' ELSE 'giây' END AS unit,
+           o_orderkey % 59 + 1 AS n
+    FROM orders
+),
+rows_ AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 97 = 0 THEN ''
+                ELSE CAST(n AS VARCHAR) || ' ' || unit || ' trước' END
+               AS last_update,
+           CASE WHEN o_orderkey % 97 = 0 THEN 0
+                ELSE n * CASE unit
+                    WHEN 'tháng' THEN 2592000 WHEN 'tuần' THEN 604800
+                    WHEN 'ngày' THEN 86400 WHEN 'giờ' THEN 3600
+                    WHEN 'phút' THEN 60 ELSE 1 END END AS secs
+    FROM base
+)
+SELECT o_orderkey, last_update,
+       CAST({base_us} - secs * 1000000 AS BIGINT) AS posted_us
+FROM rows_
+"""
+
+
+O_POSTED_TIME = _posted_time_oracle()
+
+
 def q_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Release-to-release dataset diff (operators/packing.bucket_manifest
     + manifest_diff): v2 drops every 17th doc and edits every 23rd, and
@@ -3062,6 +3141,7 @@ QUERIES = {
     "budget_select": q_budget_select,
     "date_clamp": q_date_clamp,
     "dataset_diff": q_dataset_diff,
+    "posted_time": q_posted_time,
     "pq_codes": q_pq_codes,
     "pq_adc_topk": q_pq_adc_topk,
     "ivf_pq_topk": q_ivf_pq_topk,
@@ -3120,6 +3200,7 @@ ORACLES = {
     "budget_select": O_BUDGET_SELECT,
     "date_clamp": O_DATE_CLAMP,
     "dataset_diff": O_DATASET_DIFF,
+    "posted_time": O_POSTED_TIME,
     "pq_codes": O_PQ_CODES,
     "pq_adc_topk": O_PQ_ADC_TOPK,
     "ivf_pq_topk": O_IVF_PQ_TOPK,
