@@ -58,3 +58,54 @@ def salted_join(
     ).withColumn("_salt", F.col("_salt").cast(l_salted.schema["_salt"].dataType))
     joined = l_salted.join(r_salted, keys + ["_salt"], how)
     return joined.drop("_salt")
+
+
+#: hard cap on the isolated hot-key list — it is driver-collected and
+#: broadcast, so it must stay bounded by construction
+MAX_ISOLATED_HOT_KEYS = 10_000
+
+
+def skew_isolated_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    min_count: int = 1_000_000,
+    sample_fraction: float | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """The OTHER classic skew strategy: isolate the hot keys instead of
+    salting everything. Hot keys (detected with :func:`hot_keys`, on a
+    sample when ``sample_fraction`` is set — always sample at real
+    scale) are driver-collected (bounded: > ``MAX_ISOLATED_HOT_KEYS``
+    raises — a "hot list" that big means the threshold is wrong), the
+    right side's matching sliver broadcasts, and only the cold majority
+    takes the shuffle join. Unlike :func:`salted_join` the right side is
+    never replicated ×buckets, so it works with arbitrarily large right
+    sides; unlike AQE's skew split it also fixes the single-key
+    build-side explosion AQE cannot (AQE splits the probe side only).
+
+    ``how`` supports inner/left (the hot/cold split of the LEFT side is
+    exhaustive, so the union re-assembles exactly). Falls back to the
+    plain join when no key crosses the threshold.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"skew_isolated_join supports inner/left, got {how!r}")
+    src = left.sample(sample_fraction) if sample_fraction else left
+    hot = hot_keys(src, keys, min_count).select(*keys)
+    hot_rows = hot.limit(MAX_ISOLATED_HOT_KEYS + 1).collect()
+    if len(hot_rows) > MAX_ISOLATED_HOT_KEYS:
+        raise ValueError(
+            f"skew_isolated_join: > {MAX_ISOLATED_HOT_KEYS} hot keys at "
+            f"min_count={min_count}; raise the threshold (a list that big "
+            "is not 'hot keys', it is the data)"
+        )
+    if not hot_rows:
+        return left.join(right, keys, how)
+    spark = left.sparkSession
+    marks = F.broadcast(spark.createDataFrame(hot_rows, hot.schema))
+    left_hot = left.join(marks, keys, "left_semi")
+    left_cold = left.join(marks, keys, "left_anti")
+    right_hot = right.join(marks, keys, "left_semi")
+    part_hot = left_hot.join(F.broadcast(right_hot), keys, how)
+    part_cold = left_cold.join(right, keys, how)
+    return part_hot.unionByName(part_cold)

@@ -385,3 +385,37 @@ def test_pq_paths_scan_fused(spark):
     plan = physical_plan(top)
     assert "TakeOrderedAndProject" in plan
     assert "Join" not in plan
+
+
+def test_skew_isolated_join_equivalence_and_shape(spark):
+    """Hot-key isolation must return exactly the plain join's rows, put
+    the hot sliver on a broadcast join, and fall back cleanly when
+    nothing is hot."""
+    from jobinsight_data_pipeline_spark.operators.skew import (
+        skew_isolated_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, i) for i in range(500)] + [(k, 0) for k in range(2, 30)],
+        "k int, payload int",
+    )
+    right = spark.createDataFrame(
+        [(k, f"dim{k}") for k in range(1, 30)], "k string, attr string"
+    ).selectExpr("CAST(k AS INT) AS k", "attr")
+    plain = left.join(right, ["k"]).select("k", "payload", "attr")
+    iso = skew_isolated_join(left, right, ["k"], min_count=100).select(
+        "k", "payload", "attr"
+    )
+    assert plain.exceptAll(iso).count() == 0
+    assert iso.exceptAll(plain).count() == 0
+    assert "BroadcastHashJoin" in physical_plan(iso)
+
+    # left join keeps unmatched left rows exactly once
+    lbig = left.unionAll(spark.createDataFrame([(99, 7)], "k int, payload int"))
+    iso_l = skew_isolated_join(lbig, right, ["k"], min_count=100, how="left")
+    plain_l = lbig.join(right, ["k"], "left")
+    assert iso_l.count() == plain_l.count()
+
+    # nothing hot -> plain join fallback
+    cold = skew_isolated_join(left.filter("k > 1"), right, ["k"], min_count=100)
+    assert cold.count() == left.filter("k > 1").join(right, ["k"]).count()
