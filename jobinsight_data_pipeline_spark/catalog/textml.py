@@ -2423,6 +2423,42 @@ FROM journal GROUP BY action
 """
 
 
+def q_incremental_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 (plans/raw_to_staging.incremental_batch) under a dedicated
+    oracle: consume only rows inside the lookback window
+    (crawled_at ≥ last_etl − 7d). Events stand in for staging; the NTZ→
+    LTZ cast is the stream_dedup-sanctioned exception (Asia/Ho_Chi_Minh
+    is fixed-offset, and no timestamp-derived column reaches the
+    output — per-type counts and id ranges only)."""
+    import datetime as _dt
+
+    from jobinsight_data_pipeline_spark.plans.raw_to_staging import (
+        incremental_batch,
+    )
+
+    t = load(spark, sf_dir, "events")
+    staging = t["events"].withColumn(
+        "crawled_at", F.col("ts").cast("timestamp")
+    )
+    windowed = incremental_batch(
+        staging, _dt.datetime(2024, 1, 25), lookback_days=7
+    )
+    return windowed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
+
+
+O_INCREMENTAL_WINDOW = """
+SELECT event_type, count(*) AS n_events,
+       min(event_id) AS min_id, max(event_id) AS max_id
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-18 00:00:00'
+GROUP BY event_type
+"""
+
+
 def q_posted_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F12 (functions/text.posted_time_from_last_update) under a
     dedicated oracle: derive every unit's relative-time phrase (plus the
@@ -3142,6 +3178,7 @@ QUERIES = {
     "date_clamp": q_date_clamp,
     "dataset_diff": q_dataset_diff,
     "posted_time": q_posted_time,
+    "incremental_window": q_incremental_window,
     "pq_codes": q_pq_codes,
     "pq_adc_topk": q_pq_adc_topk,
     "ivf_pq_topk": q_ivf_pq_topk,
@@ -3201,6 +3238,7 @@ ORACLES = {
     "date_clamp": O_DATE_CLAMP,
     "dataset_diff": O_DATASET_DIFF,
     "posted_time": O_POSTED_TIME,
+    "incremental_window": O_INCREMENTAL_WINDOW,
     "pq_codes": O_PQ_CODES,
     "pq_adc_topk": O_PQ_ADC_TOPK,
     "ivf_pq_topk": O_IVF_PQ_TOPK,
