@@ -2423,6 +2423,78 @@ FROM journal GROUP BY action
 """
 
 
+LOCATION_PAIRS_FIXTURE = [
+    (1, ["Hà Nội:Cầu Giấy", "HCM:Quận 1"], "Hà Nội & HCM"),
+    (2, [], "Hà Nội │ Cầu Giấy, Đống Đa"),
+    (3, None, "HCM │ Quận 1, Quận 3"),
+    (4, None, "HCM │ "),
+    (5, None, "Đà Nẵng"),
+    (6, None, None),
+    (7, None, "   "),
+    (8, None, "│ Tân Bình"),
+]
+
+
+def q_location_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 (functions/location.location_pairs_from_fields) over a
+    literal fixture covering every branch: pairs-present passthrough,
+    empty/NULL pairs with bar-decomposed location, empty district tail,
+    plain location, NULL/blank location, empty city. Arrays join to '|'
+    scalars at the projection boundary (no ARRAY on the bridge)."""
+    from jobinsight_data_pipeline_spark.functions.location import (
+        location_pairs_from_fields,
+    )
+
+    df = spark.createDataFrame(
+        LOCATION_PAIRS_FIXTURE, "id long, pairs array<string>, loc string"
+    )
+    out = location_pairs_from_fields(F.col("pairs"), F.col("loc"))
+    return df.select("id", F.array_join(out, "|").alias("pairs_joined"))
+
+
+def _location_pairs_oracle() -> str:
+    def lit_row(i, pairs, loc):
+        p = (
+            "CAST(NULL AS VARCHAR[])"
+            if pairs is None
+            else "[" + ",".join("'" + x + "'" for x in pairs) + "]"
+        )
+        l = "CAST(NULL AS VARCHAR)" if loc is None else "'" + loc + "'"
+        return f"({i}, {p}, {l})"
+
+    values = ",\n    ".join(lit_row(*r) for r in LOCATION_PAIRS_FIXTURE)
+    return f"""
+WITH t(id, pairs, loc) AS (VALUES
+    {values}
+),
+calc AS (
+    SELECT id, loc, pairs, trim(loc) AS lt,
+           trim(split_part(trim(loc), '│', 1)) AS city,
+           trim(substr(trim(loc), instr(trim(loc), '│') + 1)) AS rest
+    FROM t
+),
+res AS (
+    SELECT id,
+           CASE
+               WHEN pairs IS NOT NULL AND len(pairs) > 0 THEN pairs
+               WHEN loc IS NULL OR lt = '' THEN CAST([] AS VARCHAR[])
+               WHEN instr(lt, '│') > 0 THEN
+                   list_filter(
+                       list_transform(string_split(rest, ','),
+                           d -> CASE WHEN trim(d) <> ''
+                                     THEN city || ':' || trim(d) END),
+                       x -> x IS NOT NULL)
+               ELSE [lt]
+           END AS out
+    FROM calc
+)
+SELECT id, coalesce(array_to_string(out, '|'), '') AS pairs_joined FROM res
+"""
+
+
+O_LOCATION_PAIRS = _location_pairs_oracle()
+
+
 def q_incremental_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3 (plans/raw_to_staging.incremental_batch) under a dedicated
     oracle: consume only rows inside the lookback window
@@ -3179,6 +3251,7 @@ QUERIES = {
     "dataset_diff": q_dataset_diff,
     "posted_time": q_posted_time,
     "incremental_window": q_incremental_window,
+    "location_pairs_fallback": q_location_pairs,
     "pq_codes": q_pq_codes,
     "pq_adc_topk": q_pq_adc_topk,
     "ivf_pq_topk": q_ivf_pq_topk,
@@ -3239,6 +3312,7 @@ ORACLES = {
     "dataset_diff": O_DATASET_DIFF,
     "posted_time": O_POSTED_TIME,
     "incremental_window": O_INCREMENTAL_WINDOW,
+    "location_pairs_fallback": O_LOCATION_PAIRS,
     "pq_codes": O_PQ_CODES,
     "pq_adc_topk": O_PQ_ADC_TOPK,
     "ivf_pq_topk": O_IVF_PQ_TOPK,
