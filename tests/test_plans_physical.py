@@ -419,3 +419,34 @@ def test_skew_isolated_join_equivalence_and_shape(spark):
     # nothing hot -> plain join fallback
     cold = skew_isolated_join(left.filter("k > 1"), right, ["k"], min_count=100)
     assert cold.count() == left.filter("k > 1").join(right, ["k"]).count()
+
+
+def test_bm25_index_bucketed_postings_prune_and_group_locally(spark):
+    """The ad-hoc BM25 story at scale: postings persisted bucketed+sorted
+    by term answer a query with the term filter REACHING the scan and no
+    extra exchange for the per-term aggregations beyond the final doc
+    grouping."""
+    from jobinsight_data_pipeline_spark.operators.ranking import (
+        bm25_topk_indexed,
+        build_inverted_index,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    postings, lens = build_inverted_index(docs)
+    try:
+        from jobinsight_data_pipeline_spark.operators.bucketing import (
+            read_table,
+            write_bucketed,
+        )
+
+        write_bucketed(postings, "postings_b", ["term"], 8, sort_cols=["term"])
+        pb = read_table(spark, "postings_b")
+        top = bm25_topk_indexed(pb, lens, ["spark", "vector"], k=5)
+        plan = physical_plan(top)
+        # the term filter is applied at/next to the bucketed scan, and
+        # the pivot still heap-selects top-k
+        assert "TakeOrderedAndProject" in plan
+        assert "term" in plan and "IN (spark,vector)" in plan.replace("'", "")
+        assert top.count() == 5
+    finally:
+        spark.sql("DROP TABLE IF EXISTS postings_b")
