@@ -2423,6 +2423,76 @@ FROM journal GROUP BY action
 """
 
 
+NORMALIZE_FIXTURE = [
+    (1, "Café au lait"),          # decomposed é → precomposed
+    (2, "line1\r\nline2\rline3"),       # CRLF + bare CR → LF
+    (3, "ha\xa0noi"),                   # NBSP → space
+    (4, "a​b‌c﻿d"),      # zero-widths stripped
+    (5, "ctrl\x00\x07\x1f end\ttab"),   # controls stripped, tab kept
+    (6, ""),
+    (7, None),
+    (8, "đã chuẩn hoá rồi"),            # already-NFC Vietnamese
+]
+
+
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode normalization (operators/textstats.normalize_text_py +
+    Arrow-batched UDF) over a fixture covering NFC composition, CRLF/CR
+    folding, NBSP, zero-width strip, control strip, empties, and
+    already-normal text. DuckDB replays the SAME chain with its
+    nfc_normalize (both implement the Unicode standard; agreement
+    spot-verified for these classes) — a divergent UDF, a reordered
+    replace, or a dropped class fails the hash."""
+    from jobinsight_data_pipeline_spark.operators.textstats import (
+        normalize_text_udf,
+    )
+
+    df = spark.createDataFrame(NORMALIZE_FIXTURE, "id long, raw string")
+    norm = normalize_text_udf()
+    return df.select(
+        "id", F.coalesce(norm(F.col("raw")), F.lit("<null>")).alias("normed")
+    )
+
+
+def _normalize_oracle() -> str:
+    def lit(s):
+        # controls/CRs/NULs cannot sit raw in SQL source — render every
+        # string as a chr() concatenation, unambiguous on any parser
+        if s is None:
+            return "CAST(NULL AS VARCHAR)"
+        if s == "":
+            return "''"
+        return " || ".join(f"chr({ord(c)})" for c in s)
+
+    values = ",\n    ".join(
+        f"({i}, {lit(s)})" for i, s in NORMALIZE_FIXTURE
+    )
+    zw = "".join(f"\\x{{{ord(c):04x}}}" for c in "​‌‍﻿")
+    ctl = "\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f"
+    return f"""
+WITH t(id, raw) AS (VALUES
+    {values}
+),
+n AS (
+    SELECT id,
+           regexp_replace(
+               regexp_replace(
+                   replace(
+                       replace(replace(nfc_normalize(raw),
+                                       chr(13) || chr(10), chr(10)),
+                               chr(13), chr(10)),
+                       chr(160), ' '),
+                   '[{zw}]', '', 'g'),
+               '[{ctl}]', '', 'g') AS normed
+    FROM t
+)
+SELECT id, coalesce(normed, '<null>') AS normed FROM n
+"""
+
+
+O_NORMALIZE_TEXT = _normalize_oracle()
+
+
 LOCATION_PAIRS_FIXTURE = [
     (1, ["Hà Nội:Cầu Giấy", "HCM:Quận 1"], "Hà Nội & HCM"),
     (2, [], "Hà Nội │ Cầu Giấy, Đống Đa"),
@@ -3252,6 +3322,7 @@ QUERIES = {
     "posted_time": q_posted_time,
     "incremental_window": q_incremental_window,
     "location_pairs_fallback": q_location_pairs,
+    "normalize_text": q_normalize_text,
     "pq_codes": q_pq_codes,
     "pq_adc_topk": q_pq_adc_topk,
     "ivf_pq_topk": q_ivf_pq_topk,
@@ -3313,6 +3384,7 @@ ORACLES = {
     "posted_time": O_POSTED_TIME,
     "incremental_window": O_INCREMENTAL_WINDOW,
     "location_pairs_fallback": O_LOCATION_PAIRS,
+    "normalize_text": O_NORMALIZE_TEXT,
     "pq_codes": O_PQ_CODES,
     "pq_adc_topk": O_PQ_ADC_TOPK,
     "ivf_pq_topk": O_IVF_PQ_TOPK,

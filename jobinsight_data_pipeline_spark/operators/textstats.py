@@ -793,3 +793,54 @@ def top_ngrams(
         .orderBy(F.desc("n_occurrences"), F.asc("gram"))
         .limit(k)
     )
+
+
+# --- Unicode text normalization (the honest pandas-UDF exception) ----------
+
+#: zero-width characters stripped outright (joiners, BOM-as-ZWNBSP)
+_ZERO_WIDTH = "​‌‍﻿"
+#: C0/C1-ish controls removed; \t and \n survive (layout), \r is folded
+#: into \n beforehand
+_CONTROLS = (
+    "".join(chr(c) for c in range(0x00, 0x09))
+    + "\x0b\x0c"
+    + "".join(chr(c) for c in range(0x0e, 0x20))
+    + "\x7f"
+)
+
+
+def normalize_text_py(s: str | None) -> str | None:
+    """Pure-Python core (shared with the Arrow-batched UDF, testable
+    without Spark): NFC-compose, fold CRLF/CR to LF, NBSP to space,
+    strip zero-width characters and controls (keeping tab/newline).
+    Order matters and is part of the contract — NFC first, so
+    composition sees original sequences; the catalog oracle replays the
+    same chain with DuckDB's nfc_normalize."""
+    import unicodedata
+
+    if s is None:
+        return None
+    out = unicodedata.normalize("NFC", s)
+    out = out.replace("\r\n", "\n").replace("\r", "\n")
+    out = out.replace("\xa0", " ")
+    for ch in _ZERO_WIDTH:
+        out = out.replace(ch, "")
+    for ch in _CONTROLS:
+        out = out.replace(ch, "")
+    return out
+
+
+def normalize_text_udf():
+    """Arrow-batched pandas UDF for :func:`normalize_text_py` — Unicode
+    normalization has no JVM builtin in Spark, so this is one of the
+    sanctioned pandas-UDF exceptions (vectorized batches, scan-fused
+    stage; the per-row work is tiny and embarrassingly parallel)."""
+    from pyspark.sql.types import StringType
+
+    def _norm(texts):
+        return texts.map(normalize_text_py)
+
+    # non-decorator form: the module's `from __future__ import
+    # annotations` would leave a decorated signature's 'pd.Series'
+    # annotations unresolvable strings
+    return F.pandas_udf(_norm, StringType())

@@ -1745,3 +1745,22 @@ def test_bucket_manifest_append_stability(spark):
     assert len(changed) == 1
     assert changed[0]["status"] in ("changed", "added")
     assert changed[0]["n_rows_new"] == changed[0]["n_rows_old"] + 1
+
+
+def test_normalize_text_core_branches():
+    """Pure-Python normalization core, no Spark needed: NFC composition,
+    CR folding, NBSP, zero-width strip, control strip, None/empty."""
+    import unicodedata
+
+    from jobinsight_data_pipeline_spark.operators.textstats import (
+        normalize_text_py,
+    )
+
+    dec = "éclair"  # decomposed é
+    assert normalize_text_py(dec) == unicodedata.normalize("NFC", dec)
+    assert normalize_text_py("a\r\nb\rc") == "a\nb\nc"
+    assert normalize_text_py("x\xa0y") == "x y"
+    assert normalize_text_py("a​b﻿c") == "abc"
+    assert normalize_text_py("k\x00\x07\x1fe\tep\n") == "ke\tep\n"
+    assert normalize_text_py("") == ""
+    assert normalize_text_py(None) is None
