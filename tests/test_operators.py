@@ -1764,3 +1764,29 @@ def test_normalize_text_core_branches():
     assert normalize_text_py("k\x00\x07\x1fe\tep\n") == "ke\tep\n"
     assert normalize_text_py("") == ""
     assert normalize_text_py(None) is None
+
+
+def test_dedup_paragraphs_idempotent(spark):
+    """Re-running keep-first dedup on its own output is a no-op: every
+    surviving paragraph is already the global first of its hash."""
+    import random
+
+    from jobinsight_data_pipeline_spark.operators.textstats import (
+        dedup_paragraphs,
+    )
+
+    rng = random.Random(13)
+    pool = [f"line {i}" for i in range(10)]
+    docs = [
+        (i, "\n".join(rng.choice(pool) for _ in range(rng.randint(1, 6))))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    once = dedup_paragraphs(df, mode="keep_first").select("doc_id", "text")
+    twice = dedup_paragraphs(once, mode="keep_first").select("doc_id", "text")
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+    n2 = {
+        r["doc_id"]: r["n_dropped"]
+        for r in dedup_paragraphs(once, mode="keep_first").collect()
+    }
+    assert all(v == 0 for v in n2.values())

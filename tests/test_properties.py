@@ -575,3 +575,20 @@ SELECT prob FROM probs"""
     for p in probs:
         frac = (math.log(p) * 1e6) % 1.0
         assert min(frac, 1.0 - frac) > 1e-7, (p, frac)
+
+
+@given(text_strategy)
+@settings(max_examples=200, deadline=None)
+def test_normalize_text_idempotent_and_clean(s):
+    """normalize(normalize(x)) == normalize(x), and the output never
+    contains CR, NBSP, zero-width, or stripped-control characters."""
+    from jobinsight_data_pipeline_spark.operators.textstats import (
+        _CONTROLS,
+        _ZERO_WIDTH,
+        normalize_text_py,
+    )
+
+    out = normalize_text_py(s)
+    assert normalize_text_py(out) == out
+    banned = set("\r\xa0") | set(_ZERO_WIDTH) | set(_CONTROLS)
+    assert not (set(out) & banned), repr(out)
