@@ -45,10 +45,15 @@ def probes(spark, sf_dir):
     )
     from jobinsight_data_pipeline_spark.operators.packing import shuffle_shard
     from jobinsight_data_pipeline_spark.operators.sampling import mixture_sample
+    from jobinsight_data_pipeline_spark.operators.components import (
+        pagerank_quantized as _pagerank,
+    )
     from jobinsight_data_pipeline_spark.operators.similarity import (
+        ivf_pq_topk as _ivf_pq_topk,
         lsh_cosine_near_pairs,
         pq_codebooks as _pq_codebooks,
         pq_encode as _pq_encode,
+        unit_centroids as _unit_centroids,
         semantic_dedup,
         unit_centroids,
     )
@@ -106,6 +111,21 @@ def probes(spark, sf_dir):
         ),
         "bigram_lm (integer-exact)": lambda: _bigram_logprob(docs, "doc_id"),
         "pq_encode (scan-fused)": lambda: _pq_encode(emb, _pq_codebooks()),
+        "pagerank (5 iter, integer)": lambda: _pagerank(
+            docs.selectExpr("doc_id AS src", "(doc_id * 3 + 1) % 97 AS dst")
+            .unionAll(
+                docs.selectExpr("doc_id AS src", "(doc_id * 7 + 2) % 97 AS dst")
+            ),
+            iterations=5,
+        ),
+        "ivf_pq_topk (cells + ADC)": lambda: _ivf_pq_topk(
+            emb,
+            [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]],
+            _unit_centroids(64, 16, seed=11),
+            _pq_codebooks(),
+            k=10,
+            n_probe=4,
+        ),
     }
 
 
