@@ -2432,6 +2432,9 @@ NORMALIZE_FIXTURE = [
     (6, ""),
     (7, None),
     (8, "đã chuẩn hoá rồi"),            # already-NFC Vietnamese
+    # ZWNJ between base and combining mark: the strip exposes e+U+0301
+    # which the FINAL NFC pass must compose to é (idempotence fix)
+    (9, "e‌́ zwnj"),
 ]
 
 
@@ -2469,21 +2472,25 @@ def _normalize_oracle() -> str:
     )
     zw = "".join(f"\\x{{{ord(c):04x}}}" for c in "​‌‍﻿")
     ctl = "\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f"
+    # mirror normalize_text_py exactly: folds + strips first,
+    # nfc_normalize OUTERMOST (the idempotence fix — a stripped
+    # zero-width may expose a base+combining pair that must compose)
     return f"""
 WITH t(id, raw) AS (VALUES
     {values}
 ),
 n AS (
     SELECT id,
-           regexp_replace(
+           nfc_normalize(
                regexp_replace(
-                   replace(
-                       replace(replace(nfc_normalize(raw),
-                                       chr(13) || chr(10), chr(10)),
-                               chr(13), chr(10)),
-                       chr(160), ' '),
-                   '[{zw}]', '', 'g'),
-               '[{ctl}]', '', 'g') AS normed
+                   regexp_replace(
+                       replace(
+                           replace(replace(raw,
+                                           chr(13) || chr(10), chr(10)),
+                                   chr(13), chr(10)),
+                           chr(160), ' '),
+                       '[{zw}]', '', 'g'),
+                   '[{ctl}]', '', 'g')) AS normed
     FROM t
 )
 SELECT id, coalesce(normed, '<null>') AS normed FROM n

@@ -250,4 +250,12 @@ def pagerank_quantized(
         if r_is_checkpointed:
             _free_local_checkpoint(r)
         r, r_is_checkpointed = new_r, True
+    # the returned frame's lineage is truncated at its own checkpoint,
+    # so the nodes/edges scaffolding blocks are no longer reachable —
+    # free them instead of pinning storage for the rest of the session
+    # (iterations=0 returns the un-checkpointed init frame, which still
+    # reads nodes — keep its blocks in that case)
+    if r_is_checkpointed:
+        _free_local_checkpoint(nodes)
+        _free_local_checkpoint(e)
     return r

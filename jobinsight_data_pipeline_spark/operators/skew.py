@@ -87,11 +87,25 @@ def skew_isolated_join(
     ``how`` supports inner/left (the hot/cold split of the LEFT side is
     exhaustive, so the union re-assembles exactly). Falls back to the
     plain join when no key crosses the threshold.
+
+    When ``sample_fraction`` is set, the detection threshold is scaled
+    to the sample (``max(1, ceil(min_count * sample_fraction))``) so a
+    key must exceed its *expected sampled* count, not the full-scale
+    count, and the sample is seeded — plan choice is deterministic
+    across runs. Join RESULTS are identical either way; only which
+    physical strategy handles each key can differ.
     """
+    import math
+
     if how not in ("inner", "left"):
         raise ValueError(f"skew_isolated_join supports inner/left, got {how!r}")
-    src = left.sample(sample_fraction) if sample_fraction else left
-    hot = hot_keys(src, keys, min_count).select(*keys)
+    if sample_fraction:
+        src = left.sample(fraction=sample_fraction, seed=42)
+        threshold = max(1, math.ceil(min_count * sample_fraction))
+    else:
+        src = left
+        threshold = min_count
+    hot = hot_keys(src, keys, threshold).select(*keys)
     hot_rows = hot.limit(MAX_ISOLATED_HOT_KEYS + 1).collect()
     if len(hot_rows) > MAX_ISOLATED_HOT_KEYS:
         raise ValueError(

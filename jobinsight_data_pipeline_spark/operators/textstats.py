@@ -811,23 +811,25 @@ _CONTROLS = (
 
 def normalize_text_py(s: str | None) -> str | None:
     """Pure-Python core (shared with the Arrow-batched UDF, testable
-    without Spark): NFC-compose, fold CRLF/CR to LF, NBSP to space,
-    strip zero-width characters and controls (keeping tab/newline).
-    Order matters and is part of the contract — NFC first, so
-    composition sees original sequences; the catalog oracle replays the
-    same chain with DuckDB's nfc_normalize."""
+    without Spark): fold CRLF/CR to LF, NBSP to space, strip zero-width
+    characters and controls (keeping tab/newline), then NFC-compose as
+    the FINAL step. Order matters and is part of the contract — NFC
+    last guarantees idempotence and an NFC-composed output even when a
+    stripped zero-width originally separated a base from its combining
+    mark (e.g. ``e + ZWNJ + U+0301`` → ``é``, not decomposed ``e``
+    + U+0301); the catalog oracle replays the same chain with DuckDB's
+    nfc_normalize outermost."""
     import unicodedata
 
     if s is None:
         return None
-    out = unicodedata.normalize("NFC", s)
-    out = out.replace("\r\n", "\n").replace("\r", "\n")
+    out = s.replace("\r\n", "\n").replace("\r", "\n")
     out = out.replace("\xa0", " ")
     for ch in _ZERO_WIDTH:
         out = out.replace(ch, "")
     for ch in _CONTROLS:
         out = out.replace(ch, "")
-    return out
+    return unicodedata.normalize("NFC", out)
 
 
 def normalize_text_udf():

@@ -498,6 +498,8 @@ def test_bm25_idf_quantization_cross_engine_audit(spark):
 
     from jobinsight_data_pipeline_spark.catalog.textml import BM25_TERMS
 
+    from jobinsight_data_pipeline_spark.catalog.textml import BM25_K
+
     con = duckdb.connect()
     cases = []
     for sf in ("sf0.001", "sf0.01", "sf0.1"):
@@ -513,6 +515,24 @@ def test_bm25_idf_quantization_cross_engine_audit(spark):
                 f"x -> x = '{t}')) > 0"
             ).fetchone()
             cases.append((float(n), float(dfreq)))
+        # shared-oracle guard: bm25_index_search reuses O_BM25_SEARCH but
+        # only ranks docs with >=1 query-term posting — if fewer than
+        # BM25_K docs match ANY term, the scan oracle's top-k would
+        # include zero-score docs the indexed path cannot return and the
+        # gate would fail on row count (silently corpus-dependent today)
+        any_match = " OR ".join(
+            "len(list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+            f"x -> x = '{t}')) > 0"
+            for t in BM25_TERMS
+        )
+        matched, = con.execute(
+            f"SELECT count(*) FROM documents WHERE {any_match}"
+        ).fetchone()
+        assert matched >= BM25_K, (
+            f"{sf}: only {matched} docs match any of {BM25_TERMS} — "
+            f"< BM25_K={BM25_K}; the bm25_index_search gate's shared "
+            "oracle assumption breaks at this scale factor"
+        )
 
     args = [(n - d + 0.5) / (d + 0.5) + 1.0 for n, d in cases]
     spark_q = [
