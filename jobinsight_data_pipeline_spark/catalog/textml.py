@@ -2242,6 +2242,61 @@ FROM adc ORDER BY adc ASC, vec_id ASC LIMIT {IVFPQ_K}
 O_IVF_PQ_TOPK = _ivfpq_oracle()
 
 
+def q_ivf_pq_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The build-once / serve-many half of the IVF-PQ duality under the
+    SAME exact oracle as the one-shot path (the bm25_index_search
+    one-hash pattern): build_ivf_pq_index encodes the corpus ONCE into
+    (vec_id, cell, codes), persisted through the ParquetLake PARTITIONED
+    BY cell (memoized behind a done-sentinel — repeat invocations only
+    serve); ivf_pq_topk_indexed then answers the query by
+    partition-pruning to the n_probe probe cells and ADC-ranking the
+    survivors. A drifted cell assignment, codes encoding, probe
+    selection, or a lossy partitioned round-trip fails the hash."""
+    import hashlib
+    import os
+    import shutil
+
+    from jobinsight_data_pipeline_spark.catalog import scratch_dir
+    from jobinsight_data_pipeline_spark.operators.similarity import (
+        build_ivf_pq_index,
+        ivf_pq_topk_indexed,
+        unit_centroids,
+    )
+    from jobinsight_data_pipeline_spark.sources.lake import ParquetLake
+
+    t = load(spark, sf_dir, "embeddings")
+    emb = t["embeddings"]
+    cents = unit_centroids(64, IVFPQ_LISTS, seed=11)
+    base = scratch_dir(
+        "ivfpq-gate-",
+        "{}-{}".format(
+            spark.sparkContext.applicationId,
+            hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+        ),
+    )
+    done = os.path.join(base, "_gate_done")
+    lake = ParquetLake(os.path.join(base, "lake"))
+    if not os.path.exists(done):
+        shutil.rmtree(os.path.join(base, "lake"), ignore_errors=True)
+        index = build_ivf_pq_index(emb, cents, _pq_cb())
+        lake.write(index, "ivfpq", partition_by=["cell"])
+        with open(done, "w") as fh:
+            fh.write("ok")
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    top = ivf_pq_topk_indexed(
+        lake.read(spark, "ivfpq"),
+        query,
+        cents,
+        _pq_cb(),
+        k=IVFPQ_K,
+        n_probe=IVFPQ_PROBE,
+    )
+    return top.select(
+        "vec_id",
+        F.floor(F.col("adc") * F.lit(1000000.0)).cast("long").alias("adc_micro"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Hashed linear classifier inference (operators/classifier.py) under a FULL
 # exact oracle: integer micro-weights make the document score a pure BIGINT
@@ -3333,6 +3388,7 @@ QUERIES = {
     "pq_codes": q_pq_codes,
     "pq_adc_topk": q_pq_adc_topk,
     "ivf_pq_topk": q_ivf_pq_topk,
+    "ivf_pq_index_search": q_ivf_pq_index_search,
     "paragraph_dedup": q_paragraph_dedup,
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "stream_jsonl_ingest": q_stream_jsonl_ingest,
@@ -3395,6 +3451,7 @@ ORACLES = {
     "pq_codes": O_PQ_CODES,
     "pq_adc_topk": O_PQ_ADC_TOPK,
     "ivf_pq_topk": O_IVF_PQ_TOPK,
+    "ivf_pq_index_search": O_IVF_PQ_TOPK,
     "paragraph_dedup": O_PARAGRAPH_DEDUP,
     "jsonl_roundtrip": O_JSONL_ROUNDTRIP,
     "stream_jsonl_ingest": O_JSONL_ROUNDTRIP,

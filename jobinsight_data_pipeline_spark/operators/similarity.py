@@ -710,7 +710,31 @@ def ivf_pq_topk(
     with the same tie rule (sort by (−dot, j)). Everything is
     deterministic, so the composed path carries a FULL exact oracle in
     the catalog — no recall hand-waving.
+
+    NOTE: this form re-assigns cells and re-encodes the WHOLE corpus on
+    every call — fine as a one-shot batch query, a scale-killer in a
+    serve loop. For repeated queries build the index once with
+    :func:`build_ivf_pq_index` (persist partitioned by ``cell``) and
+    serve with :func:`ivf_pq_topk_indexed`; results are bit-identical.
     """
+    probe = probe_cells(query, centroids, n_probe)
+    cand = corpus.withColumn(
+        "_cell", cell_assignment_column(vec_col, centroids)
+    ).filter(F.col("_cell").isin(*probe))
+    enc = cand.select(
+        F.col(id_col), pq_codes_column(vec_col, codebooks).alias("codes")
+    )
+    return pq_adc_topk(enc, query, codebooks, k, id_col=id_col)
+
+
+def cell_assignment_column(
+    vec_col: str, centroids: list[list[float]]
+) -> Column:
+    """IVF cell id as a composable Column: ``argmax_j dot(vec,
+    centroid_j)`` with ties → lowest index (first-occurrence
+    ``array_position``); centroids ride as one parsed literal. Shared by
+    the one-shot :func:`ivf_pq_topk` and :func:`build_ivf_pq_index` so
+    the two routes cannot drift."""
     CENTS = F.expr(_matrix_sql(centroids))
     sarr = F.transform(
         CENTS,
@@ -722,17 +746,72 @@ def ivf_pq_topk(
             lambda s, y: s + y,
         ),
     )
-    cell = (F.array_position(sarr, F.array_max(sarr)) - 1).cast("int")
+    return (F.array_position(sarr, F.array_max(sarr)) - 1).cast("int")
 
+
+def probe_cells(
+    query: list[float], centroids: list[list[float]], n_probe: int
+) -> list[int]:
+    """The query's ``n_probe`` nearest IVF cells, chosen driver-side
+    (centroid count is small by construction) with the SAME tie rule as
+    :func:`cell_assignment_column`: sort by (−dot, j). Python doubles
+    are IEEE, so this matches an in-engine computation bit-for-bit."""
     qdots = [
         sum(float(query[t]) * c[t] for t in range(len(c))) for c in centroids
     ]
-    probe = [j for j in sorted(range(len(centroids)), key=lambda j: (-qdots[j], j))[:n_probe]]
+    order = sorted(range(len(centroids)), key=lambda j: (-qdots[j], j))
+    return order[:n_probe]
 
-    cand = corpus.withColumn("_cell", cell).filter(
-        F.col("_cell").isin(*probe)
+
+def build_ivf_pq_index(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Build the IVF-PQ index ONCE: a single corpus scan emitting
+    (id_col, cell, codes) — cell assignment and PQ encoding fused into
+    one projection, no shuffle, no UDF. This is the build half of the
+    build-once / serve-many duality (the
+    :func:`~jobinsight_data_pipeline_spark.operators.ranking.build_inverted_index`
+    pattern for embeddings).
+
+    Persist the result PARTITIONED BY ``cell`` (e.g.
+    ``lake.write(index, "ivfpq", partition_by=["cell"])``) — then
+    :func:`ivf_pq_topk_indexed`'s probe-cell filter partition-prunes the
+    scan and a query touches ``n_probe / n_lists`` of the index as
+    one-byte-ish codes instead of re-encoding 100 TB of raw vectors
+    per query (the FAISS IVFADC serving shape, Jégou et al. 2011).
+    """
+    return corpus.select(
+        F.col(id_col),
+        cell_assignment_column(vec_col, centroids).alias("cell"),
+        pq_codes_column(vec_col, codebooks).alias("codes"),
     )
-    enc = cand.select(
-        F.col(id_col), pq_codes_column(vec_col, codebooks).alias("codes")
-    )
-    return pq_adc_topk(enc, query, codebooks, k, id_col=id_col)
+
+
+def ivf_pq_topk_indexed(
+    index: DataFrame,
+    query: list[float],
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Serve half of the IVF-PQ duality: top-``k`` against a prebuilt
+    (id, cell, codes) index from :func:`build_ivf_pq_index`. Probe cells
+    are chosen driver-side from the same literal centroids
+    (:func:`probe_cells`), the ``cell IN (...)`` filter partition-prunes
+    a cell-partitioned index at the scan, and the survivors are
+    ADC-ranked via :func:`pq_adc_topk` (driver-built literal LUT, heap
+    top-k). Per-query work is ``n_probe/n_lists`` of the codes — no
+    corpus rescan, no re-encode.
+
+    Bit-identical to :func:`ivf_pq_topk` on the same corpus /
+    centroids / codebooks — the catalog pins both routes to ONE exact
+    oracle."""
+    probe = probe_cells(query, centroids, n_probe)
+    cand = index.filter(F.col("cell").isin(*probe)).select(id_col, "codes")
+    return pq_adc_topk(cand, query, codebooks, k, id_col=id_col)

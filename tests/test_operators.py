@@ -1454,6 +1454,44 @@ def test_bm25_index_path_bit_identical_to_scan(spark):
         assert vals == scan[d], (d, vals, scan[d])  # exact, incl. doubles
 
 
+def test_ivf_pq_indexed_bit_identical_to_oneshot(spark, tmp_path):
+    """build_ivf_pq_index + ivf_pq_topk_indexed (through a cell-partitioned
+    parquet round-trip, the real serving layout) must reproduce the
+    one-shot ivf_pq_topk EXACTLY — ids, order, and ADC doubles — for
+    several queries probing different cell sets."""
+    from jobinsight_data_pipeline_spark.operators.similarity import (
+        build_ivf_pq_index,
+        ivf_pq_topk,
+        ivf_pq_topk_indexed,
+        pq_codebooks,
+        unit_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = unit_centroids(64, 16, seed=11)
+    cb = pq_codebooks()
+    path = str(tmp_path / "idx")
+    build_ivf_pq_index(emb, cents, cb).write.partitionBy("cell").parquet(path)
+    index = spark.read.parquet(path)
+
+    for qid in (0, 7, 23):
+        query = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == qid).head()["embedding"]
+        ]
+        oneshot = [
+            (r["vec_id"], r["adc"])
+            for r in ivf_pq_topk(emb, query, cents, cb, k=8, n_probe=3).collect()
+        ]
+        served = [
+            (r["vec_id"], r["adc"])
+            for r in ivf_pq_topk_indexed(
+                index, query, cents, cb, k=8, n_probe=3
+            ).collect()
+        ]
+        assert served == oneshot, (qid, served, oneshot)
+
+
 def test_bigram_logprob_matches_python_reference(spark):
     """Replay the interpolated bigram LM in pure Python (math.log,
     floor micro-quantization) and require exact integer equality."""

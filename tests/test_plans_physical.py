@@ -450,3 +450,41 @@ def test_bm25_index_bucketed_postings_prune_and_group_locally(spark):
         assert top.count() == 5
     finally:
         spark.sql("DROP TABLE IF EXISTS postings_b")
+
+
+def test_ivf_pq_index_partition_prunes_probe_cells(spark, tmp_path):
+    """The IVF-PQ serve path at scale: the index persisted PARTITIONED BY
+    cell answers a query by reading ONLY the n_probe probe-cell
+    partitions — the cell filter must land in PartitionFilters (directory
+    pruning, zero IO for the other n_lists − n_probe cells), not as a
+    post-scan predicate, and the ADC ranking still heap-selects top-k."""
+    from jobinsight_data_pipeline_spark.operators.similarity import (
+        build_ivf_pq_index,
+        ivf_pq_topk_indexed,
+        pq_codebooks,
+        probe_cells,
+        unit_centroids,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = unit_centroids(64, 16, seed=11)
+    cb = pq_codebooks()
+    idx_path = str(tmp_path / "ivfpq_idx")
+    build_ivf_pq_index(emb, cents, cb).write.partitionBy("cell").parquet(idx_path)
+
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    index = spark.read.parquet(idx_path)
+    top = ivf_pq_topk_indexed(index, query, cents, cb, k=5, n_probe=4)
+    plan = physical_plan(top)
+    probes = probe_cells(query, cents, 4)
+    assert "TakeOrderedAndProject" in plan
+    # the cell predicate prunes PARTITIONS (directory-level), it is not a
+    # row filter after a full scan
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "cell" in pf.group(1), plan
+    assert all(str(c) in pf.group(1) for c in probes), (probes, pf.group(1))
+    # and the scan reads only id + codes besides the partition column
+    assert "ReadSchema: struct<vec_id:bigint,codes:array<int>>" in plan, plan
+    assert top.count() == 5
