@@ -211,9 +211,61 @@ def main() -> None:
     timings["pagerank"] = timed(
         lambda: materialize(pagerank_quantized(pr_edges, iterations=5))
     )
+    # round-6: subword BPE encode (native replace-chain, scan-fused) and
+    # the composed tokenize-and-fill-budget chain — classifier scores +
+    # BPE ids materialized once (the write is part of the honest cost,
+    # fresh per run), budget cut, fixed-256 packing
+    import shutil
+    import tempfile
+
+    from jobinsight_data_pipeline_spark.catalog.textml import (
+        CLF_BIAS,
+        CLF_WEIGHTS,
+    )
+    from jobinsight_data_pipeline_spark.operators.bpe import bpe_encode
+    from jobinsight_data_pipeline_spark.operators.classifier import (
+        with_quality_classification,
+    )
+    from jobinsight_data_pipeline_spark.operators.packing import (
+        materialize_packs,
+    )
+    from jobinsight_data_pipeline_spark.operators.parallelism import (
+        widen_for_cpu,
+    )
+    from jobinsight_data_pipeline_spark.operators.sampling import (
+        select_until_budget,
+    )
+
+    wide_docs = widen_for_cpu(docs)
+    timings["bpe_encode"] = timed(
+        lambda: materialize(bpe_encode(wide_docs))
+    )
+
+    def _bpe_chain() -> None:
+        d = tempfile.mkdtemp(prefix="bench_bpe_")
+        try:
+            scored = with_quality_classification(
+                wide_docs, "text", CLF_WEIGHTS, bias=CLF_BIAS, threshold_micro=0
+            ).select("doc_id", "score_micro")
+            bpe_encode(wide_docs).join(scored, "doc_id").write.parquet(
+                d + "/cand"
+            )
+            cand = spark.read.parquet(d + "/cand")
+            kept = select_until_budget(
+                cand, "score_micro", "n_ids", 30_000, ["doc_id"]
+            ).select("doc_id", "ids")
+            materialize(
+                materialize_packs(
+                    kept, capacity=256, bounds=[100, 200, 300, 400]
+                )
+            )
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    timings["bpe_budget_packs"] = timed(_bpe_chain)
+
     qvec = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
     cents = unit_centroids(64, 16, seed=11)
-    import tempfile
 
     with tempfile.TemporaryDirectory(prefix="bench_ivfpq_") as idx_root:
         idx_path = os.path.join(idx_root, "idx")

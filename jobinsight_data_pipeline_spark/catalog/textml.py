@@ -2316,26 +2316,37 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jobinsight_data_pipeline_spark.operators.classifier import (
         with_quality_classification,
     )
+    from jobinsight_data_pipeline_spark.operators.parallelism import (
+        widen_for_cpu,
+    )
 
     t = load(spark, sf_dir, "documents")
+    # widen: per-token md5 on a single-file corpus otherwise serializes
+    # the whole score pass on one task (~16 s at sf0.1)
     return with_quality_classification(
-        t["documents"], "text", CLF_WEIGHTS, bias=CLF_BIAS, threshold_micro=0
+        widen_for_cpu(t["documents"]),
+        "text",
+        CLF_WEIGHTS,
+        bias=CLF_BIAS,
+        threshold_micro=0,
     ).select("doc_id", "score_micro", "keep")
 
 
-def _clf_oracle() -> str:
-    arr = "[" + ",".join(str(v) for v in CLF_WEIGHTS) + "]"
+def _clf_fold_duck(col: str, salt: str) -> str:
+    """DuckDB replay of one hashed-feature fold (classifier oracle
+    fragment — shared by the standalone gate and the composed
+    bpe_budget_packs chain)."""
     b = len(CLF_WEIGHTS)
+    return (
+        f"coalesce(list_sum(list_transform({col}, t -> warr["
+        f"CAST(CAST(('0x' || substring(md5('{salt}' || t), 1, 8)) AS BIGINT)"
+        f" % {b} AS INTEGER) + 1])), 0)"
+    )
 
-    def fold(col: str, salt: str) -> str:
-        return (
-            f"coalesce(list_sum(list_transform({col}, t -> warr["
-            f"CAST(CAST(('0x' || substring(md5('{salt}' || t), 1, 8)) AS BIGINT)"
-            f" % {b} AS INTEGER) + 1])), 0)"
-        )
 
-    return f"""
-WITH w AS (SELECT {arr} AS warr),
+#: the classifier-score CTE block (w/arrs/feats), reused verbatim by
+#: _clf_oracle and the composed bpe_budget_packs oracle
+_CLF_CTES = """w AS (SELECT {arr} AS warr),
 arrs AS (
     SELECT doc_id,
            list_filter(list_transform(regexp_split_to_array(trim(text), '\\s+'),
@@ -2350,7 +2361,18 @@ feats AS (
                           || a[CAST(i + 2 AS INTEGER)])
                 ELSE [] END AS g
     FROM arrs
-)
+)"""
+
+
+def _clf_ctes() -> str:
+    arr = "[" + ",".join(str(v) for v in CLF_WEIGHTS) + "]"
+    return _CLF_CTES.format(arr=arr)
+
+
+def _clf_oracle() -> str:
+    fold = _clf_fold_duck
+    return f"""
+WITH {_clf_ctes()}
 SELECT doc_id,
        CAST({CLF_BIAS} + {fold('a', 'u:')} + {fold('g', 'b:')} AS BIGINT)
            AS score_micro,
@@ -2553,6 +2575,209 @@ SELECT id, coalesce(normed, '<null>') AS normed FROM n
 
 
 O_NORMALIZE_TEXT = _normalize_oracle()
+
+
+def _bpe_ids_duck(expr: str) -> str:
+    """DuckDB replay of operators/bpe.bpe_ids_column — the IDENTICAL
+    delimiter-bracket + rank-sequential replace chain (both engines'
+    `replace` is non-overlapping left-to-right), then the same
+    symbol→id mapping as a CASE. Shares the merges table and the
+    engine-portable symbol renderer with the operator, so the chain
+    cannot drift."""
+    from jobinsight_data_pipeline_spark.operators.bpe import (
+        DEFAULT_MERGES,
+        _sym_sql,
+        bpe_vocab,
+    )
+
+    t0 = f"regexp_replace({expr}, '[' || chr(30) || chr(31) || ']', '', 'g')"
+    t1 = f"regexp_replace(trim({t0}), '\\s+', ' ', 'g')"
+    seq = f"regexp_replace({t1}, '(.)', chr(30) || '\\1' || chr(31), 'g')"
+    for a, b in DEFAULT_MERGES:
+        pat = (
+            f"chr(30) || {_sym_sql(a)} || chr(31) || "
+            f"chr(30) || {_sym_sql(b)} || chr(31)"
+        )
+        rep = f"chr(30) || {_sym_sql(a + b)} || chr(31)"
+        seq = f"replace({seq}, {pat}, {rep})"
+    syms = (
+        f"list_filter(string_split(replace({seq}, chr(31), ''), chr(30)),"
+        " s -> s <> '' AND s <> ' ')"
+    )
+    whens = " ".join(
+        f"WHEN {_sym_sql(s)} THEN {i}" for s, i in bpe_vocab().items()
+    )
+    return f"list_transform({syms}, s -> CASE s {whens} ELSE -1 END)"
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword BPE encoding (operators/bpe.bpe_encode) over the REAL
+    corpus under a FULL exact oracle — no planted fixture needed: the
+    encode is a chain of native `replace` calls over a
+    delimiter-bracketed char sequence, and DuckDB replays the identical
+    chain (_bpe_ids_duck). Ids joined to a scalar at the projection
+    boundary (no ARRAY columns cross the gate bridge)."""
+    from jobinsight_data_pipeline_spark.operators.bpe import bpe_encode
+    from jobinsight_data_pipeline_spark.operators.parallelism import (
+        widen_for_cpu,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    enc = bpe_encode(widen_for_cpu(t["documents"]))
+    return enc.select(
+        "doc_id",
+        F.coalesce("n_ids", F.lit(-1)).alias("n_ids"),
+        F.coalesce(
+            F.array_join(
+                F.transform("ids", lambda i: i.cast("string")), "-"
+            ),
+            F.lit(""),
+        ).alias("ids_str"),
+    )
+
+
+def _bpe_oracle() -> str:
+    return f"""
+WITH enc AS (
+    SELECT doc_id, {_bpe_ids_duck('text')} AS ids FROM documents
+)
+SELECT doc_id,
+       coalesce(len(ids), -1) AS n_ids,
+       coalesce(array_to_string(
+           list_transform(ids, i -> CAST(i AS VARCHAR)), '-'), '') AS ids_str
+FROM enc
+"""
+
+
+O_BPE_ENCODE = _bpe_oracle()
+
+
+#: tokenize-and-fill-budget flagship: token budget + pack capacity.
+#: 30k ids selects roughly half the 500-doc corpora (~60k ids total)
+#: and ~5% of sf0.1 — the selection is a proper subset at every sweep
+#: scale factor, so the budget cut is actually exercised.
+BPE_BUDGET = 30_000
+BPE_PACK_CAP = 256
+
+
+def q_bpe_budget_packs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed tokenize-and-fill-budget flagship (the corpus_prep
+    pattern): classifier quality scores (integer micro-margins) rank the
+    corpus, select_until_budget greedily fills a 30k-subword budget with
+    the best documents, bpe_encode supplies the subword streams, and
+    materialize_packs cuts the kept ids into fixed-256 training
+    sequences — the full assembly a FULL exact oracle replays under ONE
+    hash: scoring, the budget cut, BPE segmentation, offsets, and every
+    id in every emitted window."""
+    from jobinsight_data_pipeline_spark.operators.bpe import bpe_encode
+    from jobinsight_data_pipeline_spark.operators.classifier import (
+        with_quality_classification,
+    )
+    from jobinsight_data_pipeline_spark.operators.packing import (
+        materialize_packs,
+    )
+    from jobinsight_data_pipeline_spark.operators.sampling import (
+        select_until_budget,
+    )
+
+    import hashlib
+    import os
+    import shutil
+
+    from jobinsight_data_pipeline_spark.catalog import scratch_dir
+
+    t = load(spark, sf_dir, "documents")
+    docs = t["documents"]
+    # materialize the encoded+scored candidates ONCE (done-sentinel
+    # scratch, the ivfpq-gate pattern): the offset machinery downstream
+    # (sizing job, per-bucket window, bucket totals, posexplode) walks
+    # its input several times — recomputing the BPE chain per pass
+    # multiplied the gate's cost ~5× at sf0.1. At 100 TB this step IS a
+    # lake write of the encoded corpus.
+    base = scratch_dir(
+        "bpepacks-gate-",
+        "{}-{}".format(
+            spark.sparkContext.applicationId,
+            hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+        ),
+    )
+    cand_path = os.path.join(base, "cand")
+    done = os.path.join(base, "_gate_done")
+    if not os.path.exists(done):
+        from jobinsight_data_pipeline_spark.operators.parallelism import (
+            widen_for_cpu,
+        )
+
+        shutil.rmtree(cand_path, ignore_errors=True)
+        # widen before the two heavy projections: the sf0.1 corpus is a
+        # single parquet file, and per-token md5 hashing + the BPE
+        # replace chain on one task serializes the whole build
+        wide = widen_for_cpu(docs)
+        scored = with_quality_classification(
+            wide, "text", CLF_WEIGHTS, bias=CLF_BIAS, threshold_micro=0
+        ).select("doc_id", "score_micro")
+        bpe_encode(wide).join(scored, "doc_id").write.parquet(cand_path)
+        with open(done, "w") as fh:
+            fh.write("ok")
+    cand = spark.read.parquet(cand_path)
+    kept = select_until_budget(
+        cand, "score_micro", "n_ids", BPE_BUDGET, ["doc_id"]
+    ).select("doc_id", "ids")
+    # explicit bounds force the distributed offsets path (the
+    # packed_sequences gate's design)
+    packs = materialize_packs(
+        kept, capacity=BPE_PACK_CAP, bounds=[100, 200, 300, 400]
+    )
+    return packs.select(
+        F.col("seq_id").cast("long").alias("seq_id"),
+        "n_tokens",
+        F.concat_ws(" ", F.col("ids")).alias("ids_str"),
+    )
+
+
+def _bpe_budget_oracle() -> str:
+    fold = _clf_fold_duck
+    return f"""
+WITH {_clf_ctes()},
+scored AS (
+    SELECT doc_id,
+           CAST({CLF_BIAS} + {fold('a', 'u:')} + {fold('g', 'b:')} AS BIGINT)
+               AS score_micro
+    FROM feats, w
+),
+enc AS (SELECT doc_id, {_bpe_ids_duck('text')} AS ids FROM documents),
+cand AS (
+    SELECT e.doc_id, e.ids, len(e.ids) AS n_ids, s.score_micro
+    FROM enc e JOIN scored s USING (doc_id)
+),
+sel AS (
+    SELECT doc_id, ids, n_ids,
+           coalesce(sum(n_ids) OVER (ORDER BY score_micro DESC, doc_id ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS sx
+    FROM cand
+),
+kept AS (SELECT doc_id, ids, n_ids FROM sel WHERE sx < {BPE_BUDGET}),
+off AS (
+    SELECT doc_id,
+           CAST(coalesce(sum(n_ids) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS start_offset
+    FROM kept
+),
+g AS (
+    SELECT o.start_offset + u.g - 1 AS gpos, k.ids[u.g] AS tid
+    FROM kept k JOIN off o USING (doc_id),
+         unnest(generate_series(1, len(k.ids))) AS u(g)
+)
+SELECT CAST(gpos // {BPE_PACK_CAP} AS BIGINT) AS seq_id,
+       count(*) AS n_tokens,
+       string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY gpos) AS ids_str
+FROM g GROUP BY 1
+"""
+
+
+O_BPE_BUDGET_PACKS = _bpe_budget_oracle()
 
 
 LOCATION_PAIRS_FIXTURE = [
@@ -3385,6 +3610,8 @@ QUERIES = {
     "incremental_window": q_incremental_window,
     "location_pairs_fallback": q_location_pairs,
     "normalize_text": q_normalize_text,
+    "bpe_encode": q_bpe_encode,
+    "bpe_budget_packs": q_bpe_budget_packs,
     "pq_codes": q_pq_codes,
     "pq_adc_topk": q_pq_adc_topk,
     "ivf_pq_topk": q_ivf_pq_topk,
@@ -3448,6 +3675,8 @@ ORACLES = {
     "incremental_window": O_INCREMENTAL_WINDOW,
     "location_pairs_fallback": O_LOCATION_PAIRS,
     "normalize_text": O_NORMALIZE_TEXT,
+    "bpe_encode": O_BPE_ENCODE,
+    "bpe_budget_packs": O_BPE_BUDGET_PACKS,
     "pq_codes": O_PQ_CODES,
     "pq_adc_topk": O_PQ_ADC_TOPK,
     "ivf_pq_topk": O_IVF_PQ_TOPK,

@@ -1,0 +1,222 @@
+"""Subword (BPE-style) tokenization — the encode step between raw text
+and the packing/budget machinery (`materialize_packs`,
+`select_until_budget` operate on id streams; real training pipelines
+pack SUBWORD ids, not whole-word vocab ids).
+
+Algorithm: rank-sequential byte-pair merging. The document's characters
+become base symbols; each merge ``(a, b) → ab`` from a ranked table is
+applied exhaustively left-to-right, in rank order. For any well-formed
+merges table — every multi-character constituent is the output of an
+EARLIER merge, which is exactly the invariant a trained BPE table has
+(a symbol can only appear in a pair after the step that created it) —
+this is equivalent to the classic lowest-rank-first loop (Sennrich et
+al. 2016; the GPT-2 encoder): applying merge r can only create pairs
+whose rank exceeds r (they contain r's output symbol), so no lower-rank
+opportunity is ever missed by the sequential sweep.
+:func:`validate_merges` asserts well-formedness.
+
+Execution shape — the deliberate difference from a pandas-UDF encoder:
+the whole encode is NATIVE column expressions, scan-fused, zero
+shuffles, zero Python in the hot path. Each symbol is rendered as
+``\\x1e sym \\x1f`` (asymmetric open/close delimiters: adjacent
+occurrences share no characters, so one left-to-right ``replace`` pass
+per rank merges every occurrence, and a pattern can never match a
+symbol whose text is a prefix of a longer symbol). A merge is then ONE
+``replace(seq, enc(a)||enc(b), enc(ab))`` call — both Spark's
+``replace`` and DuckDB's are non-overlapping left-to-right, so the
+catalog oracle replays the identical chain for a FULL exact oracle over
+the real corpus, no planted fixture needed.
+
+Scale: one projection over the text column; cost is O(merges × doc
+length) character scanning inside codegen. Spaces ride through as
+never-merged symbols and are dropped at the end — token boundaries are
+therefore whitespace, and no merge can span them (the space symbol
+interposes).
+
+Vocabulary/ids: printable ASCII (0x21–0x7e) are ids 0–93 in codepoint
+order; merge outputs take 94 + rank. Any other symbol (non-ASCII text,
+stray controls) encodes as -1 (UNK) — the function is total.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: asymmetric symbol delimiters (RS / US control chars — reserved: they
+#: are stripped from the input text before encoding)
+_OPEN = "\x1e"
+_CLOSE = "\x1f"
+
+#: base symbols: printable ASCII minus space (space is the token
+#: boundary, dropped after encoding)
+BASE_SYMBOLS = [chr(c) for c in range(0x21, 0x7F)]
+
+#: the default ranked merges table, hand-fit to the testdata corpus's
+#: vocabulary (lowercase English SQL-ish words). Well-formed: every
+#: multi-char constituent is produced by an earlier merge.
+DEFAULT_MERGES: list[tuple[str, str]] = [
+    ("t", "h"), ("th", "e"),                        # the
+    ("i", "n"), ("e", "r"), ("a", "n"), ("o", "r"),
+    ("a", "r"), ("s", "t"), ("o", "u"), ("o", "w"),
+    ("l", "e"), ("i", "l"), ("a", "m"),
+    ("d", "a"), ("da", "t"), ("dat", "a"),          # data
+    ("j", "o"), ("jo", "in"),                       # join
+    ("s", "c"), ("sc", "an"),                       # scan
+    ("m", "er"), ("mer", "g"), ("merg", "e"),       # merge
+    ("b", "a"), ("ba", "t"), ("bat", "c"), ("batc", "h"),  # batch
+    ("s", "or"), ("sor", "t"),                      # sort
+    ("k", "e"), ("ke", "y"),                        # key
+    ("q", "u"), ("qu", "er"), ("quer", "y"),        # query
+    ("g", "r"), ("gr", "ou"), ("grou", "p"),        # group
+    ("r", "ow"),                                    # row
+    ("w", "in"), ("win", "d"), ("wind", "ow"),      # window
+    ("s", "p"), ("sp", "ar"), ("spar", "k"),        # spark
+    ("f", "il"), ("fil", "t"), ("filt", "er"),      # filter
+    ("st", "r"), ("str", "e"), ("stre", "am"),      # stream
+    ("t", "a"), ("b", "le"), ("ta", "ble"),         # table
+    ("g", "g"), ("a", "gg"),                        # agg
+]
+
+
+def validate_merges(merges: list[tuple[str, str]]) -> None:
+    """Assert the table is well-formed (the equivalence precondition):
+    each constituent is a single base symbol or an earlier output, no
+    duplicate outputs, no delimiter characters."""
+    known = set(BASE_SYMBOLS)
+    outputs = set()
+    for i, (a, b) in enumerate(merges):
+        for part in (a, b):
+            if part not in known:
+                raise ValueError(
+                    f"merge {i} {a!r}+{b!r}: constituent {part!r} is "
+                    "neither a base symbol nor an earlier merge output"
+                )
+            if _OPEN in part or _CLOSE in part:
+                raise ValueError(f"merge {i}: delimiter char in {part!r}")
+        out = a + b
+        if out in outputs:
+            raise ValueError(f"duplicate merge output {out!r} at rank {i}")
+        outputs.add(out)
+        known.add(out)
+
+
+def bpe_vocab(merges: list[tuple[str, str]] | None = None) -> dict[str, int]:
+    """symbol → id: base printable ASCII in codepoint order, then merge
+    outputs by rank."""
+    merges = DEFAULT_MERGES if merges is None else merges
+    vocab = {s: i for i, s in enumerate(BASE_SYMBOLS)}
+    for r, (a, b) in enumerate(merges):
+        vocab[a + b] = len(BASE_SYMBOLS) + r
+    return vocab
+
+
+def _sym_sql(s: str) -> str:
+    """Render a symbol as a SQL string literal valid VERBATIM in both
+    Spark SQL and DuckDB: plain single-quoted when no char needs
+    engine-specific escaping (quote; backslash is an escape in Spark but
+    not DuckDB), chr()-concatenation otherwise."""
+    if all(0x20 <= ord(c) <= 0x7E and c not in ("'", "\\") for c in s):
+        return f"'{s}'"
+    return " || ".join(f"chr({ord(c)})" for c in s)
+
+
+def _vocab_map_sql(merges: list[tuple[str, str]]) -> str:
+    """The symbol→id mapping as ONE Spark `map(...)` literal (one parse;
+    per-element F.lit would cost a py4j round trip each — the
+    _matrix_sql lesson)."""
+    entries = []
+    for sym, i in bpe_vocab(merges).items():
+        entries.append(f"{_sym_sql(sym)}, {i}")
+    return "map(" + ", ".join(entries) + ")"
+
+
+def bpe_ids_column(
+    text: Column | str, merges: list[tuple[str, str]] | None = None
+) -> Column:
+    """The BPE encoding as a composable Column: array<int> of subword
+    ids for the whole document, token boundaries at whitespace. Fully
+    native — delimiter-bracketed char sequence, one `replace` per merge
+    rank, split + literal-map lookup."""
+    merges = DEFAULT_MERGES if merges is None else merges
+    validate_merges(merges)
+    col = F.col(text) if isinstance(text, str) else text
+
+    # reserve the delimiters, collapse whitespace to single spaces
+    t = F.regexp_replace(col, f"[{_OPEN}{_CLOSE}]", "")
+    t = F.regexp_replace(F.trim(t), r"\s+", " ")
+    seq = F.regexp_replace(t, "(.)", f"{_OPEN}$1{_CLOSE}")
+    for a, b in merges:
+        seq = F.replace(
+            seq,
+            F.lit(_OPEN + a + _CLOSE + _OPEN + b + _CLOSE),
+            F.lit(_OPEN + a + b + _CLOSE),
+        )
+    syms = F.filter(
+        F.split(F.replace(seq, F.lit(_CLOSE), F.lit("")), _OPEN),
+        lambda s: (s != "") & (s != " "),
+    )
+    VOCAB = F.expr(_vocab_map_sql(merges))
+    return F.transform(
+        syms, lambda s: F.coalesce(F.element_at(VOCAB, s), F.lit(-1))
+    )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Encode each document to its subword-id stream: (id_col, ids
+    array<int>, n_ids) — the shape `materialize_packs` /
+    `select_until_budget` consume. One scan-fused projection."""
+    ids = bpe_ids_column(text_col, merges)
+    return df.select(
+        F.col(id_col), ids.alias("ids"), F.size(ids).alias("n_ids")
+    )
+
+
+def bpe_decode_py(
+    ids: list[int], merges: list[tuple[str, str]] | None = None
+) -> str:
+    """Driver-side id→text helper (symbols concatenated; token
+    boundaries are not recoverable — BPE with dropped spaces is lossy by
+    design here)."""
+    merges = DEFAULT_MERGES if merges is None else merges
+    rev = {i: s for s, i in bpe_vocab(merges).items()}
+    return "".join(rev.get(i, "�") for i in ids)
+
+
+def bpe_encode_py(
+    text: str | None, merges: list[tuple[str, str]] | None = None
+) -> list[int]:
+    """Pure-Python reference of the EXACT same contract (the
+    normalize_text_py pattern): symbol-list implementation — no string
+    replace tricks — so the property tests cross-check the delimiter
+    encoding against an independent realization."""
+    merges = DEFAULT_MERGES if merges is None else merges
+    if text is None:
+        return []
+    vocab = bpe_vocab(merges)
+    import re
+
+    cleaned = re.sub(r"\s+", " ", text.replace(_OPEN, "").replace(_CLOSE, "").strip())
+    out: list[int] = []
+    for word in cleaned.split(" "):
+        if not word:
+            continue
+        syms = list(word)
+        for a, b in merges:
+            i = 0
+            merged: list[str] = []
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    merged.append(a + b)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            syms = merged
+        out.extend(vocab.get(s, -1) for s in syms)
+    return out

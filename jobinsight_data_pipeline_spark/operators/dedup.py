@@ -17,7 +17,7 @@ collects to the driver.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from jobinsight_data_pipeline_spark.operators.parallelism import widen_for_cpu
@@ -672,4 +672,185 @@ def remove_spans(
             .cast("long")
             .alias("n_removed"),
         )
+    )
+
+
+# --- incremental dedup against a persisted history snapshot ----------------
+
+
+def _minhash_component(shingle: Column, i: int, hash_mode: str) -> Column:
+    """One minhash component hash. ``xxhash64`` is the production mode
+    (JVM intrinsic); ``md5`` is the engine-portable 60-bit twin (the
+    :func:`md5_token_hash60` trick with an ``i:`` seed prefix) that puts
+    the ENTIRE incremental-dedup decision under an exact cross-engine
+    oracle."""
+    if hash_mode == "xxhash64":
+        return F.xxhash64(F.lit(i), shingle)
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{i}:"), shingle)), 1, 15), 16, 10
+    ).cast("long")
+
+
+def _band_bucket_array(n_hashes: int, bands: int, hash_mode: str) -> Column:
+    """Collapse per-band signature components (columns h0..hN) into one
+    bucket id per band."""
+    rows_per_band = n_hashes // bands
+    cols_by_band = [
+        [F.col(f"h{band * rows_per_band + j}") for j in range(rows_per_band)]
+        for band in range(bands)
+    ]
+    if hash_mode == "xxhash64":
+        return F.array(*[F.xxhash64(*cols) for cols in cols_by_band])
+    return F.array(
+        *[
+            F.conv(
+                F.substring(F.md5(F.concat_ws(",", *cols)), 1, 15), 16, 10
+            ).cast("long")
+            for cols in cols_by_band
+        ]
+    )
+
+
+def _minhash_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int,
+    bands: int,
+    shingle_n: int,
+    hash_mode: str,
+) -> DataFrame:
+    """(doc, band, bucket) — one row per (document, LSH band). Docs with
+    fewer than ``shingle_n`` tokens have no shingles and emit no rows
+    (they can only exact-duplicate)."""
+    sh = shingles(df, id_col, text_col, shingle_n)
+    sig = sh.groupBy("doc").agg(
+        *[
+            F.min(_minhash_component(F.col("shingle"), i, hash_mode)).alias(
+                f"h{i}"
+            )
+            for i in range(n_hashes)
+        ]
+    )
+    return sig.select(
+        "doc",
+        F.posexplode(_band_bucket_array(n_hashes, bands, hash_mode)).alias(
+            "band", "bucket"
+        ),
+    )
+
+
+def build_dedup_state(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """The persisted dedup index for a corpus snapshot — the day-1 half
+    of the incremental story: (doc, content_md5, band, bucket), one row
+    per (doc, band) plus a band-NULL row for docs too short to shingle.
+
+    Append-only by design: after each incremental batch, union the KEPT
+    docs' state rows onto the persisted table (never rewrite history).
+    Persist partitioned/bucketed by ``bucket`` (the join key of the
+    serve path); the exact-hash side is a projection of the same rows.
+    Deterministic content — identical under any partitioning or retry.
+    """
+    md5s = df.select(
+        F.col(id_col).alias("doc"), F.md5(F.col(text_col)).alias("content_md5")
+    )
+    buckets = _minhash_buckets(
+        df, id_col, text_col, n_hashes, bands, shingle_n, hash_mode
+    )
+    return md5s.join(buckets, "doc", "left").select(
+        "doc", "content_md5", "band", "bucket"
+    )
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    state: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Day-2 ingest dedup: classify every batch row against a persisted
+    history snapshot (:func:`build_dedup_state`) AND the batch itself.
+    Returns the batch columns plus ``status``:
+
+    - ``exact_dup`` — content md5 already in history, or a smaller-id
+      batch doc has identical text (keep-min within the batch);
+    - ``near_dup`` — any LSH band bucket collides with a history doc's,
+      or with a smaller-id batch doc's (single-pass, non-transitive:
+      the smaller doc counts even if it is itself dropped — run the
+      connected-components clusterer when transitive closure matters);
+    - ``kept`` — survives both checks; append its state rows to the
+      snapshot for day 3.
+
+    Exact takes precedence over near. Shape at 100 TB: membership
+    against history is equi-joins on content_md5 / (band, bucket) — the
+    sanctioned anti-join form (no bloom_filter_agg in this build); the
+    history side is pre-bucketed and append-only, so the day-N cost is
+    batch-sized, never corpus-sized. Within-batch minima are windows on
+    16-byte keys. No driver collection anywhere.
+    """
+    from jobinsight_data_pipeline_spark.operators.sampling import (
+        reserve_columns,
+    )
+
+    reserve_columns(batch, ["status"], "incremental_dedup")
+    w_md5 = Window.partitionBy("_md5")
+    base = (
+        batch.withColumn("_md5", F.md5(F.col(text_col)))
+        .withColumn("_min_id", F.min(id_col).over(w_md5))
+    )
+    hist_md5 = (
+        state.where(F.col("content_md5").isNotNull())
+        .select(F.col("content_md5").alias("_md5"))
+        .distinct()
+        .withColumn("_hist_exact", F.lit(1))
+    )
+    base = base.join(hist_md5, "_md5", "left")
+
+    bb = _minhash_buckets(
+        batch, id_col, text_col, n_hashes, bands, shingle_n, hash_mode
+    )
+    w_b = Window.partitionBy("band", "bucket")
+    near_batch = (
+        bb.withColumn("_minb", F.min("doc").over(w_b))
+        .filter(F.col("doc") > F.col("_minb"))
+        .select("doc")
+    )
+    hist_b = (
+        state.where(F.col("band").isNotNull())
+        .select("band", "bucket")
+        .distinct()
+    )
+    near_hist = bb.join(hist_b, ["band", "bucket"], "left_semi").select("doc")
+    near = (
+        near_batch.union(near_hist)
+        .distinct()
+        .withColumnRenamed("doc", "_near_doc")
+        .withColumn("_near", F.lit(1))
+    )
+    out = base.join(
+        near, base[id_col] == near["_near_doc"], "left"
+    )
+    status = (
+        F.when(
+            F.col("_hist_exact").isNotNull()
+            | (F.col(id_col) > F.col("_min_id")),
+            F.lit("exact_dup"),
+        )
+        .when(F.col("_near").isNotNull(), F.lit("near_dup"))
+        .otherwise(F.lit("kept"))
+    )
+    return out.withColumn("status", status).select(
+        *batch.columns, "status"
     )

@@ -1492,6 +1492,76 @@ def test_ivf_pq_indexed_bit_identical_to_oneshot(spark, tmp_path):
         assert served == oneshot, (qid, served, oneshot)
 
 
+def test_bpe_encode_matches_python_reference(spark):
+    """The native replace-chain encoder must equal the independent
+    symbol-list Python reference on adversarial inputs: overlapping
+    merge runs, delimiter chars in the text, merge-prefix collisions
+    ('tab' vs 'table'), unknown chars, whitespace shapes."""
+    from jobinsight_data_pipeline_spark.operators.bpe import (
+        bpe_encode,
+        bpe_encode_py,
+    )
+
+    rows = [
+        (1, "the data join scan merge batch sort key query"),
+        (2, "group row window spark filter stream table agg"),
+        (3, "ggg gggg aaa ananan thethe"),        # overlapping merge runs
+        (4, "tab table tables stables"),          # prefix collisions
+        (5, "a\x1eb\x1fc"),                       # reserved delimiters stripped
+        (6, "  \t mixed\nwhitespace\r\n here "),
+        (7, "café ☃ unknown"),          # non-ASCII → -1
+        (8, ""),
+        (9, "   "),
+        (10, "q u e r y vs query"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (list(r["ids"]), r["n_ids"])
+        for r in bpe_encode(df).collect()
+    }
+    for d, t in rows:
+        ref = bpe_encode_py(t)
+        assert got[d] == (ref, len(ref)), (d, t, got[d], ref)
+
+
+def test_bpe_merges_validation():
+    from jobinsight_data_pipeline_spark.operators.bpe import (
+        DEFAULT_MERGES,
+        bpe_vocab,
+        validate_merges,
+    )
+    import pytest as _pytest
+
+    validate_merges(DEFAULT_MERGES)  # the shipped table is well-formed
+    with _pytest.raises(ValueError, match="neither a base symbol"):
+        validate_merges([("ab", "c")])  # 'ab' never produced
+    with _pytest.raises(ValueError, match="duplicate merge output"):
+        validate_merges(
+            [("a", "b"), ("b", "c"), ("ab", "c"), ("a", "bc")]
+        )  # both later merges produce 'abc'
+    # ids: base chars stable, merge outputs sequential after them
+    v = bpe_vocab([("a", "b")])
+    assert v["!"] == 0 and v["ab"] == 94
+
+
+def test_bpe_common_corpus_words_single_token():
+    """The default merges table exists to compress this corpus's
+    vocabulary — every frequent word must encode to ONE subword id."""
+    from jobinsight_data_pipeline_spark.operators.bpe import (
+        bpe_decode_py,
+        bpe_encode_py,
+    )
+
+    words = (
+        "the data join scan merge batch sort key query group row "
+        "window spark filter stream table agg"
+    ).split()
+    for w in words:
+        ids = bpe_encode_py(w)
+        assert len(ids) == 1 and ids[0] >= 94, (w, ids)
+        assert bpe_decode_py(ids) == w
+
+
 def test_bigram_logprob_matches_python_reference(spark):
     """Replay the interpolated bigram LM in pure Python (math.log,
     floor micro-quantization) and require exact integer equality."""

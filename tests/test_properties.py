@@ -612,3 +612,36 @@ def test_normalize_text_idempotent_and_clean(s):
     assert normalize_text_py(out) == out
     banned = set("\r\xa0") | set(_ZERO_WIDTH) | set(_CONTROLS)
     assert not (set(out) & banned), repr(out)
+
+
+@given(st.one_of(st.none(), text_strategy))
+@settings(max_examples=200, deadline=None)
+def test_bpe_encode_total_and_lossless_over_known_symbols(s):
+    """bpe_encode_py is total on arbitrary (incl. non-ASCII) text; every
+    id is in [−1, vocab); and concatenating the decoded known symbols
+    reproduces the input with whitespace, delimiters, and unknown chars
+    removed — i.e. the segmentation covers the text exactly."""
+    import re
+
+    from jobinsight_data_pipeline_spark.operators.bpe import (
+        _CLOSE,
+        _OPEN,
+        bpe_decode_py,
+        bpe_encode_py,
+        bpe_vocab,
+    )
+
+    vocab_n = len(bpe_vocab())
+    ids = bpe_encode_py(s)
+    assert all(-1 <= i < vocab_n for i in ids)
+    if s is None:
+        assert ids == []
+        return
+    known = [i for i in ids if i != -1]
+    cleaned = re.sub(
+        r"\s+", "", s.replace(_OPEN, "").replace(_CLOSE, "")
+    )
+    expect = "".join(c for c in cleaned if 0x21 <= ord(c) <= 0x7E)
+    # unknown chars each consumed exactly one -1 slot
+    assert len(ids) - len(known) == len(cleaned) - len(expect)
+    assert bpe_decode_py(known) == expect
