@@ -241,6 +241,24 @@ def main() -> None:
         lambda: materialize(bpe_encode(wide_docs))
     )
 
+    # round-6: day-2 incremental dedup at production settings (xxhash64):
+    # first half of the corpus is the persisted history, second half the
+    # incoming batch — state build included in the time (the day-1 cost
+    # amortizes in production; here it keeps the number honest)
+    from jobinsight_data_pipeline_spark.operators.dedup import (
+        build_dedup_state,
+        incremental_dedup,
+    )
+
+    timings["incremental_dedup"] = timed(
+        lambda: materialize(
+            incremental_dedup(
+                docs.filter("doc_id % 2 = 1"),
+                build_dedup_state(docs.filter("doc_id % 2 = 0")),
+            )
+        )
+    )
+
     def _bpe_chain() -> None:
         d = tempfile.mkdtemp(prefix="bench_bpe_")
         try:

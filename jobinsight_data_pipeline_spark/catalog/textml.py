@@ -2652,6 +2652,153 @@ FROM enc
 O_BPE_ENCODE = _bpe_oracle()
 
 
+#: incremental-dedup gate constants: history split + planted-dup spacing
+INCR_SPLIT = 250
+INCR_NH, INCR_BANDS = 16, 4
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The day-2 corpus story: build_dedup_state over the day-1 half of
+    the corpus (doc_id < 250), then incremental_dedup classifies a day-2
+    batch — the rest of the corpus PLUS planted exact copies, planted
+    near copies (two appended tokens), and an in-batch identical twin
+    pair — as kept / exact_dup / near_dup. hash_mode='md5' puts the
+    WHOLE decision (content hashes, 16 minhash components, 4 band
+    buckets, history joins, within-batch windows) under a FULL exact
+    DuckDB oracle; xxhash64 stays the production mode
+    (operators/dedup.py:_minhash_component)."""
+    from jobinsight_data_pipeline_spark.operators.dedup import (
+        build_dedup_state,
+        incremental_dedup,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    docs = t["documents"].select("doc_id", "text")
+    day1 = docs.filter(F.col("doc_id") < INCR_SPLIT)
+    d2base = docs.filter(F.col("doc_id") >= INCR_SPLIT)
+    plants_exact = day1.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    plants_near = day1.filter(F.col("doc_id") % 50 == 1).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz yy")).alias("text"),
+    )
+    # twin text repeats the id inside every shingle window so distinct
+    # twin pairs share NO shingles (only the pair's own exact match)
+    twin_src = day1.filter(F.col("doc_id") % 50 == 2).select(
+        "doc_id",
+        F.concat(
+            F.lit("twin"),
+            F.lit(" t"), F.col("doc_id").cast("string"),
+            F.lit(" payload"),
+            F.lit(" p"), F.col("doc_id").cast("string"),
+            F.lit(" end"),
+        ).alias("text"),
+    )
+    twins = twin_src.select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"), "text"
+    ).unionByName(
+        twin_src.select((F.col("doc_id") + 3_100_000).alias("doc_id"), "text")
+    )
+    batch = (
+        d2base.unionByName(plants_exact)
+        .unionByName(plants_near)
+        .unionByName(twins)
+    )
+    state = build_dedup_state(
+        day1, n_hashes=INCR_NH, bands=INCR_BANDS, hash_mode="md5"
+    )
+    res = incremental_dedup(
+        batch, state, n_hashes=INCR_NH, bands=INCR_BANDS, hash_mode="md5"
+    )
+    return res.select("doc_id", "status")
+
+
+def _incremental_dedup_oracle() -> str:
+    nh, nb = INCR_NH, INCR_BANDS
+    rpb = nh // nb
+
+    def comp(i: int) -> str:
+        return (
+            f"CAST(('0x' || substring(md5('{i}:' || shingle), 1, 15)) "
+            "AS BIGINT)"
+        )
+
+    sig_aggs = ", ".join(f"min({comp(i)}) AS h{i}" for i in range(nh))
+
+    def bucket(band: int) -> str:
+        cat = " || ',' || ".join(
+            f"CAST(h{band * rpb + j} AS VARCHAR)" for j in range(rpb)
+        )
+        return f"CAST(('0x' || substring(md5({cat}), 1, 15)) AS BIGINT)"
+
+    def buckets_cte(sig: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT doc, {band} AS band, {bucket(band)} AS bucket FROM {sig}"
+            for band in range(nb)
+        )
+
+    shingle_cte = """
+    SELECT DISTINCT doc_id AS doc, unnest(
+        list_transform(range(len(w) - 2),
+                       i -> concat(w[i + 1], ' ', w[i + 2], ' ', w[i + 3]))
+    ) AS shingle
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+          FROM {src}
+          WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3) t
+"""
+    return f"""
+WITH day1 AS (
+    SELECT doc_id, text FROM documents WHERE doc_id < {INCR_SPLIT}
+),
+twin_src AS (
+    SELECT doc_id,
+           'twin t' || CAST(doc_id AS VARCHAR) ||
+           ' payload p' || CAST(doc_id AS VARCHAR) || ' end' AS text
+    FROM day1 WHERE doc_id % 50 = 2
+),
+batch AS (
+    SELECT doc_id, text FROM documents WHERE doc_id >= {INCR_SPLIT}
+    UNION ALL
+    SELECT doc_id + 1000000, text FROM day1 WHERE doc_id % 50 = 0
+    UNION ALL
+    SELECT doc_id + 2000000, text || ' zz yy' FROM day1 WHERE doc_id % 50 = 1
+    UNION ALL SELECT doc_id + 3000000, text FROM twin_src
+    UNION ALL SELECT doc_id + 3100000, text FROM twin_src
+),
+sh1 AS ({shingle_cte.format(src="day1")}),
+shb AS ({shingle_cte.format(src="batch")}),
+sig1 AS (SELECT doc, {sig_aggs} FROM sh1 GROUP BY doc),
+sigb AS (SELECT doc, {sig_aggs} FROM shb GROUP BY doc),
+b1 AS (SELECT DISTINCT band, bucket FROM ({buckets_cte("sig1")})),
+bb AS ({buckets_cte("sigb")}),
+hist_md5 AS (SELECT DISTINCT md5(text) AS m FROM day1),
+base AS (
+    SELECT doc_id, md5(text) AS m,
+           min(doc_id) OVER (PARTITION BY md5(text)) AS min_id
+    FROM batch
+),
+near_batch AS (
+    SELECT DISTINCT doc FROM (
+        SELECT doc, min(doc) OVER (PARTITION BY band, bucket) AS minb
+        FROM bb
+    ) WHERE doc > minb
+),
+near_hist AS (SELECT DISTINCT bb.doc FROM bb JOIN b1 USING (band, bucket))
+SELECT doc_id,
+       CASE WHEN m IN (SELECT m FROM hist_md5) OR doc_id > min_id
+                THEN 'exact_dup'
+            WHEN doc_id IN (SELECT doc FROM near_batch)
+                 OR doc_id IN (SELECT doc FROM near_hist)
+                THEN 'near_dup'
+            ELSE 'kept' END AS status
+FROM base
+"""
+
+
+O_INCREMENTAL_DEDUP = _incremental_dedup_oracle()
+
+
 #: tokenize-and-fill-budget flagship: token budget + pack capacity.
 #: 30k ids selects roughly half the 500-doc corpora (~60k ids total)
 #: and ~5% of sf0.1 — the selection is a proper subset at every sweep
@@ -3612,6 +3759,7 @@ QUERIES = {
     "normalize_text": q_normalize_text,
     "bpe_encode": q_bpe_encode,
     "bpe_budget_packs": q_bpe_budget_packs,
+    "incremental_dedup": q_incremental_dedup,
     "pq_codes": q_pq_codes,
     "pq_adc_topk": q_pq_adc_topk,
     "ivf_pq_topk": q_ivf_pq_topk,
@@ -3677,6 +3825,7 @@ ORACLES = {
     "normalize_text": O_NORMALIZE_TEXT,
     "bpe_encode": O_BPE_ENCODE,
     "bpe_budget_packs": O_BPE_BUDGET_PACKS,
+    "incremental_dedup": O_INCREMENTAL_DEDUP,
     "pq_codes": O_PQ_CODES,
     "pq_adc_topk": O_PQ_ADC_TOPK,
     "ivf_pq_topk": O_IVF_PQ_TOPK,

@@ -1492,6 +1492,122 @@ def test_ivf_pq_indexed_bit_identical_to_oneshot(spark, tmp_path):
         assert served == oneshot, (qid, served, oneshot)
 
 
+def test_incremental_dedup_planted_statuses(spark):
+    """Every planted class lands on its expected status, in both hash
+    modes (xxhash64 production / md5 oracle twin)."""
+    from jobinsight_data_pipeline_spark.operators.dedup import (
+        build_dedup_state,
+        incremental_dedup,
+    )
+
+    day1 = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "spark makes distributed data processing simple and fast"),
+            (3, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+    day2 = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog today"),
+            (11, "the quick brown fox jumps over the lazy dog today zz"),
+            # long base: ~19/21-shingle overlap for the near plant, so
+            # BOTH hash modes band-collide (a short base at jaccard
+            # ~0.75 missed banding in xxhash64 mode — bands are
+            # probabilistic in the similarity, deterministic in the hash)
+            (12, "completely different content about machine learning"
+                 " models and their training pipelines with many tokens"
+                 " of filler text here"),
+            (13, "completely different content about machine learning"
+                 " models and their training pipelines with many tokens"
+                 " of filler text here"),
+            (14, "completely different content about machine learning"
+                 " models and their training pipelines with many tokens"
+                 " of filler text here yy"),
+            (15, "short doc"),
+            (16, "tiny new"),
+        ],
+        "doc_id long, text string",
+    )
+    expect = {
+        10: "exact_dup",   # exact vs history
+        11: "near_dup",    # near vs history
+        12: "kept",
+        13: "exact_dup",   # exact vs smaller batch doc
+        14: "near_dup",    # near vs smaller batch doc
+        15: "exact_dup",   # short doc, hash-only path
+        16: "kept",
+    }
+    for mode in ("xxhash64", "md5"):
+        state = build_dedup_state(day1, hash_mode=mode)
+        got = {
+            r["doc_id"]: r["status"]
+            for r in incremental_dedup(day2, state, hash_mode=mode).collect()
+        }
+        assert got == expect, (mode, got)
+
+
+def test_incremental_dedup_append_then_rerun_drops_everything(spark):
+    """The day-3 invariant: append the KEPT docs' state rows to the
+    snapshot (append-only, the bucket_manifest discipline), then re-run
+    the same batch — every row must now be a duplicate (its own content
+    is in history), and the state is append-stable: rebuilding from
+    scratch over day1 ∪ kept equals the appended union exactly."""
+    from jobinsight_data_pipeline_spark.operators.dedup import (
+        build_dedup_state,
+        incremental_dedup,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    day1 = docs.filter("doc_id < 100")
+    batch = docs.filter("doc_id >= 100 AND doc_id < 200")
+    state = build_dedup_state(day1)
+    res = incremental_dedup(batch, state)
+    kept_ids = [r["doc_id"] for r in res.filter("status = 'kept'").collect()]
+    assert kept_ids, "batch produced no kept docs — split is degenerate"
+    kept_docs = batch.join(
+        spark.createDataFrame([(i,) for i in kept_ids], "doc_id long"),
+        "doc_id",
+        "left_semi",
+    )
+    appended = state.unionByName(build_dedup_state(kept_docs))
+    rerun = incremental_dedup(batch, appended)
+    assert rerun.filter("status = 'kept'").count() == 0
+    # append-stability: same rows as a from-scratch rebuild
+    rebuilt = build_dedup_state(day1.unionByName(kept_docs))
+    assert appended.exceptAll(rebuilt).count() == 0
+    assert rebuilt.exceptAll(appended).count() == 0
+
+
+def test_incremental_dedup_relayout_stable(spark):
+    """Statuses are a pure function of content — identical under any
+    partitioning of batch or state."""
+    from jobinsight_data_pipeline_spark.operators.dedup import (
+        build_dedup_state,
+        incremental_dedup,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    day1, batch = docs.filter("doc_id < 100"), docs.filter("doc_id >= 100")
+    state = build_dedup_state(day1)
+    a = {
+        (r["doc_id"], r["status"])
+        for r in incremental_dedup(batch, state).collect()
+    }
+    b = {
+        (r["doc_id"], r["status"])
+        for r in incremental_dedup(
+            batch.repartition(17), state.repartition(5)
+        ).collect()
+    }
+    assert a == b
+
+
 def test_bpe_encode_matches_python_reference(spark):
     """The native replace-chain encoder must equal the independent
     symbol-list Python reference on adversarial inputs: overlapping
