@@ -142,24 +142,68 @@ def cosine_near_pairs(
     )
 
 
+def lsh_params_for(
+    threshold: float,
+    target_recall: float = 0.95,
+    max_planes: int = 64,
+) -> tuple[int, int]:
+    """Derive ``(n_planes, bands)`` from the similarity threshold — the
+    classic LSH tuning: per-bit collision for cosine-t pairs is
+    ``p = 1 − arccos(t)/π``; a band of ``r`` bits hits with ``p^r`` and
+    ``b`` bands give recall ``1 − (1 − p^r)^b``. Pick the LARGEST ``r``
+    whose required band count still fits ``max_planes`` (64 = one packed
+    long): bigger ``r`` is the candidate-pruning lever, since far pairs
+    (cos ≈ 0, p = ½) collide per band at ``2^−r``.
+
+    Hard bound worth knowing before blaming the plan: candidate fraction
+    for random-centered corpora is ``≈ 1 − (1 − 2^−r)^b``. At t = 0.4
+    (p = .63) the best feasible config under 64 planes is r=3, b=11 —
+    which still examines ~77% of all pairs (measured 76% on the
+    testdata corpus; r=4 needs b=18 → 72 planes, infeasible). Loose-τ
+    near-dup is candidate-bound for hyperplane LSH; use
+    :func:`semantic_dedup`'s centroid cells there. At production
+    near-dup thresholds the same formula prunes sharply (t = 0.9 →
+    r=7, b=8: far pairs collide at ~6%)."""
+    import math
+
+    p = 1.0 - math.acos(threshold) / math.pi
+    for r in range(max_planes, 0, -1):
+        q = p**r
+        if q >= 1.0:
+            return r, 1
+        b = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - q))
+        if b * r <= max_planes:
+            return b * r, b
+    raise ValueError(
+        f"no feasible LSH config for threshold={threshold} under "
+        f"{max_planes} planes"
+    )
+
+
 def lsh_cosine_near_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.4,
     dim: int = 64,
-    n_planes: int = 16,
-    bands: int = 8,
+    n_planes: int | None = None,
+    bands: int | None = None,
     seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-dup at 100 TB posture: hyperplane-LSH band
     buckets generate candidates (self-join on (band, bucket) — only
     colliding rows are paired, never all-pairs), exact cosine verifies.
     Precision is 1.0 (every emitted pair passed the exact check); recall
-    ≈ 1 - (1 - p^r)^b with per-bit collision p = 1 - arccos(t)/π, so the
-    2-bit-band default keeps recall ≈ 0.98 even at t = 0.4 where single
-    bits agree only 63% of the time. Output schema matches
-    ``cosine_near_pairs``."""
+    ≈ 1 - (1 - p^r)^b with per-bit collision p = 1 - arccos(t)/π.
+
+    ``n_planes``/``bands`` default to :func:`lsh_params_for`'s
+    autotuning from ``threshold`` (recall target 0.95) — the round-6
+    change from a fixed permissive 16×2-bit config; pass both explicitly
+    to pin a layout. Output schema matches ``cosine_near_pairs``."""
+    if (n_planes is None) != (bands is None):
+        raise ValueError("pass both n_planes and bands, or neither")
+    if n_planes is None:
+        n_planes, bands = lsh_params_for(threshold)
     bits_per_band = n_planes // bands
     mask = (1 << bits_per_band) - 1
     sk = (

@@ -1492,6 +1492,59 @@ def test_ivf_pq_indexed_bit_identical_to_oneshot(spark, tmp_path):
         assert served == oneshot, (qid, served, oneshot)
 
 
+def test_lsh_params_autotune_formula():
+    """lsh_params_for picks the largest feasible bits-per-band and a
+    band count meeting the recall target within one packed long."""
+    import math
+
+    from jobinsight_data_pipeline_spark.operators.similarity import (
+        lsh_params_for,
+    )
+
+    for t in (0.3, 0.4, 0.6, 0.8, 0.9, 0.95):
+        n_planes, bands = lsh_params_for(t)
+        r = n_planes // bands
+        assert n_planes == bands * r and n_planes <= 64
+        p = 1.0 - math.acos(t) / math.pi
+        recall = 1.0 - (1.0 - p**r) ** bands
+        assert recall >= 0.95, (t, n_planes, bands, recall)
+        # maximality: one more bit per band would not fit 64 planes
+        q2 = p ** (r + 1)
+        b2 = math.ceil(math.log(0.05) / math.log(1.0 - q2))
+        assert b2 * (r + 1) > 64, (t, r, b2)
+    assert lsh_params_for(0.4) == (33, 11)
+
+
+def test_lsh_near_pairs_tight_threshold_planted_recall(spark):
+    """At a production near-dup threshold the autotuned bands must find
+    planted high-cosine pairs: 40 base vectors plus a slightly-noised
+    twin each (cos ≈ 0.995) — recall 1.0 expected, precision 1.0 by
+    construction (exact verify)."""
+    import numpy as np
+
+    from jobinsight_data_pipeline_spark.operators.similarity import (
+        lsh_cosine_near_pairs,
+    )
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((40, 64))
+    rows = []
+    for i, v in enumerate(base):
+        twin = v + 0.05 * rng.standard_normal(64)
+        rows.append((i, [float(x) for x in v]))
+        rows.append((1000 + i, [float(x) for x in twin]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = {
+        (r["vec_a"], r["vec_b"])
+        for r in lsh_cosine_near_pairs(df, threshold=0.9).collect()
+    }
+    planted = {(i, 1000 + i) for i in range(40)}
+    assert planted <= pairs, planted - pairs
+    # anything extra must be a genuine >=0.9 pair; base vectors are
+    # near-orthogonal so none exist
+    assert pairs == planted, pairs - planted
+
+
 def test_incremental_dedup_planted_statuses(spark):
     """Every planted class lands on its expected status, in both hash
     modes (xxhash64 production / md5 oracle twin)."""
