@@ -191,14 +191,11 @@ DRIVER_QUERIES: list[str] = [
     "cdc_roundtrip",
     "scd2_update",
     "fact_merge",
-    "top10_avg_salary",
     "warehouse_rollup",
     "views_salary_filter",
     "view_current_jobs",
     "view_job_locations",
-    "view_monthly_jobs_sets",
     "view_top_companies",
-    "view_top_locations",
     "stream_pipeline",
     "warehouse_incremental",
     "view_monthly_jobs",
@@ -235,6 +232,14 @@ DRIVER_QUERIES: list[str] = [
     "embedding_lsh_topk",
     "semantic_dedup",
     "media_features",
+    # round-6 slot refresh (judge directive): three A1/A2-family twins
+    # demoted (top10_avg_salary → top10_customers+views_salary_filter;
+    # view_monthly_jobs_sets → view_monthly_jobs+monthly_orders;
+    # view_top_locations → view_job_locations+view_top_companies) in
+    # favor of three previously driver-unseen flagship families
+    "bm25_search",
+    "pagerank",
+    "ivf_pq_topk",
     # the two heaviest sit last on purpose (composed chain; iterative
     # CC) — position 50 exactly fills the driver cap
     "training_shards",
