@@ -2799,6 +2799,100 @@ FROM base
 O_INCREMENTAL_DEDUP = _incremental_dedup_oracle()
 
 
+def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME day-2 dedup as `incremental_dedup`, run as a Structured
+    Streaming foreachBatch loop (streaming/incremental.
+    stream_incremental_dedup) over four id-ordered micro-batch drops
+    (base, exact plants, near plants, twins; maxFilesPerTrigger=1) with
+    record='all' — cross-batch decisions then equal the one-shot batch
+    operator's single-pass rule, so THIS gate shares
+    O_INCREMENTAL_DEDUP verbatim: the batch ≡ streaming pin (the
+    stream_jsonl_ingest discipline). State starts from the day-1
+    snapshot and grows append-only per micro-batch."""
+    import hashlib
+    import os
+    import shutil
+
+    from jobinsight_data_pipeline_spark.catalog import scratch_dir
+    from jobinsight_data_pipeline_spark.operators.dedup import (
+        build_dedup_state,
+    )
+    from jobinsight_data_pipeline_spark.streaming.incremental import (
+        stream_incremental_dedup,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    docs = t["documents"].select("doc_id", "text")
+    day1 = docs.filter(F.col("doc_id") < INCR_SPLIT)
+    d2base = docs.filter(F.col("doc_id") >= INCR_SPLIT)
+    plants_exact = day1.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    plants_near = day1.filter(F.col("doc_id") % 50 == 1).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz yy")).alias("text"),
+    )
+    twin_src = day1.filter(F.col("doc_id") % 50 == 2).select(
+        "doc_id",
+        F.concat(
+            F.lit("twin"),
+            F.lit(" t"), F.col("doc_id").cast("string"),
+            F.lit(" payload"),
+            F.lit(" p"), F.col("doc_id").cast("string"),
+            F.lit(" end"),
+        ).alias("text"),
+    )
+    twins = twin_src.select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"), "text"
+    ).unionByName(
+        twin_src.select((F.col("doc_id") + 3_100_000).alias("doc_id"), "text")
+    )
+
+    base = scratch_dir(
+        "streamincr-gate-",
+        "{}-{}".format(
+            spark.sparkContext.applicationId,
+            hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+        ),
+    )
+    done = os.path.join(base, "_gate_done")
+    if not os.path.exists(done):
+        shutil.rmtree(base, ignore_errors=True)
+        raw = f"{base}/drops"
+        # one file per micro-batch, mtimes strictly increasing so the
+        # file source processes them in id order (the equivalence
+        # precondition for record='all')
+        now = 1_700_000_000
+        stamped: set[str] = set()
+        for i, shard in enumerate(
+            (d2base, plants_exact, plants_near, twins)
+        ):
+            shard.coalesce(1).write.mode("append").parquet(raw)
+            for f in sorted(os.listdir(raw)):
+                if f.endswith(".parquet") and f not in stamped:
+                    stamped.add(f)
+                    os.utime(os.path.join(raw, f), (now + i, now + i))
+        build_dedup_state(
+            day1, n_hashes=INCR_NH, bands=INCR_BANDS, hash_mode="md5"
+        ).write.parquet(f"{base}/state")
+        query = stream_incremental_dedup(
+            spark,
+            raw,
+            d2base.schema,
+            f"{base}/sink",
+            f"{base}/state",
+            f"{base}/ckpt",
+            n_hashes=INCR_NH,
+            bands=INCR_BANDS,
+            hash_mode="md5",
+            record="all",
+        )
+        query.awaitTermination()
+        with open(done, "w") as fh:
+            fh.write("ok")
+    return spark.read.parquet(f"{base}/sink").select("doc_id", "status")
+
+
 #: tokenize-and-fill-budget flagship: token budget + pack capacity.
 #: 30k ids selects roughly half the 500-doc corpora (~60k ids total)
 #: and ~5% of sf0.1 — the selection is a proper subset at every sweep
@@ -3760,6 +3854,7 @@ QUERIES = {
     "bpe_encode": q_bpe_encode,
     "bpe_budget_packs": q_bpe_budget_packs,
     "incremental_dedup": q_incremental_dedup,
+    "stream_incremental_dedup": q_stream_incremental_dedup,
     "pq_codes": q_pq_codes,
     "pq_adc_topk": q_pq_adc_topk,
     "ivf_pq_topk": q_ivf_pq_topk,
@@ -3826,6 +3921,7 @@ ORACLES = {
     "bpe_encode": O_BPE_ENCODE,
     "bpe_budget_packs": O_BPE_BUDGET_PACKS,
     "incremental_dedup": O_INCREMENTAL_DEDUP,
+    "stream_incremental_dedup": O_INCREMENTAL_DEDUP,
     "pq_codes": O_PQ_CODES,
     "pq_adc_topk": O_PQ_ADC_TOPK,
     "ivf_pq_topk": O_IVF_PQ_TOPK,

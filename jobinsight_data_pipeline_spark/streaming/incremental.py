@@ -200,3 +200,98 @@ def stream_jsonl_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_incremental_dedup(
+    spark: SparkSession,
+    raw_dir: str,
+    schema,
+    sink_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    hash_mode: str = "xxhash64",
+    record: str = "kept",
+    max_files_per_trigger: int = 1,
+):
+    """Day-N corpus dedup as a streaming loop — the streaming twin of
+    ``operators/dedup.incremental_dedup``: each micro-batch is classified
+    against the persisted state (exact content hash + minhash band
+    buckets), the classified rows land in the sink, and the state grows
+    append-only — ``foreachBatch`` running the SAME set-based batch
+    operator, one code path (the §2.10 discipline).
+
+    ``record`` controls what joins history after each batch:
+
+    - ``"kept"`` (production default): only surviving docs — the
+      classic dedup-against-corpus semantics;
+    - ``"all"``: every processed doc. With id-ordered drops this makes
+      the cross-batch decisions IDENTICAL to one-shot batch
+      ``incremental_dedup`` over the concatenated batches (a later doc
+      is dropped against any earlier doc, kept or not — the batch
+      operator's single-pass rule), which is what lets the catalog pin
+      batch ≡ streaming under ONE oracle.
+
+    Exactly-once caveat (documented, deliberate): foreachBatch with two
+    appends is at-least-once on retry. The STATE side is idempotent by
+    construction — ``incremental_dedup`` reads history through
+    ``distinct()``, so replayed state rows cannot change any decision —
+    but the sink can double-append a replayed batch; the availableNow
+    gates never retry, and production sinks should MERGE on the id.
+    State bootstrap: an absent ``state_dir`` starts empty (schema
+    derived from the batch itself, no hardcoded types).
+    """
+    import os
+
+    from jobinsight_data_pipeline_spark.operators.dedup import (
+        build_dedup_state,
+        incremental_dedup,
+    )
+
+    if record not in ("kept", "all"):
+        raise ValueError(f"record must be 'kept' or 'all', got {record!r}")
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        sp = batch_df.sparkSession
+        if os.path.isdir(state_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(state_dir)
+        ):
+            state = sp.read.parquet(state_dir)
+        else:
+            state = build_dedup_state(
+                batch_df.limit(0), id_col, text_col,
+                n_hashes, bands, shingle_n, hash_mode,
+            )
+        classified = incremental_dedup(
+            batch_df, state, id_col, text_col,
+            n_hashes, bands, shingle_n, hash_mode,
+        ).persist()
+        try:
+            classified.write.mode("append").parquet(sink_dir)
+            src = (
+                classified
+                if record == "all"
+                else classified.filter(F.col("status") == "kept")
+            )
+            build_dedup_state(
+                src.drop("status"), id_col, text_col,
+                n_hashes, bands, shingle_n, hash_mode,
+            ).write.mode("append").parquet(state_dir)
+        finally:
+            classified.unpersist()
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(raw_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1492,6 +1492,31 @@ def test_ivf_pq_indexed_bit_identical_to_oneshot(spark, tmp_path):
         assert served == oneshot, (qid, served, oneshot)
 
 
+def test_ngram_cap_distributed_form_identical(spark):
+    """The straggler-bounded groupBy+broadcast-anti cap must produce the
+    EXACT same pair set as the default count-over-window cap, with a
+    biting frequency threshold."""
+    from jobinsight_data_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    kw = dict(threshold=0.5, max_shingle_freq=20)
+    a = {
+        tuple(r)
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", distribute_cap=False, **kw
+        ).collect()
+    }
+    b = {
+        tuple(r)
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", distribute_cap=True, **kw
+        ).collect()
+    }
+    assert a == b and a  # identical and non-degenerate
+
+
 def test_lsh_params_autotune_formula():
     """lsh_params_for picks the largest feasible bits-per-band and a
     band count meeting the recall target within one packed long."""

@@ -646,3 +646,64 @@ def test_jsonl_shard_count_and_compression(spark, tmp_path):
     assert len(parts) == 3
     back = read_jsonl(spark, p, df.schema)
     assert back.count() == 100
+
+
+def test_stream_incremental_dedup_kept_semantics(spark, tmp_path):
+    """Production record='kept': a doc dropped as a duplicate does NOT
+    join history, so a later doc identical to the DROPPED one (but not
+    to anything kept) is classified by what actually survived. Batch 1:
+    A kept, A' exact-dups A. Batch 2: A'' (same text as A) must still be
+    exact_dup (A is in history); B (fresh) kept."""
+    from jobinsight_data_pipeline_spark.operators.dedup import (
+        build_dedup_state,
+    )
+    from jobinsight_data_pipeline_spark.streaming.incremental import (
+        stream_incremental_dedup,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again"
+    b1 = spark.createDataFrame(
+        [(10, base), (11, base)], "doc_id long, text string"
+    )
+    b2 = spark.createDataFrame(
+        [(20, base), (21, "a genuinely new document with fresh content")],
+        "doc_id long, text string",
+    )
+    raw = str(tmp_path / "drops")
+    import os
+
+    for i, b in enumerate((b1, b2)):
+        b.coalesce(1).write.mode("append").parquet(raw)
+        for f in os.listdir(raw):
+            p = os.path.join(raw, f)
+            if f.endswith(".parquet") and os.path.getmtime(p) > 1.75e9:
+                os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+    state_dir = str(tmp_path / "state")
+    # seed an empty-but-present state from a zero-row frame
+    build_dedup_state(b1.limit(0)).write.parquet(state_dir)
+    q = stream_incremental_dedup(
+        spark,
+        raw,
+        b1.schema,
+        str(tmp_path / "sink"),
+        state_dir,
+        str(tmp_path / "ckpt"),
+        record="kept",
+    )
+    q.awaitTermination()
+    got = {
+        r["doc_id"]: r["status"]
+        for r in spark.read.parquet(str(tmp_path / "sink")).collect()
+    }
+    assert got == {
+        10: "kept",
+        11: "exact_dup",
+        20: "exact_dup",
+        21: "kept",
+    }, got
+    # state holds exactly the kept docs (10, 21)
+    state_docs = {
+        r["doc"]
+        for r in spark.read.parquet(state_dir).select("doc").collect()
+    }
+    assert state_docs == {10, 21}, state_docs
