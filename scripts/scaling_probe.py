@@ -60,6 +60,16 @@ def probes(spark, sf_dir):
     from jobinsight_data_pipeline_spark.operators.ranking import (
         bm25_topk as _bm25_topk,
     )
+    from jobinsight_data_pipeline_spark.operators.bpe import (
+        bpe_encode as _bpe_encode,
+    )
+    from jobinsight_data_pipeline_spark.operators.dedup import (
+        build_dedup_state as _build_dedup_state,
+        incremental_dedup as _incremental_dedup,
+    )
+    from jobinsight_data_pipeline_spark.operators.parallelism import (
+        widen_for_cpu as _widen,
+    )
     from jobinsight_data_pipeline_spark.operators.textstats import (
         bigram_logprob as _bigram_logprob,
         dedup_paragraphs as _dedup_paragraphs,
@@ -125,6 +135,13 @@ def probes(spark, sf_dir):
             _pq_codebooks(),
             k=10,
             n_probe=4,
+        ),
+        "bpe_encode (replace chain)": lambda: _bpe_encode(
+            _widen(docs)
+        ),
+        "incremental_dedup (day-2 batch)": lambda: _incremental_dedup(
+            docs.filter("doc_id % 2 = 1"),
+            _build_dedup_state(docs.filter("doc_id % 2 = 0")),
         ),
     }
 

@@ -167,11 +167,14 @@ def test_driver_surface_fits_cap():
     q = _gate_queries()
     assert list(q) == DRIVER_QUERIES
     assert len(q) <= 50
+    # round-6 slot refresh: top10_avg_salary / view_monthly_jobs_sets /
+    # view_top_locations demoted (each shadowed by surviving siblings)
+    # for bm25_search / pagerank / ivf_pq_topk — the core below is what
+    # must stay front-registered
     core = {
         "scd2_update", "fact_merge", "bridge_rebuild", "warehouse_rollup",
         "warehouse_incremental", "views_salary_filter", "view_current_jobs",
-        "view_job_locations", "view_monthly_jobs", "view_monthly_jobs_sets",
-        "view_top_companies", "view_top_locations", "top10_avg_salary",
+        "view_job_locations", "view_monthly_jobs", "view_top_companies",
         "stream_pipeline",
     }
     head = set(list(q)[:19])
