@@ -300,6 +300,19 @@ def main() -> None:
                 ivf_pq_topk_indexed(index, qvec, cents, cb, k=10, n_probe=4)
             )
         )
+        # batched serving: 20 queries in ONE distributed job
+        from jobinsight_data_pipeline_spark.operators.similarity import (
+            ivf_pq_topk_many,
+        )
+
+        qbatch = emb.filter("vec_id < 20").selectExpr(
+            "vec_id AS query_id", "embedding"
+        )
+        timings["ivf_pq_serve_many"] = timed(
+            lambda: materialize(
+                ivf_pq_topk_many(index, qbatch, cents, cb, k=10, n_probe=4)
+            )
+        )
 
     total = round(sum(timings.values()), 3)
     print(

@@ -2242,16 +2242,11 @@ FROM adc ORDER BY adc ASC, vec_id ASC LIMIT {IVFPQ_K}
 O_IVF_PQ_TOPK = _ivfpq_oracle()
 
 
-def q_ivf_pq_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The build-once / serve-many half of the IVF-PQ duality under the
-    SAME exact oracle as the one-shot path (the bm25_index_search
-    one-hash pattern): build_ivf_pq_index encodes the corpus ONCE into
-    (vec_id, cell, codes), persisted through the ParquetLake PARTITIONED
-    BY cell (memoized behind a done-sentinel — repeat invocations only
-    serve); ivf_pq_topk_indexed then answers the query by
-    partition-pruning to the n_probe probe cells and ADC-ranking the
-    survivors. A drifted cell assignment, codes encoding, probe
-    selection, or a lossy partitioned round-trip fails the hash."""
+def _ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted IVF-PQ index for (session, sf_dir) — built ONCE via
+    build_ivf_pq_index and written through the ParquetLake PARTITIONED
+    BY cell behind a done-sentinel; every serving gate reads the same
+    asset (the build-once / serve-many lifecycle made literal)."""
     import hashlib
     import os
     import shutil
@@ -2259,14 +2254,11 @@ def q_ivf_pq_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jobinsight_data_pipeline_spark.catalog import scratch_dir
     from jobinsight_data_pipeline_spark.operators.similarity import (
         build_ivf_pq_index,
-        ivf_pq_topk_indexed,
         unit_centroids,
     )
     from jobinsight_data_pipeline_spark.sources.lake import ParquetLake
 
     t = load(spark, sf_dir, "embeddings")
-    emb = t["embeddings"]
-    cents = unit_centroids(64, IVFPQ_LISTS, seed=11)
     base = scratch_dir(
         "ivfpq-gate-",
         "{}-{}".format(
@@ -2278,13 +2270,35 @@ def q_ivf_pq_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     lake = ParquetLake(os.path.join(base, "lake"))
     if not os.path.exists(done):
         shutil.rmtree(os.path.join(base, "lake"), ignore_errors=True)
-        index = build_ivf_pq_index(emb, cents, _pq_cb())
+        cents = unit_centroids(64, IVFPQ_LISTS, seed=11)
+        index = build_ivf_pq_index(t["embeddings"], cents, _pq_cb())
         lake.write(index, "ivfpq", partition_by=["cell"])
         with open(done, "w") as fh:
             fh.write("ok")
+    return lake.read(spark, "ivfpq")
+
+
+def q_ivf_pq_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The build-once / serve-many half of the IVF-PQ duality under the
+    SAME exact oracle as the one-shot path (the bm25_index_search
+    one-hash pattern): build_ivf_pq_index encodes the corpus ONCE into
+    (vec_id, cell, codes), persisted through the ParquetLake PARTITIONED
+    BY cell (memoized behind a done-sentinel — repeat invocations only
+    serve); ivf_pq_topk_indexed then answers the query by
+    partition-pruning to the n_probe probe cells and ADC-ranking the
+    survivors. A drifted cell assignment, codes encoding, probe
+    selection, or a lossy partitioned round-trip fails the hash."""
+    from jobinsight_data_pipeline_spark.operators.similarity import (
+        ivf_pq_topk_indexed,
+        unit_centroids,
+    )
+
+    t = load(spark, sf_dir, "embeddings")
+    emb = t["embeddings"]
+    cents = unit_centroids(64, IVFPQ_LISTS, seed=11)
     query = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
     top = ivf_pq_topk_indexed(
-        lake.read(spark, "ivfpq"),
+        _ivfpq_index(spark, sf_dir),
         query,
         cents,
         _pq_cb(),
@@ -2295,6 +2309,125 @@ def q_ivf_pq_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.floor(F.col("adc") * F.lit(1000000.0)).cast("long").alias("adc_micro"),
     )
+
+
+#: the batched-serving gate's query ids (present at every sweep sf)
+IVFPQ_MANY_QIDS = (0, 7, 23, 42)
+
+
+def q_ivf_pq_serve_many(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched IVF-PQ serving (operators/similarity.ivf_pq_topk_many):
+    four query vectors answered in ONE distributed job against the same
+    persisted cell-partitioned index as `ivf_pq_index_search` — probe
+    cells picked in-engine (array_sort on (−dot, cell), the probe_cells
+    tie rule), broadcast (query, cell) join, direct per-pair ADC in the
+    LUT's accumulation order, per-query rank window. FULL exact oracle:
+    every (query, rank, id, adc_micro) replayed."""
+    from jobinsight_data_pipeline_spark.operators.similarity import (
+        ivf_pq_topk_many,
+        unit_centroids,
+    )
+
+    t = load(spark, sf_dir, "embeddings")
+    queries = (
+        t["embeddings"]
+        .filter(F.col("vec_id").isin(*IVFPQ_MANY_QIDS))
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    top = ivf_pq_topk_many(
+        _ivfpq_index(spark, sf_dir),
+        queries,
+        unit_centroids(64, IVFPQ_LISTS, seed=11),
+        _pq_cb(),
+        k=IVFPQ_K,
+        n_probe=IVFPQ_PROBE,
+    )
+    return top.select(
+        "query_id",
+        "rank",
+        "vec_id",
+        F.floor(F.col("adc") * F.lit(1000000.0)).cast("long").alias("adc_micro"),
+    )
+
+
+def _ivfpq_many_oracle() -> str:
+    from jobinsight_data_pipeline_spark.operators.similarity import (
+        unit_centroids,
+    )
+
+    cents = unit_centroids(64, IVFPQ_LISTS, seed=11)
+    cents_lit = (
+        "["
+        + ",".join(
+            "[" + ",".join(repr(float(x)) for x in c) + "]" for c in cents
+        )
+        + "]"
+    )
+    qids = ", ".join(str(q) for q in IVFPQ_MANY_QIDS)
+    sub = PQ_SUB
+    qdiff = (
+        f"list_transform(range({sub}), t -> "
+        f"q.qv[CAST(c.j * {sub} + t + 1 AS INTEGER)] - "
+        f"cb[CAST(c.j + 1 AS INTEGER)][CAST(c.code + 1 AS INTEGER)]"
+        f"[CAST(t + 1 AS INTEGER)])"
+    )
+    chain = " + ".join(
+        f"max(CASE WHEN j = {j} THEN d END)" for j in range(PQ_M)
+    )
+    e_cte = """e AS (SELECT vec_id, embedding AS v FROM embeddings)"""
+    return f"""
+WITH {_pq_codes_cte(e_cte)},
+cents AS (SELECT {cents_lit} AS cm),
+qs AS (
+    SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+    FROM embeddings WHERE vec_id IN ({qids})
+),
+qcells AS (
+    SELECT qid, CAST(u.j AS INTEGER) - 1 AS cell
+    FROM (SELECT qid, list_transform(cm, c -> list_dot_product(qv, c)) AS qd
+          FROM qs, cents) s,
+         unnest(generate_series(1, {IVFPQ_LISTS})) AS u(j)
+    QUALIFY row_number() OVER (
+        PARTITION BY qid
+        ORDER BY qd[CAST(u.j AS INTEGER)] DESC, u.j ASC) <= {IVFPQ_PROBE}
+),
+allv AS (
+    SELECT vec_id,
+           list_transform(cm, c -> list_dot_product(
+               CAST(embedding AS DOUBLE[]), c)) AS sarr
+    FROM embeddings, cents
+),
+assigned AS (
+    SELECT vec_id, list_position(sarr, list_max(sarr)) - 1 AS cell
+    FROM allv
+),
+cand AS (
+    SELECT q.qid, a.vec_id FROM assigned a JOIN qcells q USING (cell)
+),
+dists AS (
+    SELECT d.qid, c.vec_id, c.j,
+           list_dot_product({qdiff}, {qdiff}) AS d
+    FROM codes c
+    JOIN cand d USING (vec_id)
+    JOIN qs q ON q.qid = d.qid,
+    cube
+),
+adc AS (
+    SELECT qid, vec_id, {chain} AS adc FROM dists GROUP BY qid, vec_id
+),
+ranked AS (
+    SELECT qid, vec_id, adc,
+           row_number() OVER (
+               PARTITION BY qid ORDER BY adc ASC, vec_id ASC) AS rank
+    FROM adc
+)
+SELECT qid AS query_id, rank, vec_id,
+       CAST(floor(adc * 1000000.0) AS BIGINT) AS adc_micro
+FROM ranked WHERE rank <= {IVFPQ_K}
+"""
+
+
+O_IVF_PQ_SERVE_MANY = _ivfpq_many_oracle()
 
 
 # --------------------------------------------------------------------------
@@ -3859,6 +3992,7 @@ QUERIES = {
     "pq_adc_topk": q_pq_adc_topk,
     "ivf_pq_topk": q_ivf_pq_topk,
     "ivf_pq_index_search": q_ivf_pq_index_search,
+    "ivf_pq_serve_many": q_ivf_pq_serve_many,
     "paragraph_dedup": q_paragraph_dedup,
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "stream_jsonl_ingest": q_stream_jsonl_ingest,
@@ -3926,6 +4060,7 @@ ORACLES = {
     "pq_adc_topk": O_PQ_ADC_TOPK,
     "ivf_pq_topk": O_IVF_PQ_TOPK,
     "ivf_pq_index_search": O_IVF_PQ_TOPK,
+    "ivf_pq_serve_many": O_IVF_PQ_SERVE_MANY,
     "paragraph_dedup": O_PARAGRAPH_DEDUP,
     "jsonl_roundtrip": O_JSONL_ROUNDTRIP,
     "stream_jsonl_ingest": O_JSONL_ROUNDTRIP,

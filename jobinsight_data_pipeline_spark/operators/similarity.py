@@ -859,3 +859,105 @@ def ivf_pq_topk_indexed(
     probe = probe_cells(query, centroids, n_probe)
     cand = index.filter(F.col("cell").isin(*probe)).select(id_col, "codes")
     return pq_adc_topk(cand, query, codebooks, k, id_col=id_col)
+
+
+def ivf_pq_topk_many(
+    index: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+) -> DataFrame:
+    """Batched IVF-PQ serving: top-``k`` for a whole DataFrame of query
+    vectors against a prebuilt :func:`build_ivf_pq_index` index — the
+    production serving shape (one job amortizes the index scan over the
+    batch), fully distributed with NOTHING collected to the driver.
+
+    Per query, probe cells are picked IN-ENGINE: dot against the literal
+    centroid matrix, ``array_sort`` on (−dot, cell) structs — the exact
+    tie rule of :func:`probe_cells` — sliced to ``n_probe`` and
+    exploded. The (query, cell) frame broadcasts onto the index's cell
+    equi-join (queries ≪ corpus; a cell-partitioned parquet index also
+    makes this join dynamic-partition-prunable). ADC is computed
+    directly per (query, candidate): per-subspace squared distance to
+    the coded centroid, subspaces folded j = 0..m−1 — the SAME
+    accumulation order as :func:`pq_adc_topk`'s driver-built LUT, so a
+    one-row query batch is bit-identical to
+    :func:`ivf_pq_topk_indexed` (pinned by test). Final per-query
+    top-k: rank window over (adc, id).
+
+    Returns (query_id_col, rank, id_col, adc).
+    """
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    CENTS = F.expr(_matrix_sql(centroids))
+    CB = F.expr(_cube_sql(codebooks))
+
+    qv = _as_double(F.col(query_vec_col))
+    sarr = F.transform(
+        CENTS,
+        lambda c: F.aggregate(
+            F.zip_with(qv, c, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda s, y: s + y,
+        ),
+    )
+    ranked_cells = F.slice(
+        F.array_sort(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+                lambda j: F.struct(
+                    (-F.element_at(sarr, (j + F.lit(1)).cast("int"))).alias(
+                        "negdot"
+                    ),
+                    j.cast("int").alias("cell"),
+                ),
+            )
+        ),
+        1,
+        n_probe,
+    )
+    probes = queries.select(
+        F.col(query_id_col),
+        qv.alias("_qv"),
+        F.explode(F.transform(ranked_cells, lambda x: x["cell"])).alias(
+            "cell"
+        ),
+    )
+
+    cand = index.join(broadcast(probes), "cell")
+
+    def term(j: Column) -> Column:
+        qsub = F.slice(F.col("_qv"), j * sub + 1, sub)
+        centroid = F.element_at(
+            F.element_at(CB, (j + F.lit(1)).cast("int")),
+            (
+                F.element_at(F.col("codes"), (j + F.lit(1)).cast("int"))
+                + F.lit(1)
+            ).cast("int"),
+        )
+        return F.aggregate(
+            F.zip_with(qsub, centroid, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda s, y: s + y,
+        )
+
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)), F.lit(0.0),
+        lambda acc, j: acc + term(j),
+    )
+    scored = cand.select(
+        query_id_col, id_col, adc.alias("adc")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, "adc")
+    )

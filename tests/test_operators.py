@@ -1492,6 +1492,47 @@ def test_ivf_pq_indexed_bit_identical_to_oneshot(spark, tmp_path):
         assert served == oneshot, (qid, served, oneshot)
 
 
+def test_ivf_pq_many_bit_identical_to_single_route(spark):
+    """The batched in-engine serving path (in-engine probe selection,
+    direct per-pair ADC) must reproduce the single-query indexed route
+    EXACTLY — same ids, ranks, and ADC doubles — for every query in the
+    batch (the accumulation-order contract)."""
+    from jobinsight_data_pipeline_spark.operators.similarity import (
+        build_ivf_pq_index,
+        ivf_pq_topk_indexed,
+        ivf_pq_topk_many,
+        pq_codebooks,
+        unit_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents, cb = unit_centroids(64, 16, seed=11), pq_codebooks()
+    index = build_ivf_pq_index(emb, cents, cb)
+    qids = (0, 7, 23)
+    queries = emb.filter(F.col("vec_id").isin(*qids)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    many = {}
+    for r in ivf_pq_topk_many(index, queries, cents, cb, k=8, n_probe=3).collect():
+        many.setdefault(r["query_id"], []).append(
+            (r["rank"], r["vec_id"], r["adc"])
+        )
+    for qid in qids:
+        qv = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == qid).head()["embedding"]
+        ]
+        single = [
+            (i + 1, r["vec_id"], r["adc"])
+            for i, r in enumerate(
+                ivf_pq_topk_indexed(
+                    index, qv, cents, cb, k=8, n_probe=3
+                ).collect()
+            )
+        ]
+        assert sorted(many[qid]) == single, (qid, many[qid], single)
+
+
 def test_ngram_cap_distributed_form_identical(spark):
     """The straggler-bounded groupBy+broadcast-anti cap must produce the
     EXACT same pair set as the default count-over-window cap, with a
