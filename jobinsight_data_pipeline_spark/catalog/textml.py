@@ -2785,6 +2785,77 @@ FROM enc
 O_BPE_ENCODE = _bpe_oracle()
 
 
+#: BPE trainer gate: merges learned on the real corpus per round
+BPE_LEARN_ROUNDS = 8
+
+
+def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge LEARNING (operators/bpe.learn_bpe_merges)
+    over the real corpus: collapse to a weighted distinct-word table,
+    then 8 rounds of (pair count → deterministic argmax → merge apply)
+    with checkpointed round state. The DuckDB oracle replays ALL 8
+    rounds unrolled — a drifted count, tie-break, or merge application
+    in ANY round cascades into every later round and fails the hash."""
+    from jobinsight_data_pipeline_spark.operators.bpe import learn_bpe_merges
+
+    t = load(spark, sf_dir, "documents")
+    learned = learn_bpe_merges(t["documents"], n_merges=BPE_LEARN_ROUNDS)
+    rows = [(i, l, r, n) for i, (l, r, n) in enumerate(learned)]
+    return spark.createDataFrame(
+        rows, "rank int, left string, right string, pair_count long"
+    )
+
+
+def _bpe_learn_oracle() -> str:
+    rounds = BPE_LEARN_ROUNDS
+    word_cte = """w0 AS MATERIALIZED (
+    SELECT regexp_replace(tok, '(.)', chr(30) || '\\1' || chr(31), 'g')
+               AS seq,
+           CAST(count(*) AS BIGINT) AS wcount
+    FROM (
+        SELECT unnest(list_filter(
+            regexp_split_to_array(
+                trim(regexp_replace(text,
+                     '[' || chr(30) || chr(31) || ']', '', 'g')),
+                '\\s+'),
+            x -> x <> '')) AS tok
+        FROM documents
+    )
+    GROUP BY 1
+)"""
+    parts = [word_cte]
+    for i in range(rounds):
+        parts.append(f"""p{i} AS MATERIALIZED (
+    SELECT a[u.g] AS l, a[u.g + 1] AS r, sum(wcount) AS n
+    FROM (SELECT list_filter(string_split(replace(seq, chr(31), ''),
+                                          chr(30)), s -> s <> '') AS a,
+                 wcount
+          FROM w{i}) t,
+         unnest(generate_series(1, len(a) - 1)) AS u(g)
+    GROUP BY 1, 2
+),
+m{i} AS MATERIALIZED (
+    SELECT l, r, n FROM p{i} ORDER BY n DESC, l ASC, r ASC LIMIT 1)""")
+        if i + 1 < rounds:
+            parts.append(f"""w{i + 1} AS MATERIALIZED (
+    SELECT replace(seq,
+                   chr(30) || (SELECT l FROM m{i}) || chr(31) ||
+                   chr(30) || (SELECT r FROM m{i}) || chr(31),
+                   chr(30) || (SELECT l || r FROM m{i}) || chr(31)) AS seq,
+           wcount
+    FROM w{i}
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT {i} AS rank, l AS left, r AS right, "
+        f"CAST(n AS BIGINT) AS pair_count FROM m{i}"
+        for i in range(rounds)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + union
+
+
+O_BPE_LEARN = _bpe_learn_oracle()
+
+
 #: incremental-dedup gate constants: history split + planted-dup spacing
 INCR_SPLIT = 250
 INCR_NH, INCR_BANDS = 16, 4
@@ -3986,6 +4057,7 @@ QUERIES = {
     "normalize_text": q_normalize_text,
     "bpe_encode": q_bpe_encode,
     "bpe_budget_packs": q_bpe_budget_packs,
+    "bpe_learn": q_bpe_learn,
     "incremental_dedup": q_incremental_dedup,
     "stream_incremental_dedup": q_stream_incremental_dedup,
     "pq_codes": q_pq_codes,
@@ -4054,6 +4126,7 @@ ORACLES = {
     "normalize_text": O_NORMALIZE_TEXT,
     "bpe_encode": O_BPE_ENCODE,
     "bpe_budget_packs": O_BPE_BUDGET_PACKS,
+    "bpe_learn": O_BPE_LEARN,
     "incremental_dedup": O_INCREMENTAL_DEDUP,
     "stream_incremental_dedup": O_INCREMENTAL_DEDUP,
     "pq_codes": O_PQ_CODES,

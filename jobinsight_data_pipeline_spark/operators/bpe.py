@@ -220,3 +220,153 @@ def bpe_encode_py(
             syms = merged
         out.extend(vocab.get(s, -1) for s in syms)
     return out
+
+
+def learn_bpe_merges(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    min_pair_count: int = 2,
+) -> list[tuple[str, str, int]]:
+    """Learn a BPE merges table FROM the corpus — the distributed trainer
+    that completes the learn → encode → pack story (Sennrich et al.
+    2016, §3). Returns [(left, right, pair_count), …] in rank order;
+    feed ``[(l, r) for l, r, _ in result]`` straight into
+    :func:`bpe_encode`.
+
+    Scale shape — the trick every real BPE trainer uses: the corpus
+    first collapses to a DISTINCT-WORD frequency table (one
+    tokenize+groupBy pass; vocabulary ≪ token count, ~10⁶ distinct
+    words for a 10¹²-token web corpus), and every training round then
+    works on that small weighted table: adjacent-pair counts weighted by
+    word frequency (one partial-aggregating groupBy), a 1-row argmax to
+    the driver (count DESC, then lexicographic — fully deterministic),
+    and a single native `replace` applying the merge. Round state is
+    eagerly localCheckpointed and the previous round freed (the
+    pagerank pattern) — per-round lineage stays one hop. Driver state
+    per round: ONE row. Stops early when the best pair's count falls
+    below ``min_pair_count``.
+
+    Pair counting is positional (adjacent occurrences, overlapping —
+    "aaa" contributes (a,a) twice), merge application is left-to-right
+    non-overlapping: the classic trainer semantics. Pairs never span
+    the space symbol (token boundary). On an ASCII corpus the learned
+    table is :func:`validate_merges`-well-formed by construction (every
+    constituent exists as a symbol when its merge is learned).
+    """
+    from jobinsight_data_pipeline_spark.operators.components import (
+        _free_local_checkpoint,
+    )
+    from jobinsight_data_pipeline_spark.operators.parallelism import (
+        widen_for_cpu,
+    )
+    from jobinsight_data_pipeline_spark.operators.textstats import tokens
+
+    t = F.regexp_replace(F.col(text_col), f"[{_OPEN}{_CLOSE}]", "")
+    words = (
+        widen_for_cpu(df)
+        .select(F.explode(tokens(t)).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wcount"))
+        .select(
+            F.regexp_replace(F.col("w"), "(.)", f"{_OPEN}$1{_CLOSE}").alias(
+                "seq"
+            ),
+            "wcount",
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    merges: list[tuple[str, str, int]] = []
+    state, state_ckpt = words, True
+    for _ in range(n_merges):
+        syms = F.filter(
+            F.split(F.replace(F.col("seq"), F.lit(_CLOSE), F.lit("")), _OPEN),
+            lambda s: s != "",
+        )
+        # sequence(1, 0) DESCENDS and ANSI element_at throws out of
+        # bounds — guard the single-symbol-word case explicitly
+        pairs = F.expr(
+            "CASE WHEN size(_syms) >= 2 THEN "
+            "filter(transform(sequence(1, size(_syms) - 1), "
+            "i -> struct(element_at(_syms, i) AS l, "
+            "element_at(_syms, i + 1) AS r)), "
+            "p -> p.l != ' ' AND p.r != ' ') "
+            "ELSE array() END"
+        )
+        best = (
+            state.withColumn("_syms", syms)
+            .select(F.explode(pairs).alias("p"), "wcount")
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("wcount").alias("n"))
+            .orderBy(F.desc("n"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["n"] < min_pair_count:
+            break
+        l, r, n = best[0]["l"], best[0]["r"], int(best[0]["n"])
+        merges.append((l, r, n))
+        new_state = state.select(
+            F.replace(
+                F.col("seq"),
+                F.lit(_OPEN + l + _CLOSE + _OPEN + r + _CLOSE),
+                F.lit(_OPEN + l + r + _CLOSE),
+            ).alias("seq"),
+            "wcount",
+        ).localCheckpoint(eager=True)
+        if state_ckpt:
+            _free_local_checkpoint(state)
+        state, state_ckpt = new_state, True
+    if state_ckpt:
+        _free_local_checkpoint(state)
+    return merges
+
+
+def learn_bpe_merges_py(
+    texts: list[str | None],
+    n_merges: int,
+    min_pair_count: int = 2,
+) -> list[tuple[str, str, int]]:
+    """Pure-Python reference trainer (independent realization: dict
+    counting over symbol lists, no string-replace tricks) for the
+    property tests."""
+    import re
+    from collections import Counter
+
+    wcounts: Counter = Counter()
+    for s in texts:
+        if s is None:
+            continue
+        cleaned = s.replace(_OPEN, "").replace(_CLOSE, "")
+        for w in re.split(r"\s+", cleaned.strip()):
+            if w:
+                wcounts[w] += 1
+    state = {tuple(w): c for w, c in wcounts.items()}
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pc: Counter = Counter()
+        for syms, c in state.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        if not pc:
+            break
+        (l, r), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < min_pair_count:
+            break
+        merges.append((l, r, n))
+        new_state: dict = {}
+        for syms, c in state.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_state[key] = new_state.get(key, 0) + c
+        state = new_state
+    return merges

@@ -36,12 +36,14 @@ def _guard_brute_force(df: DataFrame, max_rows: int | None, alternative: str) ->
     """Refuse to run an all-pairs plan on a corpus-scale frame. The
     brute-force operators are the exact baselines (oracles, re-rankers,
     recall measurement) — at 10⁸ embeddings their crossJoin is 10¹⁶
-    score evaluations, and nothing in the plan would stop it. One cheap
-    count() action per call (parquet count is metadata-fast); pass
+    score evaluations, and nothing in the plan would stop it. The probe
+    is ``limit(max_rows + 1).count()`` — bounded work even when handed a
+    DERIVED frame (a bare count() would execute the full upstream plan;
+    the limit stops scanning once the threshold row exists). Pass
     ``max_rows=None`` as the explicit escape hatch."""
     if max_rows is None:
         return
-    n = df.count()
+    n = df.limit(max_rows + 1).count()
     if n > max_rows:
         raise ValueError(
             f"brute-force similarity refused: corpus has {n:,} rows > "

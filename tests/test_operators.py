@@ -1727,6 +1727,52 @@ def test_incremental_dedup_relayout_stable(spark):
     assert a == b
 
 
+def test_bpe_trainer_matches_python_reference(spark):
+    """The distributed trainer (weighted word table, per-round pair
+    count + argmax + merge) must produce the EXACT merge sequence of the
+    independent dict-based Python reference, including counts and
+    tie-breaks, on the real corpus AND a tie-heavy fixture."""
+    from jobinsight_data_pipeline_spark.operators.bpe import (
+        learn_bpe_merges,
+        learn_bpe_merges_py,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = learn_bpe_merges(docs, n_merges=6)
+    ref = learn_bpe_merges_py([r["text"] for r in docs.collect()], 6)
+    assert got == ref, (got, ref)
+
+    # tie-heavy: every pair count equal -> lexicographic tie-break decides
+    tie = spark.createDataFrame(
+        [(1, "ab cd ab cd"), (2, "ba dc ba dc")], "doc_id long, text string"
+    )
+    got_t = learn_bpe_merges(tie, n_merges=3, min_pair_count=1)
+    ref_t = learn_bpe_merges_py(["ab cd ab cd", "ba dc ba dc"], 3, 1)
+    assert got_t == ref_t, (got_t, ref_t)
+    # early stop below min_pair_count
+    tiny = spark.createDataFrame([(1, "xy")], "doc_id long, text string")
+    assert learn_bpe_merges(tiny, n_merges=5, min_pair_count=2) == []
+
+
+def test_bpe_learned_merges_compose_with_encoder(spark):
+    """learn → encode is a closed loop: the learned table validates as
+    well-formed, feeds bpe_encode, and compresses the corpus it was
+    trained on (fewer ids than char-level)."""
+    from jobinsight_data_pipeline_spark.operators.bpe import (
+        bpe_encode,
+        learn_bpe_merges,
+        validate_merges,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    learned = learn_bpe_merges(docs, n_merges=8)
+    pairs = [(lft, r) for lft, r, _ in learned]
+    validate_merges(pairs)
+    total = bpe_encode(docs, merges=pairs).selectExpr("sum(n_ids)").head()[0]
+    char_total = bpe_encode(docs, merges=[]).selectExpr("sum(n_ids)").head()[0]
+    assert total < char_total, (total, char_total)
+
+
 def test_bpe_encode_matches_python_reference(spark):
     """The native replace-chain encoder must equal the independent
     symbol-list Python reference on adversarial inputs: overlapping
