@@ -452,6 +452,34 @@ def test_bm25_index_bucketed_postings_prune_and_group_locally(spark):
         spark.sql("DROP TABLE IF EXISTS postings_b")
 
 
+def test_ivf_pq_many_dynamic_partition_pruning(spark, tmp_path):
+    """The batched serve path at scale: joining the broadcast
+    (query, cell) probe frame onto the cell-partitioned index must give
+    the scan a DYNAMIC partition-pruning expression on cell — at 100 TB
+    only the probe-cell directories are read, even though the cell list
+    is computed at runtime from the query batch."""
+    from jobinsight_data_pipeline_spark.operators.similarity import (
+        build_ivf_pq_index,
+        ivf_pq_topk_many,
+        pq_codebooks,
+        unit_centroids,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents, cb = unit_centroids(64, 16, seed=11), pq_codebooks()
+    idx_path = str(tmp_path / "idx")
+    build_ivf_pq_index(emb, cents, cb).write.partitionBy("cell").parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+    queries = emb.filter("vec_id < 4").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = ivf_pq_topk_many(index, queries, cents, cb, k=5, n_probe=3)
+    plan = physical_plan(top)
+    assert "dynamicpruningexpression" in plan.lower(), plan
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert top.count() == 4 * 5
+
+
 def test_ivf_pq_index_partition_prunes_probe_cells(spark, tmp_path):
     """The IVF-PQ serve path at scale: the index persisted PARTITIONED BY
     cell answers a query by reading ONLY the n_probe probe-cell
