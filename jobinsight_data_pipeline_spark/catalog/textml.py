@@ -1767,6 +1767,116 @@ FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.d
 O_SEMANTIC_DEDUP = _semdedup_oracle()
 
 
+#: incremental-SemDeDup gate: history split + planted-copy spacing
+SEMINCR_SPLIT = 250
+
+
+def q_incremental_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding twin of the `incremental_dedup` day-2 story:
+    build_semantic_state persists the day-1 half of the embeddings
+    (cell-assigned, norms precomputed), and incremental_semantic_dedup
+    classifies day 2 — the rest of the corpus plus planted exact copies
+    of day-1 vectors — against it (any same-cell history doc at
+    cosine ≥ 0.4, or a smaller-id same-cell batch doc). Everything is
+    the rounded-cosine contract against a literal centroid matrix, so
+    the WHOLE decision carries a FULL exact oracle."""
+    from jobinsight_data_pipeline_spark.operators.similarity import (
+        build_semantic_state,
+        incremental_semantic_dedup,
+        unit_centroids,
+    )
+
+    t = load(spark, sf_dir, "embeddings")
+    emb = t["embeddings"].select("vec_id", "embedding")
+    cents = unit_centroids(64, 8, seed=11)
+    day1 = emb.filter(F.col("vec_id") < SEMINCR_SPLIT)
+    batch = emb.filter(F.col("vec_id") >= SEMINCR_SPLIT).unionByName(
+        day1.filter(F.col("vec_id") % 50 == 0).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+        )
+    )
+    state = build_semantic_state(day1, cents)
+    return incremental_semantic_dedup(batch, state, cents, threshold=0.4)
+
+
+def _sem_incr_oracle() -> str:
+    from jobinsight_data_pipeline_spark.operators.similarity import (
+        unit_centroids,
+    )
+
+    cents = unit_centroids(64, 8, seed=11)
+    values = ",\n    ".join(
+        "({}, CAST([{}] AS DOUBLE[]))".format(
+            j, ",".join(repr(float(x)) for x in row)
+        )
+        for j, row in enumerate(cents)
+    )
+    return f"""
+WITH cents(j, c) AS (VALUES
+    {values}
+),
+day1 AS (
+    SELECT vec_id, embedding FROM embeddings WHERE vec_id < {SEMINCR_SPLIT}
+),
+batch AS (
+    SELECT vec_id, embedding FROM embeddings WHERE vec_id >= {SEMINCR_SPLIT}
+    UNION ALL
+    SELECT vec_id + 1000000, embedding FROM day1 WHERE vec_id % 50 = 0
+),
+h AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[]))) AS nrm
+    FROM day1
+),
+b AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[]))) AS nrm
+    FROM batch
+),
+ha AS (
+    SELECT vec_id, v, nrm, CAST(j AS INTEGER) AS cell
+    FROM (SELECT h.*, j,
+                 row_number() OVER (PARTITION BY vec_id
+                     ORDER BY round(list_dot_product(v, c) / nrm, 6) DESC,
+                              j ASC) AS rn
+          FROM h CROSS JOIN cents)
+    WHERE rn = 1
+),
+ba AS (
+    SELECT vec_id, v, nrm, CAST(j AS INTEGER) AS cell
+    FROM (SELECT b.*, j,
+                 row_number() OVER (PARTITION BY vec_id
+                     ORDER BY round(list_dot_product(v, c) / nrm, 6) DESC,
+                              j ASC) AS rn
+          FROM b CROSS JOIN cents)
+    WHERE rn = 1
+),
+hist_hits AS (
+    SELECT ba.vec_id, count(*) AS n_hist_matches
+    FROM ba JOIN ha USING (cell)
+    WHERE round(list_dot_product(ba.v, ha.v) / (ba.nrm * ha.nrm), 6) >= 0.4
+    GROUP BY ba.vec_id
+),
+batch_hits AS (
+    SELECT DISTINCT x.vec_id
+    FROM ba x JOIN ba y ON x.cell = y.cell AND y.vec_id < x.vec_id
+    WHERE round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) >= 0.4
+)
+SELECT ba.vec_id, ba.cell,
+       CASE WHEN hh.vec_id IS NOT NULL OR bh.vec_id IS NOT NULL
+            THEN 'near_dup' ELSE 'kept' END AS status,
+       CAST(coalesce(hh.n_hist_matches, 0) AS BIGINT) AS n_hist_matches
+FROM ba
+LEFT JOIN hist_hits hh ON ba.vec_id = hh.vec_id
+LEFT JOIN batch_hits bh ON ba.vec_id = bh.vec_id
+"""
+
+
+O_INCREMENTAL_SEMANTIC_DEDUP = _sem_incr_oracle()
+
+
 def q_semantic_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup with the TRANSITIVE survivor rule (one doc per connected
     within-cell near-dup group, via large-star/small-star CC) — the
@@ -4060,6 +4170,7 @@ QUERIES = {
     "bpe_learn": q_bpe_learn,
     "incremental_dedup": q_incremental_dedup,
     "stream_incremental_dedup": q_stream_incremental_dedup,
+    "incremental_semantic_dedup": q_incremental_semantic_dedup,
     "pq_codes": q_pq_codes,
     "pq_adc_topk": q_pq_adc_topk,
     "ivf_pq_topk": q_ivf_pq_topk,
@@ -4129,6 +4240,7 @@ ORACLES = {
     "bpe_learn": O_BPE_LEARN,
     "incremental_dedup": O_INCREMENTAL_DEDUP,
     "stream_incremental_dedup": O_INCREMENTAL_DEDUP,
+    "incremental_semantic_dedup": O_INCREMENTAL_SEMANTIC_DEDUP,
     "pq_codes": O_PQ_CODES,
     "pq_adc_topk": O_PQ_ADC_TOPK,
     "ivf_pq_topk": O_IVF_PQ_TOPK,

@@ -471,6 +471,152 @@ def lsh_cosine_topk(
     )
 
 
+def _semantic_cell_column(
+    centroids: list[list[float]], v: Column, n: Column
+) -> Column:
+    """SemDeDup's cell id for a double vector ``v`` with norm ``n``:
+    argmax over ROUNDED centroid cosine, ties to the smallest index —
+    sort (−sim6, j) ascending and take the head, the same rule the SQL
+    oracles express as ORDER BY s DESC, j ASC. Shared by
+    :func:`semantic_dedup` and the incremental day-2 twin so the
+    assignment rule cannot drift. (Distinct from
+    :func:`cell_assignment_column`, which is IVF's unrounded-dot rule.)
+
+    Takes COLUMN inputs, not column names: a name-based ``F.expr``
+    variant broke Catalyst resolution ("key not found: _n#…") once
+    frames built from it were unioned and reused in one plan — bound
+    Columns side-step name resolution entirely."""
+    CENTS = F.expr(_matrix_sql(centroids))
+    pairs = F.zip_with(
+        CENTS,
+        F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+        lambda c, j: F.struct(
+            (
+                -F.round(
+                    F.aggregate(
+                        F.zip_with(v, c, lambda a, b: a * b),
+                        F.lit(0.0),
+                        lambda s, y: s + y,
+                    )
+                    / n,
+                    6,
+                )
+            ).alias("negsim"),
+            j.alias("j"),
+        ),
+    )
+    return F.array_sort(pairs)[0]["j"].cast("int")
+
+
+def build_semantic_state(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The persisted embedding snapshot for day-2 semantic dedup:
+    (doc, cell, v, nrm) — cell assignment and the norm precomputed once.
+    Persist PARTITIONED BY ``cell``; :func:`incremental_semantic_dedup`
+    then touches only the batch's cells (the IVF-index lifecycle applied
+    to SemDeDup). Append the kept batch rows after each day.
+
+    Built as ONE projection from the raw columns — no intermediate
+    alias chain. A withColumn chain left intermediate attributes that
+    Spark 4's Union constraint rewrite chokes on ("key not found:
+    _n#…") whenever two state frames are unioned with live lineage
+    (the append-day-2 flow); codegen's subexpression elimination makes
+    the repeated norm expression free anyway."""
+    v = _as_double(F.col(vec_col))
+    return widen_for_cpu(df).select(
+        F.col(id_col).alias("doc"),
+        _semantic_cell_column(centroids, v, norm(v)).alias("cell"),
+        v.alias("v"),
+        norm(v).alias("nrm"),
+    )
+
+
+def incremental_semantic_dedup(
+    batch: DataFrame,
+    state: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Day-2 SemDeDup: classify a batch of embeddings against a
+    persisted snapshot (:func:`build_semantic_state`) — the embedding
+    twin of ``dedup.incremental_dedup``. A batch doc is ``near_dup``
+    when its cell holds ANY history doc at cosine ≥ ``threshold``, or a
+    smaller-id batch doc at cosine ≥ threshold (the greedy keep-min
+    rule of :func:`semantic_dedup`, single-pass / non-transitive);
+    ``kept`` otherwise.
+
+    Scale shape: batch rows join only their own cells of the
+    cell-partitioned state (day-N cost ∝ batch × cell density, never
+    corpus²) plus one within-batch cell self-join. All arithmetic is
+    the rounded-cosine contract — fully deterministic, so the catalog
+    gate carries a FULL exact oracle.
+
+    Returns (id_col, cell, status, n_hist_matches).
+    """
+    # single projection, no intermediate alias chain — see
+    # build_semantic_state's Union-constraint-rewrite note
+    _v = _as_double(F.col(vec_col))
+    b = widen_for_cpu(batch).select(
+        F.col(id_col).alias("_id"),
+        _semantic_cell_column(centroids, _v, norm(_v)).alias("cell"),
+        _v.alias("_v"),
+        norm(_v).alias("_n"),
+    )
+    sim_hist = F.round(
+        dot(F.col("_v"), F.col("v")) / (F.col("_n") * F.col("nrm")), 6
+    )
+    hist_hits = (
+        b.join(state, "cell")
+        .withColumn("_s", sim_hist)
+        .filter(F.col("_s") >= threshold)
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("n_hist_matches"))
+    )
+    b2 = b.select(
+        "cell",
+        F.col("_id").alias("_idb"),
+        F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"),
+    )
+    sim_batch = F.round(
+        dot(F.col("_v"), F.col("_vb")) / (F.col("_n") * F.col("_nb")), 6
+    )
+    batch_hit = (
+        b.join(b2, "cell")
+        .filter(F.col("_idb") < F.col("_id"))
+        .withColumn("_s", sim_batch)
+        .filter(F.col("_s") >= threshold)
+        .select("_id")
+        .distinct()
+        .withColumn("_bhit", F.lit(1))
+    )
+    out = (
+        b.join(hist_hits, "_id", "left")
+        .join(batch_hit, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "cell",
+            F.when(
+                F.col("n_hist_matches").isNotNull()
+                | F.col("_bhit").isNotNull(),
+                F.lit("near_dup"),
+            )
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+            F.coalesce("n_hist_matches", F.lit(0))
+            .cast("long")
+            .alias("n_hist_matches"),
+        )
+    )
+    return out
+
+
 def unit_centroids(dim: int, n_clusters: int, seed: int = 11) -> list[list[float]]:
     """Data-independent seeded centroids: Gaussian rows, unit-normalized,
     rounded to 6 decimals. A deterministic Voronoi partition of the unit
@@ -516,27 +662,14 @@ def semantic_dedup(
     """
     if centroids is None:
         centroids = fit_centroids(df, vec_col, n_clusters, seed)
-    cent_sql = _matrix_sql(centroids)
-    kk = len(centroids)
     base = (
         widen_for_cpu(df)
         .select(F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v"))
         .withColumn("_n", norm(F.col("_v")))
     )
-    # argmax over rounded centroid cosine, ties to the smallest index:
-    # sort (-sim6, j) ascending and take the head — same rule the SQL
-    # oracle expresses as ORDER BY s DESC, j ASC
-    cell = F.expr(
-        f"""
-        array_sort(
-          zip_with({cent_sql}, sequence(0, {kk - 1}),
-            (c, j) -> struct(
-              -round(aggregate(zip_with(`_v`, c, (a, b) -> a * b),
-                               0.0D, (s, y) -> s + y) / `_n`, 6) AS negsim,
-              j AS j)))[0].j
-        """
-    ).cast("int")
-    assigned = base.withColumn("cell", cell)
+    assigned = base.withColumn(
+        "cell", _semantic_cell_column(centroids, F.col("_v"), F.col("_n"))
+    )
     a = assigned.select(
         "cell", F.col("_id").alias("ida"), F.col("_v").alias("va"), F.col("_n").alias("na")
     )

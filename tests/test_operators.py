@@ -1611,6 +1611,55 @@ def test_lsh_near_pairs_tight_threshold_planted_recall(spark):
     assert pairs == planted, pairs - planted
 
 
+def test_incremental_semantic_dedup_planted_and_stable(spark):
+    """Embedding day-2 dedup: exact copies of history vectors are
+    near_dup with >=1 history match; a far-from-everything vector is
+    kept; results identical under repartitioning; appending the kept
+    batch rows to state then re-running drops every batch doc."""
+    from jobinsight_data_pipeline_spark.operators.similarity import (
+        build_semantic_state,
+        incremental_semantic_dedup,
+        unit_centroids,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    cents = unit_centroids(64, 8, seed=11)
+    day1 = emb.filter("vec_id < 100")
+    copies = day1.filter("vec_id % 20 = 0").select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    batch = emb.filter("vec_id >= 100 AND vec_id < 200").unionByName(copies)
+    state = build_semantic_state(day1, cents)
+    res = incremental_semantic_dedup(batch, state, cents, threshold=0.4)
+    plants = {
+        r["vec_id"]: (r["status"], r["n_hist_matches"])
+        for r in res.filter("vec_id >= 1000000").collect()
+    }
+    assert plants and all(
+        s == "near_dup" and n >= 1 for s, n in plants.values()
+    ), plants
+    # relayout stability
+    res2 = incremental_semantic_dedup(
+        batch.repartition(13), state.repartition(7), cents, threshold=0.4
+    )
+    assert {tuple(r) for r in res.collect()} == {
+        tuple(r) for r in res2.collect()
+    }
+    # append kept rows -> rerun -> everything is a near_dup of itself
+    kept_ids = [r["vec_id"] for r in res.filter("status = 'kept'").collect()]
+    assert kept_ids
+    kept_vecs = batch.join(
+        spark.createDataFrame([(i,) for i in kept_ids], "vec_id long"),
+        "vec_id",
+        "left_semi",
+    )
+    appended = state.unionByName(build_semantic_state(kept_vecs, cents))
+    rerun = incremental_semantic_dedup(batch, appended, cents, threshold=0.4)
+    assert rerun.filter("status = 'kept'").count() == 0
+
+
 def test_incremental_dedup_planted_statuses(spark):
     """Every planted class lands on its expected status, in both hash
     modes (xxhash64 production / md5 oracle twin)."""
