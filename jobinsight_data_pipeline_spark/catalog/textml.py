@@ -2895,6 +2895,54 @@ FROM enc
 O_BPE_ENCODE = _bpe_oracle()
 
 
+def q_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed decode closes the loop: bpe_decode_column(encode(x))
+    must reproduce every document's whitespace-stripped cleaned text
+    (the corpus is pure ASCII, so no UNK ids). `roundtrip_ok` is pinned
+    TRUE per row (the sketch-gate boolean pattern — a drifted reverse
+    map or lossy segmentation flips it and fails the hash) beside the
+    exact n_ids replay."""
+    from jobinsight_data_pipeline_spark.operators.bpe import (
+        _CLOSE,
+        _OPEN,
+        bpe_decode_column,
+        bpe_ids_column,
+    )
+    from jobinsight_data_pipeline_spark.operators.parallelism import (
+        widen_for_cpu,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    docs = widen_for_cpu(t["documents"])
+    ids = bpe_ids_column("text")
+    expected = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), f"[{_OPEN}{_CLOSE}]", ""),
+            r"\s+",
+            " ",
+        ),
+        " ",
+        "",
+    )
+    return docs.select(
+        "doc_id",
+        F.size(ids).alias("n_ids"),
+        (bpe_decode_column(ids) == expected).alias("roundtrip_ok"),
+    )
+
+
+def _bpe_roundtrip_oracle() -> str:
+    return f"""
+WITH enc AS (
+    SELECT doc_id, {_bpe_ids_duck('text')} AS ids FROM documents
+)
+SELECT doc_id, len(ids) AS n_ids, TRUE AS roundtrip_ok FROM enc
+"""
+
+
+O_BPE_ROUNDTRIP = _bpe_roundtrip_oracle()
+
+
 #: BPE trainer gate: merges learned on the real corpus per round
 BPE_LEARN_ROUNDS = 8
 
@@ -4168,6 +4216,7 @@ QUERIES = {
     "bpe_encode": q_bpe_encode,
     "bpe_budget_packs": q_bpe_budget_packs,
     "bpe_learn": q_bpe_learn,
+    "bpe_roundtrip": q_bpe_roundtrip,
     "incremental_dedup": q_incremental_dedup,
     "stream_incremental_dedup": q_stream_incremental_dedup,
     "incremental_semantic_dedup": q_incremental_semantic_dedup,
@@ -4238,6 +4287,7 @@ ORACLES = {
     "bpe_encode": O_BPE_ENCODE,
     "bpe_budget_packs": O_BPE_BUDGET_PACKS,
     "bpe_learn": O_BPE_LEARN,
+    "bpe_roundtrip": O_BPE_ROUNDTRIP,
     "incremental_dedup": O_INCREMENTAL_DEDUP,
     "stream_incremental_dedup": O_INCREMENTAL_DEDUP,
     "incremental_semantic_dedup": O_INCREMENTAL_SEMANTIC_DEDUP,

@@ -370,3 +370,25 @@ def learn_bpe_merges_py(
             new_state[key] = new_state.get(key, 0) + c
         state = new_state
     return merges
+
+
+def bpe_decode_column(
+    ids: Column | str, merges: list[tuple[str, str]] | None = None
+) -> Column:
+    """Distributed decode: subword ids back to their symbol text,
+    concatenated (token boundaries are not recoverable — the encoder
+    drops spaces by design; unknown ids render as '�'). One literal
+    id→symbol map, scan-fused transform + concat — the engine-side twin
+    of :func:`bpe_decode_py` for corpus-scale rehydration checks."""
+    merges = DEFAULT_MERGES if merges is None else merges
+    col = F.col(ids) if isinstance(ids, str) else ids
+    entries = ", ".join(
+        f"{i}, {_sym_sql(sym)}" for sym, i in bpe_vocab(merges).items()
+    )
+    REV = F.expr("map(" + entries + ")")
+    return F.concat_ws(
+        "",
+        F.transform(
+            col, lambda i: F.coalesce(F.element_at(REV, i), F.lit("�"))
+        ),
+    )

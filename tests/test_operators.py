@@ -1853,6 +1853,21 @@ def test_bpe_encode_matches_python_reference(spark):
         ref = bpe_encode_py(t)
         assert got[d] == (ref, len(ref)), (d, t, got[d], ref)
 
+    # distributed decode matches the Python decoder (incl. UNK ids)
+    from jobinsight_data_pipeline_spark.operators.bpe import (
+        bpe_decode_column,
+        bpe_decode_py,
+    )
+
+    dec = {
+        r["doc_id"]: r["decoded"]
+        for r in bpe_encode(df)
+        .select("doc_id", bpe_decode_column("ids").alias("decoded"))
+        .collect()
+    }
+    for d, t in rows:
+        assert dec[d] == bpe_decode_py(bpe_encode_py(t)), (d, t, dec[d])
+
 
 def test_bpe_merges_validation():
     from jobinsight_data_pipeline_spark.operators.bpe import (
