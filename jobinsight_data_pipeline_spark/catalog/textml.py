@@ -1877,6 +1877,83 @@ LEFT JOIN batch_hits bh ON ba.vec_id = bh.vec_id
 O_INCREMENTAL_SEMANTIC_DEDUP = _sem_incr_oracle()
 
 
+def q_stream_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME embedding day-2 dedup as `incremental_semantic_dedup`,
+    run as a foreachBatch streaming loop over two id-ordered
+    micro-batch drops (base, then planted copies) with record='all' —
+    cross-batch STATUS decisions equal the one-shot batch operator, so
+    the oracle is O_INCREMENTAL_SEMANTIC_DEDUP projected to
+    (vec_id, cell, status): the streaming ≡ batch pin, completing the
+    text/embedding symmetry. n_hist_matches is deliberately excluded —
+    a cross-batch match counts as history in the loop but as the
+    within-batch rule in one-shot mode, so the COUNT (unlike the
+    status) is not representation-invariant."""
+    import hashlib
+    import os
+    import shutil
+
+    from jobinsight_data_pipeline_spark.catalog import scratch_dir
+    from jobinsight_data_pipeline_spark.operators.similarity import (
+        build_semantic_state,
+        unit_centroids,
+    )
+    from jobinsight_data_pipeline_spark.streaming.incremental import (
+        stream_semantic_dedup,
+    )
+
+    t = load(spark, sf_dir, "embeddings")
+    emb = t["embeddings"].select("vec_id", "embedding")
+    cents = unit_centroids(64, 8, seed=11)
+    day1 = emb.filter(F.col("vec_id") < SEMINCR_SPLIT)
+    d2base = emb.filter(F.col("vec_id") >= SEMINCR_SPLIT)
+    copies = day1.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+
+    base = scratch_dir(
+        "streamsem-gate-",
+        "{}-{}".format(
+            spark.sparkContext.applicationId,
+            hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+        ),
+    )
+    done = os.path.join(base, "_gate_done")
+    if not os.path.exists(done):
+        shutil.rmtree(base, ignore_errors=True)
+        raw = f"{base}/drops"
+        now = 1_700_000_000
+        stamped: set[str] = set()
+        for i, shard in enumerate((d2base, copies)):
+            shard.coalesce(1).write.mode("append").parquet(raw)
+            for f in sorted(os.listdir(raw)):
+                if f.endswith(".parquet") and f not in stamped:
+                    stamped.add(f)
+                    os.utime(os.path.join(raw, f), (now + i, now + i))
+        build_semantic_state(day1, cents).write.parquet(f"{base}/state")
+        query = stream_semantic_dedup(
+            spark,
+            raw,
+            d2base.schema,
+            f"{base}/sink",
+            f"{base}/state",
+            f"{base}/ckpt",
+            cents,
+            threshold=0.4,
+            record="all",
+        )
+        query.awaitTermination()
+        with open(done, "w") as fh:
+            fh.write("ok")
+    return spark.read.parquet(f"{base}/sink").select(
+        "vec_id", "cell", "status"
+    )
+
+
+O_STREAM_SEMANTIC_DEDUP = f"""
+SELECT vec_id, cell, status FROM ({O_INCREMENTAL_SEMANTIC_DEDUP})
+"""
+
+
 def q_semantic_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup with the TRANSITIVE survivor rule (one doc per connected
     within-cell near-dup group, via large-star/small-star CC) — the
@@ -4220,6 +4297,7 @@ QUERIES = {
     "incremental_dedup": q_incremental_dedup,
     "stream_incremental_dedup": q_stream_incremental_dedup,
     "incremental_semantic_dedup": q_incremental_semantic_dedup,
+    "stream_semantic_dedup": q_stream_semantic_dedup,
     "pq_codes": q_pq_codes,
     "pq_adc_topk": q_pq_adc_topk,
     "ivf_pq_topk": q_ivf_pq_topk,
@@ -4291,6 +4369,7 @@ ORACLES = {
     "incremental_dedup": O_INCREMENTAL_DEDUP,
     "stream_incremental_dedup": O_INCREMENTAL_DEDUP,
     "incremental_semantic_dedup": O_INCREMENTAL_SEMANTIC_DEDUP,
+    "stream_semantic_dedup": O_STREAM_SEMANTIC_DEDUP,
     "pq_codes": O_PQ_CODES,
     "pq_adc_topk": O_PQ_ADC_TOPK,
     "ivf_pq_topk": O_IVF_PQ_TOPK,

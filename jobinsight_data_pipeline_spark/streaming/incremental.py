@@ -295,3 +295,84 @@ def stream_incremental_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_semantic_dedup(
+    spark: SparkSession,
+    raw_dir: str,
+    schema,
+    sink_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    centroids: list[list[float]],
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    record: str = "kept",
+    max_files_per_trigger: int = 1,
+):
+    """Embedding day-N dedup as a streaming loop — the SemDeDup twin of
+    :func:`stream_incremental_dedup`: each micro-batch of vectors is
+    classified against the persisted cell state
+    (``similarity.build_semantic_state``), classified rows land in the
+    sink, the state grows append-only. ``record='kept'`` is the
+    production semantics; ``record='all'`` + id-ordered drops makes
+    cross-batch decisions equal one-shot batch
+    ``incremental_semantic_dedup`` (the catalog's batch ≡ streaming
+    pin). State reads are append-idempotent: a replayed state row only
+    raises a match COUNT, never flips a kept/near_dup decision, since
+    any count ≥ 1 already classifies — but exact n_hist_matches in the
+    sink does assume no replay (availableNow gates never retry; MERGE
+    the sink in production)."""
+    import os
+
+    from jobinsight_data_pipeline_spark.operators.similarity import (
+        build_semantic_state,
+        incremental_semantic_dedup,
+    )
+
+    if record not in ("kept", "all"):
+        raise ValueError(f"record must be 'kept' or 'all', got {record!r}")
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        sp = batch_df.sparkSession
+        if os.path.isdir(state_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(state_dir)
+        ):
+            state = sp.read.parquet(state_dir)
+        else:
+            state = build_semantic_state(
+                batch_df.limit(0), centroids, id_col, vec_col
+            )
+        classified = incremental_semantic_dedup(
+            batch_df, state, centroids, threshold, id_col, vec_col
+        ).persist()
+        try:
+            classified.write.mode("append").parquet(sink_dir)
+            if record == "all":
+                src = batch_df
+            else:
+                src = batch_df.join(
+                    classified.filter(F.col("status") == "kept").select(
+                        id_col
+                    ),
+                    id_col,
+                    "left_semi",
+                )
+            build_semantic_state(src, centroids, id_col, vec_col).write.mode(
+                "append"
+            ).parquet(state_dir)
+        finally:
+            classified.unpersist()
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(raw_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -707,3 +707,65 @@ def test_stream_incremental_dedup_kept_semantics(spark, tmp_path):
         for r in spark.read.parquet(state_dir).select("doc").collect()
     }
     assert state_docs == {10, 21}, state_docs
+
+
+def test_stream_semantic_dedup_kept_semantics(spark, tmp_path):
+    """Embedding streaming loop, production record='kept': batch-1 A
+    kept, A' (identical vector) near-dups it and stays OUT of state;
+    batch-2 A'' (same vector again) still near-dups (A is in history);
+    an orthogonal vector is kept. State holds exactly the kept docs."""
+    import os
+
+    from jobinsight_data_pipeline_spark.operators.similarity import (
+        build_semantic_state,
+        unit_centroids,
+    )
+    from jobinsight_data_pipeline_spark.streaming.incremental import (
+        stream_semantic_dedup,
+    )
+
+    cents = unit_centroids(8, 4, seed=3)
+    va = [1.0, 0.5, 0.0, 0.0, 0.2, 0.0, 0.0, 0.1]
+    vb = [0.0, 0.0, 1.0, -0.7, 0.0, 0.4, 0.0, 0.0]
+    b1 = spark.createDataFrame(
+        [(10, va), (11, va)], "vec_id long, embedding array<double>"
+    )
+    b2 = spark.createDataFrame(
+        [(20, va), (21, vb)], "vec_id long, embedding array<double>"
+    )
+    raw = str(tmp_path / "drops")
+    for i, b in enumerate((b1, b2)):
+        b.coalesce(1).write.mode("append").parquet(raw)
+        for f in os.listdir(raw):
+            p = os.path.join(raw, f)
+            if f.endswith(".parquet") and os.path.getmtime(p) > 1.75e9:
+                os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+    state_dir = str(tmp_path / "state")
+    build_semantic_state(b1.limit(0), cents).write.parquet(state_dir)
+    q = stream_semantic_dedup(
+        spark,
+        raw,
+        b1.schema,
+        str(tmp_path / "sink"),
+        state_dir,
+        str(tmp_path / "ckpt"),
+        cents,
+        threshold=0.9,
+        record="kept",
+    )
+    q.awaitTermination()
+    got = {
+        r["vec_id"]: r["status"]
+        for r in spark.read.parquet(str(tmp_path / "sink")).collect()
+    }
+    assert got == {
+        10: "kept",
+        11: "near_dup",
+        20: "near_dup",
+        21: "kept",
+    }, got
+    state_docs = {
+        r["doc"]
+        for r in spark.read.parquet(state_dir).select("doc").collect()
+    }
+    assert state_docs == {10, 21}, state_docs
