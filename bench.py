@@ -259,6 +259,28 @@ def main() -> None:
         )
     )
 
+    # embedding twin: day-2 SemDeDup against the persisted cell state
+    from jobinsight_data_pipeline_spark.operators.similarity import (
+        build_semantic_state,
+        incremental_semantic_dedup,
+        unit_centroids,
+    )
+
+    emb2 = emb.select("vec_id", "embedding")
+    timings["incremental_semantic_dedup"] = timed(
+        lambda: materialize(
+            incremental_semantic_dedup(
+                emb2.filter("vec_id % 2 = 1"),
+                build_semantic_state(
+                    emb2.filter("vec_id % 2 = 0"),
+                    unit_centroids(64, 16, seed=11),
+                ),
+                unit_centroids(64, 16, seed=11),
+                threshold=0.4,
+            )
+        )
+    )
+
     def _bpe_chain() -> None:
         d = tempfile.mkdtemp(prefix="bench_bpe_")
         try:
