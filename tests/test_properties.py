@@ -614,6 +614,82 @@ def test_normalize_text_idempotent_and_clean(s):
     assert not (set(out) & banned), repr(out)
 
 
+def _priority_queue_bpe(word: str, ranked: dict) -> list:
+    """The CLASSIC BPE encode loop (GPT-2 / Sennrich): repeatedly find
+    the lowest-rank pair present anywhere in the word and merge ALL its
+    occurrences left-to-right, until no table pair remains. Independent
+    of the engine's rank-sequential sweep — the equivalence witness."""
+    syms = list(word)
+    while True:
+        best = None
+        for i in range(len(syms) - 1):
+            r = ranked.get((syms[i], syms[i + 1]))
+            if r is not None and (best is None or r < best):
+                best = r
+        if best is None:
+            return syms
+        a, b = next(p for p, r in ranked.items() if r == best)
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+
+
+@st.composite
+def _wellformed_merges(draw):
+    """Random well-formed merge tables over a small alphabet: each
+    constituent is a base char or an earlier output; unique outputs."""
+    alphabet = list("abcd")
+    known, merges, outputs = list(alphabet), [], set()
+    n = draw(st.integers(min_value=1, max_value=10))
+    for _ in range(n):
+        a = draw(st.sampled_from(known))
+        b = draw(st.sampled_from(known))
+        if a + b in outputs:
+            continue
+        merges.append((a, b))
+        outputs.add(a + b)
+        known.append(a + b)
+    return merges
+
+
+@given(
+    _wellformed_merges(),
+    st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=12),
+        min_size=1,
+        max_size=5,
+    ),
+)
+@settings(max_examples=300, deadline=None)
+def test_bpe_rank_sequential_equals_priority_queue(merges, words):
+    """The equivalence the encoder's docstring claims, fuzzed: for ANY
+    well-formed merges table (constituents are base symbols or earlier
+    outputs — the invariant trained tables have), the engine's
+    rank-sequential sweep produces the SAME segmentation as the classic
+    lowest-rank-first priority loop, on adversarial repetitive words."""
+    from jobinsight_data_pipeline_spark.operators.bpe import (
+        bpe_encode_py,
+        bpe_vocab,
+        validate_merges,
+    )
+
+    validate_merges(merges)
+    vocab = bpe_vocab(merges)
+    ranked = {p: r for r, p in enumerate(merges)}
+    text = " ".join(words)
+    got = bpe_encode_py(text, merges)
+    expect = []
+    for w in words:
+        expect.extend(vocab.get(s, -1) for s in _priority_queue_bpe(w, ranked))
+    assert got == expect, (merges, words, got, expect)
+
+
 @given(st.one_of(st.none(), text_strategy))
 @settings(max_examples=200, deadline=None)
 def test_bpe_encode_total_and_lossless_over_known_symbols(s):
