@@ -1954,6 +1954,70 @@ SELECT vec_id, cell, status FROM ({O_INCREMENTAL_SEMANTIC_DEDUP})
 """
 
 
+def q_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prototype-distance pruning (Sorscher et al. 2022) under a FULL
+    exact oracle: cell assignment, the micro-quantized cosine to the own
+    prototype, and the per-cell floor(0.2·|cell|) rank cut (keep='hard'
+    drops the most prototypical) all replayed bit-for-bit."""
+    from jobinsight_data_pipeline_spark.operators.similarity import (
+        prototype_prune,
+        unit_centroids,
+    )
+
+    t = load(spark, sf_dir, "embeddings")
+    return prototype_prune(
+        t["embeddings"],
+        unit_centroids(64, 8, seed=11),
+        drop_fraction=0.2,
+        keep="hard",
+    )
+
+
+def _prototype_prune_oracle() -> str:
+    from jobinsight_data_pipeline_spark.operators.similarity import (
+        unit_centroids,
+    )
+
+    cents = unit_centroids(64, 8, seed=11)
+    values = ",\n    ".join(
+        "({}, CAST([{}] AS DOUBLE[]))".format(
+            j, ",".join(repr(float(x)) for x in row)
+        )
+        for j, row in enumerate(cents)
+    )
+    return f"""
+WITH cents(j, c) AS (VALUES
+    {values}
+),
+n AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[]))) AS nrm
+    FROM embeddings
+),
+assigned AS (
+    SELECT vec_id, v, nrm, CAST(j AS INTEGER) AS cell,
+           CAST(floor(round(list_dot_product(v, c) / nrm, 6) * 1000000.0)
+                AS BIGINT) AS sim_micro
+    FROM (SELECT n.*, j, c,
+                 row_number() OVER (PARTITION BY vec_id
+                     ORDER BY round(list_dot_product(v, c) / nrm, 6) DESC,
+                              j ASC) AS rn
+          FROM n CROSS JOIN cents)
+    WHERE rn = 1
+)
+SELECT vec_id, cell, sim_micro,
+       (row_number() OVER (PARTITION BY cell
+                           ORDER BY sim_micro DESC, vec_id ASC))
+           <= (count(*) OVER (PARTITION BY cell) * 200000) // 1000000
+           AS pruned
+FROM assigned
+"""
+
+
+O_PROTOTYPE_PRUNE = _prototype_prune_oracle()
+
+
 def q_semantic_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup with the TRANSITIVE survivor rule (one doc per connected
     within-cell near-dup group, via large-star/small-star CC) — the
@@ -4309,6 +4373,7 @@ QUERIES = {
     "stream_incremental_dedup": q_stream_incremental_dedup,
     "incremental_semantic_dedup": q_incremental_semantic_dedup,
     "stream_semantic_dedup": q_stream_semantic_dedup,
+    "prototype_prune": q_prototype_prune,
     "pq_codes": q_pq_codes,
     "pq_adc_topk": q_pq_adc_topk,
     "ivf_pq_topk": q_ivf_pq_topk,
@@ -4381,6 +4446,7 @@ ORACLES = {
     "stream_incremental_dedup": O_INCREMENTAL_DEDUP,
     "incremental_semantic_dedup": O_INCREMENTAL_SEMANTIC_DEDUP,
     "stream_semantic_dedup": O_STREAM_SEMANTIC_DEDUP,
+    "prototype_prune": O_PROTOTYPE_PRUNE,
     "pq_codes": O_PQ_CODES,
     "pq_adc_topk": O_PQ_ADC_TOPK,
     "ivf_pq_topk": O_IVF_PQ_TOPK,

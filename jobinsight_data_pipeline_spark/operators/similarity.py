@@ -1096,3 +1096,75 @@ def ivf_pq_topk_many(
         .filter(F.col("rank") <= k)
         .select(query_id_col, "rank", id_col, "adc")
     )
+
+
+def prototype_prune(
+    df: DataFrame,
+    centroids: list[list[float]],
+    drop_fraction: float = 0.2,
+    keep: str = "hard",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Prototype-distance data pruning (Sorscher et al. 2022, "Beyond
+    neural scaling laws", arXiv:2206.14486): rank every embedding by
+    its cosine to its own cluster prototype and drop ``drop_fraction``
+    per cell — ``keep='hard'`` drops the EASIEST examples (closest to
+    the prototype; the data-rich regime where redundant easy points
+    teach nothing), ``keep='easy'`` drops the hardest (the data-poor /
+    noisy-tail regime). The quality complement of :func:`semantic_dedup`
+    — that prunes redundancy BETWEEN documents, this prunes by
+    prototypicality WITHIN a cluster.
+
+    Exactness discipline: the per-doc similarity is the same rounded
+    cosine as the cell assignment, quantized to micro BIGINT before any
+    ranking (no float-order flake class), ties broken by id; the drop
+    count per cell is ``floor(drop_fraction * |cell|)`` in integer
+    arithmetic. Shape: one scan for assignment + one rank window per
+    cell — shuffles on ``cell`` exactly once, the semantic_dedup plan.
+
+    Returns (id_col, cell, sim_micro, pruned).
+    """
+    if keep not in ("hard", "easy"):
+        raise ValueError(f"keep must be 'hard' or 'easy', got {keep!r}")
+    if not 0.0 <= drop_fraction < 1.0:
+        raise ValueError(f"drop_fraction must be in [0, 1): {drop_fraction}")
+    v = _as_double(F.col(vec_col))
+    base = widen_for_cpu(df).select(
+        F.col(id_col).alias("_id"),
+        _semantic_cell_column(centroids, v, norm(v)).alias("cell"),
+        v.alias("_v"),
+        norm(v).alias("_n"),
+    )
+    CENTS = F.expr(_matrix_sql(centroids))
+    own = F.element_at(CENTS, (F.col("cell") + F.lit(1)).cast("int"))
+    # floor BEFORE the cast: round(cos,6)*1e6 can land a hair below the
+    # integer (0.123456 is not binary-exact) and Spark's cast truncates
+    # while DuckDB's rounds — floor agrees on identical doubles
+    sim_micro = F.floor(
+        F.round(dot(F.col("_v"), own) / F.col("_n"), 6) * F.lit(1_000_000.0)
+    ).cast("long")
+    scored = base.withColumn("sim_micro", sim_micro)
+    # keep='hard' drops the most prototypical (highest sim) first;
+    # keep='easy' drops the least prototypical (lowest sim) first
+    order = (
+        [F.col("sim_micro").desc(), F.col("_id").asc()]
+        if keep == "hard"
+        else [F.col("sim_micro").asc(), F.col("_id").asc()]
+    )
+    w = Window.partitionBy("cell").orderBy(*order)
+    w_n = Window.partitionBy("cell")
+    frac_micro = int(round(drop_fraction * 1_000_000))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .withColumn("_cn", F.count(F.lit(1)).over(w_n))
+        .select(
+            F.col("_id").alias(id_col),
+            "cell",
+            "sim_micro",
+            (
+                F.col("_rk")
+                <= F.expr(f"(_cn * {frac_micro}) div 1000000")
+            ).alias("pruned"),
+        )
+    )

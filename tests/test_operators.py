@@ -1611,6 +1611,46 @@ def test_lsh_near_pairs_tight_threshold_planted_recall(spark):
     assert pairs == planted, pairs - planted
 
 
+def test_prototype_prune_policies_and_counts(spark):
+    """Per-cell drop counts are exactly floor(f·|cell|); keep='hard'
+    drops the HIGHEST-sim (most prototypical) ids, keep='easy' the
+    lowest; f=0 drops nothing; bad args raise."""
+    import pytest as _pytest
+
+    from jobinsight_data_pipeline_spark.operators.similarity import (
+        prototype_prune,
+        unit_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = unit_centroids(64, 8, seed=11)
+    hard = prototype_prune(emb, cents, drop_fraction=0.25, keep="hard")
+    rows = hard.collect()
+    by_cell: dict = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], []).append(r)
+    for cell, rs in by_cell.items():
+        dropped = [r for r in rs if r["pruned"]]
+        assert len(dropped) == (len(rs) * 250000) // 1000000, cell
+        if dropped:
+            # every dropped sim >= every kept sim (ties -> id order)
+            min_drop = min(r["sim_micro"] for r in dropped)
+            max_keep = max(
+                (r["sim_micro"] for r in rs if not r["pruned"]), default=None
+            )
+            if max_keep is not None:
+                assert min_drop >= max_keep, (cell, min_drop, max_keep)
+    easy = prototype_prune(emb, cents, drop_fraction=0.25, keep="easy")
+    for r in easy.collect():
+        pass  # smoke: runs and is well-formed
+    none = prototype_prune(emb, cents, drop_fraction=0.0)
+    assert none.filter("pruned").count() == 0
+    with _pytest.raises(ValueError, match="keep must be"):
+        prototype_prune(emb, cents, keep="both")
+    with _pytest.raises(ValueError, match="drop_fraction"):
+        prototype_prune(emb, cents, drop_fraction=1.0)
+
+
 def test_incremental_semantic_dedup_planted_and_stable(spark):
     """Embedding day-2 dedup: exact copies of history vectors are
     near_dup with >=1 history match; a far-from-everything vector is
