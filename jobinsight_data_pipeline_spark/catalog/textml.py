@@ -2018,6 +2018,51 @@ FROM assigned
 O_PROTOTYPE_PRUNE = _prototype_prune_oracle()
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware exact dedup (operators/dedup.exact_dedup_keep_best):
+    the corpus plus planted re-crawl copies (new ids, same text), each
+    row carrying an integer quality score — per content hash the
+    HIGHEST-score copy survives, ties to the min id. FULL exact oracle
+    (argmax-in-aggregate replayed with an ORDER-BY-all window)."""
+    from jobinsight_data_pipeline_spark.operators.dedup import (
+        exact_dedup_keep_best,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    docs = t["documents"].select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    pool = docs.unionByName(copies).withColumn(
+        "quality", (F.col("doc_id") % 97).cast("long")
+    )
+    return exact_dedup_keep_best(pool, "doc_id", "text", "quality")
+
+
+O_DEDUP_KEEP_BEST = """
+WITH pool AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+),
+scored AS (
+    SELECT doc_id, text, CAST(doc_id % 97 AS BIGINT) AS quality,
+           md5(text) AS content_hash
+    FROM pool
+),
+ranked AS (
+    SELECT content_hash, doc_id, quality,
+           row_number() OVER (PARTITION BY content_hash
+                              ORDER BY quality DESC, doc_id ASC) AS rn,
+           count(*) OVER (PARTITION BY content_hash) AS dup_count
+    FROM scored
+)
+SELECT content_hash, doc_id AS survivor_id, quality AS survivor_score,
+       dup_count
+FROM ranked WHERE rn = 1
+"""
+
+
 def q_semantic_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup with the TRANSITIVE survivor rule (one doc per connected
     within-cell near-dup group, via large-star/small-star CC) — the
@@ -4374,6 +4419,7 @@ QUERIES = {
     "incremental_semantic_dedup": q_incremental_semantic_dedup,
     "stream_semantic_dedup": q_stream_semantic_dedup,
     "prototype_prune": q_prototype_prune,
+    "dedup_keep_best": q_dedup_keep_best,
     "pq_codes": q_pq_codes,
     "pq_adc_topk": q_pq_adc_topk,
     "ivf_pq_topk": q_ivf_pq_topk,
@@ -4447,6 +4493,7 @@ ORACLES = {
     "incremental_semantic_dedup": O_INCREMENTAL_SEMANTIC_DEDUP,
     "stream_semantic_dedup": O_STREAM_SEMANTIC_DEDUP,
     "prototype_prune": O_PROTOTYPE_PRUNE,
+    "dedup_keep_best": O_DEDUP_KEEP_BEST,
     "pq_codes": O_PQ_CODES,
     "pq_adc_topk": O_PQ_ADC_TOPK,
     "ivf_pq_topk": O_IVF_PQ_TOPK,

@@ -37,6 +37,43 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def exact_dedup_keep_best(
+    df: DataFrame, id_col: str, text_col: str, score_col: str
+) -> DataFrame:
+    """Exact dedup with QUALITY-aware survivor selection: per identical
+    text, keep the HIGHEST-``score_col`` copy (ties → min id) — the
+    production rule when duplicates arrive from sources of different
+    quality (re-crawls, mirrors, cleaned vs raw variants) and "first
+    seen" is the wrong copy to keep. ``score_col`` must be a
+    deterministic integer/exact score (the classifier micro-margin, a
+    source priority rank) — a float score reintroduces the cross-engine
+    comparison hazards the integer discipline exists to kill.
+
+    Same shape as :func:`exact_dedup` — one partial-aggregating groupBy
+    on the 16-byte content hash; the survivor argmax rides in the same
+    aggregation as a (score, −id) struct max, so there is no window and
+    no second shuffle. Returns (content_hash, survivor_id,
+    survivor_score, dup_count)."""
+    best = F.max(
+        F.struct(
+            F.col(score_col).alias("s"), (-F.col(id_col)).alias("negid")
+        )
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(score_col),
+            F.md5(F.col(text_col)).alias("content_hash"),
+        )
+        .groupBy("content_hash")
+        .agg(
+            (-best.getField("negid")).alias("survivor_id"),
+            best.getField("s").alias("survivor_score"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
 def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per doc: (id, shingle).
 

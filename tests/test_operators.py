@@ -1611,6 +1611,41 @@ def test_lsh_near_pairs_tight_threshold_planted_recall(spark):
     assert pairs == planted, pairs - planted
 
 
+def test_exact_dedup_keep_best_survivor_rule(spark):
+    """Highest score survives; score ties fall to the min id; the plan
+    is ONE partial-aggregating groupBy (argmax rides in the aggregate —
+    no window, no second shuffle)."""
+    from jobinsight_data_pipeline_spark.operators.dedup import (
+        exact_dedup_keep_best,
+    )
+
+    rows = [
+        (1, "same text here", 5),
+        (2, "same text here", 9),    # highest score -> survivor
+        (3, "same text here", 9),    # tie with 2 -> min id 2 wins
+        (4, "other text", 1),
+        (5, "third text", 0),
+        (6, "third text", 0),        # tie -> min id 5
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, q long")
+    got = {
+        r["survivor_id"]: (r["survivor_score"], r["dup_count"])
+        for r in exact_dedup_keep_best(df, "doc_id", "text", "q").collect()
+    }
+    assert got == {2: (9, 3), 4: (1, 1), 5: (0, 2)}, got
+    plan = (
+        exact_dedup_keep_best(df, "doc_id", "text", "q")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    # struct max plans as SortAggregate (structs aren't hash-aggregable)
+    # but still partial+final — map-side combine survives
+    agg = plan.count("SortAggregate") + plan.count("HashAggregate")
+    assert agg >= 2, plan
+
+
 def test_prototype_prune_policies_and_counts(spark):
     """Per-cell drop counts are exactly floor(f·|cell|); keep='hard'
     drops the HIGHEST-sim (most prototypical) ids, keep='easy' the
