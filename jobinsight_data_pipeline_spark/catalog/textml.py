@@ -2039,6 +2039,9 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup_keep_best(pool, "doc_id", "text", "quality")
 
 
+
+
+
 O_DEDUP_KEEP_BEST = """
 WITH pool AS (
     SELECT doc_id, text FROM documents
@@ -2774,13 +2777,13 @@ def _clf_fold_duck(col: str, salt: str) -> str:
 
 
 #: the classifier-score CTE block (w/arrs/feats), reused verbatim by
-#: _clf_oracle and the composed bpe_budget_packs oracle
+#: _clf_oracle and the composed bpe_budget_packs / day2_pipeline oracles
 _CLF_CTES = """w AS (SELECT {arr} AS warr),
 arrs AS (
     SELECT doc_id,
            list_filter(list_transform(regexp_split_to_array(trim(text), '\\s+'),
                                       x -> lower(x)), x -> x <> '') AS a
-    FROM documents
+    FROM {table}
 ),
 feats AS (
     SELECT doc_id, a,
@@ -2793,9 +2796,9 @@ feats AS (
 )"""
 
 
-def _clf_ctes() -> str:
+def _clf_ctes(table: str = "documents") -> str:
     arr = "[" + ",".join(str(v) for v in CLF_WEIGHTS) + "]"
-    return _CLF_CTES.format(arr=arr)
+    return _CLF_CTES.format(arr=arr, table=table)
 
 
 def _clf_oracle() -> str:
@@ -3356,6 +3359,197 @@ FROM base
 
 
 O_INCREMENTAL_DEDUP = _incremental_dedup_oracle()
+
+
+#: day-2 ingest flagship: subword budget for the surviving batch
+DAY2_BUDGET = 15_000
+
+
+def q_day2_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed DAY-2 INGEST flagship — this round's whole story
+    under ONE exact hash: the planted day-2 batch (the
+    `incremental_dedup` fixture, with source riding) is deduped against
+    the persisted day-1 snapshot (exact + minhash-band near, md5 twin),
+    survivors pass the integer quality classifier (margin ≥ 0), BPE
+    supplies subword counts, select_until_budget greedily fills a
+    15k-id budget best-first, and the selection rolls up to a
+    per-source manifest (doc counts, total ids, order-insensitive
+    bit_xor id checksum). A drift ANYWHERE — a dedup status, a hashed
+    feature, a BPE merge, the budget cut — moves the manifest and fails
+    the hash. Candidates are materialized once behind a done-sentinel
+    (the multi-pass offset machinery would otherwise recompute the
+    dedup+classify+encode chain ~5×)."""
+    import hashlib
+    import os
+    import shutil
+
+    from jobinsight_data_pipeline_spark.catalog import scratch_dir
+    from jobinsight_data_pipeline_spark.operators.bpe import bpe_encode
+    from jobinsight_data_pipeline_spark.operators.classifier import (
+        with_quality_classification,
+    )
+    from jobinsight_data_pipeline_spark.operators.dedup import (
+        build_dedup_state,
+        incremental_dedup,
+    )
+    from jobinsight_data_pipeline_spark.operators.parallelism import (
+        widen_for_cpu,
+    )
+    from jobinsight_data_pipeline_spark.operators.sampling import (
+        select_until_budget,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    docs = t["documents"].select("doc_id", "text", "source")
+    day1 = docs.filter(F.col("doc_id") < INCR_SPLIT)
+    d2base = docs.filter(F.col("doc_id") >= INCR_SPLIT)
+    plants_exact = day1.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "source"
+    )
+    plants_near = day1.filter(F.col("doc_id") % 50 == 1).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz yy")).alias("text"),
+        "source",
+    )
+    twin_src = day1.filter(F.col("doc_id") % 50 == 2).select(
+        "doc_id",
+        F.concat(
+            F.lit("twin"),
+            F.lit(" t"), F.col("doc_id").cast("string"),
+            F.lit(" payload"),
+            F.lit(" p"), F.col("doc_id").cast("string"),
+            F.lit(" end"),
+        ).alias("text"),
+        F.lit("twin").alias("source"),
+    )
+    twins = twin_src.select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"), "text", "source"
+    ).unionByName(
+        twin_src.select(
+            (F.col("doc_id") + 3_100_000).alias("doc_id"), "text", "source"
+        )
+    )
+    batch = (
+        d2base.unionByName(plants_exact)
+        .unionByName(plants_near)
+        .unionByName(twins)
+    )
+
+    base = scratch_dir(
+        "day2-gate-",
+        "{}-{}".format(
+            spark.sparkContext.applicationId,
+            hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+        ),
+    )
+    cand_path = os.path.join(base, "cand")
+    done = os.path.join(base, "_gate_done")
+    if not os.path.exists(done):
+        shutil.rmtree(cand_path, ignore_errors=True)
+        state = build_dedup_state(
+            day1, n_hashes=INCR_NH, bands=INCR_BANDS, hash_mode="md5"
+        )
+        kept = (
+            incremental_dedup(
+                batch, state, n_hashes=INCR_NH, bands=INCR_BANDS,
+                hash_mode="md5",
+            )
+            .filter(F.col("status") == "kept")
+            .drop("status")
+        )
+        wide = widen_for_cpu(kept)
+        scored = with_quality_classification(
+            wide, "text", CLF_WEIGHTS, bias=CLF_BIAS, threshold_micro=0
+        ).select("doc_id", "score_micro")
+        (
+            bpe_encode(wide)
+            .select("doc_id", "n_ids")
+            .join(scored, "doc_id")
+            .join(wide.select("doc_id", "source"), "doc_id")
+            .filter(F.col("score_micro") >= 0)
+            .write.parquet(cand_path)
+        )
+        with open(done, "w") as fh:
+            fh.write("ok")
+    cand = spark.read.parquet(cand_path)
+    selected = select_until_budget(
+        cand, "score_micro", "n_ids", DAY2_BUDGET, ["doc_id"]
+    )
+    chk = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    return (
+        selected.withColumn("_chk", chk)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_ids").cast("long").alias("total_ids"),
+            F.bit_xor("_chk").alias("id_checksum"),
+        )
+    )
+
+
+def _day2_oracle() -> str:
+    fold = _clf_fold_duck
+    return f"""
+WITH day1s AS (
+    SELECT doc_id, text, source FROM documents WHERE doc_id < {INCR_SPLIT}
+),
+twin_src2 AS (
+    SELECT doc_id,
+           'twin t' || CAST(doc_id AS VARCHAR) ||
+           ' payload p' || CAST(doc_id AS VARCHAR) || ' end' AS text,
+           'twin' AS source
+    FROM day1s WHERE doc_id % 50 = 2
+),
+batch_src AS (
+    SELECT doc_id, text, source FROM documents WHERE doc_id >= {INCR_SPLIT}
+    UNION ALL
+    SELECT doc_id + 1000000, text, source FROM day1s WHERE doc_id % 50 = 0
+    UNION ALL
+    SELECT doc_id + 2000000, text || ' zz yy', source
+    FROM day1s WHERE doc_id % 50 = 1
+    UNION ALL SELECT doc_id + 3000000, text, source FROM twin_src2
+    UNION ALL SELECT doc_id + 3100000, text, source FROM twin_src2
+),
+st AS (SELECT doc_id, status FROM ({O_INCREMENTAL_DEDUP})),
+kept AS (
+    SELECT b.doc_id, b.text, b.source
+    FROM batch_src b JOIN st USING (doc_id)
+    WHERE st.status = 'kept'
+),
+{_clf_ctes(table="kept")},
+scored AS (
+    SELECT doc_id,
+           CAST({CLF_BIAS} + {fold('a', 'u:')} + {fold('g', 'b:')} AS BIGINT)
+               AS score_micro
+    FROM feats, w
+),
+enc AS (
+    SELECT doc_id, len({_bpe_ids_duck('text')}) AS n_ids FROM kept
+),
+cand AS (
+    SELECT k.doc_id, k.source, e.n_ids, s.score_micro
+    FROM kept k JOIN enc e USING (doc_id) JOIN scored s USING (doc_id)
+    WHERE s.score_micro >= 0
+),
+sel AS (
+    SELECT doc_id, source, n_ids,
+           coalesce(sum(n_ids) OVER (ORDER BY score_micro DESC, doc_id ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS sx
+    FROM cand
+),
+final AS (SELECT * FROM sel WHERE sx < {DAY2_BUDGET})
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_ids) AS BIGINT) AS total_ids,
+       bit_xor(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT)) AS id_checksum
+FROM final GROUP BY source
+"""
+
+
+O_DAY2_PIPELINE = _day2_oracle()
 
 
 def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4420,6 +4614,7 @@ QUERIES = {
     "stream_semantic_dedup": q_stream_semantic_dedup,
     "prototype_prune": q_prototype_prune,
     "dedup_keep_best": q_dedup_keep_best,
+    "day2_pipeline": q_day2_pipeline,
     "pq_codes": q_pq_codes,
     "pq_adc_topk": q_pq_adc_topk,
     "ivf_pq_topk": q_ivf_pq_topk,
@@ -4494,6 +4689,7 @@ ORACLES = {
     "stream_semantic_dedup": O_STREAM_SEMANTIC_DEDUP,
     "prototype_prune": O_PROTOTYPE_PRUNE,
     "dedup_keep_best": O_DEDUP_KEEP_BEST,
+    "day2_pipeline": O_DAY2_PIPELINE,
     "pq_codes": O_PQ_CODES,
     "pq_adc_topk": O_PQ_ADC_TOPK,
     "ivf_pq_topk": O_IVF_PQ_TOPK,
