@@ -4550,6 +4550,96 @@ SELECT '_corrupt', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
 """
 
 
+# --- language identification (function-word profiles) ------------------
+# Planted multilingual fixture derived from the real corpus (the day-2
+# pattern): doc_id % 6 keeps the real (English) text on residue 0 and
+# substitutes a deterministic literal per other residue — French, German,
+# Spanish, Vietnamese prose plus a no-language junk row — so every
+# profile branch AND the 'und' fallback are exercised at every scale
+# factor. Both engines build the fixture from the same CASE literal.
+_LANGID_FIXTURE_CASE = """CASE doc_id % 6
+  WHEN 1 THEN 'le chat et le chien ne sont pas dans la maison de la ville pour le moment et il est au jardin'
+  WHEN 2 THEN 'der hund und die katze sind nicht in dem haus der stadt und ich bin mit dem auto zu dir'
+  WHEN 3 THEN 'el perro y el gato no se ven en la casa de la ciudad por lo que una vez al dia es como para todos'
+  WHEN 4 THEN 'của và là các cho được một những có không người trong đã với này khi đến về cũng như'
+  WHEN 5 THEN '12345 67890 @@@ ### $$$ 0xdeadbeef ---'
+  ELSE coalesce(text, '') END"""
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language identification (operators/textstats.with_language_id):
+    function-word-profile scoring — Grefenstette's short-word technique —
+    as one scan-fused native pass (no UDF, no shuffle). The oracle
+    recomputes each profile's hit count independently and replays the
+    same first-max tie-break; confidence is exact integer ppm
+    (hits*1e6 div tokens), so the whole output value-hashes."""
+    from jobinsight_data_pipeline_spark.operators.textstats import (
+        with_language_id,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    docs = t["documents"].select(
+        "doc_id", F.expr(_LANGID_FIXTURE_CASE).alias("txt")
+    )
+    return with_language_id(docs, "txt").select(
+        "doc_id", "lang_pred", "lang_hits", "lang_conf_ppm"
+    )
+
+
+def _langid_profile_sql() -> str:
+    """Render LANG_PROFILES into the oracle's hit-count expressions —
+    the literal word lists come from the SAME dict the Spark side scores
+    with, so the two can never drift."""
+    from jobinsight_data_pipeline_spark.operators.textstats import (
+        LANG_PROFILES,
+    )
+
+    hit_cols = []
+    for code, words in LANG_PROFILES.items():
+        lits = ", ".join("'" + w.replace("'", "''") + "'" for w in words)
+        hit_cols.append(
+            f"len(list_filter(words, w -> w IN ({lits}))) AS h_{code}"
+        )
+    order = list(LANG_PROFILES)
+    greatest = "greatest(" + ", ".join(f"h_{c}" for c in order) + ")"
+    # first profile in dict order reaching the max wins (mirrors the
+    # strictly-greater fold in with_language_id)
+    case = ["CASE WHEN m = 0 THEN 'und'"]
+    for code in order[:-1]:
+        case.append(f"WHEN h_{code} = m THEN '{code}'")
+    case.append(f"ELSE '{order[-1]}' END")
+    return (
+        "WITH planted AS (\n"
+        f"    SELECT doc_id, {_LANGID_FIXTURE_CASE} AS txt FROM documents\n"
+        "),\n"
+        "toks AS (\n"
+        "    SELECT doc_id,\n"
+        "           list_transform(regexp_split_to_array(trim(txt), "
+        "'\\s+'), w -> lower(w)) AS words,\n"
+        "           CASE WHEN trim(txt) = '' THEN 0\n"
+        "                ELSE len(regexp_split_to_array(trim(txt), "
+        "'\\s+')) END AS n_tokens\n"
+        "    FROM planted\n"
+        "),\n"
+        "hits AS (\n"
+        "    SELECT doc_id, n_tokens,\n           "
+        + ",\n           ".join(hit_cols)
+        + "\n    FROM toks\n"
+        "),\n"
+        f"scored AS (SELECT *, {greatest} AS m FROM hits)\n"
+        "SELECT doc_id,\n"
+        "       " + " ".join(case) + " AS lang_pred,\n"
+        "       CAST(m AS BIGINT) AS lang_hits,\n"
+        "       CASE WHEN n_tokens > 0\n"
+        "            THEN (CAST(m AS BIGINT) * 1000000) // n_tokens\n"
+        "            ELSE CAST(0 AS BIGINT) END AS lang_conf_ppm\n"
+        "FROM scored"
+    )
+
+
+O_LANGUAGE_ID = _langid_profile_sql()
+
+
 QUERIES = {
     "corpus_curation": q_corpus_curation,
     "corpus_prep": q_corpus_prep,
@@ -4623,6 +4713,7 @@ QUERIES = {
     "paragraph_dedup": q_paragraph_dedup,
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "stream_jsonl_ingest": q_stream_jsonl_ingest,
+    "language_id": q_language_id,
 }
 
 ORACLES = {
@@ -4698,4 +4789,5 @@ ORACLES = {
     "paragraph_dedup": O_PARAGRAPH_DEDUP,
     "jsonl_roundtrip": O_JSONL_ROUNDTRIP,
     "stream_jsonl_ingest": O_JSONL_ROUNDTRIP,
+    "language_id": O_LANGUAGE_ID,
 }

@@ -75,6 +75,89 @@ def lang_guess(text: ColumnOrName) -> Column:
     return best_code
 
 
+#: Function-word profiles for full language identification (Grefenstette
+#: 1995's "short word" technique — comparable accuracy to trigram models
+#: at a fraction of the cost, and exactly reproducible in ANSI SQL).
+#: Top-frequency closed-class words per language, all public knowledge.
+#: Dict INSERTION ORDER is the tie-break: the first profile reaching the
+#: max hit count wins. Kept separate from STOPWORDS so extending the
+#: language set can never shift `lang_guess`'s default (en, vi) outputs,
+#: which the text_stats oracle pins.
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "of", "and", "to", "in", "is", "was", "that", "for",
+           "on", "are", "with", "as", "it", "at", "by", "this", "have",
+           "from", "be"],
+    "fr": ["le", "la", "les", "de", "des", "et", "un", "une", "du", "en",
+           "que", "qui", "dans", "pour", "est", "pas", "ne", "ce", "il",
+           "au"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "eine",
+           "zu", "den", "von", "mit", "auf", "für", "im", "sich", "dem",
+           "des", "ich", "sie"],
+    "es": ["el", "la", "los", "las", "de", "que", "y", "en", "un", "una",
+           "es", "no", "por", "con", "para", "del", "se", "al", "lo",
+           "como"],
+    "vi": ["của", "và", "là", "các", "cho", "được", "một", "những", "có",
+           "không", "người", "trong", "đã", "với", "này", "khi", "đến",
+           "về", "cũng", "như"],
+}
+
+
+def with_language_id(
+    df: DataFrame,
+    text_col: str = "text",
+    profiles: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """Per-document language identification over function-word profiles.
+
+    Appends three columns:
+      * ``lang_pred``       — winning language code, ``'und'`` when no
+        profile scores a hit;
+      * ``lang_hits``       — the winner's hit count (BIGINT);
+      * ``lang_conf_ppm``   — hits per million tokens, exact integer
+        arithmetic (``hits * 1_000_000 div n_tokens``; 0 for empty docs)
+        so the value is bit-identical on any engine — no float division.
+
+    Scoring is one scan-fused pass: the token array materializes once per
+    row (codegen subexpression elimination collapses the repeated
+    ``tokens()`` subtree) and each profile contributes a single
+    ``size(filter(...))`` lambda — no UDF, no shuffle, linear in corpus
+    bytes, so the operator runs at parquet-scan speed on any corpus size.
+    Ties resolve to the FIRST profile in dict order (stable across
+    engines and partitionings).
+
+    Reference parity: the reference pipeline carries a `lang` column on
+    crawled docs but never computes it; this supplies the standard
+    pre-training-corpus language filter (CCNet/C4 both gate on lang-id).
+    """
+    prof = profiles if profiles is not None else LANG_PROFILES
+    t = _col(text_col)
+    toks = tokens(t)
+    n_tokens = F.when(F.trim(t) == "", F.lit(0)).otherwise(F.size(toks))
+    best_code = F.lit("und")
+    best_score = F.lit(0).cast("bigint")
+    for code, words in prof.items():
+        hits = F.size(
+            F.filter(toks, lambda w: F.lower(w).isin(words))
+        ).cast("bigint")
+        take = hits > best_score
+        best_code = F.when(take, F.lit(code)).otherwise(best_code)
+        best_score = F.when(take, hits).otherwise(best_score)
+    out = (
+        df.withColumn("lang_pred", best_code)
+        .withColumn("lang_hits", best_score)
+        .withColumn("__n_tokens", n_tokens.cast("bigint"))
+        .withColumn(
+            "lang_conf_ppm",
+            F.expr(
+                "CASE WHEN __n_tokens > 0 "
+                "THEN (lang_hits * 1000000) div __n_tokens "
+                "ELSE CAST(0 AS BIGINT) END"
+            ),
+        )
+    )
+    return out.drop("__n_tokens")
+
+
 def quality_score(text: ColumnOrName) -> Column:
     """Composite [0,1] quality heuristic: penalize very short docs, high
     punctuation density, low vocabulary diversity. Deterministic, cheap,

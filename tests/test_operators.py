@@ -295,6 +295,44 @@ def test_text_stats(spark):
     assert fp1 == fp2
 
 
+def test_language_id_known_answers(spark):
+    """with_language_id: per-profile wins, the first-in-dict tie-break,
+    the 'und' fallback, and exact integer ppm confidence."""
+    from jobinsight_data_pipeline_spark.operators.textstats import (
+        LANG_PROFILES,
+        with_language_id,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is of the house and it is to be seen"),
+            (2, "le chien et le chat ne sont pas dans la"),
+            (3, "der hund und die katze sind nicht zu haus"),
+            (4, "el perro y el gato no se ven en la casa"),
+            (5, "của và là các cho được một những có không"),
+            (6, "zzz qqq 12345 @@@"),  # no profile hits -> und
+            (7, ""),  # empty -> und, 0 tokens, 0 ppm
+            # tie: 'the of' (en=2) vs 'le la' (fr=2) -> first profile wins
+            (8, "the of le la"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in with_language_id(df, "text").collect()}
+    assert out[1]["lang_pred"] == "en"
+    assert out[2]["lang_pred"] == "fr"
+    assert out[3]["lang_pred"] == "de"
+    assert out[4]["lang_pred"] == "es"
+    assert out[5]["lang_pred"] == "vi"
+    assert out[6]["lang_pred"] == "und" and out[6]["lang_hits"] == 0
+    assert out[7]["lang_pred"] == "und" and out[7]["lang_conf_ppm"] == 0
+    # tie-break: en precedes fr in LANG_PROFILES insertion order
+    assert list(LANG_PROFILES)[0] == "en"
+    assert out[8]["lang_pred"] == "en" and out[8]["lang_hits"] == 2
+    # exact integer ppm: doc 2 has 10 tokens, 7 fr hits -> 700000
+    assert out[2]["lang_hits"] == 7
+    assert out[2]["lang_conf_ppm"] == 700_000
+
+
 def test_repetition_signals_known_answers(spark):
     from jobinsight_data_pipeline_spark.operators.textstats import (
         with_repetition_signals,
