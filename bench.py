@@ -336,6 +336,20 @@ def main() -> None:
             )
         )
 
+    # distributed quantized k-means: the full MLlib-shaped Lloyd's fit
+    # (4 rounds of scan-fused assign + one-shuffle update over the whole
+    # embeddings table) plus the final zero-shuffle assignment pass
+    from jobinsight_data_pipeline_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_fit_quantized,
+    )
+
+    def _kmeans() -> None:
+        model = kmeans_fit_quantized(emb, k=8, iterations=4)
+        materialize(kmeans_assign(emb, model))
+
+    timings["kmeans_fit"] = timed(_kmeans)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

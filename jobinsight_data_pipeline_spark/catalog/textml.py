@@ -4640,6 +4640,157 @@ def _langid_profile_sql() -> str:
 O_LANGUAGE_ID = _langid_profile_sql()
 
 
+# --- distributed k-means (quantized Lloyd's) ----------------------------
+_KMEANS_K = 8
+_KMEANS_ITERS = 4
+_KMEANS_SCALE = 10**6
+
+#: per-(session, sf_dir) memo of the fitted centroid matrix — both
+#: kmeans gates replay the same fit; the model is k*dim ints (tiny)
+_KMEANS_FIT_CACHE: dict[tuple[int, str], list[list[int]]] = {}
+
+
+def _kmeans_centroids(spark: SparkSession, sf_dir: str) -> list[list[int]]:
+    from jobinsight_data_pipeline_spark.operators.clustering import (
+        kmeans_fit_quantized,
+    )
+
+    key = (id(spark), sf_dir)
+    if key not in _KMEANS_FIT_CACHE:
+        t = load(spark, sf_dir, "embeddings")
+        _KMEANS_FIT_CACHE[key] = kmeans_fit_quantized(
+            t["embeddings"], "embedding", "vec_id",
+            k=_KMEANS_K, iterations=_KMEANS_ITERS, scale=_KMEANS_SCALE,
+        )
+    return _KMEANS_FIT_CACHE[key]
+
+
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means, assignment surface
+    (operators/clustering.py): every vector's final cell and exact
+    quantized squared distance after a full-corpus 4-iteration fit.
+    The oracle replays the ENTIRE iterative fit — deterministic seeding,
+    four assignment+update rounds in exact integer arithmetic — so a
+    single flipped assignment anywhere in the iteration history changes
+    the hash."""
+    from jobinsight_data_pipeline_spark.operators.clustering import (
+        kmeans_assign,
+    )
+
+    t = load(spark, sf_dir, "embeddings")
+    cents = _kmeans_centroids(spark, sf_dir)
+    return kmeans_assign(
+        t["embeddings"], cents, "embedding", scale=_KMEANS_SCALE
+    ).select("vec_id", "cell", "dist")
+
+
+def q_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means, model surface: one row per cell with its
+    population, exact integer inertia, and the full centroid rendered
+    as a scalar string (gate outputs must not carry ARRAY columns —
+    CLAUDE.md array-hash rule)."""
+    from jobinsight_data_pipeline_spark.operators.clustering import (
+        kmeans_assign,
+    )
+
+    t = load(spark, sf_dir, "embeddings")
+    cents = _kmeans_centroids(spark, sf_dir)
+    assigned = kmeans_assign(
+        t["embeddings"], cents, "embedding", scale=_KMEANS_SCALE
+    )
+    cent_rows = [
+        (j, "|".join(str(x) for x in c)) for j, c in enumerate(cents)
+    ]
+    cent_df = spark.createDataFrame(cent_rows, "cell int, centroid string")
+    agg = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("size"),
+        F.sum("dist").alias("inertia"),
+    )
+    return agg.join(F.broadcast(cent_df), "cell").select(
+        "cell", "size", "inertia", "centroid"
+    )
+
+
+def _kmeans_oracle_sql(final_select: str) -> str:
+    """Unroll the full quantized Lloyd's fit in DuckDB CTEs — init from
+    the k lowest vec_ids, then per iteration an argmin assignment
+    (row_number over (d, cell): the strictly-smaller/lowest-cell
+    tie-break) and the round-half-up integer mean update with
+    empty-cell carry-forward. All arithmetic mirrors
+    operators/clustering.py in the shifted non-negative BIGINT domain;
+    list_dot_product doubles are exact (< 2^53)."""
+    k, iters, scale = _KMEANS_K, _KMEANS_ITERS, _KMEANS_SCALE
+    parts = [
+        "WITH q AS (\n"
+        "    SELECT vec_id, list_transform(embedding,\n"
+        f"        x -> CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT)"
+        f" + {scale}) AS p\n"
+        "    FROM embeddings WHERE embedding IS NOT NULL\n"
+        "),\n"
+        "c0 AS (\n"
+        "    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, p AS c\n"
+        f"    FROM (SELECT vec_id, p FROM q ORDER BY vec_id LIMIT {k})\n"
+        ")"
+    ]
+    dist = (
+        "CAST(list_dot_product(q.p, q.p) + list_dot_product(c.c, c.c)"
+        " - 2 * list_dot_product(q.p, c.c) AS BIGINT)"
+    )
+    for i in range(iters):
+        parts.append(
+            f",\na{i} AS (\n"
+            "    SELECT vec_id, p, cell, d FROM (\n"
+            "        SELECT vec_id, p, cell, d,\n"
+            "               row_number() OVER (PARTITION BY vec_id"
+            " ORDER BY d, cell) AS rn\n"
+            "        FROM (\n"
+            f"            SELECT q.vec_id, q.p, c.cell, {dist} AS d\n"
+            f"            FROM q, c{i} c)\n"
+            "    ) WHERE rn = 1\n"
+            f"),\nm{i} AS (\n"
+            "    SELECT cell, i AS pos,\n"
+            "           (2 * sum(p[i]) + count(*)) // (2 * count(*)) AS cv\n"
+            f"    FROM a{i}, LATERAL (SELECT unnest(range(1, len(p) + 1))"
+            " AS i) t\n"
+            "    GROUP BY cell, i\n"
+            f"),\nc{i + 1} AS (\n"
+            "    SELECT c.cell, coalesce(nc.c, c.c) AS c\n"
+            f"    FROM c{i} c LEFT JOIN (SELECT cell,"
+            f" list(cv ORDER BY pos) AS c FROM m{i} GROUP BY cell) nc\n"
+            "    USING (cell)\n"
+            ")"
+        )
+    # final assignment against the fitted model
+    parts.append(
+        ",\nafinal AS (\n"
+        "    SELECT vec_id, p, cell, d FROM (\n"
+        "        SELECT vec_id, p, cell, d,\n"
+        "               row_number() OVER (PARTITION BY vec_id"
+        " ORDER BY d, cell) AS rn\n"
+        "        FROM (\n"
+        f"            SELECT q.vec_id, q.p, c.cell, {dist} AS d\n"
+        f"            FROM q, c{iters} c)\n"
+        "    ) WHERE rn = 1\n"
+        ")"
+    )
+    return "".join(parts) + "\n" + final_select
+
+
+O_KMEANS_ASSIGN = _kmeans_oracle_sql(
+    "SELECT vec_id, CAST(cell AS INTEGER) AS cell, d AS dist FROM afinal"
+)
+
+O_KMEANS_FIT = _kmeans_oracle_sql(
+    "SELECT CAST(a.cell AS INTEGER) AS cell,\n"
+    "       count(*) AS size,\n"
+    "       CAST(sum(a.d) AS BIGINT) AS inertia,\n"
+    "       array_to_string(list_transform(c.c,"
+    f" x -> CAST(x - {_KMEANS_SCALE} AS VARCHAR)), '|') AS centroid\n"
+    f"FROM afinal a JOIN c{_KMEANS_ITERS} c USING (cell)\n"
+    "GROUP BY a.cell, c.c"
+)
+
+
 QUERIES = {
     "corpus_curation": q_corpus_curation,
     "corpus_prep": q_corpus_prep,
@@ -4714,6 +4865,8 @@ QUERIES = {
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "stream_jsonl_ingest": q_stream_jsonl_ingest,
     "language_id": q_language_id,
+    "kmeans_assign": q_kmeans_assign,
+    "kmeans_fit": q_kmeans_fit,
 }
 
 ORACLES = {
@@ -4790,4 +4943,6 @@ ORACLES = {
     "jsonl_roundtrip": O_JSONL_ROUNDTRIP,
     "stream_jsonl_ingest": O_JSONL_ROUNDTRIP,
     "language_id": O_LANGUAGE_ID,
+    "kmeans_assign": O_KMEANS_ASSIGN,
+    "kmeans_fit": O_KMEANS_FIT,
 }

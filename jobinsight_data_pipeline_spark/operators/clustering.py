@@ -1,0 +1,200 @@
+"""Distributed k-means over embedding columns — Lloyd's algorithm in
+exact integer arithmetic.
+
+:func:`fit_centroids` (operators/similarity.py) trains on a bounded
+driver-side sample — the right call for centroid models whose quality
+tolerates sampling, but a 100-TB curation pipeline also needs the full
+MLlib-shaped fit: broadcast the (tiny) centroid model, assign every
+vector in one scan-fused pass, recompute centroids with one partial
+aggregation, repeat. This module supplies that shape with a twist that
+makes it GATEABLE: all arithmetic is quantized BIGINT, so assignments,
+centroid updates, and inertia are bit-identical on any engine,
+partitioning, or retry — a DuckDB oracle can replay the whole iterative
+fit exactly (the pagerank_quantized discipline, operators/components.py).
+
+Why integers: float Lloyd's is shuffle-order-dependent (per-cell float
+sums), so two runs of the SAME code can disagree in the last ulp and
+flip a boundary vector's cell. Quantizing at 1e-6 changes the clustering
+immaterially (embedding coordinates carry ~7 significant digits) and
+buys determinism.
+
+Internal domain: coordinates are shifted non-negative
+(``floor(x*scale) + scale``) so every division is on non-negative
+integers — Spark's truncating ``div`` and DuckDB's ``//`` provably agree
+there, and the round-half-up mean ``(2*s + n) div (2*n)`` is exact on
+both engines (the CLAUDE.md integer-averaging rule). Public API returns
+UNSHIFTED quantized coordinates.
+
+Scale shape per iteration: zero-shuffle assignment (centroid matrix is a
+broadcast literal, distances fold inside whole-stage codegen) + one
+partial-aggregating shuffle of k*dim groups for the update + one
+k*dim-row collect. That is exactly Spark MLlib's KMeans topology; at
+1000 executors the only synchronization point is the tiny per-iteration
+model collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SCALE = 10**6
+
+
+def _imatrix_sql(rows: list[list[int]]) -> str:
+    """Render a small integer matrix as ONE array<array<bigint>> SQL
+    literal (the similarity._matrix_sql lesson: per-element F.lit costs
+    a py4j round trip each; one parsed literal is milliseconds)."""
+    return (
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{int(x)}L" for x in row) + ")"
+            for row in rows
+        )
+        + ")"
+    )
+
+
+def quantize_shifted(vec_col: str, scale: int = DEFAULT_SCALE) -> Column:
+    """``floor(x*scale) + scale`` per coordinate as BIGINT — the shared
+    quantizer (floor, not round: the one double→int path both engines
+    agree on per CLAUDE.md). Shift keeps every coordinate non-negative
+    for coordinates in [-1, 1]. The coordinate is widened to DOUBLE
+    BEFORE scaling: embeddings are FLOAT32 and Spark's float*int stays
+    FLOAT (7 significant digits — off-by-one floors at scale=1e6) while
+    DuckDB promotes to DOUBLE; widening first makes both engines floor
+    the identical double."""
+    return F.expr(
+        f"transform({vec_col}, x -> "
+        f"CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT) + {scale}L)"
+    )
+
+
+def _sq_dist(p: str, c: str) -> str:
+    """Squared L2 between two BIGINT arrays as a scan-fused fold."""
+    return (
+        f"aggregate(zip_with({p}, {c}, (x, y) -> (x - y) * (x - y)), "
+        "0L, (acc, v) -> acc + v)"
+    )
+
+
+def _assign_expr(centroids: list[list[int]]) -> tuple[Column, Column]:
+    """(cell, dist) argmin columns over a literal centroid matrix.
+
+    The distance VECTOR is one ``transform`` over the single parsed
+    matrix literal, argmin is ``array_min`` + ``array_position`` (which
+    returns the FIRST index holding the min — exactly the
+    lowest-cell-id tie-break). A when-chain fold here would nest the
+    running best into both the predicate and the else-branch of every
+    step — an O(2^k) expression tree (measured: 3.5 MiB task binaries
+    at k=8) — while this shape is linear in k and keeps the matrix in
+    the plan once. Expects a column ``__p`` holding the shifted
+    quantized vector."""
+    ds = (
+        f"transform({_imatrix_sql(centroids)}, "
+        f"c -> {_sq_dist('__p', 'c')})"
+    )
+    dist = F.expr(f"array_min({ds})")
+    cell = F.expr(
+        f"CAST(array_position({ds}, array_min({ds})) - 1 AS INT)"
+    )
+    return cell, dist
+
+
+def kmeans_fit_quantized(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iterations: int = 4,
+    scale: int = DEFAULT_SCALE,
+) -> list[list[int]]:
+    """Full-corpus Lloyd's fit. Returns the final centroid matrix as
+    UNSHIFTED quantized ints (row j = cell j), suitable for
+    :func:`kmeans_assign` or, divided by ``scale``, for the float IVF
+    builders (see :func:`fit_centroids_distributed`).
+
+    Init: the k lowest-``id_col`` vectors in id order (deterministic,
+    engine-portable — no RNG to reconcile). Empty cells carry the
+    previous centroid forward. Update rule per dimension:
+    ``(2*sum + n) div (2*n)`` — round-half-up mean in the shifted
+    non-negative domain.
+
+    Each iteration runs one Spark job: scan-fused assignment against the
+    broadcast literal + groupBy(cell, dim) partial agg + a k*dim-row
+    collect. Driver state is the model only.
+    """
+    if k < 1:
+        raise ValueError("kmeans_fit_quantized: k must be >= 1")
+    q = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("__id"),
+        quantize_shifted(vec_col, scale).alias("__p"),
+    )
+    seed_rows = q.orderBy("__id").limit(k).collect()
+    if len(seed_rows) < k:
+        raise ValueError(
+            f"kmeans_fit_quantized: k={k} but only {len(seed_rows)} vectors"
+        )
+    centroids = [list(r["__p"]) for r in seed_rows]  # shifted domain
+    dim = len(centroids[0])
+    for _ in range(iterations):
+        cell, _dist = _assign_expr(centroids)
+        sums = (
+            q.select(cell.alias("cell"), F.posexplode("__p").alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new_c = [list(c) for c in centroids]  # empty cells keep previous
+        by_cell: dict[int, list[tuple[int, int, int]]] = {}
+        for r in sums:
+            by_cell.setdefault(r["cell"], []).append((r["pos"], r["s"], r["n"]))
+        for j, dims in by_cell.items():
+            for pos, s, n in dims:
+                new_c[j][pos] = (2 * s + n) // (2 * n)  # non-negative
+        centroids = new_c
+    assert all(len(c) == dim for c in centroids)
+    return [[x - scale for x in c] for c in centroids]  # unshift
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: list[list[int]],
+    vec_col: str = "embedding",
+    scale: int = DEFAULT_SCALE,
+) -> DataFrame:
+    """Scan-fused assignment against a fitted quantized model: appends
+    ``cell`` (int) and ``dist`` (BIGINT squared L2 in quantized units,
+    shift-invariant). Zero shuffles — safe to run over any corpus size.
+    """
+    shifted = [[x + scale for x in c] for c in centroids]
+    out = df.withColumn("__p", quantize_shifted(vec_col, scale))
+    cell, dist = _assign_expr(shifted)
+    return (
+        out.withColumn("cell", cell)
+        .withColumn("dist", dist)
+        .drop("__p")
+    )
+
+
+def fit_centroids_distributed(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_lists: int = 16,
+    iterations: int = 4,
+    scale: int = DEFAULT_SCALE,
+) -> list[list[float]]:
+    """Drop-in alternative to similarity.fit_centroids for corpora where
+    a 4096-row sample under-represents the distribution: the same
+    list[list[float]] contract (so ivf_cosine_topk / build_ivf_pq_index
+    can consume it unchanged), but fit on EVERY vector via
+    :func:`kmeans_fit_quantized`. Not L2-normalized — callers that need
+    spherical centroids should normalize downstream; for cell
+    ASSIGNMENT by argmax-dot the unnormalized means are the standard
+    IVF coarse quantizer."""
+    quantized = kmeans_fit_quantized(
+        df, vec_col=vec_col, id_col=id_col, k=n_lists,
+        iterations=iterations, scale=scale,
+    )
+    return [[x / scale for x in c] for c in quantized]

@@ -349,6 +349,7 @@ def ivf_cosine_topk(
     n_lists: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k: partition the corpus into ``n_lists``
     Voronoi cells (seeded KMeans), then score each query only against the
@@ -357,8 +358,13 @@ def ivf_cosine_topk(
     The centroid model is tiny and fits driver-side on a sample; corpus
     assignment is one broadcast-join pass. Recall rises with n_probe
     (n_probe = n_lists degenerates to exact brute force).
+
+    Pass ``centroids`` to reuse an externally-fitted model — e.g. the
+    full-corpus quantized fit (clustering.fit_centroids_distributed)
+    when a 4096-row sample would under-represent the distribution.
     """
-    centroids = fit_centroids(corpus, vec_col, n_lists, seed)
+    if centroids is None:
+        centroids = fit_centroids(corpus, vec_col, n_lists, seed)
     cent_sql = _matrix_sql(centroids)
 
     def nearest_cells(vec_col_name: str, n: int) -> Column:

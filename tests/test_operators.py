@@ -2356,3 +2356,112 @@ def test_dedup_paragraphs_idempotent(spark):
         for r in dedup_paragraphs(once, mode="keep_first").collect()
     }
     assert all(v == 0 for v in n2.values())
+
+
+# --- distributed quantized k-means (operators/clustering.py) -----------------
+
+def test_kmeans_quantized_known_clusters(spark):
+    """Two well-separated blobs, k=2: the fit lands one centroid per
+    blob, every vector is assigned to its blob, and the result is
+    invariant under repartitioning (integer arithmetic promise)."""
+    from jobinsight_data_pipeline_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_fit_quantized,
+    )
+
+    # ids 1 and 2 seed the fit (k lowest ids) — one per blob
+    rows = [
+        (1, [0.10, 0.10]), (2, [0.90, 0.90]), (3, [0.08, 0.12]),
+        (4, [0.12, 0.08]), (5, [0.88, 0.92]), (6, [0.92, 0.88]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = kmeans_fit_quantized(df, k=2, iterations=3)
+    assert len(cents) == 2 and len(cents[0]) == 2
+    # blob means: (0.10, 0.10) and (0.90, 0.90) in 1e-6 quantized units
+    got = sorted((c[0], c[1]) for c in cents)
+    assert abs(got[0][0] - 100_000) < 20_000
+    assert abs(got[1][0] - 900_000) < 20_000
+    out = {r["vec_id"]: r["cell"] for r in
+           kmeans_assign(df, cents).collect()}
+    assert out[1] == out[3] == out[4]
+    assert out[2] == out[5] == out[6]
+    assert out[1] != out[2]
+    # partitioning invariance: identical model from a reshuffled frame
+    cents2 = kmeans_fit_quantized(df.repartition(7), k=2, iterations=3)
+    assert cents2 == cents
+
+
+def test_kmeans_quantized_empty_cell_and_ties(spark):
+    """A seed that captures no members keeps its previous centroid
+    (carry-forward), and equidistant vectors break ties to the lowest
+    cell id."""
+    from jobinsight_data_pipeline_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_fit_quantized,
+    )
+
+    # seeds are the 3 lowest ids; ids 1 and 2 coincide, so one seed
+    # duplicates another and ends up empty after the first assignment
+    rows = [
+        (1, [0.0, 0.0]), (2, [0.0, 0.0]), (3, [1.0, 1.0]),
+        (4, [1.0, 1.0]), (5, [0.02, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = kmeans_fit_quantized(df, k=3, iterations=2)
+    assert len(cents) == 3
+    # iteration 1: the origin vectors tie between the two identical
+    # seeds and go to cell 0 (lowest id), leaving cell 1 EMPTY — the
+    # carry-forward keeps its init coordinates verbatim; cell 0 then
+    # drifts toward (0.02, 0) and the origin pair migrates to cell 1
+    assert cents[1] == [0, 0]
+    # mean of the lone (0.02, 0) member; 0.02f widens to 0.01999999...,
+    # so the floor quantizer lands on 19999 — pinned deliberately (the
+    # quantizer is floor-of-the-float32-value, not of the decimal text)
+    assert cents[0] == [19_999, 0]
+    out = {r["vec_id"]: r["cell"] for r in kmeans_assign(df, cents).collect()}
+    assert out[1] == 1 and out[2] == 1 and out[5] == 0
+    # dist is exact quantized squared L2
+    d = {r["vec_id"]: r["dist"] for r in kmeans_assign(df, cents).collect()}
+    assert d[3] == d[4] and d[1] == 0
+    # explicit tie between two IDENTICAL centroids resolves to the
+    # lower cell id (array_position returns the first index)
+    tied = {
+        r["vec_id"]: r["cell"]
+        for r in kmeans_assign(df, [[5, 5], [5, 5]]).collect()
+    }
+    assert set(tied.values()) == {0}
+
+
+def test_fit_centroids_distributed_feeds_ivf(spark):
+    """fit_centroids_distributed keeps the list[list[float]] contract of
+    similarity.fit_centroids: the IVF top-k builder consumes it directly
+    and still returns the brute-force answer at full probe width."""
+    import numpy as np
+
+    from jobinsight_data_pipeline_spark.operators.clustering import (
+        fit_centroids_distributed,
+    )
+    from jobinsight_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        ivf_cosine_topk,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = [(i, rng.standard_normal(8).round(3).tolist()) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.where("vec_id = 7")
+    cents = fit_centroids_distributed(df, n_lists=4, iterations=2)
+    assert len(cents) == 4 and all(isinstance(x, float) for x in cents[0])
+    exact = [
+        (r["rank"], r["neighbor_id"])
+        for r in cosine_topk(df, queries, k=5).collect()
+    ]
+    # n_probe = n_lists degenerates to exact brute force regardless of
+    # which centroid model partitions the corpus
+    via_ivf = [
+        (r["rank"], r["neighbor_id"])
+        for r in ivf_cosine_topk(
+            df, queries, k=5, n_lists=4, n_probe=4, centroids=cents
+        ).collect()
+    ]
+    assert sorted(via_ivf) == sorted(exact)

@@ -516,3 +516,36 @@ def test_ivf_pq_index_partition_prunes_probe_cells(spark, tmp_path):
     # and the scan reads only id + codes besides the partition column
     assert "ReadSchema: struct<vec_id:bigint,codes:array<int>>" in plan, plan
     assert top.count() == 5
+
+
+def test_kmeans_assign_scan_fused_and_update_single_shuffle(spark):
+    """Distributed k-means scale shape (operators/clustering.py):
+    assignment against the broadcast literal model is a pure projection
+    (no Exchange/Join — the centroid matrix lives inside the transform
+    fold), and one Lloyd update round is exactly one hash-partitioned
+    partial aggregation over (cell, dim)."""
+    from pyspark.sql import functions as F
+
+    from jobinsight_data_pipeline_spark.operators.clustering import (
+        _assign_expr,
+        kmeans_assign,
+        quantize_shifted,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = [[i * 1000 + j for j in range(64)] for i in range(8)]
+    plan = physical_plan(kmeans_assign(emb, cents))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    # one update round: scan-fused assign + posexplode + groupBy agg
+    shifted = [[x + 10**6 for x in c] for c in cents]
+    q = emb.select(quantize_shifted("embedding").alias("__p"))
+    cell, _ = _assign_expr(shifted)
+    upd = (
+        q.select(cell.alias("cell"), F.posexplode("__p").alias("pos", "v"))
+        .groupBy("cell", "pos")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    uplan = physical_plan(upd)
+    assert uplan.count("Exchange hashpartitioning") == 1
+    assert "partial" in uplan.lower()  # map-side combine before the shuffle
