@@ -346,7 +346,7 @@ def main() -> None:
 
     def _kmeans() -> None:
         model = kmeans_fit_quantized(emb, k=8, iterations=4)
-        materialize(kmeans_assign(emb, model))
+        materialize(kmeans_assign(widen_for_cpu(emb), model))
 
     timings["kmeans_fit"] = timed(_kmeans)
 

@@ -4550,6 +4550,61 @@ SELECT '_corrupt', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
 """
 
 
+# --- CSV interchange roundtrip ------------------------------------------
+# The synthetic corpus text carries no commas/quotes, so the fixture
+# plants them (doc_id % 7 CASE on BOTH sides) — otherwise the gate would
+# pass with a writer that never quotes. Newlines stay out by contract:
+# the line-oriented read path is the splittable one (see sources/csv.py).
+_CSV_PLANT_CASE = (
+    "CASE doc_id % 7"
+    " WHEN 0 THEN 'He said, \"' || text || '\", then left'"
+    " WHEN 1 THEN '\"' || text || '\",tail'"
+    " ELSE text END"
+)
+
+
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV interchange fidelity end-to-end (sources/csv.py): plant
+    quote/comma-bearing text, write the documents table as 4 headerless
+    RFC-4180 shards, drop one malformed line alongside, read back under
+    the frozen schema on the SPLITTABLE text-scan + from_csv path, and
+    emit the jsonl-gate summary (per-source count, Σchars, bit_xor
+    content checksum + a '_corrupt' quarantine row). A writer/reader
+    pair that disagrees on quoting or escaping mangles exactly the
+    planted rows and flips the checksum."""
+    import os
+
+    from jobinsight_data_pipeline_spark.catalog import scratch_dir
+    from jobinsight_data_pipeline_spark.sources.csv import (
+        read_csv,
+        write_csv,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    docs = t["documents"].withColumn("text", F.expr(_CSV_PLANT_CASE))
+    out = scratch_dir("csv-gate-") + "/docs"
+    write_csv(docs, out, shards=4)
+    with open(os.path.join(out, "part-corrupt.csv"), "w", encoding="utf-8") as fh:
+        fh.write("definitely-not-a-bigint,hello,en,src0,nor-this\n")
+
+    back = read_csv(spark, out, docs.schema, keep_corrupt=True)
+    return _jsonl_ingest_summary(back)
+
+
+O_CSV_ROUNDTRIP = f"""
+SELECT source, count(*) AS n_rows,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       bit_xor(CAST(('0x' || substring(md5(
+           CAST(doc_id AS VARCHAR) || chr(31) || ({_CSV_PLANT_CASE})
+           || chr(31) || lang || chr(31) || source || chr(31)
+           || CAST(n_chars AS VARCHAR)
+       ), 1, 8)) AS BIGINT)) AS checksum
+FROM documents GROUP BY source
+UNION ALL
+SELECT '_corrupt', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+"""
+
+
 # --- language identification (function-word profiles) ------------------
 # Planted multilingual fixture derived from the real corpus (the day-2
 # pattern): doc_id % 6 keeps the real (English) text on residue 0 and
@@ -4573,12 +4628,15 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes each profile's hit count independently and replays the
     same first-max tie-break; confidence is exact integer ppm
     (hits*1e6 div tokens), so the whole output value-hashes."""
+    from jobinsight_data_pipeline_spark.operators.parallelism import (
+        widen_for_cpu,
+    )
     from jobinsight_data_pipeline_spark.operators.textstats import (
         with_language_id,
     )
 
     t = load(spark, sf_dir, "documents")
-    docs = t["documents"].select(
+    docs = widen_for_cpu(t["documents"]).select(
         "doc_id", F.expr(_LANGID_FIXTURE_CASE).alias("txt")
     )
     return with_language_id(docs, "txt").select(
@@ -4677,10 +4735,15 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmeans_assign,
     )
 
+    from jobinsight_data_pipeline_spark.operators.parallelism import (
+        widen_for_cpu,
+    )
+
     t = load(spark, sf_dir, "embeddings")
     cents = _kmeans_centroids(spark, sf_dir)
     return kmeans_assign(
-        t["embeddings"], cents, "embedding", scale=_KMEANS_SCALE
+        widen_for_cpu(t["embeddings"]), cents, "embedding",
+        scale=_KMEANS_SCALE,
     ).select("vec_id", "cell", "dist")
 
 
@@ -4693,10 +4756,15 @@ def q_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmeans_assign,
     )
 
+    from jobinsight_data_pipeline_spark.operators.parallelism import (
+        widen_for_cpu,
+    )
+
     t = load(spark, sf_dir, "embeddings")
     cents = _kmeans_centroids(spark, sf_dir)
     assigned = kmeans_assign(
-        t["embeddings"], cents, "embedding", scale=_KMEANS_SCALE
+        widen_for_cpu(t["embeddings"]), cents, "embedding",
+        scale=_KMEANS_SCALE,
     )
     cent_rows = [
         (j, "|".join(str(x) for x in c)) for j, c in enumerate(cents)
@@ -4867,6 +4935,7 @@ QUERIES = {
     "language_id": q_language_id,
     "kmeans_assign": q_kmeans_assign,
     "kmeans_fit": q_kmeans_fit,
+    "csv_roundtrip": q_csv_roundtrip,
 }
 
 ORACLES = {
@@ -4945,4 +5014,5 @@ ORACLES = {
     "language_id": O_LANGUAGE_ID,
     "kmeans_assign": O_KMEANS_ASSIGN,
     "kmeans_fit": O_KMEANS_FIT,
+    "csv_roundtrip": O_CSV_ROUNDTRIP,
 }

@@ -38,6 +38,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from jobinsight_data_pipeline_spark.operators.parallelism import widen_for_cpu
+
 DEFAULT_SCALE = 10**6
 
 
@@ -126,9 +128,16 @@ def kmeans_fit_quantized(
     """
     if k < 1:
         raise ValueError("kmeans_fit_quantized: k must be >= 1")
-    q = df.where(F.col(vec_col).isNotNull()).select(
-        F.col(id_col).alias("__id"),
-        quantize_shifted(vec_col, scale).alias("__p"),
+    # the argmin fold is a higher-order function — interpreted row-at-a-
+    # time, NOT whole-stage-codegen'd — so per-row cost is real CPU; a
+    # single-file parquet input would run every iteration on ONE task
+    # (the widen_for_cpu lesson, CLAUDE.md). Widen once; all iterations
+    # inherit the layout.
+    q = widen_for_cpu(
+        df.where(F.col(vec_col).isNotNull()).select(
+            F.col(id_col).alias("__id"),
+            quantize_shifted(vec_col, scale).alias("__p"),
+        )
     )
     seed_rows = q.orderBy("__id").limit(k).collect()
     if len(seed_rows) < k:
@@ -166,7 +175,12 @@ def kmeans_assign(
     """Scan-fused assignment against a fitted quantized model: appends
     ``cell`` (int) and ``dist`` (BIGINT squared L2 in quantized units,
     shift-invariant). Zero shuffles — safe to run over any corpus size.
-    """
+
+    The fold is interpreted (higher-order function), so cost is CPU per
+    row: parallelism equals input tasks. Over a SINGLE-file parquet,
+    wrap the input in ``widen_for_cpu`` first (deliberately not done
+    here — assignment must stay Exchange-free for callers whose input
+    is already well-partitioned, which a real corpus is)."""
     shifted = [[x + scale for x in c] for c in centroids]
     out = df.withColumn("__p", quantize_shifted(vec_col, scale))
     cell, dist = _assign_expr(shifted)

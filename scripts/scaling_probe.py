@@ -63,6 +63,13 @@ def probes(spark, sf_dir):
     from jobinsight_data_pipeline_spark.operators.bpe import (
         bpe_encode as _bpe_encode,
     )
+    from jobinsight_data_pipeline_spark.operators.clustering import (
+        kmeans_assign as _kmeans_assign,
+        kmeans_fit_quantized as _kmeans_fit,
+    )
+    from jobinsight_data_pipeline_spark.operators.textstats import (
+        with_language_id as _with_language_id,
+    )
     from jobinsight_data_pipeline_spark.operators.dedup import (
         build_dedup_state as _build_dedup_state,
         incremental_dedup as _incremental_dedup,
@@ -142,6 +149,14 @@ def probes(spark, sf_dir):
         "incremental_dedup (day-2 batch)": lambda: _incremental_dedup(
             docs.filter("doc_id % 2 = 1"),
             _build_dedup_state(docs.filter("doc_id % 2 = 0")),
+        ),
+        # the fit's per-round collects run inside the thunk — the timed
+        # figure covers all 4 Lloyd rounds plus the final assignment
+        "kmeans fit+assign (4 iter, integer)": lambda: _kmeans_assign(
+            _widen(emb), _kmeans_fit(emb, k=8, iterations=4)
+        ),
+        "language_id (scan-fused)": lambda: _with_language_id(
+            _widen(docs), "text"
         ),
     }
 

@@ -769,3 +769,64 @@ def test_stream_semantic_dedup_kept_semantics(spark, tmp_path):
         for r in spark.read.parquet(state_dir).select("doc").collect()
     }
     assert state_docs == {10, 21}, state_docs
+
+
+# --- CSV interchange (sources/csv.py) ----------------------------------------
+
+def test_csv_roundtrip_exact(spark, tmp_path):
+    """Write → read under a frozen schema must be value-exact for
+    CSV-hostile strings: separators, RFC-4180 doubled quotes, leading
+    zeros that must NOT re-type, unicode."""
+    from jobinsight_data_pipeline_spark.sources.csv import read_csv, write_csv
+
+    rows = [
+        (1, 'he said, "hi, there"', 3),
+        (2, "plain", -7),
+        (3, 'ends with quote"', 0),
+        (4, "007", 9),
+        (5, "unicode: café — déjà", 12),
+    ]
+    df = spark.createDataFrame(rows, "id long, s string, x long")
+    p = str(tmp_path / "docs")
+    write_csv(df, p, shards=2)
+    back = read_csv(spark, p, df.schema)
+    assert sorted(map(tuple, back.collect())) == sorted(rows)
+    assert [f.name for f in back.schema.fields] == ["id", "s", "x"]
+
+
+def test_csv_corrupt_rows_quarantined_not_leaked(spark, tmp_path):
+    """Type-failing rows must neither fail the read nor leak as phantom
+    null rows; keep_corrupt surfaces them, the default drops them. The
+    count-after-filter plan must be legal (the SPARK-21610 shape)."""
+    import os
+
+    from jobinsight_data_pipeline_spark.sources.csv import read_csv, write_csv
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    p = str(tmp_path / "docs")
+    write_csv(df, p)
+    with open(os.path.join(p, "extra.csv"), "w") as fh:
+        fh.write("not-a-long,typed wrong\n")
+
+    clean = read_csv(spark, p, df.schema)
+    assert sorted((r.id, r.s) for r in clean.collect()) == [(1, "a"), (2, "b")]
+    raw = read_csv(spark, p, df.schema, keep_corrupt=True)
+    quarantined = raw.filter("_corrupt_record IS NOT NULL")
+    assert quarantined.count() == 1
+    assert quarantined.head()["_corrupt_record"] == "not-a-long,typed wrong"
+
+
+def test_csv_multiline_escape_hatch(spark, tmp_path):
+    """Quoted embedded newlines are unreadable on the splittable line
+    path by contract; read_csv_multiline parses them whole-file."""
+    from jobinsight_data_pipeline_spark.sources.csv import (
+        read_csv_multiline,
+        write_csv,
+    )
+
+    rows = [(1, "line one\nline two", 5), (2, "single", 6)]
+    df = spark.createDataFrame(rows, "id long, s string, x long")
+    p = str(tmp_path / "ml")
+    write_csv(df, p, shards=1)
+    back = read_csv_multiline(spark, p, df.schema)
+    assert sorted(map(tuple, back.collect())) == sorted(rows)
