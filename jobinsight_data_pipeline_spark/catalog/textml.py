@@ -4605,6 +4605,35 @@ SELECT '_corrupt', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
 """
 
 
+# --- exact quantile binning (curriculum deciles) ------------------------
+def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact NTILE-semantics decile binning WITHOUT a global sort
+    (operators/sampling.quantile_bins): global rank via histogram-CDF +
+    within-bucket windows, bin via the integer NTILE formula. The
+    oracle IS the thing being re-expressed — a plain
+    ``ntile(10) OVER (ORDER BY score, id)`` — so the gate proves the
+    scale-shaped plan reproduces the textbook window bit-for-bit."""
+    from jobinsight_data_pipeline_spark.operators.sampling import (
+        quantile_bins,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    return quantile_bins(
+        t["documents"].select("doc_id", "n_chars"),
+        "n_chars",
+        ["doc_id"],
+        n_bins=10,
+    ).select("doc_id", "n_chars", "rank", "bin")
+
+
+O_QUALITY_DECILES = """
+SELECT doc_id, n_chars,
+       row_number() OVER (ORDER BY n_chars, doc_id) AS rank,
+       CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) AS INTEGER) AS bin
+FROM documents
+"""
+
+
 # --- language identification (function-word profiles) ------------------
 # Planted multilingual fixture derived from the real corpus (the day-2
 # pattern): doc_id % 6 keeps the real (English) text on residue 0 and
@@ -4936,6 +4965,7 @@ QUERIES = {
     "kmeans_assign": q_kmeans_assign,
     "kmeans_fit": q_kmeans_fit,
     "csv_roundtrip": q_csv_roundtrip,
+    "quality_deciles": q_quality_deciles,
 }
 
 ORACLES = {
@@ -5015,4 +5045,5 @@ ORACLES = {
     "kmeans_assign": O_KMEANS_ASSIGN,
     "kmeans_fit": O_KMEANS_FIT,
     "csv_roundtrip": O_CSV_ROUNDTRIP,
+    "quality_deciles": O_QUALITY_DECILES,
 }

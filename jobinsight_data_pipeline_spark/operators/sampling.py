@@ -238,3 +238,109 @@ def select_until_budget(
     return packed.filter(F.col("start_offset") < int(budget)).drop(
         "_negscore", "pack_id"
     )
+
+
+def quantile_bins(
+    df: DataFrame,
+    score_col: str,
+    id_cols: list[str],
+    n_bins: int = 10,
+    hist_buckets: int = 1024,
+) -> DataFrame:
+    """Exact NTILE-semantics quantile binning — curriculum/quality
+    deciles over a corpus — WITHOUT a global sort.
+
+    Appends ``rank`` (1-based global rank in ``(score, *id_cols)``
+    ascending order — the id tie-break makes the order total) and
+    ``bin`` (1..n_bins, byte-identical to SQL-standard
+    ``NTILE(n) OVER (ORDER BY score, ids)``: the first ``N mod n`` bins
+    hold one extra row).
+
+    Scale shape — the histogram-CDF trick instead of ORDER BY:
+
+    1. one aggregate for (min, count) — two scalars;
+    2. coarse bucket per row: ``(score - min) div step`` (non-negative
+       integer div, engine-portable), step sized so ≤ ``hist_buckets``
+       buckets exist;
+    3. bucket histogram (partial-agg groupBy of ≤1k rows) → exclusive
+       prefix counts via one window over that TINY frame (the only
+       single-partition step, bounded by ``hist_buckets`` — the
+       pack_sequences split-point discipline);
+    4. per-row rank = broadcast-joined prefix + row_number within the
+       bucket (each window partition holds ~N/hist_buckets rows — no
+       partition ever sees the whole corpus);
+    5. ``bin`` from rank and N by integer arithmetic (the NTILE
+       formula), no second pass.
+
+    Scores must be integral (the quantized-integer house rule — float
+    scores order differently across engines at the ulp). Skew note: a
+    single score value with more rows than a bucket can hold still
+    lands in ONE window partition; quantize scores coarsely enough
+    that no value dominates, or pre-salt ties if one does.
+    """
+    if n_bins < 1:
+        raise ValueError("quantile_bins: n_bins must be >= 1")
+    reserve_columns(
+        df, ["rank", "bin", "_qb_bucket", "_qb_prefix", "_qb_rn"],
+        "quantile_bins",
+    )
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    stats = df.agg(
+        F.min(score_col).alias("_qb_min"),
+        F.count(F.lit(1)).alias("_qb_n"),
+        (
+            (F.max(score_col) - F.min(score_col))
+            .cast("long") / F.lit(int(hist_buckets))
+        ).cast("long").alias("_qb_step_raw"),
+    ).select(
+        "_qb_min", "_qb_n",
+        F.greatest(F.lit(1).cast("long"), F.col("_qb_step_raw") + 1)
+        .alias("_qb_step"),
+    )
+    work = df.crossJoin(broadcast(stats)).withColumn(
+        "_qb_bucket",
+        F.expr(f"(CAST({score_col} AS BIGINT) - _qb_min) div _qb_step"),
+    )
+    hist = (
+        work.groupBy("_qb_bucket")
+        .agg(F.count(F.lit(1)).alias("_qb_cnt"))
+        .withColumn(
+            "_qb_prefix",
+            F.coalesce(
+                F.sum("_qb_cnt").over(
+                    Window.orderBy("_qb_bucket").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .select("_qb_bucket", "_qb_prefix")
+    )
+    w = Window.partitionBy("_qb_bucket").orderBy(
+        F.col(score_col).asc(), *[F.col(c).asc() for c in id_cols]
+    )
+    ranked = (
+        work.join(broadcast(hist), "_qb_bucket")
+        .withColumn("_qb_rn", F.row_number().over(w).cast("long"))
+        .withColumn("rank", F.col("_qb_prefix") + F.col("_qb_rn"))
+    )
+    # SQL-standard NTILE from (rank, N): q = N div n, rem = N mod n;
+    # the first rem bins get q+1 rows
+    n = int(n_bins)
+    binned = ranked.withColumn(
+        "bin",
+        F.expr(
+            f"CASE WHEN `rank` <= (_qb_n % {n}) * ((_qb_n div {n}) + 1) "
+            f"THEN CAST((`rank` - 1) div ((_qb_n div {n}) + 1) + 1 AS INT) "
+            f"ELSE CAST((_qb_n % {n}) + "
+            f"(`rank` - 1 - (_qb_n % {n}) * ((_qb_n div {n}) + 1)) "
+            f"div (_qb_n div {n}) + 1 AS INT) END"
+        ),
+    )
+    return binned.drop(
+        "_qb_bucket", "_qb_prefix", "_qb_rn", "_qb_min", "_qb_n",
+        "_qb_step", "_qb_step_raw",
+    )

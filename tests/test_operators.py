@@ -2465,3 +2465,44 @@ def test_fit_centroids_distributed_feeds_ivf(spark):
         ).collect()
     ]
     assert sorted(via_ivf) == sorted(exact)
+
+
+def test_quantile_bins_matches_ntile(spark):
+    """quantile_bins (histogram-CDF + within-bucket windows) must equal
+    the textbook global window bit-for-bit: random scores incl.
+    negatives, heavy ties across bucket boundaries, and N < n_bins."""
+    import random
+
+    from pyspark.sql import Window
+
+    from jobinsight_data_pipeline_spark.operators.sampling import (
+        quantile_bins,
+    )
+
+    w = Window.orderBy(F.col("score").asc(), F.col("doc_id").asc())
+
+    def ref(df, n):
+        return df.withColumn(
+            "rank", F.row_number().over(w).cast("long")
+        ).withColumn("bin", F.ntile(n).over(w))
+
+    def both(df, n, hb):
+        got = {
+            r.doc_id: (r.rank, r.bin)
+            for r in quantile_bins(
+                df, "score", ["doc_id"], n_bins=n, hist_buckets=hb
+            ).collect()
+        }
+        exp = {r.doc_id: (r.rank, r.bin) for r in ref(df, n).collect()}
+        assert got == exp
+
+    random.seed(11)
+    rows = [(i, random.randint(-50, 50)) for i in range(317)]
+    both(spark.createDataFrame(rows, "doc_id long, score long"), 7, 16)
+    # one dominating tie value + a tiny tail, coarse buckets
+    rows2 = [(i, 7) for i in range(40)] + [(100 + i, i % 3) for i in range(23)]
+    both(spark.createDataFrame(rows2, "doc_id long, score long"), 5, 4)
+    # fewer rows than bins: bin == rank
+    both(spark.createDataFrame([(1, 5), (2, 3)], "doc_id long, score long"), 10, 1024)
+    # single distinct score: pure tie-break ordering
+    both(spark.createDataFrame([(i, 9) for i in range(13)], "doc_id long, score long"), 4, 8)

@@ -549,3 +549,27 @@ def test_kmeans_assign_scan_fused_and_update_single_shuffle(spark):
     uplan = physical_plan(upd)
     assert uplan.count("Exchange hashpartitioning") == 1
     assert "partial" in uplan.lower()  # map-side combine before the shuffle
+
+
+def test_quantile_bins_no_corpus_wide_single_partition(spark):
+    """quantile_bins' only single-partition step is the window over the
+    bounded bucket HISTOGRAM (<= hist_buckets rows) — the corpus itself
+    must never collapse to one partition the way a global ORDER BY
+    window would. The plan shuffles the corpus by bucket hash instead."""
+    from jobinsight_data_pipeline_spark.operators.sampling import (
+        quantile_bins,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    plan = physical_plan(quantile_bins(docs, "n_chars", ["doc_id"]))
+    # corpus-side rank shuffles on the bucket hash, and its row_number
+    # window PARTITIONS by bucket — a regression to a global ORDER BY
+    # window would drop the bucket from the window spec
+    assert "Exchange hashpartitioning(_qb_bucket" in plan
+    assert "windowspecdefinition(_qb_bucket" in plan
+    # the only SinglePartition exchanges are bounded frames: the 1-row
+    # stats aggregate (feeds two branches) and the <=hist_buckets-row
+    # histogram cumsum
+    assert plan.count("Exchange SinglePartition") <= 3
