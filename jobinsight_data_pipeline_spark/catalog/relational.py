@@ -683,6 +683,77 @@ ASOF LEFT JOIN v ON o.o_custkey = v.custkey AND o.o_orderdate >= v.valid_from
 """
 
 
+def q_interval_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join via banding (operators/asof.interval_join):
+    each high-quantity lineitem opens a deterministic shipment window
+    [shipdate, shipdate + 1 + orderkey%45 days]; per-day order
+    aggregates are the points. The banded equi-join must reproduce the
+    textbook BETWEEN theta-join (the oracle) exactly — matched-day
+    count, order count, and an orderkey sum per interval. Dates become
+    epoch days (exact integers) on both sides."""
+    from jobinsight_data_pipeline_spark.operators.asof import interval_join
+
+    t = load(spark, sf_dir, "lineitem", "orders")
+    iv = (
+        t["lineitem"]
+        .filter(F.col("l_quantity") == 50)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.expr("datediff(l_shipdate, DATE '1970-01-01')")
+            .cast("long")
+            .alias("s_day"),
+        )
+        .withColumn(
+            "e_day", F.expr("s_day + 1 + l_orderkey % 45").cast("long")
+        )
+    )
+    pts = (
+        t["orders"]
+        .groupBy(
+            F.expr("datediff(o_orderdate, DATE '1970-01-01')")
+            .cast("long")
+            .alias("p_day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").alias("ksum"),
+        )
+    )
+    joined = interval_join(
+        pts, iv, "p_day", "s_day", "e_day", band_width=32
+    )
+    return joined.groupBy("l_orderkey", "l_linenumber").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n").cast("long").alias("n_orders"),
+        F.sum("ksum").cast("long").alias("key_sum"),
+    )
+
+
+O_INTERVAL_ORDERS = """
+WITH iv AS (
+  SELECT l_orderkey, l_linenumber,
+         date_diff('day', TIMESTAMP '1970-01-01 00:00:00', l_shipdate)
+             AS s_day,
+         date_diff('day', TIMESTAMP '1970-01-01 00:00:00', l_shipdate)
+             + 1 + l_orderkey % 45 AS e_day
+  FROM lineitem WHERE l_quantity = 50
+),
+pts AS (
+  SELECT date_diff('day', TIMESTAMP '1970-01-01 00:00:00', o_orderdate)
+             AS p_day,
+         count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS ksum
+  FROM orders GROUP BY 1
+)
+SELECT l_orderkey, l_linenumber,
+       count(*) AS n_days,
+       CAST(sum(n) AS BIGINT) AS n_orders,
+       CAST(sum(ksum) AS BIGINT) AS key_sum
+FROM iv JOIN pts ON pts.p_day BETWEEN iv.s_day AND iv.e_day
+GROUP BY l_orderkey, l_linenumber
+"""
+
+
 def q_event_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile SKETCH path — approx_percentile (Greenwald-Khanna) per
     event type; `event_percentiles` pins the exact interpolated
@@ -987,6 +1058,7 @@ QUERIES = {
     "promo_type_revenue": q_promo_type_revenue,
     "json_props": q_json_props,
     "asof_discount": q_asof_discount,
+    "interval_orders": q_interval_orders,
     "event_percentiles_approx": q_event_percentiles_approx,
     "rolling_avg": q_rolling_avg,
     "pivot_events": q_pivot_events,
@@ -1016,6 +1088,7 @@ ORACLES = {
     "promo_type_revenue": O_PROMO_TYPE_REVENUE,
     "json_props": O_JSON_PROPS,
     "asof_discount": O_ASOF_DISCOUNT,
+    "interval_orders": O_INTERVAL_ORDERS,
     "event_percentiles_approx": O_EVENT_PERCENTILES_APPROX,
     "monthly_orders_approx": O_MONTHLY_ORDERS_APPROX,
     "rolling_avg": O_ROLLING_AVG,

@@ -2506,3 +2506,51 @@ def test_quantile_bins_matches_ntile(spark):
     both(spark.createDataFrame([(1, 5), (2, 3)], "doc_id long, score long"), 10, 1024)
     # single distinct score: pure tie-break ordering
     both(spark.createDataFrame([(i, 9) for i in range(13)], "doc_id long, score long"), 4, 8)
+
+
+def test_interval_join_known_answers(spark):
+    """Banded interval join: inclusive bounds, exactly-one-match per
+    overlapping (interval, point) pair even when an interval spans many
+    bands, optional equi-keys, and the fan-out guard."""
+    import pytest
+
+    from jobinsight_data_pipeline_spark.operators.asof import interval_join
+
+    iv = spark.createDataFrame(
+        [("a", 10, 20), ("b", 15, 15), ("c", 100, 140)],
+        "iv_id string, s long, e long",
+    )
+    pts = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 15), (4, 21), (5, 139), (6, 140)],
+        "p_id long, p long",
+    )
+    got = sorted(
+        (r.iv_id, r.p_id)
+        for r in interval_join(pts, iv, "p", "s", "e", band_width=4).collect()
+    )
+    # bounds inclusive; interval c spans 11 bands at width 4 yet each
+    # point matches once
+    assert got == [
+        ("a", 1), ("a", 2), ("a", 3), ("b", 3), ("c", 5), ("c", 6)
+    ]
+    # equi-keys partition the match space
+    iv_k = spark.createDataFrame(
+        [("x", 0, 100), ("y", 0, 100)], "k string, s long, e long"
+    )
+    pts_k = spark.createDataFrame(
+        [("x", 50), ("y", 60), ("z", 70)], "k string, p long"
+    )
+    got_k = sorted(
+        (r.k, r.p)
+        for r in interval_join(
+            pts_k, iv_k, "p", "s", "e", band_width=64, keys=["k"]
+        ).collect()
+    )
+    assert got_k == [("x", 50), ("y", 60)]
+    # guard: a 10k-wide interval at band_width=1 exceeds the cap
+    with pytest.raises(ValueError, match="band_width"):
+        interval_join(
+            pts,
+            spark.createDataFrame([(0, 10_000)], "s long, e long"),
+            "p", "s", "e", band_width=1, max_bands_per_interval=100,
+        )

@@ -573,3 +573,26 @@ def test_quantile_bins_no_corpus_wide_single_partition(spark):
     # stats aggregate (feeds two branches) and the <=hist_buckets-row
     # histogram cumsum
     assert plan.count("Exchange SinglePartition") <= 3
+
+
+def test_interval_join_plans_as_hash_join_not_nested_loop(spark):
+    """The banded interval join must plan as an equi hash join on the
+    band — a naive range predicate degrades to
+    BroadcastNestedLoopJoin/CartesianProduct, the O(n*m) shape banding
+    exists to kill."""
+    from jobinsight_data_pipeline_spark.operators.asof import interval_join
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").selectExpr(
+        "l_orderkey",
+        "CAST(datediff(l_shipdate, DATE '1970-01-01') AS LONG) AS s",
+    ).selectExpr("l_orderkey", "s", "s + 30 AS e")
+    pts = spark.read.parquet(f"{SF}/orders.parquet").selectExpr(
+        "o_orderkey",
+        "CAST(datediff(o_orderdate, DATE '1970-01-01') AS LONG) AS p",
+    )
+    plan = physical_plan(interval_join(pts, li, "p", "s", "e", band_width=32))
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
