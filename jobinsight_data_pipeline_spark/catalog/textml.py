@@ -4727,6 +4727,87 @@ def _langid_profile_sql() -> str:
 O_LANGUAGE_ID = _langid_profile_sql()
 
 
+def q_langid_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed multilingual-curation flagship: language-id over the
+    planted multilingual corpus → keep English → exact decile binning
+    by n_chars among the survivors (quantile_bins — the no-global-sort
+    rank) → keep the top three deciles → per-source manifest with a
+    bit_xor (doc_id, rank, bin) checksum. ONE hash covers the whole
+    chain: a drifted language call, a flipped rank, or a mis-binned
+    boundary doc all move the manifest."""
+    from jobinsight_data_pipeline_spark.operators.parallelism import (
+        widen_for_cpu,
+    )
+    from jobinsight_data_pipeline_spark.operators.sampling import (
+        quantile_bins,
+    )
+    from jobinsight_data_pipeline_spark.operators.textstats import (
+        with_language_id,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    planted = widen_for_cpu(t["documents"]).select(
+        "doc_id", "source", "n_chars",
+        F.expr(_LANGID_FIXTURE_CASE).alias("txt"),
+    )
+    en = (
+        with_language_id(planted, "txt")
+        .filter(F.col("lang_pred") == "en")
+        .select("doc_id", "source", "n_chars")
+    )
+    kept = quantile_bins(en, "n_chars", ["doc_id"], n_bins=10).filter(
+        F.col("bin") >= 8
+    )
+    chk = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "\x1f",
+                    F.col("doc_id").cast("string"),
+                    F.col("rank").cast("string"),
+                    F.col("bin").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.bit_xor(chk).alias("checksum"),
+    )
+
+
+O_LANGID_CURATION = f"""
+WITH lang AS (
+{O_LANGUAGE_ID}
+),
+en AS (
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM lang l JOIN documents d USING (doc_id)
+    WHERE l.lang_pred = 'en'
+),
+ranked AS (
+    SELECT *,
+           row_number() OVER (ORDER BY n_chars, doc_id) AS rank,
+           CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) AS INTEGER)
+               AS bin
+    FROM en
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       bit_xor(CAST(('0x' || substring(md5(
+           CAST(doc_id AS VARCHAR) || chr(31) || CAST(rank AS VARCHAR)
+           || chr(31) || CAST(bin AS VARCHAR)
+       ), 1, 8)) AS BIGINT)) AS checksum
+FROM ranked WHERE bin >= 8
+GROUP BY source
+"""
+
+
 # --- distributed k-means (quantized Lloyd's) ----------------------------
 _KMEANS_K = 8
 _KMEANS_ITERS = 4
@@ -4966,6 +5047,7 @@ QUERIES = {
     "kmeans_fit": q_kmeans_fit,
     "csv_roundtrip": q_csv_roundtrip,
     "quality_deciles": q_quality_deciles,
+    "langid_curation": q_langid_curation,
 }
 
 ORACLES = {
@@ -5046,4 +5128,5 @@ ORACLES = {
     "kmeans_fit": O_KMEANS_FIT,
     "csv_roundtrip": O_CSV_ROUNDTRIP,
     "quality_deciles": O_QUALITY_DECILES,
+    "langid_curation": O_LANGID_CURATION,
 }
