@@ -992,6 +992,45 @@ FROM documents
 """
 
 
+def q_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio chunk-grid plumbing (operators/multimodal.chunk_audio):
+    deterministic synthetic durations (doc_id % 7 spans the zero-
+    duration drop, partial tail windows, and the max_chunks cap), one
+    row per [i*hop, min(i*hop+window, dur)) analysis window. The grid
+    is pure integer plan math, so the fan-out contract — count, cap,
+    boundaries — hashes exactly; only the PCM decode is the stubbed
+    kernel (no codec libs in the image, documented)."""
+    from jobinsight_data_pipeline_spark.operators.multimodal import (
+        chunk_audio,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    media = t["documents"].selectExpr(
+        "CAST(doc_id AS BIGINT) AS media_id",
+        "CAST(NULL AS BINARY) AS content",
+        "named_struct('mime', 'audio/wav', 'width', CAST(NULL AS INT),"
+        " 'height', CAST(NULL AS INT),"
+        " 'duration_ms', CAST((doc_id % 7) * 777 AS INT)) AS meta",
+    )
+    return chunk_audio(media, window_ms=1000, hop_ms=400, max_chunks=8).select(
+        "media_id", "chunk_idx", "start_ms", "end_ms"
+    )
+
+
+O_AUDIO_CHUNKS = """
+WITH m AS (
+    SELECT doc_id AS media_id, (doc_id % 7) * 777 AS dur FROM documents
+),
+n AS (
+    SELECT media_id, dur, least((dur + 399) // 400, 8) AS n FROM m
+)
+SELECT media_id, i AS chunk_idx, i * 400 AS start_ms,
+       least(i * 400 + 1000, dur) AS end_ms
+FROM n, LATERAL (SELECT unnest(range(0, n)) AS i) t
+WHERE n > 0
+"""
+
+
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data prep flow: quality-score every doc,
     drop exact duplicates (keep min doc_id), keep quality ≥ 0.5 docs with
@@ -5048,6 +5087,7 @@ QUERIES = {
     "csv_roundtrip": q_csv_roundtrip,
     "quality_deciles": q_quality_deciles,
     "langid_curation": q_langid_curation,
+    "audio_chunks": q_audio_chunks,
 }
 
 ORACLES = {
@@ -5129,4 +5169,5 @@ ORACLES = {
     "csv_roundtrip": O_CSV_ROUNDTRIP,
     "quality_deciles": O_QUALITY_DECILES,
     "langid_curation": O_LANGID_CURATION,
+    "audio_chunks": O_AUDIO_CHUNKS,
 }

@@ -202,3 +202,54 @@ def sample_frames(
         "media_id",
         F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
     ).withColumn("frame_ts_ms", F.col("frame_idx") * every_ms)
+
+
+def chunk_audio(
+    media: DataFrame,
+    window_ms: int = 1000,
+    hop_ms: int = 500,
+    max_chunks: int = 256,
+) -> DataFrame:
+    """Audio chunking plan — the waveform twin of :func:`sample_frames`:
+    one row per analysis window ``[i*hop, min(i*hop + window, dur))``
+    for every ``i`` with ``i*hop < duration_ms``, capped at
+    ``max_chunks``. Zero/NULL durations produce zero rows (a media row
+    with no duration has nothing to chunk — callers wanting a sentinel
+    row can left-join back).
+
+    Pure integer plan math over the metadata struct (the actual PCM
+    decode is the stubbed kernel, like every codec in this image) — so
+    the fan-out contract itself is exactly testable: chunk count,
+    boundaries, and the cap are all deterministic arithmetic.
+    """
+    from pyspark.sql import functions as F
+
+    if window_ms < 1 or hop_ms < 1:
+        raise ValueError("chunk_audio: window_ms and hop_ms must be >= 1")
+    dur = F.coalesce(F.col("meta.duration_ms"), F.lit(0)).cast("long")
+    n_chunks = F.least(
+        F.expr(
+            f"(CAST(coalesce(meta.duration_ms, 0) AS BIGINT)"
+            f" + {hop_ms} - 1) div {hop_ms}"
+        ),
+        F.lit(int(max_chunks)).cast("long"),
+    )
+    out = media.select(
+        "media_id",
+        dur.alias("_dur"),
+        n_chunks.alias("_n"),
+    ).filter(F.col("_n") > 0)
+    return (
+        out.select(
+            "media_id",
+            "_dur",
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("_n") - 1)).alias(
+                "chunk_idx"
+            ),
+        )
+        .withColumn("start_ms", F.col("chunk_idx") * hop_ms)
+        .withColumn(
+            "end_ms", F.least(F.col("start_ms") + window_ms, F.col("_dur"))
+        )
+        .drop("_dur")
+    )

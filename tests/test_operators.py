@@ -2554,3 +2554,37 @@ def test_interval_join_known_answers(spark):
             spark.createDataFrame([(0, 10_000)], "s long, e long"),
             "p", "s", "e", band_width=1, max_bands_per_interval=100,
         )
+
+
+def test_chunk_audio_grid_known_answers(spark):
+    """chunk_audio fan-out contract: window/hop boundaries, the partial
+    tail window clamped to duration, zero/NULL durations dropped, and
+    the max_chunks cap."""
+    import pytest
+
+    from jobinsight_data_pipeline_spark.operators.multimodal import chunk_audio
+
+    media = spark.createDataFrame(
+        [
+            (1, None, ("audio/wav", None, None, 1700)),
+            (2, None, ("audio/wav", None, None, 0)),
+            (3, None, ("audio/wav", None, None, None)),
+            (4, None, ("audio/wav", None, None, 10_000)),
+        ],
+        "media_id long, content binary, "
+        "meta struct<mime:string,width:int,height:int,duration_ms:int>",
+    )
+    out = chunk_audio(media, window_ms=1000, hop_ms=500, max_chunks=4)
+    rows = sorted(
+        (r.media_id, r.chunk_idx, r.start_ms, r.end_ms) for r in out.collect()
+    )
+    assert rows == [
+        # dur 1700 -> chunks at 0, 500, 1000, 1500; tails clamp to 1700
+        (1, 0, 0, 1000), (1, 1, 500, 1500), (1, 2, 1000, 1700),
+        (1, 3, 1500, 1700),
+        # dur 10000 would need 20 chunks; capped at 4
+        (4, 0, 0, 1000), (4, 1, 500, 1500), (4, 2, 1000, 2000),
+        (4, 3, 1500, 2500),
+    ]
+    with pytest.raises(ValueError):
+        chunk_audio(media, window_ms=0)

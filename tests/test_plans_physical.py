@@ -128,7 +128,13 @@ def test_no_accidental_cartesian_or_nested_loop(spark):
     #     (total, vocab_size) aggregate crossJoined onto every word;
     #   bm25_search: the corpus stats (N, Σdl, per-term df) reduce to ONE
     #     row broadcast back onto the scan — bytes, not a join explosion
+    #   quality_deciles / langid_curation: quantile_bins crossJoins its
+    #     1-row (min, count, step) stats aggregate onto the corpus —
+    #     bytes broadcast, not a join explosion (same class as
+    #     unigram_lm's smoothing denominator)
     allowed_nested = {
+        "quality_deciles",
+        "langid_curation",
         "unigram_lm",
         "bigram_lm",
         "corpus_refine",
