@@ -830,3 +830,37 @@ def test_csv_multiline_escape_hatch(spark, tmp_path):
     write_csv(df, p, shards=1)
     back = read_csv_multiline(spark, p, df.schema)
     assert sorted(map(tuple, back.collect())) == sorted(rows)
+
+
+def test_language_id_runs_on_streams(spark, tmp_path):
+    """with_language_id is a stateless projection — the same code path
+    classifies a readStream frame, so a streaming crawl ingest can
+    language-filter without a batch detour."""
+    from jobinsight_data_pipeline_spark.operators.textstats import (
+        with_language_id,
+    )
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "the cat is of the house and it is here"),
+         (2, "le chien et le chat ne sont pas dans la maison"),
+         (3, "zz qq 123")],
+        "doc_id: long, text: string",
+    ).coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    out = with_language_id(stream, "text").select("doc_id", "lang_pred")
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("langid_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {
+        r["doc_id"]: r["lang_pred"]
+        for r in spark.sql("SELECT * FROM langid_stream").collect()
+    }
+    assert rows == {1: "en", 2: "fr", 3: "und"}
