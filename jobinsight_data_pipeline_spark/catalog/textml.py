@@ -1031,6 +1031,53 @@ WHERE n > 0
 """
 
 
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching stats (operators/packing.length_buckets):
+    whitespace token counts against a [16, 32, 64, 96] cap ladder —
+    per-bucket doc count, token sum, and padding waste at cap, with the
+    overflow class (longer than every cap) reported as NULL. The
+    decision table a pipeline uses to pick its padding ladder."""
+    from jobinsight_data_pipeline_spark.operators.packing import (
+        length_buckets,
+    )
+    from jobinsight_data_pipeline_spark.operators.textstats import word_count
+
+    t = load(spark, sf_dir, "documents")
+    docs = t["documents"].select(
+        "doc_id", word_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    b = length_buckets(docs, "n_tokens", [16, 32, 64, 96])
+    return b.groupBy("bucket_cap").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        F.sum("pad_waste").cast("long").alias("waste_at_cap"),
+    )
+
+
+O_LENGTH_BUCKETS = """
+WITH toks AS (
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+           END AS n_tokens
+    FROM documents
+),
+b AS (
+    SELECT doc_id, n_tokens,
+           CAST(list_min(list_filter([16, 32, 64, 96],
+                                     x -> x >= n_tokens)) AS INTEGER)
+               AS bucket_cap
+    FROM toks
+)
+SELECT bucket_cap, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(sum(CASE WHEN bucket_cap IS NOT NULL
+                     THEN bucket_cap - n_tokens ELSE 0 END) AS BIGINT)
+           AS waste_at_cap
+FROM b GROUP BY bucket_cap
+"""
+
+
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data prep flow: quality-score every doc,
     drop exact duplicates (keep min doc_id), keep quality ≥ 0.5 docs with
@@ -5088,6 +5135,7 @@ QUERIES = {
     "quality_deciles": q_quality_deciles,
     "langid_curation": q_langid_curation,
     "audio_chunks": q_audio_chunks,
+    "length_buckets": q_length_buckets,
 }
 
 ORACLES = {
@@ -5170,4 +5218,5 @@ ORACLES = {
     "quality_deciles": O_QUALITY_DECILES,
     "langid_curation": O_LANGID_CURATION,
     "audio_chunks": O_AUDIO_CHUNKS,
+    "length_buckets": O_LENGTH_BUCKETS,
 }

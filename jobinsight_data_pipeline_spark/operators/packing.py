@@ -281,3 +281,41 @@ def manifest_diff(a: DataFrame, b: DataFrame, key_col: str = "bucket") -> DataFr
         F.coalesce("_na", F.lit(0)).alias("n_rows_old"),
         F.coalesce("_nb", F.lit(0)).alias("n_rows_new"),
     )
+
+
+def length_buckets(
+    df: DataFrame,
+    tokens_col: str,
+    boundaries: list[int],
+) -> DataFrame:
+    """Length-bucketed batching assignment — the padding-efficiency
+    planner: each row gets the SMALLEST boundary >= its token count as
+    ``bucket_cap`` (the sequence length its batch would pad to) and the
+    tokens wasted at that cap (``pad_waste``). Rows LONGER than every
+    boundary get NULL cap and zero waste — they can't batch at these
+    caps; chunk them first (textstats.chunk_documents) or extend the
+    boundary ladder.
+
+    Batching by length bucket instead of padding everything to the
+    global max is the standard inference/training micro-batch trick;
+    the per-bucket waste sums this computes ARE the decision data for
+    choosing the ladder. One scan-fused projection — the boundary list
+    is a literal array, assignment is ``array_min(filter(...))``, no
+    shuffle, no UDF.
+    """
+    if not boundaries or sorted(boundaries) != list(boundaries):
+        raise ValueError(
+            "length_buckets: boundaries must be a non-empty ascending list"
+        )
+    lits = ",".join(str(int(b)) for b in boundaries)
+    cap = F.expr(
+        f"array_min(filter(array({lits}), b -> b >= {tokens_col}))"
+    ).cast("int")
+    out = df.withColumn("bucket_cap", cap)
+    return out.withColumn(
+        "pad_waste",
+        F.when(
+            F.col("bucket_cap").isNotNull(),
+            (F.col("bucket_cap") - F.col(tokens_col)).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )

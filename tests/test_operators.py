@@ -2588,3 +2588,30 @@ def test_chunk_audio_grid_known_answers(spark):
     ]
     with pytest.raises(ValueError):
         chunk_audio(media, window_ms=0)
+
+
+def test_length_buckets_known_answers(spark):
+    """length_buckets: smallest-cap-that-fits assignment, exact waste,
+    NULL cap + zero waste for overflow rows, ascending-ladder guard."""
+    import pytest
+
+    from jobinsight_data_pipeline_spark.operators.packing import (
+        length_buckets,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 16), (3, 17), (4, 96), (5, 97), (6, 0)],
+        "doc_id long, n_tokens long",
+    )
+    out = {
+        r.doc_id: (r.bucket_cap, r.pad_waste)
+        for r in length_buckets(df, "n_tokens", [16, 32, 64, 96]).collect()
+    }
+    assert out[1] == (16, 6)
+    assert out[2] == (16, 0)   # exact fit, boundary inclusive
+    assert out[3] == (32, 15)  # next cap up
+    assert out[4] == (96, 0)
+    assert out[5] == (None, 0)  # overflow: no cap fits
+    assert out[6] == (16, 16)
+    with pytest.raises(ValueError):
+        length_buckets(df, "n_tokens", [32, 16])
