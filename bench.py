@@ -58,6 +58,11 @@ HEADLINE = [
     # SCD2 dims + 5-day fan-out + grain merge over every order row.
     "warehouse_rollup",
     "fact_merge",
+    # round-6 additions: banded range join (100x lineitem growth path),
+    # no-global-sort decile ranking, scan-fused language id
+    "interval_orders",
+    "quality_deciles",
+    "language_id",
 ]
 
 

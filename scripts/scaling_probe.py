@@ -70,6 +70,12 @@ def probes(spark, sf_dir):
     from jobinsight_data_pipeline_spark.operators.textstats import (
         with_language_id as _with_language_id,
     )
+    from jobinsight_data_pipeline_spark.operators.asof import (
+        interval_join as _interval_join,
+    )
+    from jobinsight_data_pipeline_spark.operators.sampling import (
+        quantile_bins as _quantile_bins,
+    )
     from jobinsight_data_pipeline_spark.operators.dedup import (
         build_dedup_state as _build_dedup_state,
         incremental_dedup as _incremental_dedup,
@@ -157,6 +163,29 @@ def probes(spark, sf_dir):
         ),
         "language_id (scan-fused)": lambda: _with_language_id(
             _widen(docs), "text"
+        ),
+        # banded range join: lineitem intervals grow 100x across the
+        # probe's SF ladder — the shape that would nested-loop without
+        # banding. Points are PER-DAY order aggregates and matches
+        # aggregate per interval (the realistic range-join consumer) —
+        # materializing the raw ~10^8-pair match set would time the
+        # sink, not the join (measured 134 s of pure output at sf0.1)
+        "interval_join (banded)": lambda: _interval_join(
+            load(spark, sf_dir, "orders")["orders"].selectExpr(
+                "CAST(datediff(o_orderdate, DATE '1970-01-01') AS LONG)"
+                " AS p",
+            ).groupBy("p").agg(F.count(F.lit(1)).alias("n")),
+            load(spark, sf_dir, "lineitem")["lineitem"].selectExpr(
+                "l_orderkey", "l_linenumber",
+                "CAST(datediff(l_shipdate, DATE '1970-01-01') AS LONG)"
+                " AS s",
+            ).selectExpr("l_orderkey", "l_linenumber", "s", "s + 30 AS e"),
+            "p", "s", "e", 32,
+        ).groupBy("l_orderkey", "l_linenumber").agg(
+            F.sum("n").alias("n_orders")
+        ),
+        "quantile_bins (hist-CDF rank)": lambda: _quantile_bins(
+            docs.selectExpr("doc_id", "n_chars"), "n_chars", ["doc_id"]
         ),
     }
 
