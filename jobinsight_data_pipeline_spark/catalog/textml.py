@@ -4759,10 +4759,12 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _langid_profile_sql() -> str:
+def _langid_profile_sql(planted_case: str | None = None) -> str:
     """Render LANG_PROFILES into the oracle's hit-count expressions —
     the literal word lists come from the SAME dict the Spark side scores
-    with, so the two can never drift."""
+    with, so the two can never drift. ``planted_case`` swaps the text
+    construction (default: the language_id gate's fixture) so composed
+    gates can score a different planted corpus with the same profiles."""
     from jobinsight_data_pipeline_spark.operators.textstats import (
         LANG_PROFILES,
     )
@@ -4781,9 +4783,10 @@ def _langid_profile_sql() -> str:
     for code in order[:-1]:
         case.append(f"WHEN h_{code} = m THEN '{code}'")
     case.append(f"ELSE '{order[-1]}' END")
+    case_src = planted_case if planted_case is not None else _LANGID_FIXTURE_CASE
     return (
         "WITH planted AS (\n"
-        f"    SELECT doc_id, {_LANGID_FIXTURE_CASE} AS txt FROM documents\n"
+        f"    SELECT doc_id, {case_src} AS txt FROM documents\n"
         "),\n"
         "toks AS (\n"
         "    SELECT doc_id,\n"
@@ -4892,6 +4895,80 @@ SELECT source, count(*) AS n_docs,
 FROM ranked WHERE bin >= 8
 GROUP BY source
 """
+
+
+# --- dataset card --------------------------------------------------------
+# Planted fixture: the real corpus carries no exact duplicates, so two
+# boilerplate clusters (an English and a French one) are planted on
+# doc_id residues — exercising n_dup_docs, cross-language mix, and the
+# duplicate-counting join on BOTH sides from the same CASE literal.
+_CARD_CASE = (
+    "CASE WHEN doc_id % 11 = 3 THEN"
+    " 'the same boilerplate page the crawler kept fetching over and over'"
+    " WHEN doc_id % 11 = 7 THEN"
+    " 'le texte francais duplique que le robot a trouve dans la maison'"
+    " ELSE coalesce(text, '') END"
+)
+
+
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card stats (operators/profiling.dataset_card): the
+    per-source release table — doc/token/char volumes, corpus-wide
+    exact-duplicate exposure, language mix — over a planted corpus with
+    two boilerplate clusters. ONE hash pins volumes, the dup-count
+    join, the language calls, and the deterministic mix rendering."""
+    from jobinsight_data_pipeline_spark.operators.parallelism import (
+        widen_for_cpu,
+    )
+    from jobinsight_data_pipeline_spark.operators.profiling import (
+        dataset_card,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    docs = widen_for_cpu(t["documents"]).select(
+        "doc_id", "source", F.expr(_CARD_CASE).alias("text")
+    )
+    return dataset_card(docs)
+
+
+O_DATASET_CARD = f"""
+WITH lang AS (
+{{langsql}}
+),
+planted2 AS (
+    SELECT doc_id, source, {_CARD_CASE} AS txt FROM documents
+),
+base AS (
+    SELECT p.doc_id, p.source, l.lang_pred,
+           CASE WHEN trim(p.txt) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(p.txt), '\\s+'))
+           END AS tok,
+           length(p.txt) AS chars, md5(p.txt) AS h
+    FROM planted2 p JOIN lang l USING (doc_id)
+),
+dups AS (SELECT h FROM base GROUP BY h HAVING count(*) > 1),
+flagged AS (
+    SELECT b.*, CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+    FROM base b LEFT JOIN dups d USING (h)
+),
+mix AS (
+    SELECT source,
+           string_agg(pair, '|' ORDER BY pair) AS lang_mix
+    FROM (
+        SELECT source,
+               lang_pred || ':' || CAST(count(*) AS VARCHAR) AS pair
+        FROM flagged GROUP BY source, lang_pred
+    )
+    GROUP BY source
+)
+SELECT f.source, count(*) AS n_docs,
+       CAST(sum(tok) AS BIGINT) AS sum_tokens,
+       CAST(sum(chars) AS BIGINT) AS sum_chars,
+       CAST(sum(is_dup) AS BIGINT) AS n_dup_docs,
+       m.lang_mix
+FROM flagged f JOIN mix m USING (source)
+GROUP BY f.source, m.lang_mix
+""".format(langsql=_langid_profile_sql(_CARD_CASE))
 
 
 # --- distributed k-means (quantized Lloyd's) ----------------------------
@@ -5136,6 +5213,7 @@ QUERIES = {
     "langid_curation": q_langid_curation,
     "audio_chunks": q_audio_chunks,
     "length_buckets": q_length_buckets,
+    "dataset_card": q_dataset_card,
 }
 
 ORACLES = {
@@ -5219,4 +5297,5 @@ ORACLES = {
     "langid_curation": O_LANGID_CURATION,
     "audio_chunks": O_AUDIO_CHUNKS,
     "length_buckets": O_LENGTH_BUCKETS,
+    "dataset_card": O_DATASET_CARD,
 }

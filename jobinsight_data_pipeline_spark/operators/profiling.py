@@ -32,3 +32,75 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
         ),
         F.col("_n").alias("n_rows"),
     ).select("column", "n_rows", "n_null", "n_distinct")
+
+
+def dataset_card(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source dataset-card stats — the release-artifact table a
+    corpus ships with (the Hugging Face dataset-card data block):
+    document/token/char volumes, exact-duplicate exposure, and the
+    language mix, one row per source.
+
+    Columns: ``n_docs``, ``sum_tokens`` (whitespace tokens),
+    ``sum_chars``, ``n_dup_docs`` (docs whose content md5 appears more
+    than once ANYWHERE in the corpus — cross-source duplication counts
+    against both sources), and ``lang_mix`` ("code:count" pairs,
+    lexicographically joined with ``|``).
+
+    Scale shape: one language/token projection (scan-fused), one
+    partial-agg groupBy on the 16-byte content hash joined back (the
+    paragraph-dedup shape — never a corpus-wide window), then the
+    per-source rollup; the language mix aggregates (source, lang)
+    groups before string-joining, so no collect and no skewed state.
+    """
+    from jobinsight_data_pipeline_spark.operators.textstats import (
+        with_language_id,
+        word_count,
+    )
+
+    base = with_language_id(df, text_col).select(
+        F.col(id_col).alias("_id"),
+        F.col(source_col).alias("_src"),
+        F.col("lang_pred"),
+        word_count(F.col(text_col)).cast("long").alias("_tok"),
+        F.length(F.col(text_col)).cast("long").alias("_chars"),
+        F.md5(F.col(text_col)).alias("_h"),
+    )
+    dup_hashes = (
+        base.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_hn"))
+        .filter(F.col("_hn") > 1)
+        .select("_h")
+    )
+    flagged = base.join(
+        dup_hashes.withColumn("_is_dup", F.lit(1)), "_h", "left"
+    )
+    per_lang = flagged.groupBy("_src", "lang_pred").agg(
+        F.count(F.lit(1)).alias("_ln")
+    )
+    lang_mix = per_lang.groupBy("_src").agg(
+        F.concat_ws(
+            "|",
+            F.sort_array(
+                F.collect_list(
+                    F.concat_ws(":", "lang_pred", F.col("_ln").cast("string"))
+                )
+            ),
+        ).alias("lang_mix")
+    )
+    stats = flagged.groupBy("_src").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_tok").alias("sum_tokens"),
+        F.sum("_chars").alias("sum_chars"),
+        F.sum(F.coalesce(F.col("_is_dup"), F.lit(0))).cast("long").alias(
+            "n_dup_docs"
+        ),
+    )
+    return stats.join(lang_mix, "_src").select(
+        F.col("_src").alias(source_col),
+        "n_docs", "sum_tokens", "sum_chars", "n_dup_docs", "lang_mix",
+    )

@@ -2615,3 +2615,32 @@ def test_length_buckets_known_answers(spark):
     assert out[6] == (16, 16)
     with pytest.raises(ValueError):
         length_buckets(df, "n_tokens", [32, 16])
+
+
+def test_dataset_card_known_answers(spark):
+    """dataset_card: volumes, corpus-wide dup flagging (cross-source
+    counts against both sources), and the deterministic lang mix."""
+    from jobinsight_data_pipeline_spark.operators.profiling import (
+        dataset_card,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "s1", "the cat is of the house and it is here"),
+            (2, "s1", "shared boilerplate"),
+            (3, "s2", "shared boilerplate"),
+            (4, "s2", "le chien et le chat ne sont pas la"),
+            (5, "s2", "zz qq"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {r.source: r for r in dataset_card(df).collect()}
+    s1, s2 = out["s1"], out["s2"]
+    assert (s1.n_docs, s1.n_dup_docs) == (2, 1)
+    assert (s2.n_docs, s2.n_dup_docs) == (3, 1)
+    assert s1.sum_tokens == 10 + 2
+    assert s1.lang_mix == "en:1|und:1"  # boilerplate has no profile hits
+    assert s2.lang_mix == "fr:1|und:2"
+    assert s2.sum_chars == len("shared boilerplate") + len(
+        "le chien et le chat ne sont pas la"
+    ) + len("zz qq")
