@@ -132,13 +132,20 @@ def kmeans_fit_quantized(
     # time, NOT whole-stage-codegen'd — so per-row cost is real CPU; a
     # single-file parquet input would run every iteration on ONE task
     # (the widen_for_cpu lesson, CLAUDE.md). Widen once; all iterations
-    # inherit the layout.
+    # inherit the layout. The quantized frame is localCheckpointed so
+    # the scan + quantize + widen shuffle runs ONCE, not once per
+    # iteration (A/B at sf0.1: 1.46 s → 0.59 s per round) — freed
+    # before return via the components discipline.
+    from jobinsight_data_pipeline_spark.operators.components import (
+        _free_local_checkpoint,
+    )
+
     q = widen_for_cpu(
         df.where(F.col(vec_col).isNotNull()).select(
             F.col(id_col).alias("__id"),
             quantize_shifted(vec_col, scale).alias("__p"),
         )
-    )
+    ).localCheckpoint(eager=True)
     seed_rows = q.orderBy("__id").limit(k).collect()
     if len(seed_rows) < k:
         raise ValueError(
@@ -162,6 +169,8 @@ def kmeans_fit_quantized(
             for pos, s, n in dims:
                 new_c[j][pos] = (2 * s + n) // (2 * n)  # non-negative
         centroids = new_c
+    # the model lives driver-side; nothing downstream reads q's blocks
+    _free_local_checkpoint(q)
     assert all(len(c) == dim for c in centroids)
     return [[x - scale for x in c] for c in centroids]  # unshift
 
