@@ -721,3 +721,77 @@ def test_bpe_encode_total_and_lossless_over_known_symbols(s):
     # unknown chars each consumed exactly one -1 slot
     assert len(ids) - len(known) == len(cleaned) - len(expect)
     assert bpe_decode_py(known) == expect
+
+
+def test_quantile_bins_fuzz_equals_ntile(spark):
+    """Seeded-random equivalence sweep: quantile_bins (histogram-CDF +
+    bucket windows) must reproduce row_number/ntile over (score, id)
+    bit-for-bit across duplicate-heavy, negative, constant, and sparse
+    score distributions and across bucket resolutions."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from jobinsight_data_pipeline_spark.operators.sampling import (
+        quantile_bins,
+    )
+
+    rng = random.Random(99)
+    w = Window.orderBy(F.col("score").asc(), F.col("doc_id").asc())
+    for trial, (n, lo, hi, n_bins, hb) in enumerate(
+        [
+            (211, -1000, 1000, 10, 1024),
+            (97, -3, 3, 7, 2),       # massive ties, 2 coarse buckets
+            (64, 5, 5, 4, 16),       # single constant score
+            (130, -10**9, 10**9, 13, 64),  # sparse huge range
+        ]
+    ):
+        rows = [(i, rng.randint(lo, hi)) for i in range(n)]
+        df = spark.createDataFrame(rows, "doc_id long, score long")
+        got = {
+            r.doc_id: (r.rank, r.bin)
+            for r in quantile_bins(
+                df, "score", ["doc_id"], n_bins=n_bins, hist_buckets=hb
+            ).collect()
+        }
+        exp = {
+            r.doc_id: (r.rank, r.bin)
+            for r in df.withColumn(
+                "rank", F.row_number().over(w).cast("long")
+            ).withColumn("bin", F.ntile(n_bins).over(w)).collect()
+        }
+        assert got == exp, f"trial {trial} diverged"
+
+
+def test_interval_join_fuzz_equals_between(spark):
+    """Seeded-random equivalence sweep: the banded interval join must
+    produce exactly the BETWEEN theta-join's match set — negative
+    coordinates, zero-length intervals, band-boundary-straddling spans,
+    and duplicate endpoints included — at several band widths."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from jobinsight_data_pipeline_spark.operators.asof import interval_join
+
+    rng = random.Random(7)
+    iv_rows = []
+    for i in range(120):
+        s = rng.randint(-200, 200)
+        iv_rows.append((i, s, s + rng.randint(0, 60)))
+    pt_rows = [(j, rng.randint(-220, 220)) for j in range(300)]
+    iv = spark.createDataFrame(iv_rows, "iv_id long, s long, e long")
+    pts = spark.createDataFrame(pt_rows, "p_id long, p long")
+    expected = sorted(
+        (r.iv_id, r.p_id)
+        for r in iv.crossJoin(pts)
+        .filter((F.col("p") >= F.col("s")) & (F.col("p") <= F.col("e")))
+        .collect()
+    )
+    for bw in (1, 7, 64, 1024):
+        got = sorted(
+            (r.iv_id, r.p_id)
+            for r in interval_join(pts, iv, "p", "s", "e", bw).collect()
+        )
+        assert got == expected, f"band_width {bw} diverged"
