@@ -864,3 +864,38 @@ def test_language_id_runs_on_streams(spark, tmp_path):
         for r in spark.sql("SELECT * FROM langid_stream").collect()
     }
     assert rows == {1: "en", 2: "fr", 3: "und"}
+
+
+def test_kmeans_assign_runs_on_streams(spark, tmp_path):
+    """kmeans_assign is a stateless projection over a broadcast literal
+    model — the same code path routes a readStream of embeddings into
+    cells (online cluster assignment), no batch detour."""
+    from jobinsight_data_pipeline_spark.operators.clustering import (
+        kmeans_assign,
+    )
+
+    src = str(tmp_path / "vecs")
+    spark.createDataFrame(
+        [(1, [0.1, 0.1]), (2, [0.9, 0.9]), (3, [0.12, 0.08])],
+        "vec_id long, embedding array<float>",
+    ).coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<float>"
+    ).parquet(src)
+    model = [[100_000, 100_000], [900_000, 900_000]]
+    out = kmeans_assign(stream, model).select("vec_id", "cell")
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("kmeans_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {
+        r["vec_id"]: r["cell"]
+        for r in spark.sql("SELECT * FROM kmeans_stream").collect()
+    }
+    assert rows == {1: 0, 2: 1, 3: 0}
