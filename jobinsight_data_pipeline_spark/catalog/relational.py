@@ -754,6 +754,76 @@ GROUP BY l_orderkey, l_linenumber
 """
 
 
+def q_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-dataset overlap audit via mergeable theta sketches
+    (operators/sketches.theta_overlap): the user sets of two event
+    streams (split by event_id parity) measured as |A|, |B|, |A∪B|,
+    |A∩B|, |A\\B| WITHOUT a key join. Containment gate in the
+    monthly_orders_approx pattern: the exact set cardinalities ride in
+    the row, the sketch estimates are asserted inside a ±2% (floor ±2)
+    envelope as booleans the oracle pins TRUE. Below the sketch's 2^12
+    nominal entries the estimates are exact, so the booleans are
+    deterministic statements, not probabilistic hopes."""
+    from jobinsight_data_pipeline_spark.operators.sketches import (
+        theta_overlap,
+    )
+
+    t = load(spark, sf_dir, "events")
+    base = t["events"].select(
+        "user_id", (F.col("event_id") % 2 == 0).alias("_e")
+    )
+    est = theta_overlap(
+        base.filter("_e").select("user_id"),
+        base.filter("NOT _e").select("user_id"),
+        "user_id",
+    )
+    exact = (
+        base.groupBy("user_id")
+        .agg(
+            F.max(F.col("_e")).alias("e"),
+            F.max(~F.col("_e")).alias("o"),
+        )
+        .agg(
+            F.count(F.when(F.col("e"), 1)).alias("n_a"),
+            F.count(F.when(F.col("o"), 1)).alias("n_b"),
+            F.count(F.lit(1)).alias("n_union"),
+            F.count(F.when(F.col("e") & F.col("o"), 1)).alias("n_inter"),
+            F.count(F.when(F.col("e") & ~F.col("o"), 1)).alias("n_diff"),
+        )
+    )
+
+    def ok(est_col: str, exact_col: str) -> F.Column:
+        return (
+            F.abs(F.col(est_col) - F.col(exact_col))
+            <= F.greatest(0.02 * F.col(exact_col), F.lit(2.0))
+        ).alias(f"{est_col}_ok")
+
+    return exact.crossJoin(broadcast(est)).select(
+        "n_a", "n_b", "n_union", "n_inter", "n_diff",
+        ok("est_a", "n_a"), ok("est_b", "n_b"),
+        ok("est_union", "n_union"), ok("est_intersect", "n_inter"),
+        ok("est_diff", "n_diff"),
+    )
+
+
+O_SKETCH_OVERLAP = """
+WITH per_user AS (
+    SELECT user_id,
+           bool_or(event_id % 2 = 0) AS e,
+           bool_or(event_id % 2 = 1) AS o
+    FROM events GROUP BY user_id
+)
+SELECT count(*) FILTER (e) AS n_a,
+       count(*) FILTER (o) AS n_b,
+       count(*) AS n_union,
+       count(*) FILTER (e AND o) AS n_inter,
+       count(*) FILTER (e AND NOT o) AS n_diff,
+       TRUE AS est_a_ok, TRUE AS est_b_ok, TRUE AS est_union_ok,
+       TRUE AS est_intersect_ok, TRUE AS est_diff_ok
+FROM per_user
+"""
+
+
 def q_event_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile SKETCH path — approx_percentile (Greenwald-Khanna) per
     event type; `event_percentiles` pins the exact interpolated
@@ -1059,6 +1129,7 @@ QUERIES = {
     "json_props": q_json_props,
     "asof_discount": q_asof_discount,
     "interval_orders": q_interval_orders,
+    "sketch_overlap": q_sketch_overlap,
     "event_percentiles_approx": q_event_percentiles_approx,
     "rolling_avg": q_rolling_avg,
     "pivot_events": q_pivot_events,
@@ -1089,6 +1160,7 @@ ORACLES = {
     "json_props": O_JSON_PROPS,
     "asof_discount": O_ASOF_DISCOUNT,
     "interval_orders": O_INTERVAL_ORDERS,
+    "sketch_overlap": O_SKETCH_OVERLAP,
     "event_percentiles_approx": O_EVENT_PERCENTILES_APPROX,
     "monthly_orders_approx": O_MONTHLY_ORDERS_APPROX,
     "rolling_avg": O_ROLLING_AVG,

@@ -2644,3 +2644,30 @@ def test_dataset_card_known_answers(spark):
     assert s2.sum_chars == len("shared boilerplate") + len(
         "le chien et le chat ne sont pas la"
     ) + len("zz qq")
+
+
+def test_theta_overlap_exact_mode_set_algebra(spark):
+    """Below nominal entries the theta estimates are exact — the
+    overlap operator must return the true set algebra for overlapping,
+    disjoint, and contained key sets, skipping NULL keys."""
+    from jobinsight_data_pipeline_spark.operators.sketches import (
+        theta_overlap,
+    )
+
+    def sets(xs, ys):
+        a = spark.createDataFrame([(x,) for x in xs], "k long")
+        b = spark.createDataFrame([(y,) for y in ys], "k long")
+        r = theta_overlap(a, b, "k").head()
+        return (r.est_a, r.est_b, r.est_union, r.est_intersect, r.est_diff)
+
+    # overlap: A=0..699, B=300..999
+    assert sets(range(700), range(300, 1000)) == (700, 700, 1000, 400, 300)
+    # disjoint
+    assert sets(range(50), range(100, 150)) == (50, 50, 100, 0, 50)
+    # containment: B ⊂ A
+    assert sets(range(100), range(20, 40)) == (100, 20, 100, 20, 80)
+    # duplicates collapse; NULLs skipped
+    a = spark.createDataFrame([(1,), (1,), (None,)], "k long")
+    b = spark.createDataFrame([(1,), (2,)], "k long")
+    r = theta_overlap(a, b, "k").head()
+    assert (r.est_a, r.est_union, r.est_intersect) == (1, 2, 1)

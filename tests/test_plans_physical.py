@@ -132,7 +132,10 @@ def test_no_accidental_cartesian_or_nested_loop(spark):
     #     1-row (min, count, step) stats aggregate onto the corpus —
     #     bytes broadcast, not a join explosion (same class as
     #     unigram_lm's smoothing denominator)
+    #   sketch_overlap: two 1-row sketch/exact aggregates crossJoin
+    #     into the single audit row — bytes, not data
     allowed_nested = {
+        "sketch_overlap",
         "quality_deciles",
         "langid_curation",
         "unigram_lm",
