@@ -754,6 +754,124 @@ GROUP BY l_orderkey, l_linenumber
 """
 
 
+def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable continuous-aggregate cascade
+    (operators/timeseries.py): raw events → minute buckets → 10-minute
+    → hourly, each level re-aggregated FROM the previous (count/sum
+    re-sum, min/max re-extremize) — never a second raw scan. The gate
+    emits the hourly level beside a ``cascade_consistent`` boolean
+    comparing every measure against a DIRECT hourly aggregation of the
+    raw rows; the oracle computes the direct form and pins TRUE — the
+    re-aggregation-invariance claim under one hash. Values are integer
+    cents, buckets epoch-hour BIGINTs."""
+    from jobinsight_data_pipeline_spark.operators.timeseries import (
+        bucket_rollup,
+        cascade_level,
+        epoch_micros,
+    )
+
+    t = load(spark, sf_dir, "events")
+    raw = t["events"].select(
+        epoch_micros("ts").alias("m"),
+        "event_type",
+        F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    minute = bucket_rollup(raw, "m", ["event_type"], "cents", 60_000_000)
+    hour = cascade_level(
+        cascade_level(minute, ["event_type"], 10), ["event_type"], 6
+    )
+    direct = bucket_rollup(
+        raw, "m", ["event_type"], "cents", 3_600_000_000
+    ).select(
+        "bucket", "event_type",
+        F.col("n").alias("_dn"), F.col("sum_cents").alias("_ds"),
+        F.col("min_cents").alias("_dmin"), F.col("max_cents").alias("_dmax"),
+    )
+    return hour.join(direct, ["bucket", "event_type"]).select(
+        "bucket", "event_type", "n", "sum_cents", "min_cents", "max_cents",
+        (
+            (F.col("n") == F.col("_dn"))
+            & (F.col("sum_cents") == F.col("_ds"))
+            & (F.col("min_cents") == F.col("_dmin"))
+            & (F.col("max_cents") == F.col("_dmax"))
+        ).alias("cascade_consistent"),
+    )
+
+
+O_HYPERTABLE_ROLLUP = """
+WITH raw AS (
+    SELECT date_diff('microseconds', TIMESTAMP '1970-01-01 00:00:00', ts)
+               AS m,
+           event_type,
+           CAST(round(value * 100, 0) AS BIGINT) AS cents
+    FROM events
+)
+SELECT m // 3600000000 AS bucket, event_type, count(*) AS n,
+       CAST(sum(cents) AS BIGINT) AS sum_cents,
+       min(cents) AS min_cents, max(cents) AS max_cents,
+       TRUE AS cascade_consistent
+FROM raw GROUP BY 1, 2
+"""
+
+
+def q_resample_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill resampling (operators/timeseries.resample_ffill): each
+    user's value series re-sampled onto a 5-minute grid between their
+    first and last event, latest-at-or-before value carried forward
+    (highest event_id wins timestamp ties). The fill is the asof
+    union+forward-window — one shuffle, no per-grid-point range join;
+    the oracle replays it with DuckDB's native ASOF JOIN over the same
+    deduplicated versions."""
+    from jobinsight_data_pipeline_spark.operators.timeseries import (
+        epoch_micros,
+        resample_ffill,
+    )
+
+    t = load(spark, sf_dir, "events")
+    raw = t["events"].select(
+        "user_id",
+        epoch_micros("ts").alias("m"),
+        F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("cents"),
+        "event_id",
+    )
+    return resample_ffill(
+        raw, "m", "user_id", "cents", 300_000_000, "event_id"
+    ).select("user_id", "grid_micros", "cents")
+
+
+O_RESAMPLE_GRID = """
+WITH e AS (
+    SELECT user_id,
+           date_diff('microseconds', TIMESTAMP '1970-01-01 00:00:00', ts)
+               AS m,
+           CAST(round(value * 100, 0) AS BIGINT) AS cents,
+           event_id
+    FROM events
+),
+v AS (
+    SELECT user_id, m, cents FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id, m ORDER BY event_id DESC) AS rn
+        FROM e)
+    WHERE rn = 1
+),
+b AS (
+    SELECT user_id,
+           ((min(m) + 299999999) // 300000000) * 300000000 AS s_lo,
+           max(m) AS s_hi
+    FROM e GROUP BY user_id
+),
+grid AS (
+    SELECT user_id, g AS grid_micros
+    FROM b, LATERAL (SELECT unnest(range(s_lo, s_hi + 1, 300000000)) AS g) t
+    WHERE s_lo <= s_hi
+)
+SELECT grid.user_id, grid_micros, v.cents
+FROM grid ASOF JOIN v
+  ON grid.user_id = v.user_id AND grid.grid_micros >= v.m
+"""
+
+
 def q_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-dataset overlap audit via mergeable theta sketches
     (operators/sketches.theta_overlap): the user sets of two event
@@ -1130,6 +1248,8 @@ QUERIES = {
     "asof_discount": q_asof_discount,
     "interval_orders": q_interval_orders,
     "sketch_overlap": q_sketch_overlap,
+    "hypertable_rollup": q_hypertable_rollup,
+    "resample_grid": q_resample_grid,
     "event_percentiles_approx": q_event_percentiles_approx,
     "rolling_avg": q_rolling_avg,
     "pivot_events": q_pivot_events,
@@ -1161,6 +1281,8 @@ ORACLES = {
     "asof_discount": O_ASOF_DISCOUNT,
     "interval_orders": O_INTERVAL_ORDERS,
     "sketch_overlap": O_SKETCH_OVERLAP,
+    "hypertable_rollup": O_HYPERTABLE_ROLLUP,
+    "resample_grid": O_RESAMPLE_GRID,
     "event_percentiles_approx": O_EVENT_PERCENTILES_APPROX,
     "monthly_orders_approx": O_MONTHLY_ORDERS_APPROX,
     "rolling_avg": O_ROLLING_AVG,

@@ -1,0 +1,128 @@
+"""Hypertable-style time-series operators: multi-resolution bucket
+rollups (continuous-aggregate cascades) and grid resampling with
+forward fill.
+
+The TimescaleDB/Druid pattern a metrics pipeline needs at 100 TB:
+aggregate raw events ONCE into the finest bucket width, then build
+every coarser resolution FROM the next finer one — each cascade level
+costs an aggregation over the (already tiny) previous level instead of
+a fresh raw scan. That only works for DECOMPOSABLE aggregates; this
+module carries (count, sum, min, max), the canonical re-aggregable set
+(averages derive as sum/count at read time).
+
+Timestamps travel as epoch-microsecond BIGINTs (the CLAUDE.md NTZ
+discipline: `timestampdiff(MICROSECOND, epoch, ts)` — never cast NTZ
+to long), values as integer cents/micro-units — every number in a
+rollup is integer-exact on any engine or partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EPOCH_MICROS = (
+    "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
+)
+
+
+def epoch_micros(ts_col: str) -> Column:
+    """TIMESTAMP_NTZ → epoch-microsecond BIGINT (engine-portable)."""
+    return F.expr(EPOCH_MICROS.format(col=ts_col))
+
+
+def bucket_rollup(
+    df: DataFrame,
+    micros_col: str,
+    key_cols: list[str],
+    cents_col: str,
+    width_micros: int,
+) -> DataFrame:
+    """Aggregate raw rows into fixed time buckets:
+    (bucket, *keys, n, sum_cents, min_cents, max_cents) where
+    ``bucket = micros div width`` (BIGINT). One partial-agg shuffle on
+    (bucket, keys) — the base level of a cascade."""
+    if width_micros < 1:
+        raise ValueError("bucket_rollup: width_micros must be >= 1")
+    return (
+        df.withColumn(
+            "bucket", F.expr(f"`{micros_col}` div {int(width_micros)}")
+        )
+        .groupBy("bucket", *key_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents_col).alias("sum_cents"),
+            F.min(cents_col).alias("min_cents"),
+            F.max(cents_col).alias("max_cents"),
+        )
+    )
+
+
+def cascade_level(level: DataFrame, key_cols: list[str], factor: int) -> DataFrame:
+    """One cascade step: re-aggregate a finer rollup into buckets
+    ``factor`` times wider — count/sum re-sum, min/max re-extremize.
+    Input and output share the bucket_rollup schema, so steps chain."""
+    if factor < 1:
+        raise ValueError("cascade_level: factor must be >= 1")
+    return (
+        level.withColumn("bucket", F.expr(f"bucket div {int(factor)}"))
+        .groupBy("bucket", *key_cols)
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_cents").alias("sum_cents"),
+            F.min("min_cents").alias("min_cents"),
+            F.max("max_cents").alias("max_cents"),
+        )
+    )
+
+
+def resample_ffill(
+    df: DataFrame,
+    micros_col: str,
+    key_col: str,
+    cents_col: str,
+    step_micros: int,
+    order_col: str,
+) -> DataFrame:
+    """Per-key fixed-step grid between each key's first and last
+    observation, carrying the latest observation at-or-before each grid
+    point forward (gap filling for irregular series). Returns
+    (key, grid_micros, cents).
+
+    Ties at one timestamp resolve to the highest ``order_col`` (the
+    freshest write wins — asof_join requires a unique version per
+    (key, ts)). The grid explodes bounded sequences (span/step per
+    key), and the fill is the union + forward-window asof_join — ONE
+    shuffle, no per-grid-point range join."""
+    from pyspark.sql import Window
+
+    from jobinsight_data_pipeline_spark.operators.asof import asof_join
+
+    if step_micros < 1:
+        raise ValueError("resample_ffill: step_micros must be >= 1")
+    w = Window.partitionBy(key_col, micros_col).orderBy(F.desc(order_col))
+    versions = (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(key_col, micros_col, cents_col)
+    )
+    step = int(step_micros)
+    grid = (
+        df.groupBy(key_col)
+        .agg(
+            F.min(micros_col).alias("_lo"), F.max(micros_col).alias("_hi")
+        )
+        .withColumn(
+            "_start", F.expr(f"((_lo + {step} - 1) div {step}) * {step}")
+        )
+        .filter(F.col("_start") <= F.col("_hi"))
+        .select(
+            key_col,
+            F.explode(
+                F.expr(f"sequence(_start, _hi, {step})")
+            ).alias("grid_micros"),
+        )
+    )
+    return asof_join(
+        grid, versions, key_col, "grid_micros", micros_col, [cents_col]
+    )

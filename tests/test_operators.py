@@ -2671,3 +2671,59 @@ def test_theta_overlap_exact_mode_set_algebra(spark):
     b = spark.createDataFrame([(1,), (2,)], "k long")
     r = theta_overlap(a, b, "k").head()
     assert (r.est_a, r.est_union, r.est_intersect) == (1, 2, 1)
+
+
+# --- hypertable rollups / resampling (operators/timeseries.py) ---------------
+
+def test_cascade_reaggregation_invariance(spark):
+    """Every cascade level must equal a direct aggregation of the raw
+    rows at that width — the decomposable-aggregate contract."""
+    import random
+
+    from jobinsight_data_pipeline_spark.operators.timeseries import (
+        bucket_rollup,
+        cascade_level,
+    )
+
+    rng = random.Random(5)
+    rows = [
+        (rng.randint(0, 3_599_999_999_9), f"t{i % 3}", rng.randint(-500, 500))
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "m long, k string, cents long")
+    minute = bucket_rollup(df, "m", ["k"], "cents", 60_000_000)
+    hour_casc = cascade_level(
+        cascade_level(minute, ["k"], 10), ["k"], 6
+    )
+    hour_direct = bucket_rollup(df, "m", ["k"], "cents", 3_600_000_000)
+    a = {(r.bucket, r.k): (r.n, r.sum_cents, r.min_cents, r.max_cents)
+         for r in hour_casc.collect()}
+    b = {(r.bucket, r.k): (r.n, r.sum_cents, r.min_cents, r.max_cents)
+         for r in hour_direct.collect()}
+    assert a == b
+
+
+def test_resample_ffill_known_answers(spark):
+    """Grid boundaries, forward fill across gaps, tie resolution to the
+    freshest write, and the single-observation degenerate grid."""
+    from jobinsight_data_pipeline_spark.operators.timeseries import (
+        resample_ffill,
+    )
+
+    rows = [
+        # user 1: events at t=95, 100, 210 (tie at 100: ids 2 vs 3)
+        (1, 95, 10, 1), (1, 100, 20, 2), (1, 100, 30, 3), (1, 210, 40, 4),
+        # user 2: single event exactly on a grid point
+        (2, 300, 70, 5),
+        # user 3: span shorter than a step -> no aligned grid point
+        (3, 101, 80, 6), (3, 140, 90, 7),
+    ]
+    df = spark.createDataFrame(rows, "u long, m long, cents long, eid long")
+    out = sorted(
+        (r.u, r.grid_micros, r.cents)
+        for r in resample_ffill(df, "m", "u", "cents", 100, "eid").collect()
+    )
+    # user 1 grid: 100, 200; 100 takes the tie-winner (eid 3), 200 holds it
+    # user 2 grid: 300 (exact hit)
+    # user 3: first aligned point 200 > hi=140 -> empty
+    assert out == [(1, 100, 30), (1, 200, 30), (2, 300, 70)]
