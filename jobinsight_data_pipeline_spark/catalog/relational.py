@@ -821,21 +821,24 @@ def q_resample_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     (highest event_id wins timestamp ties). The fill is the asof
     union+forward-window — one shuffle, no per-grid-point range join;
     the oracle replays it with DuckDB's native ASOF JOIN over the same
-    deduplicated versions."""
+    deduplicated versions. The user subset + 15-minute step bound the
+    grid to ~10^5 rows at sf0.1 (the month-long span is fixed; users
+    grow with SF — an unbounded per-user 5-min grid reached 1.3M rows
+    at sf0.01 and would hash 13M at sf0.1)."""
     from jobinsight_data_pipeline_spark.operators.timeseries import (
         epoch_micros,
         resample_ffill,
     )
 
     t = load(spark, sf_dir, "events")
-    raw = t["events"].select(
+    raw = t["events"].filter("user_id % 25 = 0").select(
         "user_id",
         epoch_micros("ts").alias("m"),
         F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("cents"),
         "event_id",
     )
     return resample_ffill(
-        raw, "m", "user_id", "cents", 300_000_000, "event_id"
+        raw, "m", "user_id", "cents", 900_000_000, "event_id"
     ).select("user_id", "grid_micros", "cents")
 
 
@@ -846,7 +849,7 @@ WITH e AS (
                AS m,
            CAST(round(value * 100, 0) AS BIGINT) AS cents,
            event_id
-    FROM events
+    FROM events WHERE user_id % 25 = 0
 ),
 v AS (
     SELECT user_id, m, cents FROM (
@@ -857,13 +860,13 @@ v AS (
 ),
 b AS (
     SELECT user_id,
-           ((min(m) + 299999999) // 300000000) * 300000000 AS s_lo,
+           ((min(m) + 899999999) // 900000000) * 900000000 AS s_lo,
            max(m) AS s_hi
     FROM e GROUP BY user_id
 ),
 grid AS (
     SELECT user_id, g AS grid_micros
-    FROM b, LATERAL (SELECT unnest(range(s_lo, s_hi + 1, 300000000)) AS g) t
+    FROM b, LATERAL (SELECT unnest(range(s_lo, s_hi + 1, 900000000)) AS g) t
     WHERE s_lo <= s_hi
 )
 SELECT grid.user_id, grid_micros, v.cents

@@ -113,6 +113,12 @@ def interval_join(
     """
     if band_width < 1:
         raise ValueError("interval_join: band_width must be >= 1")
+    from jobinsight_data_pipeline_spark.operators.sampling import (
+        reserve_columns,
+    )
+
+    reserve_columns(points, ["_ij_band"], "interval_join")
+    reserve_columns(intervals, ["_ij_band"], "interval_join")
     keys = keys or []
     widest = intervals.agg(
         F.max(F.col(end_col) - F.col(start_col)).alias("w")

@@ -25,12 +25,13 @@ there, and the round-half-up mean ``(2*s + n) div (2*n)`` is exact on
 both engines (the CLAUDE.md integer-averaging rule). Public API returns
 UNSHIFTED quantized coordinates.
 
-Scale shape per iteration: zero-shuffle assignment (centroid matrix is a
-broadcast literal, distances fold inside whole-stage codegen) + one
-partial-aggregating shuffle of k*dim groups for the update + one
-k*dim-row collect. That is exactly Spark MLlib's KMeans topology; at
-1000 executors the only synchronization point is the tiny per-iteration
-model collect.
+Scale shape per iteration: zero-shuffle assignment (the centroid matrix
+is one parsed literal in the plan; the distance fold is a higher-order
+function — interpreted per row, so cost is CPU at parallelism = input
+tasks, hence the widen/checkpoint notes below) + one partial-aggregating
+shuffle of k*dim groups for the update + one k*dim-row collect. That is
+Spark MLlib's KMeans topology; at 1000 executors the only
+synchronization point is the tiny per-iteration model collect.
 """
 
 from __future__ import annotations
@@ -190,6 +191,11 @@ def kmeans_assign(
     wrap the input in ``widen_for_cpu`` first (deliberately not done
     here — assignment must stay Exchange-free for callers whose input
     is already well-partitioned, which a real corpus is)."""
+    from jobinsight_data_pipeline_spark.operators.sampling import (
+        reserve_columns,
+    )
+
+    reserve_columns(df, ["cell", "dist", "__p"], "kmeans_assign")
     shifted = [[x + scale for x in c] for c in centroids]
     out = df.withColumn("__p", quantize_shifted(vec_col, scale))
     cell, dist = _assign_expr(shifted)

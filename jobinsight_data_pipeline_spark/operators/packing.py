@@ -307,6 +307,7 @@ def length_buckets(
         raise ValueError(
             "length_buckets: boundaries must be a non-empty ascending list"
         )
+    reserve_columns(df, ["bucket_cap", "pad_waste"], "length_buckets")
     lits = ",".join(str(int(b)) for b in boundaries)
     cap = F.expr(
         f"array_min(filter(array({lits}), b -> b >= {tokens_col}))"

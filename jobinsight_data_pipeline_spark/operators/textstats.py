@@ -129,6 +129,14 @@ def with_language_id(
     crawled docs but never computes it; this supplies the standard
     pre-training-corpus language filter (CCNet/C4 both gate on lang-id).
     """
+    from jobinsight_data_pipeline_spark.operators.sampling import (
+        reserve_columns,
+    )
+
+    reserve_columns(
+        df, ["lang_pred", "lang_hits", "lang_conf_ppm", "__n_tokens"],
+        "with_language_id",
+    )
     prof = profiles if profiles is not None else LANG_PROFILES
     t = _col(text_col)
     toks = tokens(t)

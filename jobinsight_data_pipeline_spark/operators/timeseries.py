@@ -44,6 +44,14 @@ def bucket_rollup(
     (bucket, keys) — the base level of a cascade."""
     if width_micros < 1:
         raise ValueError("bucket_rollup: width_micros must be >= 1")
+    from jobinsight_data_pipeline_spark.operators.sampling import (
+        reserve_columns,
+    )
+
+    reserve_columns(
+        df, ["bucket", "n", "sum_cents", "min_cents", "max_cents"],
+        "bucket_rollup",
+    )
     return (
         df.withColumn(
             "bucket", F.expr(f"`{micros_col}` div {int(width_micros)}")
@@ -100,6 +108,13 @@ def resample_ffill(
 
     if step_micros < 1:
         raise ValueError("resample_ffill: step_micros must be >= 1")
+    from jobinsight_data_pipeline_spark.operators.sampling import (
+        reserve_columns,
+    )
+
+    reserve_columns(
+        df, ["grid_micros", "_rn", "_lo", "_hi", "_start"], "resample_ffill"
+    )
     w = Window.partitionBy(key_col, micros_col).orderBy(F.desc(order_col))
     versions = (
         df.withColumn("_rn", F.row_number().over(w))
