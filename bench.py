@@ -59,10 +59,14 @@ HEADLINE = [
     "warehouse_rollup",
     "fact_merge",
     # round-6 additions: banded range join (100x lineitem growth path),
-    # no-global-sort decile ranking, scan-fused language id
+    # no-global-sort decile ranking, scan-fused language id, hypertable
+    # cascade + gap-fill resampling, theta-sketch set-overlap audit
     "interval_orders",
     "quality_deciles",
     "language_id",
+    "hypertable_rollup",
+    "resample_grid",
+    "sketch_overlap",
 ]
 
 

@@ -605,3 +605,30 @@ def test_interval_join_plans_as_hash_join_not_nested_loop(spark):
     assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
         "ShuffledHashJoin" in plan
     )
+
+
+def test_resample_ffill_single_data_shuffle_no_single_partition(spark):
+    """resample_ffill's data path: the grid + versions union fills via
+    ONE window partitioned by key — no corpus-wide SinglePartition, no
+    per-grid-point range join (the plan must contain zero NestedLoop
+    and its windows must partition by the key)."""
+    from pyspark.sql import functions as F
+
+    from jobinsight_data_pipeline_spark.catalog import load
+    from jobinsight_data_pipeline_spark.operators.timeseries import (
+        epoch_micros,
+        resample_ffill,
+    )
+
+    ev = load(spark, SF, "events")["events"].select(
+        "user_id",
+        epoch_micros("ts").alias("m"),
+        F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("cents"),
+        "event_id",
+    )
+    plan = physical_plan(
+        resample_ffill(ev, "m", "user_id", "cents", 900_000_000, "event_id")
+    )
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "windowspecdefinition(user_id" in plan
