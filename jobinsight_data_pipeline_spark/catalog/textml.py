@@ -4720,6 +4720,40 @@ FROM documents
 """
 
 
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC interchange fidelity (Spark's other built-in columnar
+    format — the Hive-ecosystem handoff): write the documents table as
+    4 ORC shards, read back, and emit the per-source
+    (count, Σchars, bit_xor content checksum) summary against the
+    ORIGINAL parquet values. ORC is binary/self-describing, so there is
+    no corrupt-line quarantine concept here (that contract lives in the
+    CSV/JSONL gates); what this pins is type + value fidelity through
+    the codec and the sharded write."""
+    import os
+
+    from jobinsight_data_pipeline_spark.catalog import scratch_dir
+
+    t = load(spark, sf_dir, "documents")
+    docs = t["documents"]
+    out = scratch_dir("orc-gate-") + "/docs"
+    docs.repartition(4).write.mode("overwrite").orc(out)
+    back = spark.read.orc(out).withColumn(
+        "_corrupt_record", F.lit(None).cast("string")
+    )
+    return _jsonl_ingest_summary(back)
+
+
+O_ORC_ROUNDTRIP = """
+SELECT source, count(*) AS n_rows,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       bit_xor(CAST(('0x' || substring(md5(
+           CAST(doc_id AS VARCHAR) || chr(31) || text || chr(31) || lang
+           || chr(31) || source || chr(31) || CAST(n_chars AS VARCHAR)
+       ), 1, 8)) AS BIGINT)) AS checksum
+FROM documents GROUP BY source
+"""
+
+
 # --- language identification (function-word profiles) ------------------
 # Planted multilingual fixture derived from the real corpus (the day-2
 # pattern): doc_id % 6 keeps the real (English) text on residue 0 and
@@ -5214,6 +5248,7 @@ QUERIES = {
     "audio_chunks": q_audio_chunks,
     "length_buckets": q_length_buckets,
     "dataset_card": q_dataset_card,
+    "orc_roundtrip": q_orc_roundtrip,
 }
 
 ORACLES = {
@@ -5298,4 +5333,5 @@ ORACLES = {
     "audio_chunks": O_AUDIO_CHUNKS,
     "length_buckets": O_LENGTH_BUCKETS,
     "dataset_card": O_DATASET_CARD,
+    "orc_roundtrip": O_ORC_ROUNDTRIP,
 }

@@ -632,3 +632,20 @@ def test_resample_ffill_single_data_shuffle_no_single_partition(spark):
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     assert "Exchange SinglePartition" not in plan
     assert "windowspecdefinition(user_id" in plan
+
+
+def test_orc_scan_pushdown_and_pruning(spark, tmp_path):
+    """The ORC read path must behave like the parquet one at scale:
+    predicate pushdown reaches the scan and the read schema prunes to
+    the referenced columns."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = str(tmp_path / "docs_orc")
+    docs.write.orc(p)
+    df = (
+        spark.read.orc(p)
+        .filter(F.col("n_chars") > 500)
+        .select("doc_id")
+    )
+    plan = physical_plan(df)
+    assert "PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,500)]" in plan
+    assert "ReadSchema: struct<doc_id:bigint,n_chars:bigint>" in plan
