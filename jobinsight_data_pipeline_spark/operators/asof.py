@@ -110,6 +110,11 @@ def interval_join(
     Inner semantics only: unmatched intervals/points drop (a banded
     left join would surface one null row per empty band — recover
     unmatched rows with an anti-join on the result if needed).
+
+    Inverted intervals (end < start) match nothing — the BETWEEN filter
+    is vacuously false — but note Spark's ``sequence`` steps DOWNWARD
+    for them, so they still replicate across their |span| bands; drop
+    them upstream if a corpus carries many.
     """
     if band_width < 1:
         raise ValueError("interval_join: band_width must be >= 1")

@@ -41,7 +41,12 @@ def bucket_rollup(
     """Aggregate raw rows into fixed time buckets:
     (bucket, *keys, n, sum_cents, min_cents, max_cents) where
     ``bucket = micros div width`` (BIGINT). One partial-agg shuffle on
-    (bucket, keys) — the base level of a cascade."""
+    (bucket, keys) — the base level of a cascade.
+
+    ``div`` truncates toward zero, so PRE-1970 timestamps (negative
+    micros) would share bucket 0's boundary with early 1970 ones —
+    shift the epoch upstream if a corpus carries them (every testdata
+    timestamp is far past 1970)."""
     if width_micros < 1:
         raise ValueError("bucket_rollup: width_micros must be >= 1")
     from jobinsight_data_pipeline_spark.operators.sampling import (
