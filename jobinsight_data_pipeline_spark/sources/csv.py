@@ -40,6 +40,12 @@ CSV_OPTIONS = {
     "escape": '"',  # RFC-4180 doubled quotes, not backslash escapes
     "header": "false",  # headers break splittability (every slice
     # would need to know it isn't first) and concat-ability of shards
+    # NULL travels as the PostgreSQL-COPY sentinel (the convention the
+    # reference's bulk loader rides on): Spark's writer distinguishes
+    # NULL (nothing) from empty string ("") but the DEFAULT reader
+    # conflates both to NULL — an explicit sentinel keeps '' ≠ NULL
+    # through the roundtrip (measured; pinned in test_sources)
+    "nullValue": "\\N",
 }
 
 

@@ -899,3 +899,21 @@ def test_kmeans_assign_runs_on_streams(spark, tmp_path):
         for r in spark.sql("SELECT * FROM kmeans_stream").collect()
     }
     assert rows == {1: 0, 2: 1, 3: 0}
+
+
+def test_csv_null_vs_empty_string_roundtrip(spark, tmp_path):
+    """'' and NULL are different values and must survive the roundtrip
+    distinctly — the default Spark CSV reader conflates both to NULL;
+    the \\N null sentinel in CSV_OPTIONS keeps them apart."""
+    from jobinsight_data_pipeline_spark.sources.csv import read_csv, write_csv
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "x"), (4, "\\N-ish but quoted? no: plain")],
+        "id long, s string",
+    )
+    p = str(tmp_path / "docs")
+    write_csv(df, p)
+    back = sorted((r.id, r.s) for r in read_csv(spark, p, df.schema).collect())
+    assert back == [
+        (1, ""), (2, None), (3, "x"), (4, "\\N-ish but quoted? no: plain")
+    ]
