@@ -330,9 +330,11 @@ def _o_embedding_rp() -> str:
     cols = []
     for j, row in enumerate(planes):
         lit = "[" + ",".join(repr(float(x)) for x in row) + "]"
+        # + 0.0 normalizes -0.0 (see random_projection) on this side too
         cols.append(
             f"round(list_sum(list_transform(range(1, 65),"
-            f" i -> CAST(embedding[i] AS DOUBLE) * ({lit})[i])), 4) AS p{j}"
+            f" i -> CAST(embedding[i] AS DOUBLE) * ({lit})[i])), 4) + 0.0"
+            f" AS p{j}"
         )
     return "SELECT vec_id, " + ", ".join(cols) + " FROM embeddings"
 

@@ -739,11 +739,15 @@ def random_projection(
     cols = [F.col(id_col)]
     for j, row in enumerate(planes):
         row_sql = "array(" + ",".join(f"{float(x)!r}D" for x in row) + ")"
+        # `+ 0.0` after the round: a tiny NEGATIVE projection rounds to
+        # IEEE -0.0 on one engine and +0.0 on the other (found by the
+        # full sf0.1 sweep — vec 1354 hashed "-0" vs "0"); adding +0.0
+        # normalizes the sign of zero identically everywhere
         cols.append(
             F.expr(
                 f"round(aggregate(zip_with(`{vec_col}`, {row_sql},"
                 " (a, b) -> cast(a AS double) * b),"
-                " 0.0D, (s, y) -> s + y), 4)"
+                " 0.0D, (s, y) -> s + y), 4) + 0.0D"
             ).alias(f"p{j}")
         )
     return widen_for_cpu(df).select(*cols)
