@@ -4328,6 +4328,70 @@ r{i} AS (
 O_PAGERANK = _pagerank_oracle()
 
 
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts + exact-ppm clustering coefficient
+    (operators/components.triangle_counts) over a deterministic
+    formula-derived doc graph (two edge families mod 101 — dense enough
+    that every branch fires: triangles, triangle-free nodes, degree-1
+    nodes, dropped self-loops). The operator enumerates wedges only at
+    degree-oriented out-neighborhoods (O(√m) out-degree bound); the
+    oracle is the TEXTBOOK three-way self-join over canonical a<b<c
+    edges — the scale-shaped plan must reproduce it bit-for-bit."""
+    from jobinsight_data_pipeline_spark.operators.components import (
+        triangle_counts,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    d = t["documents"]
+    edges = d.select(
+        (F.col("doc_id") % 101).alias("src"),
+        ((F.col("doc_id") * 3 + 7) % 101).alias("dst"),
+    ).unionAll(
+        d.select(
+            ((F.col("doc_id") * 5 + 3) % 101).alias("src"),
+            ((F.col("doc_id") * 11 + 1) % 101).alias("dst"),
+        )
+    )
+    return triangle_counts(edges)
+
+
+O_TRIANGLE_COUNT = """
+WITH raw AS (
+    SELECT doc_id % 101 AS x, (doc_id * 3 + 7) % 101 AS y FROM documents
+    UNION ALL
+    SELECT (doc_id * 5 + 3) % 101, (doc_id * 11 + 1) % 101 FROM documents
+),
+e AS (
+    SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+    FROM raw WHERE x <> y
+),
+deg AS (
+    SELECT node, count(*) AS degree
+    FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+    GROUP BY node
+),
+tri AS (
+    SELECT e1.a AS x, e1.b AS y, e2.b AS z
+    FROM e e1
+    JOIN e e2 ON e2.a = e1.b
+    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+corners AS (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri
+),
+cnt AS (SELECT node, count(*) AS triangles FROM corners GROUP BY node)
+SELECT d.node, d.degree,
+       CAST(coalesce(c.triangles, 0) AS BIGINT) AS triangles,
+       CAST(CASE WHEN d.degree >= 2
+            THEN (2 * coalesce(c.triangles, 0) * 1000000)
+                 // (d.degree * (d.degree - 1))
+            ELSE 0 END AS BIGINT) AS lcc_ppm
+FROM deg d LEFT JOIN cnt c USING (node)
+"""
+
+
 def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact corpus top-20 word bigrams with doc/occurrence counts
     (operators/textstats.top_ngrams) — the corpus-statistics report.
@@ -5215,6 +5279,7 @@ QUERIES = {
     "top_ngrams": q_top_ngrams,
     "cdc_schema_evolution": q_cdc_schema_evolution,
     "pagerank": q_pagerank,
+    "triangle_count": q_triangle_count,
     "budget_select": q_budget_select,
     "date_clamp": q_date_clamp,
     "dataset_diff": q_dataset_diff,
@@ -5300,6 +5365,7 @@ ORACLES = {
     "top_ngrams": O_TOP_NGRAMS,
     "cdc_schema_evolution": O_CDC_SCHEMA_EVOLUTION,
     "pagerank": O_PAGERANK,
+    "triangle_count": O_TRIANGLE_COUNT,
     "budget_select": O_BUDGET_SELECT,
     "date_clamp": O_DATE_CLAMP,
     "dataset_diff": O_DATASET_DIFF,

@@ -259,3 +259,99 @@ def pagerank_quantized(
         _free_local_checkpoint(nodes)
         _free_local_checkpoint(e)
     return r
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over an
+    undirected graph — the third graph operator beside
+    :func:`connected_components` and :func:`pagerank_quantized`.
+    Curation use: a near-dup pair graph whose neighborhoods close into
+    triangles is template/boilerplate structure (mirror farms, spun
+    articles); chains and stars are organic overlap. The clustering
+    coefficient separates the two where raw degree cannot.
+
+    Algorithm: degree orientation (the standard distributed-triangle
+    trick — Suri & Vassilvitskii, WWW 2011). Every undirected edge is
+    oriented from its lower to its higher endpoint in the total order
+    (degree, node); wedges are enumerated only at each node's oriented
+    out-neighborhood and closed against the oriented edge list. Each
+    triangle is found exactly once (at its order-minimal corner), and a
+    node's oriented out-degree is O(√m) regardless of its raw degree —
+    so a 10⁸-follower hub node generates O(m) wedges, not O(deg²). The
+    plan is three equi-joins plus partial-aggregating groupBys: the
+    shape that survives 100 TB edge lists. No iteration, no collect.
+
+    All outputs are integers (``lcc_ppm`` is the clustering coefficient
+    in exact parts-per-million: ``2·tri·10⁶ div deg·(deg−1)``, every
+    quantity non-negative so Spark's truncating ``div`` and DuckDB's
+    flooring ``//`` agree) — the whole frame value-hashes against a
+    textbook three-way self-join oracle.
+
+    Returns ``(node, degree, triangles, lcc_ppm)`` — one row per node
+    that appears in any non-loop edge.
+    """
+    e = (
+        edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
+        .where(F.col("x") != F.col("y"))
+        .select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    # orient by the total order (degree, node): lower endpoint -> higher
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("_dega"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("_degb"))
+    lo_first = F.struct("_dega", "a") < F.struct("_degb", "b")
+    oriented = (
+        e.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+            F.when(lo_first, F.col("_dega")).otherwise(F.col("_degb")).alias("_degu"),
+            F.when(lo_first, F.col("_degb")).otherwise(F.col("_dega")).alias("_degv"),
+        )
+    )
+    # wedges at u: ordered out-neighbor pairs v1 <(deg,node)< v2
+    w1 = oriented.select(
+        "u", F.col("v").alias("v1"), F.col("_degv").alias("_d1")
+    )
+    w2 = oriented.select(
+        "u", F.col("v").alias("v2"), F.col("_degv").alias("_d2")
+    )
+    wedges = w1.join(w2, "u").where(
+        F.struct("_d1", "v1") < F.struct("_d2", "v2")
+    )
+    closing = oriented.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
+    tri = wedges.join(closing, ["v1", "v2"]).select("u", "v1", "v2")
+    corners = (
+        tri.select(F.col("u").alias("node"))
+        .unionAll(tri.select(F.col("v1").alias("node")))
+        .unionAll(tri.select(F.col("v2").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return (
+        deg.join(corners, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.expr(
+                    "(2 * coalesce(triangles, 0L) * 1000000)"
+                    " div (degree * (degree - 1))"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("lcc_ppm"),
+        )
+    )

@@ -2245,6 +2245,89 @@ def test_pagerank_quantized_matches_python_reference(spark):
     assert abs(sum(got.values()) - scale) < n * 2
 
 
+def test_triangle_counts_known_answers(spark):
+    """K4 + pendant + disjoint path + self-loop + reversed duplicate:
+    every branch — full clustering (lcc 10⁶), partial (K4 corner with a
+    pendant: 2·3·10⁶ div 4·3 = 500000), triangle-free degree-1 nodes,
+    loop dropped (node absent), duplicate/reversed edges canonicalized.
+    """
+    from jobinsight_data_pipeline_spark.operators.components import (
+        triangle_counts,
+    )
+
+    edges = [
+        (0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),  # K4
+        (1, 0),  # reversed duplicate of (0, 1)
+        (4, 0),  # pendant off the K4
+        (5, 6),  # disjoint triangle-free path
+        (7, 7),  # self-loop: dropped, node 7 never appears
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: (r["degree"], r["triangles"], r["lcc_ppm"])
+        for r in triangle_counts(df).collect()
+    }
+    assert got == {
+        0: (4, 3, 500_000),
+        1: (3, 3, 1_000_000),
+        2: (3, 3, 1_000_000),
+        3: (3, 3, 1_000_000),
+        4: (1, 0, 0),
+        5: (1, 0, 0),
+        6: (1, 0, 0),
+    }
+
+
+def test_triangle_counts_random_graph_matches_python(spark):
+    """Seeded random graph vs a brute-force pure-Python triangle count
+    (all C(n,3) triples) — degrees, per-node counts, and the integer
+    lcc formula must all agree."""
+    import itertools
+    import random
+
+    from jobinsight_data_pipeline_spark.operators.components import (
+        triangle_counts,
+    )
+
+    rng = random.Random(42)
+    nodes = list(range(18))
+    edges = sorted(
+        {
+            (a, b)
+            for a, b in itertools.combinations(nodes, 2)
+            if rng.random() < 0.3
+        }
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: (r["degree"], r["triangles"], r["lcc_ppm"])
+        for r in triangle_counts(df).collect()
+    }
+
+    adj = {u: set() for u in nodes}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    tri = {u: 0 for u in nodes}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            tri[a] += 1
+            tri[b] += 1
+            tri[c] += 1
+    want = {
+        u: (
+            len(adj[u]),
+            tri[u],
+            (2 * tri[u] * 1_000_000) // (len(adj[u]) * (len(adj[u]) - 1))
+            if len(adj[u]) >= 2
+            else 0,
+        )
+        for u in nodes
+        if adj[u]
+    }
+    assert got == want
+
+
 def test_select_until_budget_greedy_prefix(spark):
     """Best-score-first, boundary row included (starts inside budget),
     next row excluded; ties break by id."""
