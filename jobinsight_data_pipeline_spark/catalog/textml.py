@@ -4820,6 +4820,94 @@ FROM documents GROUP BY source
 """
 
 
+# Planted XML-hostile rows (both engines render the SAME literals):
+# markup + ampersand + the spec-sensitive ']]>' (escaping), surrounding
+# spaces (the ignoreSurroundingSpaces trap), embedded newline + tab
+# (legal XML whitespace), empty string, and NULL — XML distinguishes
+# '' (<text/>) from NULL (element absent) natively, and the gate pins
+# that distinction end-to-end. Carriage returns are deliberately NOT
+# planted: XML 1.0 line-end normalization makes CR fidelity a parser
+# implementation detail, not a contract this engine should promise.
+_XML_PLANT_CASE = (
+    "CASE doc_id % 7"
+    " WHEN 1 THEN '<tag attr=\"v\">' || text || ' & ]]> </tag>'"
+    " WHEN 2 THEN '  ' || text || '  '"
+    " WHEN 3 THEN 'line1' || chr(10) || text || chr(9) || 'tab'"
+    " WHEN 4 THEN ''"
+    " WHEN 5 THEN NULL"
+    " ELSE text END"
+)
+
+
+def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML interchange fidelity (Spark 4's built-in XML datasource —
+    the enterprise-feed handoff): plant markup/whitespace/NULL-hostile
+    text, write the documents table as 4 XML shards, read back under
+    the frozen schema with ``ignoreSurroundingSpaces=false``, and emit
+    a per-source (count, NULL-text count, Σchars, bit_xor content
+    checksum) summary the oracle recomputes from the ORIGINAL parquet
+    values. The checksum rides concat_ws in BOTH engines (identical
+    skip-a-NULL semantics), so an empty string read back as NULL — or
+    an escaped '<' mangled anywhere — flips the hash."""
+    from jobinsight_data_pipeline_spark.catalog import scratch_dir
+
+    t = load(spark, sf_dir, "documents")
+    docs = t["documents"].withColumn("text", F.expr(_XML_PLANT_CASE))
+    out = scratch_dir("xml-gate-") + "/docs"
+    (
+        docs.repartition(4)
+        .write.format("xml")
+        .option("rowTag", "doc")
+        .mode("overwrite")
+        .save(out)
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "doc")
+        .option("ignoreSurroundingSpaces", "false")
+        .schema(docs.schema)
+        .load(out)
+    )
+    chk = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "\x1f",
+                    F.col("doc_id").cast("string"),
+                    F.col("text"),
+                    F.col("lang"),
+                    F.col("source"),
+                    F.col("n_chars").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("text").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null_text"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.bit_xor(chk).alias("checksum"),
+    )
+
+
+O_XML_ROUNDTRIP = f"""
+SELECT source, count(*) AS n_rows,
+       CAST(sum(CASE WHEN ({_XML_PLANT_CASE}) IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_null_text,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       bit_xor(CAST(('0x' || substring(md5(concat_ws(chr(31),
+           CAST(doc_id AS VARCHAR), ({_XML_PLANT_CASE}), lang, source,
+           CAST(n_chars AS VARCHAR))), 1, 8)) AS BIGINT)) AS checksum
+FROM documents GROUP BY source
+"""
+
+
 # --- language identification (function-word profiles) ------------------
 # Planted multilingual fixture derived from the real corpus (the day-2
 # pattern): doc_id % 6 keeps the real (English) text on residue 0 and
@@ -5316,6 +5404,7 @@ QUERIES = {
     "length_buckets": q_length_buckets,
     "dataset_card": q_dataset_card,
     "orc_roundtrip": q_orc_roundtrip,
+    "xml_roundtrip": q_xml_roundtrip,
 }
 
 ORACLES = {
@@ -5402,4 +5491,5 @@ ORACLES = {
     "length_buckets": O_LENGTH_BUCKETS,
     "dataset_card": O_DATASET_CARD,
     "orc_roundtrip": O_ORC_ROUNDTRIP,
+    "xml_roundtrip": O_XML_ROUNDTRIP,
 }

@@ -901,6 +901,33 @@ def test_kmeans_assign_runs_on_streams(spark, tmp_path):
     assert rows == {1: 0, 2: 1, 3: 0}
 
 
+def test_xml_roundtrip_fidelity(spark, tmp_path):
+    """Spark 4's built-in XML datasource roundtrips every hostile class
+    the xml_roundtrip gate plants: markup escaping (incl. ']]>'),
+    surrounding spaces (needs ignoreSurroundingSpaces=false), embedded
+    newline/tab, and the NULL-vs-empty distinction XML expresses
+    natively ('' = empty element, NULL = element absent)."""
+    rows = [
+        (1, '<tag attr="v">body & ]]> </tag>'),
+        (2, "  surrounded  "),
+        (3, "line1\nline2\ttab"),
+        (4, ""),
+        (5, None),
+        (6, "plain"),
+    ]
+    df = spark.createDataFrame(rows, "id long, s string")
+    p = str(tmp_path / "docs")
+    df.repartition(2).write.format("xml").option("rowTag", "doc").save(p)
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "doc")
+        .option("ignoreSurroundingSpaces", "false")
+        .schema(df.schema)
+        .load(p)
+    )
+    assert sorted((r.id, r.s) for r in back.collect()) == rows
+
+
 def test_csv_null_vs_empty_string_roundtrip(spark, tmp_path):
     """'' and NULL are different values and must survive the roundtrip
     distinctly — the default Spark CSV reader conflates both to NULL;
