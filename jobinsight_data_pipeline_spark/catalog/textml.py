@@ -1790,6 +1790,87 @@ ORDER BY l.doc_id
 """
 
 
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware train/val/test split — the leakage-prevention step
+    a benchmark-honest training pipeline runs INSTEAD of a per-document
+    hash split: near-duplicate documents must never straddle a split
+    boundary (a test doc with a train near-twin inflates eval). The
+    whole transitive near-dup cluster is assigned as a unit: exact
+    n-gram Jaccard pairs → connected components → every doc inherits
+    its component's md5 split; singletons are their own component, so
+    the assignment is append-stable and engine-portable. Zero
+    cross-split pairs hold BY CONSTRUCTION (pinned by pytest); the
+    oracle recomputes the closure with a recursive CTE and replays the
+    identical md5 rule, so one mislabeled component anywhere flips a
+    split's doc checksum."""
+    from jobinsight_data_pipeline_spark.operators.components import (
+        connected_components,
+    )
+    from jobinsight_data_pipeline_spark.operators.sampling import hash_split
+
+    t = load(spark, sf_dir, "documents")
+    docs = t["documents"]
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    labels = connected_components(pairs, "doc_a", "doc_b").withColumnRenamed(
+        "node", "doc_id"
+    )
+    assigned = (
+        docs.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("component", "doc_id").alias("component")
+        )
+    )
+    split = hash_split(
+        assigned,
+        "component",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        salt="leak",
+    )
+    chk = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    return split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("component").alias("n_clusters"),
+        F.bit_xor(chk).alias("doc_checksum"),
+    )
+
+
+O_LEAKAGE_SAFE_SPLIT = f"""
+WITH RECURSIVE pairs AS ({O_NGRAM_JACCARD}),
+sym AS (
+    SELECT doc_a AS u, doc_b AS v FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+),
+reach(node, r) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+    UNION
+    SELECT w.node, s.v FROM reach w JOIN sym s ON s.u = w.r
+),
+lbl AS (SELECT node AS doc_id, min(r) AS component FROM reach GROUP BY node),
+assigned AS (
+    SELECT d.doc_id, coalesce(l.component, d.doc_id) AS component
+    FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id
+),
+b AS (
+    SELECT doc_id, component,
+           CAST(('0x' || substring(md5('leak' || CAST(component AS VARCHAR)),
+                 1, 8)) AS BIGINT) % 100 AS bucket
+    FROM assigned
+)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       CAST(count(DISTINCT component) AS BIGINT) AS n_clusters,
+       bit_xor(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT)) AS doc_checksum
+FROM b GROUP BY 1
+"""
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic dedup under a FULL exact oracle: cluster
     assignment (argmax cosine against a seeded literal centroid matrix,
@@ -4908,6 +4989,72 @@ FROM documents GROUP BY source
 """
 
 
+def q_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction maintenance (sources/lake.compact_parquet):
+    fragment the documents table into 64 tiny parquet files (the
+    streaming-sink/over-parallel-writer failure mode), compact via the
+    AQE REBALANCE byte-targeted rewrite, and emit the per-source content
+    summary from the COMPACTED data with two pinned booleans — the file
+    count strictly dropped and the row count is unchanged. The oracle
+    recomputes the summary from the original parquet values, so a row
+    lost, duplicated, or mangled by the rewrite flips the hash."""
+    from jobinsight_data_pipeline_spark.catalog import scratch_dir
+    from jobinsight_data_pipeline_spark.sources.lake import compact_parquet
+
+    t = load(spark, sf_dir, "documents")
+    docs = t["documents"]
+    base = scratch_dir("compact-gate-")
+    frag, out = base + "/frag", base + "/compacted"
+    docs.repartition(64).write.mode("overwrite").parquet(frag)
+    stats = compact_parquet(spark, frag, out, target_mb=128)
+    back = spark.read.parquet(out)
+    chk = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "\x1f",
+                    F.col("doc_id").cast("string"),
+                    F.col("text"),
+                    F.col("lang"),
+                    F.col("source"),
+                    F.col("n_chars").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        back.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.bit_xor(chk).alias("checksum"),
+        )
+        .withColumn(
+            "compacted", F.lit(stats["files_after"] < stats["files_before"])
+        )
+        .withColumn(
+            "rows_preserved",
+            F.lit(stats["rows_after"] == stats["rows_before"]),
+        )
+    )
+
+
+O_COMPACT_FILES = """
+SELECT source, count(*) AS n_rows,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       bit_xor(CAST(('0x' || substring(md5(concat_ws(chr(31),
+           CAST(doc_id AS VARCHAR), text, lang, source,
+           CAST(n_chars AS VARCHAR))), 1, 8)) AS BIGINT)) AS checksum,
+       TRUE AS compacted,
+       TRUE AS rows_preserved
+FROM documents GROUP BY source
+"""
+
+
 # --- language identification (function-word profiles) ------------------
 # Planted multilingual fixture derived from the real corpus (the day-2
 # pattern): doc_id % 6 keeps the real (English) text on residue 0 and
@@ -5368,6 +5515,7 @@ QUERIES = {
     "cdc_schema_evolution": q_cdc_schema_evolution,
     "pagerank": q_pagerank,
     "triangle_count": q_triangle_count,
+    "leakage_split": q_leakage_safe_split,
     "budget_select": q_budget_select,
     "date_clamp": q_date_clamp,
     "dataset_diff": q_dataset_diff,
@@ -5405,6 +5553,7 @@ QUERIES = {
     "dataset_card": q_dataset_card,
     "orc_roundtrip": q_orc_roundtrip,
     "xml_roundtrip": q_xml_roundtrip,
+    "compact_files": q_compact_files,
 }
 
 ORACLES = {
@@ -5455,6 +5604,7 @@ ORACLES = {
     "cdc_schema_evolution": O_CDC_SCHEMA_EVOLUTION,
     "pagerank": O_PAGERANK,
     "triangle_count": O_TRIANGLE_COUNT,
+    "leakage_split": O_LEAKAGE_SAFE_SPLIT,
     "budget_select": O_BUDGET_SELECT,
     "date_clamp": O_DATE_CLAMP,
     "dataset_diff": O_DATASET_DIFF,
@@ -5492,4 +5642,5 @@ ORACLES = {
     "dataset_card": O_DATASET_CARD,
     "orc_roundtrip": O_ORC_ROUNDTRIP,
     "xml_roundtrip": O_XML_ROUNDTRIP,
+    "compact_files": O_COMPACT_FILES,
 }

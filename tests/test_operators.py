@@ -2245,7 +2245,53 @@ def test_pagerank_quantized_matches_python_reference(spark):
     assert abs(sum(got.values()) - scale) < n * 2
 
 
-def test_triangle_counts_known_answers(spark):
+def test_leakage_safe_split_no_cross_pairs_and_append_stable(spark):
+    """The cluster-aware split's two contracts: (1) ZERO near-dup pairs
+    straddle a split boundary — every pair's endpoints share a
+    component, hence a split; (2) appending an unrelated document never
+    reassigns existing docs (md5-of-component rule, no ordinals)."""
+    from jobinsight_data_pipeline_spark.operators.components import (
+        connected_components,
+    )
+    from jobinsight_data_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from jobinsight_data_pipeline_spark.operators.sampling import hash_split
+
+    base = "the quick brown fox jumps over the lazy dog near the river"
+    rows = [(i, base + f" variant {i % 3}") for i in range(9)] + [
+        (100, "completely different text about spark partitions and shuffles"),
+        (101, "another unrelated document concerning xml interchange fidelity"),
+    ]
+
+    def assign(doc_rows):
+        docs = spark.createDataFrame(doc_rows, "doc_id long, text string")
+        pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+        labels = connected_components(pairs, "doc_a", "doc_b").withColumnRenamed(
+            "node", "doc_id"
+        )
+        assigned = (
+            docs.select("doc_id")
+            .join(labels, "doc_id", "left")
+            .select(
+                "doc_id", F.coalesce("component", "doc_id").alias("component")
+            )
+        )
+        out = hash_split(
+            assigned, "component", {"train": 0.8, "val": 0.1, "test": 0.1},
+            salt="leak",
+        )
+        return pairs, {r["doc_id"]: r["split"] for r in out.collect()}
+
+    pairs, splits = assign(rows)
+    got_pairs = [(r["doc_a"], r["doc_b"]) for r in pairs.collect()]
+    assert got_pairs, "fixture must produce near-dup pairs"
+    assert len(splits) == len(rows)
+    cross = [(a, b) for a, b in got_pairs if splits[a] != splits[b]]
+    assert cross == []
+
+    _, splits2 = assign(rows + [(200, "a brand new appended document")])
+    assert all(splits2[k] == v for k, v in splits.items())
     """K4 + pendant + disjoint path + self-loop + reversed duplicate:
     every branch — full clustering (lcc 10⁶), partial (K4 corner with a
     pendant: 2·3·10⁶ div 4·3 = 500000), triangle-free degree-1 nodes,
