@@ -220,6 +220,22 @@ def main() -> None:
     timings["pagerank"] = timed(
         lambda: materialize(pagerank_quantized(pr_edges, iterations=5))
     )
+    # round-6: degree-oriented triangle counting on a 10k-node graph
+    # (denser than the gate's 101-node fixture — times the wedge join)
+    from jobinsight_data_pipeline_spark.operators.components import (
+        triangle_counts,
+    )
+
+    tri_edges = docs.selectExpr(
+        "doc_id % 10007 AS src", "(doc_id * 31 + 17) % 10007 AS dst"
+    ).unionAll(
+        docs.selectExpr(
+            "(doc_id * 7 + 3) % 10007 AS src", "(doc_id * 13 + 5) % 10007 AS dst"
+        )
+    )
+    timings["triangle_count"] = timed(
+        lambda: materialize(triangle_counts(tri_edges))
+    )
     # round-6: subword BPE encode (native replace-chain, scan-fused) and
     # the composed tokenize-and-fill-budget chain — classifier scores +
     # BPE ids materialized once (the write is part of the honest cost,

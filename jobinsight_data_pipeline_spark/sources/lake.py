@@ -22,6 +22,7 @@ import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class ParquetLake:
@@ -203,6 +204,58 @@ def read_jdbc(
     for k, v in (options or {}).items():
         reader = reader.option(k, v)
     return reader.load()
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_mb: int = 128,
+    partition_by: list[str] | None = None,
+) -> dict:
+    """Small-file compaction — the table-maintenance pass every
+    long-lived lake needs (streaming sinks, frequent small appends, and
+    over-parallel writers all fragment a table into thousands of tiny
+    parquet files, and at 100 TB the scan's task-scheduling + footer
+    overhead then dominates the read).
+
+    One distributed job: read the fragmented directory, rewrite
+    byte-targeted via :func:`write_sized` (AQE REBALANCE — splits skew,
+    coalesces slivers, no count()-then-repartition extra pass). Writes
+    to ``dst_path`` — publish-by-swap is the caller's step
+    (``ParquetLake``'s versioned dirs give atomic publish for free;
+    compacting in place would lose readers mid-rewrite).
+
+    File counts are measured engine-side via ``input_file_name`` —
+    portable to any FS/object store, no directory listing on the
+    driver. Returns ``{"files_before", "files_after", "rows_before",
+    "rows_after"}`` for the caller's invariance check (the gate pins
+    rows_before == rows_after, files_after <= files_before, and a
+    content checksum)."""
+    def _stats(df: DataFrame):
+        # input_file_name() is non-deterministic and must be PROJECTED
+        # before it can feed an aggregate
+        return (
+            df.select(F.input_file_name().alias("_f"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct("_f").alias("f"),
+            )
+            .first()
+        )
+
+    src = spark.read.parquet(src_path)
+    before = _stats(src)
+    write_sized(
+        src, dst_path, target_mb=target_mb, partition_by=partition_by
+    )
+    after = _stats(spark.read.parquet(dst_path))
+    return {
+        "files_before": before["f"],
+        "files_after": after["f"],
+        "rows_before": before["n"],
+        "rows_after": after["n"],
+    }
 
 
 def write_sized(

@@ -381,6 +381,35 @@ def test_write_sized_targets_output_file_bytes(spark, tmp_path):
     assert after == before
 
 
+def test_compact_parquet_invariance_and_stats(spark, tmp_path):
+    """Compaction must preserve every row and value exactly, strictly
+    reduce the file count on a fragmented input, and report honest
+    before/after stats; the partitioned variant keeps the layout."""
+    from jobinsight_data_pipeline_spark.sources.lake import compact_parquet
+
+    df = spark.range(0, 5_000).selectExpr(
+        "id", "id % 3 AS k", "md5(CAST(id AS STRING)) AS payload"
+    )
+    frag = str(tmp_path / "frag")
+    df.repartition(32).write.parquet(frag)
+
+    out = str(tmp_path / "compacted")
+    stats = compact_parquet(spark, frag, out, target_mb=128)
+    assert stats["files_before"] == 32
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["rows_before"] == stats["rows_after"] == 5_000
+    back = spark.read.parquet(out)
+    assert back.exceptAll(df).isEmpty() and df.exceptAll(back).isEmpty()
+
+    part_out = str(tmp_path / "compacted_by_k")
+    compact_parquet(spark, frag, part_out, target_mb=128, partition_by=["k"])
+    back_p = spark.read.parquet(part_out)
+    assert sorted(
+        r["k"] for r in back_p.select("k").distinct().collect()
+    ) == [0, 1, 2]
+    assert back_p.count() == 5_000
+
+
 def test_text_quality_projections_run_on_streams(spark, tmp_path):
     """The textstats/C4 blocks are stateless projections, so the SAME
     code path runs on a readStream frame — corpus quality filtering
