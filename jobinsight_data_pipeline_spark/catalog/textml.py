@@ -4409,6 +4409,85 @@ r{i} AS (
 O_PAGERANK = _pagerank_oracle()
 
 
+def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (operators/components.k_core, k=4) over a
+    two-family formula graph built to exercise the peel CASCADE: a
+    sparse mod-499 family whose low-degree fringe unravels completely
+    over six rounds (dropping a node pushes neighbors below k), plus a
+    dense 12-node clique family that survives intact. The oracle
+    unrolls NINE peel rounds as CTEs — one more than the operator needs
+    — and derives ``converged`` independently (last two rounds' edge
+    counts equal), so the gate fails if the distributed loop stops
+    early, peels a wrong node, or reports a false fixpoint."""
+    from jobinsight_data_pipeline_spark.operators.components import k_core
+
+    t = load(spark, sf_dir, "documents")
+    d = t["documents"]
+    edges = (
+        d.select(
+            (F.col("doc_id") % 499).alias("src"),
+            ((F.col("doc_id") * 3 + 7) % 499).alias("dst"),
+        )
+        .unionAll(
+            d.select(
+                ((F.col("doc_id") * 5 + 3) % 499).alias("src"),
+                ((F.col("doc_id") * 17 + 11) % 499).alias("dst"),
+            )
+        )
+        .unionAll(
+            d.selectExpr(
+                "1000 + doc_id % 12 AS src",
+                "1000 + (doc_id div 12) % 12 AS dst",
+            )
+        )
+    )
+    stats: dict = {}
+    out = k_core(edges, 4, stats=stats)
+    return out.withColumn("converged", F.lit(bool(stats["converged"])))
+
+
+def _kcore_oracle(k: int = 4, rounds: int = 9) -> str:
+    head = """
+WITH raw AS (
+    SELECT doc_id % 499 AS x, (doc_id * 3 + 7) % 499 AS y FROM documents
+    UNION ALL
+    SELECT (doc_id * 5 + 3) % 499, (doc_id * 17 + 11) % 499 FROM documents
+    UNION ALL
+    SELECT 1000 + doc_id % 12, 1000 + (doc_id // 12) % 12 FROM documents
+),
+e0 AS MATERIALIZED (
+    SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+    FROM raw WHERE x <> y
+)"""
+    # each round reads the previous one MULTIPLE times (degree pass,
+    # two semi-joins, the convergence counts) — without MATERIALIZED
+    # the inlining doubles per round and the 2^rounds raw-scan copies
+    # exhaust the file-descriptor budget
+    steps = ""
+    for i in range(1, rounds + 1):
+        steps += f""",
+k{i} AS MATERIALIZED (
+    SELECT node FROM (
+        SELECT a AS node FROM e{i - 1} UNION ALL SELECT b FROM e{i - 1})
+    GROUP BY node HAVING count(*) >= {k}
+),
+e{i} AS MATERIALIZED (
+    SELECT e.a, e.b FROM e{i - 1} e
+    JOIN k{i} ka ON e.a = ka.node
+    JOIN k{i} kb ON e.b = kb.node
+)"""
+    return head + steps + f"""
+SELECT node, count(*) AS core_degree,
+       (SELECT count(*) FROM e{rounds})
+           = (SELECT count(*) FROM e{rounds - 1}) AS converged
+FROM (SELECT a AS node FROM e{rounds} UNION ALL SELECT b FROM e{rounds})
+GROUP BY node
+"""
+
+
+O_K_CORE = _kcore_oracle()
+
+
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts + exact-ppm clustering coefficient
     (operators/components.triangle_counts) over a deterministic
@@ -5516,6 +5595,7 @@ QUERIES = {
     "pagerank": q_pagerank,
     "triangle_count": q_triangle_count,
     "leakage_split": q_leakage_safe_split,
+    "k_core": q_k_core,
     "budget_select": q_budget_select,
     "date_clamp": q_date_clamp,
     "dataset_diff": q_dataset_diff,
@@ -5605,6 +5685,7 @@ ORACLES = {
     "pagerank": O_PAGERANK,
     "triangle_count": O_TRIANGLE_COUNT,
     "leakage_split": O_LEAKAGE_SAFE_SPLIT,
+    "k_core": O_K_CORE,
     "budget_select": O_BUDGET_SELECT,
     "date_clamp": O_DATE_CLAMP,
     "dataset_diff": O_DATASET_DIFF,

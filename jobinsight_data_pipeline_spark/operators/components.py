@@ -261,6 +261,90 @@ def pagerank_quantized(
     return r
 
 
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+    stats: dict | None = None,
+) -> DataFrame:
+    """The k-core of an undirected graph: the maximal subgraph where
+    every node keeps degree ≥ k — computed by the classic peel loop
+    (drop all nodes below k, recompute degrees, repeat to fixpoint).
+    Curation use: the dense core of a near-dup pair graph is template
+    structure (mirror farms, boilerplate families) that degree or
+    triangle thresholds alone misjudge, because coreness is a property
+    of the SUBGRAPH that survives peeling, not of the original degrees.
+
+    Scale shape: each round is one partial-aggregating degree groupBy
+    plus two semi-joins of the edge list against the (shrinking)
+    survivor set — no step materializes a neighborhood in one task, so
+    hub nodes stay distributed. Rounds are bounded by ``max_iter`` and
+    in practice by the graph's degeneracy ordering depth; lineage is
+    truncated per round with localCheckpoint exactly like
+    :func:`connected_components`, superseded generations freed.
+    Driver-side loop state is two scalars per round.
+
+    ``stats`` (optional dict, filled in place) records ``rounds`` and
+    per-round ``edge_counts`` — and whether the loop CONVERGED (reached
+    the fixpoint) rather than hit ``max_iter``; gates pin that flag.
+
+    Returns ``(node, core_degree)`` — the surviving nodes with their
+    degree INSIDE the k-core (≥ k by definition). Empty when no k-core
+    exists.
+    """
+    alive = (
+        edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
+        .where(F.col("x") != F.col("y"))
+        .select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    first = alive
+    if stats is not None:
+        stats["rounds"] = 0
+        stats["edge_counts"] = []
+        stats["converged"] = False
+    for _ in range(max_iter):
+        deg = (
+            alive.select(F.col("a").alias("node"))
+            .unionAll(alive.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+        keep = deg.where(F.col("degree") >= k).select("node")
+        new_alive = (
+            alive.join(keep.withColumnRenamed("node", "a"), "a", "semi")
+            .join(keep.withColumnRenamed("node", "b"), "b", "semi")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        n_new = new_alive.count()
+        n_prev = alive.count()
+        if stats is not None:
+            stats["rounds"] += 1
+            stats["edge_counts"].append(n_new)
+        # the peel only ever REMOVES edges (semi-joins against a
+        # survivor subset), so new ⊆ previous and count equality alone
+        # proves the fixpoint — no set-equality probe needed
+        done = n_new == n_prev
+        if alive is not first:
+            _free_local_checkpoint(alive)
+        alive = new_alive
+        if done:
+            if stats is not None:
+                stats["converged"] = True
+            break
+    out = (
+        alive.select(F.col("a").alias("node"))
+        .unionAll(alive.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+    )
+    return out
+
+
 def triangle_counts(
     edges: DataFrame, src: str = "src", dst: str = "dst"
 ) -> DataFrame:

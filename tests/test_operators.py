@@ -2292,6 +2292,80 @@ def test_leakage_safe_split_no_cross_pairs_and_append_stable(spark):
 
     _, splits2 = assign(rows + [(200, "a brand new appended document")])
     assert all(splits2[k] == v for k, v in splits.items())
+
+
+def test_k_core_known_answers(spark):
+    """K5 + bridge + path + cycle: at k=3 only the clique survives (the
+    cycle's degree-2 nodes peel; the bridge node's loss never
+    destabilizes the clique); at k=2 the cycle and bridge join it while
+    the path cascades to nothing from both ends."""
+    from jobinsight_data_pipeline_spark.operators.components import k_core
+
+    edges = (
+        [(a, b) for a in range(5) for b in range(a + 1, 5)]  # K5
+        + [(10, 11), (11, 12), (12, 13)]  # path: cascades away
+        + [(20, 21), (21, 22), (22, 23), (23, 24), (24, 20)]  # 5-cycle
+        + [(30, 0), (30, 1)]  # bridge node: degree 2
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+
+    st3: dict = {}
+    got3 = {
+        r["node"]: r["core_degree"]
+        for r in k_core(df, 3, stats=st3).collect()
+    }
+    assert got3 == {n: 4 for n in range(5)}
+    assert st3["converged"]
+
+    got2 = {r["node"]: r["core_degree"] for r in k_core(df, 2).collect()}
+    want2 = {n: 4 for n in range(5)}
+    want2.update({n: 2 for n in range(20, 25)})
+    want2[30] = 2
+    want2[0] = 5  # clique corner also holds the bridge edge
+    want2[1] = 5
+    assert got2 == want2
+
+    assert k_core(df, 9).count() == 0  # no 9-core anywhere
+
+
+def test_k_core_random_graph_matches_python(spark):
+    """Seeded random graph vs a sequential Python peel loop."""
+    import itertools
+    import random
+
+    from jobinsight_data_pipeline_spark.operators.components import k_core
+
+    rng = random.Random(7)
+    nodes = list(range(24))
+    edges = sorted(
+        {
+            (a, b)
+            for a, b in itertools.combinations(nodes, 2)
+            if rng.random() < 0.25
+        }
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for k in (2, 3, 4):
+        got = {
+            r["node"]: r["core_degree"] for r in k_core(df, k).collect()
+        }
+        adj = {u: set() for u in nodes}
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        changed = True
+        while changed:
+            drop = [u for u in adj if 0 < len(adj[u]) < k]
+            changed = bool(drop)
+            for u in drop:
+                for v in adj[u]:
+                    adj[v].discard(u)
+                adj[u] = set()
+        want = {u: len(vs) for u, vs in adj.items() if vs}
+        assert got == want, f"k={k}"
+
+
+def test_triangle_counts_known_answers(spark):
     """K4 + pendant + disjoint path + self-loop + reversed duplicate:
     every branch — full clustering (lcc 10⁶), partial (K4 corner with a
     pendant: 2·3·10⁶ div 4·3 = 500000), triangle-free degree-1 nodes,
