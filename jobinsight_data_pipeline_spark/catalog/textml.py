@@ -4946,6 +4946,40 @@ FROM documents
 """
 
 
+def q_snm_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking (operators/dedup.
+    sorted_neighborhood_pairs): every pair within 5 positions of the
+    (n_chars, doc_id) total order — KEY-LOCALITY candidate generation,
+    the entity-resolution complement to the content-collision blockers
+    (MinHash/SimHash/winnowing). The distributed plan composes two
+    already-gated pieces (histogram-CDF global rank + banded
+    rank-interval equi-join, no global sort, no theta join); the oracle
+    is the TEXTBOOK form — a row_number window self-joined on
+    ``a.rank < b.rank <= a.rank + w``."""
+    from jobinsight_data_pipeline_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    return sorted_neighborhood_pairs(
+        t["documents"].select("doc_id", "n_chars"),
+        "doc_id",
+        "n_chars",
+        window=5,
+    )
+
+
+O_SNM_BLOCKING = """
+WITH r AS (
+    SELECT doc_id, row_number() OVER (ORDER BY n_chars, doc_id) AS rank
+    FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       a.rank AS rank_a, b.rank AS rank_b
+FROM r a JOIN r b ON b.rank > a.rank AND b.rank <= a.rank + 5
+"""
+
+
 def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC interchange fidelity (Spark's other built-in columnar
     format — the Hive-ecosystem handoff): write the documents table as
@@ -5596,6 +5630,7 @@ QUERIES = {
     "triangle_count": q_triangle_count,
     "leakage_split": q_leakage_safe_split,
     "k_core": q_k_core,
+    "snm_blocking": q_snm_blocking,
     "budget_select": q_budget_select,
     "date_clamp": q_date_clamp,
     "dataset_diff": q_dataset_diff,
@@ -5686,6 +5721,7 @@ ORACLES = {
     "triangle_count": O_TRIANGLE_COUNT,
     "leakage_split": O_LEAKAGE_SAFE_SPLIT,
     "k_core": O_K_CORE,
+    "snm_blocking": O_SNM_BLOCKING,
     "budget_select": O_BUDGET_SELECT,
     "date_clamp": O_DATE_CLAMP,
     "dataset_diff": O_DATASET_DIFF,

@@ -932,3 +932,59 @@ def incremental_dedup(
     return out.withColumn("status", status).select(
         *batch.columns, "status"
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    window: int = 10,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo, SIGMOD 1995) —
+    the classic entity-resolution candidate generator: order the corpus
+    by a blocking key and emit every pair within ``window`` positions.
+    Complements the hash-bucket family (MinHash/SimHash/winnowing):
+    those block on CONTENT collisions, SNM blocks on KEY LOCALITY —
+    records whose keys sort adjacently (near-equal lengths, shared name
+    prefixes, close timestamps) become candidates even when no shingle
+    collides.
+
+    Scale shape — no global sort, no window over the corpus: the global
+    rank comes from the histogram-CDF machinery
+    (operators/sampling.quantile_bins, gated by `quality_deciles`), and
+    the "within window positions" predicate is a BANDED rank-interval
+    equi-join (operators/asof.interval_join, gated by
+    `interval_orders`) — each row's successor range [rank+1, rank+w]
+    joins on rank-bands, never a nested-loop theta join. Candidate
+    volume is exactly N·w minus the tail — linear in the corpus by
+    construction, the property that makes SNM attractive at scale.
+
+    ``key_col`` must be integral (the house rule quantile_bins
+    enforces; pack short string prefixes monotonically before calling).
+    Returns ``(id_a, id_b, rank_a, rank_b)`` with ``rank_a < rank_b <=
+    rank_a + window`` — ranks are the total order (key, id), useful for
+    debugging why a pair blocked together.
+    """
+    from jobinsight_data_pipeline_spark.operators.asof import interval_join
+    from jobinsight_data_pipeline_spark.operators.sampling import (
+        quantile_bins,
+    )
+
+    if window < 1:
+        raise ValueError("sorted_neighborhood_pairs: window must be >= 1")
+    ranked = quantile_bins(
+        df.select(id_col, key_col), key_col, [id_col], n_bins=1
+    ).select(F.col(id_col), F.col("rank"))
+    intervals = ranked.select(
+        F.col(id_col).alias("id_a"),
+        F.col("rank").alias("rank_a"),
+        (F.col("rank") + 1).alias("_snm_lo"),
+        (F.col("rank") + F.lit(int(window))).alias("_snm_hi"),
+    )
+    points = ranked.select(
+        F.col(id_col).alias("id_b"), F.col("rank").alias("rank_b")
+    )
+    return interval_join(
+        points, intervals, "rank_b", "_snm_lo", "_snm_hi",
+        band_width=int(window),
+    ).select("id_a", "id_b", "rank_a", "rank_b")

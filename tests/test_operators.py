@@ -2294,6 +2294,31 @@ def test_leakage_safe_split_no_cross_pairs_and_append_stable(spark):
     assert all(splits2[k] == v for k, v in splits.items())
 
 
+def test_sorted_neighborhood_pairs_known_answers(spark):
+    """Total order is (key, id) — duplicate keys tie-break by id; the
+    window counts POSITIONS, not key distance; tail rows emit fewer
+    successors; window=1 yields exactly the adjacency chain."""
+    from jobinsight_data_pipeline_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    rows = [(1, 50), (2, 10), (3, 10), (4, 99), (5, 11)]
+    df = spark.createDataFrame(rows, "id long, k long")
+    # order: (10,2) (10,3) (11,5) (50,1) (99,4) → ranks 1..5
+    got = sorted(
+        (r["id_a"], r["id_b"])
+        for r in sorted_neighborhood_pairs(df, "id", "k", window=2).collect()
+    )
+    assert got == sorted(
+        [(2, 3), (2, 5), (3, 5), (3, 1), (5, 1), (5, 4), (1, 4)]
+    )
+    adj = sorted(
+        (r["rank_a"], r["rank_b"])
+        for r in sorted_neighborhood_pairs(df, "id", "k", window=1).collect()
+    )
+    assert adj == [(1, 2), (2, 3), (3, 4), (4, 5)]
+
+
 def test_k_core_known_answers(spark):
     """K5 + bridge + path + cycle: at k=3 only the clique survives (the
     cycle's degree-2 nodes peel; the bridge node's loss never

@@ -137,6 +137,7 @@ def test_no_accidental_cartesian_or_nested_loop(spark):
     allowed_nested = {
         "sketch_overlap",
         "quality_deciles",
+        "snm_blocking",  # quantile_bins' 1-row stats crossJoin
         "langid_curation",
         "unigram_lm",
         "bigram_lm",
