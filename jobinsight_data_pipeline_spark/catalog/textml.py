@@ -4946,6 +4946,66 @@ FROM documents
 """
 
 
+_DRIFT_PLANT = (
+    "driftterm driftterm boilerplate boilerplate boilerplate"
+)
+
+
+def q_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-frequency drift audit (operators/profiling.token_drift)
+    between two corpus snapshots: even docs are version A, odd docs are
+    version B with a planted boilerplate regression on every tenth doc
+    — the drifted tokens must surface at the top of the report. Exact
+    integer ppm arithmetic end to end (no floats, no logs), explicit
+    |delta| desc + token asc tie-break on the cut, so the whole top-40
+    value-hashes."""
+    from jobinsight_data_pipeline_spark.operators.profiling import (
+        token_drift,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    d = t["documents"]
+    a = d.filter("doc_id % 2 = 0").select("text")
+    b = d.filter("doc_id % 2 = 1").selectExpr(
+        f"CASE WHEN doc_id % 10 = 1 THEN '{_DRIFT_PLANT}'"
+        " ELSE text END AS text"
+    )
+    return token_drift(a, b, "text", top_k=40)
+
+
+O_TOKEN_DRIFT = f"""
+WITH a_tok AS (
+    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+    FROM documents WHERE doc_id % 2 = 0
+),
+b_tok AS (
+    SELECT unnest(regexp_split_to_array(trim(
+        CASE WHEN doc_id % 10 = 1 THEN '{_DRIFT_PLANT}' ELSE text END
+    ), '\\s+')) AS token
+    FROM documents WHERE doc_id % 2 = 1
+),
+ca AS (SELECT token, count(*) AS cnt_a FROM a_tok
+       WHERE token <> '' GROUP BY token),
+cb AS (SELECT token, count(*) AS cnt_b FROM b_tok
+       WHERE token <> '' GROUP BY token),
+j AS (
+    SELECT coalesce(ca.token, cb.token) AS token,
+           CAST(coalesce(cnt_a, 0) AS BIGINT) AS cnt_a,
+           CAST(coalesce(cnt_b, 0) AS BIGINT) AS cnt_b
+    FROM ca FULL JOIN cb ON ca.token = cb.token
+),
+t AS (SELECT sum(cnt_a) AS tot_a, sum(cnt_b) AS tot_b FROM j)
+SELECT token, cnt_a, cnt_b,
+       CAST(cnt_a * 1000000 // tot_a AS BIGINT) AS ppm_a,
+       CAST(cnt_b * 1000000 // tot_b AS BIGINT) AS ppm_b,
+       CAST(cnt_a * 1000000 // tot_a
+            - cnt_b * 1000000 // tot_b AS BIGINT) AS delta_ppm
+FROM j, t
+ORDER BY abs(delta_ppm) DESC, token ASC
+LIMIT 40
+"""
+
+
 def q_snm_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sorted-neighborhood blocking (operators/dedup.
     sorted_neighborhood_pairs): every pair within 5 positions of the
@@ -5631,6 +5691,7 @@ QUERIES = {
     "leakage_split": q_leakage_safe_split,
     "k_core": q_k_core,
     "snm_blocking": q_snm_blocking,
+    "token_drift": q_token_drift,
     "budget_select": q_budget_select,
     "date_clamp": q_date_clamp,
     "dataset_diff": q_dataset_diff,
@@ -5722,6 +5783,7 @@ ORACLES = {
     "leakage_split": O_LEAKAGE_SAFE_SPLIT,
     "k_core": O_K_CORE,
     "snm_blocking": O_SNM_BLOCKING,
+    "token_drift": O_TOKEN_DRIFT,
     "budget_select": O_BUDGET_SELECT,
     "date_clamp": O_DATE_CLAMP,
     "dataset_diff": O_DATASET_DIFF,

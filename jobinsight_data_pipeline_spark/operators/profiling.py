@@ -104,3 +104,70 @@ def dataset_card(
         F.col("_src").alias(source_col),
         "n_docs", "sum_tokens", "sum_chars", "n_dup_docs", "lang_mix",
     )
+
+
+def token_drift(
+    corpus_a: DataFrame,
+    corpus_b: DataFrame,
+    text_col: str = "text",
+    top_k: int = 50,
+) -> DataFrame:
+    """Token-frequency drift between two corpus snapshots — the
+    release-audit twin of :func:`dataset_card`: which tokens' relative
+    frequency moved most between version A and version B? Catches the
+    regressions a row-count diff cannot (a scraper that started
+    emitting boilerplate, a filter that silently dropped one domain, a
+    tokenizer change upstream) before a training run does.
+
+    Exact integer arithmetic end to end: per-corpus token counts, ppm
+    relative frequencies (``cnt * 10^6 div total`` — non-negative, so
+    truncating div is engine-portable), and the drift is the ppm delta.
+    No floats, no log — the whole report value-hashes.
+
+    Scale shape: one explode + partial-agg groupBy per corpus, a full
+    outer join on token (hash-partitioned), a 1-row totals aggregate
+    broadcast back (bytes, not data), and a top-k cut with an explicit
+    tie-break (|delta| desc, token asc) — TakeOrderedAndProject, never
+    a global sort.
+
+    Returns ``(token, cnt_a, cnt_b, ppm_a, ppm_b, delta_ppm)``,
+    ``top_k`` rows.
+    """
+    from pyspark.sql.functions import broadcast
+
+    from jobinsight_data_pipeline_spark.operators.textstats import tokens
+
+    def counts(df: DataFrame, side: str) -> DataFrame:
+        return (
+            df.select(F.explode(tokens(text_col)).alias("token"))
+            .where(F.col("token") != "")
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias(f"cnt_{side}"))
+        )
+
+    joined = (
+        counts(corpus_a, "a")
+        .join(counts(corpus_b, "b"), "token", "full")
+        .select(
+            "token",
+            F.coalesce("cnt_a", F.lit(0)).cast("long").alias("cnt_a"),
+            F.coalesce("cnt_b", F.lit(0)).cast("long").alias("cnt_b"),
+        )
+    )
+    totals = joined.agg(
+        F.sum("cnt_a").alias("_tot_a"), F.sum("cnt_b").alias("_tot_b")
+    )
+    scored = joined.crossJoin(broadcast(totals)).select(
+        "token",
+        "cnt_a",
+        "cnt_b",
+        F.expr("cnt_a * 1000000 div _tot_a").alias("ppm_a"),
+        F.expr("cnt_b * 1000000 div _tot_b").alias("ppm_b"),
+        (
+            F.expr("cnt_a * 1000000 div _tot_a")
+            - F.expr("cnt_b * 1000000 div _tot_b")
+        ).alias("delta_ppm"),
+    )
+    return scored.orderBy(
+        F.abs(F.col("delta_ppm")).desc(), F.col("token").asc()
+    ).limit(int(top_k))

@@ -46,7 +46,12 @@ def probes(spark, sf_dir):
     from jobinsight_data_pipeline_spark.operators.packing import shuffle_shard
     from jobinsight_data_pipeline_spark.operators.sampling import mixture_sample
     from jobinsight_data_pipeline_spark.operators.components import (
+        k_core as _k_core,
         pagerank_quantized as _pagerank,
+        triangle_counts as _triangle_counts,
+    )
+    from jobinsight_data_pipeline_spark.operators.dedup import (
+        sorted_neighborhood_pairs as _snm_pairs,
     )
     from jobinsight_data_pipeline_spark.operators.similarity import (
         ivf_pq_topk as _ivf_pq_topk,
@@ -186,6 +191,36 @@ def probes(spark, sf_dir):
         ),
         "quantile_bins (hist-CDF rank)": lambda: _quantile_bins(
             docs.selectExpr("doc_id", "n_chars"), "n_chars", ["doc_id"]
+        ),
+        # degree-oriented triangles on a 10k-node formula graph (the
+        # bench graph): edge volume follows the doc count, wedge work
+        # is bounded by oriented out-degrees
+        "triangle_count (oriented)": lambda: _triangle_counts(
+            docs.selectExpr(
+                "doc_id % 10007 AS src", "(doc_id * 31 + 17) % 10007 AS dst"
+            ).unionAll(
+                docs.selectExpr(
+                    "(doc_id * 7 + 3) % 10007 AS src",
+                    "(doc_id * 13 + 5) % 10007 AS dst",
+                )
+            )
+        ),
+        # peel loop over the same 10k-node graph at k=3 — rounds are
+        # the degeneracy depth, each a degree agg + two semi-joins
+        "k_core (peel loop, k=3)": lambda: _k_core(
+            docs.selectExpr(
+                "doc_id % 10007 AS src", "(doc_id * 31 + 17) % 10007 AS dst"
+            ).unionAll(
+                docs.selectExpr(
+                    "(doc_id * 7 + 3) % 10007 AS src",
+                    "(doc_id * 13 + 5) % 10007 AS dst",
+                )
+            ),
+            3,
+        ),
+        # rank + banded interval join; candidate volume is exactly N*w
+        "snm_blocking (w=5)": lambda: _snm_pairs(
+            docs.select("doc_id", "n_chars"), "doc_id", "n_chars", window=5
         ),
     }
 

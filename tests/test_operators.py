@@ -2294,6 +2294,33 @@ def test_leakage_safe_split_no_cross_pairs_and_append_stable(spark):
     assert all(splits2[k] == v for k, v in splits.items())
 
 
+def test_token_drift_known_answers(spark):
+    """Hand-computed ppm drift: tokens missing on one side count 0,
+    ppm uses each side's OWN total, ranking is |delta| desc then token
+    asc, and top_k cuts after ranking."""
+    from jobinsight_data_pipeline_spark.operators.profiling import (
+        token_drift,
+    )
+
+    a = spark.createDataFrame(
+        [("x x y",), ("x z",)], "text string"
+    )  # totals: x=3, y=1, z=1 of 5
+    b = spark.createDataFrame(
+        [("x y y y",)], "text string"
+    )  # totals: x=1, y=3 of 4
+    got = [
+        (r["token"], r["cnt_a"], r["cnt_b"], r["ppm_a"], r["ppm_b"],
+         r["delta_ppm"])
+        for r in token_drift(a, b, "text", top_k=2).collect()
+    ]
+    # x: 600000 - 250000 = +350000; y: 200000 - 750000 = -550000;
+    # z: 200000 - 0 = +200000 (cut by top_k=2)
+    assert got == [
+        ("y", 1, 3, 200_000, 750_000, -550_000),
+        ("x", 3, 1, 600_000, 250_000, 350_000),
+    ]
+
+
 def test_sorted_neighborhood_pairs_known_answers(spark):
     """Total order is (key, id) — duplicate keys tie-break by id; the
     window counts POSITIONS, not key distance; tail rows emit fewer

@@ -138,6 +138,7 @@ def test_no_accidental_cartesian_or_nested_loop(spark):
         "sketch_overlap",
         "quality_deciles",
         "snm_blocking",  # quantile_bins' 1-row stats crossJoin
+        "token_drift",  # 1-row totals aggregate broadcast back
         "langid_curation",
         "unigram_lm",
         "bigram_lm",
