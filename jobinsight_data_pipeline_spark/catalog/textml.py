@@ -1871,6 +1871,127 @@ FROM b GROUP BY 1
 """
 
 
+def q_graph_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed graph-analytics flagship over the near-dup pair graph —
+    the template/mirror-structure report a curation pipeline reads
+    before choosing survivor rules: exact Jaccard pairs feed ALL THREE
+    graph operators (connected components, degree-oriented triangles,
+    2-core peel) and every component comes back with its size, triangle
+    volume, peak clustering coefficient, and dense-core membership
+    under ONE hash. A chain-shaped cluster (organic overlap: lcc 0,
+    empty core) and a clique-shaped one (template farm: lcc 10⁶, all
+    nodes in core) separate on sight. The oracle recomputes everything
+    independently: recursive-CTE closure, textbook three-way triangle
+    join, six unrolled peel rounds."""
+    from jobinsight_data_pipeline_spark.operators.components import (
+        connected_components,
+        k_core,
+        triangle_counts,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    # checkpoint the (tiny — hundreds of rows) pair frame once so the
+    # three graph operators don't each re-run the jaccard join; the
+    # returned plan reads it lazily, so the blocks stay pinned — at this
+    # frame size that is bytes, not a leak class
+    pairs = ngram_jaccard_pairs(
+        t["documents"], "doc_id", "text", n=3, threshold=0.5
+    ).localCheckpoint(eager=True)
+    labels = connected_components(pairs, "doc_a", "doc_b")
+    tri = triangle_counts(pairs, "doc_a", "doc_b")
+    core = (
+        k_core(pairs, 2, src="doc_a", dst="doc_b")
+        .select("node")
+        .withColumn("_in_core", F.lit(1))
+    )
+    per_node = labels.join(tri, "node").join(core, "node", "left")
+    return per_node.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("triangles") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_tri_nodes"),
+        F.sum("triangles").alias("sum_triangles"),
+        F.max("lcc_ppm").alias("max_lcc_ppm"),
+        F.sum(F.coalesce("_in_core", F.lit(0))).cast("long").alias("n_core2"),
+    )
+
+
+def _graph_curation_oracle(peel_rounds: int = 6) -> str:
+    peel = ""
+    for i in range(1, peel_rounds + 1):
+        peel += f""",
+k{i} AS MATERIALIZED (
+    SELECT node FROM (
+        SELECT a AS node FROM e{i - 1} UNION ALL SELECT b FROM e{i - 1})
+    GROUP BY node HAVING count(*) >= 2
+),
+e{i} AS MATERIALIZED (
+    SELECT e.a, e.b FROM e{i - 1} e
+    JOIN k{i} ka ON e.a = ka.node
+    JOIN k{i} kb ON e.b = kb.node
+)"""
+    return f"""
+WITH RECURSIVE pairs AS MATERIALIZED ({O_NGRAM_JACCARD}),
+sym AS (
+    SELECT doc_a AS u, doc_b AS v FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+),
+reach(node, r) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+    UNION
+    SELECT w.node, s.v FROM reach w JOIN sym s ON s.u = w.r
+),
+lbl AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+e0 AS MATERIALIZED (
+    SELECT DISTINCT least(doc_a, doc_b) AS a, greatest(doc_a, doc_b) AS b
+    FROM pairs WHERE doc_a <> doc_b
+),
+deg AS (
+    SELECT node, count(*) AS degree
+    FROM (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)
+    GROUP BY node
+),
+tri AS (
+    SELECT e1.a AS x, e1.b AS y, e2.b AS z
+    FROM e0 e1
+    JOIN e0 e2 ON e2.a = e1.b
+    JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+cnt AS (
+    SELECT node, count(*) AS triangles
+    FROM (SELECT x AS node FROM tri
+          UNION ALL SELECT y FROM tri
+          UNION ALL SELECT z FROM tri)
+    GROUP BY node
+){peel},
+core AS (
+    SELECT DISTINCT node
+    FROM (SELECT a AS node FROM e{peel_rounds}
+          UNION ALL SELECT b FROM e{peel_rounds})
+)
+SELECT l.component,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN coalesce(c.triangles, 0) > 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_tri_nodes,
+       CAST(sum(coalesce(c.triangles, 0)) AS BIGINT) AS sum_triangles,
+       CAST(max(CASE WHEN d.degree >= 2
+            THEN (2 * coalesce(c.triangles, 0) * 1000000)
+                 // (d.degree * (d.degree - 1))
+            ELSE 0 END) AS BIGINT) AS max_lcc_ppm,
+       CAST(sum(CASE WHEN k.node IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_core2
+FROM lbl l
+JOIN deg d ON d.node = l.node
+LEFT JOIN cnt c ON c.node = l.node
+LEFT JOIN core k ON k.node = l.node
+GROUP BY l.component
+"""
+
+
+O_GRAPH_CURATION = _graph_curation_oracle()
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic dedup under a FULL exact oracle: cluster
     assignment (argmax cosine against a seeded literal centroid matrix,
@@ -5692,6 +5813,7 @@ QUERIES = {
     "k_core": q_k_core,
     "snm_blocking": q_snm_blocking,
     "token_drift": q_token_drift,
+    "graph_curation": q_graph_curation,
     "budget_select": q_budget_select,
     "date_clamp": q_date_clamp,
     "dataset_diff": q_dataset_diff,
@@ -5784,6 +5906,7 @@ ORACLES = {
     "k_core": O_K_CORE,
     "snm_blocking": O_SNM_BLOCKING,
     "token_drift": O_TOKEN_DRIFT,
+    "graph_curation": O_GRAPH_CURATION,
     "budget_select": O_BUDGET_SELECT,
     "date_clamp": O_DATE_CLAMP,
     "dataset_diff": O_DATASET_DIFF,
