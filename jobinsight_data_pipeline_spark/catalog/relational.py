@@ -1200,6 +1200,110 @@ GROUP BY p_type
 """
 
 
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel over the event stream
+    (operators/behavior.funnel_counts): view → click → purchase with a
+    72-hour conversion window, greedy-from-first-occurrence matching on
+    the deterministic (ts, event_id) order key. All shuffles key on
+    user_id (exchange reuse); per-step counts are 1-row aggregates."""
+    from jobinsight_data_pipeline_spark.operators.behavior import (
+        funnel_counts,
+    )
+
+    t = load(spark, sf_dir, "events")
+    return funnel_counts(
+        t["events"], ["view", "click", "purchase"], within_hours=72
+    )
+
+
+O_FUNNEL_STEPS = """
+WITH ev AS (
+    SELECT user_id, event_type,
+           lpad(CAST(date_diff('microseconds',
+                               TIMESTAMP '1970-01-01 00:00:00', ts)
+                     AS VARCHAR), 20, '0')
+             || ':' || lpad(CAST(event_id AS VARCHAR), 20, '0') AS okey
+    FROM events
+    WHERE event_type IN ('view', 'click', 'purchase')
+),
+r1 AS (
+    SELECT user_id, min(okey) AS at, min(okey) AS anchor
+    FROM ev WHERE event_type = 'view' GROUP BY user_id
+),
+r2 AS (
+    SELECT e.user_id, r.anchor, min(e.okey) AS at
+    FROM ev e JOIN r1 r ON e.user_id = r.user_id
+    WHERE e.event_type = 'click' AND e.okey > r.at
+      AND CAST(substring(e.okey, 1, 20) AS BIGINT)
+          - CAST(substring(r.anchor, 1, 20) AS BIGINT) <= 259200000000
+    GROUP BY e.user_id, r.anchor
+),
+r3 AS (
+    SELECT e.user_id, r.anchor, min(e.okey) AS at
+    FROM ev e JOIN r2 r ON e.user_id = r.user_id
+    WHERE e.event_type = 'purchase' AND e.okey > r.at
+      AND CAST(substring(e.okey, 1, 20) AS BIGINT)
+          - CAST(substring(r.anchor, 1, 20) AS BIGINT) <= 259200000000
+    GROUP BY e.user_id, r.anchor
+),
+counts AS (
+    SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+           count(*) AS n_users FROM r1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'click', count(*) FROM r2
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), 'purchase', count(*) FROM r3
+)
+SELECT step, event_type, n_users,
+       CAST((n_users * 1000000)
+            // nullif(max(CASE WHEN step = 1 THEN n_users END) OVER (), 0)
+            AS BIGINT) AS conv_ppm,
+       CAST((n_users * 1000000)
+            // nullif(lag(n_users) OVER (ORDER BY step), 0)
+            AS BIGINT) AS step_ppm
+FROM counts
+"""
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly acquisition-cohort retention triangle
+    (operators/behavior.cohort_retention): users cohorted by the Monday
+    of their first event's ISO week; per (cohort, weeks-since) cell the
+    distinct-active count and exact integer ppm of the cohort (derived
+    from the k=0 diagonal — no extra cohort-size join)."""
+    from jobinsight_data_pipeline_spark.operators.behavior import (
+        cohort_retention,
+    )
+
+    t = load(spark, sf_dir, "events")
+    return cohort_retention(t["events"])
+
+
+O_COHORT_RETENTION = """
+WITH first AS (
+    SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+    FROM events GROUP BY user_id
+),
+active AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+    FROM events
+),
+cells AS (
+    SELECT f.cohort_week,
+           CAST((a.week - f.cohort_week) // 7 AS BIGINT) AS period_weeks,
+           count(*) AS n_active
+    FROM active a JOIN first f USING (user_id)
+    GROUP BY 1, 2
+)
+SELECT cohort_week, period_weeks, n_active,
+       CAST((n_active * 1000000)
+            // nullif(max(CASE WHEN period_weeks = 0 THEN n_active END)
+                      OVER (PARTITION BY cohort_week), 0)
+            AS BIGINT) AS retention_ppm
+FROM cells
+"""
+
+
 def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F17/F18 JSON surface on a raw column: parse the events `props`
     JSON with the native from_json path (schema'd, codegen'd — never a
@@ -1248,6 +1352,8 @@ QUERIES = {
     "local_supplier_volume": q_local_supplier_volume,
     "promo_type_revenue": q_promo_type_revenue,
     "json_props": q_json_props,
+    "funnel_steps": q_funnel_steps,
+    "cohort_retention": q_cohort_retention,
     "asof_discount": q_asof_discount,
     "interval_orders": q_interval_orders,
     "sketch_overlap": q_sketch_overlap,
@@ -1281,6 +1387,8 @@ ORACLES = {
     "local_supplier_volume": O_LOCAL_SUPPLIER_VOLUME,
     "promo_type_revenue": O_PROMO_TYPE_REVENUE,
     "json_props": O_JSON_PROPS,
+    "funnel_steps": O_FUNNEL_STEPS,
+    "cohort_retention": O_COHORT_RETENTION,
     "asof_discount": O_ASOF_DISCOUNT,
     "interval_orders": O_INTERVAL_ORDERS,
     "sketch_overlap": O_SKETCH_OVERLAP,

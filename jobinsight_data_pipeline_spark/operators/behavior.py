@@ -1,0 +1,229 @@
+"""Behavioral event analytics: ordered funnels and cohort retention.
+
+Completes the events-table family (windowed counts, sessionization,
+percentiles, pivots) with the two classic product-analytics operators a
+warehouse serves on top of a clickstream:
+
+* ``funnel_counts`` — how many users progress through an ordered
+  sequence of event types (view → click → purchase), with per-step
+  conversion rates.
+* ``cohort_retention`` — the acquisition-cohort × periods-since
+  retention triangle (of the users whose first event fell in week W,
+  how many were active k weeks later?).
+
+Both are pure DataFrame compositions (joins + partial-agg group-bys) —
+no windows over the full event stream, no UDFs, no collect. At 100 TB
+the per-user reduction happens FIRST (a partial-aggregating groupBy on
+the user key), so every subsequent join moves one row per user, not one
+row per event, and all shuffles share the user-id key so the exchange
+is reused across funnel steps.
+
+Determinism/portability: step ordering uses a zero-padded
+``(epoch_micros, event_id)`` string key — lexicographic order equals
+tuple order, ``min`` of it is the greedy earliest event, and both
+engines (Spark / DuckDB oracle) agree bit-for-bit. Timestamps never
+reach an output projection (CLAUDE.md fractional-second invariant);
+cohorts are emitted as DATE (Monday of the ISO week — both engines'
+``date_trunc('week', …)`` is Monday-based).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_EPOCH = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+
+
+def _order_key(ts_col: str, tiebreak_col: str) -> F.Column:
+    """Zero-padded ``micros:tiebreak`` string whose lexicographic order
+    is the (ts, tiebreak) tuple order. Requires non-negative epochs and
+    tiebreaks (true of event logs; pre-1970 event streams would need a
+    shifted epoch)."""
+    micros = F.expr(
+        f"timestampdiff(MICROSECOND, {_EPOCH}, {ts_col})"
+    ).cast("string")
+    return F.concat(
+        F.lpad(micros, 20, "0"),
+        F.lit(":"),
+        F.lpad(F.col(tiebreak_col).cast("string"), 20, "0"),
+    )
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    within_hours: int | None = None,
+) -> DataFrame:
+    """Ordered-funnel analysis: users reaching each step of ``steps`` in
+    strict event order, greedy-from-first-occurrence semantics.
+
+    A user reaches step k if, starting from their EARLIEST step-1 event,
+    each subsequent step type occurs strictly later than the previously
+    matched event ((ts, tiebreak) tuple order — simultaneous timestamps
+    break on the tiebreak column, so the match is deterministic). With
+    ``within_hours``, later steps must also complete within that many
+    hours of the matched step-1 event (the conversion window).
+
+    Greedy matching is the standard funnel semantic (earliest candidate
+    per step): it is deterministic, engine-portable, and computable with
+    k-1 equi-joins instead of a per-user sequence scan. Note the window
+    constraint is evaluated against the GREEDY step-1 anchor — a user
+    whose first step-1 event times out does not re-anchor to a later
+    one (documented product-analytics behavior, kept for determinism).
+
+    Scale shape: the event stream is filtered to the step types once,
+    then each step is a partial-aggregating ``groupBy(user)`` (map-side
+    combine collapses to ≤1 row per user per step) joined to the ≤1-row
+    per-user frontier from the previous step — every shuffle keys on
+    ``id_col``, so AQE reuses the exchange; nothing is collected and no
+    global sort exists. The final per-step counts are k 1-row
+    aggregates unioned and ranked with a k-row window (driver-sized).
+
+    Returns one row per step: ``step`` (1-based BIGINT), ``event_type``,
+    ``n_users``, ``conv_ppm`` (vs step 1, integer parts-per-million,
+    NULL when step 1 is empty), ``step_ppm`` (vs previous step).
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    okey = _order_key(ts_col, tiebreak_col)
+    ev = events.where(F.col(type_col).isin(list(steps))).select(
+        F.col(id_col).alias("_uid"),
+        F.col(type_col).alias("_etype"),
+        okey.alias("_okey"),
+    )
+
+    # frontier: per user, the greedy match position after step k
+    frontier = (
+        ev.where(F.col("_etype") == steps[0])
+        .groupBy("_uid")
+        .agg(F.min("_okey").alias("_at"))
+        .withColumn("_anchor", F.col("_at"))
+    )
+    step_counts = [
+        frontier.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(1).cast("long").alias("step"),
+            F.lit(steps[0]).alias("event_type"),
+            "n_users",
+        )
+    ]
+    horizon_us = (
+        None if within_hours is None else int(within_hours) * 3_600_000_000
+    )
+    for i, name in enumerate(steps[1:], start=2):
+        nxt = ev.where(F.col("_etype") == name).join(frontier, "_uid")
+        nxt = nxt.where(F.col("_okey") > F.col("_at"))
+        if horizon_us is not None:
+            # the okey prefix IS the epoch-micros (zero-padded): compare
+            # numerically against the anchor's prefix
+            elapsed = F.substring("_okey", 1, 20).cast("long") - F.substring(
+                "_anchor", 1, 20
+            ).cast("long")
+            nxt = nxt.where(elapsed <= F.lit(horizon_us))
+        frontier = nxt.groupBy("_uid", "_anchor").agg(
+            F.min("_okey").alias("_at")
+        )
+        step_counts.append(
+            frontier.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(i).cast("long").alias("step"),
+                F.lit(name).alias("event_type"),
+                "n_users",
+            )
+        )
+
+    out = step_counts[0]
+    for fr in step_counts[1:]:
+        out = out.unionByName(fr)
+    # k-row frame: the single-partition window is driver-sized by
+    # construction (one row per funnel step), not a data-path sort
+    w_all = Window.orderBy("step").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_prev = Window.orderBy("step")
+    first_n = F.max(F.when(F.col("step") == 1, F.col("n_users"))).over(w_all)
+    prev_n = F.lag("n_users").over(w_prev)
+    return out.select(
+        "step",
+        "event_type",
+        "n_users",
+        (F.col("n_users") * F.lit(1_000_000)).cast("long").alias("_scaled"),
+        first_n.alias("_n1"),
+        prev_n.alias("_np"),
+    ).select(
+        "step",
+        "event_type",
+        "n_users",
+        F.expr("_scaled div nullif(_n1, 0)").alias("conv_ppm"),
+        F.expr("_scaled div nullif(_np, 0)").alias("step_ppm"),
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort-retention triangle: users are assigned to the ISO
+    week (Monday-truncated DATE) of their FIRST event; for every
+    (cohort_week, k weeks later) cell, count how many of that cohort
+    were active — the churn/stickiness report every product warehouse
+    serves.
+
+    Scale shape: two partial-aggregating group-bys on the user key (the
+    per-user first-event reduction and the distinct (user, week) active
+    set — both collapse map-side), one user-key equi-join between the
+    two reduced frames, then a (cohort, period) group-by whose
+    cardinality is weeks², not events. Cohort sizes re-derive from the
+    k=0 diagonal (a user is always active in their own first week), so
+    no extra join: ``retention_ppm`` is computed against the cohort's
+    own period-0 cell via a per-cohort window over the triangle (a
+    weeks²-row frame, not event data).
+
+    Returns ``cohort_week`` DATE, ``period_weeks`` BIGINT, ``n_active``
+    BIGINT, ``retention_ppm`` BIGINT (exact integer ppm of the cohort).
+    """
+    uid, ts = F.col(id_col), F.col(ts_col)
+    first = events.groupBy(uid.alias("_uid")).agg(
+        F.to_date(F.date_trunc("week", F.min(ts))).alias("cohort_week")
+    )
+    active = (
+        events.select(
+            uid.alias("_uid"),
+            F.to_date(F.date_trunc("week", ts)).alias("_week"),
+        )
+        .distinct()
+    )
+    cells = (
+        active.join(first, "_uid")
+        .select(
+            "cohort_week",
+            F.expr("datediff(_week, cohort_week) div 7").alias(
+                "period_weeks"
+            ),
+        )
+        .groupBy("cohort_week", "period_weeks")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    w = Window.partitionBy("cohort_week").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cohort_n = F.max(
+        F.when(F.col("period_weeks") == 0, F.col("n_active"))
+    ).over(w)
+    return cells.select(
+        "cohort_week",
+        "period_weeks",
+        "n_active",
+        F.col("n_active").alias("_na"),
+        cohort_n.alias("_cn"),
+    ).select(
+        "cohort_week",
+        "period_weeks",
+        "n_active",
+        F.expr("(_na * 1000000) div nullif(_cn, 0)").alias("retention_ppm"),
+    )

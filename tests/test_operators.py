@@ -2982,3 +2982,98 @@ def test_resample_ffill_known_answers(spark):
     # user 2 grid: 300 (exact hit)
     # user 3: first aligned point 200 > hi=140 -> empty
     assert out == [(1, 100, 30), (1, 200, 30), (2, 300, 70)]
+
+
+def test_funnel_counts_known_answers(spark):
+    from jobinsight_data_pipeline_spark.operators.behavior import funnel_counts
+
+    def ts(day, hour=0, minute=0):
+        return dt.datetime(2024, 1, day, hour, minute)
+
+    rows = [
+        # user 1: full ordered funnel inside the window
+        (1, ts(1), "view", 10), (1, ts(1, 1), "click", 11),
+        (1, ts(2), "purchase", 12),
+        # user 2: click BEFORE the first view only -> stalls at step 1
+        (2, ts(1), "click", 20), (2, ts(2), "view", 21),
+        # user 3: purchase outside the 72h window -> steps 1-2 only
+        (3, ts(1), "view", 30), (3, ts(1, 1), "click", 31),
+        (3, ts(9), "purchase", 32),
+        # user 4: never enters (no view)
+        (4, ts(1), "purchase", 40),
+        # user 5: view/click SIMULTANEOUS, click has the larger event_id
+        # -> strict (ts, event_id) order counts the click
+        (5, ts(1), "view", 50), (5, ts(1), "click", 51),
+        # user 6: simultaneous but click id LOWER -> click does NOT count
+        (6, ts(1), "click", 60), (6, ts(1), "view", 61),
+        # user 7: greedy anchor pins to the FIRST view; the click is
+        # within 72h of the SECOND view only -> documented miss
+        (7, ts(1), "view", 70), (7, ts(10), "view", 71),
+        (7, ts(10, 1), "click", 72),
+    ]
+    events = spark.createDataFrame(
+        rows, "user_id long, ts timestamp_ntz, event_type string, event_id long"
+    )
+    out = {
+        r["step"]: (r["event_type"], r["n_users"], r["conv_ppm"], r["step_ppm"])
+        for r in funnel_counts(
+            events, ["view", "click", "purchase"], within_hours=72
+        ).collect()
+    }
+    assert out == {
+        1: ("view", 6, 1_000_000, None),
+        2: ("click", 3, 500_000, 500_000),
+        3: ("purchase", 1, 166_666, 333_333),
+    }
+
+
+def test_funnel_counts_no_window(spark):
+    from jobinsight_data_pipeline_spark.operators.behavior import funnel_counts
+
+    def ts(day):
+        return dt.datetime(2024, 1, day)
+
+    events = spark.createDataFrame(
+        [
+            (1, ts(1), "a", 1), (1, ts(20), "b", 2),   # far apart: still counts
+            (2, ts(1), "b", 3),                         # b without prior a
+        ],
+        "user_id long, ts timestamp_ntz, event_type string, event_id long",
+    )
+    out = {
+        r["step"]: r["n_users"]
+        for r in funnel_counts(events, ["a", "b"]).collect()
+    }
+    assert out == {1: 1, 2: 1}
+
+
+def test_cohort_retention_known_answers(spark):
+    from jobinsight_data_pipeline_spark.operators.behavior import (
+        cohort_retention,
+    )
+
+    # 2024-01-01 and 2024-01-08 are Mondays
+    w1, w2, w3 = dt.datetime(2024, 1, 3), dt.datetime(2024, 1, 10), dt.datetime(2024, 1, 17)
+    events = spark.createDataFrame(
+        [
+            # user 1: cohort w1, active w1 + w2 (two events in w2: still 1)
+            (1, w1), (1, w2), (1, dt.datetime(2024, 1, 11)),
+            # user 2: cohort w1, active w1 only
+            (2, w1),
+            # user 3: cohort w2, active w2 + w3
+            (3, w2), (3, w3),
+        ],
+        "user_id long, ts timestamp_ntz",
+    )
+    out = {
+        (str(r["cohort_week"]), r["period_weeks"]): (
+            r["n_active"], r["retention_ppm"]
+        )
+        for r in cohort_retention(events).collect()
+    }
+    assert out == {
+        ("2024-01-01", 0): (2, 1_000_000),
+        ("2024-01-01", 1): (1, 500_000),
+        ("2024-01-08", 0): (1, 1_000_000),
+        ("2024-01-08", 1): (1, 1_000_000),
+    }
