@@ -5127,6 +5127,83 @@ LIMIT 40
 """
 
 
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters (operators/sketches.cms_build /
+    cms_estimate): sketch the corpus token stream at 4×512 (narrow on
+    purpose — real collision mass makes the bound non-trivial), then
+    audit the exact top-15 tokens against their sketch estimates. The
+    whole cell table and every estimate are deterministic integer
+    arithmetic over the md5 hash family, so the oracle replays it
+    bit-for-bit; ``is_upper`` (CMS never underestimates) is pinned
+    TRUE structurally."""
+    from jobinsight_data_pipeline_spark.operators.parallelism import (
+        widen_for_cpu,
+    )
+    from jobinsight_data_pipeline_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+    from jobinsight_data_pipeline_spark.operators.textstats import tokens
+
+    t = load(spark, sf_dir, "documents")
+    toks = (
+        widen_for_cpu(t["documents"].select("text"))
+        .select(F.explode(tokens("text")).alias("token"))
+        .where(F.col("token") != "")
+    )
+    cms = cms_build(toks, "token", depth=4, width=512)
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    top = exact.orderBy(F.desc("exact_cnt"), F.asc("token")).limit(15)
+    est = cms_estimate(cms, top, "token", depth=4, width=512)
+    return top.join(est, "token").select(
+        "token",
+        "exact_cnt",
+        "cms_cnt",
+        F.expr("((cms_cnt - exact_cnt) * 1000000) div exact_cnt").alias(
+            "over_ppm"
+        ),
+        (F.col("cms_cnt") >= F.col("exact_cnt")).alias("is_upper"),
+    )
+
+
+O_CMS_HEAVY_HITTERS = """
+WITH tok AS (
+    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+    FROM documents
+),
+tk AS (SELECT token FROM tok WHERE token <> ''),
+js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+cms AS (
+    SELECT j,
+           CAST(('0x' || substring(md5(CAST(j AS VARCHAR) || '::' || token),
+                                   1, 8)) AS BIGINT) % 512 AS bucket,
+           count(*) AS cnt
+    FROM tk, js
+    GROUP BY 1, 2
+),
+exact AS (
+    SELECT token, count(*) AS exact_cnt FROM tk GROUP BY token
+    ORDER BY exact_cnt DESC, token ASC LIMIT 15
+),
+probes AS (
+    SELECT token, j,
+           CAST(('0x' || substring(md5(CAST(j AS VARCHAR) || '::' || token),
+                                   1, 8)) AS BIGINT) % 512 AS bucket
+    FROM exact, js
+),
+est AS (
+    SELECT p.token, min(c.cnt) AS cms_cnt
+    FROM probes p JOIN cms c ON c.j = p.j AND c.bucket = p.bucket
+    GROUP BY p.token
+)
+SELECT token, exact_cnt, cms_cnt,
+       CAST(((cms_cnt - exact_cnt) * 1000000) // exact_cnt AS BIGINT)
+           AS over_ppm,
+       cms_cnt >= exact_cnt AS is_upper
+FROM exact JOIN est USING (token)
+"""
+
+
 def q_snm_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sorted-neighborhood blocking (operators/dedup.
     sorted_neighborhood_pairs): every pair within 5 positions of the
@@ -5813,6 +5890,7 @@ QUERIES = {
     "k_core": q_k_core,
     "snm_blocking": q_snm_blocking,
     "token_drift": q_token_drift,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
     "graph_curation": q_graph_curation,
     "budget_select": q_budget_select,
     "date_clamp": q_date_clamp,
@@ -5906,6 +5984,7 @@ ORACLES = {
     "k_core": O_K_CORE,
     "snm_blocking": O_SNM_BLOCKING,
     "token_drift": O_TOKEN_DRIFT,
+    "cms_heavy_hitters": O_CMS_HEAVY_HITTERS,
     "graph_curation": O_GRAPH_CURATION,
     "budget_select": O_BUDGET_SELECT,
     "date_clamp": O_DATE_CLAMP,

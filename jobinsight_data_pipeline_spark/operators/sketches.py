@@ -60,3 +60,84 @@ def theta_overlap(
         "CAST(theta_sketch_estimate(theta_difference(_sa, _sb))"
         " AS BIGINT) AS est_diff",
     )
+
+
+#: cms_estimate broadcasts the sketch table — depth*width rows; keep the
+#: product inside comfortable broadcast range
+CMS_MAX_CELLS = 4_000_000
+
+
+def _cms_bucket(j: F.Column, key: F.Column, width: int, salt: str) -> F.Column:
+    """Row-``j`` bucket for ``key``: first 8 md5-hex chars of
+    ``j:salt:key`` as an integer mod ``width`` — the engine-portable
+    hash family (the ``hash_bucket`` idiom; a DuckDB oracle reproduces
+    it bit-for-bit, and it is deterministic on any partitioning)."""
+    payload = F.concat_ws(":", j.cast("string"), F.lit(salt), key.cast("string"))
+    return F.conv(F.substring(F.md5(payload), 1, 8), 16, 10).cast(
+        "long"
+    ) % F.lit(int(width))
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    salt: str = "",
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) of a key STREAM:
+    a ``(row_idx, bucket, cnt)`` table of at most ``depth*width`` rows.
+
+    The 100-TB story mirrors the theta sketch above, but for FREQUENCY
+    instead of cardinality: the input keys are never shuffled — each
+    occurrence fans out to its ``depth`` (row, bucket) cells and the
+    groupBy partial-aggregates map-side, so every task emits at most
+    ``depth*width`` rows regardless of input size, and sketches of
+    shards/days MERGE by adding cells (the same groupBy-sum). Point
+    estimates (``cms_estimate``) are upper bounds: never below the true
+    count, above it only by hash-collision mass (ε ≈ e/width of the
+    stream, δ ≈ e^-depth). Exact top-k (`textstats.top_ngrams`) keeps
+    per-key truth; the sketch answers the same question in fixed space
+    when the key universe itself doesn't fit."""
+    if depth * width > CMS_MAX_CELLS:
+        raise ValueError(f"sketch too large to broadcast: {depth}x{width}")
+    ev = df.select(
+        F.explode(F.array(*[F.lit(j) for j in range(depth)])).alias("_j"),
+        F.col(key_col).alias("_k"),
+    )
+    return (
+        ev.groupBy(
+            F.col("_j").alias("row_idx"),
+            _cms_bucket(F.col("_j"), F.col("_k"), width, salt).alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    cms: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    salt: str = "",
+) -> DataFrame:
+    """Point-estimate ``key_col`` of ``keys`` against a ``cms_build``
+    sketch (built with the SAME depth/width/salt): min over the key's
+    ``depth`` cells, absent cells counting 0. The sketch side is a
+    ≤ depth×width-row broadcast — the probe is one equi-join, so a
+    billion-key probe frame stays distributed."""
+    probes = keys.select(F.col(key_col)).distinct()
+    ev = probes.select(
+        key_col,
+        F.explode(F.array(*[F.lit(j) for j in range(depth)])).alias("_j"),
+    ).select(
+        key_col,
+        F.col("_j").alias("row_idx"),
+        _cms_bucket(F.col("_j"), F.col(key_col), width, salt).alias("bucket"),
+    )
+    return (
+        ev.join(broadcast(cms), ["row_idx", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_cnt"))
+    )

@@ -3077,3 +3077,60 @@ def test_cohort_retention_known_answers(spark):
         ("2024-01-08", 0): (1, 1_000_000),
         ("2024-01-08", 1): (1, 1_000_000),
     }
+
+
+def test_cms_upper_bound_and_merge(spark):
+    from jobinsight_data_pipeline_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    rows = [(w,) for w in "a b a c a b d e f a b c".split()]
+    df = spark.createDataFrame(rows, "k string")
+    exact = {r["k"]: r["n"] for r in df.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+
+    # narrow sketch: estimates never BELOW truth
+    cms = cms_build(df, "k", depth=3, width=4)
+    est = {
+        r["k"]: r["cms_cnt"]
+        for r in cms_estimate(cms, df, "k", depth=3, width=4).collect()
+    }
+    assert set(est) == set(exact)
+    assert all(est[k] >= exact[k] for k in exact)
+
+    # wide sketch: no collisions possible to matter -> exact
+    wide = cms_build(df, "k", depth=4, width=4096)
+    est_w = {
+        r["k"]: r["cms_cnt"]
+        for r in cms_estimate(wide, df, "k", depth=4, width=4096).collect()
+    }
+    assert est_w == exact
+
+    # mergeability: sketch(A) + sketch(B) cell-wise == sketch(A union B)
+    words = "a b a c a b d e f a b c".split()
+    a = spark.createDataFrame([(w,) for w in words[:5]], "k string")
+    b = spark.createDataFrame([(w,) for w in words[5:]], "k string")
+    sa, sb = cms_build(a, "k", 3, 64), cms_build(b, "k", 3, 64)
+    merged = (
+        sa.unionByName(sb)
+        .groupBy("row_idx", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = cms_build(df, "k", 3, 64)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_cms_absent_key_estimates_zero_or_collision(spark):
+    from jobinsight_data_pipeline_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    df = spark.createDataFrame([("x",), ("y",)], "k string")
+    cms = cms_build(df, "k", depth=4, width=4096)
+    probe = spark.createDataFrame([("zzz-not-present",)], "k string")
+    [row] = cms_estimate(cms, probe, "k", depth=4, width=4096).collect()
+    assert row["cms_cnt"] == 0
