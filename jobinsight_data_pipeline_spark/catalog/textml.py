@@ -2515,6 +2515,93 @@ def q_bm25_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HYBRID_QUERY_ID = 7
+
+
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (operators/ranking.
+    rrf_fuse): the BM25 lexical top-15 (the driver-proven scan route)
+    fused with the exact-cosine semantic top-15 for companion-row query
+    7 (documents and embeddings share the 0..N-1 id space — the
+    one-table-with-an-embedding-column shape, split across the two
+    testdata files). Lexical ranks re-derive from the floor-quantized
+    micro score (identical integers on both engines — ordering on the
+    raw double could disagree with the oracle only at equal-micro
+    boundaries, so the quantized order IS the contract); fusion is
+    exact integer micro-contributions, k=60, top-10 on (rrf desc, id)."""
+    from jobinsight_data_pipeline_spark.operators.ranking import (
+        bm25_topk,
+        rrf_fuse,
+    )
+    from jobinsight_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    t = load(spark, sf_dir, "documents", "embeddings")
+    lex = bm25_topk(t["documents"], BM25_TERMS, k=BM25_K).select(
+        "doc_id",
+        F.floor(F.col("score") * F.lit(1000000.0)).cast("long").alias("_sm"),
+    )
+    wlex = Window.orderBy(F.desc("_sm"), F.asc("doc_id"))
+    lex = lex.select("doc_id", F.row_number().over(wlex).alias("rank"))
+    qv = t["embeddings"].filter(F.col("vec_id") == HYBRID_QUERY_ID)
+    sem = cosine_topk(t["embeddings"], qv, k=BM25_K).select(
+        F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    fused = rrf_fuse([("lex", lex), ("sem", sem)], k=10)
+    return fused.select(
+        "doc_id",
+        "lex_rank",
+        "sem_rank",
+        F.col("rrf_micro").cast("long").alias("rrf_micro"),
+        F.col("rank").cast("long").alias("fused_rank"),
+    )
+
+
+O_HYBRID_SEARCH = f"""
+WITH lex_base AS ({O_BM25_SEARCH}),
+lex AS (
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id ASC)
+                AS BIGINT) AS lex_rank
+    FROM lex_base
+),
+semq AS (
+    SELECT CAST(embedding AS DOUBLE[]) AS qv
+    FROM embeddings WHERE vec_id = {HYBRID_QUERY_ID}
+),
+sem_scored AS (
+    SELECT e.vec_id AS doc_id,
+           round(list_dot_product(qv, CAST(e.embedding AS DOUBLE[]))
+                 / (sqrt(list_dot_product(qv, qv))
+                    * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(e.embedding AS DOUBLE[])))),
+                 6) AS sim6
+    FROM embeddings e, semq
+    WHERE e.vec_id <> {HYBRID_QUERY_ID}
+),
+sem AS (
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY sim6 DESC, doc_id ASC)
+                AS BIGINT) AS sem_rank
+    FROM sem_scored
+    QUALIFY sem_rank <= {BM25_K}
+),
+j AS (
+    SELECT coalesce(l.doc_id, s.doc_id) AS doc_id, lex_rank, sem_rank,
+           CAST(coalesce(1000000 // (60 + lex_rank), 0)
+                + coalesce(1000000 // (60 + sem_rank), 0) AS BIGINT)
+               AS rrf_micro
+    FROM lex l FULL JOIN sem s ON l.doc_id = s.doc_id
+)
+SELECT doc_id, lex_rank, sem_rank, rrf_micro,
+       CAST(row_number() OVER (ORDER BY rrf_micro DESC, doc_id ASC)
+            AS BIGINT) AS fused_rank
+FROM j
+QUALIFY fused_rank <= 10
+"""
+
+
 # --------------------------------------------------------------------------
 # Corpus-wide paragraph dedup (operators/textstats.dedup_paragraphs) over a
 # planted fixture: the synthetic documents are single-line, so the gate
@@ -5891,6 +5978,7 @@ QUERIES = {
     "snm_blocking": q_snm_blocking,
     "token_drift": q_token_drift,
     "cms_heavy_hitters": q_cms_heavy_hitters,
+    "hybrid_search": q_hybrid_search,
     "graph_curation": q_graph_curation,
     "budget_select": q_budget_select,
     "date_clamp": q_date_clamp,
@@ -5985,6 +6073,7 @@ ORACLES = {
     "snm_blocking": O_SNM_BLOCKING,
     "token_drift": O_TOKEN_DRIFT,
     "cms_heavy_hitters": O_CMS_HEAVY_HITTERS,
+    "hybrid_search": O_HYBRID_SEARCH,
     "graph_curation": O_GRAPH_CURATION,
     "budget_select": O_BUDGET_SELECT,
     "date_clamp": O_DATE_CLAMP,

@@ -36,6 +36,7 @@ from functools import reduce
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from jobinsight_data_pipeline_spark.operators.textstats import tokens, word_count
 
@@ -244,4 +245,63 @@ def bm25_topk_indexed(
         .drop("_n", "_sumdl", *[f"_df_{i}" for i in range(len(terms))])
         .orderBy(F.col("score").desc(), F.col("doc").asc())
         .limit(k)
+    )
+
+
+def rrf_fuse(
+    rankings: list[tuple[str, DataFrame]],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    rrf_k: int = 60,
+    k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR'09) of
+    several ranked candidate lists — THE standard hybrid-retrieval
+    combiner (lexical BM25 + semantic ANN): each list contributes
+    ``1/(rrf_k + rank)`` for every item it ranked, items sum their
+    contributions, and the fused order is that sum descending.
+
+    Contributions are exact integers — ``1_000_000 div (rrf_k + rank)``
+    micro-units — so the fused score is engine-portable and free of the
+    float-summation-order flake class (CLAUDE.md); with the standard
+    rrf_k=60 the micro-floor keeps distinct ranks' contributions
+    distinct through rank ~940. Ties break on ``id_col`` ascending.
+
+    Scale shape: each input list is already top-k-sized (the expensive
+    retrieval happened upstream); fusion is a full-outer join chain on
+    the item id across k-sized frames, a projection, and a
+    TakeOrderedAndProject — driver-trivial at any corpus size.
+
+    Returns ``id_col``, one nullable ``<name>_rank`` column per input
+    list, ``rrf_micro``, and the fused ``rank``.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    fused: DataFrame | None = None
+    names = []
+    for name, df in rankings:
+        names.append(name)
+        side = df.select(
+            F.col(id_col),
+            F.col(rank_col).cast("long").alias(f"{name}_rank"),
+        )
+        fused = side if fused is None else fused.join(side, id_col, "full")
+    contrib = [
+        F.coalesce(
+            F.expr(f"1000000 div ({int(rrf_k)} + {n}_rank)"), F.lit(0)
+        )
+        for n in names
+    ]
+    total = contrib[0]
+    for c in contrib[1:]:
+        total = total + c
+    scored = fused.select(
+        id_col, *[f"{n}_rank" for n in names], total.alias("rrf_micro")
+    )
+    w = Window.orderBy(F.desc("rrf_micro"), F.asc(id_col))
+    # the window is single-partition by construction: the input is the
+    # union of top-k lists (≤ Σk rows), not corpus data
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
     )

@@ -3134,3 +3134,37 @@ def test_cms_absent_key_estimates_zero_or_collision(spark):
     probe = spark.createDataFrame([("zzz-not-present",)], "k string")
     [row] = cms_estimate(cms, probe, "k", depth=4, width=4096).collect()
     assert row["cms_cnt"] == 0
+
+
+def test_rrf_fuse_known_answers(spark):
+    from jobinsight_data_pipeline_spark.operators.ranking import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], "doc_id long, rank long"
+    )
+    sem = spark.createDataFrame(
+        [(20, 1), (40, 2), (10, 3)], "doc_id long, rank long"
+    )
+    out = {
+        r["doc_id"]: (
+            r["lex_rank"], r["sem_rank"], r["rrf_micro"], r["rank"]
+        )
+        for r in rrf_fuse([("lex", lex), ("sem", sem)], k=10).collect()
+    }
+    c = lambda r: 1_000_000 // (60 + r)
+    # doc 20: ranks 2+1 -> highest; doc 10: 1+3; doc 40 + doc 30 single-list
+    assert out[20] == (2, 1, c(2) + c(1), 1)
+    assert out[10] == (1, 3, c(1) + c(3), 2)
+    assert out[40] == (None, 2, c(2), 3)   # ties c(2)=c(3)? no: 16129 vs 15873
+    assert out[30] == (3, None, c(3), 4)
+    assert len(out) == 4
+
+
+def test_rrf_fuse_tie_breaks_on_id(spark):
+    from jobinsight_data_pipeline_spark.operators.ranking import rrf_fuse
+
+    a = spark.createDataFrame([(5, 1), (3, 2)], "doc_id long, rank long")
+    b = spark.createDataFrame([(3, 1), (5, 2)], "doc_id long, rank long")
+    rows = rrf_fuse([("a", a), ("b", b)], k=2).collect()
+    # symmetric contributions -> equal rrf_micro; lower id wins
+    assert [r["doc_id"] for r in sorted(rows, key=lambda r: r["rank"])] == [3, 5]
