@@ -2602,6 +2602,66 @@ QUALIFY fused_rank <= 10
 """
 
 
+SQ8_QUERY_ID = 11
+
+
+def q_sq8_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantized retrieval (operators/similarity.sq8_stats /
+    sq8_topk_micro): per-dimension affine codes (the FAISS SQ8 memory
+    path — 4× smaller than float32 with per-dim resolution), ranked by
+    the asymmetric dequantized dot product for companion query 11.
+    Everything is exact: min/max are order-insensitive, codes are
+    floor-clamped integers of bit-identical doubles, and the score is a
+    per-term-floored BIGINT micro sum — the oracle replays the entire
+    quantize→reconstruct→rank chain."""
+    from jobinsight_data_pipeline_spark.operators.similarity import (
+        sq8_topk_micro,
+    )
+
+    t = load(spark, sf_dir, "embeddings")
+    qv = t["embeddings"].filter(F.col("vec_id") == SQ8_QUERY_ID)
+    return sq8_topk_micro(t["embeddings"], qv, k=10)
+
+
+O_SQ8_SEARCH = f"""
+WITH v AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+dims AS (
+    SELECT i, min(e[i]) AS mn, max(e[i]) - min(e[i]) AS span
+    FROM v, range(1, 65) t(i)
+    GROUP BY i
+),
+q AS (SELECT e AS qe FROM v WHERE vec_id = {SQ8_QUERY_ID}),
+terms AS (
+    SELECT v.vec_id,
+           CAST(floor(
+             q.qe[t.i]
+             * (d.mn
+                + CAST(CASE WHEN d.span = 0 THEN 0
+                            ELSE least(255, greatest(0,
+                                   floor((v.e[t.i] - d.mn) * 255.0 / d.span
+                                         + 0.5)))
+                       END AS DOUBLE) * d.span / 255.0)
+             * 1000000.0) AS BIGINT) AS term
+    FROM v
+    CROSS JOIN range(1, 65) t(i)
+    JOIN dims d ON d.i = t.i
+    CROSS JOIN q
+    WHERE v.vec_id <> {SQ8_QUERY_ID}
+),
+scored AS (
+    SELECT vec_id AS neighbor_id, CAST(sum(term) AS BIGINT) AS adc_micro
+    FROM terms GROUP BY vec_id
+)
+SELECT CAST({SQ8_QUERY_ID} AS BIGINT) AS query_id,
+       row_number() OVER (ORDER BY adc_micro DESC, neighbor_id ASC) AS rank,
+       neighbor_id, adc_micro
+FROM scored
+QUALIFY rank <= 10
+"""
+
+
 # --------------------------------------------------------------------------
 # Corpus-wide paragraph dedup (operators/textstats.dedup_paragraphs) over a
 # planted fixture: the synthetic documents are single-line, so the gate
@@ -5979,6 +6039,7 @@ QUERIES = {
     "token_drift": q_token_drift,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "hybrid_search": q_hybrid_search,
+    "sq8_search": q_sq8_search,
     "graph_curation": q_graph_curation,
     "budget_select": q_budget_select,
     "date_clamp": q_date_clamp,
@@ -6074,6 +6135,7 @@ ORACLES = {
     "token_drift": O_TOKEN_DRIFT,
     "cms_heavy_hitters": O_CMS_HEAVY_HITTERS,
     "hybrid_search": O_HYBRID_SEARCH,
+    "sq8_search": O_SQ8_SEARCH,
     "graph_curation": O_GRAPH_CURATION,
     "budget_select": O_BUDGET_SELECT,
     "date_clamp": O_DATE_CLAMP,

@@ -1178,3 +1178,139 @@ def prototype_prune(
             ).alias("pruned"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Scalar (int8) quantization — the FAISS SQ8 memory path: 64 float32 (256 B)
+# -> 64 uint8 codes (64 B) with a 64-entry per-dimension affine table.
+# Complements PQ (pq_encode): SQ keeps per-dimension resolution (no
+# codebook training, exact affine reconstruction) at 1 byte/dim, where PQ
+# compresses harder (1 byte per SUBVECTOR) but needs centroids. At 100 TB
+# the corpus is stored as codes; queries stay full-precision and rank by
+# the asymmetric dequantized dot product — one corpus scan, no shuffle.
+# --------------------------------------------------------------------------
+
+
+def sq8_stats(corpus: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """One-row frame (mn: array<double>, span: array<double>) holding the
+    per-dimension min and range of the corpus — the SQ8 quantization
+    table. One posexplode + partial-agg groupBy(pos) (collapses map-side
+    to ≤dim rows per task), then a dim-row assembly into sorted arrays.
+    min/max are order-insensitive, so the table is exact on any
+    partitioning; FLOAT widens to DOUBLE before any arithmetic
+    (CLAUDE.md float-promotion lesson)."""
+    x = corpus.select(
+        F.posexplode(_as_double(F.col(vec_col))).alias("pos", "x")
+    )
+    per = x.groupBy("pos").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    return (
+        per.groupBy()
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "mn"))).alias("_a"),
+            F.array_sort(F.collect_list(F.struct("pos", "mx"))).alias("_b"),
+        )
+        .select(
+            F.transform("_a", lambda s: s["mn"]).alias("mn"),
+            F.zip_with(
+                F.transform("_b", lambda s: s["mx"]),
+                F.transform("_a", lambda s: s["mn"]),
+                lambda a, b: a - b,
+            ).alias("span"),
+        )
+    )
+
+
+#: code d = clamp(floor((x_d - mn_d) * 255 / span_d + 0.5), 0, 255);
+#: constant dimensions (span 0) code to 0 and reconstruct to mn exactly
+_SQ8_CODES = """
+transform(cv, (x, i) ->
+  CASE WHEN element_at(span, i + 1) = 0.0D THEN 0L
+       ELSE least(255L, greatest(0L,
+              floor((x - element_at(mn, i + 1)) * 255.0D
+                    / element_at(span, i + 1) + 0.5D)))
+  END)
+"""
+
+#: recon d = mn_d + code_d * span_d / 255 — the exact affine inverse
+_SQ8_RECON = """
+transform(codes, (c, i) ->
+  element_at(mn, i + 1)
+  + cast(c AS double) * element_at(span, i + 1) / 255.0D)
+"""
+
+
+def sq8_encode(
+    corpus: DataFrame,
+    stats: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Quantize the corpus against a ``sq8_stats`` table: (id, codes
+    array<long> of 0..255). The 1-row stats frame broadcasts (bytes,
+    not data); the encode is one scan-fused interpreted-HOF projection,
+    so the input is widened for CPU density first."""
+    from pyspark.sql.functions import broadcast
+
+    return (
+        widen_for_cpu(corpus)
+        .select(F.col(id_col), _as_double(F.col(vec_col)).alias("cv"))
+        .crossJoin(broadcast(stats))
+        .select(id_col, F.expr(_SQ8_CODES).alias("codes"))
+    )
+
+
+def sq8_topk_micro(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Asymmetric SQ8 top-k: full-precision queries against the int8-
+    quantized corpus, ranked by the dequantized dot product in exact
+    per-term micro-units — ``Σ_d floor(q_d · recon_d · 10⁶)`` as BIGINT,
+    so the score is integer-exact on any engine and partitioning (the
+    per-term floor of bit-identical doubles kills the float-summation-
+    order flake class; CLAUDE.md). Ties break on neighbor id.
+
+    One corpus scan (stats broadcast + query broadcast, both bytes);
+    codes never leave the scan — this is the serve-shape whose stored
+    twin is ``sq8_encode`` output."""
+    from pyspark.sql.functions import broadcast
+
+    stats = sq8_stats(corpus, vec_col)
+    q = broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            _as_double(F.col(vec_col)).alias("qv"),
+        )
+    )
+    scored = (
+        widen_for_cpu(corpus)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            _as_double(F.col(vec_col)).alias("cv"),
+        )
+        .crossJoin(broadcast(stats))
+        .withColumn("codes", F.expr(_SQ8_CODES))
+        .crossJoin(q)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "adc_micro",
+            F.expr(
+                f"""aggregate(
+                      zip_with(qv, {_SQ8_RECON},
+                               (a, b) -> cast(floor(a * b * 1000000.0D)
+                                              AS long)),
+                      0L, (s, y) -> s + y)"""
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_micro"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "adc_micro")
+    )

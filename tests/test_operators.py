@@ -3168,3 +3168,52 @@ def test_rrf_fuse_tie_breaks_on_id(spark):
     rows = rrf_fuse([("a", a), ("b", b)], k=2).collect()
     # symmetric contributions -> equal rrf_micro; lower id wins
     assert [r["doc_id"] for r in sorted(rows, key=lambda r: r["rank"])] == [3, 5]
+
+
+def test_sq8_codes_and_reconstruction(spark):
+    from jobinsight_data_pipeline_spark.operators.similarity import (
+        sq8_encode,
+        sq8_stats,
+    )
+
+    rows = [
+        (0, [0.0, 5.0, -2.0, 7.0]),
+        (1, [1.0, 5.0, 2.0, 7.0]),     # dims 1 and 3 are CONSTANT
+        (2, [0.5, 5.0, 0.0, 7.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    stats = sq8_stats(df)
+    [s] = stats.collect()
+    assert s["mn"] == [0.0, 5.0, -2.0, 7.0]
+    assert s["span"] == [1.0, 0.0, 4.0, 0.0]
+    codes = {r["vec_id"]: r["codes"] for r in sq8_encode(df, stats).collect()}
+    # grid-aligned values quantize exactly; constant dims code to 0
+    assert codes[0] == [0, 0, 0, 0]
+    assert codes[1] == [255, 0, 255, 0]
+    assert codes[2] == [128, 0, 128, 0]  # 0.5*255+0.5 -> 128; (0+2)/4 same
+    assert all(0 <= c <= 255 for cs in codes.values() for c in cs)
+
+
+def test_sq8_topk_exact_on_grid(spark):
+    from jobinsight_data_pipeline_spark.operators.similarity import (
+        sq8_topk_micro,
+    )
+
+    # all values on the {0,1} grid -> reconstruction is EXACT, so SQ8
+    # ranking must equal the exact dot-product ranking
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [1.0, 1.0]),
+        (2, [0.0, 1.0]),
+        (3, [0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter("vec_id = 0")
+    out = [
+        (r["rank"], r["neighbor_id"], r["adc_micro"])
+        for r in sq8_topk_micro(df, q, k=4)
+        .orderBy("rank")
+        .collect()
+    ]
+    # dots with (1,0): id1 -> 1, id2 -> 0, id3 -> 0 (tie on id)
+    assert out == [(1, 1, 1_000_000), (2, 2, 0), (3, 3, 0)]

@@ -147,6 +147,7 @@ def test_no_accidental_cartesian_or_nested_loop(spark):
         "bm25_index_search",
         "embedding_topk",
         "hybrid_search",  # bm25 1-row stats + cosine_topk broadcast query side
+        "sq8_search",  # 1-row stats table + broadcast query side
         "embedding_near_dup",
         "asof_discount",
         "minhash_lsh",
