@@ -67,6 +67,14 @@ HEADLINE = [
     "hypertable_rollup",
     "resample_grid",
     "sketch_overlap",
+    # round-6 session-3 additions: event-stream funnels + retention
+    # triangle, count-min token sketch + heavy-hitter audit, RRF hybrid
+    # retrieval (BM25 + cosine), int8 scalar-quantized retrieval
+    "funnel_steps",
+    "cohort_retention",
+    "cms_heavy_hitters",
+    "hybrid_search",
+    "sq8_search",
 ]
 
 

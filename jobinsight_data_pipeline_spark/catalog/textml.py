@@ -2602,6 +2602,117 @@ QUALIFY fused_rank <= 10
 """
 
 
+def q_editdist_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking→verify entity resolution (operators/dedup.
+    editdist_verify): candidate pairs are adjacent-id negatives (every
+    tenth doc with its successor — random texts, high distance) plus
+    planted re-crawl twins (every tenth-offset-5 doc against a copy
+    whose last 12 chars are rewritten — a genuine small edit), verified
+    by exact Levenshtein with integer-ppm normalization and a 20%
+    verdict. Both branches of the verdict are exercised; everything is
+    integer-exact so the oracle replays the full report."""
+    from jobinsight_data_pipeline_spark.operators.dedup import (
+        editdist_verify,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    d = t["documents"].select("doc_id", "text")
+    twins = d.filter("doc_id % 10 = 5").selectExpr(
+        "doc_id + 1000000 AS doc_id",
+        "concat(substring(text, 1, greatest(length(text) - 12, 1)),"
+        " ' edited tail') AS text",
+    )
+    corpus = d.unionByName(twins)
+    neg = d.filter("doc_id % 10 = 0").selectExpr(
+        "doc_id AS id_a", "doc_id + 1 AS id_b"
+    )
+    pos = d.filter("doc_id % 10 = 5").selectExpr(
+        "doc_id AS id_a", "doc_id + 1000000 AS id_b"
+    )
+    return editdist_verify(
+        neg.unionByName(pos), corpus, max_ratio_ppm=200_000
+    )
+
+
+O_EDITDIST_VERIFY = """
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000,
+           substring(text, 1, greatest(length(text) - 12, 1))
+             || ' edited tail'
+    FROM documents WHERE doc_id % 10 = 5
+),
+cand AS (
+    SELECT doc_id AS id_a, doc_id + 1 AS id_b
+    FROM documents WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT doc_id, doc_id + 1000000
+    FROM documents WHERE doc_id % 10 = 5
+),
+j AS (
+    SELECT c.id_a, c.id_b,
+           CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist,
+           greatest(length(a.text), length(b.text)) AS len
+    FROM cand c
+    JOIN corpus a ON a.doc_id = c.id_a
+    JOIN corpus b ON b.doc_id = c.id_b
+)
+SELECT id_a, id_b, dist,
+       CAST((dist * 1000000) // greatest(len, 1) AS BIGINT) AS ratio_ppm,
+       dist * 1000000 <= 200000 * len AS is_dup
+FROM j
+"""
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining (operators/similarity.
+    hard_negatives): per query (vec_id < 8), the 5 most-similar corpus
+    vectors BELOW the positive threshold (rounded cosine < 0.35 — on
+    this corpus some queries have neighbors above it, some don't, so
+    both the exclusion and the passthrough branch are exercised).
+    Membership + order on the 6-decimal rounded cosine with id
+    tie-breaks — the driver-proven embedding_topk discipline."""
+    from jobinsight_data_pipeline_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    t = load(spark, sf_dir, "embeddings")
+    qs = t["embeddings"].filter(F.col("vec_id") < 8)
+    return hard_negatives(
+        t["embeddings"], qs, k_neg=5, exclude_sim=0.35
+    )
+
+
+O_HARD_NEGATIVES = """
+WITH q AS (
+    SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+    FROM embeddings WHERE vec_id < 8
+),
+scored AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           round(
+             list_dot_product(q.qv, CAST(e.embedding AS DOUBLE[]))
+             / (sqrt(list_dot_product(q.qv, q.qv))
+                * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])))),
+             6) AS sim6
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, sim6,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim6 DESC, neighbor_id ASC)
+               AS neg_rank
+    FROM scored
+    WHERE sim6 < 0.35
+)
+SELECT query_id, neg_rank, neighbor_id, round(sim6, 4) AS sim
+FROM ranked WHERE neg_rank <= 5
+"""
+
+
 SQ8_QUERY_ID = 11
 
 
@@ -6040,6 +6151,8 @@ QUERIES = {
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "hybrid_search": q_hybrid_search,
     "sq8_search": q_sq8_search,
+    "hard_negatives": q_hard_negatives,
+    "editdist_verify": q_editdist_verify,
     "graph_curation": q_graph_curation,
     "budget_select": q_budget_select,
     "date_clamp": q_date_clamp,
@@ -6136,6 +6249,8 @@ ORACLES = {
     "cms_heavy_hitters": O_CMS_HEAVY_HITTERS,
     "hybrid_search": O_HYBRID_SEARCH,
     "sq8_search": O_SQ8_SEARCH,
+    "hard_negatives": O_HARD_NEGATIVES,
+    "editdist_verify": O_EDITDIST_VERIFY,
     "graph_curation": O_GRAPH_CURATION,
     "budget_select": O_BUDGET_SELECT,
     "date_clamp": O_DATE_CLAMP,

@@ -988,3 +988,58 @@ def sorted_neighborhood_pairs(
         points, intervals, "rank_b", "_snm_lo", "_snm_hi",
         band_width=int(window),
     ).select("id_a", "id_b", "rank_a", "rank_b")
+
+
+def editdist_verify(
+    candidates: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_ratio_ppm: int = 200_000,
+    threshold: int | None = None,
+) -> DataFrame:
+    """Edit-distance verification of candidate pairs — the entity-
+    resolution VERIFY stage that runs after a blocking stage (sorted-
+    neighborhood / MinHash bands / winnowing) has cut the pair space:
+    exact Levenshtein distance between the two texts, normalized by the
+    longer length in integer ppm, and an ``is_dup`` verdict at
+    ``max_ratio_ppm``.
+
+    Levenshtein is O(|a|·|b|) PER PAIR — never run it all-pairs; feed it
+    blocked candidates only (the standard blocking→verify split). With
+    ``threshold`` set, Spark's banded ``levenshtein(a, b, t)`` variant
+    prunes each DP to the diagonal band and returns -1 above ``t`` —
+    the right call at scale when only sub-threshold pairs matter (the
+    verdict then treats -1 as not-duplicate). Distances and ratios are
+    exact integers, so the whole report is engine-portable.
+
+    ``candidates`` carries (id_a, id_b); texts join in from ``docs`` by
+    two equi-joins on the id.
+    """
+    ta = docs.select(
+        F.col(id_col).alias("id_a"), F.col(text_col).alias("_ta")
+    )
+    tb = docs.select(
+        F.col(id_col).alias("id_b"), F.col(text_col).alias("_tb")
+    )
+    j = candidates.select("id_a", "id_b").join(ta, "id_a").join(tb, "id_b")
+    if threshold is None:
+        dist = F.levenshtein("_ta", "_tb")
+    else:
+        dist = F.levenshtein("_ta", "_tb", int(threshold))
+    j = j.withColumn("dist", dist.cast("long")).withColumn(
+        "_len", F.greatest(F.length("_ta"), F.length("_tb"))
+    )
+    return j.select(
+        "id_a",
+        "id_b",
+        "dist",
+        F.expr("(dist * 1000000) div greatest(_len, 1)").alias("ratio_ppm"),
+        (
+            (F.col("dist") >= 0)
+            & (
+                F.col("dist") * F.lit(1_000_000)
+                <= F.lit(int(max_ratio_ppm)) * F.col("_len")
+            )
+        ).alias("is_dup"),
+    )

@@ -1314,3 +1314,67 @@ def sq8_topk_micro(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "adc_micro")
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_neg: int = 5,
+    exclude_sim: float = 0.99,
+    max_rows: int | None = BRUTE_FORCE_MAX_ROWS,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the
+    ``k_neg`` MOST similar corpus items that are NOT positives —
+    neighbors with rounded cosine ≥ ``exclude_sim`` (near-duplicates /
+    label-identical copies) are excluded, then the remainder re-ranks.
+    These are the negatives that actually teach an embedding model
+    (random negatives are trivially separable; the near-threshold ones
+    carry the gradient — the standard DPR/contrastive recipe).
+
+    Membership and order use the 6-decimal rounded similarity with id
+    tie-breaks (the ``cosine_topk`` discipline), so the mined set is
+    deterministic and engine-portable. Exact O(corpus × queries)
+    baseline, same guard as ``cosine_topk``; at corpus scale substitute
+    the ANN candidate stream (``lsh_cosine_topk`` / IVF) for the scored
+    frame and keep the exclusion + re-rank stages unchanged."""
+    _guard_brute_force(corpus, max_rows, "lsh_cosine_topk/ivf_cosine_topk")
+    q = broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            _as_double(F.col(vec_col)).alias("qv"),
+        ).withColumn("qnorm", norm(F.col("qv")))
+    )
+    c = (
+        widen_for_cpu(corpus)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            _as_double(F.col(vec_col)).alias("cv"),
+        )
+        .withColumn("cnorm", norm(F.col("cv")))
+    )
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "sim6",
+            F.round(
+                dot(F.col("qv"), F.col("cv"))
+                / (F.col("qnorm") * F.col("cnorm")),
+                6,
+            ),
+        )
+        .filter(F.col("sim6") < F.lit(float(exclude_sim)))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim6"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= k_neg)
+        .select(
+            "query_id", "neg_rank", "neighbor_id",
+            F.round("sim6", 4).alias("sim"),
+        )
+    )

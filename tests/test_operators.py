@@ -3217,3 +3217,56 @@ def test_sq8_topk_exact_on_grid(spark):
     ]
     # dots with (1,0): id1 -> 1, id2 -> 0, id3 -> 0 (tie on id)
     assert out == [(1, 1, 1_000_000), (2, 2, 0), (3, 3, 0)]
+
+
+def test_hard_negatives_excludes_positives(spark):
+    from jobinsight_data_pipeline_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [2.0, 0.0]),    # sim 1.0 with query 0 -> positive, excluded
+        (2, [1.0, 1.0]),    # sim ~0.707
+        (3, [0.0, 1.0]),    # sim 0.0
+        (4, [-1.0, 0.0]),   # sim -1.0
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter("vec_id = 0")
+    out = [
+        (r["neg_rank"], r["neighbor_id"])
+        for r in hard_negatives(df, q, k_neg=2, exclude_sim=0.99)
+        .orderBy("neg_rank")
+        .collect()
+    ]
+    assert out == [(1, 2), (2, 3)]  # the exact twin never appears
+
+
+def test_editdist_verify_known_answers_and_threshold(spark):
+    from jobinsight_data_pipeline_spark.operators.dedup import editdist_verify
+
+    docs = spark.createDataFrame(
+        [(1, "kitten"), (2, "sitting"), (3, "zzzzzzzzzz")],
+        "doc_id long, text string",
+    )
+    cand = spark.createDataFrame(
+        [(1, 2), (1, 3)], "id_a long, id_b long"
+    )
+    out = {
+        (r["id_a"], r["id_b"]): (r["dist"], r["ratio_ppm"], r["is_dup"])
+        for r in editdist_verify(cand, docs, max_ratio_ppm=500_000).collect()
+    }
+    # levenshtein(kitten, sitting)=3, longer len 7 -> 428571 ppm <= 50%
+    assert out[(1, 2)] == (3, 428571, True)
+    assert out[(1, 3)][0] == 10 and not out[(1, 3)][2]
+
+    # banded variant: distances above the threshold come back -1 and
+    # must NOT count as duplicates
+    out_t = {
+        (r["id_a"], r["id_b"]): (r["dist"], r["is_dup"])
+        for r in editdist_verify(
+            cand, docs, max_ratio_ppm=500_000, threshold=4
+        ).collect()
+    }
+    assert out_t[(1, 2)] == (3, True)
+    assert out_t[(1, 3)] == (-1, False)
