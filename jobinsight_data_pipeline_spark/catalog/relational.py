@@ -1304,6 +1304,36 @@ FROM cells
 """
 
 
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity release audit (operators/profiling.k_anonymity_audit)
+    on the customer table with (nation, market segment) as the quasi-
+    identifier: per equivalence class its size, a k=10 verdict, and the
+    integer-ppm suppression cost. At sf0.01 class sizes straddle k, so
+    both verdict branches hash-check."""
+    from jobinsight_data_pipeline_spark.operators.profiling import (
+        k_anonymity_audit,
+    )
+
+    t = load(spark, sf_dir, "customer")
+    return k_anonymity_audit(
+        t["customer"], ["c_nationkey", "c_mktsegment"], k=10
+    )
+
+
+O_K_ANONYMITY = """
+WITH t AS (SELECT count(*) AS total FROM customer),
+classes AS (
+    SELECT c_nationkey, c_mktsegment, count(*) AS class_n
+    FROM customer GROUP BY 1, 2
+)
+SELECT c_nationkey, c_mktsegment, class_n,
+       class_n >= 10 AS meets_k,
+       CAST((class_n * 1000000) // greatest(total, 1) AS BIGINT)
+           AS share_ppm
+FROM classes, t
+"""
+
+
 def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F17/F18 JSON surface on a raw column: parse the events `props`
     JSON with the native from_json path (schema'd, codegen'd — never a
@@ -1353,6 +1383,7 @@ QUERIES = {
     "promo_type_revenue": q_promo_type_revenue,
     "json_props": q_json_props,
     "funnel_steps": q_funnel_steps,
+    "k_anonymity": q_k_anonymity,
     "cohort_retention": q_cohort_retention,
     "asof_discount": q_asof_discount,
     "interval_orders": q_interval_orders,
@@ -1388,6 +1419,7 @@ ORACLES = {
     "promo_type_revenue": O_PROMO_TYPE_REVENUE,
     "json_props": O_JSON_PROPS,
     "funnel_steps": O_FUNNEL_STEPS,
+    "k_anonymity": O_K_ANONYMITY,
     "cohort_retention": O_COHORT_RETENTION,
     "asof_discount": O_ASOF_DISCOUNT,
     "interval_orders": O_INTERVAL_ORDERS,

@@ -171,3 +171,34 @@ def token_drift(
     return scored.orderBy(
         F.abs(F.col("delta_ppm")).desc(), F.col("token").asc()
     ).limit(int(top_k))
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    qi_cols: list[str],
+    k: int = 10,
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier combination (Sweeney
+    2002) — the release-governance check before publishing or sharing a
+    person-keyed dataset: every row must be indistinguishable from at
+    least k-1 others on the quasi-identifier columns, or its class
+    needs suppression/generalization.
+
+    One partial-aggregating groupBy on the QI columns (map-side combine
+    collapses to class cardinality per task — the class table, not the
+    row table, crosses the shuffle); each class reports its size,
+    whether it meets k, and its integer-ppm share of the dataset (the
+    suppression cost if the class is dropped). Derived/generalized QIs
+    (banded numerics, truncated zips) are just expressions in
+    ``qi_cols``'s frame — build them in the projection before calling.
+    """
+    total = df.count()
+    classes = df.groupBy(*qi_cols).agg(F.count(F.lit(1)).alias("class_n"))
+    return classes.select(
+        *qi_cols,
+        "class_n",
+        (F.col("class_n") >= F.lit(int(k))).alias("meets_k"),
+        F.expr(f"(class_n * 1000000) div {max(int(total), 1)}").alias(
+            "share_ppm"
+        ),
+    )

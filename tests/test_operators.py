@@ -3270,3 +3270,21 @@ def test_editdist_verify_known_answers_and_threshold(spark):
     }
     assert out_t[(1, 2)] == (3, True)
     assert out_t[(1, 3)] == (-1, False)
+
+
+def test_k_anonymity_audit(spark):
+    from jobinsight_data_pipeline_spark.operators.profiling import (
+        k_anonymity_audit,
+    )
+
+    rows = [("a", 1)] * 3 + [("a", 2)] * 2 + [("b", 1)] * 5
+    df = spark.createDataFrame(rows, "seg string, nat int")
+    out = {
+        (r["seg"], r["nat"]): (r["class_n"], r["meets_k"], r["share_ppm"])
+        for r in k_anonymity_audit(df, ["seg", "nat"], k=3).collect()
+    }
+    assert out == {
+        ("a", 1): (3, True, 300_000),
+        ("a", 2): (2, False, 200_000),
+        ("b", 1): (5, True, 500_000),
+    }
