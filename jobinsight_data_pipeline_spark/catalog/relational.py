@@ -1334,6 +1334,35 @@ FROM classes, t
 """
 
 
+def q_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew report (operators/skew.skew_audit) on lineitem's
+    supplier key: the 10 hottest keys with exact integer share and
+    load-multiple-vs-uniform ppm — the detection step that decides
+    between AQE, salting, and hot-key isolation."""
+    from jobinsight_data_pipeline_spark.operators.skew import skew_audit
+
+    t = load(spark, sf_dir, "lineitem")
+    return skew_audit(t["lineitem"], ["l_suppkey"], top_k=10)
+
+
+O_SKEW_AUDIT = """
+WITH t AS (
+    SELECT count(*) AS total, count(DISTINCT l_suppkey) AS n_keys
+    FROM lineitem
+),
+per AS (
+    SELECT l_suppkey, count(*) AS n FROM lineitem GROUP BY 1
+)
+SELECT l_suppkey, n,
+       CAST((n * 1000000) // greatest(total, 1) AS BIGINT) AS share_ppm,
+       CAST((n * n_keys * 1000000) // greatest(total, 1) AS BIGINT)
+           AS x_uniform_ppm
+FROM per, t
+ORDER BY n DESC, l_suppkey ASC
+LIMIT 10
+"""
+
+
 def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F17/F18 JSON surface on a raw column: parse the events `props`
     JSON with the native from_json path (schema'd, codegen'd — never a
@@ -1384,6 +1413,7 @@ QUERIES = {
     "json_props": q_json_props,
     "funnel_steps": q_funnel_steps,
     "k_anonymity": q_k_anonymity,
+    "skew_audit": q_skew_audit,
     "cohort_retention": q_cohort_retention,
     "asof_discount": q_asof_discount,
     "interval_orders": q_interval_orders,
@@ -1420,6 +1450,7 @@ ORACLES = {
     "json_props": O_JSON_PROPS,
     "funnel_steps": O_FUNNEL_STEPS,
     "k_anonymity": O_K_ANONYMITY,
+    "skew_audit": O_SKEW_AUDIT,
     "cohort_retention": O_COHORT_RETENTION,
     "asof_discount": O_ASOF_DISCOUNT,
     "interval_orders": O_INTERVAL_ORDERS,

@@ -123,3 +123,41 @@ def skew_isolated_join(
     part_hot = left_hot.join(F.broadcast(right_hot), keys, how)
     part_cold = left_cold.join(right, keys, how)
     return part_hot.unionByName(part_cold)
+
+
+def skew_audit(
+    df: DataFrame,
+    keys: list[str],
+    top_k: int = 10,
+) -> DataFrame:
+    """Join-key skew report — the DETECTION side of this module's
+    mitigation strategies: the ``top_k`` hottest key values with their
+    row counts, integer-ppm share of the table, and the multiple of a
+    perfectly-uniform key's load (``x_uniform``, in ppm of the mean).
+    A key whose share approaches a task's fraction of the data is the
+    one that stalls a shuffle stage; feed it to ``salted_join`` /
+    ``skew_isolated_join`` (or trust AQE's splitting when the skew is
+    mild).
+
+    One partial-aggregating groupBy + a heap top-k
+    (TakeOrderedAndProject) — the per-key table crosses the shuffle, the
+    row table never does. Exact integer arithmetic throughout; ties
+    break on the key columns ascending so the cut is deterministic."""
+    total = df.count()
+    n_keys_df = df.select(*keys).distinct().count()
+    per = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+    mean_den = max(int(total), 1)
+    n_keys = max(int(n_keys_df), 1)
+    return (
+        per.orderBy(F.desc("n"), *[F.asc(k) for k in keys])
+        .limit(int(top_k))
+        .select(
+            *keys,
+            "n",
+            F.expr(f"(n * 1000000) div {mean_den}").alias("share_ppm"),
+            # load multiple vs a uniform key, in ppm: n / (total/n_keys)
+            F.expr(f"(n * {n_keys} * 1000000) div {mean_den}").alias(
+                "x_uniform_ppm"
+            ),
+        )
+    )

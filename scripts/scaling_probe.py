@@ -81,6 +81,20 @@ def probes(spark, sf_dir):
     from jobinsight_data_pipeline_spark.operators.sampling import (
         quantile_bins as _quantile_bins,
     )
+    from jobinsight_data_pipeline_spark.operators.behavior import (
+        cohort_retention as _cohort,
+        funnel_counts as _funnel,
+    )
+    from jobinsight_data_pipeline_spark.operators.sketches import (
+        cms_build as _cms_build,
+    )
+    from jobinsight_data_pipeline_spark.operators.similarity import (
+        hard_negatives as _hard_negatives,
+        sq8_topk_micro as _sq8_topk,
+    )
+    from jobinsight_data_pipeline_spark.operators.dedup import (
+        editdist_verify as _editdist_verify,
+    )
     from jobinsight_data_pipeline_spark.operators.dedup import (
         build_dedup_state as _build_dedup_state,
         incremental_dedup as _incremental_dedup,
@@ -221,6 +235,45 @@ def probes(spark, sf_dir):
         # rank + banded interval join; candidate volume is exactly N*w
         "snm_blocking (w=5)": lambda: _snm_pairs(
             docs.select("doc_id", "n_chars"), "doc_id", "n_chars", window=5
+        ),
+        # events grow 100x across the ladder; the funnel is two
+        # user-key partial-agg + join rounds on the reduced frontier
+        "funnel (3 steps, 72h window)": lambda: _funnel(
+            load(spark, sf_dir, "events")["events"],
+            ["view", "click", "purchase"],
+            within_hours=72,
+        ),
+        "cohort_retention (weekly)": lambda: _cohort(
+            load(spark, sf_dir, "events")["events"]
+        ),
+        # the sketch is the 100-TB path: tasks emit <= depth*width rows
+        # regardless of token volume
+        "cms_build (4x1024 token sketch)": lambda: _cms_build(
+            _widen(docs)
+            .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("token"))
+            .where(F.col("token") != ""),
+            "token",
+            depth=4,
+            width=1024,
+        ),
+        # one corpus scan: stats agg + quantize + per-term micro fold
+        "sq8_topk (int8 asymmetric)": lambda: _sq8_topk(
+            emb, emb.filter("vec_id = 11"), k=10
+        ),
+        "hard_negatives (8 queries)": lambda: _hard_negatives(
+            emb, emb.filter("vec_id < 8"), k_neg=5, exclude_sim=0.35
+        ),
+        # verify stage over blocked candidates: pair volume follows the
+        # doc count (N/5 planted pairs), each an O(len^2) DP
+        "editdist_verify (N/5 pairs)": lambda: _editdist_verify(
+            docs.filter("doc_id % 10 = 0")
+            .selectExpr("doc_id AS id_a", "doc_id + 1 AS id_b")
+            .unionAll(
+                docs.filter("doc_id % 10 = 5").selectExpr(
+                    "doc_id AS id_a", "doc_id + 2 AS id_b"
+                )
+            ),
+            docs,
         ),
     }
 

@@ -3288,3 +3288,19 @@ def test_k_anonymity_audit(spark):
         ("a", 2): (2, False, 200_000),
         ("b", 1): (5, True, 500_000),
     }
+
+
+def test_skew_audit_known_answers(spark):
+    from jobinsight_data_pipeline_spark.operators.skew import skew_audit
+
+    rows = [(1,)] * 6 + [(2,)] * 3 + [(3,)] * 1
+    df = spark.createDataFrame(rows, "k long")
+    out = {
+        r["k"]: (r["n"], r["share_ppm"], r["x_uniform_ppm"])
+        for r in skew_audit(df, ["k"], top_k=2).collect()
+    }
+    # 10 rows, 3 keys: uniform load = 10/3; key 1 carries 6 -> 1.8x
+    assert out == {
+        1: (6, 600_000, 1_800_000),
+        2: (3, 300_000, 900_000),
+    }
