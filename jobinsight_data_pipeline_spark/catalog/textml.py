@@ -2602,6 +2602,44 @@ QUALIFY fused_rank <= 10
 """
 
 
+def q_weighted_draw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-25 weighted sample without replacement (operators/
+    sampling.weighted_sample_exact_n, Efraimidis–Spirakis A-ES) over
+    documents with n_chars as the weight — longer docs proportionally
+    likelier, no doc twice, bit-reproducible from the md5 draw and the
+    quantized-ln priority (boundary-audited in test_properties)."""
+    from jobinsight_data_pipeline_spark.operators.sampling import (
+        weighted_sample_exact_n,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    return weighted_sample_exact_n(
+        t["documents"], "doc_id", "n_chars", n=25
+    )
+
+
+O_WEIGHTED_DRAW = """
+WITH h AS (
+    SELECT doc_id, n_chars,
+           CAST(('0x' || substring(md5('ws:' || CAST(doc_id AS VARCHAR)),
+                                   1, 8)) AS BIGINT) AS hv
+    FROM documents
+),
+p AS (
+    SELECT doc_id, n_chars,
+           CAST(floor(ln((hv + 1) / 4294967296.0) * 1000000.0) AS BIGINT)
+               AS lq6
+    FROM h
+)
+SELECT row_number() OVER (
+           ORDER BY CAST(lq6 AS DOUBLE) / CAST(n_chars AS DOUBLE) DESC,
+                    doc_id ASC) AS rank,
+       doc_id, n_chars, lq6
+FROM p
+QUALIFY rank <= 25
+"""
+
+
 def q_editdist_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocking→verify entity resolution (operators/dedup.
     editdist_verify): candidate pairs are adjacent-id negatives (every
@@ -6153,6 +6191,7 @@ QUERIES = {
     "sq8_search": q_sq8_search,
     "hard_negatives": q_hard_negatives,
     "editdist_verify": q_editdist_verify,
+    "weighted_draw": q_weighted_draw,
     "graph_curation": q_graph_curation,
     "budget_select": q_budget_select,
     "date_clamp": q_date_clamp,
@@ -6251,6 +6290,7 @@ ORACLES = {
     "sq8_search": O_SQ8_SEARCH,
     "hard_negatives": O_HARD_NEGATIVES,
     "editdist_verify": O_EDITDIST_VERIFY,
+    "weighted_draw": O_WEIGHTED_DRAW,
     "graph_curation": O_GRAPH_CURATION,
     "budget_select": O_BUDGET_SELECT,
     "date_clamp": O_DATE_CLAMP,

@@ -344,3 +344,62 @@ def quantile_bins(
         "_qb_bucket", "_qb_prefix", "_qb_rn", "_qb_min", "_qb_n",
         "_qb_step", "_qb_step_raw",
     )
+
+
+def weighted_sample_exact_n(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    n: int,
+    salt: str = "ws:",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, exactly ``n`` rows
+    (Efraimidis & Spirakis 2006, A-ES): each row draws a deterministic
+    uniform u from md5(salt||key) and competes on priority
+    ``ln(u)/w`` — the top-n priorities are a weighted sample without
+    replacement (inclusion odds proportional to weight, no row twice).
+    The multiplicity-based ``weighted_sample`` above answers "repeat
+    rows ∝ weight" (mixture construction); THIS answers "pick n
+    distinct rows ∝ weight" (budgeted corpus draws, eval-panel
+    selection) — the two production weighted-sampling shapes.
+
+    Determinism/portability: u is an exact dyadic rational from the
+    md5-hex prefix ((h+1)/2^32 ∈ (0,1]), ``ln(u)`` is quantized to
+    ``floor(ln(u)·10⁶)`` BIGINT (ln wobbles 1 ulp between engines —
+    the CLAUDE.md discipline; tests/test_properties audits every u this
+    testdata produces for floor-boundary clearance), and the priority
+    ``lq6/w`` divides identical doubles, so the top-n cut is
+    bit-reproducible on any engine, partitioning, or rerun; a new salt
+    draws an independent sample. Weights must be POSITIVE integers
+    (ratios of identical integers keep the order exact).
+
+    One scan + TakeOrderedAndProject (per-partition heaps, no global
+    sort); nothing is collected. Returns rank (1-based), the key,
+    weight, and the quantized log draw.
+    """
+    from pyspark.sql import Window
+
+    key = F.col(key_col)
+    hexpfx = F.substring(
+        F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 8
+    )
+    hv = F.conv(hexpfx, 16, 10).cast("long")
+    u = (hv + F.lit(1)).cast("double") / F.lit(4294967296.0)
+    lq6 = F.floor(F.log(u) * F.lit(1000000.0)).cast("long")
+    pri = F.col("_lq6").cast("double") / F.col(weight_col).cast("double")
+    scored = df.select(
+        key_col, weight_col, lq6.alias("_lq6")
+    ).withColumn("_pri", pri)
+    # orderBy+limit plans as TakeOrderedAndProject (per-partition heaps);
+    # the row_number window then ranks only the n-row survivor frame
+    top = scored.orderBy(F.desc("_pri"), F.asc(key_col)).limit(int(n))
+    w_small = Window.orderBy(F.desc("_pri"), F.asc(key_col))
+    return (
+        top.withColumn("rank", F.row_number().over(w_small))
+        .select(
+            "rank",
+            key_col,
+            weight_col,
+            F.col("_lq6").alias("lq6"),
+        )
+    )

@@ -3304,3 +3304,29 @@ def test_skew_audit_known_answers(spark):
         1: (6, 600_000, 1_800_000),
         2: (3, 300_000, 900_000),
     }
+
+
+def test_weighted_sample_exact_n_semantics(spark):
+    from jobinsight_data_pipeline_spark.operators.sampling import (
+        weighted_sample_exact_n,
+    )
+
+    rows = [(i, 1 if i < 900 else 1000) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    out = weighted_sample_exact_n(df, "id", "w", n=50).collect()
+    ids = [r["id"] for r in out]
+    # no replacement, exactly n, ranks 1..n
+    assert len(ids) == len(set(ids)) == 50
+    assert sorted(r["rank"] for r in out) == list(range(1, 51))
+    # 100 heavy ids (w=1000) vs 900 light (w=1): the heavy block must
+    # dominate the draw (expected share ~99%; allow wide slack)
+    heavy = sum(1 for i in ids if i >= 900)
+    assert heavy >= 40
+    # determinism + salt independence
+    again = [r["id"] for r in weighted_sample_exact_n(df, "id", "w", 50).collect()]
+    assert ids == again
+    other = [
+        r["id"]
+        for r in weighted_sample_exact_n(df, "id", "w", 50, salt="ws2:").collect()
+    ]
+    assert ids != other

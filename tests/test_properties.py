@@ -795,3 +795,43 @@ def test_interval_join_fuzz_equals_between(spark):
             for r in interval_join(pts, iv, "p", "s", "e", bw).collect()
         )
         assert got == expected, f"band_width {bw} diverged"
+
+
+def test_weighted_draw_ln_quantization_cross_engine_audit(spark):
+    """weighted_draw's exactness rests on floor(ln(u)·10⁶) agreeing
+    across engines for every md5-derived u this testdata can produce.
+    ln wobbles by 1 ulp between Spark and DuckDB (~1e-14 absolute at
+    these magnitudes, ~1e-8 after the 10⁶ scale), so audit every doc_id
+    at every sweep scale factor: the two engines' quantized integers
+    must be identical and ln·10⁶ must sit clear of floor boundaries."""
+    import math
+
+    import duckdb
+
+    con = duckdb.connect()
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        hvs = [
+            r[0]
+            for r in con.execute(
+                "SELECT CAST(('0x' || substring(md5('ws:' || "
+                "CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) "
+                f"FROM '/root/testdata/{sf}/documents.parquet'"
+            ).fetchall()
+        ]
+        us = [(h + 1) / 4294967296.0 for h in hvs]
+        spark_q = [
+            r[0]
+            for r in spark.createDataFrame([(u,) for u in us], "u: double")
+            .selectExpr("CAST(floor(ln(u) * 1000000.0) AS LONG)")
+            .collect()
+        ]
+        duck_q = [
+            con.execute(
+                "SELECT CAST(floor(ln(?) * 1000000.0) AS BIGINT)", [u]
+            ).fetchone()[0]
+            for u in us
+        ]
+        assert spark_q == duck_q, sf
+        for u in us:
+            frac = (math.log(u) * 1e6) % 1.0
+            assert min(frac, 1.0 - frac) > 1e-8, (sf, u, frac)
