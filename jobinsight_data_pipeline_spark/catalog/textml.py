@@ -4826,6 +4826,70 @@ r{i} AS (
 O_PAGERANK = _pagerank_oracle()
 
 
+def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities (operators/components.
+    label_propagation, 4 rounds) over a 101-node formula graph — the
+    community-detection complement to connected components (one
+    component, many dense neighborhoods). Deterministic most-frequent-
+    neighbor update with smallest-label ties; the oracle unrolls every
+    round as CTEs, so one flipped adoption anywhere moves the hash."""
+    from jobinsight_data_pipeline_spark.operators.components import (
+        label_propagation,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    d = t["documents"]
+    edges = d.select(
+        (F.col("doc_id") % 101).alias("src"),
+        ((F.col("doc_id") * 3 + 7) % 101).alias("dst"),
+    )
+    return label_propagation(edges, rounds=4)
+
+
+def _label_prop_oracle(rounds: int = 4) -> str:
+    head = """
+WITH edges0 AS (
+    SELECT doc_id % 101 AS s, (doc_id * 3 + 7) % 101 AS d FROM documents
+),
+sym AS MATERIALIZED (
+    SELECT DISTINCT a, b FROM (
+        SELECT s AS a, d AS b FROM edges0
+        UNION ALL
+        SELECT d AS a, s AS b FROM edges0
+    ) WHERE a <> b
+),
+nodes AS MATERIALIZED (
+    SELECT DISTINCT node FROM (
+        SELECT s AS node FROM edges0 UNION ALL SELECT d FROM edges0
+    )
+),
+l0 AS (SELECT node, node AS label FROM nodes)"""
+    steps = ""
+    for i in range(1, rounds + 1):
+        steps += f""",
+c{i} AS (
+    SELECT e.a AS node, l.label AS lab, count(*) AS n
+    FROM sym e JOIN l{i - 1} l ON l.node = e.b
+    GROUP BY 1, 2
+),
+b{i} AS (
+    SELECT node, lab FROM (
+        SELECT node, lab,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY n DESC, lab ASC) AS rn
+        FROM c{i}
+    ) WHERE rn = 1
+),
+l{i} AS MATERIALIZED (
+    SELECT n.node, coalesce(b.lab, n.node) AS label
+    FROM nodes n LEFT JOIN b{i} b USING (node)
+)"""
+    return head + steps + f"\nSELECT node, label FROM l{rounds}\n"
+
+
+O_LABEL_PROP = _label_prop_oracle()
+
+
 def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core decomposition (operators/components.k_core, k=4) over a
     two-family formula graph built to exercise the peel CASCADE: a
@@ -6192,6 +6256,7 @@ QUERIES = {
     "hard_negatives": q_hard_negatives,
     "editdist_verify": q_editdist_verify,
     "weighted_draw": q_weighted_draw,
+    "label_prop": q_label_prop,
     "graph_curation": q_graph_curation,
     "budget_select": q_budget_select,
     "date_clamp": q_date_clamp,
@@ -6291,6 +6356,7 @@ ORACLES = {
     "hard_negatives": O_HARD_NEGATIVES,
     "editdist_verify": O_EDITDIST_VERIFY,
     "weighted_draw": O_WEIGHTED_DRAW,
+    "label_prop": O_LABEL_PROP,
     "graph_curation": O_GRAPH_CURATION,
     "budget_select": O_BUDGET_SELECT,
     "date_clamp": O_DATE_CLAMP,

@@ -439,3 +439,75 @@ def triangle_counts(
             .alias("lcc_ppm"),
         )
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Deterministic synchronous label propagation (Raghavan et al.
+    2007) — community detection for the near-dup/citation graphs where
+    connected components are too coarse (one giant component hiding
+    many dense communities, the template/mirror-farm shape).
+
+    Labels start as node ids; each round every node adopts its
+    neighbors' most frequent label, ties to the SMALLEST label —
+    argmax rides inside the single groupBy as a struct max (count,
+    then negated label), so each round is one equi-join + one
+    partial-aggregating shuffle and the update is deterministic on any
+    engine/partitioning (classic async LPA is run-order-dependent;
+    this is the reproducible variant). A FIXED round count is the
+    contract: synchronous LPA can 2-cycle on bipartite structure, so
+    no convergence is claimed — callers pick rounds ~ community
+    diameter. Isolated nodes keep their own label.
+
+    Edges are symmetrized + self-loop-stripped + deduped first; round
+    state localCheckpoints with superseded generations freed (the
+    pagerank pattern). Returns (node, label).
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        sym.select(F.col("a").alias("node"))
+        .union(
+            edges.select(F.col(src).alias("node"))
+            .union(edges.select(F.col(dst).alias("node")))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.withColumn("label", F.col("node"))
+    checkpointed = False
+    for _ in range(int(rounds)):
+        cnt = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .groupBy(F.col("a").alias("node"), F.col("label").alias("lab"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        best = cnt.groupBy("node").agg(
+            F.max(F.struct(F.col("n"), (-F.col("lab")).alias("_nl"))).alias(
+                "_b"
+            )
+        ).select("node", (-F.col("_b._nl")).alias("_new"))
+        new_labels = (
+            nodes.join(best, "node", "left")
+            .select(
+                "node",
+                F.coalesce("_new", "node").alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if checkpointed:
+            _free_local_checkpoint(labels)
+        labels, checkpointed = new_labels, True
+    if checkpointed:
+        _free_local_checkpoint(nodes)
+        _free_local_checkpoint(sym)
+    return labels

@@ -3330,3 +3330,61 @@ def test_weighted_sample_exact_n_semantics(spark):
         for r in weighted_sample_exact_n(df, "id", "w", 50, salt="ws2:").collect()
     ]
     assert ids != other
+
+
+def test_label_propagation_two_communities(spark):
+    from jobinsight_data_pipeline_spark.operators.components import (
+        label_propagation,
+    )
+
+    # two triangles joined by one bridge edge + an isolated self-loop
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4), (99, 99)],
+        "src long, dst long",
+    )
+    out = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges, rounds=5).collect()
+    }
+    # hand-rolled sync-LPA trace: triangle A converges to label 1,
+    # triangle B to label 3; the self-loop node keeps its own label
+    assert out == {1: 1, 2: 1, 3: 1, 4: 3, 5: 3, 6: 3, 99: 99}
+
+
+def test_label_propagation_matches_python_reference(spark):
+    from jobinsight_data_pipeline_spark.operators.components import (
+        label_propagation,
+    )
+
+    # deterministic pseudo-random graph, compared against a direct
+    # Python implementation of the same synchronous min-tie update
+    pairs = [((i * 13 + 3) % 40, (i * 29 + 11) % 40) for i in range(70)]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+
+    nbrs: dict[int, set[int]] = {}
+    nodes = set()
+    for a, b in pairs:
+        nodes.update((a, b))
+        if a != b:
+            nbrs.setdefault(a, set()).add(b)
+            nbrs.setdefault(b, set()).add(a)
+    lab = {v: v for v in nodes}
+    for _ in range(5):
+        new = {}
+        for v in nodes:
+            if v not in nbrs:
+                new[v] = lab[v]
+                continue
+            cnt: dict[int, int] = {}
+            for u in nbrs[v]:
+                cnt[lab[u]] = cnt.get(lab[u], 0) + 1
+            new[v] = min(
+                cnt, key=lambda l: (-cnt[l], l)
+            )
+        lab = new
+
+    out = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges, rounds=5).collect()
+    }
+    assert out == lab
