@@ -207,11 +207,9 @@ DRIVER_QUERIES: list[str] = [
     "pivot_events",
     "rollup_revenue",
     "set_ops",
-    "profile_customer",
     "windowed_events",
     "sessionize",
     "event_percentiles",
-    "monthly_orders",
     "top10_customers",
     "big_spenders_semi",
     "nullsafe_join",
@@ -240,6 +238,16 @@ DRIVER_QUERIES: list[str] = [
     "bm25_search",
     "pagerank",
     "ivf_pq_topk",
+    # round-6 session-3 refresh, same pattern: two more shadowed twins
+    # demoted (monthly_orders → view_monthly_jobs, the identical A1
+    # shape driver-verified on the warehouse side; profile_customer →
+    # warehouse_validation, the A5 scalar-stats family's other driver
+    # row) for two driver-unseen families — behavioral analytics over
+    # the event stream and reciprocal-rank-fusion hybrid retrieval
+    # (both locally green at sf0.01 AND sf0.1, integer/md5-exact
+    # contracts)
+    "funnel_steps",
+    "hybrid_search",
     # the two heaviest sit last on purpose (composed chain; iterative
     # CC) — position 50 exactly fills the driver cap
     "training_shards",
