@@ -5564,6 +5564,89 @@ FROM exact JOIN est USING (token)
 """
 
 
+def q_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME heavy-hitter audit as `cms_heavy_hitters`, with the
+    sketch built by a Structured Streaming loop (streaming/incremental.
+    stream_cms_build) over four micro-batch document drops: per-batch
+    4×512 cell tables land in batch=<epoch> partitions (overwrite →
+    replay-IDEMPOTENT, true exactly-once) and merge by cell-wise sum —
+    CMS mergeability makes streaming ≡ batch exactly, so this gate
+    shares O_CMS_HEAVY_HITTERS verbatim (the stream_jsonl_ingest
+    shared-oracle discipline; batch arrival order is irrelevant
+    because cell sums commute)."""
+    import hashlib
+    import os
+    import shutil
+
+    from jobinsight_data_pipeline_spark.catalog import scratch_dir
+    from jobinsight_data_pipeline_spark.operators.parallelism import (
+        widen_for_cpu,
+    )
+    from jobinsight_data_pipeline_spark.operators.sketches import (
+        cms_estimate,
+    )
+    from jobinsight_data_pipeline_spark.operators.textstats import tokens
+    from jobinsight_data_pipeline_spark.streaming.incremental import (
+        read_cms_state,
+        stream_cms_build,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    docs = t["documents"].select("doc_id", "text")
+
+    def toks_of(df: DataFrame) -> DataFrame:
+        return (
+            widen_for_cpu(df)
+            .select(F.explode(tokens("text")).alias("token"))
+            .where(F.col("token") != "")
+        )
+
+    base = scratch_dir(
+        "streamcms-gate-",
+        "{}-{}".format(
+            spark.sparkContext.applicationId,
+            hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+        ),
+    )
+    done = os.path.join(base, "_gate_done")
+    if not os.path.exists(done):
+        shutil.rmtree(base, ignore_errors=True)
+        raw = f"{base}/drops"
+        for i in range(4):
+            docs.filter(F.col("doc_id") % 4 == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(raw)
+        query = stream_cms_build(
+            spark,
+            raw,
+            docs.schema,
+            f"{base}/state",
+            f"{base}/ckpt",
+            toks_of,
+            key_col="token",
+            depth=4,
+            width=512,
+        )
+        query.awaitTermination()
+        with open(done, "w") as fh:
+            fh.write("ok")
+
+    merged = read_cms_state(spark, f"{base}/state")
+    toks = toks_of(docs)
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    top = exact.orderBy(F.desc("exact_cnt"), F.asc("token")).limit(15)
+    est = cms_estimate(merged, top, "token", depth=4, width=512)
+    return top.join(est, "token").select(
+        "token",
+        "exact_cnt",
+        "cms_cnt",
+        F.expr("((cms_cnt - exact_cnt) * 1000000) div exact_cnt").alias(
+            "over_ppm"
+        ),
+        (F.col("cms_cnt") >= F.col("exact_cnt")).alias("is_upper"),
+    )
+
+
 def q_snm_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sorted-neighborhood blocking (operators/dedup.
     sorted_neighborhood_pairs): every pair within 5 positions of the
@@ -6251,6 +6334,7 @@ QUERIES = {
     "snm_blocking": q_snm_blocking,
     "token_drift": q_token_drift,
     "cms_heavy_hitters": q_cms_heavy_hitters,
+    "stream_cms": q_stream_cms,
     "hybrid_search": q_hybrid_search,
     "sq8_search": q_sq8_search,
     "hard_negatives": q_hard_negatives,
@@ -6351,6 +6435,7 @@ ORACLES = {
     "snm_blocking": O_SNM_BLOCKING,
     "token_drift": O_TOKEN_DRIFT,
     "cms_heavy_hitters": O_CMS_HEAVY_HITTERS,
+    "stream_cms": O_CMS_HEAVY_HITTERS,
     "hybrid_search": O_HYBRID_SEARCH,
     "sq8_search": O_SQ8_SEARCH,
     "hard_negatives": O_HARD_NEGATIVES,

@@ -376,3 +376,63 @@ def stream_semantic_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_cms_build(
+    spark: SparkSession,
+    raw_dir: str,
+    schema,
+    state_dir: str,
+    checkpoint_dir: str,
+    keys_of: Callable[[DataFrame], DataFrame],
+    key_col: str = "key",
+    depth: int = 4,
+    width: int = 1024,
+    salt: str = "",
+    max_files_per_trigger: int = 1,
+):
+    """Streaming count-min sketch: each micro-batch's keys
+    (``keys_of(batch)``, e.g. a tokenize-explode) sketch into a
+    ``depth×width`` cell table written to ``state_dir/batch=<epoch>``,
+    and the corpus-wide sketch is the cell-wise SUM over all batch
+    partitions (``operators/sketches.cms_build`` mergeability — proven
+    by test, pinned by the shared-oracle gate).
+
+    This is the streaming aggregation shape mergeable sketches were
+    built for, and it is EXACTLY-once without a merge sink: the
+    per-batch write overwrites its own ``batch=<epoch>`` partition, so
+    a foreachBatch replay is idempotent (contrast the documented
+    at-least-once caveat on ``stream_incremental_dedup``'s append
+    sink); batch order is irrelevant because cell sums commute. State
+    per batch is ≤ depth×width rows regardless of batch size — a
+    billion-token day and a thousand-token day cost the same bytes.
+    """
+    from jobinsight_data_pipeline_spark.operators.sketches import cms_build
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        cells = cms_build(keys_of(batch_df), key_col, depth, width, salt)
+        cells.write.mode("overwrite").parquet(
+            f"{state_dir}/batch={epoch_id}"
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(raw_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_cms_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Merge a ``stream_cms_build`` state dir into one sketch: cell-wise
+    sum across the batch partitions (row_idx, bucket, cnt)."""
+    return (
+        spark.read.parquet(state_dir)
+        .groupBy("row_idx", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
