@@ -1380,6 +1380,80 @@ FROM src GROUP BY load_month
 """
 
 
+def q_forget_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure propagation (sources/lake.forget_keys): customer
+    and orders land in a versioned lake, every custkey ending in 7 is
+    forgotten across BOTH tables (broadcast anti-join rewrite + pointer
+    flip + history purge), and the gate emits the deletion manifest
+    joined with survivor-key checksums RE-READ FROM THE LAKE plus the
+    history_purged pin — counts, content, and the absence of time
+    travel across the erasure boundary all under one hash."""
+    from jobinsight_data_pipeline_spark.sources.lake import (
+        ParquetLake,
+        forget_keys,
+    )
+
+    t = load(spark, sf_dir, "customer", "orders")
+    lake = ParquetLake(scratch_dir("forget-gate-"))
+    lake.write(t["customer"], "customer")
+    lake.write(t["orders"], "orders")
+    keys = t["customer"].filter("c_custkey % 10 = 7").select("c_custkey")
+    manifest = forget_keys(
+        spark,
+        lake,
+        {"customer": "c_custkey", "orders": "o_custkey"},
+        keys,
+    )
+
+    def _chk(table: str, key_col: str) -> DataFrame:
+        h = F.conv(
+            F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        return (
+            lake.read(spark, table)
+            .agg(F.bit_xor(h).alias("survivor_checksum"))
+            .select(
+                F.lit(table).alias("table_name"),
+                "survivor_checksum",
+                F.lit(len(lake.versions(table)) == 1).alias(
+                    "history_purged"
+                ),
+            )
+        )
+
+    chks = _chk("customer", "c_custkey").unionByName(
+        _chk("orders", "o_custkey")
+    )
+    return manifest.join(chks, "table_name")
+
+
+O_FORGET_ROWS = """
+WITH k AS (SELECT c_custkey AS kk FROM customer WHERE c_custkey % 10 = 7)
+SELECT 'customer' AS table_name,
+       (SELECT count(*) FROM customer) AS rows_before,
+       (SELECT count(*) FROM customer
+        WHERE c_custkey IN (SELECT kk FROM k)) AS rows_deleted,
+       (SELECT count(*) FROM customer
+        WHERE c_custkey NOT IN (SELECT kk FROM k)) AS rows_after,
+       (SELECT bit_xor(CAST(('0x' || substring(md5(
+                 CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT))
+        FROM customer WHERE c_custkey NOT IN (SELECT kk FROM k))
+           AS survivor_checksum,
+       TRUE AS history_purged
+UNION ALL
+SELECT 'orders',
+       (SELECT count(*) FROM orders),
+       (SELECT count(*) FROM orders
+        WHERE o_custkey IN (SELECT kk FROM k)),
+       (SELECT count(*) FROM orders
+        WHERE o_custkey NOT IN (SELECT kk FROM k)),
+       (SELECT bit_xor(CAST(('0x' || substring(md5(
+                 CAST(o_custkey AS VARCHAR)), 1, 8)) AS BIGINT))
+        FROM orders WHERE o_custkey NOT IN (SELECT kk FROM k)),
+       TRUE
+"""
+
+
 # --------------------------------------------------------------------------
 # S8/S9 under the hash gate: two upsert batches journaled through the CDC
 # sink (insert/update classified set-wise against the pre-merge table),
@@ -1546,6 +1620,7 @@ QUERIES = {
     "warehouse_validation": q_warehouse_validation,
     "html_ingest": q_html_ingest,
     "lake_restore": q_lake_restore,
+    "forget_rows": q_forget_rows,
     "export_roundtrip": q_export_roundtrip,
     "cdc_roundtrip": q_cdc_roundtrip,
     "scd2_update": q_scd2_update,
@@ -1569,6 +1644,7 @@ ORACLES = {
     "warehouse_validation": O_WAREHOUSE_VALIDATION,
     "html_ingest": O_HTML_INGEST,
     "lake_restore": O_LAKE_RESTORE,
+    "forget_rows": O_FORGET_ROWS,
     "export_roundtrip": O_EXPORT_ROUNDTRIP,
     "cdc_roundtrip": O_CDC_ROUNDTRIP,
     "scd2_update": O_SCD2_UPDATE,

@@ -289,3 +289,61 @@ def write_sized(
             spark.conf.unset(key)
         else:
             spark.conf.set(key, old)
+
+
+def forget_keys(
+    spark: SparkSession,
+    lake: ParquetLake,
+    tables: dict[str, str],
+    keys: DataFrame,
+    purge_history: bool = True,
+) -> DataFrame:
+    """Right-to-erasure delete propagation (GDPR Art. 17 / CCPA): for
+    every ``table -> key column`` in ``tables``, rewrite the CURRENT
+    version without any row whose key appears in ``keys`` (one-column
+    frame; broadcast anti-join — the sanctioned membership shape,
+    CLAUDE.md) and flip the lake pointer to the cleaned version.
+
+    Erasure is only real once historical versions stop containing the
+    rows: with ``purge_history`` (default) every superseded version of
+    each touched table is deleted immediately after the cleaned write —
+    time travel across the erasure boundary is deliberately destroyed
+    for those tables (that is the point). With ``purge_history=False``
+    the lake's normal ``keep_versions`` retention applies and the
+    caller owns the compliance window.
+
+    Returns the deletion manifest — (table_name, rows_before,
+    rows_deleted, rows_after) per table, the audit artifact a DPO
+    files. Counts are computed from the written frames (bounded
+    scalars, one pass each); the rewrite itself is one anti-join +
+    write per table, shuffle-free when the key frame broadcasts.
+    """
+    from pyspark.sql.functions import broadcast as _bc
+
+    key_col_src = keys.columns[0]
+    k = keys.select(F.col(key_col_src).alias("_forget_k")).distinct()
+    rows = []
+    for table, key_col in tables.items():
+        before_df = lake.read(spark, table)
+        before = before_df.count()
+        cleaned = before_df.join(
+            _bc(k), before_df[key_col] == k["_forget_k"], "left_anti"
+        )
+        lake.write(cleaned, table)
+        if purge_history:
+            live = lake.current_version(table)
+            for v in lake.versions(table):
+                if v != live:
+                    vdir = os.path.join(lake._table_dir(table), v)
+                    shutil.rmtree(vdir, ignore_errors=True)
+                    try:
+                        os.remove(vdir + ".schema")
+                    except FileNotFoundError:
+                        pass
+        after = lake.read(spark, table).count()
+        rows.append((table, before, before - after, after))
+    return spark.createDataFrame(
+        rows,
+        "table_name string, rows_before long, rows_deleted long,"
+        " rows_after long",
+    )

@@ -973,3 +973,44 @@ def test_csv_null_vs_empty_string_roundtrip(spark, tmp_path):
     assert back == [
         (1, ""), (2, None), (3, "x"), (4, "\\N-ish but quoted? no: plain")
     ]
+
+
+def test_forget_keys_erasure_and_history_purge(spark, tmp_path):
+    from jobinsight_data_pipeline_spark.sources.lake import (
+        ParquetLake,
+        forget_keys,
+    )
+
+    lake = ParquetLake(str(tmp_path / "lake"))
+    users = spark.createDataFrame(
+        [(i, f"u{i}") for i in range(10)], "uid long, name string"
+    )
+    orders = spark.createDataFrame(
+        [(i, i % 10) for i in range(30)], "oid long, uid long"
+    )
+    lake.write(users, "users")
+    lake.write(users, "users")  # second version: history to purge
+    lake.write(orders, "orders")
+    keys = spark.createDataFrame([(3,), (7,)], "uid long")
+
+    m = {
+        r["table_name"]: (r["rows_before"], r["rows_deleted"], r["rows_after"])
+        for r in forget_keys(
+            spark, lake, {"users": "uid", "orders": "uid"}, keys
+        ).collect()
+    }
+    assert m == {"users": (10, 2, 8), "orders": (30, 6, 24)}
+    # the forgotten keys are gone from the live tables...
+    assert lake.read(spark, "users").filter("uid IN (3, 7)").count() == 0
+    assert lake.read(spark, "orders").filter("uid IN (3, 7)").count() == 0
+    # ...and from history: only the cleaned version remains on disk
+    assert len(lake.versions("users")) == 1
+    assert len(lake.versions("orders")) == 1
+    # idempotent: a replayed forget deletes nothing further
+    m2 = {
+        r["table_name"]: r["rows_deleted"]
+        for r in forget_keys(
+            spark, lake, {"users": "uid", "orders": "uid"}, keys
+        ).collect()
+    }
+    assert m2 == {"users": 0, "orders": 0}
