@@ -1363,6 +1363,50 @@ LIMIT 10
 """
 
 
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution (operators/behavior.
+    last_touch_attribution): every purchase credits the user's latest
+    preceding view/click via the engine's as-of join; revenue sums as
+    quantized integers (floor(value·10⁴) then BIGINT sum — immune to
+    float summation order). The oracle replays with DuckDB's native
+    ASOF JOIN — the resample_grid discipline."""
+    from jobinsight_data_pipeline_spark.operators.behavior import (
+        last_touch_attribution,
+    )
+
+    t = load(spark, sf_dir, "events")
+    return last_touch_attribution(
+        t["events"], "purchase", ["view", "click"]
+    )
+
+
+O_ATTRIBUTION = """
+WITH touches AS (
+    SELECT user_id, ts, event_type AS touch_type, event_id AS touch_id,
+           row_number() OVER (PARTITION BY user_id, ts
+                              ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_type IN ('view', 'click')
+),
+tt AS (SELECT user_id, ts, touch_type FROM touches WHERE rn = 1),
+purch AS (
+    SELECT user_id, ts, event_id, value
+    FROM events WHERE event_type = 'purchase'
+),
+att AS (
+    SELECT p.user_id, p.value, t.touch_type
+    FROM purch p
+    ASOF LEFT JOIN tt t
+      ON p.user_id = t.user_id AND t.ts <= p.ts
+)
+SELECT coalesce(touch_type, 'none') AS touch_type,
+       count(*) AS n_conversions,
+       count(DISTINCT user_id) AS n_users,
+       CAST(sum(CAST(floor(value * 10000.0) AS BIGINT)) AS BIGINT)
+           AS value_q4
+FROM att GROUP BY 1
+"""
+
+
 def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F17/F18 JSON surface on a raw column: parse the events `props`
     JSON with the native from_json path (schema'd, codegen'd — never a
@@ -1414,6 +1458,7 @@ QUERIES = {
     "funnel_steps": q_funnel_steps,
     "k_anonymity": q_k_anonymity,
     "skew_audit": q_skew_audit,
+    "attribution": q_attribution,
     "cohort_retention": q_cohort_retention,
     "asof_discount": q_asof_discount,
     "interval_orders": q_interval_orders,
@@ -1451,6 +1496,7 @@ ORACLES = {
     "funnel_steps": O_FUNNEL_STEPS,
     "k_anonymity": O_K_ANONYMITY,
     "skew_audit": O_SKEW_AUDIT,
+    "attribution": O_ATTRIBUTION,
     "cohort_retention": O_COHORT_RETENTION,
     "asof_discount": O_ASOF_DISCOUNT,
     "interval_orders": O_INTERVAL_ORDERS,

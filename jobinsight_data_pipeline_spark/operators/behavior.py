@@ -227,3 +227,73 @@ def cohort_retention(
         "n_active",
         F.expr("(_na * 1000000) div nullif(_cn, 0)").alias("retention_ppm"),
     )
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    conversion_type: str,
+    touch_types: list[str],
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    value_col: str | None = "value",
+) -> DataFrame:
+    """Last-touch conversion attribution: every conversion event credits
+    the user's LATEST preceding touch event (same-microsecond touches
+    count — <= semantics), the marketing-analytics report behind
+    channel ROI. Composes the engine's as-of join (operators/asof —
+    one shuffle of touches+conversions, no range fan-out); touches
+    first dedup to one per (user, ts) keeping the max tiebreak (the
+    as-of contract requires unique version timestamps — the
+    freshest-write rule, deterministic on both engines).
+
+    Returns one row per attributed touch type (plus ``'none'`` for
+    conversions with no preceding touch): conversion count, distinct
+    converting users, and — when ``value_col`` is set — the exact
+    integer sum of ``floor(value·10⁴)`` (quantize-then-sum: immune to
+    float summation order, the CLAUDE.md discipline).
+    """
+    from pyspark.sql.window import Window as W
+
+    from jobinsight_data_pipeline_spark.operators.asof import asof_join
+
+    touches = events.where(F.col(type_col).isin(list(touch_types))).select(
+        F.col(id_col),
+        F.col(ts_col),
+        F.col(type_col).alias("touch_type"),
+        F.col(tiebreak_col).alias("touch_id"),
+    )
+    w = W.partitionBy(id_col, ts_col).orderBy(F.desc("touch_id"))
+    touches = (
+        touches.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    conv_cols = [id_col, ts_col, tiebreak_col] + (
+        [value_col] if value_col else []
+    )
+    conversions = events.where(
+        F.col(type_col) == F.lit(conversion_type)
+    ).select(*conv_cols)
+    att = asof_join(
+        conversions,
+        touches,
+        id_col,
+        ts_col,
+        ts_col,
+        ["touch_type", "touch_id"],
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.countDistinct(id_col).alias("n_users"),
+    ]
+    if value_col:
+        aggs.append(
+            F.sum(
+                F.floor(F.col(value_col) * F.lit(10000.0)).cast("long")
+            ).alias("value_q4")
+        )
+    return att.groupBy(
+        F.coalesce("touch_type", F.lit("none")).alias("touch_type")
+    ).agg(*aggs)

@@ -3388,3 +3388,42 @@ def test_label_propagation_matches_python_reference(spark):
         for r in label_propagation(edges, rounds=5).collect()
     }
     assert out == lab
+
+
+def test_last_touch_attribution_known_answers(spark):
+    from jobinsight_data_pipeline_spark.operators.behavior import (
+        last_touch_attribution,
+    )
+
+    def ts(day, hour=0):
+        return dt.datetime(2024, 1, day, hour)
+
+    rows = [
+        # user 1: view then click then purchase -> click gets the credit
+        (1, ts(1), "view", 1, 0.0), (1, ts(2), "click", 2, 0.0),
+        (1, ts(3), "purchase", 3, 10.5),
+        # user 2: purchase BEFORE any touch -> 'none'; a later touch
+        # then a second purchase -> view credited
+        (2, ts(1), "purchase", 4, 2.0), (2, ts(2), "view", 5, 0.0),
+        (2, ts(3), "purchase", 6, 3.0),
+        # user 3: simultaneous view+click at the purchase instant:
+        # <= semantics matches, max event_id wins the (user, ts) dedup
+        (3, ts(5), "view", 7, 0.0), (3, ts(5), "click", 8, 0.0),
+        (3, ts(5), "purchase", 9, 1.25),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "user_id long, ts timestamp_ntz, event_type string,"
+        " event_id long, value double",
+    )
+    out = {
+        r["touch_type"]: (r["n_conversions"], r["n_users"], r["value_q4"])
+        for r in last_touch_attribution(
+            events, "purchase", ["view", "click"]
+        ).collect()
+    }
+    assert out == {
+        "click": (2, 2, 117500),   # users 1 (10.5) and 3 (1.25)
+        "view": (1, 1, 30000),     # user 2's second purchase
+        "none": (1, 1, 20000),     # user 2's first purchase
+    }
