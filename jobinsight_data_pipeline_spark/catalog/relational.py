@@ -1407,6 +1407,54 @@ FROM att GROUP BY 1
 """
 
 
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC candles per event type (operators/timeseries.
+    ohlc_bars): open/high/low/close of the quantized value with
+    (micros, event_id) argmin/argmax riding inside ONE partial-agg
+    groupBy as struct min/max — no window over the event stream. All
+    integers (epoch-micros, floor(value·10⁴) cents)."""
+    from jobinsight_data_pipeline_spark.operators.timeseries import (
+        epoch_micros,
+        ohlc_bars,
+    )
+
+    t = load(spark, sf_dir, "events")
+    base = t["events"].select(
+        "event_type",
+        epoch_micros("ts").alias("m"),
+        F.col("event_id").alias("tb"),
+        F.floor(F.col("value") * F.lit(10000.0)).cast("long").alias("cents"),
+    )
+    return ohlc_bars(base, "m", ["event_type"], "cents", "tb", 3_600_000_000)
+
+
+O_OHLC_BARS = """
+WITH q AS (
+    SELECT event_type,
+           date_diff('microseconds', TIMESTAMP '1970-01-01 00:00:00', ts)
+               AS m,
+           event_id AS t,
+           CAST(floor(value * 10000.0) AS BIGINT) AS v
+    FROM events
+),
+b AS (SELECT event_type, m // 3600000000 AS bucket, m, t, v FROM q),
+r AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY bucket, event_type
+                              ORDER BY m, t) AS rf,
+           row_number() OVER (PARTITION BY bucket, event_type
+                              ORDER BY m DESC, t DESC) AS rl
+    FROM b
+)
+SELECT bucket, event_type, count(*) AS n,
+       max(CASE WHEN rf = 1 THEN v END) AS open_cents,
+       max(v) AS high_cents,
+       min(v) AS low_cents,
+       max(CASE WHEN rl = 1 THEN v END) AS close_cents
+FROM r GROUP BY 1, 2
+"""
+
+
 def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F17/F18 JSON surface on a raw column: parse the events `props`
     JSON with the native from_json path (schema'd, codegen'd — never a
@@ -1459,6 +1507,7 @@ QUERIES = {
     "k_anonymity": q_k_anonymity,
     "skew_audit": q_skew_audit,
     "attribution": q_attribution,
+    "ohlc_bars": q_ohlc_bars,
     "cohort_retention": q_cohort_retention,
     "asof_discount": q_asof_discount,
     "interval_orders": q_interval_orders,
@@ -1497,6 +1546,7 @@ ORACLES = {
     "k_anonymity": O_K_ANONYMITY,
     "skew_audit": O_SKEW_AUDIT,
     "attribution": O_ATTRIBUTION,
+    "ohlc_bars": O_OHLC_BARS,
     "cohort_retention": O_COHORT_RETENTION,
     "asof_discount": O_ASOF_DISCOUNT,
     "interval_orders": O_INTERVAL_ORDERS,

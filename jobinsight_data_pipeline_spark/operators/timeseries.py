@@ -146,3 +146,61 @@ def resample_ffill(
     return asof_join(
         grid, versions, key_col, "grid_micros", micros_col, [cents_col]
     )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    micros_col: str,
+    key_cols: list[str],
+    cents_col: str,
+    tiebreak_col: str,
+    width_micros: int,
+) -> DataFrame:
+    """OHLC candle bars: per (bucket, keys), the Open (value at the
+    earliest row), High, Low, Close (value at the latest row) plus n —
+    the financial/metrics downsampling every dashboard serves.
+
+    Open/Close are argmin/argmax on the (micros, tiebreak) order and
+    ride inside the SAME single partial-aggregating groupBy as min/max
+    — ``min(struct(micros, tiebreak, value))`` picks the earliest
+    row's value deterministically (struct comparison is lexicographic,
+    the tiebreak resolves simultaneous rows), so one shuffle produces
+    the whole bar; no window, no self-join. All quantities integer
+    (micros, tiebreak, cents) — exact on any engine/partitioning.
+    """
+    if width_micros < 1:
+        raise ValueError("ohlc_bars: width_micros must be >= 1")
+    from jobinsight_data_pipeline_spark.operators.sampling import (
+        reserve_columns,
+    )
+
+    reserve_columns(
+        df,
+        ["bucket", "n", "open_cents", "high_cents", "low_cents",
+         "close_cents"],
+        "ohlc_bars",
+    )
+    m, v, tb = F.col(micros_col), F.col(cents_col), F.col(tiebreak_col)
+    okey = F.struct(m.alias("m"), tb.alias("t"), v.alias("v"))
+    return (
+        df.groupBy(
+            F.expr(f"{micros_col} div {int(width_micros)}").alias("bucket"),
+            *key_cols,
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(okey).alias("_first"),
+            F.max(okey).alias("_last"),
+            F.max(v).alias("high_cents"),
+            F.min(v).alias("low_cents"),
+        )
+        .select(
+            "bucket",
+            *key_cols,
+            "n",
+            F.col("_first.v").alias("open_cents"),
+            "high_cents",
+            "low_cents",
+            F.col("_last.v").alias("close_cents"),
+        )
+    )

@@ -3427,3 +3427,29 @@ def test_last_touch_attribution_known_answers(spark):
         "view": (1, 1, 30000),     # user 2's second purchase
         "none": (1, 1, 20000),     # user 2's first purchase
     }
+
+
+def test_ohlc_bars_known_answers(spark):
+    from jobinsight_data_pipeline_spark.operators.timeseries import ohlc_bars
+
+    rows = [
+        # bucket 0 (width 100): open at m=5 (v 30), close at m=90 (v 10)
+        ("a", 5, 1, 30), ("a", 50, 2, 99), ("a", 90, 3, 10),
+        # simultaneous first rows: tiebreak picks the LOWER id as open
+        ("b", 0, 5, 7), ("b", 0, 4, 8), ("b", 20, 6, -2),
+        # bucket 1
+        ("a", 150, 9, 42),
+    ]
+    df = spark.createDataFrame(rows, "k string, m long, tb long, cents long")
+    out = {
+        (r["bucket"], r["k"]): (
+            r["n"], r["open_cents"], r["high_cents"],
+            r["low_cents"], r["close_cents"],
+        )
+        for r in ohlc_bars(df, "m", ["k"], "cents", "tb", 100).collect()
+    }
+    assert out == {
+        (0, "a"): (3, 30, 99, 10, 10),
+        (0, "b"): (3, 8, 8, -2, -2),  # open = id 4's value (8)
+        (1, "a"): (1, 42, 42, 42, 42),
+    }
