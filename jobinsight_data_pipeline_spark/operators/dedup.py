@@ -997,6 +997,7 @@ def editdist_verify(
     text_col: str = "text",
     max_ratio_ppm: int = 200_000,
     threshold: int | None = None,
+    length_prefilter: bool = False,
 ) -> DataFrame:
     """Edit-distance verification of candidate pairs — the entity-
     resolution VERIFY stage that runs after a blocking stage (sorted-
@@ -1015,6 +1016,14 @@ def editdist_verify(
 
     ``candidates`` carries (id_a, id_b); texts join in from ``docs`` by
     two equi-joins on the id.
+
+    With ``length_prefilter`` (the scale path), pairs whose LENGTH
+    difference alone already exceeds the ratio bound are decided
+    without running the DP: Levenshtein ≥ |len(a) − len(b)|, so such a
+    pair can never be a duplicate — it reports ``dist = -1`` /
+    ``is_dup = false`` like the banded threshold's over-limit result.
+    On mixed-length candidate streams this skips most quadratic work
+    with zero effect on the verdict set (pinned by test).
     """
     ta = docs.select(
         F.col(id_col).alias("id_a"), F.col(text_col).alias("_ta")
@@ -1027,6 +1036,14 @@ def editdist_verify(
         dist = F.levenshtein("_ta", "_tb")
     else:
         dist = F.levenshtein("_ta", "_tb", int(threshold))
+    if length_prefilter:
+        gap = F.abs(F.length("_ta") - F.length("_tb"))
+        bound = F.lit(int(max_ratio_ppm)) * F.greatest(
+            F.length("_ta"), F.length("_tb")
+        )
+        dist = F.when(
+            gap * F.lit(1_000_000) > bound, F.lit(-1)
+        ).otherwise(dist)
     j = j.withColumn("dist", dist.cast("long")).withColumn(
         "_len", F.greatest(F.length("_ta"), F.length("_tb"))
     )

@@ -3453,3 +3453,89 @@ def test_ohlc_bars_known_answers(spark):
         (0, "b"): (3, 8, 8, -2, -2),  # open = id 4's value (8)
         (1, "a"): (1, 42, 42, 42, 42),
     }
+
+
+def test_editdist_length_prefilter_preserves_verdicts(spark):
+    from jobinsight_data_pipeline_spark.operators.dedup import editdist_verify
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefgh"), (2, "abcdefgx"), (3, "ab"), (4, "abcdefghijkl")],
+        "doc_id long, text string",
+    )
+    cand = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "id_a long, id_b long"
+    )
+    plain = {
+        (r["id_a"], r["id_b"]): r["is_dup"]
+        for r in editdist_verify(cand, docs, max_ratio_ppm=250_000).collect()
+    }
+    fast = {
+        (r["id_a"], r["id_b"]): (r["dist"], r["is_dup"])
+        for r in editdist_verify(
+            cand, docs, max_ratio_ppm=250_000, length_prefilter=True
+        ).collect()
+    }
+    # verdicts identical; the length-gap pair (1,3): gap 6 > 25% of 8
+    # was decided WITHOUT the DP (dist -1)
+    assert {k: v[1] for k, v in fast.items()} == plain
+    assert fast[(1, 3)][0] == -1
+    assert fast[(1, 2)][0] == 1
+
+
+def test_funnel_counts_matches_python_reference(spark):
+    from jobinsight_data_pipeline_spark.operators.behavior import funnel_counts
+
+    # deterministic pseudo-random event log, compared against a direct
+    # Python implementation of greedy-from-first-anchor matching
+    rows = []
+    for i in range(300):
+        uid = (i * 7) % 23
+        t = dt.datetime(2024, 1, 1) + dt.timedelta(
+            minutes=(i * 131) % 1440, seconds=(i * 17) % 60
+        )
+        etype = ["a", "b", "c", "x"][(i * 11) % 4]
+        rows.append((uid, t, etype, i))
+    events = spark.createDataFrame(
+        rows, "user_id long, ts timestamp_ntz, event_type string, event_id long"
+    )
+
+    def ref_counts(steps, within_us):
+        by_user: dict[int, list] = {}
+        for uid, t, etype, eid in rows:
+            if etype in steps:
+                by_user.setdefault(uid, []).append(
+                    (int(t.timestamp() * 1_000_000), eid, etype)
+                )
+        counts = [0] * len(steps)
+        for evs in by_user.values():
+            evs.sort()
+            # greedy: earliest step-1, then earliest strictly-later next
+            at = None
+            anchor = None
+            for k, step in enumerate(steps):
+                cands = [
+                    e for e in evs
+                    if e[2] == step
+                    and (at is None or (e[0], e[1]) > at)
+                    and (
+                        anchor is None
+                        or within_us is None
+                        or e[0] - anchor <= within_us
+                    )
+                ]
+                if not cands:
+                    break
+                best = min(c[:2] for c in cands)
+                if anchor is None:
+                    anchor = best[0]
+                at = best
+                counts[k] += 1
+        return counts
+
+    for steps, hours in ((["a", "b", "c"], None), (["a", "b", "c"], 4)):
+        got = {
+            r["step"]: r["n_users"]
+            for r in funnel_counts(events, steps, within_hours=hours).collect()
+        }
+        want = ref_counts(steps, None if hours is None else hours * 3_600_000_000)
+        assert [got[i + 1] for i in range(3)] == want, (steps, hours)
