@@ -5647,6 +5647,71 @@ def q_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _zlib_fixture() -> list[tuple[int, str]]:
+    import hashlib
+
+    h, hexes = b"zlib-fixture", []
+    for _ in range(2):
+        h = hashlib.md5(h).hexdigest().encode()
+        hexes.append(h.decode())
+    return [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "spam " * 40),                       # extreme repetition
+        (2, "".join(hexes)),                     # high-entropy hex
+        (3, ""),                                 # degenerate: empty
+        (4, "x"),                                # degenerate: one byte
+        (5, "subscribe to our newsletter " * 8),  # boilerplate loop
+        (6, "aaaaabbbbbcccccdddddeeeee" * 4),    # run-structured
+        (7, "Mixed words 123 and numbers 456 spread in one sentence."),
+        (8, "héllo wörld çafé ünïcode"),         # multi-byte UTF-8
+    ]
+
+
+ZLIB_FIXTURE = _zlib_fixture()
+
+
+def q_compression_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal (operators/textstats.
+    with_compression_ratio) over a planted fixture spanning the signal's
+    whole range — repetition, boilerplate, natural text, high-entropy
+    hex, empty/one-byte degenerates, multi-byte UTF-8. The compressor
+    is the honest pandas-UDF boundary (no JVM zlib builtin); the
+    oracle's expected lengths are computed by the SAME interpreter's
+    zlib at module load, so engine and oracle can never disagree on a
+    zlib build (the pii_scrub planted-fixture discipline)."""
+    from jobinsight_data_pipeline_spark.operators.textstats import (
+        with_compression_ratio,
+    )
+
+    df = spark.createDataFrame(ZLIB_FIXTURE, "id: long, text: string")
+    return with_compression_ratio(df, "text").select(
+        "id", "comp_len", "byte_len", "ratio_ppm"
+    )
+
+
+def _zlib_oracle() -> str:
+    from jobinsight_data_pipeline_spark.operators.textstats import (
+        compressed_len_py,
+    )
+
+    values = ",\n    ".join(
+        f"({i}, '{t}', {compressed_len_py(t)})" for i, t in ZLIB_FIXTURE
+    )
+    return f"""
+WITH t(id, text, comp_len) AS (VALUES
+    {values})
+SELECT id,
+       CAST(comp_len AS BIGINT) AS comp_len,
+       CAST(strlen(text) AS BIGINT) AS byte_len,
+       CAST((comp_len * 1000000) // greatest(strlen(text), 1)
+            AS BIGINT) AS ratio_ppm
+FROM t
+"""
+
+
+O_COMPRESSION_SIGNAL = _zlib_oracle()
+
+
 def q_snm_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sorted-neighborhood blocking (operators/dedup.
     sorted_neighborhood_pairs): every pair within 5 positions of the
@@ -6341,6 +6406,7 @@ QUERIES = {
     "editdist_verify": q_editdist_verify,
     "weighted_draw": q_weighted_draw,
     "label_prop": q_label_prop,
+    "compression_signal": q_compression_signal,
     "graph_curation": q_graph_curation,
     "budget_select": q_budget_select,
     "date_clamp": q_date_clamp,
@@ -6442,6 +6508,7 @@ ORACLES = {
     "editdist_verify": O_EDITDIST_VERIFY,
     "weighted_draw": O_WEIGHTED_DRAW,
     "label_prop": O_LABEL_PROP,
+    "compression_signal": O_COMPRESSION_SIGNAL,
     "graph_curation": O_GRAPH_CURATION,
     "budget_select": O_BUDGET_SELECT,
     "date_clamp": O_DATE_CLAMP,

@@ -937,3 +937,51 @@ def normalize_text_udf():
     # annotations` would leave a decorated signature's 'pd.Series'
     # annotations unresolvable strings
     return F.pandas_udf(_norm, StringType())
+
+
+def compressed_len_py(s: str | None, level: int = 6) -> int | None:
+    """Pure-Python core for the compression-ratio signal: byte length
+    of zlib-compressed UTF-8 at a FIXED level (6). Deterministic for a
+    given zlib build; the catalog gate pins a literal fixture whose
+    expected lengths are computed by the SAME interpreter, so driver
+    and oracle can never see different zlib builds."""
+    import zlib
+
+    if s is None:
+        return None
+    return len(zlib.compress(s.encode("utf-8"), level))
+
+
+def compressed_len_udf(level: int = 6):
+    """Arrow-batched pandas UDF for :func:`compressed_len_py` — no JVM
+    builtin exposes a deterministic compressor, so this is one of the
+    sanctioned pandas-UDF exceptions (same class as normalize_text)."""
+    from pyspark.sql.types import LongType
+
+    def _clen(texts):
+        return texts.map(lambda s: compressed_len_py(s, level))
+
+    return F.pandas_udf(_clen, LongType())
+
+
+def with_compression_ratio(
+    df: DataFrame, text_col: str = "text", level: int = 6
+) -> DataFrame:
+    """Compression-ratio quality signal (the Gopher/CCNet family):
+    ``ratio_ppm = compressed_bytes · 10⁶ div raw_bytes``. VERY low
+    ratios mark boilerplate/repetition (near-duplicate furniture
+    compresses away); ratios near or above 10⁶ mark high-entropy noise
+    (hex dumps, minified blobs, random tokens) — both ends are the
+    rows a corpus filter drops. Adds ``byte_len``, ``comp_len``,
+    ``ratio_ppm`` (NULL text → NULLs). Scan-fused single pass; the
+    compressor is the honest Python boundary (Arrow batches), so widen
+    single-file inputs for CPU before calling at scale."""
+    raw = F.octet_length(F.col(text_col))
+    return (
+        df.withColumn("comp_len", compressed_len_udf(level)(F.col(text_col)))
+        .withColumn("byte_len", raw.cast("long"))
+        .withColumn(
+            "ratio_ppm",
+            F.expr("(comp_len * 1000000) div greatest(byte_len, 1)"),
+        )
+    )

@@ -3539,3 +3539,23 @@ def test_funnel_counts_matches_python_reference(spark):
         }
         want = ref_counts(steps, None if hours is None else hours * 3_600_000_000)
         assert [got[i + 1] for i in range(3)] == want, (steps, hours)
+
+
+def test_compression_ratio_signal(spark):
+    from jobinsight_data_pipeline_spark.operators.textstats import (
+        compressed_len_py,
+        with_compression_ratio,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "spam " * 100), (2, "the quick brown fox"), (3, None)],
+        "id long, text string",
+    )
+    out = {
+        r["id"]: (r["comp_len"], r["byte_len"], r["ratio_ppm"])
+        for r in with_compression_ratio(df).collect()
+    }
+    # repetition compresses away: far below the natural-text ratio
+    assert out[1][0] == compressed_len_py("spam " * 100)
+    assert out[1][2] < 100_000 < out[2][2]
+    assert out[3] == (None, None, None)  # NULL text -> NULL signal
