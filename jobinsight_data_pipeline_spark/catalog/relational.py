@@ -1455,6 +1455,114 @@ FROM r GROUP BY 1, 2
 """
 
 
+def q_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed session-scoped funnel: the sessionize gate's 30-minute
+    gaps-and-islands assignment feeds operators/behavior.funnel_counts
+    with the (user, session) composite as the funnel subject — how many
+    SESSIONS progress view → click → purchase (the within-visit
+    conversion report; no conversion window needed, the session bounds
+    it). Two driver-proven families under one composed hash."""
+    from jobinsight_data_pipeline_spark.operators.behavior import (
+        funnel_counts,
+    )
+
+    t = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (
+        t["events"]
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_session",
+            (
+                F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
+                > 1800 * 1_000_000
+            ).cast("int"),
+        )
+        .withColumn(
+            "session_no",
+            F.sum(F.coalesce("new_session", F.lit(1))).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .select(
+            F.concat_ws(":", "user_id", "session_no").alias("sid"),
+            "ts",
+            "event_type",
+            "event_id",
+        )
+    )
+    out = funnel_counts(sess, ["view", "click", "purchase"], id_col="sid")
+    return out.select(
+        "step",
+        "event_type",
+        F.col("n_users").alias("n_sessions"),
+        "conv_ppm",
+        "step_ppm",
+    )
+
+
+O_SESSION_FUNNEL = """
+WITH gapped AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                WHEN date_diff('microseconds', lag(ts) OVER w, ts)
+                     > 1800000000 THEN 1
+                ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT user_id || ':' || CAST(CAST(sum(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS VARCHAR) AS sid,
+           ts, event_id, event_type
+    FROM gapped
+),
+ev AS (
+    SELECT sid, event_type,
+           lpad(CAST(date_diff('microseconds',
+                               TIMESTAMP '1970-01-01 00:00:00', ts)
+                     AS VARCHAR), 20, '0')
+             || ':' || lpad(CAST(event_id AS VARCHAR), 20, '0') AS okey
+    FROM sess
+    WHERE event_type IN ('view', 'click', 'purchase')
+),
+r1 AS (
+    SELECT sid, min(okey) AS at
+    FROM ev WHERE event_type = 'view' GROUP BY sid
+),
+r2 AS (
+    SELECT e.sid, min(e.okey) AS at
+    FROM ev e JOIN r1 r ON e.sid = r.sid
+    WHERE e.event_type = 'click' AND e.okey > r.at
+    GROUP BY e.sid
+),
+r3 AS (
+    SELECT e.sid, min(e.okey) AS at
+    FROM ev e JOIN r2 r ON e.sid = r.sid
+    WHERE e.event_type = 'purchase' AND e.okey > r.at
+    GROUP BY e.sid
+),
+counts AS (
+    SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+           count(*) AS n_sessions FROM r1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'click', count(*) FROM r2
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), 'purchase', count(*) FROM r3
+)
+SELECT step, event_type, n_sessions,
+       CAST((n_sessions * 1000000)
+            // nullif(max(CASE WHEN step = 1 THEN n_sessions END)
+                      OVER (), 0) AS BIGINT) AS conv_ppm,
+       CAST((n_sessions * 1000000)
+            // nullif(lag(n_sessions) OVER (ORDER BY step), 0)
+            AS BIGINT) AS step_ppm
+FROM counts
+"""
+
+
 def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F17/F18 JSON surface on a raw column: parse the events `props`
     JSON with the native from_json path (schema'd, codegen'd — never a
@@ -1508,6 +1616,7 @@ QUERIES = {
     "skew_audit": q_skew_audit,
     "attribution": q_attribution,
     "ohlc_bars": q_ohlc_bars,
+    "session_funnel": q_session_funnel,
     "cohort_retention": q_cohort_retention,
     "asof_discount": q_asof_discount,
     "interval_orders": q_interval_orders,
@@ -1547,6 +1656,7 @@ ORACLES = {
     "skew_audit": O_SKEW_AUDIT,
     "attribution": O_ATTRIBUTION,
     "ohlc_bars": O_OHLC_BARS,
+    "session_funnel": O_SESSION_FUNNEL,
     "cohort_retention": O_COHORT_RETENTION,
     "asof_discount": O_ASOF_DISCOUNT,
     "interval_orders": O_INTERVAL_ORDERS,
