@@ -654,3 +654,30 @@ def test_orc_scan_pushdown_and_pruning(spark, tmp_path):
     plan = physical_plan(df)
     assert "PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,500)]" in plan
     assert "ReadSchema: struct<doc_id:bigint,n_chars:bigint>" in plan
+
+
+def test_ohlc_bars_is_single_shuffle(spark):
+    """The whole bar table comes from ONE partial-aggregating groupBy:
+    struct-argmin open/close must not re-introduce a window or a
+    second shuffle."""
+    from jobinsight_data_pipeline_spark.operators.timeseries import ohlc_bars
+
+    df = spark.range(0, 1000).selectExpr(
+        "id % 7 AS k", "id * 13 AS m", "id AS tb", "(id * 31) % 100 AS cents"
+    )
+    plan = physical_plan(ohlc_bars(df, "m", ["k"], "cents", "tb", 100))
+    assert plan.count("Exchange") == 1
+    assert "Window" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_cms_build_is_single_bounded_shuffle(spark):
+    """The sketch's contract: one partial-agg shuffle whose payload is
+    cell rows (<= depth*width per task), never the key stream."""
+    from jobinsight_data_pipeline_spark.operators.sketches import cms_build
+
+    df = spark.range(0, 1000).selectExpr("CAST(id % 97 AS STRING) AS k")
+    plan = physical_plan(cms_build(df, "k", depth=4, width=64))
+    assert plan.count("Exchange") == 1
+    assert "partial_count" in plan or "HashAggregate" in plan
+    assert "Exchange SinglePartition" not in plan
