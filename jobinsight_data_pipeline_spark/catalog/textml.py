@@ -5712,6 +5712,44 @@ FROM t
 O_COMPRESSION_SIGNAL = _zlib_oracle()
 
 
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quantile normalization (operators/sampling.
+    quantile_normalize): every document's length score maps to its
+    empirical within-source percentile (integer ppm) — the calibration
+    step that makes heterogeneous per-source quality scores comparable
+    before a global mixing/budget cut. The distributed plan is the
+    histogram-CDF rank generalized by the group key (parallelism never
+    collapses to the source count); the oracle is the TEXTBOOK
+    per-group window it re-expresses."""
+    from jobinsight_data_pipeline_spark.operators.sampling import (
+        quantile_normalize,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    return quantile_normalize(
+        t["documents"].select("doc_id", "source", "n_chars"),
+        "n_chars",
+        ["source"],
+        ["doc_id"],
+    ).select("doc_id", "source", "n_chars", "rank_in_group", "pct_ppm")
+
+
+O_QUANTILE_NORMALIZE = """
+WITH r AS (
+    SELECT doc_id, source, n_chars,
+           CAST(row_number() OVER (PARTITION BY source
+                                   ORDER BY n_chars, doc_id) AS BIGINT)
+               AS rank_in_group,
+           count(*) OVER (PARTITION BY source) AS n
+    FROM documents
+)
+SELECT doc_id, source, n_chars, rank_in_group,
+       CAST(coalesce(((rank_in_group - 1) * 1000000) // nullif(n - 1, 0),
+                     500000) AS BIGINT) AS pct_ppm
+FROM r
+"""
+
+
 def q_snm_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sorted-neighborhood blocking (operators/dedup.
     sorted_neighborhood_pairs): every pair within 5 positions of the
@@ -6407,6 +6445,7 @@ QUERIES = {
     "weighted_draw": q_weighted_draw,
     "label_prop": q_label_prop,
     "compression_signal": q_compression_signal,
+    "quantile_normalize": q_quantile_normalize,
     "graph_curation": q_graph_curation,
     "budget_select": q_budget_select,
     "date_clamp": q_date_clamp,
@@ -6509,6 +6548,7 @@ ORACLES = {
     "weighted_draw": O_WEIGHTED_DRAW,
     "label_prop": O_LABEL_PROP,
     "compression_signal": O_COMPRESSION_SIGNAL,
+    "quantile_normalize": O_QUANTILE_NORMALIZE,
     "graph_curation": O_GRAPH_CURATION,
     "budget_select": O_BUDGET_SELECT,
     "date_clamp": O_DATE_CLAMP,

@@ -403,3 +403,100 @@ def weighted_sample_exact_n(
             F.col("_lq6").alias("lq6"),
         )
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    score_col: str,
+    group_cols: list[str],
+    id_cols: list[str],
+    hist_buckets: int = 1024,
+) -> DataFrame:
+    """Per-group quantile (rank) normalization: appends
+    ``rank_in_group`` (1-based, (score, ids) ascending within the
+    group) and ``pct_ppm`` — the empirical percentile
+    ``(rank−1)·10⁶ div (n−1)`` (singleton groups pin to the 500 000
+    midpoint). This is how heterogeneous per-source quality scores
+    become comparable before mixing/budgeting: each source's score
+    distribution maps onto [0, 10⁶] uniformly, so a source with an
+    inflated scorer no longer dominates a global cut.
+
+    Scale shape is ``quantile_bins``' histogram-CDF trick generalized
+    by a group key — NOT a per-group global window (whose parallelism
+    would collapse to the number of sources):
+
+    1. per-group (min, count, step) — a groups-sized broadcast;
+    2. coarse bucket per row, (group, bucket) histogram (tiny), and
+       per-group exclusive prefix over that tiny frame;
+    3. ``row_number`` only within (group, bucket) partitions — no
+       partition ever holds a whole group, let alone the corpus.
+
+    Scores must be integral (the house quantized-integer rule); the
+    skew note on ``quantile_bins`` applies per group.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    reserve_columns(
+        df,
+        ["rank_in_group", "pct_ppm", "_qn_bucket", "_qn_prefix", "_qn_rn",
+         "_qn_min", "_qn_n", "_qn_step"],
+        "quantile_normalize",
+    )
+    g = [F.col(c) for c in group_cols]
+    stats = (
+        df.groupBy(*g)
+        .agg(
+            F.min(score_col).alias("_qn_min"),
+            F.count(F.lit(1)).alias("_qn_n"),
+            (
+                (F.max(score_col) - F.min(score_col)).cast("long")
+                / F.lit(int(hist_buckets))
+            ).cast("long").alias("_qn_step_raw"),
+        )
+        .select(
+            *group_cols, "_qn_min", "_qn_n",
+            F.greatest(
+                F.lit(1).cast("long"), F.col("_qn_step_raw") + 1
+            ).alias("_qn_step"),
+        )
+    )
+    work = df.join(broadcast(stats), group_cols).withColumn(
+        "_qn_bucket",
+        F.expr(f"(CAST({score_col} AS BIGINT) - _qn_min) div _qn_step"),
+    )
+    hist = (
+        work.groupBy(*group_cols, "_qn_bucket")
+        .agg(F.count(F.lit(1)).alias("_qn_cnt"))
+        .withColumn(
+            "_qn_prefix",
+            F.coalesce(
+                F.sum("_qn_cnt").over(
+                    Window.partitionBy(*group_cols)
+                    .orderBy("_qn_bucket")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .select(*group_cols, "_qn_bucket", "_qn_prefix")
+    )
+    w = Window.partitionBy(*group_cols, "_qn_bucket").orderBy(
+        F.col(score_col).asc(), *[F.col(c).asc() for c in id_cols]
+    )
+    return (
+        work.join(broadcast(hist), [*group_cols, "_qn_bucket"])
+        .withColumn("_qn_rn", F.row_number().over(w).cast("long"))
+        .withColumn("rank_in_group", F.col("_qn_prefix") + F.col("_qn_rn"))
+        .withColumn(
+            "pct_ppm",
+            F.coalesce(
+                F.expr(
+                    "((rank_in_group - 1) * 1000000) div nullif(_qn_n - 1, 0)"
+                ),
+                F.lit(500_000).cast("long"),
+            ),
+        )
+        .drop("_qn_bucket", "_qn_prefix", "_qn_rn", "_qn_min", "_qn_n",
+              "_qn_step")
+    )

@@ -3559,3 +3559,37 @@ def test_compression_ratio_signal(spark):
     assert out[1][0] == compressed_len_py("spam " * 100)
     assert out[1][2] < 100_000 < out[2][2]
     assert out[3] == (None, None, None)  # NULL text -> NULL signal
+
+
+def test_quantile_normalize_matches_window_form(spark):
+    from pyspark.sql import Window
+
+    from jobinsight_data_pipeline_spark.operators.sampling import (
+        quantile_normalize,
+    )
+
+    df = spark.createDataFrame(
+        [(i, ["a", "b", "c"][i % 3], (i * 37) % 50) for i in range(200)]
+        + [(999, "solo", 42)],
+        "id long, g string, s long",
+    )
+    got = {
+        r["id"]: (r["rank_in_group"], r["pct_ppm"])
+        for r in quantile_normalize(df, "s", ["g"], ["id"]).collect()
+    }
+    w = Window.partitionBy("g").orderBy(F.asc("s"), F.asc("id"))
+    want = {
+        r["id"]: (r["rn"], r["ppm"])
+        for r in df.withColumn("rn", F.row_number().over(w).cast("long"))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("g")))
+        .withColumn(
+            "ppm",
+            F.coalesce(
+                F.expr("((rn - 1) * 1000000) div nullif(n - 1, 0)"),
+                F.lit(500_000).cast("long"),
+            ),
+        )
+        .collect()
+    }
+    assert got == want
+    assert got[999] == (1, 500_000)  # singleton group pins the midpoint
