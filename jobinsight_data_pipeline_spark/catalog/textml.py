@@ -4846,24 +4846,12 @@ def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(edges, rounds=4)
 
 
-def _label_prop_oracle(rounds: int = 4) -> str:
-    head = """
-WITH edges0 AS (
-    SELECT doc_id % 101 AS s, (doc_id * 3 + 7) % 101 AS d FROM documents
-),
-sym AS MATERIALIZED (
-    SELECT DISTINCT a, b FROM (
-        SELECT s AS a, d AS b FROM edges0
-        UNION ALL
-        SELECT d AS a, s AS b FROM edges0
-    ) WHERE a <> b
-),
-nodes AS MATERIALIZED (
-    SELECT DISTINCT node FROM (
-        SELECT s AS node FROM edges0 UNION ALL SELECT d FROM edges0
-    )
-),
-l0 AS (SELECT node, node AS label FROM nodes)"""
+def _lpa_steps_sql(rounds: int) -> str:
+    """The synchronous-LPA round unroll as CTE steps — expects ``sym``
+    (a, b symmetric deduped edges), ``nodes`` (node), and ``l0``
+    (node, label) to be defined by the caller; leaves ``l{rounds}`` as
+    the final labeling. Shared by the label_prop gate and the composed
+    community-dedup flagship."""
     steps = ""
     for i in range(1, rounds + 1):
         steps += f""",
@@ -4884,7 +4872,31 @@ l{i} AS MATERIALIZED (
     SELECT n.node, coalesce(b.lab, n.node) AS label
     FROM nodes n LEFT JOIN b{i} b USING (node)
 )"""
-    return head + steps + f"\nSELECT node, label FROM l{rounds}\n"
+    return steps
+
+
+def _label_prop_oracle(rounds: int = 4) -> str:
+    head = """
+WITH edges0 AS (
+    SELECT doc_id % 101 AS s, (doc_id * 3 + 7) % 101 AS d FROM documents
+),
+sym AS MATERIALIZED (
+    SELECT DISTINCT a, b FROM (
+        SELECT s AS a, d AS b FROM edges0
+        UNION ALL
+        SELECT d AS a, s AS b FROM edges0
+    ) WHERE a <> b
+),
+nodes AS MATERIALIZED (
+    SELECT DISTINCT node FROM (
+        SELECT s AS node FROM edges0 UNION ALL SELECT d FROM edges0
+    )
+),
+l0 AS (SELECT node, node AS label FROM nodes)"""
+    return (
+        head + _lpa_steps_sql(rounds)
+        + f"\nSELECT node, label FROM l{rounds}\n"
+    )
 
 
 O_LABEL_PROP = _label_prop_oracle()
@@ -5712,6 +5724,102 @@ FROM t
 O_COMPRESSION_SIGNAL = _zlib_oracle()
 
 
+def q_community_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed community dedup flagship: n-gram Jaccard near-dup pairs
+    → synchronous label-propagation communities (4 rounds) → keep-BEST
+    survivor per community (longest doc, ties to min id — the
+    dedup_keep_best rule applied to near-dup neighborhoods instead of
+    exact-hash groups; docs outside the pair graph are their own
+    singleton communities). One hash covers the pair threshold, every
+    LPA adoption, and each community's size/survivor/membership
+    checksum — three operator families under one composed contract."""
+    from jobinsight_data_pipeline_spark.operators.components import (
+        label_propagation,
+    )
+    from jobinsight_data_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    d = t["documents"].select("doc_id", "text", "n_chars")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    labels = label_propagation(
+        pairs.select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        ),
+        rounds=4,
+    )
+    assigned = (
+        d.select("doc_id", "n_chars")
+        .join(labels, d["doc_id"] == labels["node"], "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce("label", F.col("doc_id")).alias("community"),
+        )
+    )
+    chk = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    return (
+        assigned.groupBy("community")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max(
+                F.struct(
+                    F.col("n_chars"), (-F.col("doc_id")).alias("_nid")
+                )
+            ).alias("_b"),
+            F.bit_xor(chk).alias("member_checksum"),
+        )
+        .select(
+            "community",
+            "n_members",
+            (-F.col("_b._nid")).alias("survivor_id"),
+            "member_checksum",
+        )
+    )
+
+
+O_COMMUNITY_DEDUP = f"""
+WITH pairs AS MATERIALIZED ({O_NGRAM_JACCARD}),
+sym AS MATERIALIZED (
+    SELECT DISTINCT a, b FROM (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+    ) WHERE a <> b
+),
+nodes AS MATERIALIZED (
+    SELECT DISTINCT node FROM (
+        SELECT doc_a AS node FROM pairs UNION ALL SELECT doc_b FROM pairs
+    )
+),
+l0 AS (SELECT node, node AS label FROM nodes){_lpa_steps_sql(4)},
+assigned AS (
+    SELECT d.doc_id, d.n_chars, coalesce(l.label, d.doc_id) AS community
+    FROM documents d LEFT JOIN l4 l ON l.node = d.doc_id
+),
+agg AS (
+    SELECT community, count(*) AS n_members,
+           bit_xor(CAST(('0x' || substring(md5(
+               CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT))
+               AS member_checksum
+    FROM assigned GROUP BY community
+),
+surv AS (
+    SELECT community, doc_id AS survivor_id FROM (
+        SELECT community, doc_id,
+               row_number() OVER (PARTITION BY community
+                                  ORDER BY n_chars DESC, doc_id ASC) AS rn
+        FROM assigned
+    ) WHERE rn = 1
+)
+SELECT a.community, a.n_members, s.survivor_id, a.member_checksum
+FROM agg a JOIN surv s USING (community)
+"""
+
+
 def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source quantile normalization (operators/sampling.
     quantile_normalize): every document's length score maps to its
@@ -6446,6 +6554,7 @@ QUERIES = {
     "label_prop": q_label_prop,
     "compression_signal": q_compression_signal,
     "quantile_normalize": q_quantile_normalize,
+    "community_dedup": q_community_dedup,
     "graph_curation": q_graph_curation,
     "budget_select": q_budget_select,
     "date_clamp": q_date_clamp,
@@ -6549,6 +6658,7 @@ ORACLES = {
     "label_prop": O_LABEL_PROP,
     "compression_signal": O_COMPRESSION_SIGNAL,
     "quantile_normalize": O_QUANTILE_NORMALIZE,
+    "community_dedup": O_COMMUNITY_DEDUP,
     "graph_curation": O_GRAPH_CURATION,
     "budget_select": O_BUDGET_SELECT,
     "date_clamp": O_DATE_CLAMP,
