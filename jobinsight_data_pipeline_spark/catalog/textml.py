@@ -5724,6 +5724,81 @@ FROM t
 O_COMPRESSION_SIGNAL = _zlib_oracle()
 
 
+def _binary_fixture() -> dict[str, bytes]:
+    """Deterministic raw-media stand-ins: empty file, single byte, the
+    full byte alphabet, invalid-UTF-8 runs, and an md5-chain blob —
+    every byte-fidelity hazard a media lake must survive."""
+    import hashlib
+
+    chain, h = b"", b"binary-fixture"
+    for _ in range(8):
+        h = hashlib.md5(h).digest()
+        chain += h
+    return {
+        "empty.bin": b"",
+        "one.bin": b"\x00",
+        "alphabet.bin": bytes(range(256)),
+        "invalid_utf8.bin": b"\xff\xfe media bytes \x80\x81\x00 tail",
+        "chain.bin": chain,
+    }
+
+
+BINARY_FIXTURE = _binary_fixture()
+
+
+def q_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-media ingestion via Spark's built-in binaryFile source — the
+    path every image/audio/video corpus enters through before the
+    multimodal operators (operators/multimodal) take over: files land
+    as (path, length, content BINARY) rows. The gate writes the
+    deterministic byte fixture, reads it back through binaryFile, and
+    emits per-file (name, length, md5) — the oracle inlines md5s
+    computed from the SAME fixture bytes by the host interpreter (the
+    compression_signal planted-fixture discipline; DuckDB 1.0 has no
+    BLOB-capable md5, so literals ARE the cross-check). PINNED QUIRK:
+    Spark's file sources skip 0-byte files entirely, so empty.bin is
+    written but expected ABSENT — a media pipeline must treat empty
+    blobs as invisible, not as empty rows."""
+    import os
+
+    from jobinsight_data_pipeline_spark.catalog import scratch_dir
+
+    base = scratch_dir("binary-gate-")
+    for name, payload in BINARY_FIXTURE.items():
+        with open(os.path.join(base, name), "wb") as fh:
+            fh.write(payload)
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(base)
+    )
+    return df.select(
+        F.element_at(F.split("path", "/"), -1).alias("name"),
+        F.col("length").cast("long").alias("length"),
+        F.md5("content").alias("md5"),
+    )
+
+
+def _binary_oracle() -> str:
+    import hashlib
+
+    # empty.bin is deliberately absent: Spark file sources skip 0-byte
+    # files (pinned quirk — see q_binary_ingest)
+    values = ",\n    ".join(
+        f"('{n}', {len(b)}, '{hashlib.md5(b).hexdigest()}')"
+        for n, b in BINARY_FIXTURE.items()
+        if len(b) > 0
+    )
+    return f"""
+WITH t(name, length, md5) AS (VALUES
+    {values})
+SELECT name, CAST(length AS BIGINT) AS length, md5 FROM t
+"""
+
+
+O_BINARY_INGEST = _binary_oracle()
+
+
 def q_community_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed community dedup flagship: n-gram Jaccard near-dup pairs
     → synchronous label-propagation communities (4 rounds) → keep-BEST
@@ -6555,6 +6630,7 @@ QUERIES = {
     "compression_signal": q_compression_signal,
     "quantile_normalize": q_quantile_normalize,
     "community_dedup": q_community_dedup,
+    "binary_ingest": q_binary_ingest,
     "graph_curation": q_graph_curation,
     "budget_select": q_budget_select,
     "date_clamp": q_date_clamp,
@@ -6659,6 +6735,7 @@ ORACLES = {
     "compression_signal": O_COMPRESSION_SIGNAL,
     "quantile_normalize": O_QUANTILE_NORMALIZE,
     "community_dedup": O_COMMUNITY_DEDUP,
+    "binary_ingest": O_BINARY_INGEST,
     "graph_curation": O_GRAPH_CURATION,
     "budget_select": O_BUDGET_SELECT,
     "date_clamp": O_DATE_CLAMP,
