@@ -1563,6 +1563,52 @@ FROM counts
 """
 
 
+def q_attribution_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution (operators/behavior.
+    first_touch_attribution): every purchase credits the user's earliest
+    view/click when it precedes the purchase in (ts, event_id) order —
+    the acquisition-channel complement of the as-of last-touch gate;
+    one user-key partial agg + one reduced join."""
+    from jobinsight_data_pipeline_spark.operators.behavior import (
+        first_touch_attribution,
+    )
+
+    t = load(spark, sf_dir, "events")
+    return first_touch_attribution(
+        t["events"], "purchase", ["view", "click"]
+    )
+
+
+O_ATTRIBUTION_FIRST = """
+WITH ok AS (
+    SELECT user_id, event_type, value,
+           lpad(CAST(date_diff('microseconds',
+                               TIMESTAMP '1970-01-01 00:00:00', ts)
+                     AS VARCHAR), 20, '0')
+             || ':' || lpad(CAST(event_id AS VARCHAR), 20, '0') AS okey
+    FROM events
+),
+first AS (
+    SELECT user_id, min(okey) AS fk,
+           arg_min(event_type, okey) AS ft
+    FROM ok WHERE event_type IN ('view', 'click')
+    GROUP BY user_id
+),
+att AS (
+    SELECT p.user_id, p.value,
+           CASE WHEN f.fk IS NOT NULL AND f.fk <= p.okey THEN f.ft
+                ELSE 'none' END AS touch_type
+    FROM ok p LEFT JOIN first f USING (user_id)
+    WHERE p.event_type = 'purchase'
+)
+SELECT touch_type, count(*) AS n_conversions,
+       count(DISTINCT user_id) AS n_users,
+       CAST(sum(CAST(floor(value * 10000.0) AS BIGINT)) AS BIGINT)
+           AS value_q4
+FROM att GROUP BY 1
+"""
+
+
 def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F17/F18 JSON surface on a raw column: parse the events `props`
     JSON with the native from_json path (schema'd, codegen'd — never a
@@ -1615,6 +1661,7 @@ QUERIES = {
     "k_anonymity": q_k_anonymity,
     "skew_audit": q_skew_audit,
     "attribution": q_attribution,
+    "attribution_first": q_attribution_first,
     "ohlc_bars": q_ohlc_bars,
     "session_funnel": q_session_funnel,
     "cohort_retention": q_cohort_retention,
@@ -1655,6 +1702,7 @@ ORACLES = {
     "k_anonymity": O_K_ANONYMITY,
     "skew_audit": O_SKEW_AUDIT,
     "attribution": O_ATTRIBUTION,
+    "attribution_first": O_ATTRIBUTION_FIRST,
     "ohlc_bars": O_OHLC_BARS,
     "session_funnel": O_SESSION_FUNNEL,
     "cohort_retention": O_COHORT_RETENTION,

@@ -297,3 +297,66 @@ def last_touch_attribution(
     return att.groupBy(
         F.coalesce("touch_type", F.lit("none")).alias("touch_type")
     ).agg(*aggs)
+
+
+def first_touch_attribution(
+    events: DataFrame,
+    conversion_type: str,
+    touch_types: list[str],
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    value_col: str | None = "value",
+) -> DataFrame:
+    """First-touch attribution — the acquisition-channel complement of
+    :func:`last_touch_attribution`: every conversion credits the user's
+    EARLIEST touch event, provided it precedes the conversion in
+    (ts, tiebreak) tuple order (a simultaneous touch with the smaller
+    tiebreak counts). The first touch is a per-user SCALAR, so the
+    whole report is one partial-aggregating groupBy on the user (min of
+    the order-key struct carries the channel along) plus one reduced
+    equi-join onto conversions — cheaper than the as-of union since no
+    per-event forward fill is needed.
+
+    Same output contract as last-touch: ``touch_type`` (or ``'none'``),
+    ``n_conversions``, ``n_users``, and exact quantize-then-sum
+    ``value_q4`` when ``value_col`` is set.
+    """
+    okey = _order_key(ts_col, tiebreak_col)
+    first = (
+        events.where(F.col(type_col).isin(list(touch_types)))
+        .select(
+            F.col(id_col),
+            F.struct(
+                okey.alias("k"), F.col(type_col).alias("t")
+            ).alias("_ft"),
+        )
+        .groupBy(id_col)
+        .agg(F.min("_ft").alias("_ft"))
+    )
+    conv_cols = [F.col(id_col), okey.alias("_ck")] + (
+        [F.col(value_col)] if value_col else []
+    )
+    conversions = events.where(
+        F.col(type_col) == F.lit(conversion_type)
+    ).select(*conv_cols)
+    att = conversions.join(first, id_col, "left").select(
+        id_col,
+        *( [value_col] if value_col else [] ),
+        F.when(
+            F.col("_ft").isNotNull() & (F.col("_ft.k") <= F.col("_ck")),
+            F.col("_ft.t"),
+        ).otherwise(F.lit("none")).alias("touch_type"),
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.countDistinct(id_col).alias("n_users"),
+    ]
+    if value_col:
+        aggs.append(
+            F.sum(
+                F.floor(F.col(value_col) * F.lit(10000.0)).cast("long")
+            ).alias("value_q4")
+        )
+    return att.groupBy("touch_type").agg(*aggs)

@@ -3593,3 +3593,41 @@ def test_quantile_normalize_matches_window_form(spark):
     }
     assert got == want
     assert got[999] == (1, 500_000)  # singleton group pins the midpoint
+
+
+def test_first_touch_attribution_known_answers(spark):
+    from jobinsight_data_pipeline_spark.operators.behavior import (
+        first_touch_attribution,
+    )
+
+    def ts(day, hour=0):
+        return dt.datetime(2024, 1, day, hour)
+
+    rows = [
+        # user 1: view first, later click, purchase -> VIEW gets credit
+        (1, ts(1), "view", 1, 0.0), (1, ts(2), "click", 2, 0.0),
+        (1, ts(3), "purchase", 3, 10.0),
+        # user 2: first purchase precedes any touch -> none;
+        # second purchase after the click -> click
+        (2, ts(1), "purchase", 4, 2.0), (2, ts(2), "click", 5, 0.0),
+        (2, ts(3), "purchase", 6, 3.0),
+        # user 3: simultaneous touch with SMALLER id than the purchase
+        # counts ((ts, id) tuple <=)
+        (3, ts(5), "view", 7, 0.0), (3, ts(5), "purchase", 8, 1.0),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "user_id long, ts timestamp_ntz, event_type string,"
+        " event_id long, value double",
+    )
+    out = {
+        r["touch_type"]: (r["n_conversions"], r["n_users"], r["value_q4"])
+        for r in first_touch_attribution(
+            events, "purchase", ["view", "click"]
+        ).collect()
+    }
+    assert out == {
+        "view": (2, 2, 110000),
+        "click": (1, 1, 30000),
+        "none": (1, 1, 20000),
+    }
