@@ -2703,6 +2703,43 @@ FROM j
 """
 
 
+def q_sq8_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQ8 build-once/serve-many duality under the SAME exact
+    oracle as `sq8_search` (the bm25_index_search one-hash pattern):
+    the int8 code table + 1-row quantization stats PERSIST to parquet
+    (the 4×-smaller corpus artifact), and the serve route ranks query
+    11 against the stored codes with identical per-term micro math —
+    bit-identical to the one-shot scan, no re-encode per query."""
+    import hashlib
+    import os
+
+    from jobinsight_data_pipeline_spark.catalog import scratch_dir
+    from jobinsight_data_pipeline_spark.operators.similarity import (
+        build_sq8_index,
+        sq8_topk_indexed,
+    )
+
+    t = load(spark, sf_dir, "embeddings")
+    base = scratch_dir(
+        "sq8idx-gate-",
+        "{}-{}".format(
+            spark.sparkContext.applicationId,
+            hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+        ),
+    )
+    done = os.path.join(base, "_gate_done")
+    if not os.path.exists(done):
+        codes, stats = build_sq8_index(t["embeddings"])
+        codes.write.mode("overwrite").parquet(f"{base}/codes")
+        stats.write.mode("overwrite").parquet(f"{base}/stats")
+        with open(done, "w") as fh:
+            fh.write("ok")
+    codes = spark.read.parquet(f"{base}/codes")
+    stats = spark.read.parquet(f"{base}/stats")
+    qv = t["embeddings"].filter(F.col("vec_id") == SQ8_QUERY_ID)
+    return sq8_topk_indexed(codes, stats, qv, k=10)
+
+
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive hard-negative mining (operators/similarity.
     hard_negatives): per query (vec_id < 8), the 5 most-similar corpus
@@ -6623,6 +6660,7 @@ QUERIES = {
     "stream_cms": q_stream_cms,
     "hybrid_search": q_hybrid_search,
     "sq8_search": q_sq8_search,
+    "sq8_index_search": q_sq8_index_search,
     "hard_negatives": q_hard_negatives,
     "editdist_verify": q_editdist_verify,
     "weighted_draw": q_weighted_draw,
@@ -6728,6 +6766,7 @@ ORACLES = {
     "stream_cms": O_CMS_HEAVY_HITTERS,
     "hybrid_search": O_HYBRID_SEARCH,
     "sq8_search": O_SQ8_SEARCH,
+    "sq8_index_search": O_SQ8_SEARCH,
     "hard_negatives": O_HARD_NEGATIVES,
     "editdist_verify": O_EDITDIST_VERIFY,
     "weighted_draw": O_WEIGHTED_DRAW,

@@ -1378,3 +1378,65 @@ def hard_negatives(
             F.round("sim6", 4).alias("sim"),
         )
     )
+
+
+def build_sq8_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Build-once half of the SQ8 duality (the IVF-PQ/BM25 discipline):
+    returns ``(codes, stats)`` — the int8 code table (id, codes) to
+    persist as the corpus artifact (4× smaller than float32) and the
+    1-row quantization table (mn, span) to persist beside it. Serving
+    then never rescans or re-encodes the raw vectors."""
+    stats = sq8_stats(corpus, vec_col)
+    return sq8_encode(corpus, stats, id_col, vec_col), stats
+
+
+def sq8_topk_indexed(
+    codes: DataFrame,
+    stats: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Serve-many half: rank a persisted SQ8 code table against
+    full-precision queries — identical math to :func:`sq8_topk_micro`
+    (the per-term-floored BIGINT micro sum over the affine
+    reconstruction), so both routes pin to ONE oracle; per-query work
+    is a single pass over the stored codes, no re-encode."""
+    from pyspark.sql.functions import broadcast
+
+    q = broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            _as_double(F.col(vec_col)).alias("qv"),
+        )
+    )
+    scored = (
+        widen_for_cpu(codes)
+        .select(F.col(id_col).alias("neighbor_id"), "codes")
+        .crossJoin(broadcast(stats))
+        .crossJoin(q)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "adc_micro",
+            F.expr(
+                f"""aggregate(
+                      zip_with(qv, {_SQ8_RECON},
+                               (a, b) -> cast(floor(a * b * 1000000.0)
+                                              AS long)),
+                      0L, (s, y) -> s + y)"""
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_micro"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "adc_micro")
+    )

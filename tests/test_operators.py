@@ -3631,3 +3631,22 @@ def test_first_touch_attribution_known_answers(spark):
         "click": (1, 1, 30000),
         "none": (1, 1, 20000),
     }
+
+
+def test_sq8_indexed_route_bit_identical_to_scan(spark):
+    from jobinsight_data_pipeline_spark.operators.similarity import (
+        build_sq8_index,
+        sq8_topk_micro,
+        sq8_topk_indexed,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter("vec_id IN (3, 17)")
+    scan = sorted(
+        map(tuple, sq8_topk_micro(emb, q, k=7).collect())
+    )
+    codes, stats = build_sq8_index(emb)
+    served = sorted(
+        map(tuple, sq8_topk_indexed(codes, stats, q, k=7).collect())
+    )
+    assert scan == served
