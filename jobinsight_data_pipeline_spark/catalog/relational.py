@@ -1609,6 +1609,56 @@ FROM att GROUP BY 1
 """
 
 
+def q_stream_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME weekly retention triangle as `cohort_retention`, with
+    the per-user first-seen side maintained by a Structured Streaming
+    loop (streaming/incremental.stream_first_seen) over four
+    micro-batch event drops: per-batch (user, min ts) rows land in
+    batch=<epoch> partitions (overwrite → replay-idempotent) and merge
+    by per-user min — min commutes, so streaming ≡ batch exactly and
+    this gate shares O_COHORT_RETENTION verbatim (the stream_cms
+    mergeability discipline)."""
+    import hashlib
+    import os
+    import shutil
+
+    from jobinsight_data_pipeline_spark.catalog import scratch_dir
+    from jobinsight_data_pipeline_spark.operators.behavior import (
+        cohort_retention,
+    )
+    from jobinsight_data_pipeline_spark.streaming.incremental import (
+        read_first_seen,
+        stream_first_seen,
+    )
+
+    t = load(spark, sf_dir, "events")
+    ev = t["events"].select("user_id", "ts", "event_id")
+    base = scratch_dir(
+        "streamcohort-gate-",
+        "{}-{}".format(
+            spark.sparkContext.applicationId,
+            hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+        ),
+    )
+    done = os.path.join(base, "_gate_done")
+    if not os.path.exists(done):
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        raw = f"{base}/drops"
+        for i in range(4):
+            ev.filter(F.col("event_id") % 4 == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(raw)
+        query = stream_first_seen(
+            spark, raw, ev.schema, f"{base}/state", f"{base}/ckpt"
+        )
+        query.awaitTermination()
+        with open(done, "w") as fh:
+            fh.write("ok")
+    first = read_first_seen(spark, f"{base}/state")
+    return cohort_retention(t["events"], first_seen=first)
+
+
 def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F17/F18 JSON surface on a raw column: parse the events `props`
     JSON with the native from_json path (schema'd, codegen'd — never a
@@ -1665,6 +1715,7 @@ QUERIES = {
     "ohlc_bars": q_ohlc_bars,
     "session_funnel": q_session_funnel,
     "cohort_retention": q_cohort_retention,
+    "stream_cohort": q_stream_cohort,
     "asof_discount": q_asof_discount,
     "interval_orders": q_interval_orders,
     "sketch_overlap": q_sketch_overlap,
@@ -1706,6 +1757,7 @@ ORACLES = {
     "ohlc_bars": O_OHLC_BARS,
     "session_funnel": O_SESSION_FUNNEL,
     "cohort_retention": O_COHORT_RETENTION,
+    "stream_cohort": O_COHORT_RETENTION,
     "asof_discount": O_ASOF_DISCOUNT,
     "interval_orders": O_INTERVAL_ORDERS,
     "sketch_overlap": O_SKETCH_OVERLAP,

@@ -167,6 +167,7 @@ def cohort_retention(
     events: DataFrame,
     id_col: str = "user_id",
     ts_col: str = "ts",
+    first_seen: DataFrame | None = None,
 ) -> DataFrame:
     """Weekly cohort-retention triangle: users are assigned to the ISO
     week (Monday-truncated DATE) of their FIRST event; for every
@@ -184,13 +185,28 @@ def cohort_retention(
     own period-0 cell via a per-cohort window over the triangle (a
     weeks²-row frame, not event data).
 
+    With ``first_seen`` (a (id, ts) frame of per-user first-event
+    timestamps — e.g. the min-mergeable state a streaming loop
+    maintains), the per-user first-event reduction is skipped and the
+    given frame cohorts the users instead; since ``min`` commutes, a
+    correctly-maintained incremental state yields EXACTLY the batch
+    result (the streaming ≡ batch pin the stream_cohort gate enforces).
+
     Returns ``cohort_week`` DATE, ``period_weeks`` BIGINT, ``n_active``
     BIGINT, ``retention_ppm`` BIGINT (exact integer ppm of the cohort).
     """
     uid, ts = F.col(id_col), F.col(ts_col)
-    first = events.groupBy(uid.alias("_uid")).agg(
-        F.to_date(F.date_trunc("week", F.min(ts))).alias("cohort_week")
-    )
+    if first_seen is None:
+        first = events.groupBy(uid.alias("_uid")).agg(
+            F.to_date(F.date_trunc("week", F.min(ts))).alias("cohort_week")
+        )
+    else:
+        first = first_seen.select(
+            F.col(id_col).alias("_uid"),
+            F.to_date(F.date_trunc("week", F.col(ts_col))).alias(
+                "cohort_week"
+            ),
+        )
     active = (
         events.select(
             uid.alias("_uid"),

@@ -436,3 +436,55 @@ def read_cms_state(spark: SparkSession, state_dir: str) -> DataFrame:
         .groupBy("row_idx", "bucket")
         .agg(F.sum("cnt").alias("cnt"))
     )
+
+
+def stream_first_seen(
+    spark: SparkSession,
+    raw_dir: str,
+    schema,
+    state_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    max_files_per_trigger: int = 1,
+):
+    """Streaming per-user first-seen state — the min-mergeable twin of
+    ``stream_cms_build``: each micro-batch reduces to (id, min ts) and
+    writes its own ``batch=<epoch>`` partition (overwrite → replay-
+    IDEMPOTENT, true exactly-once); the corpus-wide first-seen table is
+    the per-id MIN across partitions, exact on any batch order because
+    min commutes. This is the state behind incremental cohort
+    assignment, new-user counting, and first-touch attribution over an
+    unbounded stream — per batch it costs ≤ distinct-ids rows."""
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.groupBy(id_col).agg(F.min(ts_col).alias(ts_col)).write.mode(
+            "overwrite"
+        ).parquet(f"{state_dir}/batch={epoch_id}")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(raw_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_first_seen(
+    spark: SparkSession,
+    state_dir: str,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Merge a ``stream_first_seen`` state dir: per-id min across the
+    batch partitions."""
+    return (
+        spark.read.parquet(state_dir)
+        .groupBy(id_col)
+        .agg(F.min(ts_col).alias(ts_col))
+    )
