@@ -576,6 +576,78 @@ GROUP BY ROLLUP (r_name, n_name)
 """
 
 
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 completion: full CUBE over (priority, status) — all four
+    grouping-set levels in one pass (rollup_revenue covers the
+    hierarchy form; CUBE is the cross-product form dashboards slice).
+    Values quantize to integer cents before summation — exact on any
+    partitioning."""
+    t = load(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long")
+    return (
+        t["orders"]
+        .withColumn("_cents", cents)
+        .cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("_cents").alias("sum_cents"),
+        )
+    )
+
+
+O_CUBE_ORDERS = """
+SELECT o_orderpriority, o_orderstatus,
+       count(*) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+           AS sum_cents
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long UNPIVOT (melt) — the reporting-table reshape that
+    pairs with pivot_events' long→wide: monthly order metrics unpivot
+    into (year, month, metric, value) rows. All values BIGINT so the
+    melted column is one type."""
+    t = load(spark, sf_dir, "orders")
+    wide = (
+        t["orders"]
+        .groupBy(
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long")
+            ).alias("sum_cents"),
+        )
+    )
+    return wide.unpivot(
+        ["order_year", "order_month"],
+        ["n_orders", "n_customers", "sum_cents"],
+        "metric",
+        "value",
+    )
+
+
+O_UNPIVOT_METRICS = """
+WITH wide AS (
+    SELECT year(o_orderdate) AS order_year,
+           month(o_orderdate) AS order_month,
+           count(*) AS n_orders,
+           count(DISTINCT o_custkey) AS n_customers,
+           CAST(sum(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM orders GROUP BY 1, 2
+)
+UNPIVOT wide ON n_orders, n_customers, sum_cents
+INTO NAME metric VALUE value
+"""
+
+
 def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.7 explicit set semantics in one frame: customers ordering in
     both 1995 and 1998 (INTERSECT), 1995-only (EXCEPT), either (UNION)
@@ -1725,6 +1797,8 @@ QUERIES = {
     "rolling_avg": q_rolling_avg,
     "pivot_events": q_pivot_events,
     "rollup_revenue": q_rollup_revenue,
+    "cube_orders": q_cube_orders,
+    "unpivot_metrics": q_unpivot_metrics,
     "set_ops": q_set_ops,
     "profile_customer": q_profile_customer,
     "monthly_orders_approx": q_monthly_orders_approx,
@@ -1768,6 +1842,8 @@ ORACLES = {
     "rolling_avg": O_ROLLING_AVG,
     "pivot_events": O_PIVOT_EVENTS,
     "rollup_revenue": O_ROLLUP_REVENUE,
+    "cube_orders": O_CUBE_ORDERS,
+    "unpivot_metrics": O_UNPIVOT_METRICS,
     "set_ops": O_SET_OPS,
     "profile_customer": O_PROFILE_CUSTOMER,
     "windowed_events": O_WINDOWED_EVENTS,
