@@ -148,6 +148,7 @@ def test_no_accidental_cartesian_or_nested_loop(spark):
         "embedding_topk",
         "hybrid_search",  # bm25 1-row stats + cosine_topk broadcast query side
         "sq8_search",  # 1-row stats table + broadcast query side
+        "sq8_index_search",  # same class: persisted codes x 1-row stats
         "hard_negatives",  # cosine_topk's sanctioned broadcast query side
         "embedding_near_dup",
         "asof_discount",
