@@ -1731,6 +1731,70 @@ def q_stream_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_retention(t["events"], first_seen=first)
 
 
+def q_outlier_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence anomaly screen (operators/profiling.
+    iqr_outlier_fences) per event type over quantized values, with a
+    planted inflation (every 97th event's value ×20) so the high fence
+    actually fires. Exact discrete quartiles via the grouped
+    histogram-CDF rank — the oracle is the textbook window form; every
+    quantity integer (×10 fences, no fraction materializes)."""
+    from jobinsight_data_pipeline_spark.operators.profiling import (
+        iqr_outlier_fences,
+    )
+
+    t = load(spark, sf_dir, "events")
+    base = t["events"].select(
+        "event_type",
+        "event_id",
+        F.floor(
+            F.col("value")
+            * F.when(F.col("event_id") % 97 == 0, F.lit(200000.0)).otherwise(
+                F.lit(10000.0)
+            )
+        ).cast("long").alias("cents"),
+    )
+    return iqr_outlier_fences(base, "cents", ["event_type"], ["event_id"])
+
+
+O_OUTLIER_FENCES = """
+WITH base AS (
+    SELECT event_type, event_id,
+           CAST(floor(value * CASE WHEN event_id % 97 = 0
+                                   THEN 200000.0 ELSE 10000.0 END)
+                AS BIGINT) AS cents
+    FROM events
+),
+ranked AS (
+    SELECT event_type, cents,
+           CAST(row_number() OVER (PARTITION BY event_type
+                                   ORDER BY cents, event_id) AS BIGINT)
+               AS rk,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM base
+),
+q AS (
+    SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+           max(CASE WHEN rk = (n + 3) // 4 THEN cents END) AS q1,
+           max(CASE WHEN rk = (3 * n + 3) // 4 THEN cents END) AS q3
+    FROM ranked GROUP BY event_type
+),
+fences AS (
+    SELECT event_type, n, q1, q3, q3 - q1 AS iqr,
+           q1 * 10 - 15 * (q3 - q1) AS lo_fence_x10,
+           q3 * 10 + 15 * (q3 - q1) AS hi_fence_x10
+    FROM q
+)
+SELECT f.event_type, f.n, f.q1, f.q3, f.iqr,
+       f.lo_fence_x10, f.hi_fence_x10,
+       CAST(sum(CASE WHEN b.cents * 10 < f.lo_fence_x10 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_low,
+       CAST(sum(CASE WHEN b.cents * 10 > f.hi_fence_x10 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_high
+FROM base b JOIN fences f USING (event_type)
+GROUP BY 1, 2, 3, 4, 5, 6, 7
+"""
+
+
 def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F17/F18 JSON surface on a raw column: parse the events `props`
     JSON with the native from_json path (schema'd, codegen'd — never a
@@ -1782,6 +1846,7 @@ QUERIES = {
     "funnel_steps": q_funnel_steps,
     "k_anonymity": q_k_anonymity,
     "skew_audit": q_skew_audit,
+    "outlier_fences": q_outlier_fences,
     "attribution": q_attribution,
     "attribution_first": q_attribution_first,
     "ohlc_bars": q_ohlc_bars,
@@ -1826,6 +1891,7 @@ ORACLES = {
     "funnel_steps": O_FUNNEL_STEPS,
     "k_anonymity": O_K_ANONYMITY,
     "skew_audit": O_SKEW_AUDIT,
+    "outlier_fences": O_OUTLIER_FENCES,
     "attribution": O_ATTRIBUTION,
     "attribution_first": O_ATTRIBUTION_FIRST,
     "ohlc_bars": O_OHLC_BARS,

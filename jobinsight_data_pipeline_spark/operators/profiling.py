@@ -202,3 +202,90 @@ def k_anonymity_audit(
             "share_ppm"
         ),
     )
+
+
+def iqr_outlier_fences(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    id_cols: list[str],
+    k_tenths: int = 15,
+) -> DataFrame:
+    """Tukey-fence outlier report per group: exact DISCRETE quartiles
+    (the ceil(p·n)-th order statistic — no interpolation, so the
+    quartile is an actual data value and every quantity stays integer),
+    fences at ``q1 − k·IQR`` / ``q3 + k·IQR`` with ``k = k_tenths/10``
+    evaluated in ×10 integer arithmetic (no fraction ever
+    materializes), and per-group row/outlier counts — the data-quality
+    anomaly screen run before a corpus or metrics release.
+
+    Scale shape: ranks come from ``sampling.quantile_normalize``'s
+    grouped histogram-CDF machinery (no per-group global window); the
+    quartile extraction is an equi-join of the ranked frame against a
+    groups-sized broadcast of (group, target ranks); the final verdict
+    is one more partial-agg groupBy. ``value_col`` must be integral
+    (quantize first — the house rule).
+
+    Returns per group: ``n``, ``q1``, ``q3``, ``iqr``, ``lo_fence_x10``
+    / ``hi_fence_x10`` (×10 integers), ``n_low`` / ``n_high`` outlier
+    counts.
+    """
+    from pyspark.sql.functions import broadcast
+
+    from jobinsight_data_pipeline_spark.operators.sampling import (
+        quantile_normalize,
+    )
+
+    ranked = quantile_normalize(df, value_col, group_cols, id_cols)
+    sizes = ranked.groupBy(*group_cols).agg(
+        F.max("rank_in_group").alias("_n")
+    )
+    targets = sizes.select(
+        *group_cols,
+        "_n",
+        # ceil(n/4) and ceil(3n/4) in pure integer arithmetic
+        F.expr("(_n + 3) div 4").alias("_r1"),
+        F.expr("(3 * _n + 3) div 4").alias("_r3"),
+    )
+    q1 = (
+        ranked.join(broadcast(targets), group_cols)
+        .where(F.col("rank_in_group") == F.col("_r1"))
+        .select(*group_cols, F.col(value_col).alias("q1"))
+    )
+    q3 = (
+        ranked.join(broadcast(targets), group_cols)
+        .where(F.col("rank_in_group") == F.col("_r3"))
+        .select(*group_cols, F.col(value_col).alias("q3"))
+    )
+    fences = (
+        targets.join(broadcast(q1), group_cols)
+        .join(broadcast(q3), group_cols)
+        .select(
+            *group_cols,
+            F.col("_n").alias("n"),
+            "q1",
+            "q3",
+            (F.col("q3") - F.col("q1")).alias("iqr"),
+            (
+                F.col("q1") * 10 - F.lit(int(k_tenths)) * (F.col("q3") - F.col("q1"))
+            ).alias("lo_fence_x10"),
+            (
+                F.col("q3") * 10 + F.lit(int(k_tenths)) * (F.col("q3") - F.col("q1"))
+            ).alias("hi_fence_x10"),
+        )
+    )
+    return (
+        df.join(broadcast(fences), group_cols)
+        .groupBy(
+            *group_cols, "n", "q1", "q3", "iqr",
+            "lo_fence_x10", "hi_fence_x10",
+        )
+        .agg(
+            F.sum(
+                (F.col(value_col) * 10 < F.col("lo_fence_x10")).cast("long")
+            ).alias("n_low"),
+            F.sum(
+                (F.col(value_col) * 10 > F.col("hi_fence_x10")).cast("long")
+            ).alias("n_high"),
+        )
+    )

@@ -3650,3 +3650,19 @@ def test_sq8_indexed_route_bit_identical_to_scan(spark):
         map(tuple, sq8_topk_indexed(codes, stats, q, k=7).collect())
     )
     assert scan == served
+
+
+def test_iqr_outlier_fences_known_answers(spark):
+    from jobinsight_data_pipeline_spark.operators.profiling import (
+        iqr_outlier_fences,
+    )
+
+    # group 'a': values 1..8 plus a planted 100; n=9, r1=ceil(9/4)=3,
+    # r3=ceil(27/4)=7 -> q1=3, q3=7, iqr=4, fences [-3.0, 13.0] (x10:
+    # -30, 130) -> exactly one high outlier, no low
+    rows = [("a", i, i) for i in range(1, 9)] + [("a", 9, 100)]
+    df = spark.createDataFrame(rows, "g string, id long, v long")
+    [r] = iqr_outlier_fences(df, "v", ["g"], ["id"]).collect()
+    assert (r["n"], r["q1"], r["q3"], r["iqr"]) == (9, 3, 7, 4)
+    assert (r["lo_fence_x10"], r["hi_fence_x10"]) == (-30, 130)
+    assert (r["n_low"], r["n_high"]) == (0, 1)
