@@ -1795,6 +1795,67 @@ GROUP BY 1, 2, 3, 4, 5, 6, 7
 """
 
 
+def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME hourly candles as `ohlc_bars`, with the bar state
+    maintained by a Structured Streaming loop (streaming/incremental.
+    stream_ohlc) over four micro-batch event drops: per-batch OHLC
+    partials land in batch=<epoch> partitions (overwrite →
+    replay-idempotent) and merge by min/max/sum — the argmin structs
+    commute, so streaming ≡ batch exactly and this gate shares
+    O_OHLC_BARS verbatim (the stream_cms / stream_cohort mergeable-
+    state discipline)."""
+    import hashlib
+    import os
+    import shutil
+
+    from jobinsight_data_pipeline_spark.catalog import scratch_dir
+    from jobinsight_data_pipeline_spark.operators.timeseries import (
+        merge_ohlc_partials,
+    )
+    from jobinsight_data_pipeline_spark.streaming.incremental import (
+        stream_ohlc,
+    )
+
+    t = load(spark, sf_dir, "events")
+    ev = t["events"].select("event_type", "ts", "event_id", "value")
+    base = scratch_dir(
+        "streamohlc-gate-",
+        "{}-{}".format(
+            spark.sparkContext.applicationId,
+            hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+        ),
+    )
+    done = os.path.join(base, "_gate_done")
+    if not os.path.exists(done):
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        raw = f"{base}/drops"
+        for i in range(4):
+            ev.filter(F.col("event_id") % 4 == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(raw)
+        query = stream_ohlc(
+            spark,
+            raw,
+            ev.schema,
+            f"{base}/state",
+            f"{base}/ckpt",
+            micros_expr=(
+                "timestampdiff(MICROSECOND,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            ),
+            key_cols=["event_type"],
+            cents_expr="CAST(floor(value * 10000.0) AS LONG)",
+            tiebreak_col="event_id",
+            width_micros=3_600_000_000,
+        )
+        query.awaitTermination()
+        with open(done, "w") as fh:
+            fh.write("ok")
+    partials = spark.read.parquet(f"{base}/state")
+    return merge_ohlc_partials(partials, ["event_type"])
+
+
 def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F17/F18 JSON surface on a raw column: parse the events `props`
     JSON with the native from_json path (schema'd, codegen'd — never a
@@ -1850,6 +1911,7 @@ QUERIES = {
     "attribution": q_attribution,
     "attribution_first": q_attribution_first,
     "ohlc_bars": q_ohlc_bars,
+    "stream_ohlc": q_stream_ohlc,
     "session_funnel": q_session_funnel,
     "cohort_retention": q_cohort_retention,
     "stream_cohort": q_stream_cohort,
@@ -1895,6 +1957,7 @@ ORACLES = {
     "attribution": O_ATTRIBUTION,
     "attribution_first": O_ATTRIBUTION_FIRST,
     "ohlc_bars": O_OHLC_BARS,
+    "stream_ohlc": O_OHLC_BARS,
     "session_funnel": O_SESSION_FUNNEL,
     "cohort_retention": O_COHORT_RETENTION,
     "stream_cohort": O_COHORT_RETENTION,

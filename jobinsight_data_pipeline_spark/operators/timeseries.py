@@ -204,3 +204,61 @@ def ohlc_bars(
             F.col("_last.v").alias("close_cents"),
         )
     )
+
+
+def ohlc_partials(
+    df: DataFrame,
+    micros_col: str,
+    key_cols: list[str],
+    cents_col: str,
+    tiebreak_col: str,
+    width_micros: int,
+) -> DataFrame:
+    """Mergeable OHLC partials: per (bucket, keys) the first/last
+    (micros, tiebreak, value) structs plus n/high/low — every field
+    merges by min/max/sum (argmin rides in the struct), so partials
+    from shards, days, or micro-batches combine into exact bars with
+    :func:`merge_ohlc_partials`. ``ohlc_bars`` ≡ merge(partials) by
+    construction (pinned by test and by the stream_ohlc shared-oracle
+    gate)."""
+    if width_micros < 1:
+        raise ValueError("ohlc_partials: width_micros must be >= 1")
+    m, v, tb = F.col(micros_col), F.col(cents_col), F.col(tiebreak_col)
+    okey = F.struct(m.alias("m"), tb.alias("t"), v.alias("v"))
+    return df.groupBy(
+        F.expr(f"{micros_col} div {int(width_micros)}").alias("bucket"),
+        *key_cols,
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(okey).alias("first_ev"),
+        F.max(okey).alias("last_ev"),
+        F.max(v).alias("high_cents"),
+        F.min(v).alias("low_cents"),
+    )
+
+
+def merge_ohlc_partials(
+    partials: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """Combine ``ohlc_partials`` outputs (any number of shards/batches,
+    any order) into final bars — min/max/sum over the partial fields,
+    then the same projection as :func:`ohlc_bars`."""
+    return (
+        partials.groupBy("bucket", *key_cols)
+        .agg(
+            F.sum("n").alias("n"),
+            F.min("first_ev").alias("_first"),
+            F.max("last_ev").alias("_last"),
+            F.max("high_cents").alias("high_cents"),
+            F.min("low_cents").alias("low_cents"),
+        )
+        .select(
+            "bucket",
+            *key_cols,
+            "n",
+            F.col("_first.v").alias("open_cents"),
+            "high_cents",
+            "low_cents",
+            F.col("_last.v").alias("close_cents"),
+        )
+    )

@@ -488,3 +488,51 @@ def read_first_seen(
         .groupBy(id_col)
         .agg(F.min(ts_col).alias(ts_col))
     )
+
+
+def stream_ohlc(
+    spark: SparkSession,
+    raw_dir: str,
+    schema,
+    state_dir: str,
+    checkpoint_dir: str,
+    micros_expr: str,
+    key_cols: list[str],
+    cents_expr: str,
+    tiebreak_col: str,
+    width_micros: int,
+    max_files_per_trigger: int = 1,
+):
+    """Streaming OHLC candles — the third mergeable-state shape beside
+    the sum-merged CMS and the min-merged first-seen: each micro-batch
+    writes its OHLC PARTIALS (argmin/argmax structs + n/high/low) to
+    its own ``batch=<epoch>`` partition (overwrite → replay-idempotent,
+    true exactly-once), and final bars are ``merge_ohlc_partials`` over
+    the state — exact on any batch order because every field merges by
+    min/max/sum. State per batch is bars-sized, not event-sized."""
+    from jobinsight_data_pipeline_spark.operators.timeseries import (
+        ohlc_partials,
+    )
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        base = batch_df.selectExpr(
+            f"{micros_expr} AS m",
+            *key_cols,
+            f"{cents_expr} AS cents",
+            tiebreak_col,
+        )
+        ohlc_partials(
+            base, "m", key_cols, "cents", tiebreak_col, width_micros
+        ).write.mode("overwrite").parquet(f"{state_dir}/batch={epoch_id}")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(raw_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -3666,3 +3666,30 @@ def test_iqr_outlier_fences_known_answers(spark):
     assert (r["n"], r["q1"], r["q3"], r["iqr"]) == (9, 3, 7, 4)
     assert (r["lo_fence_x10"], r["hi_fence_x10"]) == (-30, 130)
     assert (r["n_low"], r["n_high"]) == (0, 1)
+
+
+def test_ohlc_partials_merge_equals_direct(spark):
+    from jobinsight_data_pipeline_spark.operators.timeseries import (
+        merge_ohlc_partials,
+        ohlc_bars,
+        ohlc_partials,
+    )
+
+    rows = [
+        ("a", (i * 37) % 500, i, ((i * 91) % 100) - 50) for i in range(120)
+    ] + [("b", 10, 200, 5), ("b", 10, 201, -5)]
+    df = spark.createDataFrame(rows, "k string, m long, tb long, cents long")
+    direct = sorted(
+        map(tuple, ohlc_bars(df, "m", ["k"], "cents", "tb", 100).collect())
+    )
+    # split into 3 arbitrary shards, partial each, merge
+    shards = [df.filter(F.col("tb") % 3 == i) for i in range(3)]
+    parts = shards[0].sparkSession.createDataFrame(
+        [], ohlc_partials(shards[0], "m", ["k"], "cents", "tb", 100).schema
+    )
+    for sh in shards:
+        parts = parts.unionByName(
+            ohlc_partials(sh, "m", ["k"], "cents", "tb", 100)
+        )
+    merged = sorted(map(tuple, merge_ohlc_partials(parts, ["k"]).collect()))
+    assert merged == direct
