@@ -2740,6 +2740,111 @@ def q_sq8_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sq8_topk_indexed(codes, stats, qv, k=10)
 
 
+MMR_QUERY_ID = 11
+
+
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified reranking (operators/similarity.mmr_rerank,
+    Carbonell & Goldstein SIGIR'98) of the exact-cosine top-20 for
+    companion query 11 at λ=0.7, k=8 — the redundancy-aware rerank a
+    near-dup-heavy retrieval needs. Every pick is an exact-integer
+    argmax (micro relevance, micro pairwise sims, BIGINT objective,
+    min-id ties); the oracle unrolls ALL EIGHT greedy rounds as CTEs —
+    one drifted pick anywhere cascades and fails the hash."""
+    from jobinsight_data_pipeline_spark.operators.similarity import (
+        _as_double,
+        dot,
+        mmr_rerank,
+        norm,
+    )
+    from pyspark.sql.functions import broadcast
+
+    t = load(spark, sf_dir, "embeddings")
+    emb = t["embeddings"]
+    q = broadcast(
+        emb.filter(F.col("vec_id") == MMR_QUERY_ID).select(
+            _as_double(F.col("embedding")).alias("qv")
+        ).withColumn("qn", norm(F.col("qv")))
+    )
+    scored = (
+        emb.where(F.col("vec_id") != MMR_QUERY_ID)
+        .select("vec_id", "embedding", _as_double(F.col("embedding")).alias("cv"))
+        .withColumn("cn", norm(F.col("cv")))
+        .crossJoin(q)
+        .withColumn(
+            "sim6",
+            F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6),
+        )
+    )
+    w = Window.orderBy(F.desc("sim6"), F.asc("vec_id"))
+    cand = (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= 20)
+        .select(
+            "vec_id",
+            "embedding",
+            F.floor(F.col("sim6") * F.lit(1000000.0)).cast("long").alias(
+                "rel_micro"
+            ),
+        )
+    )
+    return mmr_rerank(cand, k=8, lambda_micro=700_000)
+
+
+def _mmr_oracle(k: int = 8, lam: int = 700_000) -> str:
+    pen = 1_000_000 - lam
+    head = f"""
+WITH v AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+qv AS (SELECT e AS q FROM v WHERE vec_id = {MMR_QUERY_ID}),
+scored AS (
+    SELECT v.vec_id AS id, v.e,
+           round(list_dot_product(qv.q, v.e)
+                 / (sqrt(list_dot_product(qv.q, qv.q))
+                    * sqrt(list_dot_product(v.e, v.e))), 6) AS sim6
+    FROM v, qv WHERE v.vec_id <> {MMR_QUERY_ID}
+),
+cand AS MATERIALIZED (
+    SELECT id, e, CAST(floor(sim6 * 1000000.0) AS BIGINT) AS rel
+    FROM (SELECT id, e, sim6,
+                 row_number() OVER (ORDER BY sim6 DESC, id ASC) AS rk
+          FROM scored)
+    WHERE rk <= 20
+),
+pairs AS MATERIALIZED (
+    SELECT a.id AS i, b.id AS j,
+           CAST(floor(list_dot_product(a.e, b.e)
+                      / (sqrt(list_dot_product(a.e, a.e))
+                         * sqrt(list_dot_product(b.e, b.e)))
+                      * 1000000.0) AS BIGINT) AS sim_micro
+    FROM cand a, cand b WHERE a.id <> b.id
+),
+sel0(id) AS (SELECT CAST(NULL AS BIGINT) WHERE false)"""
+    steps = ""
+    for t in range(1, k + 1):
+        steps += f""",
+pick{t} AS MATERIALIZED (
+    SELECT CAST({t} AS BIGINT) AS pick, c.id, c.rel,
+           CAST({lam} * c.rel - {pen} * coalesce(m.ms, 0) AS BIGINT) AS obj
+    FROM cand c LEFT JOIN (
+        SELECT i AS id, max(sim_micro) AS ms FROM pairs
+        WHERE j IN (SELECT id FROM sel{t - 1}) GROUP BY i) m USING (id)
+    WHERE c.id NOT IN (SELECT id FROM sel{t - 1})
+    ORDER BY obj DESC, c.id ASC LIMIT 1
+),
+sel{t} AS (SELECT id FROM sel{t - 1} UNION ALL SELECT id FROM pick{t})"""
+    finals = "\nUNION ALL\n".join(
+        f"SELECT pick, id AS picked_id, rel AS rel_micro, obj AS obj_micro"
+        f" FROM pick{t}"
+        for t in range(1, k + 1)
+    )
+    return head + steps + "\n" + finals
+
+
+O_MMR_RERANK = _mmr_oracle()
+
+
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive hard-negative mining (operators/similarity.
     hard_negatives): per query (vec_id < 8), the 5 most-similar corpus
@@ -6662,6 +6767,7 @@ QUERIES = {
     "sq8_search": q_sq8_search,
     "sq8_index_search": q_sq8_index_search,
     "hard_negatives": q_hard_negatives,
+    "mmr_rerank": q_mmr_rerank,
     "editdist_verify": q_editdist_verify,
     "weighted_draw": q_weighted_draw,
     "label_prop": q_label_prop,
@@ -6768,6 +6874,7 @@ ORACLES = {
     "sq8_search": O_SQ8_SEARCH,
     "sq8_index_search": O_SQ8_SEARCH,
     "hard_negatives": O_HARD_NEGATIVES,
+    "mmr_rerank": O_MMR_RERANK,
     "editdist_verify": O_EDITDIST_VERIFY,
     "weighted_draw": O_WEIGHTED_DRAW,
     "label_prop": O_LABEL_PROP,

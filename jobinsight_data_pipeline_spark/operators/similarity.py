@@ -1440,3 +1440,113 @@ def sq8_topk_indexed(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "adc_micro")
     )
+
+
+#: MMR is a RERANK over an ANN/BM25 top-N — never a corpus-wide op
+MMR_MAX_CANDIDATES = 10_000
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rel_col: str = "rel_micro",
+    k: int = 8,
+    lambda_micro: int = 700_000,
+) -> DataFrame:
+    """Maximal Marginal Relevance diversification (Carbonell & Goldstein,
+    SIGIR'98) — the standard rerank that trades relevance against
+    redundancy when a retrieval top-N is near-duplicate-heavy: pick
+    argmax of ``λ·rel − (1−λ)·max_sim_to_already_selected`` k times.
+
+    Exact integer objective: relevance arrives as micro-units
+    (``rel_col`` BIGINT), pairwise cosines quantize to
+    ``floor(cos·10⁶)``, and the objective
+    ``λµ·rel − (10⁶−λµ)·maxsim`` stays in BIGINT — ties to the smaller
+    id, so every pick is engine-portable and the DuckDB oracle unrolls
+    all k rounds.
+
+    Scale posture: MMR reranks a CANDIDATE SET (an ANN/BM25 top-N),
+    never a corpus — guarded at {MMR_MAX_CANDIDATES} rows. Pairwise
+    similarities compute ONCE as a broadcast self-join (N² small by
+    contract); each of the k rounds is one tiny distributed argmax
+    (TakeOrderedAndProject + a 1-row collect — the kmeans per-round
+    driver-scalar class). Greedy selection is inherently sequential;
+    k·2 driver round trips over N ≤ 10⁴ rows is the honest cost.
+
+    Returns one row per pick: ``pick`` (1-based), the id, ``rel_micro``
+    and ``obj_micro`` (the winning objective).
+    """
+    from jobinsight_data_pipeline_spark.operators.components import (
+        _free_local_checkpoint,
+    )
+
+    n = candidates.count()
+    if n > MMR_MAX_CANDIDATES:
+        raise ValueError(
+            f"mmr_rerank is a rerank over a top-N candidate set; got {n} "
+            f"rows (> {MMR_MAX_CANDIDATES}). Cut with an ANN/BM25 top-N "
+            "first."
+        )
+    cand = candidates.select(
+        F.col(id_col).alias("_id"),
+        _as_double(F.col(vec_col)).alias("_v"),
+        F.col(rel_col).cast("long").alias("_rel"),
+    ).withColumn("_nrm", norm(F.col("_v")))
+    cand = cand.localCheckpoint(eager=True)
+    a = cand.select(
+        F.col("_id").alias("i"), F.col("_v").alias("va"),
+        F.col("_nrm").alias("na"),
+    )
+    b = cand.select(
+        F.col("_id").alias("j"), F.col("_v").alias("vb"),
+        F.col("_nrm").alias("nb"),
+    )
+    pairs = (
+        a.crossJoin(broadcast(b))
+        .where(F.col("i") != F.col("j"))
+        .select(
+            "i", "j",
+            F.floor(
+                dot(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb"))
+                * F.lit(1000000.0)
+            ).cast("long").alias("sim_micro"),
+        )
+    ).localCheckpoint(eager=True)
+
+    lam = int(lambda_micro)
+    picks: list = []
+    rows = []
+    for t in range(1, int(k) + 1):
+        rem = cand.where(~F.col("_id").isin(picks) if picks else F.lit(True))
+        if picks:
+            ms = (
+                pairs.where(F.col("j").isin(picks))
+                .groupBy("i")
+                .agg(F.max("sim_micro").alias("_ms"))
+            )
+            scored = rem.join(ms, rem["_id"] == ms["i"], "left").select(
+                "_id", "_rel",
+                F.coalesce("_ms", F.lit(0)).alias("_ms"),
+            )
+        else:
+            scored = rem.select(
+                "_id", "_rel", F.lit(0).cast("long").alias("_ms")
+            )
+        scored = scored.withColumn(
+            "_obj",
+            F.lit(lam) * F.col("_rel")
+            - F.lit(1_000_000 - lam) * F.col("_ms"),
+        )
+        top = scored.orderBy(F.desc("_obj"), F.asc("_id")).limit(1).collect()
+        if not top:
+            break
+        r = top[0]
+        picks.append(r["_id"])
+        rows.append((t, r["_id"], r["_rel"], r["_obj"]))
+    _free_local_checkpoint(pairs)
+    _free_local_checkpoint(cand)
+    return candidates.sparkSession.createDataFrame(
+        rows, "pick long, picked_id long, rel_micro long, obj_micro long"
+    )

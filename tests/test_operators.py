@@ -3693,3 +3693,23 @@ def test_ohlc_partials_merge_equals_direct(spark):
         )
     merged = sorted(map(tuple, merge_ohlc_partials(parts, ["k"]).collect()))
     assert merged == direct
+
+
+def test_mmr_rerank_diversifies(spark):
+    from jobinsight_data_pipeline_spark.operators.similarity import mmr_rerank
+
+    cand = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 1_000_000),     # most relevant
+            (2, [0.999, 0.04], 990_000),    # near-twin of 1
+            (3, [0.0, 1.0], 900_000),       # diverse direction
+        ],
+        "vec_id long, embedding array<float>, rel_micro long",
+    )
+    out = mmr_rerank(cand, k=3, lambda_micro=700_000)
+    picks = [r["picked_id"] for r in out.orderBy("pick").collect()]
+    # relevance-only order would be [1, 2, 3]; MMR penalizes the twin
+    assert picks == [1, 3, 2]
+    # pure-relevance limit: lambda = 1 restores the relevance order
+    out2 = mmr_rerank(cand, k=3, lambda_micro=1_000_000)
+    assert [r["picked_id"] for r in out2.orderBy("pick").collect()] == [1, 2, 3]

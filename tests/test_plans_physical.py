@@ -150,6 +150,7 @@ def test_no_accidental_cartesian_or_nested_loop(spark):
         "sq8_search",  # 1-row stats table + broadcast query side
         "sq8_index_search",  # same class: persisted codes x 1-row stats
         "hard_negatives",  # cosine_topk's sanctioned broadcast query side
+        "mmr_rerank",  # broadcast query side + capped candidate self-join
         "embedding_near_dup",
         "asof_discount",
         "minhash_lsh",
