@@ -75,6 +75,12 @@ HEADLINE = [
     "cms_heavy_hitters",
     "hybrid_search",
     "sq8_search",
+    # session-3 second wave: as-of attribution, struct-argmin candles,
+    # LPA communities (iterative), grouped hist-CDF normalization
+    "attribution",
+    "ohlc_bars",
+    "label_prop",
+    "quantile_normalize",
 ]
 
 
