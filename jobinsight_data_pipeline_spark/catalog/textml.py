@@ -2740,6 +2740,46 @@ def q_sq8_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sq8_topk_indexed(codes, stats, qv, k=10)
 
 
+def q_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal k-NN pairs (operators/similarity.mutual_knn_pairs,
+    k=3): only mutually-confirmed neighbors survive — the hub-robust
+    duplicate-confirmation criterion. Deterministic on the rounded
+    cosine with id tie-breaks; the oracle replays both directional rank
+    windows and the mutual join."""
+    from jobinsight_data_pipeline_spark.operators.similarity import (
+        mutual_knn_pairs,
+    )
+
+    t = load(spark, sf_dir, "embeddings")
+    return mutual_knn_pairs(t["embeddings"], k=3)
+
+
+O_MUTUAL_KNN = """
+WITH v AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+scored AS (
+    SELECT a.vec_id AS i, b.vec_id AS j,
+           round(list_dot_product(a.e, b.e)
+                 / (sqrt(list_dot_product(a.e, a.e))
+                    * sqrt(list_dot_product(b.e, b.e))), 6) AS sim6
+    FROM v a JOIN v b ON a.vec_id <> b.vec_id
+),
+ranked AS (
+    SELECT i, j, sim6,
+           row_number() OVER (PARTITION BY i
+                              ORDER BY sim6 DESC, j ASC) AS rank
+    FROM scored
+    QUALIFY rank <= 3
+)
+SELECT r.i AS id_a, r.j AS id_b,
+       r.rank AS rank_ab, s.rank AS rank_ba,
+       CAST(floor(r.sim6 * 1000000.0) AS BIGINT) AS sim_micro
+FROM ranked r JOIN ranked s ON s.i = r.j AND s.j = r.i
+WHERE r.i < r.j
+"""
+
+
 MMR_QUERY_ID = 11
 
 
@@ -6768,6 +6808,7 @@ QUERIES = {
     "sq8_index_search": q_sq8_index_search,
     "hard_negatives": q_hard_negatives,
     "mmr_rerank": q_mmr_rerank,
+    "mutual_knn": q_mutual_knn,
     "editdist_verify": q_editdist_verify,
     "weighted_draw": q_weighted_draw,
     "label_prop": q_label_prop,
@@ -6875,6 +6916,7 @@ ORACLES = {
     "sq8_index_search": O_SQ8_SEARCH,
     "hard_negatives": O_HARD_NEGATIVES,
     "mmr_rerank": O_MMR_RERANK,
+    "mutual_knn": O_MUTUAL_KNN,
     "editdist_verify": O_EDITDIST_VERIFY,
     "weighted_draw": O_WEIGHTED_DRAW,
     "label_prop": O_LABEL_PROP,

@@ -3713,3 +3713,27 @@ def test_mmr_rerank_diversifies(spark):
     # pure-relevance limit: lambda = 1 restores the relevance order
     out2 = mmr_rerank(cand, k=3, lambda_micro=1_000_000)
     assert [r["picked_id"] for r in out2.orderBy("pick").collect()] == [1, 2, 3]
+
+
+def test_mutual_knn_pairs_hub_rejection(spark):
+    from jobinsight_data_pipeline_spark.operators.similarity import (
+        mutual_knn_pairs,
+    )
+
+    # a hub near everything, two tight twin clusters far apart: with
+    # k=1 the twins confirm each other; the hub is everyone's n2 but
+    # confirms nobody
+    rows = [
+        (0, [0.7, 0.7]),        # hub
+        (1, [1.0, 0.01]),       # twin pair A
+        (2, [1.0, 0.02]),
+        (3, [0.01, 1.0]),       # twin pair B
+        (4, [0.02, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {
+        (r["id_a"], r["id_b"]): (r["rank_ab"], r["rank_ba"])
+        for r in mutual_knn_pairs(df, k=1).collect()
+    }
+    assert set(pairs) == {(1, 2), (3, 4)}
+    assert all(v == (1, 1) for v in pairs.values())

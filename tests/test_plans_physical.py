@@ -151,6 +151,7 @@ def test_no_accidental_cartesian_or_nested_loop(spark):
         "sq8_index_search",  # same class: persisted codes x 1-row stats
         "hard_negatives",  # cosine_topk's sanctioned broadcast query side
         "mmr_rerank",  # broadcast query side + capped candidate self-join
+        "mutual_knn",  # guarded all-pairs baseline (ANN stream at scale)
         "embedding_near_dup",
         "asof_discount",
         "minhash_lsh",
