@@ -1856,6 +1856,80 @@ def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_ohlc_partials(partials, ["event_type"])
 
 
+def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session path analysis (operators/behavior.top_session_paths):
+    the 20 most common first-5-event type sequences across the
+    30-minute sessions — funnels test one hypothesized order, paths
+    DISCOVER the orders that actually happen. Per-session assembly
+    sorts inside the aggregate row (no event-stream window); ties cut
+    on (count desc, path asc)."""
+    from jobinsight_data_pipeline_spark.operators.behavior import (
+        top_session_paths,
+    )
+
+    t = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (
+        t["events"]
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_session",
+            (
+                F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
+                > 1800 * 1_000_000
+            ).cast("int"),
+        )
+        .withColumn(
+            "session_no",
+            F.sum(F.coalesce("new_session", F.lit(1))).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .select(
+            F.concat_ws(":", "user_id", "session_no").alias("sid"),
+            "ts",
+            "event_type",
+            "event_id",
+        )
+    )
+    return top_session_paths(sess, "sid", max_steps=5, k=20)
+
+
+O_TOP_PATHS = """
+WITH gapped AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                WHEN date_diff('microseconds', lag(ts) OVER w, ts)
+                     > 1800000000 THEN 1
+                ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT user_id || ':' || CAST(CAST(sum(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS VARCHAR) AS sid,
+           ts, event_id, event_type
+    FROM gapped
+),
+numbered AS (
+    SELECT sid, event_type,
+           row_number() OVER (PARTITION BY sid ORDER BY ts, event_id)
+               AS rn
+    FROM sess
+),
+paths AS (
+    SELECT sid, string_agg(event_type, '>' ORDER BY rn) AS path
+    FROM numbered WHERE rn <= 5 GROUP BY sid
+)
+SELECT path, count(*) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path ASC
+LIMIT 20
+"""
+
+
 def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F17/F18 JSON surface on a raw column: parse the events `props`
     JSON with the native from_json path (schema'd, codegen'd — never a
@@ -1913,6 +1987,7 @@ QUERIES = {
     "ohlc_bars": q_ohlc_bars,
     "stream_ohlc": q_stream_ohlc,
     "session_funnel": q_session_funnel,
+    "top_paths": q_top_paths,
     "cohort_retention": q_cohort_retention,
     "stream_cohort": q_stream_cohort,
     "asof_discount": q_asof_discount,
@@ -1959,6 +2034,7 @@ ORACLES = {
     "ohlc_bars": O_OHLC_BARS,
     "stream_ohlc": O_OHLC_BARS,
     "session_funnel": O_SESSION_FUNNEL,
+    "top_paths": O_TOP_PATHS,
     "cohort_retention": O_COHORT_RETENTION,
     "stream_cohort": O_COHORT_RETENTION,
     "asof_discount": O_ASOF_DISCOUNT,

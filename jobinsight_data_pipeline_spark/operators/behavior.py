@@ -376,3 +376,59 @@ def first_touch_attribution(
             ).alias("value_q4")
         )
     return att.groupBy("touch_type").agg(*aggs)
+
+
+def top_session_paths(
+    events: DataFrame,
+    session_col: str,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    max_steps: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Session path analysis: the top-k most common event-type
+    SEQUENCES across sessions (first ``max_steps`` events per session,
+    joined ``a>b>c``) — the navigation report beside funnels (funnels
+    test ONE hypothesized order; paths discover which orders actually
+    happen).
+
+    Per-session assembly is one groupBy whose ``collect_list`` of
+    (order-key, type) structs sorts INSIDE the aggregate row
+    (``array_sort`` — collect_list order is partitioning-dependent, the
+    sort makes it total via the (ts, tiebreak) key), so no window over
+    the event stream and no per-session sort shuffle beyond the
+    session-key aggregation; the path table then partial-aggregates to
+    ≤ distinct-paths rows and a heap top-k cuts with (count desc, path
+    asc) ties. Bounded state: only the first ``max_steps`` entries
+    survive the slice, so a pathological million-event session
+    contributes one bounded row."""
+    okey = _order_key(ts_col, tiebreak_col)
+    per = (
+        events.select(
+            F.col(session_col).alias("_sid"),
+            F.struct(okey.alias("k"), F.col(type_col).alias("t")).alias(
+                "_e"
+            ),
+        )
+        .groupBy("_sid")
+        .agg(
+            F.array_join(
+                F.slice(
+                    F.transform(
+                        F.array_sort(F.collect_list("_e")),
+                        lambda s: s["t"],
+                    ),
+                    1,
+                    int(max_steps),
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        per.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(int(k))
+    )

@@ -3737,3 +3737,31 @@ def test_mutual_knn_pairs_hub_rejection(spark):
     }
     assert set(pairs) == {(1, 2), (3, 4)}
     assert all(v == (1, 1) for v in pairs.values())
+
+
+def test_top_session_paths_known_answers(spark):
+    from jobinsight_data_pipeline_spark.operators.behavior import (
+        top_session_paths,
+    )
+
+    def ts(minute):
+        return dt.datetime(2024, 1, 1, 0, minute)
+
+    rows = [
+        # two sessions with the same a>b>c path
+        ("s1", ts(0), "a", 1), ("s1", ts(1), "b", 2), ("s1", ts(2), "c", 3),
+        ("s2", ts(0), "a", 4), ("s2", ts(1), "b", 5), ("s2", ts(2), "c", 6),
+        # one session longer than max_steps: only the first 3 survive
+        ("s3", ts(0), "a", 7), ("s3", ts(1), "b", 8), ("s3", ts(2), "c", 9),
+        ("s3", ts(3), "d", 10),
+        # simultaneous events order on the tiebreak
+        ("s4", ts(0), "b", 12), ("s4", ts(0), "a", 11),
+    ]
+    df = spark.createDataFrame(
+        rows, "sid string, ts timestamp_ntz, event_type string, event_id long"
+    )
+    out = {
+        r["path"]: r["n_sessions"]
+        for r in top_session_paths(df, "sid", max_steps=3, k=10).collect()
+    }
+    assert out == {"a>b>c": 3, "a>b": 1}
