@@ -95,6 +95,19 @@ def probes(spark, sf_dir):
     from jobinsight_data_pipeline_spark.operators.dedup import (
         editdist_verify as _editdist_verify,
     )
+    from jobinsight_data_pipeline_spark.operators.sampling import (
+        quantile_normalize as _quantile_normalize,
+    )
+    from jobinsight_data_pipeline_spark.operators.similarity import (
+        mutual_knn_pairs as _mutual_knn,
+    )
+    from jobinsight_data_pipeline_spark.operators.behavior import (
+        last_touch_attribution as _attribution,
+        top_session_paths as _top_paths,
+    )
+    from jobinsight_data_pipeline_spark.operators.profiling import (
+        iqr_outlier_fences as _iqr_fences,
+    )
     from jobinsight_data_pipeline_spark.operators.dedup import (
         build_dedup_state as _build_dedup_state,
         incremental_dedup as _incremental_dedup,
@@ -274,6 +287,40 @@ def probes(spark, sf_dir):
                 )
             ),
             docs,
+        ),
+        # grouped hist-CDF rank: parallelism never collapses to the
+        # source count the way a per-group global window would
+        "quantile_normalize (per-source)": lambda: _quantile_normalize(
+            docs.select("doc_id", "source", "n_chars"),
+            "n_chars",
+            ["source"],
+            ["doc_id"],
+        ),
+        # guarded all-pairs baseline: score pass + rank window +
+        # reversed-pair self-join (candidate volume n^2)
+        "mutual_knn (k=3)": lambda: _mutual_knn(emb, k=3),
+        # per-session assembly sorts inside the aggregate row; the
+        # 30-min sessionize window feeds it (events grow 100x)
+        "top_paths (sessions, 5 steps)": lambda: _top_paths(
+            load(spark, sf_dir, "events")["events"].selectExpr(
+                "CAST(user_id AS STRING) AS sid", "ts", "event_type",
+                "event_id",
+            ),
+            "sid",
+        ),
+        "outlier_fences (per-type IQR)": lambda: _iqr_fences(
+            load(spark, sf_dir, "events")["events"].selectExpr(
+                "event_type", "event_id",
+                "CAST(floor(value * 10000.0) AS LONG) AS cents",
+            ),
+            "cents",
+            ["event_type"],
+            ["event_id"],
+        ),
+        "attribution (as-of last touch)": lambda: _attribution(
+            load(spark, sf_dir, "events")["events"],
+            "purchase",
+            ["view", "click"],
         ),
     }
 
