@@ -177,6 +177,228 @@ def bpe_encode(
     )
 
 
+def _chunks(xs: list, n: int) -> list[list]:
+    return [xs[i : i + n] for i in range(0, len(xs), n)]
+
+
+def _ids_from_seq(seq: Column, merges: list[tuple[str, str]]) -> Column:
+    """Finalize a fully-merged delimiter-bracketed sequence into the id
+    array (the shared tail of every native encode path)."""
+    syms = F.filter(
+        F.split(F.replace(seq, F.lit(_CLOSE), F.lit("")), _OPEN),
+        lambda s: (s != "") & (s != " "),
+    )
+    VOCAB = F.expr(_vocab_map_sql(merges))
+    return F.transform(
+        syms, lambda s: F.coalesce(F.element_at(VOCAB, s), F.lit(-1))
+    )
+
+
+def encode_word_table(
+    words: DataFrame,
+    merges: list[tuple[str, str]] | None = None,
+    word_col: str = "w",
+    out_col: str = "wids",
+    word_encoder: str = "auto",
+    merge_batch: int = 64,
+) -> DataFrame:
+    """Encode a DISTINCT-word table once: ``(word_col, …) → (word_col,
+    out_col array<int>)``. The scale half of :func:`bpe_encode_memoized`
+    — per-merge cost is paid on the VOCABULARY (≈10⁶ rows for a web
+    corpus), never on corpus bytes.
+
+    ``word_encoder``:
+
+    * ``'native'`` — the delimiter-bracket replace chain, applied in
+      ``merge_batch``-sized projection rounds with eager
+      ``localCheckpoint`` between rounds (the pagerank lineage
+      discipline), so the expression tree stays bounded at ANY merge
+      count. When ``len(merges) > merge_batch`` the returned frame is
+      backed by the final round's localCheckpoint (vocabulary-sized
+      blocks; freed with the session).
+    * ``'python'`` — an Arrow-batched pandas UDF running the classic
+      lowest-rank-first merge loop (Sennrich et al. 2016; the GPT-2
+      encoder shape) against a rank dict: per-word cost is
+      O(len² · log) in the word, INDEPENDENT of merge-table size — the
+      production path for 32k–50k-merge vocabularies. Equivalent to the
+      rank-sequential sweep for any :func:`validate_merges`-well-formed
+      table (applying merge r only creates pairs containing r's output,
+      whose ranks exceed r — pinned by property tests).
+    * ``'auto'`` — native while the chain is cheap (≤256 merges), python
+      beyond.
+
+    Precondition: ``word_col`` values are single whitespace-free tokens
+    (what :func:`bpe_encode_memoized`'s tokenizer produces); delimiter
+    chars are stripped defensively.
+    """
+    merges = DEFAULT_MERGES if merges is None else merges
+    validate_merges(merges)
+    if word_encoder == "auto":
+        word_encoder = "native" if len(merges) <= 256 else "python"
+
+    if word_encoder == "python":
+        from pyspark.sql.types import ArrayType, IntegerType
+
+        mergelist = list(merges)
+        vocab = bpe_vocab(mergelist)
+        ranks = {(a, b): i for i, (a, b) in enumerate(mergelist)}
+
+        # non-decorator pandas_udf form (the normalize_text_udf
+        # convention: `from __future__ import annotations` leaves
+        # decorated 'pd.Series' hints as unresolvable strings)
+        def _enc_batch(col):
+            memo: dict[str, list[int]] = {}
+
+            def one(w):
+                if w is None:
+                    return None
+                got = memo.get(w)
+                if got is not None:
+                    return got
+                syms = [
+                    c for c in w if c != _OPEN and c != _CLOSE and c != " "
+                ]
+                while len(syms) >= 2:
+                    best = None
+                    for i in range(len(syms) - 1):
+                        r = ranks.get((syms[i], syms[i + 1]))
+                        if r is not None and (best is None or r < best):
+                            best = r
+                    if best is None:
+                        break
+                    a, b = mergelist[best]
+                    out, i = [], 0
+                    while i < len(syms):
+                        if (
+                            i + 1 < len(syms)
+                            and syms[i] == a
+                            and syms[i + 1] == b
+                        ):
+                            out.append(a + b)
+                            i += 2
+                        else:
+                            out.append(syms[i])
+                            i += 1
+                    syms = out
+                ids = [vocab.get(s, -1) for s in syms]
+                memo[w] = ids
+                return ids
+
+            return col.map(one)
+
+        _enc = F.pandas_udf(_enc_batch, ArrayType(IntegerType()))
+        return words.withColumn(out_col, _enc(F.col(word_col)))
+
+    if word_encoder != "native":
+        raise ValueError(f"unknown word_encoder {word_encoder!r}")
+
+    if len(merges) <= merge_batch:
+        return words.withColumn(out_col, bpe_ids_column(word_col, merges))
+
+    from jobinsight_data_pipeline_spark.operators.components import (
+        _free_local_checkpoint,
+    )
+
+    clean = F.regexp_replace(F.col(word_col), f"[{_OPEN}{_CLOSE}]", "")
+    state = words.withColumn(
+        "_seq", F.regexp_replace(clean, "(.)", f"{_OPEN}$1{_CLOSE}")
+    ).localCheckpoint(eager=True)
+    batches = _chunks(list(merges), merge_batch)
+    for chunk in batches[:-1]:
+        seq = F.col("_seq")
+        for a, b in chunk:
+            seq = F.replace(
+                seq,
+                F.lit(_OPEN + a + _CLOSE + _OPEN + b + _CLOSE),
+                F.lit(_OPEN + a + b + _CLOSE),
+            )
+        new_state = state.withColumn("_seq", seq).localCheckpoint(eager=True)
+        _free_local_checkpoint(state)
+        state = new_state
+    seq = F.col("_seq")
+    for a, b in batches[-1]:
+        seq = F.replace(
+            seq,
+            F.lit(_OPEN + a + _CLOSE + _OPEN + b + _CLOSE),
+            F.lit(_OPEN + a + b + _CLOSE),
+        )
+    return state.withColumn(out_col, _ids_from_seq(seq, merges)).drop("_seq")
+
+
+def bpe_encode_memoized(
+    df: DataFrame,
+    merges: list[tuple[str, str]] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    word_encoder: str = "auto",
+    merge_batch: int = 64,
+    broadcast_words: bool = True,
+) -> DataFrame:
+    """Vocab-scale BPE encode: identical contract to :func:`bpe_encode`
+    (``(id_col, ids array<int>, n_ids)``), but per-merge work is paid on
+    the DISTINCT-WORD table instead of the full corpus — the same
+    collapse trick :func:`learn_bpe_merges` already uses on the learn
+    side (vocabulary ≪ token count; merges never span the whitespace
+    boundary, so per-word encode concatenated in token order ≡ the
+    whole-document chain).
+
+    Shape: tokenize → ``posexplode`` to (doc, pos, word) → encode each
+    DISTINCT word once (:func:`encode_word_table`, native chain or the
+    rank-loop pandas UDF) → broadcast-join ids back by word → one
+    groupBy(id_col) reassembly in pos order (`ordered_collect`). Cost:
+    one corpus tokenize pass + one vocabulary-sized encode + one
+    doc-keyed shuffle — vs O(merges) full-corpus passes for the direct
+    chain. This is the path that reaches a production 32k-merge vocab;
+    equivalence to :func:`bpe_encode` at any merge count is pinned by
+    property tests (tests/test_bpe_memoized.py).
+
+    Null/empty semantics match the direct encoder exactly: NULL text →
+    NULL ids (n_ids NULL), whitespace-only text → empty ids (n_ids 0).
+    Precondition: ``id_col`` is unique (a key) — duplicate ids would
+    merge in the reassembly.
+
+    Set ``broadcast_words=False`` when the vocabulary is too large to
+    broadcast (the join falls back to a shuffle join on the word key).
+    """
+    from jobinsight_data_pipeline_spark.operators.parallelism import (
+        ordered_collect,
+    )
+    from jobinsight_data_pipeline_spark.operators.textstats import tokens
+
+    merges = DEFAULT_MERGES if merges is None else merges
+    validate_merges(merges)
+
+    clean = F.regexp_replace(F.col(text_col), f"[{_OPEN}{_CLOSE}]", "")
+    toks = F.filter(tokens(clean), lambda w: w != "")
+    tok = df.select(
+        F.col(id_col), F.posexplode(toks).alias("pos", "w")
+    )
+    word_ids = encode_word_table(
+        tok.select("w").distinct(),
+        merges,
+        word_col="w",
+        out_col="wids",
+        word_encoder=word_encoder,
+        merge_batch=merge_batch,
+    )
+    if broadcast_words:
+        word_ids = F.broadcast(word_ids)
+    agg = (
+        tok.join(word_ids, "w")
+        .groupBy(id_col)
+        .agg(F.flatten(ordered_collect("pos", "wids")).alias("_ids"))
+    )
+    skel = df.select(
+        F.col(id_col), F.col(text_col).isNull().alias("_text_null")
+    )
+    ids = F.when(
+        F.col("_text_null"), F.lit(None).cast("array<int>")
+    ).otherwise(F.coalesce(F.col("_ids"), F.array().cast("array<int>")))
+    return skel.join(agg, [id_col], "left").select(
+        F.col(id_col), ids.alias("ids"), F.size(ids).alias("n_ids")
+    )
+
+
 def bpe_decode_py(
     ids: list[int], merges: list[tuple[str, str]] | None = None
 ) -> str:

@@ -1,0 +1,142 @@
+"""Equivalence pins for the vocab-scale memoized BPE encoder
+(operators/bpe.bpe_encode_memoized, encode_word_table): memoized ≡
+direct chain at the default 55-merge table for BOTH word encoders, the
+chunked native path at a tiny batch size, null/empty semantics, and a
+learned ≥200-merge table through the python rank-loop path (the regime
+the direct chain cannot reach in production)."""
+
+from __future__ import annotations
+
+import pytest
+
+from jobinsight_data_pipeline_spark.operators.bpe import (
+    DEFAULT_MERGES,
+    bpe_encode,
+    bpe_encode_memoized,
+    bpe_encode_py,
+    encode_word_table,
+    learn_bpe_merges_py,
+)
+
+#: adversarial corpus: delimiter chars, tab/newline runs, repeated words
+#: (the memoization target), single chars, non-ASCII, empty, None,
+#: whitespace-only, and vocabulary words that exercise deep merge chains
+TEXTS = [
+    ("d0", "the data table joins the data stream"),
+    ("d1", "  group\tby\nkey   sort merge batch "),
+    ("d2", "query query query filter window spark"),
+    ("d3", ""),
+    ("d4", "   \t\n  "),
+    ("d5", None),
+    ("d6", "a"),
+    ("d7", "x\x1ey z\x1fw"),
+    ("d8", "héllo wörld the"),
+    ("d9", "aggaggagg thethethe"),
+    ("d10", "scan scan-scan_scan"),
+]
+
+
+def _collect(df):
+    return {
+        r["doc_id"]: (r["ids"], r["n_ids"])
+        for r in df.collect()
+    }
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(TEXTS, "doc_id string, text string")
+
+
+def test_memoized_native_equals_direct(spark, docs):
+    direct = _collect(bpe_encode(docs))
+    memo = _collect(bpe_encode_memoized(docs, word_encoder="native"))
+    assert memo == direct
+    # and both match the independent pure-python realization
+    for doc_id, text in TEXTS:
+        want = None if text is None else bpe_encode_py(text)
+        got = direct[doc_id][0]
+        assert got == want, (doc_id, got, want)
+
+
+def test_memoized_python_equals_direct(spark, docs):
+    direct = _collect(bpe_encode(docs))
+    memo = _collect(bpe_encode_memoized(docs, word_encoder="python"))
+    assert memo == direct
+
+
+def test_memoized_chunked_native_equals_single_chain(spark, docs):
+    """merge_batch=8 forces 7 checkpointed rounds over the word table —
+    the bounded-expression-tree path a 32k vocab needs."""
+    direct = _collect(bpe_encode(docs))
+    memo = _collect(
+        bpe_encode_memoized(docs, word_encoder="native", merge_batch=8)
+    )
+    assert memo == direct
+
+
+def test_memoized_no_broadcast_equals_direct(spark, docs):
+    direct = _collect(bpe_encode(docs))
+    memo = _collect(bpe_encode_memoized(docs, broadcast_words=False))
+    assert memo == direct
+
+
+def test_null_and_empty_semantics(spark, docs):
+    memo = _collect(bpe_encode_memoized(docs))
+    assert memo["d5"] == (None, None)  # NULL text → NULL ids
+    assert memo["d3"] == ([], 0)  # empty text → empty ids
+    assert memo["d4"] == ([], 0)  # whitespace-only → empty ids
+
+
+def test_learned_large_table_python_path(spark):
+    """A ≥200-merge LEARNED table through the rank-loop pandas UDF: the
+    production-vocab regime. Pinned against the pure-python
+    rank-sequential reference (bpe_encode_py) per document."""
+    # ASCII corpus only: the base vocabulary is printable ASCII, so a
+    # table learned over non-ASCII text is not validate_merges-well-formed
+    corpus = [t for _, t in TEXTS if t and t.isascii()] + [
+        "the quick brown fox jumps over the lazy dog " * 3,
+        "select star from lineitem where quantity greater than threshold",
+        "partition pruning predicate pushdown broadcast join strategy",
+        "watermark window aggregate stateful stream checkpoint",
+        "minhash simhash shingle jaccard cosine embedding cluster",
+        "orchestrate deterministic reproducible lineage checkpoints",
+        "vectorized columnar execution whole stage codegen pipeline",
+    ]
+    learned = learn_bpe_merges_py(corpus, n_merges=400, min_pair_count=1)
+    merges = [(l, r) for l, r, _ in learned]
+    assert len(merges) >= 200, len(merges)
+    df = spark.createDataFrame(
+        list(enumerate(corpus)), "doc_id int, text string"
+    )
+    got = _collect(bpe_encode_memoized(df, merges, word_encoder="python"))
+    for i, text in enumerate(corpus):
+        assert got[i][0] == bpe_encode_py(text, merges), i
+    # chunked native path agrees on the same large table
+    got_native = _collect(
+        bpe_encode_memoized(df, merges, word_encoder="native", merge_batch=64)
+    )
+    assert got_native == got
+
+
+def test_encode_word_table_python_matches_native(spark):
+    words = spark.createDataFrame(
+        [("the",), ("query",), ("aggaggagg",), ("héllo",), ("x",)],
+        "w string",
+    )
+    nat = {
+        r["w"]: r["wids"]
+        for r in encode_word_table(words, word_encoder="native").collect()
+    }
+    py = {
+        r["w"]: r["wids"]
+        for r in encode_word_table(words, word_encoder="python").collect()
+    }
+    assert nat == py
+    assert nat["the"] == bpe_encode_py("the")
+
+
+def test_encode_word_table_rejects_unknown_encoder(spark):
+    words = spark.createDataFrame([("a",)], "w string")
+    with pytest.raises(ValueError, match="word_encoder"):
+        encode_word_table(words, word_encoder="rust").collect()
