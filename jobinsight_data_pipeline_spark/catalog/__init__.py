@@ -193,7 +193,6 @@ DRIVER_QUERIES: list[str] = [
     "fact_merge",
     "warehouse_rollup",
     "views_salary_filter",
-    "view_current_jobs",
     "view_job_locations",
     "view_top_companies",
     "stream_pipeline",
@@ -203,10 +202,8 @@ DRIVER_QUERIES: list[str] = [
     # --- relational operator families ---
     "star_revenue",
     "asof_discount",
-    "rolling_avg",
     "pivot_events",
     "rollup_revenue",
-    "set_ops",
     "windowed_events",
     "sessionize",
     "event_percentiles",
@@ -248,6 +245,19 @@ DRIVER_QUERIES: list[str] = [
     # contracts)
     "funnel_steps",
     "hybrid_search",
+    # round-7 slot refresh (r6 judge directive, verbatim): three more
+    # shadowed twins demoted — rolling_avg (window family carried by
+    # driver windowed_events + event_percentiles), view_current_jobs
+    # (J1 star join carried by star_revenue + view_top_companies),
+    # set_ops (§2.7 semantics also exercised inside warehouse
+    # anti-join/union gates) — for three driver-unseen r6 flagship
+    # families: the composed tokenize-and-fill-budget chain, day-2
+    # incremental dedup vs historical state, and the build-once/
+    # serve-many IVF-PQ route (the one-shot ivf_pq_topk twin is
+    # already driver green)
+    "bpe_budget_packs",
+    "incremental_dedup",
+    "ivf_pq_index_search",
     # the two heaviest sit last on purpose (composed chain; iterative
     # CC) — position 50 exactly fills the driver cap
     "training_shards",

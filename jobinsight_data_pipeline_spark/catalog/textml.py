@@ -3900,6 +3900,40 @@ SELECT doc_id, len(ids) AS n_ids, TRUE AS roundtrip_ok FROM enc
 O_BPE_ROUNDTRIP = _bpe_roundtrip_oracle()
 
 
+def q_bpe_memoized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocab-scale memoized BPE encode
+    (operators/bpe.bpe_encode_memoized): the corpus collapses to its
+    DISTINCT-word table, each word is encoded ONCE through the
+    lowest-rank-first pandas-UDF encoder (cost independent of
+    merge-table size — the 32k-vocab production route the direct chain
+    cannot reach), and ids join back by word for a pos-ordered
+    reassembly. Equivalence to the direct chain is property-pinned
+    (tests/test_bpe_memoized.py), so the SAME full exact DuckDB replay
+    oracle (O_BPE_ENCODE) hash-checks this path end-to-end over the
+    real corpus."""
+    from jobinsight_data_pipeline_spark.operators.bpe import (
+        bpe_encode_memoized,
+    )
+    from jobinsight_data_pipeline_spark.operators.parallelism import (
+        widen_for_cpu,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    enc = bpe_encode_memoized(
+        widen_for_cpu(t["documents"]), word_encoder="python"
+    )
+    return enc.select(
+        "doc_id",
+        F.coalesce("n_ids", F.lit(-1)).alias("n_ids"),
+        F.coalesce(
+            F.array_join(
+                F.transform("ids", lambda i: i.cast("string")), "-"
+            ),
+            F.lit(""),
+        ).alias("ids_str"),
+    )
+
+
 #: BPE trainer gate: merges learned on the real corpus per round
 BPE_LEARN_ROUNDS = 8
 
@@ -6825,6 +6859,7 @@ QUERIES = {
     "location_pairs_fallback": q_location_pairs,
     "normalize_text": q_normalize_text,
     "bpe_encode": q_bpe_encode,
+    "bpe_memoized": q_bpe_memoized,
     "bpe_budget_packs": q_bpe_budget_packs,
     "bpe_learn": q_bpe_learn,
     "bpe_roundtrip": q_bpe_roundtrip,
@@ -6933,6 +6968,7 @@ ORACLES = {
     "location_pairs_fallback": O_LOCATION_PAIRS,
     "normalize_text": O_NORMALIZE_TEXT,
     "bpe_encode": O_BPE_ENCODE,
+    "bpe_memoized": O_BPE_ENCODE,
     "bpe_budget_packs": O_BPE_BUDGET_PACKS,
     "bpe_learn": O_BPE_LEARN,
     "bpe_roundtrip": O_BPE_ROUNDTRIP,
