@@ -3942,16 +3942,10 @@ BPE_LEARN_ROUNDS = 8
 _BPE_LEARN_CACHE: dict = {}
 
 
-def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed BPE merge LEARNING (operators/bpe.learn_bpe_merges)
-    over the real corpus: collapse to a weighted distinct-word table,
-    then 8 rounds of (pair count → deterministic argmax → merge apply)
-    with checkpointed round state. The DuckDB oracle replays ALL 8
-    rounds unrolled — a drifted count, tie-break, or merge application
-    in ANY round cascades into every later round and fails the hash.
-    The trainer is EAGER (8 driver-loop rounds) and deterministic, so
-    repeat invocations within a session reuse the learned table (the
-    done-sentinel discipline, in-memory form)."""
+def _learned_merges(spark: SparkSession, sf_dir: str) -> list:
+    """Train (or reuse) the 8-round learned merges table for this
+    (session, sf_dir) — deterministic, so sweeps pay the driver loop
+    once (the done-sentinel discipline, in-memory form)."""
     from jobinsight_data_pipeline_spark.operators.bpe import learn_bpe_merges
 
     key = (spark.sparkContext.applicationId, sf_dir)
@@ -3960,14 +3954,28 @@ def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
         t = load(spark, sf_dir, "documents")
         learned = learn_bpe_merges(t["documents"], n_merges=BPE_LEARN_ROUNDS)
         _BPE_LEARN_CACHE[key] = learned
+    return learned
+
+
+def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge LEARNING (operators/bpe.learn_bpe_merges)
+    over the real corpus: collapse to a weighted distinct-word table,
+    then 8 rounds of (pair count → deterministic argmax → merge apply)
+    with checkpointed round state. The DuckDB oracle replays ALL 8
+    rounds unrolled — a drifted count, tie-break, or merge application
+    in ANY round cascades into every later round and fails the hash."""
+    learned = _learned_merges(spark, sf_dir)
     rows = [(i, l, r, n) for i, (l, r, n) in enumerate(learned)]
     return spark.createDataFrame(
         rows, "rank int, left string, right string, pair_count long"
     )
 
 
-def _bpe_learn_oracle() -> str:
-    rounds = BPE_LEARN_ROUNDS
+def _bpe_learn_ctes(rounds: int) -> list[str]:
+    """The trainer-replay CTE list (w0…, p{i}/m{i}/w{i+1} per round):
+    m{i} is the 1-row (l, r, n) merge learned at rank i. Shared by the
+    bpe_learn oracle and the composed bpe_learned_packs oracle (which
+    re-applies the learned chain to the documents)."""
     word_cte = """w0 AS MATERIALIZED (
     SELECT regexp_replace(tok, '(.)', chr(30) || '\\1' || chr(31), 'g')
                AS seq,
@@ -4005,6 +4013,12 @@ m{i} AS MATERIALIZED (
            wcount
     FROM w{i}
 )""")
+    return parts
+
+
+def _bpe_learn_oracle() -> str:
+    rounds = BPE_LEARN_ROUNDS
+    parts = _bpe_learn_ctes(rounds)
     union = "\nUNION ALL\n".join(
         f"SELECT {i} AS rank, l AS left, r AS right, "
         f"CAST(n AS BIGINT) AS pair_count FROM m{i}"
@@ -4574,6 +4588,165 @@ FROM g GROUP BY 1
 
 
 O_BPE_BUDGET_PACKS = _bpe_budget_oracle()
+
+
+def q_bpe_learned_packs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete learn → encode → pack story under ONE exact hash:
+    learn_bpe_merges trains the merges table from the corpus (8 rounds,
+    shared with the bpe_learn gate's memo), bpe_encode_memoized encodes
+    the SAME corpus with the LEARNED table through the vocab-scale
+    distinct-word path (rank-loop pandas UDF), select_until_budget cuts
+    a 30k-id budget by document length, and materialize_packs emits
+    fixed-256 training windows. The DuckDB oracle replays the trainer's
+    8 rounds (the m{i} CTEs), re-applies the learned chain to every
+    document with scalar-subquery replaces, and re-derives the budget
+    cut, offsets, and every id in every window — drift anywhere in the
+    composition fails the hash."""
+    import hashlib
+    import os
+    import shutil
+
+    from jobinsight_data_pipeline_spark.catalog import scratch_dir
+    from jobinsight_data_pipeline_spark.operators.bpe import (
+        bpe_encode_memoized,
+    )
+    from jobinsight_data_pipeline_spark.operators.packing import (
+        materialize_packs,
+    )
+    from jobinsight_data_pipeline_spark.operators.sampling import (
+        select_until_budget,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    docs = t["documents"]
+    learned = _learned_merges(spark, sf_dir)
+    merges = [(l, r) for l, r, _ in learned]
+    # materialize the encoded corpus ONCE (done-sentinel scratch, the
+    # bpe_budget_packs pattern): the pack machinery downstream walks
+    # its input several times
+    base = scratch_dir(
+        "bpelearnedpacks-gate-",
+        "{}-{}".format(
+            spark.sparkContext.applicationId,
+            hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+        ),
+    )
+    cand_path = os.path.join(base, "cand")
+    done = os.path.join(base, "_gate_done")
+    if not os.path.exists(done):
+        from jobinsight_data_pipeline_spark.operators.parallelism import (
+            widen_for_cpu,
+        )
+
+        shutil.rmtree(cand_path, ignore_errors=True)
+        enc = bpe_encode_memoized(
+            widen_for_cpu(docs), merges, word_encoder="python"
+        )
+        enc.join(docs.select("doc_id", "n_chars"), "doc_id").write.parquet(
+            cand_path
+        )
+        with open(done, "w") as fh:
+            fh.write("ok")
+    cand = spark.read.parquet(cand_path)
+    kept = select_until_budget(
+        cand, "n_chars", "n_ids", BPE_BUDGET, ["doc_id"]
+    ).select("doc_id", "ids")
+    packs = materialize_packs(
+        kept, capacity=BPE_PACK_CAP, bounds=[100, 200, 300, 400]
+    )
+    return packs.select(
+        F.col("seq_id").cast("long").alias("seq_id"),
+        "n_tokens",
+        F.concat_ws(" ", F.col("ids")).alias("ids_str"),
+    )
+
+
+def _bpe_learned_seq_duck(expr: str, rounds: int) -> str:
+    """DuckDB symbol list under the LEARNED merges: the same
+    delimiter-bracket chain as _bpe_ids_duck, but each rank's
+    pattern/replacement comes from the trainer-replay CTE m{i} via
+    scalar subqueries (legal in plain projections; DuckDB forbids them
+    inside lambdas, so id mapping happens via the vocab join below,
+    not a list_transform)."""
+    t0 = f"regexp_replace({expr}, '[' || chr(30) || chr(31) || ']', '', 'g')"
+    t1 = f"regexp_replace(trim({t0}), '\\s+', ' ', 'g')"
+    seq = f"regexp_replace({t1}, '(.)', chr(30) || '\\1' || chr(31), 'g')"
+    for i in range(rounds):
+        pat = (
+            f"chr(30) || (SELECT l FROM m{i}) || chr(31) || "
+            f"chr(30) || (SELECT r FROM m{i}) || chr(31)"
+        )
+        rep = f"chr(30) || (SELECT l || r FROM m{i}) || chr(31)"
+        seq = f"replace({seq}, {pat}, {rep})"
+    return (
+        f"list_filter(string_split(replace({seq}, chr(31), ''), chr(30)),"
+        " s -> s <> '' AND s <> ' ')"
+    )
+
+
+def _bpe_learned_packs_oracle() -> str:
+    from jobinsight_data_pipeline_spark.operators.bpe import (
+        BASE_SYMBOLS,
+        _sym_sql,
+        bpe_vocab,
+    )
+
+    rounds = BPE_LEARN_ROUNDS
+    ctes = ",\n".join(_bpe_learn_ctes(rounds))
+    vocab_rows = ", ".join(
+        f"({_sym_sql(s)}, {i})" for s, i in bpe_vocab([]).items()
+    )
+    learned_rows = ", ".join(
+        f"((SELECT l || r FROM m{i}), {len(BASE_SYMBOLS) + i})"
+        for i in range(rounds)
+    )
+    return f"""
+WITH {ctes},
+vocab(sym, id) AS (VALUES {vocab_rows}, {learned_rows}),
+seqs AS (
+    SELECT doc_id, {_bpe_learned_seq_duck('text', rounds)} AS syms
+    FROM documents
+),
+toks AS (
+    SELECT doc_id, u.g AS pos, syms[u.g] AS s
+    FROM seqs, unnest(generate_series(1, len(syms))) AS u(g)
+),
+tid AS (
+    SELECT t.doc_id, t.pos, coalesce(v.id, -1) AS tid
+    FROM toks t LEFT JOIN vocab v ON t.s = v.sym
+),
+nid AS (SELECT doc_id, count(*) AS n_ids FROM tid GROUP BY doc_id),
+cand AS (
+    SELECT d.doc_id, coalesce(n.n_ids, 0) AS n_ids, d.n_chars
+    FROM documents d LEFT JOIN nid n USING (doc_id)
+),
+sel AS (
+    SELECT doc_id, n_ids,
+           coalesce(sum(n_ids) OVER (ORDER BY n_chars DESC, doc_id ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS sx
+    FROM cand
+),
+kept AS (SELECT doc_id, n_ids FROM sel WHERE sx < {BPE_BUDGET}),
+off AS (
+    SELECT doc_id,
+           CAST(coalesce(sum(n_ids) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS start_offset
+    FROM kept
+),
+g AS (
+    SELECT o.start_offset + t.pos - 1 AS gpos, t.tid
+    FROM tid t JOIN off o USING (doc_id)
+)
+SELECT CAST(gpos // {BPE_PACK_CAP} AS BIGINT) AS seq_id,
+       count(*) AS n_tokens,
+       string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY gpos) AS ids_str
+FROM g GROUP BY 1
+"""
+
+
+O_BPE_LEARNED_PACKS = _bpe_learned_packs_oracle()
 
 
 LOCATION_PAIRS_FIXTURE = [
@@ -6861,6 +7034,7 @@ QUERIES = {
     "bpe_encode": q_bpe_encode,
     "bpe_memoized": q_bpe_memoized,
     "bpe_budget_packs": q_bpe_budget_packs,
+    "bpe_learned_packs": q_bpe_learned_packs,
     "bpe_learn": q_bpe_learn,
     "bpe_roundtrip": q_bpe_roundtrip,
     "incremental_dedup": q_incremental_dedup,
@@ -6969,6 +7143,7 @@ ORACLES = {
     "normalize_text": O_NORMALIZE_TEXT,
     "bpe_encode": O_BPE_ENCODE,
     "bpe_memoized": O_BPE_ENCODE,
+    "bpe_learned_packs": O_BPE_LEARNED_PACKS,
     "bpe_budget_packs": O_BPE_BUDGET_PACKS,
     "bpe_learn": O_BPE_LEARN,
     "bpe_roundtrip": O_BPE_ROUNDTRIP,
