@@ -4177,6 +4177,295 @@ FROM base
 O_INCREMENTAL_DEDUP = _incremental_dedup_oracle()
 
 
+#: right-to-erasure tombstone domain (id % 10 == 3) and the planted
+#: day-2 copies: 3 forgotten sources, 3 remembered sources
+FORGET_MOD, FORGET_RESIDUE = 10, 3
+FORGET_SRC_FORGOTTEN = (3, 13, 23)
+FORGET_SRC_REMEMBERED = (0, 1, 2)
+FORGET_COPY_BASE = 5_000_000
+#: the serve probe: the smallest tombstoned vec id
+FORGET_PROBE_VEC = 3
+
+
+def q_forget_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure PROPAGATION to derived assets — the gap the r6
+    verdict named: `forget_rows` erases the lake, but the incremental
+    dedup history, the semantic-dedup state, and the persisted IVF-PQ
+    index still carry the forgotten rows' hashes/codes. Here ONE
+    tombstone set (id % 10 == 3) anti-joins through ALL FOUR persisted
+    tables via forget_keys (documents, dedup_state, ivfpq index,
+    semantic state; history versions purged), and the gate pins the two
+    behaviors that make erasure real:
+
+    - a forgotten vector can no longer be RETRIEVED: serving its own
+      embedding against the index finds it before erasure
+      (serve_forgotten_in_topk_before = 1) and never after (= 0) —
+      measured from actual ivf_pq_topk_indexed calls, not membership;
+    - a forgotten document can no longer SUPPRESS a future duplicate:
+      a day-2 batch of exact copies of 3 forgotten + 3 remembered docs
+      runs through incremental_dedup against the CLEANED state, and
+      the oracle replays every status (md5 membership, 16 minhash
+      components, band buckets) against the tombstone-filtered history
+      — a copy of a remembered doc stays exact_dup, a copy of a
+      forgotten doc is judged ONLY by the surviving corpus.
+
+    Output: (metric, value) rows — the 12 deletion-manifest counts,
+    the 2 serve counts, and the 6 replayed statuses (kept=0,
+    exact_dup=1, near_dup=2). Eager per (session, sf_dir): the lake
+    build + erasure runs once behind a done-sentinel (the forget_rows
+    discipline)."""
+    import hashlib
+    import os
+    import shutil
+
+    from jobinsight_data_pipeline_spark.catalog import scratch_dir
+    from jobinsight_data_pipeline_spark.operators.dedup import (
+        build_dedup_state,
+        incremental_dedup,
+    )
+    from jobinsight_data_pipeline_spark.operators.similarity import (
+        build_ivf_pq_index,
+        build_semantic_state,
+        ivf_pq_topk_indexed,
+        unit_centroids,
+    )
+    from jobinsight_data_pipeline_spark.sources.lake import (
+        ParquetLake,
+        forget_keys,
+    )
+
+    t = load(spark, sf_dir, "documents", "embeddings")
+    docs = t["documents"].select("doc_id", "text")
+    emb = t["embeddings"]
+    cents = unit_centroids(64, IVFPQ_LISTS, seed=11)
+
+    base = scratch_dir(
+        "forgetprop-gate-",
+        "{}-{}".format(
+            spark.sparkContext.applicationId,
+            hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+        ),
+    )
+    lake = ParquetLake(os.path.join(base, "lake"))
+    metrics_path = os.path.join(base, "metrics")
+    done = os.path.join(base, "_gate_done")
+    if not os.path.exists(done):
+        shutil.rmtree(os.path.join(base, "lake"), ignore_errors=True)
+        shutil.rmtree(metrics_path, ignore_errors=True)
+        lake.write(docs, "documents")
+        lake.write(
+            build_dedup_state(
+                docs, n_hashes=INCR_NH, bands=INCR_BANDS, hash_mode="md5"
+            ),
+            "dedup_state",
+        )
+        lake.write(
+            build_ivf_pq_index(emb, cents, _pq_cb()),
+            "ivfpq",
+            partition_by=["cell"],
+        )
+        lake.write(build_semantic_state(emb, cents), "semstate")
+
+        qvec = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == FORGET_PROBE_VEC).head()[
+                "embedding"
+            ]
+        ]
+
+        def _probe_hits() -> int:
+            top = ivf_pq_topk_indexed(
+                lake.read(spark, "ivfpq"),
+                qvec,
+                cents,
+                _pq_cb(),
+                k=IVFPQ_K,
+                n_probe=IVFPQ_PROBE,
+            )
+            # materialize NOW: forget_keys purges superseded versions
+            return top.filter(
+                F.col("vec_id") == FORGET_PROBE_VEC
+            ).count()
+
+        before_hits = _probe_hits()
+        keys = (
+            docs.select(F.col("doc_id").alias("k"))
+            .unionByName(emb.select(F.col("vec_id").alias("k")))
+            .distinct()
+            .filter(F.col("k") % FORGET_MOD == FORGET_RESIDUE)
+        )
+        manifest = forget_keys(
+            spark,
+            lake,
+            {
+                "documents": "doc_id",
+                "dedup_state": "doc",
+                "ivfpq": "vec_id",
+                "semstate": "doc",
+            },
+            keys,
+        )
+        after_hits = _probe_hits()
+        counts = manifest.selectExpr(
+            "stack(3,"
+            " table_name || '_before', rows_before,"
+            " table_name || '_deleted', rows_deleted,"
+            " table_name || '_after', rows_after) AS (metric, value)"
+        )
+        serve = spark.createDataFrame(
+            [
+                ("serve_forgotten_in_topk_before", before_hits),
+                ("serve_forgotten_in_topk_after", after_hits),
+            ],
+            "metric string, value long",
+        )
+        counts.unionByName(serve).write.parquet(metrics_path)
+        with open(done, "w") as fh:
+            fh.write("ok")
+
+    planted = docs.filter(
+        F.col("doc_id").isin(*FORGET_SRC_FORGOTTEN, *FORGET_SRC_REMEMBERED)
+    ).select(
+        (F.col("doc_id") + FORGET_COPY_BASE).alias("doc_id"), "text"
+    )
+    replay = incremental_dedup(
+        planted,
+        lake.read(spark, "dedup_state"),
+        n_hashes=INCR_NH,
+        bands=INCR_BANDS,
+        hash_mode="md5",
+    ).select(
+        F.concat(F.lit("replay:"), F.col("doc_id").cast("string")).alias(
+            "metric"
+        ),
+        F.when(F.col("status") == "kept", F.lit(0))
+        .when(F.col("status") == "exact_dup", F.lit(1))
+        .otherwise(F.lit(2))
+        .cast("long")
+        .alias("value"),
+    )
+    return spark.read.parquet(metrics_path).unionByName(replay)
+
+
+def _forget_propagation_oracle() -> str:
+    """Erasure-propagation replay: the 12 manifest counts re-derived
+    from the raw tables under the tombstone predicate (dedup-state rows
+    = INCR_BANDS per shingleable doc, 1 per short doc; index/semstate
+    rows = 1 per vector), the serve pins (the boolean-pin pattern: the
+    probe MUST hit itself before erasure and never after), and the six
+    day-2 statuses replayed with the full md5-minhash machinery against
+    the tombstone-FILTERED history."""
+    nh, nb = INCR_NH, INCR_BANDS
+    rpb = nh // nb
+
+    def comp(i: int) -> str:
+        return (
+            f"CAST(('0x' || substring(md5('{i}:' || shingle), 1, 15)) "
+            "AS BIGINT)"
+        )
+
+    sig_aggs = ", ".join(f"min({comp(i)}) AS h{i}" for i in range(nh))
+
+    def bucket(band: int) -> str:
+        cat = " || ',' || ".join(
+            f"CAST(h{band * rpb + j} AS VARCHAR)" for j in range(rpb)
+        )
+        return f"CAST(('0x' || substring(md5({cat}), 1, 15)) AS BIGINT)"
+
+    def buckets_cte(sig: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT doc, {band} AS band, {bucket(band)} AS bucket FROM {sig}"
+            for band in range(nb)
+        )
+
+    shingle_cte = """
+    SELECT DISTINCT doc_id AS doc, unnest(
+        list_transform(range(len(w) - 2),
+                       i -> concat(w[i + 1], ' ', w[i + 2], ' ', w[i + 3]))
+    ) AS shingle
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+          FROM {src}
+          WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3) t
+"""
+    tomb = f"% {FORGET_MOD} = {FORGET_RESIDUE}"
+    srcs = ", ".join(
+        str(i) for i in (*FORGET_SRC_FORGOTTEN, *FORGET_SRC_REMEMBERED)
+    )
+    state_rows = (
+        "sum(CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) >= 3 "
+        f"THEN {nb} ELSE 1 END)"
+    )
+    return f"""
+WITH hist AS (
+    SELECT doc_id, text FROM documents
+    WHERE doc_id % {FORGET_MOD} <> {FORGET_RESIDUE}
+),
+batch AS (
+    SELECT doc_id + {FORGET_COPY_BASE} AS doc_id, text
+    FROM documents WHERE doc_id IN ({srcs})
+),
+sh1 AS ({shingle_cte.format(src="hist")}),
+shb AS ({shingle_cte.format(src="batch")}),
+sig1 AS (SELECT doc, {sig_aggs} FROM sh1 GROUP BY doc),
+sigb AS (SELECT doc, {sig_aggs} FROM shb GROUP BY doc),
+b1 AS (SELECT DISTINCT band, bucket FROM ({buckets_cte("sig1")})),
+bb AS ({buckets_cte("sigb")}),
+hist_md5 AS (SELECT DISTINCT md5(text) AS m FROM hist),
+base AS (
+    SELECT doc_id, md5(text) AS m,
+           min(doc_id) OVER (PARTITION BY md5(text)) AS min_id
+    FROM batch
+),
+near_batch AS (
+    SELECT DISTINCT doc FROM (
+        SELECT doc, min(doc) OVER (PARTITION BY band, bucket) AS minb
+        FROM bb
+    ) WHERE doc > minb
+),
+near_hist AS (SELECT DISTINCT bb.doc FROM bb JOIN b1 USING (band, bucket)),
+doc_counts AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_before,
+           CAST(count(*) FILTER (WHERE doc_id {tomb}) AS BIGINT) AS n_del,
+           CAST({state_rows} AS BIGINT) AS st_before,
+           CAST(coalesce({state_rows} FILTER (WHERE doc_id {tomb}), 0)
+                AS BIGINT) AS st_del
+    FROM documents
+),
+vec_counts AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_before,
+           CAST(count(*) FILTER (WHERE vec_id {tomb}) AS BIGINT) AS n_del
+    FROM embeddings
+)
+SELECT 'documents_before' AS metric, CAST(n_before AS BIGINT) AS value
+FROM doc_counts
+UNION ALL SELECT 'documents_deleted', n_del FROM doc_counts
+UNION ALL SELECT 'documents_after', n_before - n_del FROM doc_counts
+UNION ALL SELECT 'dedup_state_before', st_before FROM doc_counts
+UNION ALL SELECT 'dedup_state_deleted', st_del FROM doc_counts
+UNION ALL SELECT 'dedup_state_after', st_before - st_del FROM doc_counts
+UNION ALL SELECT 'ivfpq_before', n_before FROM vec_counts
+UNION ALL SELECT 'ivfpq_deleted', n_del FROM vec_counts
+UNION ALL SELECT 'ivfpq_after', n_before - n_del FROM vec_counts
+UNION ALL SELECT 'semstate_before', n_before FROM vec_counts
+UNION ALL SELECT 'semstate_deleted', n_del FROM vec_counts
+UNION ALL SELECT 'semstate_after', n_before - n_del FROM vec_counts
+UNION ALL SELECT 'serve_forgotten_in_topk_before', CAST(1 AS BIGINT)
+UNION ALL SELECT 'serve_forgotten_in_topk_after', CAST(0 AS BIGINT)
+UNION ALL
+SELECT 'replay:' || CAST(doc_id AS VARCHAR),
+       CAST(CASE WHEN m IN (SELECT m FROM hist_md5) OR doc_id > min_id
+                 THEN 1
+                 WHEN doc_id IN (SELECT doc FROM near_batch)
+                      OR doc_id IN (SELECT doc FROM near_hist)
+                 THEN 2
+                 ELSE 0 END AS BIGINT)
+FROM base
+"""
+
+
+O_FORGET_PROPAGATION = _forget_propagation_oracle()
+
+
 #: day-2 ingest flagship: subword budget for the surviving batch
 DAY2_BUDGET = 15_000
 
@@ -7038,6 +7327,7 @@ QUERIES = {
     "bpe_learn": q_bpe_learn,
     "bpe_roundtrip": q_bpe_roundtrip,
     "incremental_dedup": q_incremental_dedup,
+    "forget_propagation": q_forget_propagation,
     "stream_incremental_dedup": q_stream_incremental_dedup,
     "incremental_semantic_dedup": q_incremental_semantic_dedup,
     "stream_semantic_dedup": q_stream_semantic_dedup,
@@ -7148,6 +7438,7 @@ ORACLES = {
     "bpe_learn": O_BPE_LEARN,
     "bpe_roundtrip": O_BPE_ROUNDTRIP,
     "incremental_dedup": O_INCREMENTAL_DEDUP,
+    "forget_propagation": O_FORGET_PROPAGATION,
     "stream_incremental_dedup": O_INCREMENTAL_DEDUP,
     "incremental_semantic_dedup": O_INCREMENTAL_SEMANTIC_DEDUP,
     "stream_semantic_dedup": O_STREAM_SEMANTIC_DEDUP,
