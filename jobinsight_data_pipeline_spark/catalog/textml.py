@@ -2703,20 +2703,21 @@ FROM j
 """
 
 
-def q_sq8_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The SQ8 build-once/serve-many duality under the SAME exact
-    oracle as `sq8_search` (the bm25_index_search one-hash pattern):
-    the int8 code table + 1-row quantization stats PERSIST to parquet
-    (the 4×-smaller corpus artifact), and the serve route ranks query
-    11 against the stored codes with identical per-term micro math —
-    bit-identical to the one-shot scan, no re-encode per query."""
+#: the batched-serving gates' query ids (present at every sweep sf) —
+#: shared by sq8_serve_many and ivf_pq_serve_many
+SERVE_MANY_QIDS = (0, 7, 23, 42)
+
+
+def _sq8_index(spark: SparkSession, sf_dir: str):
+    """The persisted SQ8 index for (session, sf_dir) — (codes, stats)
+    built ONCE behind a done-sentinel; every SQ8 serving gate reads the
+    same asset (the _ivfpq_index discipline)."""
     import hashlib
     import os
 
     from jobinsight_data_pipeline_spark.catalog import scratch_dir
     from jobinsight_data_pipeline_spark.operators.similarity import (
         build_sq8_index,
-        sq8_topk_indexed,
     )
 
     t = load(spark, sf_dir, "embeddings")
@@ -2734,10 +2735,90 @@ def q_sq8_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats.write.mode("overwrite").parquet(f"{base}/stats")
         with open(done, "w") as fh:
             fh.write("ok")
-    codes = spark.read.parquet(f"{base}/codes")
-    stats = spark.read.parquet(f"{base}/stats")
+    return spark.read.parquet(f"{base}/codes"), spark.read.parquet(
+        f"{base}/stats"
+    )
+
+
+def q_sq8_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQ8 build-once/serve-many duality under the SAME exact
+    oracle as `sq8_search` (the bm25_index_search one-hash pattern):
+    the int8 code table + 1-row quantization stats PERSIST to parquet
+    (the 4×-smaller corpus artifact), and the serve route ranks query
+    11 against the stored codes with identical per-term micro math —
+    bit-identical to the one-shot scan, no re-encode per query."""
+    from jobinsight_data_pipeline_spark.operators.similarity import (
+        sq8_topk_indexed,
+    )
+
+    t = load(spark, sf_dir, "embeddings")
+    codes, stats = _sq8_index(spark, sf_dir)
     qv = t["embeddings"].filter(F.col("vec_id") == SQ8_QUERY_ID)
     return sq8_topk_indexed(codes, stats, qv, k=10)
+
+
+def q_sq8_serve_many(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched SQ8 serving (the ivf_pq_serve_many twin, r6 verdict item
+    6): four full-precision query vectors answered in ONE distributed
+    job against the SAME persisted code table + stats as
+    `sq8_index_search` — one pass over the stored codes, per-query rank
+    window, no re-encode. FULL exact oracle: every (query, rank,
+    neighbor, adc_micro) replayed through the quantize→reconstruct→
+    floored-micro-sum chain for all four queries."""
+    from jobinsight_data_pipeline_spark.operators.similarity import (
+        sq8_topk_indexed,
+    )
+
+    t = load(spark, sf_dir, "embeddings")
+    codes, stats = _sq8_index(spark, sf_dir)
+    queries = t["embeddings"].filter(F.col("vec_id").isin(*SERVE_MANY_QIDS))
+    return sq8_topk_indexed(codes, stats, queries, k=10)
+
+
+def _sq8_many_oracle() -> str:
+    qids = ", ".join(str(q) for q in SERVE_MANY_QIDS)
+    return f"""
+WITH v AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+dims AS (
+    SELECT i, min(e[i]) AS mn, max(e[i]) - min(e[i]) AS span
+    FROM v, range(1, 65) t(i)
+    GROUP BY i
+),
+q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id IN ({qids})),
+terms AS (
+    SELECT q.query_id, v.vec_id,
+           CAST(floor(
+             q.qe[t.i]
+             * (d.mn
+                + CAST(CASE WHEN d.span = 0 THEN 0
+                            ELSE least(255, greatest(0,
+                                   floor((v.e[t.i] - d.mn) * 255.0 / d.span
+                                         + 0.5)))
+                       END AS DOUBLE) * d.span / 255.0)
+             * 1000000.0) AS BIGINT) AS term
+    FROM v
+    CROSS JOIN range(1, 65) t(i)
+    JOIN dims d ON d.i = t.i
+    CROSS JOIN q
+    WHERE v.vec_id <> q.query_id
+),
+scored AS (
+    SELECT query_id, vec_id AS neighbor_id,
+           CAST(sum(term) AS BIGINT) AS adc_micro
+    FROM terms GROUP BY 1, 2
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY adc_micro DESC, neighbor_id ASC) AS rank,
+       neighbor_id, adc_micro
+FROM scored
+QUALIFY rank <= 10
+"""
+
+
+O_SQ8_SERVE_MANY = _sq8_many_oracle()
 
 
 def q_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3379,7 +3460,7 @@ def q_ivf_pq_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: the batched-serving gate's query ids (present at every sweep sf)
-IVFPQ_MANY_QIDS = (0, 7, 23, 42)
+IVFPQ_MANY_QIDS = SERVE_MANY_QIDS
 
 
 def q_ivf_pq_serve_many(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7302,6 +7383,7 @@ QUERIES = {
     "hybrid_search": q_hybrid_search,
     "sq8_search": q_sq8_search,
     "sq8_index_search": q_sq8_index_search,
+    "sq8_serve_many": q_sq8_serve_many,
     "hard_negatives": q_hard_negatives,
     "mmr_rerank": q_mmr_rerank,
     "mutual_knn": q_mutual_knn,
@@ -7413,6 +7495,7 @@ ORACLES = {
     "hybrid_search": O_HYBRID_SEARCH,
     "sq8_search": O_SQ8_SEARCH,
     "sq8_index_search": O_SQ8_SEARCH,
+    "sq8_serve_many": O_SQ8_SERVE_MANY,
     "hard_negatives": O_HARD_NEGATIVES,
     "mmr_rerank": O_MMR_RERANK,
     "mutual_knn": O_MUTUAL_KNN,

@@ -900,20 +900,20 @@ def ivf_pq_topk(
     deterministic, so the composed path carries a FULL exact oracle in
     the catalog — no recall hand-waving.
 
-    NOTE: this form re-assigns cells and re-encodes the WHOLE corpus on
-    every call — fine as a one-shot batch query, a scale-killer in a
-    serve loop. For repeated queries build the index once with
+    NOTE: this form re-assigns cells and re-encodes on every call —
+    fine as a one-shot batch query, a scale-killer in a serve loop. For
+    repeated queries build the index once with
     :func:`build_ivf_pq_index` (persist partitioned by ``cell``) and
-    serve with :func:`ivf_pq_topk_indexed`; results are bit-identical.
+    serve with :func:`ivf_pq_topk_indexed`. The one-shot IS
+    build+serve composed in one plan (single code path — drift between
+    the routes is structurally impossible; Catalyst substitutes the
+    probe-cell filter through the build projection, so PQ codes are
+    still only evaluated for surviving rows).
     """
-    probe = probe_cells(query, centroids, n_probe)
-    cand = corpus.withColumn(
-        "_cell", cell_assignment_column(vec_col, centroids)
-    ).filter(F.col("_cell").isin(*probe))
-    enc = cand.select(
-        F.col(id_col), pq_codes_column(vec_col, codebooks).alias("codes")
+    index = build_ivf_pq_index(corpus, centroids, codebooks, id_col, vec_col)
+    return ivf_pq_topk_indexed(
+        index, query, centroids, codebooks, k, n_probe, id_col
     )
-    return pq_adc_topk(enc, query, codebooks, k, id_col=id_col)
 
 
 def cell_assignment_column(
@@ -1275,45 +1275,13 @@ def sq8_topk_micro(
 
     One corpus scan (stats broadcast + query broadcast, both bytes);
     codes never leave the scan — this is the serve-shape whose stored
-    twin is ``sq8_encode`` output."""
-    from pyspark.sql.functions import broadcast
-
-    stats = sq8_stats(corpus, vec_col)
-    q = broadcast(
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            _as_double(F.col(vec_col)).alias("qv"),
-        )
-    )
-    scored = (
-        widen_for_cpu(corpus)
-        .select(
-            F.col(id_col).alias("neighbor_id"),
-            _as_double(F.col(vec_col)).alias("cv"),
-        )
-        .crossJoin(broadcast(stats))
-        .withColumn("codes", F.expr(_SQ8_CODES))
-        .crossJoin(q)
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "adc_micro",
-            F.expr(
-                f"""aggregate(
-                      zip_with(qv, {_SQ8_RECON},
-                               (a, b) -> cast(floor(a * b * 1000000.0D)
-                                              AS long)),
-                      0L, (s, y) -> s + y)"""
-            ),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("adc_micro"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "adc_micro")
-    )
+    twin is ``sq8_encode`` output. The one-shot IS build+serve composed
+    in one plan (:func:`build_sq8_index` → :func:`sq8_topk_indexed`,
+    single code path — drift between the routes is structurally
+    impossible; the encode projection fuses into the scan exactly as
+    before)."""
+    codes, stats = build_sq8_index(corpus, id_col, vec_col)
+    return sq8_topk_indexed(codes, stats, queries, id_col, vec_col, k)
 
 
 def hard_negatives(
