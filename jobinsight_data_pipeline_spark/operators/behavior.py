@@ -40,15 +40,30 @@ def _order_key(ts_col: str, tiebreak_col: str) -> F.Column:
     """Zero-padded ``micros:tiebreak`` string whose lexicographic order
     is the (ts, tiebreak) tuple order. Requires non-negative epochs and
     tiebreaks (true of event logs; pre-1970 event streams would need a
-    shifted epoch)."""
-    micros = F.expr(
-        f"timestampdiff(MICROSECOND, {_EPOCH}, {ts_col})"
-    ).cast("string")
-    return F.concat(
-        F.lpad(micros, 20, "0"),
+    shifted epoch) — ENFORCED, not just documented: '-' sorts below
+    digits, so a negative value would silently sort before everything
+    regardless of magnitude and corrupt funnel/attribution/path
+    ordering. A negative epoch or tiebreak raises instead (two
+    comparisons per row; NULLs pass through to the usual NULL-key
+    concat)."""
+    micros_n = F.expr(f"timestampdiff(MICROSECOND, {_EPOCH}, {ts_col})")
+    tb = F.col(tiebreak_col)
+    key = F.concat(
+        F.lpad(micros_n.cast("string"), 20, "0"),
         F.lit(":"),
-        F.lpad(F.col(tiebreak_col).cast("string"), 20, "0"),
+        F.lpad(tb.cast("string"), 20, "0"),
     )
+    return F.when(
+        (micros_n < 0) | (tb < 0),
+        F.raise_error(
+            F.lit(
+                "_order_key: negative epoch micros or tiebreak — "
+                "zero-padded lexicographic ordering requires a "
+                "non-negative domain (shift pre-1970 timestamps / "
+                "negative ids before calling)"
+            )
+        ).cast("string"),
+    ).otherwise(key)
 
 
 def funnel_counts(

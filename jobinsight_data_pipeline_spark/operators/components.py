@@ -465,8 +465,18 @@ def label_propagation(
 
     Edges are symmetrized + self-loop-stripped + deduped first; round
     state localCheckpoints with superseded generations freed (the
-    pagerank pattern). Returns (node, label).
+    pagerank pattern). Returns (node, label). ``rounds`` must be ≥ 1 —
+    a zero-round call would return the identity labeling while leaking
+    the sym/nodes checkpoints for the session (they are freed only
+    after the final round's state supersedes them), so it raises
+    instead.
     """
+    if int(rounds) < 1:
+        raise ValueError(
+            f"label_propagation: rounds must be >= 1, got {rounds} "
+            "(an identity labeling is nodes.withColumn('label', node) — "
+            "no propagation rounds, no checkpoint lifecycle)"
+        )
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))

@@ -191,16 +191,20 @@ def k_anonymity_audit(
     suppression cost if the class is dropped). Derived/generalized QIs
     (banded numerics, truncated zips) are just expressions in
     ``qi_cols``'s frame — build them in the projection before calling.
+    The dataset total comes from the SAME class aggregate (Σ class_n)
+    re-attached as a broadcast 1-row frame (the unigram_lm pattern) —
+    one evaluation of the input, no separate count() scan, no
+    stale-total risk against a re-evaluated source.
     """
-    total = df.count()
     classes = df.groupBy(*qi_cols).agg(F.count(F.lit(1)).alias("class_n"))
-    return classes.select(
+    stats = classes.agg(
+        F.greatest(F.sum("class_n"), F.lit(1)).alias("_total")
+    )
+    return classes.crossJoin(F.broadcast(stats)).select(
         *qi_cols,
         "class_n",
         (F.col("class_n") >= F.lit(int(k))).alias("meets_k"),
-        F.expr(f"(class_n * 1000000) div {max(int(total), 1)}").alias(
-            "share_ppm"
-        ),
+        F.expr("(class_n * 1000000) div _total").alias("share_ppm"),
     )
 
 

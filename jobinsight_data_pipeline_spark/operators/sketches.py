@@ -126,7 +126,21 @@ def cms_estimate(
     sketch (built with the SAME depth/width/salt): min over the key's
     ``depth`` cells, absent cells counting 0. The sketch side is a
     ≤ depth×width-row broadcast — the probe is one equi-join, so a
-    billion-key probe frame stays distributed."""
+    billion-key probe frame stays distributed.
+
+    Parameter-mismatch guard: absent cells legitimately coalesce to 0
+    (a bucket nothing hashed into), so probing with a depth/width that
+    differs from what ``cms_build`` used would SILENTLY return
+    underestimates — violating the CMS upper-bound contract. The
+    sketch's observed shape (1-row aggregate, broadcast alongside the
+    cells) is therefore checked against the probe parameters inside the
+    estimate expression: depth drift in either direction (sketch rows ≠
+    0..depth−1) and a probe width NARROWER than the built width (a
+    sketch bucket ≥ width) raise instead of returning a plausible low
+    count. A salt mismatch or a WIDER probe width is structurally
+    undetectable from the cells (same shape, different hashing) —
+    callers own those two; persist the build parameters beside the
+    sketch (the stats-beside-codes discipline of build_sq8_index)."""
     probes = keys.select(F.col(key_col)).distinct()
     ev = probes.select(
         key_col,
@@ -136,8 +150,35 @@ def cms_estimate(
         F.col("_j").alias("row_idx"),
         _cms_bucket(F.col("_j"), F.col(key_col), width, salt).alias("bucket"),
     )
+    shape = cms.agg(
+        F.max("row_idx").alias("_max_row"),
+        F.min("row_idx").alias("_min_row"),
+        F.max("bucket").alias("_max_bucket"),
+    )
+    mismatch = (
+        (F.col("_max_row") != F.lit(depth - 1))
+        | (F.col("_min_row") != F.lit(0))
+        | (F.col("_max_bucket") >= F.lit(int(width)))
+    )
+    guarded = F.when(
+        mismatch,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "cms_estimate parameter mismatch: sketch shape "
+                    "(rows 0.."
+                ),
+                F.col("_max_row").cast("string"),
+                F.lit(", max bucket "),
+                F.col("_max_bucket").cast("string"),
+                F.lit(f") vs probe depth={depth} width={width}"),
+            )
+        ).cast("long"),
+    ).otherwise(F.col("_cnt0"))
     return (
         ev.join(broadcast(cms), ["row_idx", "bucket"], "left")
+        .crossJoin(broadcast(shape))
+        .withColumn("_cnt0", F.coalesce("cnt", F.lit(0)))
         .groupBy(key_col)
-        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_cnt"))
+        .agg(F.min(guarded).alias("cms_cnt"))
     )

@@ -141,22 +141,28 @@ def skew_audit(
 
     One partial-aggregating groupBy + a heap top-k
     (TakeOrderedAndProject) — the per-key table crosses the shuffle, the
-    row table never does. Exact integer arithmetic throughout; ties
+    row table never does. Totals and per-key counts come from the SAME
+    per-key aggregate (total = Σn, n_keys = its row count), re-attached
+    as a broadcast 1-row stats frame (the unigram_lm pattern): one
+    evaluation of the input — no separate count()/distinct().count()
+    scans, and no stale-total risk against a non-deterministic or
+    re-evaluated source. Exact integer arithmetic throughout; ties
     break on the key columns ascending so the cut is deterministic."""
-    total = df.count()
-    n_keys_df = df.select(*keys).distinct().count()
     per = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
-    mean_den = max(int(total), 1)
-    n_keys = max(int(n_keys_df), 1)
+    stats = per.agg(
+        F.greatest(F.sum("n"), F.lit(1)).alias("_total"),
+        F.greatest(F.count(F.lit(1)), F.lit(1)).alias("_nkeys"),
+    )
     return (
         per.orderBy(F.desc("n"), *[F.asc(k) for k in keys])
         .limit(int(top_k))
+        .crossJoin(F.broadcast(stats))
         .select(
             *keys,
             "n",
-            F.expr(f"(n * 1000000) div {mean_den}").alias("share_ppm"),
+            F.expr("(n * 1000000) div _total").alias("share_ppm"),
             # load multiple vs a uniform key, in ppm: n / (total/n_keys)
-            F.expr(f"(n * {n_keys} * 1000000) div {mean_den}").alias(
+            F.expr("(n * _nkeys * 1000000) div _total").alias(
                 "x_uniform_ppm"
             ),
         )

@@ -3306,6 +3306,80 @@ def test_skew_audit_known_answers(spark):
     }
 
 
+def test_cms_estimate_parameter_mismatch_raises(spark):
+    """The r7-advice guard: probing a sketch with a depth/width that
+    differs from the build raises instead of silently returning
+    underestimates (the CMS upper-bound contract)."""
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    from jobinsight_data_pipeline_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    df = spark.createDataFrame([(w,) for w in "a b a c" * 8], "k string")
+    cms = cms_build(df, "k", depth=4, width=64).localCheckpoint(eager=True)
+    probe = df.limit(2)
+    # matching params still fine
+    assert cms_estimate(cms, probe, "k", depth=4, width=64).count() == 2
+    # depth drift (either direction) raises
+    with pytest.raises(SparkRuntimeException, match="parameter mismatch"):
+        cms_estimate(cms, probe, "k", depth=3, width=64).collect()
+    with pytest.raises(SparkRuntimeException, match="parameter mismatch"):
+        cms_estimate(cms, probe, "k", depth=5, width=64).collect()
+    # probe width narrower than the built width raises (a sketch
+    # bucket >= width proves the drift); wider is documented-undetectable
+    with pytest.raises(SparkRuntimeException, match="parameter mismatch"):
+        cms_estimate(cms, probe, "k", depth=4, width=8).collect()
+
+
+def test_order_key_negative_domain_raises(spark):
+    """The r7-advice guard: '-' sorts below digits, so negative epochs
+    or tiebreaks would silently corrupt funnel/attribution ordering —
+    _order_key raises on them instead."""
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    from jobinsight_data_pipeline_spark.operators.behavior import _order_key
+
+    ok = spark.createDataFrame(
+        [("2024-01-02 03:04:05", 7)], "ts string, event_id long"
+    ).select(
+        _order_key("CAST(ts AS TIMESTAMP_NTZ)", "event_id").alias("k")
+    )
+    [row] = ok.collect()
+    assert row["k"].endswith(":00000000000000000007")
+
+    pre1970 = spark.createDataFrame(
+        [("1969-12-31 23:59:59", 7)], "ts string, event_id long"
+    ).select(
+        _order_key("CAST(ts AS TIMESTAMP_NTZ)", "event_id").alias("k")
+    )
+    with pytest.raises(SparkRuntimeException, match="non-negative"):
+        pre1970.collect()
+
+    neg_tb = spark.createDataFrame(
+        [("2024-01-02 03:04:05", -7)], "ts string, event_id long"
+    ).select(
+        _order_key("CAST(ts AS TIMESTAMP_NTZ)", "event_id").alias("k")
+    )
+    with pytest.raises(SparkRuntimeException, match="non-negative"):
+        neg_tb.collect()
+
+
+def test_label_propagation_rejects_zero_rounds(spark):
+    import pytest
+
+    from jobinsight_data_pipeline_spark.operators.components import (
+        label_propagation,
+    )
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="rounds must be >= 1"):
+        label_propagation(edges, rounds=0)
+
+
 def test_weighted_sample_exact_n_semantics(spark):
     from jobinsight_data_pipeline_spark.operators.sampling import (
         weighted_sample_exact_n,

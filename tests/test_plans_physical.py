@@ -149,6 +149,11 @@ def test_no_accidental_cartesian_or_nested_loop(spark):
         "hybrid_search",  # bm25 1-row stats + cosine_topk broadcast query side
         "sq8_search",  # 1-row stats table + broadcast query side
         "sq8_index_search",  # same class: persisted codes x 1-row stats
+        "sq8_serve_many",  # same class: persisted codes x 1-row stats
+        "skew_audit",  # 1-row totals aggregate broadcast back (r7 advice)
+        "k_anonymity",  # same class: 1-row Σclass_n broadcast back
+        "cms_heavy_hitters",  # cms_estimate's 1-row shape-guard broadcast
+        "stream_cms",  # same class
         "hard_negatives",  # cosine_topk's sanctioned broadcast query side
         "mmr_rerank",  # broadcast query side + capped candidate self-join
         "mutual_knn",  # guarded all-pairs baseline (ANN stream at scale)
