@@ -4738,6 +4738,205 @@ FROM final GROUP BY source
 O_DAY2_PIPELINE = _day2_oracle()
 
 
+def q_stream_day2_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING day-N ingest flagship (r6 verdict item 7): the
+    day-2 corpus arrives as JSON-Lines drops (plus planted corrupt
+    lines), `stream_jsonl_ingest` lands them exactly-once in the
+    unified parquet sink (corrupt rows quarantined by the permissive
+    parse, never reaching dedup), the clean rows re-drop as id-ordered
+    shards into `stream_incremental_dedup`'s foreachBatch loop
+    (record='all', state bootstrapped from the day-1 snapshot and
+    growing append-only per micro-batch), and the sink's kept docs run
+    the SAME batch tail as `day2_pipeline` — classifier margin, BPE
+    subword counts, the 15k-id budget cut, the per-source manifest.
+    Because id-ordered record='all' streaming decisions equal the
+    one-shot batch operator's single-pass rule (the
+    stream_incremental_dedup pin), this gate shares O_DAY2_PIPELINE
+    VERBATIM: one exact hash over the whole streamed composition —
+    ingest parse, quarantine, every cross-batch dedup decision, scoring,
+    encode, budget, manifest."""
+    import hashlib
+    import os
+    import shutil
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from jobinsight_data_pipeline_spark.catalog import scratch_dir
+    from jobinsight_data_pipeline_spark.operators.bpe import bpe_encode
+    from jobinsight_data_pipeline_spark.operators.classifier import (
+        with_quality_classification,
+    )
+    from jobinsight_data_pipeline_spark.operators.dedup import (
+        build_dedup_state,
+    )
+    from jobinsight_data_pipeline_spark.operators.parallelism import (
+        widen_for_cpu,
+    )
+    from jobinsight_data_pipeline_spark.operators.sampling import (
+        select_until_budget,
+    )
+    from jobinsight_data_pipeline_spark.streaming.incremental import (
+        stream_incremental_dedup,
+        stream_jsonl_ingest,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    docs = t["documents"].select("doc_id", "text", "source")
+    day1 = docs.filter(F.col("doc_id") < INCR_SPLIT)
+    d2base = docs.filter(F.col("doc_id") >= INCR_SPLIT)
+    plants_exact = day1.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "source"
+    )
+    plants_near = day1.filter(F.col("doc_id") % 50 == 1).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz yy")).alias("text"),
+        "source",
+    )
+    twin_src = day1.filter(F.col("doc_id") % 50 == 2).select(
+        "doc_id",
+        F.concat(
+            F.lit("twin"),
+            F.lit(" t"), F.col("doc_id").cast("string"),
+            F.lit(" payload"),
+            F.lit(" p"), F.col("doc_id").cast("string"),
+            F.lit(" end"),
+        ).alias("text"),
+        F.lit("twin").alias("source"),
+    )
+    twins = twin_src.select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"), "text", "source"
+    ).unionByName(
+        twin_src.select(
+            (F.col("doc_id") + 3_100_000).alias("doc_id"), "text", "source"
+        )
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("source", StringType()),
+        ]
+    )
+    base = scratch_dir(
+        "streamday2-gate-",
+        "{}-{}".format(
+            spark.sparkContext.applicationId,
+            hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+        ),
+    )
+    cand_path = os.path.join(base, "cand")
+    done = os.path.join(base, "_gate_done")
+    if not os.path.exists(done):
+        shutil.rmtree(base, ignore_errors=True)
+        now = 1_700_000_000
+
+        def _stamp_new(d: str, i: int, seen: set) -> None:
+            for f in sorted(os.listdir(d)):
+                p = os.path.join(d, f)
+                if os.path.isfile(p) and not f.startswith((".", "_")) and f not in seen:
+                    seen.add(f)
+                    os.utime(p, (now + i, now + i))
+
+        # stage A input: one JSONL drop per shard + a corrupt drop
+        jsonl_dir = f"{base}/jsonl"
+        seen: set = set()
+        for i, shard in enumerate(
+            (d2base, plants_exact, plants_near, twins)
+        ):
+            shard.select(
+                F.to_json(F.struct("doc_id", "text", "source")).alias(
+                    "value"
+                )
+            ).coalesce(1).write.mode("append").text(jsonl_dir)
+            _stamp_new(jsonl_dir, i, seen)
+        corrupt = os.path.join(jsonl_dir, "zz-corrupt.txt")
+        with open(corrupt, "w") as fh:
+            fh.write('{"doc_id": broken\nnot json at all\n')
+        os.utime(corrupt, (now + 4, now + 4))
+        stream_jsonl_ingest(
+            spark, jsonl_dir, schema, f"{base}/ingest", f"{base}/ckpt_a"
+        ).awaitTermination()
+
+        # stage B input: clean rows re-dropped as id-ordered shards
+        # (the record='all' equivalence precondition); corrupt rows
+        # must never reach dedup
+        ingest = spark.read.parquet(f"{base}/ingest")
+        clean = ingest.filter(F.col("_corrupt_record").isNull()).select(
+            "doc_id", "text", "source"
+        )
+        drops = f"{base}/drops"
+        bounds = [
+            (INCR_SPLIT, 1_000_000),
+            (1_000_000, 2_000_000),
+            (2_000_000, 3_000_000),
+            (3_000_000, 4_000_000),
+        ]
+        seen = set()
+        for i, (lo, hi) in enumerate(bounds):
+            clean.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            ).coalesce(1).write.mode("append").parquet(drops)
+            _stamp_new(drops, i, seen)
+        build_dedup_state(
+            day1, n_hashes=INCR_NH, bands=INCR_BANDS, hash_mode="md5"
+        ).write.parquet(f"{base}/state")
+        stream_incremental_dedup(
+            spark,
+            drops,
+            schema,
+            f"{base}/sink",
+            f"{base}/state",
+            f"{base}/ckpt_b",
+            n_hashes=INCR_NH,
+            bands=INCR_BANDS,
+            hash_mode="md5",
+            record="all",
+        ).awaitTermination()
+
+        # batch tail (the day2_pipeline chain), materialized once
+        kept = (
+            spark.read.parquet(f"{base}/sink")
+            .filter(F.col("status") == "kept")
+            .select("doc_id", "text", "source")
+        )
+        wide = widen_for_cpu(kept)
+        scored = with_quality_classification(
+            wide, "text", CLF_WEIGHTS, bias=CLF_BIAS, threshold_micro=0
+        ).select("doc_id", "score_micro")
+        (
+            bpe_encode(wide)
+            .select("doc_id", "n_ids")
+            .join(scored, "doc_id")
+            .join(wide.select("doc_id", "source"), "doc_id")
+            .filter(F.col("score_micro") >= 0)
+            .write.parquet(cand_path)
+        )
+        with open(done, "w") as fh:
+            fh.write("ok")
+    cand = spark.read.parquet(cand_path)
+    selected = select_until_budget(
+        cand, "score_micro", "n_ids", DAY2_BUDGET, ["doc_id"]
+    )
+    chk = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    return (
+        selected.withColumn("_chk", chk)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_ids").cast("long").alias("total_ids"),
+            F.bit_xor("_chk").alias("id_checksum"),
+        )
+    )
+
+
 def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME day-2 dedup as `incremental_dedup`, run as a Structured
     Streaming foreachBatch loop (streaming/incremental.
@@ -7416,6 +7615,7 @@ QUERIES = {
     "prototype_prune": q_prototype_prune,
     "dedup_keep_best": q_dedup_keep_best,
     "day2_pipeline": q_day2_pipeline,
+    "stream_day2_pipeline": q_stream_day2_pipeline,
     "pq_codes": q_pq_codes,
     "pq_adc_topk": q_pq_adc_topk,
     "ivf_pq_topk": q_ivf_pq_topk,
@@ -7528,6 +7728,7 @@ ORACLES = {
     "prototype_prune": O_PROTOTYPE_PRUNE,
     "dedup_keep_best": O_DEDUP_KEEP_BEST,
     "day2_pipeline": O_DAY2_PIPELINE,
+    "stream_day2_pipeline": O_DAY2_PIPELINE,
     "pq_codes": O_PQ_CODES,
     "pq_adc_topk": O_PQ_ADC_TOPK,
     "ivf_pq_topk": O_IVF_PQ_TOPK,
