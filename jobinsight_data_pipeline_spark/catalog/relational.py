@@ -1337,6 +1337,80 @@ FROM counts
 """
 
 
+def q_funnel_reanchor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The windowed RE-ENTRY funnel (operators/behavior.funnel_counts
+    with anchor='all', r6 verdict item 8): every step-1 event anchors
+    its own greedy chain inside a TIGHT 12-hour window, and a user
+    reaches step k if ANY anchor's chain does — the other standard
+    product-analytics mode, and an adversarial test of the
+    frontier-join design (the frontier keys on (user, anchor), so
+    within-window re-entry is pure join fan-out, no per-user sequence
+    scan). At sf0.01 the semantics visibly diverge from the driver
+    `funnel_steps` gate's first-anchor mode (step 2: 136 vs 37 users).
+    The oracle replays every anchor's chain and the distinct-user
+    rollup."""
+    from jobinsight_data_pipeline_spark.operators.behavior import (
+        funnel_counts,
+    )
+
+    t = load(spark, sf_dir, "events")
+    return funnel_counts(
+        t["events"],
+        ["view", "click", "purchase"],
+        within_hours=12,
+        anchor="all",
+    )
+
+
+O_FUNNEL_REANCHOR = """
+WITH ev AS (
+    SELECT user_id, event_type,
+           lpad(CAST(date_diff('microseconds',
+                               TIMESTAMP '1970-01-01 00:00:00', ts)
+                     AS VARCHAR), 20, '0')
+             || ':' || lpad(CAST(event_id AS VARCHAR), 20, '0') AS okey
+    FROM events
+    WHERE event_type IN ('view', 'click', 'purchase')
+),
+r1 AS (
+    SELECT user_id, okey AS at, okey AS anchor
+    FROM ev WHERE event_type = 'view'
+),
+r2 AS (
+    SELECT e.user_id, r.anchor, min(e.okey) AS at
+    FROM ev e JOIN r1 r ON e.user_id = r.user_id
+    WHERE e.event_type = 'click' AND e.okey > r.at
+      AND CAST(substring(e.okey, 1, 20) AS BIGINT)
+          - CAST(substring(r.anchor, 1, 20) AS BIGINT) <= 43200000000
+    GROUP BY e.user_id, r.anchor
+),
+r3 AS (
+    SELECT e.user_id, r.anchor, min(e.okey) AS at
+    FROM ev e JOIN r2 r ON e.user_id = r.user_id
+    WHERE e.event_type = 'purchase' AND e.okey > r.at
+      AND CAST(substring(e.okey, 1, 20) AS BIGINT)
+          - CAST(substring(r.anchor, 1, 20) AS BIGINT) <= 43200000000
+    GROUP BY e.user_id, r.anchor
+),
+counts AS (
+    SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+           count(DISTINCT user_id) AS n_users FROM r1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'click', count(DISTINCT user_id) FROM r2
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), 'purchase', count(DISTINCT user_id) FROM r3
+)
+SELECT step, event_type, n_users,
+       CAST((n_users * 1000000)
+            // nullif(max(CASE WHEN step = 1 THEN n_users END) OVER (), 0)
+            AS BIGINT) AS conv_ppm,
+       CAST((n_users * 1000000)
+            // nullif(lag(n_users) OVER (ORDER BY step), 0)
+            AS BIGINT) AS step_ppm
+FROM counts
+"""
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly acquisition-cohort retention triangle
     (operators/behavior.cohort_retention): users cohorted by the Monday
@@ -1979,6 +2053,7 @@ QUERIES = {
     "promo_type_revenue": q_promo_type_revenue,
     "json_props": q_json_props,
     "funnel_steps": q_funnel_steps,
+    "funnel_reanchor": q_funnel_reanchor,
     "k_anonymity": q_k_anonymity,
     "skew_audit": q_skew_audit,
     "outlier_fences": q_outlier_fences,
@@ -2026,6 +2101,7 @@ ORACLES = {
     "promo_type_revenue": O_PROMO_TYPE_REVENUE,
     "json_props": O_JSON_PROPS,
     "funnel_steps": O_FUNNEL_STEPS,
+    "funnel_reanchor": O_FUNNEL_REANCHOR,
     "k_anonymity": O_K_ANONYMITY,
     "skew_audit": O_SKEW_AUDIT,
     "outlier_fences": O_OUTLIER_FENCES,

@@ -74,6 +74,7 @@ def funnel_counts(
     type_col: str = "event_type",
     tiebreak_col: str = "event_id",
     within_hours: int | None = None,
+    anchor: str = "first",
 ) -> DataFrame:
     """Ordered-funnel analysis: users reaching each step of ``steps`` in
     strict event order, greedy-from-first-occurrence semantics.
@@ -87,10 +88,21 @@ def funnel_counts(
 
     Greedy matching is the standard funnel semantic (earliest candidate
     per step): it is deterministic, engine-portable, and computable with
-    k-1 equi-joins instead of a per-user sequence scan. Note the window
-    constraint is evaluated against the GREEDY step-1 anchor — a user
-    whose first step-1 event times out does not re-anchor to a later
-    one (documented product-analytics behavior, kept for determinism).
+    k-1 equi-joins instead of a per-user sequence scan.
+
+    ``anchor`` picks the other axis product-analytics tools disagree on:
+
+    - ``"first"`` (default): the window is evaluated against the GREEDY
+      step-1 anchor — a user whose first step-1 event times out does
+      NOT re-anchor to a later one (the original pinned behavior).
+    - ``"all"``: windowed RE-ENTRY — EVERY step-1 event anchors its own
+      greedy chain, and a user reaches step k if ANY anchor's chain
+      does. This is the exhaustive form of re-anchor-on-timeout (for
+      distinct-user step counts the two coincide: a user converts iff
+      some anchor's chain converts), and it reuses the same frontier
+      machinery with the frontier keyed on (user, anchor) instead of
+      user — frontier cardinality is the user's step-1 event count, so
+      every shuffle still keys on ``id_col`` and nothing is collected.
 
     Scale shape: the event stream is filtered to the step types once,
     then each step is a partial-aggregating ``groupBy(user)`` (map-side
@@ -106,6 +118,8 @@ def funnel_counts(
     """
     if not steps:
         raise ValueError("funnel needs at least one step")
+    if anchor not in ("first", "all"):
+        raise ValueError(f"anchor must be 'first' or 'all', got {anchor!r}")
     okey = _order_key(ts_col, tiebreak_col)
     ev = events.where(F.col(type_col).isin(list(steps))).select(
         F.col(id_col).alias("_uid"),
@@ -113,20 +127,33 @@ def funnel_counts(
         okey.alias("_okey"),
     )
 
-    # frontier: per user, the greedy match position after step k
-    frontier = (
-        ev.where(F.col("_etype") == steps[0])
-        .groupBy("_uid")
-        .agg(F.min("_okey").alias("_at"))
-        .withColumn("_anchor", F.col("_at"))
-    )
-    step_counts = [
-        frontier.agg(F.count(F.lit(1)).alias("n_users")).select(
-            F.lit(1).cast("long").alias("step"),
-            F.lit(steps[0]).alias("event_type"),
+    # frontier: the greedy match position after step k — one row per
+    # user ("first") or per (user, step-1 anchor) ("all")
+    s1 = ev.where(F.col("_etype") == steps[0])
+    if anchor == "first":
+        frontier = (
+            s1.groupBy("_uid")
+            .agg(F.min("_okey").alias("_at"))
+            .withColumn("_anchor", F.col("_at"))
+        )
+    else:
+        frontier = s1.select(
+            "_uid",
+            F.col("_okey").alias("_at"),
+            F.col("_okey").alias("_anchor"),
+        )
+
+    def _step_count(fr: DataFrame, step_i: int, name: str) -> DataFrame:
+        users = (
+            fr if anchor == "first" else fr.select("_uid").distinct()
+        )
+        return users.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(step_i).cast("long").alias("step"),
+            F.lit(name).alias("event_type"),
             "n_users",
         )
-    ]
+
+    step_counts = [_step_count(frontier, 1, steps[0])]
     horizon_us = (
         None if within_hours is None else int(within_hours) * 3_600_000_000
     )
@@ -143,13 +170,7 @@ def funnel_counts(
         frontier = nxt.groupBy("_uid", "_anchor").agg(
             F.min("_okey").alias("_at")
         )
-        step_counts.append(
-            frontier.agg(F.count(F.lit(1)).alias("n_users")).select(
-                F.lit(i).cast("long").alias("step"),
-                F.lit(name).alias("event_type"),
-                "n_users",
-            )
-        )
+        step_counts.append(_step_count(frontier, i, name))
 
     out = step_counts[0]
     for fr in step_counts[1:]:

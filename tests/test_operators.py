@@ -3025,6 +3025,29 @@ def test_funnel_counts_known_answers(spark):
         2: ("click", 3, 500_000, 500_000),
         3: ("purchase", 1, 166_666, 333_333),
     }
+    # anchor='all' (windowed re-entry): user 7's SECOND view anchors
+    # its own chain, so the documented first-anchor miss converts;
+    # everything else is unchanged (one anchor each or no later entry)
+    out_all = {
+        r["step"]: (r["event_type"], r["n_users"])
+        for r in funnel_counts(
+            events,
+            ["view", "click", "purchase"],
+            within_hours=72,
+            anchor="all",
+        ).collect()
+    }
+    assert out_all == {
+        1: ("view", 6),
+        2: ("click", 4),
+        3: ("purchase", 1),
+    }
+    # re-entry can only ADD users per step, never remove — and an
+    # unknown anchor mode raises
+    import pytest
+
+    with pytest.raises(ValueError, match="anchor"):
+        funnel_counts(events, ["view"], anchor="last")
 
 
 def test_funnel_counts_no_window(spark):
