@@ -81,6 +81,8 @@ HEADLINE = [
     "ohlc_bars",
     "label_prop",
     "quantile_normalize",
+    # round-7: windowed re-entry funnel (frontier keyed on (user, anchor))
+    "funnel_reanchor",
 ]
 
 
@@ -279,6 +281,20 @@ def main() -> None:
     timings["bpe_encode"] = timed(
         lambda: materialize(bpe_encode(wide_docs))
     )
+    # round-7: the vocab-scale memoized encode (distinct-word table +
+    # rank-loop pandas UDF + join-back) at the same 55-merge table —
+    # slower here than the direct chain (tiny corpus vocabulary), FLAT
+    # in merge-table size where the direct chain dies at 4k merges
+    # (SCALING.md round-7 A/B)
+    from jobinsight_data_pipeline_spark.operators.bpe import (
+        bpe_encode_memoized,
+    )
+
+    timings["bpe_memoized"] = timed(
+        lambda: materialize(
+            bpe_encode_memoized(wide_docs, word_encoder="python")
+        )
+    )
 
     # round-6: day-2 incremental dedup at production settings (xxhash64):
     # first half of the corpus is the persisted history, second half the
@@ -372,6 +388,32 @@ def main() -> None:
         timings["ivf_pq_serve_many"] = timed(
             lambda: materialize(
                 ivf_pq_topk_many(index, qbatch, cents, cb, k=10, n_probe=4)
+            )
+        )
+
+    # round-7: batched SQ8 serving against a persisted code table (the
+    # ivf_pq_serve_many twin): build once, 20 queries in one job
+    from jobinsight_data_pipeline_spark.operators.similarity import (
+        build_sq8_index,
+        sq8_topk_indexed,
+    )
+
+    with tempfile.TemporaryDirectory(prefix="bench_sq8_") as sq8_root:
+        codes_path = os.path.join(sq8_root, "codes")
+        stats_path = os.path.join(sq8_root, "stats")
+
+        def _sq8_build():
+            codes, stats = build_sq8_index(emb)
+            codes.write.mode("overwrite").parquet(codes_path)
+            stats.write.mode("overwrite").parquet(stats_path)
+
+        timings["sq8_build"] = timed(_sq8_build)
+        sq8_codes = spark.read.parquet(codes_path)
+        sq8_stats = spark.read.parquet(stats_path)
+        qbatch20 = emb.filter("vec_id < 20").select("vec_id", "embedding")
+        timings["sq8_serve_many"] = timed(
+            lambda: materialize(
+                sq8_topk_indexed(sq8_codes, sq8_stats, qbatch20, k=10)
             )
         )
 
