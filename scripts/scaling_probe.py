@@ -67,7 +67,16 @@ def probes(spark, sf_dir):
     )
     from jobinsight_data_pipeline_spark.operators.bpe import (
         bpe_encode as _bpe_encode,
+        bpe_encode_memoized as _bpe_memoized,
     )
+    from jobinsight_data_pipeline_spark.operators.similarity import (
+        build_sq8_index as _build_sq8_index,
+        sq8_topk_indexed as _sq8_topk_indexed,
+    )
+
+    def _sq8_serve(corpus, queries):
+        codes, stats = _build_sq8_index(corpus)
+        return _sq8_topk_indexed(codes, stats, queries, k=10)
     from jobinsight_data_pipeline_spark.operators.clustering import (
         kmeans_assign as _kmeans_assign,
         kmeans_fit_quantized as _kmeans_fit,
@@ -321,6 +330,26 @@ def probes(spark, sf_dir):
             load(spark, sf_dir, "events")["events"],
             "purchase",
             ["view", "click"],
+        ),
+        # round-7: the vocab-scale memoized encode at the default table
+        # (flat in merge-table size — the 4k-merge A/B lives in its own
+        # SCALING.md section); one tokenize pass + vocabulary-sized
+        # encode + one doc-keyed reassembly shuffle
+        "bpe_memoized (rank-loop UDF)": lambda: _bpe_memoized(
+            _widen(docs), word_encoder="python"
+        ),
+        # round-7: windowed re-entry funnel — frontier keys on
+        # (user, anchor), so the curve tracks step-1 event volume
+        "funnel_reanchor (12h, all anchors)": lambda: _funnel(
+            load(spark, sf_dir, "events")["events"],
+            ["view", "click", "purchase"],
+            within_hours=12,
+            anchor="all",
+        ),
+        # round-7: batched SQ8 serve (build inside the thunk — honest
+        # one-shot cost; the gate memoizes the build)
+        "sq8_serve_many (4 queries)": lambda: _sq8_serve(
+            emb, emb.filter("vec_id IN (0, 7, 23, 42)")
         ),
     }
 
