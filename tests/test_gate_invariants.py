@@ -169,11 +169,15 @@ def test_driver_surface_fits_cap():
     assert len(q) <= 50
     # round-6 slot refresh: top10_avg_salary / view_monthly_jobs_sets /
     # view_top_locations demoted (each shadowed by surviving siblings)
-    # for bm25_search / pagerank / ivf_pq_topk — the core below is what
-    # must stay front-registered
+    # for bm25_search / pagerank / ivf_pq_topk. Round-7 refresh #3
+    # (r6 verdict directive): view_current_jobs demoted too (J1 star
+    # join carried by star_revenue + view_top_companies) along with
+    # rolling_avg / set_ops, for bpe_budget_packs / incremental_dedup /
+    # ivf_pq_index_search — the core below is what must stay
+    # front-registered
     core = {
         "scd2_update", "fact_merge", "bridge_rebuild", "warehouse_rollup",
-        "warehouse_incremental", "views_salary_filter", "view_current_jobs",
+        "warehouse_incremental", "views_salary_filter",
         "view_job_locations", "view_monthly_jobs", "view_top_companies",
         "stream_pipeline",
     }
