@@ -1230,6 +1230,108 @@ FROM c, unnest(generate_series(0, copies - 1)) AS u(copy)
 """
 
 
+#: temperature-mixture gate: expected total docs drawn across sources
+TEMP_MIX_TARGET = 1_000
+
+
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """α=0.5 temperature-scaled source mixing
+    (operators/sampling.temperature_mixture): the per-source weight
+    table derives IN-ENGINE from the corpus (w_i = target·isqrt(n_i) /
+    (S·n_i), all-integer by the fixed-α design — expected draws per
+    source ∝ n_i^0.5, the mT5/XLM-R head-flattening), a broadcast join
+    attaches it, and every row materializes base + bucket-threshold
+    copies. Manifest per source: input count, the integer weight pair,
+    realized output count, and an order-insensitive bit_xor checksum
+    over (doc_id, copy) — the oracle re-derives the weight table and
+    every copy decision exactly."""
+    from jobinsight_data_pipeline_spark.operators.sampling import (
+        temperature_mixture,
+        temperature_weights,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    docs = t["documents"].select("doc_id", "source")
+    w = temperature_weights(docs, "source", TEMP_MIX_TARGET)
+    out = temperature_mixture(docs, "source", "doc_id", TEMP_MIX_TARGET)
+    chk = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.col("doc_id").cast("string"),
+                    F.col("copy").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    agg = (
+        out.withColumn("_chk", chk)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_out"),
+            F.bit_xor("_chk").alias("chk"),
+        )
+    )
+    return w.join(agg, "source", "left").select(
+        "source",
+        F.col("n").alias("n_in"),
+        "w_base",
+        "w_thr_tenk",
+        F.coalesce("n_out", F.lit(0)).cast("long").alias("n_out"),
+        F.coalesce("chk", F.lit(0)).cast("long").alias("chk"),
+    )
+
+
+O_TEMPERATURE_MIXTURE = f"""
+WITH per AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n,
+           CAST(floor(sqrt(count(*))) AS BIGINT) AS isq
+    FROM documents GROUP BY source
+),
+s AS (SELECT CAST(sum(isq) AS BIGINT) AS sv FROM per),
+w AS (
+    SELECT source, n,
+           CAST((CAST({TEMP_MIX_TARGET} AS BIGINT) * isq) // (s.sv * n)
+                AS INTEGER) AS w_base,
+           CAST(((CAST({TEMP_MIX_TARGET} AS BIGINT) * isq * 10000)
+                 // (s.sv * n)) % 10000 AS INTEGER) AS w_thr_tenk
+    FROM per, s
+),
+d AS (
+    SELECT doc_id, source,
+           CAST(('0x' || substring(md5('temp' || CAST(doc_id AS VARCHAR)),
+                                   1, 8)) AS BIGINT) % 10000 AS bucket
+    FROM documents
+),
+c AS (
+    SELECT d.doc_id, d.source,
+           w.w_base + CASE WHEN d.bucket < w.w_thr_tenk THEN 1 ELSE 0 END
+               AS copies
+    FROM d JOIN w USING (source)
+),
+x AS (
+    SELECT doc_id, source, u.copy
+    FROM c, unnest(generate_series(0, copies - 1)) AS u(copy)
+    WHERE copies > 0
+),
+agg AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n_out,
+           bit_xor(CAST(('0x' || substring(
+               md5(CAST(doc_id AS VARCHAR) || ':' || CAST(copy AS VARCHAR)),
+               1, 8)) AS BIGINT)) AS chk
+    FROM x GROUP BY source
+)
+SELECT w.source, w.n AS n_in, w.w_base, w.w_thr_tenk,
+       coalesce(agg.n_out, 0) AS n_out,
+       CAST(coalesce(agg.chk, 0) AS BIGINT) AS chk
+FROM w LEFT JOIN agg USING (source)
+"""
+
+
 def q_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global shuffle + fixed-size shard assignment; the
     oracle recomputes the md5 permutation rank with a plain window —
@@ -7551,6 +7653,7 @@ QUERIES = {
     "semantic_dedup": q_semantic_dedup,
     "semantic_dedup_groups": q_semantic_dedup_groups,
     "mixture_sample": q_mixture_sample,
+    "temperature_mixture": q_temperature_mixture,
     "shuffle_shard": q_shuffle_shard,
     "duplicate_spans": q_duplicate_spans,
     "winnow_fingerprints": q_winnow_fingerprints,
@@ -7664,6 +7767,7 @@ ORACLES = {
     "semantic_dedup": O_SEMANTIC_DEDUP,
     "semantic_dedup_groups": O_SEMANTIC_DEDUP_GROUPS,
     "mixture_sample": O_MIXTURE_SAMPLE,
+    "temperature_mixture": O_TEMPERATURE_MIXTURE,
     "shuffle_shard": O_SHUFFLE_SHARD,
     "duplicate_spans": O_DUPLICATE_SPANS,
     "winnow_fingerprints": O_WINNOW_FINGERPRINTS,

@@ -594,6 +594,48 @@ def learn_bpe_merges_py(
     return merges
 
 
+def save_merges(spark, merges: list, path: str) -> None:
+    """Persist a merges table as the tokenizer artifact — (rank, left,
+    right, pair_count) parquet, the asset a training pipeline ships
+    alongside its shards so day-N encodes use the EXACT table the corpus
+    was packed with. Accepts trainer output ``[(l, r, n), …]`` or bare
+    ``[(l, r), …]`` (pair_count NULL). Validates well-formedness before
+    writing — a malformed artifact must fail at save time, not at some
+    future encode."""
+    pairs = [(m[0], m[1]) for m in merges]
+    validate_merges(pairs)
+    rows = [
+        (i, m[0], m[1], int(m[2]) if len(m) > 2 else None)
+        for i, m in enumerate(merges)
+    ]
+    spark.createDataFrame(
+        rows, "rank int, left string, right string, pair_count long"
+    ).write.mode("overwrite").parquet(path)
+
+
+def load_merges(spark, path: str) -> list[tuple[str, str]]:
+    """Load a :func:`save_merges` artifact back into the rank-ordered
+    ``[(left, right), …]`` form every encoder here consumes. The
+    driver-side collect is vocabulary-sized by construction (a 50k-merge
+    production table is ~1 MB). Re-validates — a corrupted or
+    hand-edited artifact fails loudly."""
+    rows = (
+        spark.read.parquet(path)
+        .select("rank", "left", "right")
+        .orderBy("rank")
+        .collect()
+    )
+    ranks = [r["rank"] for r in rows]
+    if ranks != list(range(len(rows))):
+        raise ValueError(
+            f"merges artifact at {path!r} has non-contiguous ranks "
+            f"(got {ranks[:5]}…) — not a save_merges output"
+        )
+    merges = [(r["left"], r["right"]) for r in rows]
+    validate_merges(merges)
+    return merges
+
+
 def bpe_decode_column(
     ids: Column | str, merges: list[tuple[str, str]] | None = None
 ) -> Column:

@@ -142,6 +142,80 @@ def mixture_sample(
     return _explode_copies(df, copies)
 
 
+def temperature_weights(
+    df: DataFrame,
+    group_col: str,
+    total_target: int,
+) -> DataFrame:
+    """Temperature-scaled (α = 0.5) source-mixing weights — the
+    α-sampling every multilingual/multi-domain pretraining mix uses
+    (mT5/XLM-R style: sample source i with probability ∝ n_i^α, α < 1
+    flattening the head so big sources stop drowning small ones).
+
+    Per source: ``w_i = total_target · isqrt(n_i) / (S · n_i)`` with
+    ``S = Σ_j isqrt(n_j)`` — expected docs drawn from source i is
+    ``n_i · w_i ∝ √n_i = n_i^0.5``, and the expected TOTAL is
+    ``total_target`` (up to the isqrt flooring). α is fixed at 0.5
+    deliberately: ``isqrt`` (floor∘sqrt of a BIGINT) is exact on every
+    engine (sqrt is correctly rounded IEEE, perfect squares are exact;
+    counts < 2⁵³ by assumption), so the whole weight table is INTEGER
+    arithmetic — an arbitrary α needs ``pow``, which disagrees by 1 ulp
+    across engines (the quantized-ln lesson, CLAUDE.md). Returns one
+    row per source: (group_col, n, w_base, w_thr_tenk) in
+    :func:`mixture_sample`'s integer-threshold convention
+    (multiplicity = w_base guaranteed copies + one more iff the row's
+    hash bucket < w_thr_tenk of 10,000).
+
+    One partial-aggregating groupBy + a 1-row S aggregate broadcast
+    back (the unigram_lm pattern) — sources-sized output, no collect.
+    """
+    if total_target <= 0:
+        raise ValueError(f"total_target must be positive: {total_target}")
+    tt = int(total_target)
+    per = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"))
+    per = per.withColumn(
+        "_isqrt", F.floor(F.sqrt(F.col("n"))).cast("long")
+    )
+    s = per.agg(F.sum("_isqrt").alias("_s"))
+    return per.crossJoin(F.broadcast(s)).select(
+        group_col,
+        "n",
+        F.expr(f"(CAST({tt} AS BIGINT) * _isqrt) div (_s * n)")
+        .cast("int")
+        .alias("w_base"),
+        F.expr(
+            f"((CAST({tt} AS BIGINT) * _isqrt * 10000) div (_s * n))"
+            " % 10000"
+        )
+        .cast("int")
+        .alias("w_thr_tenk"),
+    )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    total_target: int,
+    salt: str = "temp",
+) -> DataFrame:
+    """α=0.5 temperature resampling end-to-end:
+    :func:`temperature_weights` derives the per-source integer weight
+    table FROM the data (one groupBy + a 1-row broadcast), a broadcast
+    join attaches it, and each row materializes ``w_base`` copies plus
+    one more iff its md5 bucket < ``w_thr_tenk`` — the identical
+    engine-portable accept decision as :func:`mixture_sample`, with the
+    weights computed in-engine instead of passed as driver literals.
+    Emits ``copy`` alongside the original columns."""
+    w = temperature_weights(df, group_col, total_target).drop("n")
+    joined = df.join(F.broadcast(w), group_col)
+    bucket = hash_bucket(F.col(key_col), 10_000, salt)
+    copies = (
+        F.col("w_base") + (bucket < F.col("w_thr_tenk")).cast("int")
+    ).cast("int")
+    return _explode_copies(joined, copies).drop("w_base", "w_thr_tenk")
+
+
 def weighted_sample(
     df: DataFrame,
     weight_col: str,

@@ -136,6 +136,41 @@ def test_encode_word_table_python_matches_native(spark):
     assert nat["the"] == bpe_encode_py("the")
 
 
+def test_merges_artifact_roundtrip(spark, tmp_path):
+    """The tokenizer-artifact lifecycle: learn → save → load → encode
+    with the loaded table ≡ encode with the learned table."""
+    from jobinsight_data_pipeline_spark.operators.bpe import (
+        load_merges,
+        save_merges,
+    )
+
+    corpus = [t for _, t in TEXTS if t and t.isascii()]
+    learned = learn_bpe_merges_py(corpus, n_merges=40, min_pair_count=1)
+    path = str(tmp_path / "merges")
+    save_merges(spark, learned, path)
+    loaded = load_merges(spark, path)
+    assert loaded == [(l, r) for l, r, _ in learned]
+    df = spark.createDataFrame(
+        list(enumerate(corpus)), "doc_id int, text string"
+    )
+    a = _collect(bpe_encode_memoized(df, loaded, word_encoder="python"))
+    b = _collect(bpe_encode_memoized(df, [(l, r) for l, r, _ in learned]))
+    assert a == b
+    # bare (l, r) form saves too; pair_count rides as NULL
+    save_merges(spark, loaded, path)
+    assert load_merges(spark, path) == loaded
+    # a corrupted artifact (rank gap) fails loudly
+    import pytest
+
+    gap = str(tmp_path / "gap")
+    spark.createDataFrame(
+        [(0, "t", "h", None), (2, "th", "e", None)],
+        "rank int, left string, right string, pair_count long",
+    ).write.mode("overwrite").parquet(gap)
+    with pytest.raises(ValueError, match="non-contiguous"):
+        load_merges(spark, gap)
+
+
 def test_encode_word_table_rejects_unknown_encoder(spark):
     words = spark.createDataFrame([("a",)], "w string")
     with pytest.raises(ValueError, match="word_encoder"):
