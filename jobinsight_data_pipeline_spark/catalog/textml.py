@@ -4375,10 +4375,10 @@ def q_forget_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     verdict named: `forget_rows` erases the lake, but the incremental
     dedup history, the semantic-dedup state, and the persisted IVF-PQ
     index still carry the forgotten rows' hashes/codes. Here ONE
-    tombstone set (id % 10 == 3) anti-joins through ALL FOUR persisted
-    tables via forget_keys (documents, dedup_state, ivfpq index,
-    semantic state; history versions purged), and the gate pins the two
-    behaviors that make erasure real:
+    tombstone set (id % 10 == 3) anti-joins through ALL FIVE persisted
+    tables via forget_keys (documents, dedup_state, ivfpq index, sq8
+    code table, semantic state; history versions purged), and the gate
+    pins the two behaviors that make erasure real:
 
     - a forgotten vector can no longer be RETRIEVED: serving its own
       embedding against the index finds it before erasure
@@ -4392,11 +4392,15 @@ def q_forget_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
       — a copy of a remembered doc stays exact_dup, a copy of a
       forgotten doc is judged ONLY by the surviving corpus.
 
-    Output: (metric, value) rows — the 12 deletion-manifest counts,
+    Output: (metric, value) rows — the 15 deletion-manifest counts,
     the 2 serve counts, and the 6 replayed statuses (kept=0,
     exact_dup=1, near_dup=2). Eager per (session, sf_dir): the lake
     build + erasure runs once behind a done-sentinel (the forget_rows
-    discipline)."""
+    discipline). Documented boundary: the SQ8 quantization STATS
+    (per-dim min/span) and learned centroids are corpus-level
+    aggregates — erasure removes the forgotten rows' codes/cells, not
+    the aggregates' historical influence (re-fit on a schedule if that
+    matters for your compliance posture)."""
     import hashlib
     import os
     import shutil
@@ -4448,6 +4452,12 @@ def q_forget_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             partition_by=["cell"],
         )
         lake.write(build_semantic_state(emb, cents), "semstate")
+        from jobinsight_data_pipeline_spark.operators.similarity import (
+            build_sq8_index,
+        )
+
+        sq8_codes, _sq8_stats = build_sq8_index(emb)
+        lake.write(sq8_codes, "sq8codes")
 
         qvec = [
             float(x)
@@ -4484,6 +4494,7 @@ def q_forget_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "documents": "doc_id",
                 "dedup_state": "doc",
                 "ivfpq": "vec_id",
+                "sq8codes": "vec_id",
                 "semstate": "doc",
             },
             keys,
@@ -4531,7 +4542,7 @@ def q_forget_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _forget_propagation_oracle() -> str:
-    """Erasure-propagation replay: the 12 manifest counts re-derived
+    """Erasure-propagation replay: the 15 manifest counts re-derived
     from the raw tables under the tombstone predicate (dedup-state rows
     = INCR_BANDS per shingleable doc, 1 per short doc; index/semstate
     rows = 1 per vector), the serve pins (the boolean-pin pattern: the
@@ -4629,6 +4640,9 @@ UNION ALL SELECT 'dedup_state_after', st_before - st_del FROM doc_counts
 UNION ALL SELECT 'ivfpq_before', n_before FROM vec_counts
 UNION ALL SELECT 'ivfpq_deleted', n_del FROM vec_counts
 UNION ALL SELECT 'ivfpq_after', n_before - n_del FROM vec_counts
+UNION ALL SELECT 'sq8codes_before', n_before FROM vec_counts
+UNION ALL SELECT 'sq8codes_deleted', n_del FROM vec_counts
+UNION ALL SELECT 'sq8codes_after', n_before - n_del FROM vec_counts
 UNION ALL SELECT 'semstate_before', n_before FROM vec_counts
 UNION ALL SELECT 'semstate_deleted', n_del FROM vec_counts
 UNION ALL SELECT 'semstate_after', n_before - n_del FROM vec_counts
