@@ -171,6 +171,35 @@ def test_merges_artifact_roundtrip(spark, tmp_path):
         load_merges(spark, gap)
 
 
+def test_memoized_fuzz_against_python_reference(spark):
+    """Seeded fuzz: 60 adversarial random texts (whitespace runs,
+    delimiter chars, vocab fragments, non-ASCII, repeats) through BOTH
+    Spark paths in one DataFrame, pinned against the independent
+    pure-python rank-sequential reference."""
+    import random
+
+    rng = random.Random(714)
+    frags = [
+        "the", "data", "query", "agg", "th", "e", "a", "zz",
+        "x\x1e", "\x1fy", "héllo", "-", "_", "Q", "7", "...",
+    ]
+    seps = [" ", "  ", "\t", "\n", " \t ", ""]
+    texts = []
+    for _ in range(60):
+        n = rng.randint(0, 12)
+        s = "".join(
+            rng.choice(frags) + rng.choice(seps) for _ in range(n)
+        )
+        texts.append(s)
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id int, text string"
+    )
+    for enc in ("native", "python"):
+        got = _collect(bpe_encode_memoized(df, word_encoder=enc))
+        for i, text in enumerate(texts):
+            assert got[i][0] == bpe_encode_py(text), (enc, i, repr(text))
+
+
 def test_encode_word_table_rejects_unknown_encoder(spark):
     words = spark.createDataFrame([("a",)], "w string")
     with pytest.raises(ValueError, match="word_encoder"):

@@ -154,6 +154,7 @@ def test_no_accidental_cartesian_or_nested_loop(spark):
         "k_anonymity",  # same class: 1-row Σclass_n broadcast back
         "cms_heavy_hitters",  # cms_estimate's 1-row shape-guard broadcast
         "stream_cms",  # same class
+        "temperature_mixture",  # 1-row Σisqrt broadcast back (r7)
         "hard_negatives",  # cosine_topk's sanctioned broadcast query side
         "mmr_rerank",  # broadcast query side + capped candidate self-join
         "mutual_knn",  # guarded all-pairs baseline (ANN stream at scale)
