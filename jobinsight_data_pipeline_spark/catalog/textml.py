@@ -2540,7 +2540,12 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bm25_oracle() -> str:
+def _bm25_oracle(where: str = "") -> str:
+    """BM25 replay over the documents corpus; ``where`` optionally
+    restricts the corpus (the forget_bm25 gate's erase ≡ rebuild pin:
+    serving the erased index must equal a FRESH build on the surviving
+    corpus — N, Σdl, and every df_t re-derived, not just postings
+    dropped)."""
     from jobinsight_data_pipeline_spark.operators.ranking import (
         DEFAULT_B,
         DEFAULT_K1,
@@ -2572,6 +2577,7 @@ WITH base AS (
                 ELSE len({toks}) END AS dl,
            {tf_cols}
     FROM documents
+    {where}
 ),
 stats AS (
     SELECT CAST(count(*) AS DOUBLE) AS n,
@@ -2614,6 +2620,73 @@ def q_bm25_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dl",
         *[f"tf_{i}" for i in range(len(BM25_TERMS))],
         F.floor(F.col("score") * F.lit(1000000.0)).cast("long").alias("score_micro"),
+    )
+
+
+def q_forget_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure through the BM25 inverted index, pinned as
+    ERASE ≡ REBUILD: the (postings, lens) artifact persists through the
+    ParquetLake, forget_keys anti-joins the tombstone set (doc_id % 10
+    == 3) out of BOTH tables (history purged), and the gate serves the
+    standard query against the CLEANED index. Because
+    bm25_topk_indexed derives N, Σdl, and every per-term df from the
+    index tables AT SERVE TIME (build_inverted_index bakes no corpus
+    aggregates), erasing the rows erases the forgotten docs' influence
+    on every score — and the oracle proves it by replaying BM25 over a
+    FRESH tombstone-filtered corpus: the erased-index serve must be
+    bit-identical to a from-scratch rebuild on the surviving documents.
+    Eager per (session, sf_dir) behind a done-sentinel."""
+    import hashlib
+    import os
+    import shutil
+
+    from jobinsight_data_pipeline_spark.catalog import scratch_dir
+    from jobinsight_data_pipeline_spark.operators.ranking import (
+        bm25_topk_indexed,
+        build_inverted_index,
+    )
+    from jobinsight_data_pipeline_spark.sources.lake import (
+        ParquetLake,
+        forget_keys,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    docs = t["documents"]
+    base = scratch_dir(
+        "forgetbm25-gate-",
+        "{}-{}".format(
+            spark.sparkContext.applicationId,
+            hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+        ),
+    )
+    lake = ParquetLake(os.path.join(base, "lake"))
+    done = os.path.join(base, "_gate_done")
+    if not os.path.exists(done):
+        shutil.rmtree(os.path.join(base, "lake"), ignore_errors=True)
+        postings, lens = build_inverted_index(docs)
+        lake.write(postings, "postings")
+        lake.write(lens, "lens")
+        keys = docs.select(F.col("doc_id").alias("k")).filter(
+            F.col("k") % FORGET_MOD == FORGET_RESIDUE
+        )
+        forget_keys(
+            spark, lake, {"postings": "doc", "lens": "doc"}, keys
+        )
+        with open(done, "w") as fh:
+            fh.write("ok")
+    top = bm25_topk_indexed(
+        lake.read(spark, "postings"),
+        lake.read(spark, "lens"),
+        BM25_TERMS,
+        k=BM25_K,
+    )
+    return top.select(
+        F.col("doc").alias("doc_id"),
+        "dl",
+        *[f"tf_{i}" for i in range(len(BM25_TERMS))],
+        F.floor(F.col("score") * F.lit(1000000.0))
+        .cast("long")
+        .alias("score_micro"),
     )
 
 
@@ -4363,6 +4436,12 @@ O_INCREMENTAL_DEDUP = _incremental_dedup_oracle()
 #: right-to-erasure tombstone domain (id % 10 == 3) and the planted
 #: day-2 copies: 3 forgotten sources, 3 remembered sources
 FORGET_MOD, FORGET_RESIDUE = 10, 3
+
+#: erase ≡ rebuild: the erased-index serve must equal a fresh build on
+#: the tombstone-filtered corpus (q_forget_bm25)
+O_FORGET_BM25 = _bm25_oracle(
+    where=f"WHERE doc_id % {FORGET_MOD} <> {FORGET_RESIDUE}"
+)
 FORGET_SRC_FORGOTTEN = (3, 13, 23)
 FORGET_SRC_REMEMBERED = (0, 1, 2)
 FORGET_COPY_BASE = 5_000_000
@@ -7683,6 +7762,7 @@ QUERIES = {
     "media_features": q_media_features,
     "bm25_search": q_bm25_search,
     "bm25_index_search": q_bm25_index_search,
+    "forget_bm25": q_forget_bm25,
     "bigram_lm": q_bigram_lm,
     "quality_classifier": q_quality_classifier,
     "corpus_refine": q_corpus_refine,
@@ -7797,6 +7877,7 @@ ORACLES = {
     "media_features": O_MEDIA_FEATURES,
     "bm25_search": O_BM25_SEARCH,
     "bm25_index_search": O_BM25_SEARCH,
+    "forget_bm25": O_FORGET_BM25,
     "bigram_lm": O_BIGRAM_LM,
     "quality_classifier": O_QUALITY_CLASSIFIER,
     "corpus_refine": O_CORPUS_REFINE,
