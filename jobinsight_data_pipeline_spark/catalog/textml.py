@@ -1230,6 +1230,59 @@ FROM c, unnest(generate_series(0, copies - 1)) AS u(copy)
 """
 
 
+def q_pack_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pack document SPAN manifest (operators/packing.pack_spans):
+    the attention-boundary sidecar packed training data ships with —
+    one row per (pack, document) intersection with the clipped
+    (start_in_pack, span_len), documents straddling the fixed-256
+    boundary appearing in each pack they touch. Derived from the same
+    bucketed no-global-sort offsets as materialize_packs but WITHOUT
+    the token-level explode (fan-out = spans, not tokens). Explicit
+    bounds force the distributed offsets path. FULL exact oracle:
+    offsets replayed by window cumsum, spans by generate_series over
+    each document's pack range."""
+    from jobinsight_data_pipeline_spark.operators.packing import pack_spans
+    from jobinsight_data_pipeline_spark.operators.textstats import (
+        word_count,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    sized = t["documents"].select(
+        "doc_id", word_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return pack_spans(
+        sized, "n_tokens", BPE_PACK_CAP, ["doc_id"],
+        bounds=[100, 200, 300, 400],
+    )
+
+
+def _pack_boundaries_oracle() -> str:
+    cap = BPE_PACK_CAP
+    toks = "regexp_split_to_array(trim(text), '\\s+')"
+    return f"""
+WITH base AS (
+    SELECT doc_id,
+           CAST(CASE WHEN trim(text) = '' THEN 0 ELSE len({toks}) END
+                AS BIGINT) AS n
+    FROM documents
+),
+off AS (
+    SELECT doc_id, n,
+           CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS o
+    FROM base
+)
+SELECT CAST(u.w AS BIGINT) AS seq_id, doc_id,
+       CAST(greatest(o, u.w * {cap}) - u.w * {cap} AS BIGINT)
+           AS start_in_pack,
+       CAST(least(o + n, (u.w + 1) * {cap})
+            - greatest(o, u.w * {cap}) AS BIGINT) AS span_len
+FROM off, unnest(generate_series(o // {cap}, (o + n - 1) // {cap})) AS u(w)
+WHERE n > 0
+"""
+
+
 #: temperature-mixture gate: expected total docs drawn across sources
 TEMP_MIX_TARGET = 1_000
 
@@ -5233,6 +5286,8 @@ def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_BUDGET = 30_000
 BPE_PACK_CAP = 256
 
+O_PACK_BOUNDARIES = _pack_boundaries_oracle()
+
 
 def q_bpe_budget_packs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed tokenize-and-fill-budget flagship (the corpus_prep
@@ -7747,6 +7802,7 @@ QUERIES = {
     "semantic_dedup_groups": q_semantic_dedup_groups,
     "mixture_sample": q_mixture_sample,
     "temperature_mixture": q_temperature_mixture,
+    "pack_boundaries": q_pack_boundaries,
     "shuffle_shard": q_shuffle_shard,
     "duplicate_spans": q_duplicate_spans,
     "winnow_fingerprints": q_winnow_fingerprints,
@@ -7862,6 +7918,7 @@ ORACLES = {
     "semantic_dedup_groups": O_SEMANTIC_DEDUP_GROUPS,
     "mixture_sample": O_MIXTURE_SAMPLE,
     "temperature_mixture": O_TEMPERATURE_MIXTURE,
+    "pack_boundaries": O_PACK_BOUNDARIES,
     "shuffle_shard": O_SHUFFLE_SHARD,
     "duplicate_spans": O_DUPLICATE_SPANS,
     "winnow_fingerprints": O_WINNOW_FINGERPRINTS,

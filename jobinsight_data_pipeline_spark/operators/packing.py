@@ -175,6 +175,58 @@ def shard_manifest(
     )
 
 
+def pack_spans(
+    df: DataFrame,
+    tokens_col: str,
+    capacity: int,
+    order_by: list[str],
+    scalable: bool | None = None,
+    bounds: list | None = None,
+) -> DataFrame:
+    """Per-pack DOCUMENT SPAN manifest — the attention-boundary sidecar
+    every packing consumer needs (block-diagonal masks / position-id
+    resets at document boundaries inside a packed window; cross-document
+    attention is off in most modern pretraining recipes).
+
+    For each document, :func:`pack_sequences` supplies its global
+    ``[start_offset, start_offset + n)`` token interval; this emits one
+    row per (pack, document) intersection: ``(seq_id, <order_by cols>,
+    start_in_pack, span_len)``, where a document straddling a capacity
+    boundary appears in each pack it touches with the clipped span.
+    Σ span_len per pack = the pack's token count; concatenating spans
+    in (seq_id, start_in_pack) order reproduces :func:`materialize_packs`'
+    windows exactly — WITHOUT the token-level explode: the fan-out here
+    is spans (≈ docs + packs), orders of magnitude below tokens, so the
+    manifest is cheap to regenerate even when the packed ids already
+    shipped. All-integer arithmetic. Zero-token documents emit no span.
+    """
+    with_off = pack_sequences(
+        df, tokens_col, capacity, order_by, scalable=scalable, bounds=bounds
+    )
+    cap = int(capacity)
+    n = F.col(tokens_col).cast("long")
+    off = F.col("start_offset")
+    first_w = F.expr(f"start_offset div {cap}")
+    last_w = F.expr(
+        f"(start_offset + CAST({tokens_col} AS BIGINT) - 1) div {cap}"
+    )
+    spans = with_off.filter(n > 0).select(
+        *order_by,
+        off.alias("_off"),
+        n.alias("_n"),
+        F.explode(F.sequence(first_w, last_w)).alias("seq_id"),
+    )
+    pack_lo = F.col("seq_id") * F.lit(cap)
+    s = F.greatest(F.col("_off"), pack_lo)
+    e = F.least(F.col("_off") + F.col("_n"), pack_lo + F.lit(cap))
+    return spans.select(
+        "seq_id",
+        *order_by,
+        (s - pack_lo).cast("long").alias("start_in_pack"),
+        (e - s).cast("long").alias("span_len"),
+    )
+
+
 def materialize_packs(
     encoded: DataFrame,
     capacity: int,

@@ -998,6 +998,51 @@ def test_materialize_packs_reassembles_stream(spark):
     assert bucketed == {s: list(r["ids"]) for s, r in out.items()}
 
 
+def test_pack_spans_known_answers_and_consistency(spark):
+    """Span manifest: clipped (pack, doc) intersections with hand-
+    computed answers (a doc straddling the boundary appears in both
+    packs), Σ span_len per pack equals materialize_packs' n_tokens,
+    and zero-token docs emit no span."""
+    from jobinsight_data_pipeline_spark.operators.packing import (
+        materialize_packs,
+        pack_spans,
+    )
+
+    sized = spark.createDataFrame(
+        [(0, 100), (1, 200), (2, 300), (3, 0)],
+        "doc_id long, n_tokens long",
+    )
+    got = {
+        (r["seq_id"], r["doc_id"]): (r["start_in_pack"], r["span_len"])
+        for r in pack_spans(
+            sized, "n_tokens", 256, ["doc_id"], scalable=False
+        ).collect()
+    }
+    assert got == {
+        (0, 0): (0, 100),
+        (0, 1): (100, 156),
+        (1, 1): (0, 44),
+        (1, 2): (44, 212),
+        (2, 2): (0, 88),
+    }
+    # consistency with the token-materializing path on synthetic ids
+    rows = [(i, list(range(3 + (i % 4)))) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id: long, ids: array<int>")
+    by_pack = {
+        r["seq_id"]: r["n_tokens"]
+        for r in materialize_packs(df, capacity=16, scalable=False).collect()
+    }
+    sized2 = df.selectExpr("doc_id", "CAST(size(ids) AS LONG) AS n_tokens")
+    spans = pack_spans(sized2, "n_tokens", 16, ["doc_id"], scalable=False)
+    sums = {
+        r["seq_id"]: r["total"]
+        for r in spans.groupBy("seq_id")
+        .agg(F.sum("span_len").alias("total"))
+        .collect()
+    }
+    assert sums == by_pack
+
+
 def test_vocab_encode_ignores_empty_documents(spark):
     """Empty/whitespace-only documents contribute ZERO tokens: no
     phantom '' enters the vocabulary and such docs emit nothing from
