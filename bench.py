@@ -81,8 +81,11 @@ HEADLINE = [
     "ohlc_bars",
     "label_prop",
     "quantile_normalize",
-    # round-7: windowed re-entry funnel (frontier keyed on (user, anchor))
+    # round-7: windowed re-entry funnel (frontier keyed on (user, anchor)),
+    # in-engine temperature mixing, per-pack attention-span manifests
     "funnel_reanchor",
+    "temperature_mixture",
+    "pack_boundaries",
 ]
 
 
