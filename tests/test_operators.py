@@ -1041,6 +1041,18 @@ def test_pack_spans_known_answers_and_consistency(spark):
         .collect()
     }
     assert sums == by_pack
+    # the bucketed distributed-offsets path emits identical spans
+    key = lambda r: (r["seq_id"], r["doc_id"])  # noqa: E731
+    direct = sorted(map(tuple, spans.collect()))
+    bucketed = sorted(
+        map(
+            tuple,
+            pack_spans(
+                sized2, "n_tokens", 16, ["doc_id"], bounds=[10, 20, 30]
+            ).collect(),
+        )
+    )
+    assert bucketed == direct
 
 
 def test_vocab_encode_ignores_empty_documents(spark):
