@@ -145,6 +145,7 @@ def test_no_accidental_cartesian_or_nested_loop(spark):
         "corpus_refine",
         "bm25_search",
         "bm25_index_search",
+        "forget_bm25",  # same class: erased index x 1-row stats (r7)
         "embedding_topk",
         "hybrid_search",  # bm25 1-row stats + cosine_topk broadcast query side
         "sq8_search",  # 1-row stats table + broadcast query side
