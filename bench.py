@@ -86,6 +86,7 @@ HEADLINE = [
     "funnel_reanchor",
     "temperature_mixture",
     "pack_boundaries",
+    "epoch_plan",
 ]
 
 

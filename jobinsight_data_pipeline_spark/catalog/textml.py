@@ -1283,6 +1283,116 @@ WHERE n > 0
 """
 
 
+#: epoch-waterfill gate: budget = 3/2 of the corpus tokens, cap 1.52
+#: epochs, 4 waterfill rounds — at both sweep scales this caps SOME
+#: sources (12 of 20 at sf0.01, 6 of 20 at sf0.1), cascades over ≥3
+#: rounds (rounds=2 is NOT converged at sf0.01), and converges by
+#: round 4 (the gate pins converged TRUE)
+EPOCH_BUDGET_NUM, EPOCH_BUDGET_DEN = 3, 2
+EPOCH_CAP_MILLI, EPOCH_ROUNDS = 1520, 4
+
+
+def q_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-capped epoch allocation
+    (operators/sampling.epoch_waterfill): per-source token counts (n)
+    weighted by isqrt(n) (the temperature numerator) waterfill a
+    3/2-of-corpus token budget under a 1.52-epoch repeat cap — frozen
+    sources' surplus re-flows each round. The DuckDB oracle replays ALL
+    FOUR rounds unrolled (the bpe_learn discipline): a drifted share,
+    cap decision, or re-flow in ANY round cascades into every later
+    round and fails the hash; `converged` rides as a pinned column
+    (TRUE — the final round adds no cap at either sweep scale)."""
+    from jobinsight_data_pipeline_spark.operators.sampling import (
+        epoch_waterfill,
+    )
+    from jobinsight_data_pipeline_spark.operators.textstats import (
+        word_count,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    src = (
+        t["documents"]
+        .groupBy("source")
+        .agg(F.sum(word_count(F.col("text"))).cast("long").alias("n"))
+        .withColumn("w", F.floor(F.sqrt(F.col("n"))).cast("long"))
+    )
+    return epoch_waterfill(
+        src,
+        EPOCH_BUDGET_NUM,
+        EPOCH_BUDGET_DEN,
+        cap_milli=EPOCH_CAP_MILLI,
+        rounds=EPOCH_ROUNDS,
+    )
+
+
+def _epoch_plan_oracle() -> str:
+    cap = EPOCH_CAP_MILLI
+    toks = "regexp_split_to_array(trim(text), '\\s+')"
+    wc = (
+        f"CASE WHEN trim(text) = '' THEN 0 ELSE len({toks}) END"
+    )
+    share = (
+        "coalesce(((b.budget - a{r}.taken) * s{p}.w)"
+        " // nullif(a{r}.wsum, 0), 0)"
+    )
+    cap_tokens = f"(n * {cap}) // 1000"
+    parts = [
+        f"""src AS (
+    SELECT source, CAST(sum({wc}) AS BIGINT) AS n,
+           CAST(floor(sqrt(sum({wc}))) AS BIGINT) AS w
+    FROM documents GROUP BY source
+)""",
+        f"""b AS (
+    SELECT (CAST({EPOCH_BUDGET_NUM} AS BIGINT) * sum(n))
+           // {EPOCH_BUDGET_DEN} AS budget
+    FROM src
+)""",
+        "s0 AS (SELECT source, n, w, FALSE AS capped, FALSE AS new_cap"
+        " FROM src)",
+    ]
+    for r in range(1, EPOCH_ROUNDS + 1):
+        p = r - 1
+        sh = share.format(r=r, p=p)
+        parts.append(f"""a{r} AS (
+    SELECT coalesce(sum(CASE WHEN capped THEN {cap_tokens} END), 0)
+               AS taken,
+           coalesce(sum(CASE WHEN NOT capped THEN w END), 0) AS wsum
+    FROM s{p}
+)""")
+        parts.append(f"""s{r} AS (
+    SELECT source, n, w,
+           capped OR (NOT capped AND {sh} > {cap_tokens}) AS capped,
+           (NOT capped AND {sh} > {cap_tokens}) AS new_cap
+    FROM s{p}, b, a{r}
+)""")
+    R = EPOCH_ROUNDS
+    fsh = share.format(r="f", p=R)
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+af AS (
+    SELECT coalesce(sum(CASE WHEN capped THEN {cap_tokens} END), 0)
+               AS taken,
+           coalesce(sum(CASE WHEN NOT capped THEN w END), 0) AS wsum,
+           coalesce(sum(CASE WHEN new_cap THEN 1 ELSE 0 END), 0) AS n_new
+    FROM s{R}
+)
+SELECT source, n, w, capped,
+       CAST(CASE WHEN capped THEN {cap}
+                 ELSE ({fsh} * 1000) // n
+            END AS BIGINT) AS epochs_milli,
+       CAST(CASE WHEN capped THEN {cap_tokens} ELSE {fsh} END AS BIGINT)
+           AS alloc_tokens,
+       (af.n_new = 0) AS converged
+FROM s{R}, b, af
+"""
+    )
+
+
+O_EPOCH_PLAN = _epoch_plan_oracle()
+
+
 #: temperature-mixture gate: expected total docs drawn across sources
 TEMP_MIX_TARGET = 1_000
 
@@ -7803,6 +7913,7 @@ QUERIES = {
     "mixture_sample": q_mixture_sample,
     "temperature_mixture": q_temperature_mixture,
     "pack_boundaries": q_pack_boundaries,
+    "epoch_plan": q_epoch_plan,
     "shuffle_shard": q_shuffle_shard,
     "duplicate_spans": q_duplicate_spans,
     "winnow_fingerprints": q_winnow_fingerprints,
@@ -7919,6 +8030,7 @@ ORACLES = {
     "mixture_sample": O_MIXTURE_SAMPLE,
     "temperature_mixture": O_TEMPERATURE_MIXTURE,
     "pack_boundaries": O_PACK_BOUNDARIES,
+    "epoch_plan": O_EPOCH_PLAN,
     "shuffle_shard": O_SHUFFLE_SHARD,
     "duplicate_spans": O_DUPLICATE_SPANS,
     "winnow_fingerprints": O_WINNOW_FINGERPRINTS,

@@ -216,6 +216,130 @@ def temperature_mixture(
     return _explode_copies(joined, copies).drop("w_base", "w_thr_tenk")
 
 
+def epoch_waterfill(
+    sources: DataFrame,
+    budget_num: int,
+    budget_den: int,
+    cap_milli: int,
+    rounds: int = 4,
+    source_col: str = "source",
+    n_col: str = "n",
+    w_col: str = "w",
+) -> DataFrame:
+    """Repeat-capped epoch allocation — the data-constrained planning
+    step (Muennighoff et al. 2023 motivate the cap: repeated tokens
+    decay in value, so practical mixes bound per-source epochs): a
+    token budget distributes over sources proportionally to ``w_col``;
+    any source whose share exceeds ``cap_milli``/1000 epochs of its own
+    ``n_col`` tokens is FROZEN at the cap and the surplus re-flows over
+    the uncapped sources — the classic waterfill, run for a FIXED
+    ``rounds`` (the label_propagation contract: deterministic and
+    engine-replayable; a round can only ADD caps, so any ``rounds`` ≥
+    the cap-cascade depth reaches the fixpoint, and the emitted
+    ``converged`` flag — TRUE iff the final round added no cap — pins
+    it in the gate).
+
+    All-integer: budget = ``(budget_num · Σn) div budget_den``
+    (scale-relative, exact on any engine), shares are
+    ``(budget − frozen) · w div W_uncapped``, epochs are
+    parts-per-thousand. Per round: ONE 1-row aggregate broadcast back
+    (the unigram_lm pattern) + one projection, round state eagerly
+    localCheckpointed with superseded generations freed (the LPA
+    lineage discipline — the returned frame holds the final round's
+    checkpoint). The source table (think millions of web domains) never
+    collects to the driver and never globally sorts.
+
+    Returns one row per source: ``n``, ``w``, ``capped``,
+    ``epochs_milli``, ``alloc_tokens``, ``converged``.
+    """
+    from jobinsight_data_pipeline_spark.operators.components import (
+        _free_local_checkpoint,
+    )
+
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    if cap_milli <= 0 or budget_num <= 0 or budget_den <= 0:
+        raise ValueError("cap_milli / budget_num / budget_den must be > 0")
+    cap = int(cap_milli)
+    cap_tokens = F.expr(f"(n * {cap}) div 1000")
+    share = F.expr("((_budget - _taken) * w) div nullif(_wsum, 0)")
+
+    state = sources.select(
+        F.col(source_col).alias("source"),
+        F.col(n_col).cast("long").alias("n"),
+        F.col(w_col).cast("long").alias("w"),
+        F.lit(False).alias("capped"),
+        F.lit(False).alias("new_cap"),
+    ).localCheckpoint(eager=True)
+    budget = state.agg(
+        F.expr(
+            f"(CAST({int(budget_num)} AS BIGINT) * sum(n))"
+            f" div {int(budget_den)}"
+        ).alias("_budget")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(int(rounds)):
+        agg = state.agg(
+            F.sum(F.when(F.col("capped"), cap_tokens).otherwise(0)).alias(
+                "_taken"
+            ),
+            F.sum(F.when(~F.col("capped"), F.col("w")).otherwise(0)).alias(
+                "_wsum"
+            ),
+        )
+        wants_cap = (~F.col("capped")) & (
+            F.coalesce(share, F.lit(0)) > cap_tokens
+        )
+        new_state = (
+            state.crossJoin(F.broadcast(budget))
+            .crossJoin(F.broadcast(agg))
+            .select(
+                "source",
+                "n",
+                "w",
+                (F.col("capped") | wants_cap).alias("capped"),
+                wants_cap.alias("new_cap"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        _free_local_checkpoint(state)
+        state = new_state
+
+    agg = state.agg(
+        F.sum(F.when(F.col("capped"), cap_tokens).otherwise(0)).alias(
+            "_taken"
+        ),
+        F.sum(F.when(~F.col("capped"), F.col("w")).otherwise(0)).alias(
+            "_wsum"
+        ),
+        F.sum(F.col("new_cap").cast("int")).alias("_n_new"),
+    )
+    alloc = F.when(F.col("capped"), cap_tokens).otherwise(
+        F.coalesce(share, F.lit(0))
+    )
+    return (
+        state.crossJoin(F.broadcast(budget))
+        .crossJoin(F.broadcast(agg))
+        .select(
+            F.col("source").alias(source_col),
+            "n",
+            "w",
+            "capped",
+            F.when(F.col("capped"), F.lit(cap))
+            .otherwise(
+                F.expr(
+                    "(coalesce(((_budget - _taken) * w)"
+                    " div nullif(_wsum, 0), 0) * 1000) div n"
+                )
+            )
+            .cast("long")
+            .alias("epochs_milli"),
+            alloc.cast("long").alias("alloc_tokens"),
+            (F.col("_n_new") == 0).alias("converged"),
+        )
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     weight_col: str,

@@ -1055,6 +1055,52 @@ def test_pack_spans_known_answers_and_consistency(spark):
     assert bucketed == direct
 
 
+def test_epoch_waterfill_known_answers(spark):
+    """Hand-computed waterfill: budget 1800 (3/2 of 1200 total tokens),
+    cap 2.0 epochs, equal weights — the two small sources freeze at the
+    cap in round 1 and their surplus re-flows to the big one."""
+    from jobinsight_data_pipeline_spark.operators.sampling import (
+        epoch_waterfill,
+    )
+
+    src = spark.createDataFrame(
+        [("a", 1000, 100), ("b", 100, 100), ("c", 100, 100)],
+        "source string, n long, w long",
+    )
+    out = {
+        r["source"]: (
+            r["capped"], r["epochs_milli"], r["alloc_tokens"],
+            r["converged"],
+        )
+        for r in epoch_waterfill(src, 3, 2, cap_milli=2000, rounds=4).collect()
+    }
+    assert out == {
+        "a": (False, 1400, 1400, True),
+        "b": (True, 2000, 200, True),
+        "c": (True, 2000, 200, True),
+    }
+    assert sum(v[2] for v in out.values()) == 1800  # budget fully used
+    # rounds=1: allocation identical (caps found in round 1, final
+    # shares recomputed over the post-round set) but NOT converged —
+    # the single round added caps
+    one = {
+        r["source"]: (r["alloc_tokens"], r["converged"])
+        for r in epoch_waterfill(src, 3, 2, cap_milli=2000, rounds=1).collect()
+    }
+    assert one == {"a": (1400, False), "b": (200, False), "c": (200, False)}
+    # degenerate: cap below everything -> all frozen, wsum 0 guarded
+    allcap = {
+        r["source"]: (r["capped"], r["alloc_tokens"])
+        for r in epoch_waterfill(src, 3, 2, cap_milli=100, rounds=2).collect()
+    }
+    assert all(c for c, _ in allcap.values())
+    assert allcap["a"] == (True, 100)  # 1000 tokens * 0.1 epochs
+    import pytest
+
+    with pytest.raises(ValueError, match="rounds"):
+        epoch_waterfill(src, 3, 2, cap_milli=2000, rounds=0)
+
+
 def test_vocab_encode_ignores_empty_documents(spark):
     """Empty/whitespace-only documents contribute ZERO tokens: no
     phantom '' enters the vocabulary and such docs emit nothing from

@@ -156,6 +156,7 @@ def test_no_accidental_cartesian_or_nested_loop(spark):
         "cms_heavy_hitters",  # cms_estimate's 1-row shape-guard broadcast
         "stream_cms",  # same class
         "temperature_mixture",  # 1-row Σisqrt broadcast back (r7)
+        "epoch_plan",  # waterfill's per-round 1-row budget/agg broadcasts
         "hard_negatives",  # cosine_topk's sanctioned broadcast query side
         "mmr_rerank",  # broadcast query side + capped candidate self-join
         "mutual_knn",  # guarded all-pairs baseline (ANN stream at scale)
