@@ -194,7 +194,6 @@ DRIVER_QUERIES: list[str] = [
     "warehouse_rollup",
     "views_salary_filter",
     "view_job_locations",
-    "view_top_companies",
     "stream_pipeline",
     "warehouse_incremental",
     "view_monthly_jobs",
@@ -210,7 +209,6 @@ DRIVER_QUERIES: list[str] = [
     "top10_customers",
     "big_spenders_semi",
     "nullsafe_join",
-    "dup_grain_check",
     # --- scalar-function parity (folded) ---
     "salary_parse",
     "scalar_functions",
@@ -234,7 +232,6 @@ DRIVER_QUERIES: list[str] = [
     # favor of three previously driver-unseen flagship families
     "bm25_search",
     "pagerank",
-    "ivf_pq_topk",
     # round-6 session-3 refresh, same pattern: two more shadowed twins
     # demoted (monthly_orders → view_monthly_jobs, the identical A1
     # shape driver-verified on the warehouse side; profile_customer →
@@ -258,7 +255,20 @@ DRIVER_QUERIES: list[str] = [
     "bpe_budget_packs",
     "incremental_dedup",
     "ivf_pq_index_search",
-    # the two heaviest sit last on purpose (composed chain; iterative
+    # round-8 slot refresh (r7 judge directive, verbatim): three more
+    # shadowed twins demoted — ivf_pq_topk (now literally
+    # build_ivf_pq_index + ivf_pq_topk_indexed composed, the same code
+    # path the driver-green ivf_pq_index_search gates), dup_grain_check
+    # (A4 HAVING also runs inside driver-green warehouse_validation's
+    # detectors and fact_merge's grain dedup), view_top_companies (A2
+    # top-N twin of driver-green top10_customers) — for the three r7
+    # flagship families that had zero driver rows: erasure propagation
+    # through five persisted assets, the composed day-N streaming
+    # pipeline, and the learn→encode→pack BPE chain
+    "forget_propagation",
+    "stream_day2_pipeline",
+    "bpe_learned_packs",
+    # the heaviest sit last on purpose (composed chain; iterative
     # CC) — position 50 exactly fills the driver cap
     "training_shards",
     "dedup_clusters",

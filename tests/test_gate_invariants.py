@@ -170,15 +170,19 @@ def test_driver_surface_fits_cap():
     # round-6 slot refresh: top10_avg_salary / view_monthly_jobs_sets /
     # view_top_locations demoted (each shadowed by surviving siblings)
     # for bm25_search / pagerank / ivf_pq_topk. Round-7 refresh #3
-    # (r6 verdict directive): view_current_jobs demoted too (J1 star
-    # join carried by star_revenue + view_top_companies) along with
-    # rolling_avg / set_ops, for bpe_budget_packs / incremental_dedup /
-    # ivf_pq_index_search — the core below is what must stay
+    # (r6 verdict directive): view_current_jobs / rolling_avg / set_ops
+    # demoted for bpe_budget_packs / incremental_dedup /
+    # ivf_pq_index_search. Round-8 refresh #4 (r7 verdict directive):
+    # ivf_pq_topk / dup_grain_check / view_top_companies demoted
+    # (each shadowed — the composed build+serve path, the A4 HAVING
+    # inside warehouse_validation, the A2 top-N twin of
+    # top10_customers) for forget_propagation / stream_day2_pipeline /
+    # bpe_learned_packs — the core below is what must stay
     # front-registered
     core = {
         "scd2_update", "fact_merge", "bridge_rebuild", "warehouse_rollup",
         "warehouse_incremental", "views_salary_filter",
-        "view_job_locations", "view_monthly_jobs", "view_top_companies",
+        "view_job_locations", "view_monthly_jobs",
         "stream_pipeline",
     }
     head = set(list(q)[:19])
