@@ -1458,10 +1458,11 @@ WITH per AS (
 s AS (SELECT CAST(sum(isq) AS BIGINT) AS sv FROM per),
 w AS (
     SELECT source, n,
-           CAST((CAST({TEMP_MIX_TARGET} AS BIGINT) * isq) // (s.sv * n)
-                AS INTEGER) AS w_base,
-           CAST(((CAST({TEMP_MIX_TARGET} AS BIGINT) * isq * 10000)
-                 // (s.sv * n)) % 10000 AS INTEGER) AS w_thr_tenk
+           CAST((CAST({TEMP_MIX_TARGET} AS HUGEINT) * isq)
+                // (CAST(s.sv AS HUGEINT) * n) AS INTEGER) AS w_base,
+           CAST(((CAST({TEMP_MIX_TARGET} AS HUGEINT) * isq * 10000)
+                 // (CAST(s.sv AS HUGEINT) * n)) % 10000
+                AS INTEGER) AS w_thr_tenk
     FROM per, s
 ),
 d AS (

@@ -40,6 +40,8 @@ stray controls) encodes as -1 (UNK) — the function is total.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -47,6 +49,11 @@ from pyspark.sql import functions as F
 #: are stripped from the input text before encoding)
 _OPEN = "\x1e"
 _CLOSE = "\x1f"
+
+#: Java-regex \s, exactly (Python's \s adds unicode spaces): the
+#: python word-encoder path splits on this so whitespace-violating
+#: words segment identically to the native paths' \s+ handling
+_WS_SPLIT = re.compile(r"[ \t\n\x0b\f\r]+")
 
 #: base symbols: printable ASCII minus space (space is the token
 #: boundary, dropped after encoding)
@@ -228,8 +235,14 @@ def encode_word_table(
       beyond.
 
     Precondition: ``word_col`` values are single whitespace-free tokens
-    (what :func:`bpe_encode_memoized`'s tokenizer produces); delimiter
-    chars are stripped defensively.
+    (what :func:`bpe_encode_memoized`'s tokenizer produces). Delimiter
+    chars are stripped defensively, and ALL paths normalize whitespace
+    identically to :func:`bpe_ids_column` — a ``\\s`` run collapses to a
+    single merge BOUNDARY (segments on either side encode independently;
+    the whitespace itself emits no id) — so a precondition-violating
+    word containing ``\\t``/``\\n`` encodes the same under ``'native'``,
+    ``'python'``, and the ≤``merge_batch`` chain instead of silently
+    diverging when ``'auto'`` flips paths.
     """
     merges = DEFAULT_MERGES if merges is None else merges
     validate_merges(merges)
@@ -255,9 +268,16 @@ def encode_word_table(
                 got = memo.get(w)
                 if got is not None:
                     return got
-                syms = [
-                    c for c in w if c != _OPEN and c != _CLOSE and c != " "
-                ]
+                ids: list[int] = []
+                # whitespace = merge boundary (bpe_ids_column parity):
+                # encode each \s-delimited segment independently
+                for seg in _WS_SPLIT.split(w):
+                    ids.extend(_one_segment(seg))
+                memo[w] = ids
+                return ids
+
+            def _one_segment(seg):
+                syms = [c for c in seg if c != _OPEN and c != _CLOSE]
                 while len(syms) >= 2:
                     best = None
                     for i in range(len(syms) - 1):
@@ -280,9 +300,7 @@ def encode_word_table(
                             out.append(syms[i])
                             i += 1
                     syms = out
-                ids = [vocab.get(s, -1) for s in syms]
-                memo[w] = ids
-                return ids
+                return [vocab.get(s, -1) for s in syms]
 
             return col.map(one)
 
@@ -299,7 +317,12 @@ def encode_word_table(
         _free_local_checkpoint,
     )
 
+    # identical preprocessing to bpe_ids_column: strip delimiters,
+    # collapse \s+ to one bracketed space (a merge boundary the final
+    # _ids_from_seq filter drops) — all three paths agree on
+    # whitespace-violating inputs
     clean = F.regexp_replace(F.col(word_col), f"[{_OPEN}{_CLOSE}]", "")
+    clean = F.regexp_replace(F.trim(clean), r"\s+", " ")
     state = words.withColumn(
         "_seq", F.regexp_replace(clean, "(.)", f"{_OPEN}$1{_CLOSE}")
     ).localCheckpoint(eager=True)
@@ -346,9 +369,16 @@ def bpe_encode_memoized(
     DISTINCT word once (:func:`encode_word_table`, native chain or the
     rank-loop pandas UDF) → broadcast-join ids back by word → one
     groupBy(id_col) reassembly in pos order (`ordered_collect`). Cost:
-    one corpus tokenize pass + one vocabulary-sized encode + one
-    doc-keyed shuffle — vs O(merges) full-corpus passes for the direct
-    chain. This is the path that reaches a production 32k-merge vocab;
+    TWO corpus tokenize passes (the unmaterialized ``tok`` projection
+    feeds both the distinct-word build and the join-back reassembly) +
+    one vocabulary-sized encode + one doc-keyed shuffle — vs O(merges)
+    full-corpus passes for the direct chain. The second tokenize pass
+    is deliberate: persisting the exploded (doc, pos, word) table to
+    avoid it would materialize per-token rows — far more bytes than the
+    corpus itself at scale — while re-tokenizing is a scan-fused
+    projection; callers that already sit on a materialized scratch copy
+    of the input (the gate pattern) pay the cheap version of both
+    passes. This is the path that reaches a production 32k-merge vocab;
     equivalence to :func:`bpe_encode` at any merge count is pinned by
     property tests (tests/test_bpe_memoized.py).
 

@@ -180,12 +180,23 @@ def temperature_weights(
     return per.crossJoin(F.broadcast(s)).select(
         group_col,
         "n",
-        F.expr(f"(CAST({tt} AS BIGINT) * _isqrt) div (_s * n)")
+        # All four intermediates run in DECIMAL(38,0) — 128-bit exact,
+        # mirrored by HUGEINT in the oracle: under ANSI mode the BIGINT
+        # form THROWS on overflow once tt·isqrt·10⁴ nears 10¹⁸ (e.g.
+        # trillion-token sources with a ~10⁹ target), and remainder-
+        # first rewrites don't save the tt·isqrt < S·n regime (the
+        # remainder IS tt·isqrt there). DECIMAL(38,0) covers the whole
+        # BIGINT input domain: tt·isqrt ≤ 2⁶³·3·10⁹ ≈ 10²⁸, ×10⁴ ≈
+        # 10³², and S·n ≈ 10³⁴ worst-case — all < 10³⁸.
+        F.expr(
+            f"(CAST({tt} AS DECIMAL(38,0)) * _isqrt)"
+            " div (CAST(_s AS DECIMAL(38,0)) * n)"
+        )
         .cast("int")
         .alias("w_base"),
         F.expr(
-            f"((CAST({tt} AS BIGINT) * _isqrt * 10000) div (_s * n))"
-            " % 10000"
+            f"((CAST({tt} AS DECIMAL(38,0)) * _isqrt * 10000)"
+            " div (CAST(_s AS DECIMAL(38,0)) * n)) % 10000"
         )
         .cast("int")
         .alias("w_thr_tenk"),

@@ -136,6 +136,38 @@ def test_encode_word_table_python_matches_native(spark):
     assert nat["the"] == bpe_encode_py("the")
 
 
+def test_encode_word_table_whitespace_violations_uniform(spark):
+    """Precondition-violating words carrying non-space whitespace must
+    encode IDENTICALLY on all three paths (≤merge_batch native chain,
+    chunked native, python rank-loop): a \\s run is one merge boundary,
+    emitting no id — previously the chunked/python paths turned \\t/\\n
+    into UNK(-1) while the short chain dropped them (ADVICE r7)."""
+    words = spark.createDataFrame(
+        [("the\tdata",), ("a\nb",), ("\tthe",), ("th e",), ("x \t y",)],
+        "w string",
+    )
+    short = {
+        r["w"]: r["wids"]
+        for r in encode_word_table(
+            words, word_encoder="native", merge_batch=64
+        ).collect()
+    }
+    chunked = {
+        r["w"]: r["wids"]
+        for r in encode_word_table(
+            words, word_encoder="native", merge_batch=8
+        ).collect()
+    }
+    py = {
+        r["w"]: r["wids"]
+        for r in encode_word_table(words, word_encoder="python").collect()
+    }
+    assert short == chunked == py
+    # boundary semantics: segments encode independently, no -1 ids
+    assert short["the\tdata"] == bpe_encode_py("the data")
+    assert all(-1 not in ids for ids in short.values())
+
+
 def test_merges_artifact_roundtrip(spark, tmp_path):
     """The tokenizer-artifact lifecycle: learn → save → load → encode
     with the loaded table ≡ encode with the learned table."""

@@ -1055,6 +1055,44 @@ def test_pack_spans_known_answers_and_consistency(spark):
     assert bucketed == direct
 
 
+def test_temperature_threshold_overflow_safe(spark):
+    """temperature_weights computes (w_base, w_thr_tenk) in
+    DECIMAL(38,0) — 128-bit exact, mirrored by HUGEINT in the oracle —
+    because under ANSI mode the BIGINT form THROWS once tt·isqrt·10⁴
+    nears 10¹⁸ (trillion-token sources with a ~10⁹ target; ADVICE r7).
+    Pin the Spark DECIMAL(38,0) and DuckDB HUGEINT renderings against
+    Python's arbitrary-precision integers across the domain, including
+    the regime where every BIGINT intermediate overflows."""
+    import duckdb
+
+    cases = [
+        (1, 1, 1, 1),
+        (999, 31623, 32330, 10**9),
+        (10**9, 10**6, 1031623, 10**12),  # tt·i·10⁴ ≈ 10¹⁹ > int64
+        (10**12, 3 * 10**9, 3 * 10**9 + 5, (3 * 10**9) ** 2),
+        (7, 1000, 1000, 999983),
+    ]
+    con = duckdb.connect()
+    for tt, i, s, n in cases:
+        base = (tt * i) // (s * n)
+        thr = ((tt * i * 10000) // (s * n)) % 10000
+        got = spark.sql(
+            f"SELECT CAST((CAST({tt} AS DECIMAL(38,0)) * {i}) div "
+            f"(CAST({s} AS DECIMAL(38,0)) * {n}) AS INT) AS b, "
+            f"CAST(((CAST({tt} AS DECIMAL(38,0)) * {i} * 10000) div "
+            f"(CAST({s} AS DECIMAL(38,0)) * {n})) % 10000 AS INT) AS t"
+        ).first()
+        duck = con.execute(
+            f"SELECT CAST((CAST({tt} AS HUGEINT) * {i}) // "
+            f"(CAST({s} AS HUGEINT) * {n}) AS INTEGER), "
+            f"CAST(((CAST({tt} AS HUGEINT) * {i} * 10000) // "
+            f"(CAST({s} AS HUGEINT) * {n})) % 10000 AS INTEGER)"
+        ).fetchone()
+        assert (got["b"], got["t"]) == (base, thr) == duck, (tt, i, s, n)
+    tt, i, s, n = cases[2][:4]
+    assert tt * i * 10000 > 2**63 - 1  # the BIGINT form would throw
+
+
 def test_epoch_waterfill_known_answers(spark):
     """Hand-computed waterfill: budget 1800 (3/2 of 1200 total tokens),
     cap 2.0 epochs, equal weights — the two small sources freeze at the

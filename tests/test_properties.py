@@ -491,48 +491,70 @@ def test_bm25_idf_quantization_cross_engine_audit(spark):
     1-ulp disagreements), so audit the composite: for every (N, df) the
     gate can see at each test scale factor, Spark's round(ln, 6) must
     equal DuckDB's bit-for-bit, and the unquantized ln must sit clear of
-    the rounding boundary (the corpus_curation .XX5 lesson)."""
+    the rounding boundary (the corpus_curation .XX5 lesson).
+
+    Audited over BOTH corpus variants the shared oracle serves: the
+    full corpus (bm25_search / bm25_index_search) AND the
+    tombstone-filtered corpus forget_bm25 rebuilds against (doc_id %
+    FORGET_MOD <> FORGET_RESIDUE produces a different (N, df) argument
+    set — a testdata refresh could flip only the filtered hashes)."""
     import math
 
     import duckdb
 
-    from jobinsight_data_pipeline_spark.catalog.textml import BM25_TERMS
-
-    from jobinsight_data_pipeline_spark.catalog.textml import BM25_K
+    from jobinsight_data_pipeline_spark.catalog.textml import (
+        BM25_K,
+        BM25_TERMS,
+        FORGET_MOD,
+        FORGET_RESIDUE,
+    )
 
     con = duckdb.connect()
     cases = []
+    variants = {
+        "full": "",
+        "forget": f"WHERE doc_id % {FORGET_MOD} <> {FORGET_RESIDUE}",
+    }
     for sf in ("sf0.001", "sf0.01", "sf0.1"):
         con.execute(
             "CREATE OR REPLACE VIEW documents AS "
             f"SELECT * FROM '/root/testdata/{sf}/documents.parquet'"
         )
-        n, = con.execute("SELECT count(*) FROM documents").fetchone()
-        for t in BM25_TERMS:
-            dfreq, = con.execute(
-                "SELECT count(*) FROM documents WHERE len(list_filter("
-                "regexp_split_to_array(trim(text), '\\s+'), "
-                f"x -> x = '{t}')) > 0"
+        for vname, where in variants.items():
+            n, = con.execute(
+                f"SELECT count(*) FROM documents {where}"
             ).fetchone()
-            cases.append((float(n), float(dfreq)))
-        # shared-oracle guard: bm25_index_search reuses O_BM25_SEARCH but
-        # only ranks docs with >=1 query-term posting — if fewer than
-        # BM25_K docs match ANY term, the scan oracle's top-k would
-        # include zero-score docs the indexed path cannot return and the
-        # gate would fail on row count (silently corpus-dependent today)
-        any_match = " OR ".join(
-            "len(list_filter(regexp_split_to_array(trim(text), '\\s+'), "
-            f"x -> x = '{t}')) > 0"
-            for t in BM25_TERMS
-        )
-        matched, = con.execute(
-            f"SELECT count(*) FROM documents WHERE {any_match}"
-        ).fetchone()
-        assert matched >= BM25_K, (
-            f"{sf}: only {matched} docs match any of {BM25_TERMS} — "
-            f"< BM25_K={BM25_K}; the bm25_index_search gate's shared "
-            "oracle assumption breaks at this scale factor"
-        )
+            for t in BM25_TERMS:
+                has_t = (
+                    "len(list_filter("
+                    "regexp_split_to_array(trim(text), '\\s+'), "
+                    f"x -> x = '{t}')) > 0"
+                )
+                glue = "AND" if where else "WHERE"
+                dfreq, = con.execute(
+                    f"SELECT count(*) FROM documents {where} {glue} {has_t}"
+                ).fetchone()
+                cases.append((float(n), float(dfreq)))
+            # shared-oracle guard: the indexed/rebuilt paths only rank
+            # docs with >=1 query-term posting — if fewer than BM25_K
+            # docs match ANY term, the scan oracle's top-k would include
+            # zero-score docs those paths cannot return and the gate
+            # would fail on row count (silently corpus-dependent today)
+            any_match = " OR ".join(
+                "len(list_filter(regexp_split_to_array(trim(text), "
+                f"'\\s+'), x -> x = '{t}')) > 0"
+                for t in BM25_TERMS
+            )
+            glue = "AND" if where else "WHERE"
+            matched, = con.execute(
+                f"SELECT count(*) FROM documents {where} {glue} "
+                f"({any_match})"
+            ).fetchone()
+            assert matched >= BM25_K, (
+                f"{sf}/{vname}: only {matched} docs match any of "
+                f"{BM25_TERMS} — < BM25_K={BM25_K}; the shared-oracle "
+                "assumption breaks at this scale factor"
+            )
 
     args = [(n - d + 0.5) / (d + 0.5) + 1.0 for n, d in cases]
     spark_q = [
