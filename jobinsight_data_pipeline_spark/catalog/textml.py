@@ -4201,13 +4201,19 @@ def _bpe_ids_duck(expr: str) -> str:
     """DuckDB replay of operators/bpe.bpe_ids_column — the IDENTICAL
     delimiter-bracket + rank-sequential replace chain (both engines'
     `replace` is non-overlapping left-to-right), then the same
-    symbol→id mapping as a CASE. Shares the merges table and the
-    engine-portable symbol renderer with the operator, so the chain
-    cannot drift."""
+    symbol→id mapping as a CASE, with the SAME byte-fallback block for
+    out-of-vocabulary symbols (each UTF-8 byte b → byte_fallback_base +
+    b; a hex-pair walk, mirroring the operator's native form — the
+    testdata corpus is pure printable ASCII today, so the branch is
+    dormant in gates, but a testdata refresh with non-ASCII text keeps
+    both engines agreeing instead of flipping the hash). Shares the
+    merges table and the engine-portable symbol renderer with the
+    operator, so the chain cannot drift."""
     from jobinsight_data_pipeline_spark.operators.bpe import (
         DEFAULT_MERGES,
         _sym_sql,
         bpe_vocab,
+        byte_fallback_base,
     )
 
     t0 = f"regexp_replace({expr}, '[' || chr(30) || chr(31) || ']', '', 'g')"
@@ -4225,9 +4231,18 @@ def _bpe_ids_duck(expr: str) -> str:
         " s -> s <> '' AND s <> ' ')"
     )
     whens = " ".join(
-        f"WHEN {_sym_sql(s)} THEN {i}" for s, i in bpe_vocab().items()
+        f"WHEN {_sym_sql(s)} THEN [{i}]" for s, i in bpe_vocab().items()
     )
-    return f"list_transform({syms}, s -> CASE s {whens} ELSE -1 END)"
+    bb = byte_fallback_base()
+    byte_ids = (
+        f"list_transform(range(octet_length(encode(s))), i -> "
+        f"{bb} + CAST(('0x' || substring(hex(encode(s)), "
+        f"2 * CAST(i AS INTEGER) + 1, 2)) AS INTEGER))"
+    )
+    return (
+        f"flatten(list_transform({syms}, "
+        f"s -> CASE s {whens} ELSE {byte_ids} END))"
+    )
 
 
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -34,8 +34,12 @@ therefore whitespace, and no merge can span them (the space symbol
 interposes).
 
 Vocabulary/ids: printable ASCII (0x21–0x7e) are ids 0–93 in codepoint
-order; merge outputs take 94 + rank. Any other symbol (non-ASCII text,
-stray controls) encodes as -1 (UNK) — the function is total.
+order; merge outputs take 94 + rank; the 256 BYTE-FALLBACK ids occupy
+94 + len(merges) + byte. Any symbol outside the vocabulary (non-ASCII
+text, stray controls) decomposes into its UTF-8 bytes, one fallback id
+per byte — the GPT-2/SentencePiece total-coverage convention: every
+input encodes losslessly (decode reassembles the bytes), and no UNK id
+ever reaches training data.
 """
 
 from __future__ import annotations
@@ -110,12 +114,23 @@ def validate_merges(merges: list[tuple[str, str]]) -> None:
 
 def bpe_vocab(merges: list[tuple[str, str]] | None = None) -> dict[str, int]:
     """symbol → id: base printable ASCII in codepoint order, then merge
-    outputs by rank."""
+    outputs by rank. Byte-fallback ids sit above these (see
+    :func:`byte_fallback_base`) and are not symbols, so they don't
+    appear here."""
     merges = DEFAULT_MERGES if merges is None else merges
     vocab = {s: i for i, s in enumerate(BASE_SYMBOLS)}
     for r, (a, b) in enumerate(merges):
         vocab[a + b] = len(BASE_SYMBOLS) + r
     return vocab
+
+
+def byte_fallback_base(merges: list[tuple[str, str]] | None = None) -> int:
+    """First byte-fallback id: byte ``b`` of an out-of-vocabulary
+    symbol's UTF-8 encoding becomes id ``byte_fallback_base(merges) +
+    b`` (a 256-id block directly above the merge outputs). Total vocab
+    size is therefore ``byte_fallback_base(merges) + 256``."""
+    merges = DEFAULT_MERGES if merges is None else merges
+    return len(BASE_SYMBOLS) + len(merges)
 
 
 def _sym_sql(s: str) -> str:
@@ -159,14 +174,7 @@ def bpe_ids_column(
             F.lit(_OPEN + a + _CLOSE + _OPEN + b + _CLOSE),
             F.lit(_OPEN + a + b + _CLOSE),
         )
-    syms = F.filter(
-        F.split(F.replace(seq, F.lit(_CLOSE), F.lit("")), _OPEN),
-        lambda s: (s != "") & (s != " "),
-    )
-    VOCAB = F.expr(_vocab_map_sql(merges))
-    return F.transform(
-        syms, lambda s: F.coalesce(F.element_at(VOCAB, s), F.lit(-1))
-    )
+    return _ids_from_seq(seq, merges)
 
 
 def bpe_encode(
@@ -188,16 +196,40 @@ def _chunks(xs: list, n: int) -> list[list]:
     return [xs[i : i + n] for i in range(0, len(xs), n)]
 
 
+def _byte_ids(s: Column, byte_base: int) -> Column:
+    """Byte-fallback ids for one out-of-vocabulary symbol: each UTF-8
+    byte ``b`` becomes ``byte_base + b`` (hex-pair walk over
+    ``hex(encode(s))`` — fully native, no UDF)."""
+    hx = F.hex(F.encode(s, "UTF-8"))
+    return F.transform(
+        F.sequence(F.lit(1), F.octet_length(s)),
+        lambda i: (
+            F.lit(byte_base)
+            + F.conv(F.substring(hx, i * 2 - 1, F.lit(2)), 16, 10)
+            .cast("int")
+        ).cast("int"),
+    )
+
+
 def _ids_from_seq(seq: Column, merges: list[tuple[str, str]]) -> Column:
     """Finalize a fully-merged delimiter-bracketed sequence into the id
-    array (the shared tail of every native encode path)."""
+    array (the shared tail of every native encode path): vocabulary
+    symbols map through the literal id map; anything else decomposes
+    into byte-fallback ids (total coverage — no -1 sentinel)."""
     syms = F.filter(
         F.split(F.replace(seq, F.lit(_CLOSE), F.lit("")), _OPEN),
         lambda s: (s != "") & (s != " "),
     )
     VOCAB = F.expr(_vocab_map_sql(merges))
-    return F.transform(
-        syms, lambda s: F.coalesce(F.element_at(VOCAB, s), F.lit(-1))
+    bb = byte_fallback_base(merges)
+    return F.flatten(
+        F.transform(
+            syms,
+            lambda s: F.when(
+                F.element_at(VOCAB, s).isNotNull(),
+                F.array(F.element_at(VOCAB, s)),
+            ).otherwise(_byte_ids(s, bb)),
+        )
     )
 
 
@@ -254,6 +286,7 @@ def encode_word_table(
 
         mergelist = list(merges)
         vocab = bpe_vocab(mergelist)
+        bb = byte_fallback_base(mergelist)
         ranks = {(a, b): i for i, (a, b) in enumerate(mergelist)}
 
         # non-decorator pandas_udf form (the normalize_text_udf
@@ -300,7 +333,14 @@ def encode_word_table(
                             out.append(syms[i])
                             i += 1
                     syms = out
-                return [vocab.get(s, -1) for s in syms]
+                ids: list[int] = []
+                for s in syms:
+                    v = vocab.get(s)
+                    if v is not None:
+                        ids.append(v)
+                    else:  # byte fallback: total coverage, no UNK
+                        ids.extend(bb + byt for byt in s.encode("utf-8"))
+                return ids
 
             return col.map(one)
 
@@ -434,10 +474,25 @@ def bpe_decode_py(
 ) -> str:
     """Driver-side id→text helper (symbols concatenated; token
     boundaries are not recoverable — BPE with dropped spaces is lossy by
-    design here)."""
+    design here). Byte-fallback id runs reassemble into UTF-8 text, so
+    decode(encode(x)) reproduces x's non-whitespace characters exactly
+    even for out-of-vocabulary input."""
     merges = DEFAULT_MERGES if merges is None else merges
     rev = {i: s for s, i in bpe_vocab(merges).items()}
-    return "".join(rev.get(i, "�") for i in ids)
+    bb = byte_fallback_base(merges)
+    parts: list[str] = []
+    buf = bytearray()
+    for i in ids:
+        if bb <= i < bb + 256:
+            buf.append(i - bb)
+            continue
+        if buf:
+            parts.append(buf.decode("utf-8", errors="replace"))
+            buf.clear()
+        parts.append(rev.get(i, "�"))
+    if buf:
+        parts.append(buf.decode("utf-8", errors="replace"))
+    return "".join(parts)
 
 
 def bpe_encode_py(
@@ -454,6 +509,7 @@ def bpe_encode_py(
     import re
 
     cleaned = re.sub(r"\s+", " ", text.replace(_OPEN, "").replace(_CLOSE, "").strip())
+    bb = byte_fallback_base(merges)
     out: list[int] = []
     for word in cleaned.split(" "):
         if not word:
@@ -470,7 +526,12 @@ def bpe_encode_py(
                     merged.append(syms[i])
                     i += 1
             syms = merged
-        out.extend(vocab.get(s, -1) for s in syms)
+        for s in syms:
+            v = vocab.get(s)
+            if v is not None:
+                out.append(v)
+            else:  # byte fallback
+                out.extend(bb + byt for byt in s.encode("utf-8"))
     return out
 
 
@@ -671,18 +732,27 @@ def bpe_decode_column(
 ) -> Column:
     """Distributed decode: subword ids back to their symbol text,
     concatenated (token boundaries are not recoverable — the encoder
-    drops spaces by design; unknown ids render as '�'). One literal
-    id→symbol map, scan-fused transform + concat — the engine-side twin
-    of :func:`bpe_decode_py` for corpus-scale rehydration checks."""
+    drops spaces by design; ids outside the vocab AND byte blocks
+    render as '�'). Works in HEX space so byte-fallback runs reassemble
+    into valid UTF-8: each id maps to the hex of its bytes (vocabulary
+    symbols via one literal map, byte ids via arithmetic), the pieces
+    concatenate, and ONE unhex+decode at the end rebuilds the text —
+    scan-fused, no UDF; the engine-side twin of :func:`bpe_decode_py`
+    for corpus-scale rehydration checks."""
     merges = DEFAULT_MERGES if merges is None else merges
     col = F.col(ids) if isinstance(ids, str) else ids
     entries = ", ".join(
-        f"{i}, {_sym_sql(sym)}" for sym, i in bpe_vocab(merges).items()
+        f"{i}, '{sym.encode('utf-8').hex().upper()}'"
+        for sym, i in bpe_vocab(merges).items()
     )
-    REV = F.expr("map(" + entries + ")")
-    return F.concat_ws(
-        "",
-        F.transform(
-            col, lambda i: F.coalesce(F.element_at(REV, i), F.lit("�"))
-        ),
+    REV_HEX = F.expr("map(" + entries + ")")
+    bb = byte_fallback_base(merges)
+    piece = lambda i: F.when(  # noqa: E731
+        (i >= bb) & (i < bb + 256),
+        F.lpad(F.hex(i - bb), 2, "0"),
+    ).otherwise(
+        F.coalesce(F.element_at(REV_HEX, i), F.lit("EFBFBD"))  # '�'
+    )
+    return F.decode(
+        F.unhex(F.concat_ws("", F.transform(col, piece))), "UTF-8"
     )

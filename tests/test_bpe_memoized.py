@@ -232,6 +232,65 @@ def test_memoized_fuzz_against_python_reference(spark):
             assert got[i][0] == bpe_encode_py(text), (enc, i, repr(text))
 
 
+def test_byte_fallback_total_coverage_roundtrip(spark):
+    """GPT-2-style byte fallback: out-of-vocabulary symbols (non-ASCII,
+    control chars) decompose into UTF-8 byte ids in the 256-id block at
+    byte_fallback_base(merges) — NO -1 ever reaches an id stream — and
+    distributed decode(encode(x)) reproduces x's non-whitespace
+    characters exactly (lossless, pinned per row). All three encode
+    paths and the pure-python reference agree on the fallback ids."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from jobinsight_data_pipeline_spark.operators.bpe import (
+        bpe_decode_column,
+        bpe_decode_py,
+        bpe_ids_column,
+        byte_fallback_base,
+    )
+
+    texts = [
+        ("o0", "héllo wörld the"),          # 2-byte UTF-8
+        ("o1", "naïve café ☕ data"),        # 3-byte UTF-8
+        ("o2", "\x01ctl\x02 chars"),        # control chars
+        ("o3", "русский текст the query"),  # all-OOV words + vocab word
+        ("o4", "emoji 🎉 mix"),             # 4-byte UTF-8 (surrogate pair)
+    ]
+    df = spark.createDataFrame(texts, "doc_id string, text string")
+    bb = byte_fallback_base(DEFAULT_MERGES)
+
+    for enc in ("native", "python"):
+        got = _collect(bpe_encode_memoized(df, word_encoder=enc))
+        for d, t in texts:
+            ids = got[d][0]
+            assert ids == bpe_encode_py(t), (enc, d)
+            assert -1 not in ids, (enc, d)
+            assert all(0 <= i < bb + 256 for i in ids), (enc, d)
+            # lossless: decode reproduces the non-whitespace chars
+            exp = re.sub(r"\s+", "", t)
+            assert bpe_decode_py(ids) == exp, (enc, d)
+    # distributed decode agrees with the python decoder per row
+    dec = {
+        r["doc_id"]: r["dec"]
+        for r in df.select(
+            "doc_id", bpe_decode_column(bpe_ids_column("text")).alias("dec")
+        ).collect()
+    }
+    for d, t in texts:
+        assert dec[d] == re.sub(r"\s+", "", t), d
+    # byte ids land in the reserved block for a fully-OOV word
+    ids = bpe_encode_py("☕")
+    assert ids == [bb + b for b in "☕".encode("utf-8")]
+    # and the gate corpus itself never exercises the fallback (pure
+    # printable ASCII — the documented assumption the oracle mirrors)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n_bad = docs.filter(
+        F.col("text").rlike(r"[^\x20-\x7e\s]")
+    ).count()
+    assert n_bad == 0
+
+
 def test_encode_word_table_rejects_unknown_encoder(spark):
     words = spark.createDataFrame([("a",)], "w string")
     with pytest.raises(ValueError, match="word_encoder"):
