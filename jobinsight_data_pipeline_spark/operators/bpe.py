@@ -508,7 +508,16 @@ def bpe_encode_py(
     vocab = bpe_vocab(merges)
     import re
 
-    cleaned = re.sub(r"\s+", " ", text.replace(_OPEN, "").replace(_CLOSE, "").strip())
+    # ASCII whitespace class ONLY — the engine paths split on Java's \s
+    # (= [ \t\n\x0b\f\r], ASCII) via _WS_SPLIT / regexp_replace, so the
+    # reference must NOT use Python's Unicode-aware \s:   etc. are
+    # ordinary characters to the engine (byte-fallback encoded), never
+    # separators.
+    cleaned = re.sub(
+        r"[ \t\n\x0b\f\r]+",
+        " ",
+        text.replace(_OPEN, "").replace(_CLOSE, "").strip(" \t\n\x0b\f\r"),
+    )
     bb = byte_fallback_base(merges)
     out: list[int] = []
     for word in cleaned.split(" "):

@@ -214,6 +214,7 @@ def test_memoized_fuzz_against_python_reference(spark):
     frags = [
         "the", "data", "query", "agg", "th", "e", "a", "zz",
         "x\x1e", "\x1fy", "héllo", "-", "_", "Q", "7", "...",
+        "a\u00a0b", "\u2009thin",  # Unicode ws: ordinary chars to the engine
     ]
     seps = [" ", "  ", "\t", "\n", " \t ", ""]
     texts = []
@@ -268,7 +269,7 @@ def test_byte_fallback_total_coverage_roundtrip(spark):
             assert -1 not in ids, (enc, d)
             assert all(0 <= i < bb + 256 for i in ids), (enc, d)
             # lossless: decode reproduces the non-whitespace chars
-            exp = re.sub(r"\s+", "", t)
+            exp = re.sub(r"[ \t\n\x0b\f\r]+", "", t)
             assert bpe_decode_py(ids) == exp, (enc, d)
     # distributed decode agrees with the python decoder per row
     dec = {
@@ -278,7 +279,7 @@ def test_byte_fallback_total_coverage_roundtrip(spark):
         ).collect()
     }
     for d, t in texts:
-        assert dec[d] == re.sub(r"\s+", "", t), d
+        assert dec[d] == re.sub(r"[ \t\n\x0b\f\r]+", "", t), d
     # byte ids land in the reserved block for a fully-OOV word
     ids = bpe_encode_py("☕")
     assert ids == [bb + b for b in "☕".encode("utf-8")]
