@@ -4465,6 +4465,290 @@ def _bpe_learn_oracle() -> str:
 O_BPE_LEARN = _bpe_learn_oracle()
 
 
+#: unigram-LM tokenizer gate constants (operators/unigram): hard-EM
+#: rounds, seed/vocab cuts, max piece length. PMAX is pinned to 4 — the
+#: oracle's recursive Viterbi carries exactly four (score, path) lags.
+UNIGRAM_ROUNDS = 3
+UNIGRAM_SEED_K = 80
+UNIGRAM_VOCAB_K = 40
+UNIGRAM_PMAX = 4
+
+#: per-(session, sf_dir) memo for the eager trainer — deterministic
+#: output, so sweeps pay the EM loop once (the _learned_merges pattern)
+_UNIGRAM_CACHE: dict = {}
+
+
+def _unigram_model(spark: SparkSession, sf_dir: str) -> list:
+    """Train (or reuse) the unigram-LM piece model for this
+    (session, sf_dir): ``[(piece, cnt, piece_id), …]`` in id order."""
+    from jobinsight_data_pipeline_spark.operators.unigram import (
+        unigram_train,
+        words_with_freq,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    model = _UNIGRAM_CACHE.get(key)
+    if model is None:
+        t = load(spark, sf_dir, "documents")
+        model = unigram_train(
+            spark,
+            words_with_freq(t["documents"]),
+            rounds=UNIGRAM_ROUNDS,
+            seed_k=UNIGRAM_SEED_K,
+            vocab_k=UNIGRAM_VOCAB_K,
+            pmax=UNIGRAM_PMAX,
+        )
+        _UNIGRAM_CACHE[key] = model
+    return model
+
+
+def q_unigram_tok_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SentencePiece-style unigram-LM tokenizer TRAINING
+    (operators/unigram.unigram_train; Kudo 2018, hard-EM variant) over
+    the real corpus: substring seeding on the distinct-word table, 3
+    Viterbi-EM rounds with integer micro-unit ln scores quantized BY
+    SPARK, count-1 character coverage floor, (count DESC, piece ASC)
+    prune. The DuckDB oracle replays the WHOLE trainer — seeding, every
+    EM round's Viterbi (a recursive CTE carrying the last-4 (score,
+    path) lags per word), re-estimation, floor, and prune — so a
+    drifted count, quantization, or tie-break in ANY round cascades
+    into the final vocabulary and fails the hash."""
+    model = _unigram_model(spark, sf_dir)
+    rows = [(i, p, c) for p, c, i in model]
+    return spark.createDataFrame(rows, "piece_id int, piece string, cnt long")
+
+
+def q_unigram_tok_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viterbi ENCODING under the trained unigram model
+    (operators/unigram.unigram_encode): tokenize → segment each
+    DISTINCT word once (Arrow-batched DP) → broadcast-join pieces back
+    by word → per-document id sequence in (pos, idx) order. The oracle
+    re-trains the model (shared CTE chain with unigram_tok_learn),
+    re-runs the recursive-CTE Viterbi under the PRUNED model's scores,
+    and reassembles every document's id string."""
+    from jobinsight_data_pipeline_spark.operators.unigram import (
+        unigram_encode,
+    )
+
+    model = _unigram_model(spark, sf_dir)
+    t = load(spark, sf_dir, "documents")
+    docs = t["documents"]
+    enc = unigram_encode(spark, docs, model, pmax=UNIGRAM_PMAX)
+    ids = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "idx", "piece_id"))),
+        lambda s: s["piece_id"].cast("string"),
+    )
+    agg = enc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pieces"),
+        F.array_join(ids, "-").alias("ids_str"),
+    )
+    return docs.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_pieces", F.lit(0).cast("long")).alias("n_pieces"),
+        F.coalesce("ids_str", F.lit("")).alias("ids_str"),
+    )
+
+
+def _unigram_viterbi_cte(
+    name: str, words: str, score: str, unk: str
+) -> str:
+    """One recursive-CTE Viterbi pass over a (w, freq) word table under
+    integer piece scores ``score(piece, q)`` with single-char fallback
+    ``unk(u)``: state carries the best (score, path) for the last FOUR
+    positions (PMAX=4), each step left-joins the four candidate pieces
+    ending at pos+1 and picks max score with the smallest-split-point
+    tie-break (CASE order k=4..1 — longest final piece), exactly
+    viterbi_pieces_py's strict-improvement j-ascending scan. Output
+    rows where pos = n carry the full segmentation in p1
+    (chr(30)-separated)."""
+    return f"""{name} AS (
+    SELECT w, freq, length(w) AS n, 0 AS pos,
+           CAST(0 AS BIGINT) AS s1, CAST('' AS VARCHAR) AS p1,
+           CAST(NULL AS BIGINT) AS s2, CAST(NULL AS VARCHAR) AS p2,
+           CAST(NULL AS BIGINT) AS s3, CAST(NULL AS VARCHAR) AS p3,
+           CAST(NULL AS BIGINT) AS s4, CAST(NULL AS VARCHAR) AS p4
+    FROM {words}
+    UNION ALL
+    SELECT w, freq, n, pos + 1,
+           greatest(c1, c2, c3, c4) AS s1,
+           CASE
+             WHEN c4 IS NOT NULL AND c4 = greatest(c1, c2, c3, c4)
+                  THEN p4 || chr(30) || substr(w, pos - 2, 4)
+             WHEN c3 IS NOT NULL AND c3 = greatest(c1, c2, c3, c4)
+                  THEN p3 || chr(30) || substr(w, pos - 1, 3)
+             WHEN c2 IS NOT NULL AND c2 = greatest(c1, c2, c3, c4)
+                  THEN p2 || chr(30) || substr(w, pos, 2)
+             ELSE p1 || chr(30) || substr(w, pos + 1, 1)
+           END AS p1,
+           s1 AS s2, p1 AS p2, s2 AS s3, p2 AS p3, s3 AS s4, p3 AS p4
+    FROM (
+        SELECT v.*,
+               v.s1 + coalesce(q1.q, u.u) AS c1,
+               v.s2 + q2.q AS c2,
+               v.s3 + q3.q AS c3,
+               v.s4 + q4.q AS c4
+        FROM {name} v
+        CROSS JOIN {unk} u
+        LEFT JOIN {score} q1 ON q1.piece = substr(v.w, v.pos + 1, 1)
+        LEFT JOIN {score} q2 ON v.pos >= 1
+             AND q2.piece = substr(v.w, v.pos, 2)
+        LEFT JOIN {score} q3 ON v.pos >= 2
+             AND q3.piece = substr(v.w, v.pos - 1, 3)
+        LEFT JOIN {score} q4 ON v.pos >= 3
+             AND q4.piece = substr(v.w, v.pos - 2, 4)
+    )
+    WHERE pos < n
+)"""
+
+
+def _unigram_train_ctes() -> list[str]:
+    """The trainer-replay CTE list shared by both unigram oracles:
+    w_tab (distinct-word freq), seed, m0 … m{R} (per-round models),
+    pruned (final vocabulary with 0-based ids). q(x) =
+    floor(ln(x)·10⁶) BIGINT on both engines; the property suite
+    boundary-audits the actual (cnt, total) argument set the sf0.01
+    corpus produces (tests/test_properties.py::
+    test_unigram_ln_floor_boundary_audit)."""
+    rounds, seed_k, vocab_k = UNIGRAM_ROUNDS, UNIGRAM_SEED_K, UNIGRAM_VOCAB_K
+    q = "CAST(floor(ln(CAST({} AS DOUBLE)) * 1000000.0) AS BIGINT)"
+    parts = [
+        """w_tab AS MATERIALIZED (
+    SELECT tok AS w, CAST(count(*) AS BIGINT) AS freq
+    FROM (
+        SELECT unnest(list_filter(
+            regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS tok
+        FROM documents
+    )
+    GROUP BY 1
+)""",
+        """seed AS MATERIALIZED (
+    SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
+    FROM (
+        SELECT substr(w, s.g, l.g) AS piece, freq
+        FROM w_tab,
+             unnest(generate_series(1, length(w))) AS s(g),
+             unnest(generate_series(
+                 1, least(4, length(w) - s.g + 1))) AS l(g)
+    )
+    GROUP BY 1
+)""",
+        f"""m0 AS MATERIALIZED (
+    SELECT piece, cnt FROM (
+        SELECT piece, cnt,
+               row_number() OVER (ORDER BY cnt DESC, piece ASC) AS rk
+        FROM seed
+    ) WHERE rk <= {seed_k} OR length(piece) = 1
+)""",
+        """chars AS MATERIALIZED (
+    SELECT piece FROM m0 WHERE length(piece) = 1
+)""",
+    ]
+    for i in range(rounds):
+        qt = q.format("sum(cnt)")
+        qc = q.format("cnt")
+        parts.append(
+            f"tot{i} AS MATERIALIZED (SELECT {qt} AS qt FROM m{i})"
+        )
+        parts.append(f"""sc{i} AS MATERIALIZED (
+    SELECT piece, {qc} - (SELECT qt FROM tot{i}) AS q FROM m{i}
+)""")
+        parts.append(
+            f"unk{i} AS MATERIALIZED (SELECT 0 - qt AS u FROM tot{i})"
+        )
+        parts.append(_unigram_viterbi_cte(f"v{i}", "w_tab", f"sc{i}", f"unk{i}"))
+        parts.append(f"""c{i} AS MATERIALIZED (
+    SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
+    FROM (
+        SELECT unnest(list_filter(string_split(p1, chr(30)),
+                                  x -> x <> '')) AS piece,
+               freq
+        FROM v{i} WHERE pos = n
+    )
+    GROUP BY 1
+)""")
+        parts.append(f"""m{i + 1} AS MATERIALIZED (
+    SELECT piece, cnt FROM c{i}
+    UNION ALL
+    SELECT ch.piece, CAST(1 AS BIGINT) AS cnt
+    FROM chars ch ANTI JOIN c{i} ON c{i}.piece = ch.piece
+)""")
+    parts.append(f"""pruned AS MATERIALIZED (
+    SELECT piece, cnt,
+           CAST(row_number() OVER (ORDER BY cnt DESC, piece ASC) - 1
+                AS INTEGER) AS piece_id
+    FROM (
+        SELECT piece, cnt,
+               row_number() OVER (ORDER BY cnt DESC, piece ASC) AS rk
+        FROM m{rounds}
+    ) WHERE rk <= {vocab_k} OR length(piece) = 1
+)""")
+    return parts
+
+
+def _unigram_learn_oracle() -> str:
+    parts = _unigram_train_ctes()
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(parts)
+        + "\nSELECT piece_id, piece, CAST(cnt AS BIGINT) AS cnt FROM pruned"
+    )
+
+
+def _unigram_encode_oracle() -> str:
+    q = "CAST(floor(ln(CAST({} AS DOUBLE)) * 1000000.0) AS BIGINT)"
+    qt = q.format("sum(cnt)")
+    qc = q.format("cnt")
+    parts = _unigram_train_ctes()
+    parts.append(f"tot_e AS MATERIALIZED (SELECT {qt} AS qt FROM pruned)")
+    parts.append(f"""sc_e AS MATERIALIZED (
+    SELECT piece, {qc} - (SELECT qt FROM tot_e) AS q FROM pruned
+)""")
+    parts.append("unk_e AS MATERIALIZED (SELECT 0 - qt AS u FROM tot_e)")
+    parts.append(_unigram_viterbi_cte("v_e", "w_tab", "sc_e", "unk_e"))
+    parts.append("""doc_toks AS MATERIALIZED (
+    SELECT doc_id, u.g AS pos, toks[u.g] AS w
+    FROM (
+        SELECT doc_id, list_filter(
+            regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks
+        FROM documents
+    ),
+    unnest(generate_series(1, len(toks))) AS u(g)
+)""")
+    parts.append("""wpid AS MATERIALIZED (
+    SELECT wp.w, wp.idx, coalesce(pr.piece_id, -1) AS piece_id
+    FROM (
+        SELECT w, u.g AS idx, pieces[u.g] AS piece
+        FROM (
+            SELECT w, list_filter(string_split(p1, chr(30)),
+                                  x -> x <> '') AS pieces
+            FROM v_e WHERE pos = n
+        ),
+        unnest(generate_series(1, len(pieces))) AS u(g)
+    ) wp
+    LEFT JOIN pruned pr ON pr.piece = wp.piece
+)""")
+    parts.append("""agg AS (
+    SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_pieces,
+           string_agg(CAST(piece_id AS VARCHAR), '-'
+                      ORDER BY d.pos, wpid.idx) AS ids_str
+    FROM doc_toks d JOIN wpid ON wpid.w = d.w
+    GROUP BY d.doc_id
+)""")
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(parts)
+        + """
+SELECT d.doc_id,
+       coalesce(a.n_pieces, 0) AS n_pieces,
+       coalesce(a.ids_str, '') AS ids_str
+FROM documents d LEFT JOIN agg a USING (doc_id)"""
+    )
+
+
+O_UNIGRAM_TOK_LEARN = _unigram_learn_oracle()
+O_UNIGRAM_TOK_ENCODE = _unigram_encode_oracle()
+
+
 #: incremental-dedup gate constants: history split + planted-dup spacing
 INCR_SPLIT = 250
 INCR_NH, INCR_BANDS = 16, 4
@@ -7987,6 +8271,8 @@ QUERIES = {
     "bpe_learned_packs": q_bpe_learned_packs,
     "bpe_learn": q_bpe_learn,
     "bpe_roundtrip": q_bpe_roundtrip,
+    "unigram_tok_learn": q_unigram_tok_learn,
+    "unigram_tok_encode": q_unigram_tok_encode,
     "incremental_dedup": q_incremental_dedup,
     "forget_propagation": q_forget_propagation,
     "stream_incremental_dedup": q_stream_incremental_dedup,
@@ -8104,6 +8390,8 @@ ORACLES = {
     "bpe_budget_packs": O_BPE_BUDGET_PACKS,
     "bpe_learn": O_BPE_LEARN,
     "bpe_roundtrip": O_BPE_ROUNDTRIP,
+    "unigram_tok_learn": O_UNIGRAM_TOK_LEARN,
+    "unigram_tok_encode": O_UNIGRAM_TOK_ENCODE,
     "incremental_dedup": O_INCREMENTAL_DEDUP,
     "forget_propagation": O_FORGET_PROPAGATION,
     "stream_incremental_dedup": O_INCREMENTAL_DEDUP,

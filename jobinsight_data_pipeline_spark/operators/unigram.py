@@ -203,6 +203,14 @@ def unigram_train(
     quantized — the cross-engine boundary audit consumes it."""
     if rounds < 1:
         raise ValueError(f"rounds must be >= 1, got {rounds}")
+    from jobinsight_data_pipeline_spark.operators.components import (
+        _free_local_checkpoint,
+    )
+
+    # the distinct-word table feeds the seed pass AND every EM round:
+    # pin it once (eager localCheckpoint — the learn_bpe_merges round
+    # discipline) instead of re-tokenizing the corpus per round
+    words = words.localCheckpoint(eager=True)
     seed_all = unigram_seed_counts(words, pmax, word_col, freq_col)
     from pyspark.sql import Window
 
@@ -235,6 +243,7 @@ def unigram_train(
         for ch in chars:  # count-1 coverage floor
             model.setdefault(ch, 1)
 
+    _free_local_checkpoint(words)
     kept = sorted(model.items(), key=lambda kv: (-kv[1], kv[0]))
     final = [
         (p, c)

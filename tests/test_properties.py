@@ -619,6 +619,75 @@ SELECT prob FROM probs"""
         assert min(frac, 1.0 - frac) > 1e-7, (p, frac)
 
 
+def test_unigram_ln_floor_boundary_audit(spark):
+    """The unigram gates' exactness rests on floor(ln(x)·10⁶) agreeing
+    across engines for every (count, total) the trainer quantizes. ln
+    wobbles by 1 ulp between Spark and DuckDB, so audit the ACTUAL
+    argument set the sf0.01 corpus produces at the gate's own
+    hyperparameters — every EM round's counts and totals (via the
+    trainer's audit hook) plus the pruned model the encode gate scores
+    with: the two engines' quantized integers must be identical, and
+    ln·10⁶ must sit clear of integer floor boundaries."""
+    import math
+
+    import duckdb
+
+    from jobinsight_data_pipeline_spark.catalog.textml import (
+        UNIGRAM_PMAX,
+        UNIGRAM_ROUNDS,
+        UNIGRAM_SEED_K,
+        UNIGRAM_VOCAB_K,
+    )
+    from jobinsight_data_pipeline_spark.operators.unigram import (
+        unigram_train,
+        words_with_freq,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    audit: list[int] = []
+    model = unigram_train(
+        spark,
+        words_with_freq(docs),
+        rounds=UNIGRAM_ROUNDS,
+        seed_k=UNIGRAM_SEED_K,
+        vocab_k=UNIGRAM_VOCAB_K,
+        pmax=UNIGRAM_PMAX,
+        audit=audit,
+    )
+    # the encode oracle quantizes the PRUNED model's counts and total
+    audit += [c for _, c, _ in model]
+    audit += [sum(c for _, c, _ in model), 1]
+    vals = sorted(set(audit))
+    assert len(vals) > 50  # the corpus genuinely exercises the model
+
+    con = duckdb.connect()
+    duck_q = [
+        con.execute(
+            "SELECT CAST(floor(ln(CAST(? AS DOUBLE)) * 1000000.0) "
+            "AS BIGINT)",
+            [v],
+        ).fetchone()[0]
+        for v in vals
+    ]
+    spark_q = [
+        r[0]
+        for r in spark.createDataFrame([(v,) for v in vals], "v: long")
+        .selectExpr(
+            "CAST(floor(ln(CAST(v AS DOUBLE)) * 1000000.0) AS BIGINT) AS q",
+            "v",
+        )
+        .orderBy("v")
+        .select("q")
+        .collect()
+    ]
+    assert spark_q == duck_q
+    for v in vals:
+        if v == 1:
+            continue  # ln(1) = 0.0 exactly in IEEE — boundary-safe
+        frac = (math.log(v) * 1e6) % 1.0
+        assert min(frac, 1.0 - frac) > 1e-7, (v, frac)
+
+
 @given(text_strategy)
 @settings(max_examples=200, deadline=None)
 def test_normalize_text_idempotent_and_clean(s):
