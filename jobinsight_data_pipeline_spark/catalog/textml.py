@@ -17,7 +17,7 @@ Approximate operators are gated two ways, strongest applicable first:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from jobinsight_data_pipeline_spark.catalog import load
@@ -5978,6 +5978,646 @@ FROM g GROUP BY 1
 O_BPE_LEARNED_PACKS = _bpe_learned_packs_oracle()
 
 
+# --- corpus_build: the end-to-end capstone ------------------------------
+#: Planted fixture: the raw corpus carries no exact duplicates, so a
+#: boilerplate cluster is planted on doc_id % 13 = 4 (exercises exact
+#: dedup); doc_id % 10 = 7 is held out as the benchmark slice, and the
+#: overlap (doc_id ≡ 17 mod 130 — benchmark docs that carry the same
+#: boilerplate) makes the surviving boilerplate doc benchmark-
+#: contaminated, exercising decontamination with zero extra planting.
+CB_BOILER = (
+    "the same boilerplate page the crawler kept fetching over and over"
+)
+_CB_CASE = (
+    f"CASE WHEN doc_id % 13 = 4 THEN '{CB_BOILER}'"
+    " ELSE coalesce(text, '') END"
+)
+CB_MIX_TARGET = 600
+CB_PACK_CAP = 256
+CB_NEAR_TAU = 0.5
+CB_DECON_TAU = 0.8
+CB_CLF_MIN = -12_000_000
+
+
+def _cb_shingle_ctes(pfx: str, src: str) -> str:
+    """3-gram shingle-set CTEs over a CTE ``src`` carrying (doc_id,
+    text): {pfx}sh (distinct doc→shingle) and {pfx}sz (set sizes) —
+    the O_NGRAM_JACCARD/O_DECONTAMINATE fragment, source-parameterized
+    for the capstone's survivor-set stages."""
+    return f"""{pfx}_tk AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+    FROM {src}
+    WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3
+),
+{pfx}_sh AS MATERIALIZED (
+    SELECT DISTINCT doc_id AS doc, unnest(
+        list_transform(range(len(w) - 2),
+                       i -> concat(w[i + 1], ' ', w[i + 2], ' ', w[i + 3]))
+    ) AS shingle
+    FROM {pfx}_tk
+),
+{pfx}_sz AS MATERIALIZED (
+    SELECT doc, count(*) AS sz FROM {pfx}_sh GROUP BY doc)"""
+
+
+def _cb_waterfill_parts() -> list[str]:
+    """Unrolled waterfill rounds over the capstone's survivor-derived
+    wfsrc (source, n, w) — the O_EPOCH_PLAN round shape with wf-prefixed
+    CTE names (same constants, same share/cap integer arithmetic)."""
+    cap = EPOCH_CAP_MILLI
+    share = (
+        "coalesce(((wfb.budget - wfa{r}.taken) * wfs{p}.w)"
+        " // nullif(wfa{r}.wsum, 0), 0)"
+    )
+    cap_tokens = f"(n * {cap}) // 1000"
+    parts = [
+        f"""wfb AS (
+    SELECT (CAST({EPOCH_BUDGET_NUM} AS BIGINT) * sum(n))
+           // {EPOCH_BUDGET_DEN} AS budget
+    FROM wfsrc
+)""",
+        "wfs0 AS (SELECT source, n, w, FALSE AS capped FROM wfsrc)",
+    ]
+    for r in range(1, EPOCH_ROUNDS + 1):
+        p = r - 1
+        sh = share.format(r=r, p=p)
+        parts.append(f"""wfa{r} AS (
+    SELECT coalesce(sum(CASE WHEN capped THEN {cap_tokens} END), 0)
+               AS taken,
+           coalesce(sum(CASE WHEN NOT capped THEN w END), 0) AS wsum
+    FROM wfs{p}
+)""")
+        parts.append(f"""wfs{r} AS (
+    SELECT source, n, w,
+           capped OR (NOT capped AND {sh} > {cap_tokens}) AS capped
+    FROM wfs{p}, wfb, wfa{r}
+)""")
+    R = EPOCH_ROUNDS
+    fsh = share.format(r="f", p=R)
+    parts.append(f"""wfaf AS (
+    SELECT coalesce(sum(CASE WHEN capped THEN {cap_tokens} END), 0)
+               AS taken,
+           coalesce(sum(CASE WHEN NOT capped THEN w END), 0) AS wsum
+    FROM wfs{R}
+)""")
+    parts.append(f"""wfout AS (
+    SELECT source,
+           CAST(CASE WHEN capped THEN {cap_tokens} ELSE {fsh} END
+                AS BIGINT) AS alloc_tokens,
+           CAST(CASE WHEN capped THEN {cap}
+                     ELSE ({fsh} * 1000) // nullif(n, 0)
+                END AS BIGINT) AS epochs_milli,
+           capped
+    FROM wfs{R}, wfb, wfaf
+)""")
+    return parts
+
+
+def _cb_chk(expr: str) -> str:
+    return (
+        "coalesce(bit_xor(CAST(('0x' || substring(md5("
+        + expr
+        + "), 1, 8)) AS BIGINT)), 0)"
+    )
+
+
+def _corpus_build_oracle() -> str:
+    from jobinsight_data_pipeline_spark.operators.bpe import (
+        BASE_SYMBOLS,
+        _sym_sql,
+        bpe_vocab,
+    )
+    from jobinsight_data_pipeline_spark.operators.similarity import (
+        unit_centroids,
+    )
+
+    rounds = BPE_LEARN_ROUNDS
+    learn_ctes = ",\n".join(_bpe_learn_ctes(rounds))
+    vocab_rows = ", ".join(
+        f"({_sym_sql(s)}, {i})" for s, i in bpe_vocab([]).items()
+    )
+    learned_rows = ", ".join(
+        f"((SELECT l || r FROM m{i}), {len(BASE_SYMBOLS) + i})"
+        for i in range(rounds)
+    )
+    cents = unit_centroids(64, 8, seed=11)
+    cent_values = ",\n    ".join(
+        "({}, CAST([{}] AS DOUBLE[]))".format(
+            j, ",".join(repr(float(x)) for x in row)
+        )
+        for j, row in enumerate(cents)
+    )
+    toks = "regexp_split_to_array(trim(text), '\\s+')"
+    wc = f"CASE WHEN trim(text) = '' THEN 0 ELSE len({toks}) END"
+    fold = _clf_fold_duck
+    lang_sql = _langid_profile_sql(_CB_CASE).replace(
+        "WITH planted AS", "WITH lplanted AS"
+    ).replace("FROM planted", "FROM lplanted")
+    stage_chk = _cb_chk("CAST(doc_id AS VARCHAR)")
+    wf_parts = ",\n".join(_cb_waterfill_parts())
+    return f"""
+WITH {learn_ctes},
+vocab(sym, id) AS (VALUES {vocab_rows}, {learned_rows}),
+cents(j, c) AS (VALUES
+    {cent_values}
+),
+planted AS MATERIALIZED (
+    SELECT doc_id, {_CB_CASE} AS text, source, n_chars FROM documents
+),
+corpus AS MATERIALIZED (SELECT * FROM planted WHERE doc_id % 10 <> 7),
+bench AS MATERIALIZED (SELECT doc_id, text FROM planted WHERE doc_id % 10 = 7),
+s_exact AS MATERIALIZED (
+    SELECT doc_id, text, source, n_chars FROM (
+        SELECT *, row_number() OVER (PARTITION BY md5(text)
+                                     ORDER BY doc_id ASC) AS rn
+        FROM corpus
+    ) WHERE rn = 1
+),
+{_cb_shingle_ctes('ng', 's_exact')},
+ng_pairs AS MATERIALIZED (
+    SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS inter
+    FROM ng_sh a JOIN ng_sh b ON a.shingle = b.shingle AND a.doc < b.doc
+    GROUP BY 1, 2
+),
+ng_drop AS (
+    SELECT DISTINCT doc_b AS doc_id
+    FROM ng_pairs
+    JOIN ng_sz sa ON sa.doc = doc_a
+    JOIN ng_sz sb ON sb.doc = doc_b
+    WHERE round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 4)
+          >= {CB_NEAR_TAU}
+),
+s_near AS MATERIALIZED (
+    SELECT e.* FROM s_exact e ANTI JOIN ng_drop d ON e.doc_id = d.doc_id
+),
+emb_n AS (
+    SELECT s.doc_id, CAST(e.embedding AS DOUBLE[]) AS v,
+           sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                 CAST(e.embedding AS DOUBLE[]))) AS nrm
+    FROM s_near s JOIN embeddings e ON e.vec_id = s.doc_id
+),
+emb_assigned AS MATERIALIZED (
+    SELECT doc_id, v, nrm, CAST(j AS INTEGER) AS cell
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY s DESC, j ASC) AS rn
+          FROM (SELECT doc_id, v, nrm, j,
+                       round(list_dot_product(v, c) / nrm, 6) AS s
+                FROM emb_n CROSS JOIN cents))
+    WHERE rn = 1
+),
+sem_drop AS (
+    SELECT DISTINCT b.doc_id
+    FROM emb_assigned a JOIN emb_assigned b
+      ON a.cell = b.cell AND a.doc_id < b.doc_id
+    WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.4
+),
+s_sem AS MATERIALIZED (
+    SELECT n.* FROM s_near n ANTI JOIN sem_drop d ON n.doc_id = d.doc_id
+),
+lang AS MATERIALIZED (
+{lang_sql}
+),
+s_lang AS MATERIALIZED (
+    SELECT s.* FROM s_sem s JOIN lang l USING (doc_id)
+    WHERE l.lang_pred = 'en'
+),
+{_clf_ctes('corpus')},
+clf AS MATERIALIZED (
+    SELECT doc_id,
+           CAST({CLF_BIAS} + {fold('a', 'u:')} + {fold('g', 'b:')}
+                AS BIGINT) AS score_micro
+    FROM feats, w
+),
+s_clf AS MATERIALIZED (
+    SELECT s.* FROM s_lang s JOIN clf c USING (doc_id)
+    WHERE c.score_micro >= -12000000
+),
+{_cb_shingle_ctes('dtr', 's_clf')},
+{_cb_shingle_ctes('dte', 'bench')},
+dc_pairs AS (
+    SELECT te.doc AS test_id, tr.doc AS train_id, count(*) AS inter
+    FROM dte_sh te JOIN dtr_sh tr USING (shingle)
+    GROUP BY 1, 2
+),
+dc_drop AS (
+    SELECT DISTINCT train_id AS doc_id
+    FROM dc_pairs JOIN dte_sz s ON s.doc = test_id
+    WHERE round(inter / CAST(s.sz AS DOUBLE), 4) >= {CB_DECON_TAU}
+),
+s_final AS MATERIALIZED (
+    SELECT c.* FROM s_clf c ANTI JOIN dc_drop d ON c.doc_id = d.doc_id
+),
+mx_per AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n,
+           CAST(floor(sqrt(count(*))) AS BIGINT) AS isq
+    FROM s_final GROUP BY source
+),
+mx_s AS (SELECT CAST(sum(isq) AS BIGINT) AS sv FROM mx_per),
+mx_w AS (
+    SELECT source,
+           CAST((CAST({CB_MIX_TARGET} AS HUGEINT) * isq)
+                // (CAST(mx_s.sv AS HUGEINT) * n) AS INTEGER) AS w_base,
+           CAST(((CAST({CB_MIX_TARGET} AS HUGEINT) * isq * 10000)
+                 // (CAST(mx_s.sv AS HUGEINT) * n)) % 10000
+                AS INTEGER) AS w_thr_tenk
+    FROM mx_per, mx_s
+),
+mx_x AS MATERIALIZED (
+    SELECT doc_id, u.copy
+    FROM (
+        SELECT f.doc_id,
+               mw.w_base + CASE WHEN
+                   CAST(('0x' || substring(
+                       md5('temp' || CAST(f.doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 10000 < mw.w_thr_tenk
+                   THEN 1 ELSE 0 END AS copies
+        FROM s_final f JOIN mx_w mw USING (source)
+    ) c, unnest(generate_series(0, c.copies - 1)) AS u(copy)
+    WHERE c.copies > 0
+),
+wfsrc AS (
+    SELECT source, CAST(sum({wc}) AS BIGINT) AS n,
+           CAST(floor(sqrt(sum({wc}))) AS BIGINT) AS w
+    FROM s_final GROUP BY source
+    HAVING sum({wc}) > 0
+),
+{wf_parts},
+enc_seqs AS (
+    SELECT doc_id, {_bpe_learned_seq_duck('text', rounds)} AS syms
+    FROM s_final
+),
+enc_toks AS (
+    SELECT doc_id, u.g AS pos, syms[u.g] AS s
+    FROM enc_seqs, unnest(generate_series(1, len(syms))) AS u(g)
+),
+enc_tid AS MATERIALIZED (
+    SELECT t.doc_id, t.pos, coalesce(v.id, -1) AS tid
+    FROM enc_toks t LEFT JOIN vocab v ON t.s = v.sym
+),
+enc_nid AS MATERIALIZED (
+    SELECT f.doc_id, CAST(coalesce(n.n_ids, 0) AS BIGINT) AS n_ids
+    FROM s_final f LEFT JOIN (
+        SELECT doc_id, count(*) AS n_ids FROM enc_tid GROUP BY doc_id
+    ) n USING (doc_id)
+),
+pk_off AS (
+    SELECT x.doc_id, x.copy,
+           x.doc_id * 100 + x.copy AS skey,
+           CAST(coalesce(sum(e.n_ids) OVER (
+               ORDER BY x.doc_id * 100 + x.copy
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS start_offset
+    FROM mx_x x JOIN enc_nid e USING (doc_id)
+),
+pk_g AS (
+    SELECT o.start_offset + t.pos - 1 AS gpos, t.tid
+    FROM enc_tid t JOIN pk_off o USING (doc_id)
+),
+pk AS (
+    SELECT CAST(gpos // {CB_PACK_CAP} AS BIGINT) AS seq_id,
+           count(*) AS n_tokens,
+           string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY gpos) AS ids_str
+    FROM pk_g GROUP BY 1
+)
+SELECT 'ingest' AS stage, CAST(count(*) AS BIGINT) AS n_rows,
+       {stage_chk} AS chk FROM corpus
+UNION ALL
+SELECT 'exact', CAST(count(*) AS BIGINT), {stage_chk} FROM s_exact
+UNION ALL
+SELECT 'near', CAST(count(*) AS BIGINT), {stage_chk} FROM s_near
+UNION ALL
+SELECT 'semantic', CAST(count(*) AS BIGINT), {stage_chk} FROM s_sem
+UNION ALL
+SELECT 'langid', CAST(count(*) AS BIGINT), {stage_chk} FROM s_lang
+UNION ALL
+SELECT 'quality', CAST(count(*) AS BIGINT), {stage_chk} FROM s_clf
+UNION ALL
+SELECT 'decontaminate', CAST(count(*) AS BIGINT), {stage_chk} FROM s_final
+UNION ALL
+SELECT 'mixture', CAST(count(*) AS BIGINT),
+       {_cb_chk("CAST(doc_id AS VARCHAR) || ':' || CAST(copy AS VARCHAR)")}
+FROM mx_x
+UNION ALL
+SELECT 'waterfill:' || source, alloc_tokens,
+       {_cb_chk("source || ':' || CAST(epochs_milli AS VARCHAR)"
+                " || ':' || CAST(capped AS VARCHAR)")}
+FROM wfout GROUP BY source, alloc_tokens, epochs_milli, capped
+UNION ALL
+SELECT 'encode', CAST(count(*) AS BIGINT),
+       {_cb_chk("CAST(doc_id AS VARCHAR) || ':' || CAST(n_ids AS VARCHAR)")}
+FROM enc_nid
+UNION ALL
+SELECT 'tokens', CAST(coalesce(sum(n_ids), 0) AS BIGINT),
+       CAST(0 AS BIGINT) FROM enc_nid
+UNION ALL
+SELECT 'packs', CAST(count(*) AS BIGINT),
+       {_cb_chk("CAST(seq_id AS VARCHAR) || ':' || CAST(n_tokens AS VARCHAR)"
+                " || ':' || ids_str")}
+FROM pk
+UNION ALL
+SELECT 'card:' || source, CAST(count(*) AS BIGINT),
+       {_cb_chk("CAST(doc_id AS VARCHAR) || ':' || CAST(n_chars AS VARCHAR)")}
+FROM s_final GROUP BY source
+"""
+
+
+def _cb_chk_col(*cols) -> Column:
+    """Spark twin of _cb_chk's md5-prefix int (pre-bit_xor)."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", *[c.cast("string") for c in cols])), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def q_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END corpus-build capstone under ONE hash — every
+    stage of a production training-data pipeline composed in order:
+    ingest (benchmark slice held out) → exact dedup (keep-min) →
+    n-gram near-dup drop → SemDeDup semantic dedup → language-id keep →
+    classifier quality floor → benchmark decontamination → α=0.5
+    temperature mixture → repeat-capped epoch waterfill → learned-BPE
+    encode (the 8-round trained merges, shared memo) → fixed-capacity
+    packs over the mixture stream → per-source dataset card. The output
+    is one row per stage (name, row/token count, order-insensitive
+    bit_xor checksum over the stage's full content); the DuckDB oracle
+    replays EVERY stage — a survivor flip, a drifted weight, one id off
+    in one pack — moves some stage's checksum and fails the hash."""
+    import hashlib
+    import os
+    import shutil
+
+    from jobinsight_data_pipeline_spark.catalog import scratch_dir
+    from jobinsight_data_pipeline_spark.operators.bpe import (
+        bpe_encode_memoized,
+    )
+    from jobinsight_data_pipeline_spark.operators.classifier import (
+        with_quality_classification,
+    )
+    from jobinsight_data_pipeline_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+    from jobinsight_data_pipeline_spark.operators.packing import (
+        materialize_packs,
+    )
+    from jobinsight_data_pipeline_spark.operators.parallelism import (
+        widen_for_cpu,
+    )
+    from jobinsight_data_pipeline_spark.operators.sampling import (
+        epoch_waterfill,
+        temperature_mixture,
+    )
+    from jobinsight_data_pipeline_spark.operators.similarity import (
+        semantic_dedup,
+        unit_centroids,
+    )
+    from jobinsight_data_pipeline_spark.operators.textstats import (
+        with_language_id,
+        word_count,
+    )
+
+    t = load(spark, sf_dir, "documents", "embeddings")
+    docs, emb = t["documents"], t["embeddings"]
+    learned = _learned_merges(spark, sf_dir)
+    merges = [(l, r) for l, r, _ in learned]
+
+    # materialize the stage-membership table and the encoded final
+    # corpus ONCE (done-sentinel scratch, the bpe_budget_packs
+    # pattern): every stage row, the mixture, the waterfill, and the
+    # packs all re-read them — at 100 TB these ARE lake writes
+    base = scratch_dir(
+        "corpusbuild-gate-",
+        "{}-{}".format(
+            spark.sparkContext.applicationId,
+            hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+        ),
+    )
+    flags_path = os.path.join(base, "flags")
+    enc_path = os.path.join(base, "enc")
+    done = os.path.join(base, "_gate_done")
+    if not os.path.exists(done):
+        shutil.rmtree(flags_path, ignore_errors=True)
+        shutil.rmtree(enc_path, ignore_errors=True)
+        planted = widen_for_cpu(docs).select(
+            "doc_id", F.expr(_CB_CASE).alias("text"), "source", "n_chars"
+        )
+        corpus = planted.filter(F.col("doc_id") % 10 != 7)
+        bench = planted.filter(F.col("doc_id") % 10 == 7)
+        from jobinsight_data_pipeline_spark.operators.components import (
+            _free_local_checkpoint,
+        )
+
+        # pin each survivor set once (eager localCheckpoint): the flags
+        # build joins all six, and without the pin every deeper stage
+        # re-runs the whole upstream chain (the pairwise stages — the
+        # shingle self-join and SemDeDup — are the expensive ones)
+        ckpts: list[DataFrame] = []
+
+        def _pin(df: DataFrame) -> DataFrame:
+            out = df.localCheckpoint(eager=True)
+            ckpts.append(out)
+            return out
+
+        corpus = _pin(corpus)
+        bench = _pin(bench)
+        s_exact = _pin(
+            corpus.withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy(F.md5("text")).orderBy(
+                        F.col("doc_id").asc()
+                    )
+                ),
+            )
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        near_drop = (
+            ngram_jaccard_pairs(
+                s_exact, "doc_id", "text", n=3, threshold=CB_NEAR_TAU
+            )
+            .select(F.col("doc_b").alias("doc_id"))
+            .distinct()
+        )
+        s_near = _pin(s_exact.join(near_drop, "doc_id", "left_anti"))
+        sem_drop = (
+            semantic_dedup(
+                emb.join(
+                    s_near.select(F.col("doc_id").alias("vec_id")), "vec_id"
+                ),
+                threshold=0.4,
+                centroids=unit_centroids(64, 8, seed=11),
+            )
+            .filter(~F.col("kept"))
+            .select(F.col("vec_id").alias("doc_id"))
+        )
+        s_sem = _pin(s_near.join(sem_drop, "doc_id", "left_anti"))
+        lang_keep = (
+            with_language_id(corpus, "text")
+            .filter(F.col("lang_pred") == "en")
+            .select("doc_id")
+        )
+        s_lang = _pin(s_sem.join(lang_keep, "doc_id", "left_semi"))
+        clf_keep = (
+            with_quality_classification(
+                corpus.select("doc_id", "text"),
+                "text",
+                CLF_WEIGHTS,
+                bias=CLF_BIAS,
+                threshold_micro=CB_CLF_MIN,
+            )
+            .filter(F.col("keep"))
+            .select("doc_id")
+        )
+        s_clf = _pin(s_lang.join(clf_keep, "doc_id", "left_semi"))
+        dc_drop = (
+            ngram_containment_pairs(
+                s_clf, bench, "doc_id", "text", n=3, threshold=CB_DECON_TAU
+            )
+            .select(F.col("train_id").alias("doc_id"))
+            .distinct()
+        )
+        s_final = _pin(s_clf.join(dc_drop, "doc_id", "left_anti"))
+
+        def _flag(surv: DataFrame, name: str) -> DataFrame:
+            return surv.select("doc_id").withColumn(name, F.lit(True))
+
+        flags = (
+            corpus.select(
+                "doc_id",
+                "source",
+                "n_chars",
+                word_count(F.col("text")).cast("long").alias("n_words"),
+            )
+            .join(_flag(s_exact, "k_exact"), "doc_id", "left")
+            .join(_flag(s_near, "k_near"), "doc_id", "left")
+            .join(_flag(s_sem, "k_sem"), "doc_id", "left")
+            .join(_flag(s_lang, "k_lang"), "doc_id", "left")
+            .join(_flag(s_clf, "k_clf"), "doc_id", "left")
+            .join(_flag(s_final, "k_final"), "doc_id", "left")
+            .na.fill(False)
+        )
+        flags.write.parquet(flags_path)
+        bpe_encode_memoized(
+            widen_for_cpu(s_final.select("doc_id", "text")),
+            merges,
+            word_encoder="python",
+        ).write.parquet(enc_path)
+        for c in ckpts:
+            _free_local_checkpoint(c)
+        with open(done, "w") as fh:
+            fh.write("ok")
+
+    flags = spark.read.parquet(flags_path)
+    enc = spark.read.parquet(enc_path)
+    final_docs = flags.filter("k_final").select("doc_id", "source")
+
+    def _stage(name: str, df: DataFrame, chk: Column) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.coalesce(F.bit_xor(chk), F.lit(0)).cast("long").alias("chk"),
+        ).select(F.lit(name).alias("stage"), "n_rows", "chk")
+
+    id_chk = _cb_chk_col(F.col("doc_id"))
+    stages = [
+        _stage("ingest", flags, id_chk),
+        _stage("exact", flags.filter("k_exact"), id_chk),
+        _stage("near", flags.filter("k_near"), id_chk),
+        _stage("semantic", flags.filter("k_sem"), id_chk),
+        _stage("langid", flags.filter("k_lang"), id_chk),
+        _stage("quality", flags.filter("k_clf"), id_chk),
+        _stage("decontaminate", flags.filter("k_final"), id_chk),
+    ]
+    mixture = temperature_mixture(
+        final_docs, "source", "doc_id", CB_MIX_TARGET
+    ).select("doc_id", "copy")
+    stages.append(
+        _stage("mixture", mixture, _cb_chk_col(F.col("doc_id"), F.col("copy")))
+    )
+    wf_src = (
+        flags.filter("k_final")
+        .groupBy("source")
+        .agg(F.sum("n_words").cast("long").alias("n"))
+        .filter(F.col("n") > 0)
+        .withColumn("w", F.floor(F.sqrt(F.col("n"))).cast("long"))
+    )
+    wf = epoch_waterfill(
+        wf_src,
+        EPOCH_BUDGET_NUM,
+        EPOCH_BUDGET_DEN,
+        cap_milli=EPOCH_CAP_MILLI,
+        rounds=EPOCH_ROUNDS,
+    ).select(
+        F.concat(F.lit("waterfill:"), F.col("source")).alias("stage"),
+        F.col("alloc_tokens").cast("long").alias("n_rows"),
+        _cb_chk_col(
+            F.col("source"), F.col("epochs_milli"), F.col("capped")
+        ).alias("chk"),
+    )
+    stages.append(wf)
+    stages.append(
+        _stage("encode", enc, _cb_chk_col(F.col("doc_id"), F.col("n_ids")))
+    )
+    stages.append(
+        enc.agg(
+            F.coalesce(F.sum("n_ids"), F.lit(0)).cast("long").alias("n_rows")
+        ).select(
+            F.lit("tokens").alias("stage"),
+            "n_rows",
+            F.lit(0).cast("long").alias("chk"),
+        )
+    )
+    packed = materialize_packs(
+        mixture.join(enc.select("doc_id", "ids"), "doc_id").select(
+            (F.col("doc_id") * 100 + F.col("copy"))
+            .cast("long")
+            .alias("skey"),
+            "ids",
+        ),
+        capacity=CB_PACK_CAP,
+        id_col="skey",
+    ).select(
+        F.col("seq_id").cast("long").alias("seq_id"),
+        "n_tokens",
+        F.concat_ws(" ", F.col("ids")).alias("ids_str"),
+    )
+    stages.append(
+        _stage(
+            "packs",
+            packed,
+            _cb_chk_col(
+                F.col("seq_id"), F.col("n_tokens"), F.col("ids_str")
+            ),
+        )
+    )
+    cards = (
+        flags.filter("k_final")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.coalesce(
+                F.bit_xor(_cb_chk_col(F.col("doc_id"), F.col("n_chars"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("chk"),
+        )
+        .select(
+            F.concat(F.lit("card:"), F.col("source")).alias("stage"),
+            "n_rows",
+            "chk",
+        )
+    )
+    stages.append(cards)
+    out = stages[0]
+    for s in stages[1:]:
+        out = out.unionByName(s)
+    return out
+
+
 LOCATION_PAIRS_FIXTURE = [
     (1, ["Hà Nội:Cầu Giấy", "HCM:Quận 1"], "Hà Nội & HCM"),
     (2, [], "Hà Nội │ Cầu Giấy, Đống Đa"),
@@ -6796,7 +7436,7 @@ feats AS (
                 ELSE [] END AS g
     FROM arrs
 ),
-clf AS (
+clf AS MATERIALIZED (
     SELECT doc_id,
            CAST({CLF_BIAS} + {fold('a', 'u:')} + {fold('g', 'b:')} AS BIGINT)
                AS score_micro
@@ -8185,6 +8825,11 @@ O_KMEANS_FIT = _kmeans_oracle_sql(
 )
 
 
+# built here, after _langid_profile_sql (generators resolve names at
+# call time — the O_ constant must follow everything it embeds)
+O_CORPUS_BUILD = _corpus_build_oracle()
+
+
 QUERIES = {
     "corpus_curation": q_corpus_curation,
     "corpus_prep": q_corpus_prep,
@@ -8271,6 +8916,7 @@ QUERIES = {
     "bpe_learned_packs": q_bpe_learned_packs,
     "bpe_learn": q_bpe_learn,
     "bpe_roundtrip": q_bpe_roundtrip,
+    "corpus_build": q_corpus_build,
     "unigram_tok_learn": q_unigram_tok_learn,
     "unigram_tok_encode": q_unigram_tok_encode,
     "incremental_dedup": q_incremental_dedup,
@@ -8390,6 +9036,7 @@ ORACLES = {
     "bpe_budget_packs": O_BPE_BUDGET_PACKS,
     "bpe_learn": O_BPE_LEARN,
     "bpe_roundtrip": O_BPE_ROUNDTRIP,
+    "corpus_build": O_CORPUS_BUILD,
     "unigram_tok_learn": O_UNIGRAM_TOK_LEARN,
     "unigram_tok_encode": O_UNIGRAM_TOK_ENCODE,
     "incremental_dedup": O_INCREMENTAL_DEDUP,
