@@ -1623,6 +1623,81 @@ FROM t LEFT JOIN agg a USING (doc_id)
 """
 
 
+#: exact_spans gate: anchor window size and minimum match length
+EXSP_K = 8
+EXSP_MIN_LEN = 15
+
+
+def q_exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-array-equivalent exact duplicate-substring PAIRS at
+    minimum token length L (operators/dedup.exact_match_spans; Lee et
+    al. 2022 ExactSubstr): seed with duplicated 8-token anchor
+    windows, self-join on the anchor hash, chain consecutive anchors
+    per (doc_a, doc_b, diagonal), and report every maximal aligned
+    match of ≥ 15 tokens with both start positions and the exact
+    common length. The oracle replays anchors, pairing, and the
+    gaps-and-islands chain with plain SQL windows — one position off
+    in any match fails the hash. Complements `duplicate_spans` (which
+    reports only the covered positions, not the alignments)."""
+    from jobinsight_data_pipeline_spark.operators.dedup import (
+        exact_match_spans,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    sp = exact_match_spans(
+        t["documents"], "doc_id", "text", k=EXSP_K, min_len=EXSP_MIN_LEN
+    )
+    return sp.select(
+        "doc_a",
+        F.col("start_a").cast("long").alias("start_a"),
+        "doc_b",
+        F.col("start_b").cast("long").alias("start_b"),
+        F.col("match_len").cast("long").alias("match_len"),
+        F.col("n_windows").cast("long").alias("n_windows"),
+    )
+
+
+O_EXACT_SPANS = rf"""
+WITH t AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+    FROM documents
+),
+w AS MATERIALIZED (
+    SELECT doc_id AS doc, g - 1 AS pos,
+           md5(array_to_string(toks[g:g+{EXSP_K - 1}], ' ')) AS whash
+    FROM t, unnest(generate_series(1, len(toks) - {EXSP_K - 1})) AS u(g)
+    WHERE len(toks) >= {EXSP_K}
+),
+d AS (SELECT whash FROM w GROUP BY whash HAVING count(*) > 1),
+f AS MATERIALIZED (SELECT w.* FROM w SEMI JOIN d USING (whash)),
+p AS (
+    SELECT a.doc AS doc_a, a.pos AS pos_a,
+           b.doc AS doc_b, b.pos AS pos_b,
+           a.pos - b.pos AS diag
+    FROM f a JOIN f b ON a.whash = b.whash
+     AND (a.doc < b.doc OR (a.doc = b.doc AND a.pos < b.pos))
+),
+i AS (
+    SELECT *,
+           CASE WHEN lag(pos_a) OVER wdiag IS NULL
+                  OR pos_a > lag(pos_a) OVER wdiag + 1
+                THEN 1 ELSE 0 END AS nw
+    FROM p
+    WINDOW wdiag AS (PARTITION BY doc_a, doc_b, diag ORDER BY pos_a)
+),
+s AS (
+    SELECT *, CAST(sum(nw) OVER (PARTITION BY doc_a, doc_b, diag
+                                 ORDER BY pos_a) AS BIGINT) AS island
+    FROM i
+)
+SELECT doc_a, min(pos_a) AS start_a, doc_b, min(pos_b) AS start_b,
+       max(pos_a) - min(pos_a) + {EXSP_K} AS match_len,
+       count(*) AS n_windows
+FROM s GROUP BY doc_a, doc_b, diag, island
+HAVING max(pos_a) - min(pos_a) + {EXSP_K} >= {EXSP_MIN_LEN}
+"""
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-row importance resampling under a row-level exact oracle:
     the weight derives deterministically from doc length (one-decimal
@@ -8861,6 +8936,7 @@ QUERIES = {
     "epoch_plan": q_epoch_plan,
     "shuffle_shard": q_shuffle_shard,
     "duplicate_spans": q_duplicate_spans,
+    "exact_spans": q_exact_spans,
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_overlap": q_winnow_overlap,
     "pii_scrub": q_pii_scrub,
@@ -8981,6 +9057,7 @@ ORACLES = {
     "epoch_plan": O_EPOCH_PLAN,
     "shuffle_shard": O_SHUFFLE_SHARD,
     "duplicate_spans": O_DUPLICATE_SPANS,
+    "exact_spans": O_EXACT_SPANS,
     "winnow_fingerprints": O_WINNOW_FINGERPRINTS,
     "winnow_overlap": O_WINNOW_OVERLAP,
     "pii_scrub": O_PII_SCRUB,

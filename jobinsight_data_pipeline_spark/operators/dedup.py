@@ -699,6 +699,97 @@ def duplicate_spans(
     )
 
 
+def exact_match_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_len: int = 15,
+    max_anchor_freq: int | None = 100_000,
+) -> DataFrame:
+    """Maximal aligned duplicate-substring PAIRS at minimum token
+    length ``min_len`` — the suffix-array output of Lee et al. 2022's
+    ExactSubstr (reference: /root/reference has no tokenizer-level
+    dedup; this is the training-data extension bar), re-expressed as
+    seed-and-extend anchor chaining: where ``duplicate_spans`` reports
+    the positions covered by SOME duplicate, this reports WHICH two
+    places match, where each starts, and exactly how long the common
+    substring runs — what a suffix array's LCP walk would emit.
+
+    Exactness: a duplicated substring of length M ≥ min_len at
+    (doc_a, s_a) / (doc_b, s_b) makes all M−k+1 of its k-token windows
+    match at the SAME alignment (pos_a − pos_b constant), so it appears
+    as a contiguous anchor run on that diagonal and is reported with
+    match_len = M; conversely a run of consecutive aligned k-window
+    matches pins every covered token equal (overlapping windows at
+    step 1), so reported spans are genuinely identical substrings and
+    maximal on their diagonal. Same-document repeats report with
+    doc_a = doc_b and pos_a < pos_b.
+
+    Plan shape: one scan pass to positional k-window hashes, a
+    partial-aggregating groupBy keeps only duplicated anchors (the
+    seed set is the DUPLICATED windows only — at web scale that is a
+    tiny fraction of all windows), an equi-self-join on the 16-byte
+    anchor hash forms aligned pairs, and ONE window pass per
+    (doc_a, doc_b, diagonal) chains consecutive anchors into maximal
+    runs (gaps-and-islands; no iteration, no driver state).
+    ``max_anchor_freq`` caps pathological boilerplate anchors exactly
+    like ``max_shingle_freq`` in :func:`ngram_jaccard_pairs` — the
+    self-join is quadratic in per-anchor multiplicity, so a hash
+    occurring f times yields f·(f−1)/2 pairs; corpora that have not
+    been exact-deduped first should lower the cap (Lee et al. run
+    ExactSubstr after exact document dedup for the same reason).
+
+    Returns (doc_a, start_a, doc_b, start_b, match_len, n_windows):
+    maximal aligned matches with match_len ≥ min_len.
+    """
+    if min_len < k:
+        raise ValueError(f"min_len must be >= k, got {min_len} < {k}")
+    w = positional_windows(df, id_col, text_col, k)
+    dup = (
+        w.groupBy("whash")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") > 1)
+        .select("whash")
+    )
+    f = w.join(dup, "whash", "left_semi")
+    if max_anchor_freq is not None:
+        f = _cap_key_freq(f, "whash", max_anchor_freq)
+    a, b = f.alias("a"), f.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.whash") == F.col("b.whash"))
+        & (
+            (F.col("a.doc") < F.col("b.doc"))
+            | ((F.col("a.doc") == F.col("b.doc")) & (F.col("a.pos") < F.col("b.pos")))
+        ),
+    ).select(
+        F.col("a.doc").alias("doc_a"),
+        F.col("a.pos").alias("pos_a"),
+        F.col("b.doc").alias("doc_b"),
+        F.col("b.pos").alias("pos_b"),
+        (F.col("a.pos") - F.col("b.pos")).alias("_diag"),
+    )
+    order = Window.partitionBy("doc_a", "doc_b", "_diag").orderBy("pos_a")
+    prev = F.lag("pos_a").over(order)
+    islands = pairs.withColumn(
+        "_new", F.when(prev.isNull() | (F.col("pos_a") > prev + 1), 1).otherwise(0)
+    ).withColumn("_island", F.sum("_new").over(order))
+    return (
+        islands.groupBy("doc_a", "doc_b", "_diag", "_island")
+        .agg(
+            F.min("pos_a").alias("start_a"),
+            F.min("pos_b").alias("start_b"),
+            (F.max("pos_a") - F.min("pos_a") + k).alias("match_len"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .filter(F.col("match_len") >= min_len)
+        .select(
+            "doc_a", "start_a", "doc_b", "start_b", "match_len", "n_windows"
+        )
+    )
+
+
 def remove_spans(
     df: DataFrame,
     id_col: str = "doc_id",

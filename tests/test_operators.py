@@ -820,6 +820,116 @@ def test_duplicate_spans_known_answers(spark):
     assert out.get((4, 0, 12)) == 9
 
 
+def test_exact_match_spans_known_answers(spark):
+    """Aligned match pairs report WHERE each copy starts and the exact
+    common length: a 10-token run shared by two docs reports one pair
+    with both start positions and match_len 10; an in-document repeat
+    reports doc_a = doc_b with pos_a < pos_b; below-min_len matches
+    are suppressed; maximality — the run is not split or extended."""
+    from jobinsight_data_pipeline_spark.operators.dedup import (
+        exact_match_spans,
+    )
+
+    shared = "a0 a1 a2 a3 a4 a5 a6 a7 a8 a9"  # 10 tokens
+    df = spark.createDataFrame(
+        [
+            (1, f"pre1 pre2 {shared} post1"),
+            (2, f"{shared} tail1 tail2 tail3"),
+            (3, "u0 u1 u2 u3 u4 u5 u6 u7 u8 u9 u11 u12"),
+            # in-doc repeat of an 8-token run at positions 0 and 9
+            (4, "r0 r1 r2 r3 r4 r5 r6 r7 gap r0 r1 r2 r3 r4 r5 r6 r7"),
+        ],
+        "doc_id: long, text: string",
+    )
+    rows = exact_match_spans(df, "doc_id", "text", k=4, min_len=8).collect()
+    got = {
+        (r["doc_a"], r["start_a"], r["doc_b"], r["start_b"]): r["match_len"]
+        for r in rows
+    }
+    assert got == {
+        (1, 2, 2, 0): 10,  # cross-doc: starts 2 and 0, exactly 10 tokens
+        (4, 0, 4, 9): 8,  # in-doc: EARLIER copy is side a (pos_a < pos_b)
+    }, got
+    # k-sized matches below min_len are suppressed entirely
+    assert not exact_match_spans(
+        df.filter("doc_id in (1, 2)"), "doc_id", "text", k=4, min_len=11
+    ).collect()
+    import pytest
+
+    with pytest.raises(ValueError, match="min_len"):
+        exact_match_spans(df, "doc_id", "text", k=8, min_len=4)
+
+
+def test_exact_match_spans_equals_bruteforce(spark):
+    """Seeded fuzz vs an O(n²·L) reference: on random small-alphabet
+    corpora (engineered so repeats are common), the operator's maximal
+    aligned matches at min_len L must equal the brute-force set of
+    maximal common substrings of length ≥ L over all position pairs."""
+    import random
+
+    from jobinsight_data_pipeline_spark.operators.dedup import (
+        exact_match_spans,
+    )
+
+    def brute(docs: dict, k: int, L: int) -> dict:
+        out = {}
+        items = sorted(docs.items())
+        toks = {d: t.split() for d, t in items}
+        for ai in range(len(items)):
+            for bi in range(ai, len(items)):
+                da, db = items[ai][0], items[bi][0]
+                A, B = toks[da], toks[db]
+                # maximal runs per diagonal: match_len at aligned offsets
+                for diag in range(-len(B) + 1, len(A)):
+                    run = 0
+                    best = []
+                    lo = max(0, diag)
+                    hi = min(len(A), len(B) + diag)
+                    for pa in range(lo, hi + 1):
+                        pb = pa - diag
+                        same = (
+                            pa < hi
+                            and A[pa] == B[pb]
+                            and not (da == db and diag == 0)
+                        )
+                        if same:
+                            run += 1
+                        else:
+                            if run >= L:
+                                sa = pa - run
+                                # operator convention for in-doc pairs:
+                                # the EARLIER copy is side a (pos_a <
+                                # pos_b ⇒ diag < 0); diag > 0 is the
+                                # mirrored duplicate diagonal — skip
+                                if da == db and diag > 0:
+                                    pass
+                                else:
+                                    out[(da, sa, db, sa - diag)] = run
+                            run = 0
+        return out
+
+    rng = random.Random(4242)
+    for trial in range(5):
+        docs = {}
+        vocab = [f"w{i}" for i in range(6)]
+        for d in range(6):
+            n = rng.randint(8, 40)
+            docs[d] = " ".join(rng.choice(vocab) for _ in range(n))
+        # plant a guaranteed in-document repeat (convention coverage)
+        rep = " ".join(rng.choice(vocab) for _ in range(7))
+        docs[6] = f"{rep} w0 w1 w0 w1 w0 {rep}"
+        k, L = 3, 5
+        df = spark.createDataFrame(
+            list(docs.items()), "doc_id: long, text: string"
+        )
+        got = {
+            (r["doc_a"], r["start_a"], r["doc_b"], r["start_b"]): r["match_len"]
+            for r in exact_match_spans(df, "doc_id", "text", k=k, min_len=L).collect()
+        }
+        want = brute(docs, k, L)
+        assert got == want, (trial, got, want)
+
+
 def test_shard_manifest_detects_any_row_change(spark):
     """The manifest must be reproducible across re-materializations and
     sensitive to a single changed row: full shards carry exactly
