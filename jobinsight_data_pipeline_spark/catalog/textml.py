@@ -4974,17 +4974,263 @@ O_INCREMENTAL_DEDUP = _incremental_dedup_oracle()
 #: right-to-erasure tombstone domain (id % 10 == 3) and the planted
 #: day-2 copies: 3 forgotten sources, 3 remembered sources
 FORGET_MOD, FORGET_RESIDUE = 10, 3
+FORGET_SRC_FORGOTTEN = (3, 13, 23)
+FORGET_SRC_REMEMBERED = (0, 1, 2)
+FORGET_COPY_BASE = 5_000_000
+#: the serve probe: the smallest tombstoned vec id
+FORGET_PROBE_VEC = 3
+
+
+#: streaming-state erasure pin: planted-copy id offsets per source class
+SFWD_COPY_FORGOT = 6_000_000
+SFWD_COPY_REMEMB = 7_000_000
+SFWD_COPY_FILEA = 8_000_000
+
+
+def q_stream_forget_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming-state erasure pin (the r7/r8 gap `forget_propagation`
+    left open): a foreachBatch dedup stream that RESUMES AFTER
+    right-to-erasure must judge later batches ONLY by the surviving
+    corpus — including state rows the stream itself appended before the
+    erasure. Timeline:
+
+    1. bootstrap state from day 1 (doc_id < 250), stream processes a
+       day-2a file (even ids ≥ 250, record='all') — state grows;
+    2. `forget_keys` (the REAL erasure operator, through a ParquetLake
+       round-trip with history purge) tombstones day-1 ids ≡ 3 (mod 10)
+       AND the stream-grown day-2a ids ≡ 52 (mod 100); the cleaned
+       state replaces the stream's state dir;
+    3. the stream RESUMES from the same checkpoint on a day-2b file:
+       fresh odd ids plus planted exact copies of forgotten day-1 docs
+       (id+6M), remembered day-1 docs (id+7M), and erased/surviving
+       day-2a docs (id+8M).
+
+    The DuckDB oracle replays BOTH phases (md5 membership, 16 minhash
+    components, band buckets, in-batch windows) with phase-2 history =
+    (day1 ∪ day2a) minus tombstones: a copy of a remembered doc must
+    come back exact_dup, a copy of a FORGOTTEN doc must be judged as if
+    the original never existed."""
+    import hashlib
+    import os
+    import shutil
+
+    from jobinsight_data_pipeline_spark.catalog import scratch_dir
+    from jobinsight_data_pipeline_spark.operators.dedup import (
+        build_dedup_state,
+    )
+    from jobinsight_data_pipeline_spark.sources.lake import (
+        ParquetLake,
+        forget_keys,
+    )
+    from jobinsight_data_pipeline_spark.streaming.incremental import (
+        stream_incremental_dedup,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    docs = t["documents"].select("doc_id", "text")
+    day1 = docs.filter(F.col("doc_id") < INCR_SPLIT)
+    file_a = docs.filter(
+        (F.col("doc_id") >= INCR_SPLIT) & (F.col("doc_id") % 2 == 0)
+    )
+    fresh_b = docs.filter(
+        (F.col("doc_id") >= INCR_SPLIT) & (F.col("doc_id") % 2 == 1)
+    )
+    tomb = (
+        day1.filter(F.col("doc_id") % 10 == FORGET_RESIDUE)
+        .select("doc_id")
+        .unionByName(
+            file_a.filter(F.col("doc_id") % 100 == 52).select("doc_id")
+        )
+    )
+    cp_forgot = docs.filter(
+        F.col("doc_id").isin(*FORGET_SRC_FORGOTTEN)
+    ).select((F.col("doc_id") + SFWD_COPY_FORGOT).alias("doc_id"), "text")
+    cp_rememb = docs.filter(
+        F.col("doc_id").isin(*FORGET_SRC_REMEMBERED)
+    ).select((F.col("doc_id") + SFWD_COPY_REMEMB).alias("doc_id"), "text")
+    cp_file_a = file_a.filter(
+        (F.col("doc_id") % 100).isin(52, 54)
+    ).select((F.col("doc_id") + SFWD_COPY_FILEA).alias("doc_id"), "text")
+    file_b = (
+        fresh_b.unionByName(cp_forgot)
+        .unionByName(cp_rememb)
+        .unionByName(cp_file_a)
+    )
+
+    base = scratch_dir(
+        "streamforget-gate-",
+        "{}-{}".format(
+            spark.sparkContext.applicationId,
+            hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+        ),
+    )
+    done = os.path.join(base, "_gate_done")
+    raw = os.path.join(base, "drops")
+    state_dir = os.path.join(base, "state")
+    sink = os.path.join(base, "sink")
+    ckpt = os.path.join(base, "ckpt")
+    if not os.path.exists(done):
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        now = 1_700_000_000
+        stamped: set[str] = set()
+
+        def _drop(shard: DataFrame, tick: int) -> None:
+            shard.coalesce(1).write.mode("append").parquet(raw)
+            for f in sorted(os.listdir(raw)):
+                if f.endswith(".parquet") and f not in stamped:
+                    stamped.add(f)
+                    os.utime(os.path.join(raw, f), (now + tick, now + tick))
+
+        # phase 1: bootstrap state, stream the day-2a file
+        build_dedup_state(
+            day1, n_hashes=INCR_NH, bands=INCR_BANDS, hash_mode="md5"
+        ).write.parquet(state_dir)
+        _drop(file_a, 0)
+        stream_incremental_dedup(
+            spark, raw, file_a.schema, sink, state_dir, ckpt,
+            n_hashes=INCR_NH, bands=INCR_BANDS, hash_mode="md5",
+            record="all",
+        ).awaitTermination()
+        # erasure: the REAL forget operator over a lake round-trip,
+        # then the cleaned current version replaces the stream's state
+        lake = ParquetLake(os.path.join(base, "statelake"))
+        lake.write(spark.read.parquet(state_dir), "dedup_state")
+        forget_keys(spark, lake, {"dedup_state": "doc"}, tomb)
+        cleaned = lake.read(spark, "dedup_state")
+        shutil.rmtree(state_dir)
+        cleaned.write.parquet(state_dir)
+        # phase 2: resume the SAME checkpoint on the day-2b file
+        _drop(file_b, 1)
+        stream_incremental_dedup(
+            spark, raw, file_a.schema, sink, state_dir, ckpt,
+            n_hashes=INCR_NH, bands=INCR_BANDS, hash_mode="md5",
+            record="all",
+        ).awaitTermination()
+        with open(done, "w") as fh:
+            fh.write("ok")
+    return spark.read.parquet(sink).select("doc_id", "status")
+
+
+def _stream_forget_oracle() -> str:
+    nh, nb = INCR_NH, INCR_BANDS
+    rpb = nh // nb
+
+    def comp(i: int) -> str:
+        return (
+            f"CAST(('0x' || substring(md5('{i}:' || shingle), 1, 15)) "
+            "AS BIGINT)"
+        )
+
+    sig_aggs = ", ".join(f"min({comp(i)}) AS h{i}" for i in range(nh))
+
+    def bucket(band: int) -> str:
+        cat = " || ',' || ".join(
+            f"CAST(h{band * rpb + j} AS VARCHAR)" for j in range(rpb)
+        )
+        return f"CAST(('0x' || substring(md5({cat}), 1, 15)) AS BIGINT)"
+
+    def buckets_cte(sig: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT doc, {band} AS band, {bucket(band)} AS bucket FROM {sig}"
+            for band in range(nb)
+        )
+
+    shingle_cte = """
+    SELECT DISTINCT doc_id AS doc, unnest(
+        list_transform(range(len(w) - 2),
+                       i -> concat(w[i + 1], ' ', w[i + 2], ' ', w[i + 3]))
+    ) AS shingle
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+          FROM {src}
+          WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3) t
+"""
+
+    def phase(p: str, batch: str, hist: str) -> str:
+        return f"""sh_{p}h AS ({shingle_cte.format(src=hist)}),
+sh_{p}b AS ({shingle_cte.format(src=batch)}),
+sig_{p}h AS (SELECT doc, {sig_aggs} FROM sh_{p}h GROUP BY doc),
+sig_{p}b AS (SELECT doc, {sig_aggs} FROM sh_{p}b GROUP BY doc),
+b_{p}h AS (SELECT DISTINCT band, bucket FROM ({buckets_cte(f"sig_{p}h")})),
+b_{p}b AS MATERIALIZED ({buckets_cte(f"sig_{p}b")}),
+md5_{p}h AS (SELECT DISTINCT md5(text) AS m FROM {hist}),
+base_{p} AS (
+    SELECT doc_id, md5(text) AS m,
+           min(doc_id) OVER (PARTITION BY md5(text)) AS min_id
+    FROM {batch}
+),
+nearb_{p} AS (
+    SELECT DISTINCT doc FROM (
+        SELECT doc, min(doc) OVER (PARTITION BY band, bucket) AS minb
+        FROM b_{p}b
+    ) WHERE doc > minb
+),
+nearh_{p} AS (
+    SELECT DISTINCT b.doc FROM b_{p}b b JOIN b_{p}h USING (band, bucket)
+),
+dec_{p} AS (
+    SELECT doc_id,
+           CASE WHEN m IN (SELECT m FROM md5_{p}h) OR doc_id > min_id
+                    THEN 'exact_dup'
+                WHEN doc_id IN (SELECT doc FROM nearb_{p})
+                     OR doc_id IN (SELECT doc FROM nearh_{p})
+                    THEN 'near_dup'
+                ELSE 'kept' END AS status
+    FROM base_{p}
+)"""
+
+    forgot = ", ".join(str(i) for i in FORGET_SRC_FORGOTTEN)
+    rememb = ", ".join(str(i) for i in FORGET_SRC_REMEMBERED)
+    return f"""
+WITH day1 AS MATERIALIZED (
+    SELECT doc_id, text FROM documents WHERE doc_id < {INCR_SPLIT}
+),
+file_a AS MATERIALIZED (
+    SELECT doc_id, text FROM documents
+    WHERE doc_id >= {INCR_SPLIT} AND doc_id % 2 = 0
+),
+tomb AS MATERIALIZED (
+    SELECT doc_id FROM day1
+    WHERE doc_id % {FORGET_MOD} = {FORGET_RESIDUE}
+    UNION ALL
+    SELECT doc_id FROM file_a WHERE doc_id % 100 = 52
+),
+hist_b AS MATERIALIZED (
+    SELECT s.doc_id, s.text FROM (
+        SELECT doc_id, text FROM day1
+        UNION ALL
+        SELECT doc_id, text FROM file_a
+    ) s ANTI JOIN tomb ON s.doc_id = tomb.doc_id
+),
+file_b AS MATERIALIZED (
+    SELECT doc_id, text FROM documents
+    WHERE doc_id >= {INCR_SPLIT} AND doc_id % 2 = 1
+    UNION ALL
+    SELECT doc_id + {SFWD_COPY_FORGOT}, text FROM documents
+    WHERE doc_id IN ({forgot})
+    UNION ALL
+    SELECT doc_id + {SFWD_COPY_REMEMB}, text FROM documents
+    WHERE doc_id IN ({rememb})
+    UNION ALL
+    SELECT doc_id + {SFWD_COPY_FILEA}, text FROM file_a
+    WHERE doc_id % 100 IN (52, 54)
+),
+{phase("a", "file_a", "day1")},
+{phase("b", "file_b", "hist_b")}
+SELECT doc_id, status FROM dec_a
+UNION ALL
+SELECT doc_id, status FROM dec_b
+"""
+
+
+O_STREAM_FORGET_DEDUP = _stream_forget_oracle()
+
 
 #: erase ≡ rebuild: the erased-index serve must equal a fresh build on
 #: the tombstone-filtered corpus (q_forget_bm25)
 O_FORGET_BM25 = _bm25_oracle(
     where=f"WHERE doc_id % {FORGET_MOD} <> {FORGET_RESIDUE}"
 )
-FORGET_SRC_FORGOTTEN = (3, 13, 23)
-FORGET_SRC_REMEMBERED = (0, 1, 2)
-FORGET_COPY_BASE = 5_000_000
-#: the serve probe: the smallest tombstoned vec id
-FORGET_PROBE_VEC = 3
 
 
 def q_forget_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8998,6 +9244,7 @@ QUERIES = {
     "incremental_dedup": q_incremental_dedup,
     "forget_propagation": q_forget_propagation,
     "stream_incremental_dedup": q_stream_incremental_dedup,
+    "stream_forget_dedup": q_stream_forget_dedup,
     "incremental_semantic_dedup": q_incremental_semantic_dedup,
     "stream_semantic_dedup": q_stream_semantic_dedup,
     "prototype_prune": q_prototype_prune,
@@ -9119,6 +9366,7 @@ ORACLES = {
     "incremental_dedup": O_INCREMENTAL_DEDUP,
     "forget_propagation": O_FORGET_PROPAGATION,
     "stream_incremental_dedup": O_INCREMENTAL_DEDUP,
+    "stream_forget_dedup": O_STREAM_FORGET_DEDUP,
     "incremental_semantic_dedup": O_INCREMENTAL_SEMANTIC_DEDUP,
     "stream_semantic_dedup": O_STREAM_SEMANTIC_DEDUP,
     "prototype_prune": O_PROTOTYPE_PRUNE,

@@ -1014,3 +1014,30 @@ def test_forget_keys_erasure_and_history_purge(spark, tmp_path):
         ).collect()
     }
     assert m2 == {"users": 0, "orders": 0}
+
+
+def test_stream_forget_dedup_semantics(spark):
+    """The streaming-state erasure contract, asserted explicitly (the
+    gate hash pins it corpus-wide; this spells it out): after the
+    foreachBatch stream resumes from its checkpoint post-erasure, an
+    exact copy of a FORGOTTEN day-1 doc is judged as if the original
+    never existed (kept), while a copy of a remembered doc stays
+    exact_dup."""
+    from jobinsight_data_pipeline_spark.catalog.textml import (
+        FORGET_SRC_FORGOTTEN,
+        FORGET_SRC_REMEMBERED,
+        SFWD_COPY_FORGOT,
+        SFWD_COPY_REMEMB,
+        q_stream_forget_dedup,
+    )
+
+    out = {
+        r["doc_id"]: r["status"]
+        for r in q_stream_forget_dedup(spark, "/root/testdata/sf0.001")
+        .filter(F.col("doc_id") >= SFWD_COPY_FORGOT)
+        .collect()
+    }
+    for i in FORGET_SRC_FORGOTTEN:
+        assert out[i + SFWD_COPY_FORGOT] == "kept", (i, out)
+    for i in FORGET_SRC_REMEMBERED:
+        assert out[i + SFWD_COPY_REMEMB] == "exact_dup", (i, out)
