@@ -135,6 +135,26 @@ def probes(spark, sf_dir):
         q_local_supplier_volume,
         q_star_revenue,
     )
+    from jobinsight_data_pipeline_spark.operators.dedup import (
+        exact_match_spans as _exact_match_spans,
+    )
+    from jobinsight_data_pipeline_spark.operators.unigram import (
+        unigram_encode as _unigram_encode,
+        unigram_train as _unigram_train,
+        words_with_freq as _words_with_freq,
+    )
+
+    _um_cache: dict = {}
+
+    def _um_model():
+        # one model per sf_dir, trained outside the timed thunk's loop
+        # is not possible here (thunks are re-built per sf) — memoize
+        # so the 3 timing reps pay training once
+        if sf_dir not in _um_cache:
+            _um_cache[sf_dir] = _unigram_train(
+                spark, _words_with_freq(docs), rounds=3, seed_k=80, vocab_k=40
+            )
+        return _um_cache[sf_dir]
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -350,6 +370,18 @@ def probes(spark, sf_dir):
         # one-shot cost; the gate memoizes the build)
         "sq8_serve_many (4 queries)": lambda: _sq8_serve(
             emb, emb.filter("vec_id IN (0, 7, 23, 42)")
+        ),
+        # round-9: aligned duplicate-substring pairs — seed volume is
+        # DUPLICATED anchors only, so the curve tracks the corpus's
+        # duplication rate, not its size
+        "exact_spans (anchor chains, L=15)": lambda: _exact_match_spans(
+            docs, "doc_id", "text", k=8, min_len=15
+        ),
+        # round-9: unigram-LM Viterbi encode under a pre-trained model
+        # (the artifact amortizes; training is driver-round-bound like
+        # learn_bpe_merges and measured via the gate)
+        "unigram_encode (word-table DP)": lambda: _unigram_encode(
+            spark, docs, _um_model()
         ),
     }
 
