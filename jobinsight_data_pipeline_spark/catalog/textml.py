@@ -1698,6 +1698,65 @@ HAVING max(pos_a) - min(pos_a) + {EXSP_K} >= {EXSP_MIN_LEN}
 """
 
 
+def q_exact_spans_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-ONE-copy ExactSubstr removal (operators/dedup.
+    remove_duplicate_copies — Lee et al. 2022's actual dedup rule):
+    every maximal aligned duplicate of ≥ 15 tokens is removed from the
+    LATER side only, so the canonical earliest copy survives — the
+    copy election `remove_spans`' all-copies masking documents as
+    missing. The oracle composes the exact_spans replay with the
+    later-side span mask and re-derives every cleaned text."""
+    from jobinsight_data_pipeline_spark.operators.dedup import (
+        remove_duplicate_copies,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    return remove_duplicate_copies(
+        t["documents"], "doc_id", "text", k=EXSP_K, min_len=EXSP_MIN_LEN
+    )
+
+
+O_EXACT_SPANS_REMOVAL = rf"""
+WITH m AS ({O_EXACT_SPANS}),
+spans AS (
+    SELECT DISTINCT doc_b AS doc_id, start_b AS span_start,
+           start_b + match_len AS span_end
+    FROM m
+),
+t AS (
+    SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks
+    FROM documents
+),
+pos AS (
+    SELECT t.doc_id, toks[g] AS tok, g - 1 AS idx
+    FROM t, unnest(generate_series(1, len(toks))) AS u(g)
+    WHERE t.text IS NOT NULL
+),
+kept AS (
+    SELECT p.* FROM pos p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM spans s
+        WHERE s.doc_id = p.doc_id
+          AND p.idx >= s.span_start AND p.idx < s.span_end
+    )
+),
+agg AS (
+    SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS cleaned_txt,
+           count(*) AS n_kept
+    FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CASE WHEN t.text IS NULL THEN NULL
+            ELSE coalesce(a.cleaned_txt, '') END AS cleaned,
+       CASE WHEN t.text IS NULL THEN NULL
+            ELSE CAST(len(t.toks) AS BIGINT) END AS n_tokens,
+       CASE WHEN t.text IS NULL THEN NULL
+            ELSE CAST(len(t.toks) - coalesce(a.n_kept, 0) AS BIGINT)
+       END AS n_removed
+FROM t LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-row importance resampling under a row-level exact oracle:
     the weight derives deterministically from doc length (one-decimal
@@ -9183,6 +9242,7 @@ QUERIES = {
     "shuffle_shard": q_shuffle_shard,
     "duplicate_spans": q_duplicate_spans,
     "exact_spans": q_exact_spans,
+    "exact_spans_removal": q_exact_spans_removal,
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_overlap": q_winnow_overlap,
     "pii_scrub": q_pii_scrub,
@@ -9305,6 +9365,7 @@ ORACLES = {
     "shuffle_shard": O_SHUFFLE_SHARD,
     "duplicate_spans": O_DUPLICATE_SPANS,
     "exact_spans": O_EXACT_SPANS,
+    "exact_spans_removal": O_EXACT_SPANS_REMOVAL,
     "winnow_fingerprints": O_WINNOW_FINGERPRINTS,
     "winnow_overlap": O_WINNOW_OVERLAP,
     "pii_scrub": O_PII_SCRUB,

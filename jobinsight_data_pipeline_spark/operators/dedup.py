@@ -797,6 +797,42 @@ def exact_match_spans(
     )
 
 
+def remove_duplicate_copies(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_len: int = 15,
+    max_anchor_freq: int | None = 100_000,
+) -> DataFrame:
+    """Keep-ONE-copy ExactSubstr removal — the dedup rule Lee et al.
+    2022 actually apply (and the gap :func:`remove_spans` documents:
+    "keep-one-copy needs a global copy election"): every maximal
+    aligned duplicate substring of ≥ ``min_len`` tokens is removed
+    from the LATER side only (the larger doc id; for in-document
+    repeats the later position), so exactly one copy — the canonical
+    earliest — survives in the corpus.
+
+    The election falls out of :func:`exact_match_spans`' pair
+    convention for free: side a is always the earlier copy, so the
+    removal set is simply every match's (doc_b, start_b, +match_len)
+    span. Spans may overlap across partners (a doc can be the later
+    copy against several earlier ones); the token mask tests covered
+    membership, so no island merge is needed — one distinct over the
+    span set bounds the per-doc array.
+
+    Emits (id, cleaned, n_tokens, n_removed) exactly like
+    :func:`remove_spans`; docs that are nobody's later copy pass
+    through byte-identical."""
+    m = exact_match_spans(df, id_col, text_col, k, min_len, max_anchor_freq)
+    later = m.select(
+        F.col("doc_b").alias("doc"),
+        F.col("start_b").alias("span_start"),
+        (F.col("start_b") + F.col("match_len")).alias("span_end"),
+    ).distinct()
+    return remove_spans(df, id_col, text_col, spans=later)
+
+
 def remove_spans(
     df: DataFrame,
     id_col: str = "doc_id",

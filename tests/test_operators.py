@@ -930,6 +930,41 @@ def test_exact_match_spans_equals_bruteforce(spark):
         assert got == want, (trial, got, want)
 
 
+def test_remove_duplicate_copies_keeps_earliest(spark):
+    """Keep-ONE-copy election: the earlier side of every aligned match
+    survives untouched, the later side loses exactly the matched span —
+    cross-doc (smaller doc id wins) and in-doc (earlier position wins);
+    clean docs pass through byte-identical."""
+    from jobinsight_data_pipeline_spark.operators.dedup import (
+        remove_duplicate_copies,
+    )
+
+    shared = "a0 a1 a2 a3 a4 a5 a6 a7 a8 a9"
+    df = spark.createDataFrame(
+        [
+            (1, f"pre1 pre2 {shared} post1"),
+            (2, f"{shared} tail1 tail2 tail3"),
+            (3, "u0 u1 u2 u3 u4 u5 u6 u7 u8 u9 u11 u12"),
+            (4, "r0 r1 r2 r3 r4 r5 r6 r7 gap r0 r1 r2 r3 r4 r5 r6 r7"),
+        ],
+        "doc_id: long, text: string",
+    )
+    out = {
+        r["doc_id"]: (r["cleaned"], r["n_tokens"], r["n_removed"])
+        for r in remove_duplicate_copies(
+            df, "doc_id", "text", k=4, min_len=8
+        ).collect()
+    }
+    # doc 1 is the EARLIER copy: untouched
+    assert out[1] == (f"pre1 pre2 {shared} post1", 13, 0)
+    # doc 2 is the later copy: loses exactly the 10 shared tokens
+    assert out[2] == ("tail1 tail2 tail3", 13, 10)
+    # clean doc passes through
+    assert out[3][2] == 0
+    # in-doc repeat: FIRST copy survives, second is removed
+    assert out[4] == ("r0 r1 r2 r3 r4 r5 r6 r7 gap", 17, 8)
+
+
 def test_shard_manifest_detects_any_row_change(spark):
     """The manifest must be reproducible across re-materializations and
     sensitive to a single changed row: full shards carry exactly
