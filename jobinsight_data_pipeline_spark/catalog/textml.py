@@ -4828,7 +4828,10 @@ def _unigram_learn_oracle() -> str:
     )
 
 
-def _unigram_encode_oracle() -> str:
+def _unigram_encode_ctes() -> list[str]:
+    """Train replay + final-model Viterbi + the per-document
+    (pos, idx, piece, piece_id) long frame (doc_toks ⋈ wpid) — shared
+    by the encode oracle and the tokenizer-fertility oracle."""
     q = "CAST(floor(ln(CAST({} AS DOUBLE)) * 1000000.0) AS BIGINT)"
     qt = q.format("sum(cnt)")
     qc = q.format("cnt")
@@ -4861,6 +4864,11 @@ def _unigram_encode_oracle() -> str:
     ) wp
     LEFT JOIN pruned pr ON pr.piece = wp.piece
 )""")
+    return parts
+
+
+def _unigram_encode_oracle() -> str:
+    parts = _unigram_encode_ctes()
     parts.append("""agg AS (
     SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_pieces,
            string_agg(CAST(piece_id AS VARCHAR), '-'
@@ -4879,8 +4887,106 @@ FROM documents d LEFT JOIN agg a USING (doc_id)"""
     )
 
 
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-tokenizer fertility diagnostic — the standard tokenizer
+    evaluation (tokens emitted per whitespace word, by source): the
+    default-merges BPE encoder and the corpus-trained unigram-LM model
+    run over the SAME corpus, and each source reports word volume,
+    subword volume under both tokenizers, and exact integer fertility
+    ppm (tokens·10⁶ div words). One hash pins both tokenizers'
+    corpus-wide behavior side by side — a drift in EITHER encoder's
+    segmentation moves its source totals."""
+    from jobinsight_data_pipeline_spark.operators.bpe import (
+        bpe_encode_memoized,
+    )
+    from jobinsight_data_pipeline_spark.operators.parallelism import (
+        widen_for_cpu,
+    )
+    from jobinsight_data_pipeline_spark.operators.textstats import (
+        word_count,
+    )
+    from jobinsight_data_pipeline_spark.operators.unigram import (
+        unigram_encode,
+    )
+
+    model = _unigram_model(spark, sf_dir)
+    t = load(spark, sf_dir, "documents")
+    docs = t["documents"]
+    bpe = bpe_encode_memoized(
+        widen_for_cpu(docs.select("doc_id", "text")), word_encoder="python"
+    ).select("doc_id", "n_ids")
+    uni = (
+        unigram_encode(spark, docs, model, pmax=UNIGRAM_PMAX)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pieces"))
+    )
+    per_doc = (
+        docs.select(
+            "doc_id", "source",
+            word_count(F.col("text")).cast("long").alias("n_words"),
+        )
+        .join(bpe, "doc_id", "left")
+        .join(uni, "doc_id", "left")
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.coalesce(F.sum("n_ids"), F.lit(0)).cast("long").alias("bpe_tokens"),
+        F.coalesce(F.sum("n_pieces"), F.lit(0)).cast("long").alias("uni_pieces"),
+    )
+    return agg.select(
+        "source", "n_docs", "n_words", "bpe_tokens", "uni_pieces",
+        F.expr("(bpe_tokens * 1000000) div nullif(n_words, 0)")
+        .cast("long").alias("bpe_fert_ppm"),
+        F.expr("(uni_pieces * 1000000) div nullif(n_words, 0)")
+        .cast("long").alias("uni_fert_ppm"),
+    )
+
+
+def _tokenizer_fertility_oracle() -> str:
+    parts = _unigram_encode_ctes()
+    parts.append("""uni_doc AS (
+    SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_pieces
+    FROM doc_toks d JOIN wpid ON wpid.w = d.w
+    GROUP BY d.doc_id
+)""")
+    parts.append(f"""bpe_doc AS (
+    SELECT doc_id, CAST(len({_bpe_ids_duck("text")}) AS BIGINT) AS n_ids
+    FROM documents
+)""")
+    parts.append("""wd AS (
+    SELECT doc_id, source,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+           END AS n_words
+    FROM documents
+)""")
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(parts)
+        + """,
+agg AS (
+    SELECT wd.source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(wd.n_words) AS BIGINT) AS n_words,
+           CAST(coalesce(sum(b.n_ids), 0) AS BIGINT) AS bpe_tokens,
+           CAST(coalesce(sum(u.n_pieces), 0) AS BIGINT) AS uni_pieces
+    FROM wd
+    LEFT JOIN bpe_doc b USING (doc_id)
+    LEFT JOIN uni_doc u USING (doc_id)
+    GROUP BY wd.source
+)
+SELECT source, n_docs, n_words, bpe_tokens, uni_pieces,
+       CAST((bpe_tokens * 1000000) // nullif(n_words, 0) AS BIGINT)
+           AS bpe_fert_ppm,
+       CAST((uni_pieces * 1000000) // nullif(n_words, 0) AS BIGINT)
+           AS uni_fert_ppm
+FROM agg"""
+    )
+
+
 O_UNIGRAM_TOK_LEARN = _unigram_learn_oracle()
 O_UNIGRAM_TOK_ENCODE = _unigram_encode_oracle()
+O_TOKENIZER_FERTILITY = _tokenizer_fertility_oracle()
 
 
 #: incremental-dedup gate constants: history split + planted-dup spacing
@@ -9301,6 +9407,7 @@ QUERIES = {
     "corpus_build": q_corpus_build,
     "unigram_tok_learn": q_unigram_tok_learn,
     "unigram_tok_encode": q_unigram_tok_encode,
+    "tokenizer_fertility": q_tokenizer_fertility,
     "incremental_dedup": q_incremental_dedup,
     "forget_propagation": q_forget_propagation,
     "stream_incremental_dedup": q_stream_incremental_dedup,
@@ -9424,6 +9531,7 @@ ORACLES = {
     "corpus_build": O_CORPUS_BUILD,
     "unigram_tok_learn": O_UNIGRAM_TOK_LEARN,
     "unigram_tok_encode": O_UNIGRAM_TOK_ENCODE,
+    "tokenizer_fertility": O_TOKENIZER_FERTILITY,
     "incremental_dedup": O_INCREMENTAL_DEDUP,
     "forget_propagation": O_FORGET_PROPAGATION,
     "stream_incremental_dedup": O_INCREMENTAL_DEDUP,

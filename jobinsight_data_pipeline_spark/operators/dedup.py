@@ -745,7 +745,13 @@ def exact_match_spans(
     self-join is quadratic in per-anchor multiplicity, so a hash
     occurring f times yields f·(f−1)/2 pairs; corpora that have not
     been exact-deduped first should lower the cap (Lee et al. run
-    ExactSubstr after exact document dedup for the same reason).
+    ExactSubstr after exact document dedup for the same reason). The
+    cap's loss is one-sided and CONTAINED: dropping a hot anchor can
+    truncate a reported span (the chain starts at the first surviving
+    anchor) or drop a boilerplate-only match, never invent or extend
+    one — every capped match lies inside an uncapped match on the same
+    (doc_a, doc_b, diagonal), pinned by
+    test_exact_match_spans_anchor_cap_subset.
 
     Returns (doc_a, start_a, doc_b, start_b, match_len, n_windows):
     maximal aligned matches with match_len ≥ min_len.

@@ -1388,6 +1388,47 @@ def boiler_corpus(spark):
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
+def test_exact_match_spans_anchor_cap_subset(boiler_corpus):
+    """The anchor-frequency cap on exact_match_spans is lossy one-sided:
+    capped matches ⊆ uncapped (boilerplate-anchored matches disappear,
+    matches carried by rarer anchors survive), and the default cap is a
+    no-op at test scale."""
+    from jobinsight_data_pipeline_spark.operators.dedup import (
+        exact_match_spans,
+    )
+
+    def pairs(cap):
+        return {
+            (r["doc_a"], r["start_a"], r["doc_b"], r["start_b"]): r["match_len"]
+            for r in exact_match_spans(
+                boiler_corpus, "doc_id", "text", k=3, min_len=6,
+                max_anchor_freq=cap,
+            ).collect()
+        }
+
+    exact = pairs(None)
+    capped = pairs(3)
+    default = pairs(100_000)
+    # capped matches are CONTAINED in uncapped ones: dropping hot
+    # anchors can truncate a span (the chain starts at the first
+    # surviving anchor) but never invent or extend one — every capped
+    # match sits inside an exact match on the same (docs, diagonal)
+    for (da, sa, db, sb), ln in capped.items():
+        assert any(
+            ea == da and eb == db and esa - esb == sa - sb
+            and esa <= sa and esa + eln >= sa + ln
+            for (ea, esa, eb, esb), eln in exact.items()
+        ), (da, sa, db, sb, ln)
+    assert default == exact  # 1e5 cap is a no-op here
+    # the 6-token boilerplate header duplicates across all 8 docs —
+    # its anchors exceed cap 3, so boilerplate-only matches vanish
+    assert any(k[1] == 0 and k[3] == 0 for k in exact)  # header matches
+    assert not any(k[1] == 0 and k[3] == 0 for k in capped)
+    # docs 1/2 share 6+8 contiguous tokens; the shared-content anchors
+    # (frequency 2) survive the cap
+    assert any(k[0] == 1 and k[2] == 2 for k in capped)
+
+
 def test_ngram_freq_cap_subset(boiler_corpus):
     """The hot-shingle cap is lossy one-sided: capped pairs ⊆ uncapped,
     capped jaccard ≤ exact jaccard (denominators stay full-set), pairs
