@@ -9311,6 +9311,102 @@ O_KMEANS_FIT = _kmeans_oracle_sql(
 )
 
 
+def q_ivf_trained_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRAINED-index serving path: the IVF gates elsewhere use a
+    seeded literal coarse quantizer; production fits the quantizer on
+    the data. Here the memoized 8-cell Lloyd's fit (the kmeans gates'
+    own model — quantized ints, exactly int/10⁶ as floats on any
+    engine) becomes the IVF-PQ coarse centroids: build_ivf_pq_index
+    assigns cells + PQ codes against the FITTED matrix, and
+    ivf_pq_topk_indexed serves vec 0's query over 4 probe cells of 8.
+    The oracle replays the ENTIRE lineage — all four training rounds
+    (the unrolled kmeans CTEs), the derived float centroid matrix,
+    cell assignment, PQ encoding, probe selection, and ADC ranking —
+    so a drifted centroid in ANY training round moves cells, codes,
+    probes, and the final top-k."""
+    from jobinsight_data_pipeline_spark.operators.similarity import (
+        build_ivf_pq_index,
+        ivf_pq_topk_indexed,
+    )
+
+    t = load(spark, sf_dir, "embeddings")
+    emb = t["embeddings"]
+    fitted = _kmeans_centroids(spark, sf_dir)
+    cents = [[x / _KMEANS_SCALE for x in row] for row in fitted]
+    index = build_ivf_pq_index(emb, cents, _pq_cb())
+    qvec = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+    out = ivf_pq_topk_indexed(
+        index, qvec, cents, _pq_cb(), k=IVFPQ_K, n_probe=IVFPQ_PROBE
+    )
+    return out.select(
+        "vec_id",
+        F.floor(F.col("adc") * 1_000_000.0).cast("long").alias("adc_micro"),
+    )
+
+
+def _ivf_trained_oracle() -> str:
+    k, iters, scale = _KMEANS_K, _KMEANS_ITERS, _KMEANS_SCALE
+    sub = PQ_SUB
+    cand_cte = f"""cents AS (
+    SELECT list(cf ORDER BY cell) AS cm
+    FROM (SELECT cell, list_transform(c,
+              x -> CAST(x - {scale} AS DOUBLE) / {scale}.0) AS cf
+          FROM c{iters})
+),
+allv AS (
+    SELECT vec_id, embedding AS v,
+           list_transform(cm, cc -> list_dot_product(
+               CAST(embedding AS DOUBLE[]), cc)) AS sarr
+    FROM embeddings, cents
+),
+assigned AS (
+    SELECT vec_id, v, list_position(sarr, list_max(sarr)) - 1 AS cell
+    FROM allv
+),
+probe AS (
+    SELECT CAST(u.j AS BIGINT) - 1 AS cell
+    FROM (SELECT list_transform(cm, cc -> list_dot_product(qq.qv_d, cc))
+              AS qd
+          FROM cents,
+               (SELECT CAST(embedding AS DOUBLE[]) AS qv_d
+                FROM embeddings WHERE vec_id = 0) qq) s,
+         unnest(generate_series(1, {k})) AS u(j)
+    ORDER BY qd[CAST(u.j AS INTEGER)] DESC, u.j ASC
+    LIMIT {IVFPQ_PROBE}
+),
+e AS (
+    SELECT vec_id, v FROM assigned WHERE cell IN (SELECT cell FROM probe)
+)"""
+    qdiff = (
+        f"list_transform(range({sub}), t -> "
+        f"qv[CAST(c.j * {sub} + t + 1 AS INTEGER)] - "
+        f"cb[CAST(c.j + 1 AS INTEGER)][CAST(c.code + 1 AS INTEGER)]"
+        f"[CAST(t + 1 AS INTEGER)])"
+    )
+    chain = " + ".join(
+        f"max(CASE WHEN j = {j} THEN d END)" for j in range(PQ_M)
+    )
+    # continue the kmeans WITH chain (q/c0…/a0…/m0…/afinal) with the
+    # derived-centroid IVF-PQ replay; the ADC tail's query CTE is
+    # renamed qt (the kmeans chain owns the name q)
+    cont = f""",
+{_pq_codes_cte(cand_cte)},
+qt AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+dists AS (
+    SELECT c.vec_id, c.j, list_dot_product({qdiff}, {qdiff}) AS d
+    FROM codes c, qt, cube
+),
+adc AS (
+    SELECT vec_id, {chain} AS adc FROM dists GROUP BY vec_id
+)
+SELECT vec_id, CAST(floor(adc * 1000000.0) AS BIGINT) AS adc_micro
+FROM adc ORDER BY adc ASC, vec_id ASC LIMIT {IVFPQ_K}"""
+    return _kmeans_oracle_sql(cont)
+
+
+O_IVF_TRAINED_SERVE = _ivf_trained_oracle()
+
+
 # built here, after _langid_profile_sql (generators resolve names at
 # call time — the O_ constant must follow everything it embeds)
 O_CORPUS_BUILD = _corpus_build_oracle()
@@ -9429,6 +9525,7 @@ QUERIES = {
     "language_id": q_language_id,
     "kmeans_assign": q_kmeans_assign,
     "kmeans_fit": q_kmeans_fit,
+    "ivf_trained_serve": q_ivf_trained_serve,
     "csv_roundtrip": q_csv_roundtrip,
     "quality_deciles": q_quality_deciles,
     "langid_curation": q_langid_curation,
@@ -9553,6 +9650,7 @@ ORACLES = {
     "language_id": O_LANGUAGE_ID,
     "kmeans_assign": O_KMEANS_ASSIGN,
     "kmeans_fit": O_KMEANS_FIT,
+    "ivf_trained_serve": O_IVF_TRAINED_SERVE,
     "csv_roundtrip": O_CSV_ROUNDTRIP,
     "quality_deciles": O_QUALITY_DECILES,
     "langid_curation": O_LANGID_CURATION,
