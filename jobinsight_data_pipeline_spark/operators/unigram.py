@@ -253,6 +253,62 @@ def unigram_train(
     return [(p, c, i) for i, (p, c) in enumerate(final)]
 
 
+def validate_model(model: list[tuple[str, int, int]]) -> None:
+    """Well-formedness of a unigram piece model: ids contiguous from 0
+    in (count DESC, piece ASC) order, counts positive, pieces unique
+    and non-empty, and total character coverage (every character of
+    every multi-char piece present as a single-char piece — the
+    invariant that keeps Viterbi total on the training corpus)."""
+    ids = [i for _, _, i in model]
+    if ids != list(range(len(model))):
+        raise ValueError(f"non-contiguous piece ids: {ids[:5]}…")
+    order = [(-c, p) for p, c, _ in model]
+    if order != sorted(order):
+        raise ValueError("model not in (count DESC, piece ASC) id order")
+    pieces = [p for p, _, _ in model]
+    if len(set(pieces)) != len(pieces) or "" in pieces:
+        raise ValueError("duplicate or empty pieces in model")
+    if any(c < 1 for _, c, _ in model):
+        raise ValueError("non-positive piece count in model")
+    chars = {p for p in pieces if len(p) == 1}
+    missing = {ch for p in pieces for ch in p} - chars
+    if missing:
+        raise ValueError(
+            f"multi-char pieces reference characters with no single-char "
+            f"entry (coverage hole): {sorted(missing)[:5]}"
+        )
+
+
+def save_model(spark: SparkSession, model: list, path: str) -> None:
+    """Persist a trained unigram model as the tokenizer artifact —
+    (piece_id, piece, cnt) parquet, the asset shipped beside training
+    shards so day-N encodes segment with the EXACT model the corpus
+    was packed with (the save_merges twin). Validates before writing —
+    a malformed artifact must fail at save time, not at a future
+    encode."""
+    validate_model(model)
+    rows = [(int(i), p, int(c)) for p, c, i in model]
+    spark.createDataFrame(
+        rows, "piece_id int, piece string, cnt long"
+    ).write.mode("overwrite").parquet(path)
+
+
+def load_model(spark: SparkSession, path: str) -> list[tuple[str, int, int]]:
+    """Load a :func:`save_model` artifact back into the id-ordered
+    ``[(piece, cnt, piece_id), …]`` form :func:`unigram_encode`
+    consumes. Model-sized collect; re-validates — a corrupted or
+    hand-edited artifact fails loudly."""
+    rows = (
+        spark.read.parquet(path)
+        .select("piece_id", "piece", "cnt")
+        .orderBy("piece_id")
+        .collect()
+    )
+    model = [(r["piece"], r["cnt"], r["piece_id"]) for r in rows]
+    validate_model(model)
+    return model
+
+
 def unigram_encode(
     spark: SparkSession,
     df: DataFrame,

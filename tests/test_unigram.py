@@ -215,6 +215,57 @@ def test_duckdb_recursive_viterbi_matches_python_fuzz(spark):
             assert got[w] == want, (trial, w, got[w], want)
 
 
+def test_train_replay_pmax_two(spark, docs):
+    """pmax generality: the full replay also holds at pmax=2 (the
+    oracle pins pmax=4; this pins the operator's window parameter)."""
+    got = unigram_train(
+        spark, words_with_freq(docs), rounds=2, seed_k=20, vocab_k=12,
+        pmax=2,
+    )
+    want = _train_replay_py(
+        spark, [t for _, t in CORPUS], rounds=2, seed_k=20, vocab_k=12,
+        pmax=2,
+    )
+    assert got == want
+
+
+def test_model_artifact_roundtrip(spark, docs, tmp_path):
+    """The tokenizer-artifact lifecycle (the save_merges twin): train →
+    save → load → encode with the loaded model ≡ encode with the
+    trained model; corrupted artifacts fail loudly at load."""
+    from jobinsight_data_pipeline_spark.operators.unigram import (
+        load_model,
+        save_model,
+    )
+
+    model = unigram_train(
+        spark, words_with_freq(docs), rounds=2, seed_k=30, vocab_k=15
+    )
+    path = str(tmp_path / "unigram_model")
+    save_model(spark, model, path)
+    loaded = load_model(spark, path)
+    assert loaded == model
+    a = unigram_encode(spark, docs, model).orderBy(
+        "doc_id", "pos", "idx"
+    ).collect()
+    b = unigram_encode(spark, docs, loaded).orderBy(
+        "doc_id", "pos", "idx"
+    ).collect()
+    assert a == b
+    # a coverage hole (a multi-char piece whose char lost its entry)
+    # fails loudly at save time
+    with pytest.raises(ValueError, match="coverage hole"):
+        save_model(
+            spark, [("ab", 5, 0), ("b", 3, 1)], str(tmp_path / "bad")
+        )
+    gap = str(tmp_path / "gap")
+    spark.createDataFrame(
+        [(0, "x", 5), (2, "y", 3)], "piece_id int, piece string, cnt long"
+    ).write.mode("overwrite").parquet(gap)
+    with pytest.raises(ValueError, match="non-contiguous"):
+        load_model(spark, gap)
+
+
 def test_encode_coverage_and_ids(spark, docs):
     """Per document: pieces concatenated in (pos, idx) order reproduce
     the document's tokens exactly (the segmentation covers the text),
