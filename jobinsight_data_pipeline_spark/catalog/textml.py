@@ -4599,6 +4599,10 @@ def _bpe_learn_oracle() -> str:
 O_BPE_LEARN = _bpe_learn_oracle()
 
 
+#: incremental-dedup gate constants: history split + planted-dup spacing
+INCR_SPLIT = 250
+INCR_NH, INCR_BANDS = 16, 4
+
 #: unigram-LM tokenizer gate constants (operators/unigram): hard-EM
 #: rounds, seed/vocab cuts, max piece length. PMAX is pinned to 4 — the
 #: oracle's recursive Viterbi carries exactly four (score, path) lags.
@@ -4735,23 +4739,23 @@ def _unigram_viterbi_cte(
 )"""
 
 
-def _unigram_train_ctes() -> list[str]:
-    """The trainer-replay CTE list shared by both unigram oracles:
-    w_tab (distinct-word freq), seed, m0 … m{R} (per-round models),
-    pruned (final vocabulary with 0-based ids). q(x) =
-    floor(ln(x)·10⁶) BIGINT on both engines; the property suite
-    boundary-audits the actual (cnt, total) argument set the sf0.01
-    corpus produces (tests/test_properties.py::
-    test_unigram_ln_floor_boundary_audit)."""
+def _unigram_train_ctes(src: str = "documents") -> list[str]:
+    """The trainer-replay CTE list shared by the unigram oracles:
+    w_tab (distinct-word freq over ``src``), seed, m0 … m{R}
+    (per-round models), pruned (final vocabulary with 0-based ids).
+    q(x) = floor(ln(x)·10⁶) BIGINT on both engines; the property suite
+    boundary-audits the actual (cnt, total) argument sets the sf0.01
+    corpus produces — full-corpus AND day-1 training
+    (tests/test_properties.py::test_unigram_ln_floor_boundary_audit)."""
     rounds, seed_k, vocab_k = UNIGRAM_ROUNDS, UNIGRAM_SEED_K, UNIGRAM_VOCAB_K
     q = "CAST(floor(ln(CAST({} AS DOUBLE)) * 1000000.0) AS BIGINT)"
     parts = [
-        """w_tab AS MATERIALIZED (
+        f"""w_tab AS MATERIALIZED (
     SELECT tok AS w, CAST(count(*) AS BIGINT) AS freq
     FROM (
         SELECT unnest(list_filter(
             regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS tok
-        FROM documents
+        FROM {src}
     )
     GROUP BY 1
 )""",
@@ -4887,6 +4891,173 @@ FROM documents d LEFT JOIN agg a USING (doc_id)"""
     )
 
 
+#: per-(session, sf_dir) memo for the day-1-trained unigram model (the
+#: streaming-encode gate's frozen artifact)
+_UNIGRAM_D1_CACHE: dict = {}
+
+
+def _unigram_d1_model(spark: SparkSession, sf_dir: str) -> list:
+    from jobinsight_data_pipeline_spark.operators.unigram import (
+        unigram_train,
+        words_with_freq,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    model = _UNIGRAM_D1_CACHE.get(key)
+    if model is None:
+        t = load(spark, sf_dir, "documents")
+        day1 = t["documents"].filter(F.col("doc_id") < INCR_SPLIT)
+        model = unigram_train(
+            spark,
+            words_with_freq(day1),
+            rounds=UNIGRAM_ROUNDS,
+            seed_k=UNIGRAM_SEED_K,
+            vocab_k=UNIGRAM_VOCAB_K,
+            pmax=UNIGRAM_PMAX,
+        )
+        _UNIGRAM_D1_CACHE[key] = model
+    return model
+
+
+def q_stream_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer-artifact SERVING story end-to-end: train the
+    unigram model on day 1 (doc_id < 250), persist it through
+    save_model → load_model (the artifact round-trip is IN the gate
+    path), then stream day-2 documents — fresh docs plus planted exact
+    copies of day-1 docs — through `stream_unigram_encode` as two
+    checkpointed micro-batches encoding with the FROZEN loaded model.
+    The oracle replays day-1 training and Viterbi-encodes day 2 under
+    the final model in one batch query: streaming ≡ batch for a
+    stateless per-document encode, and day-2 words the day-1 model
+    never saw exercise the single-char/unk fallback path."""
+    import hashlib
+    import os
+    import shutil
+
+    from jobinsight_data_pipeline_spark.catalog import scratch_dir
+    from jobinsight_data_pipeline_spark.operators.unigram import (
+        load_model,
+        save_model,
+    )
+    from jobinsight_data_pipeline_spark.streaming.incremental import (
+        stream_unigram_encode,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    docs = t["documents"].select("doc_id", "text")
+    day2 = docs.filter(F.col("doc_id") >= INCR_SPLIT).unionByName(
+        docs.filter(
+            (F.col("doc_id") < INCR_SPLIT) & (F.col("doc_id") % 50 == 0)
+        ).select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+
+    base = scratch_dir(
+        "streamunigram-gate-",
+        "{}-{}".format(
+            spark.sparkContext.applicationId,
+            hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+        ),
+    )
+    done = os.path.join(base, "_gate_done")
+    raw = os.path.join(base, "drops")
+    sink = os.path.join(base, "sink")
+    if not os.path.exists(done):
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        model_path = os.path.join(base, "model")
+        save_model(spark, _unigram_d1_model(spark, sf_dir), model_path)
+        model = load_model(spark, model_path)
+        now = 1_700_000_000
+        stamped: set[str] = set()
+        for i, shard in enumerate(
+            (
+                day2.filter(F.col("doc_id") % 2 == 0),
+                day2.filter(F.col("doc_id") % 2 == 1),
+            )
+        ):
+            shard.coalesce(1).write.mode("append").parquet(raw)
+            for f in sorted(os.listdir(raw)):
+                if f.endswith(".parquet") and f not in stamped:
+                    stamped.add(f)
+                    os.utime(os.path.join(raw, f), (now + i, now + i))
+        stream_unigram_encode(
+            spark, raw, day2.schema, sink, os.path.join(base, "ckpt"),
+            model, pmax=UNIGRAM_PMAX,
+        ).awaitTermination()
+        with open(done, "w") as fh:
+            fh.write("ok")
+    return spark.read.parquet(sink).select("doc_id", "n_pieces", "ids_str")
+
+
+def _stream_unigram_oracle() -> str:
+    q = "CAST(floor(ln(CAST({} AS DOUBLE)) * 1000000.0) AS BIGINT)"
+    qt = q.format("sum(cnt)")
+    qc = q.format("cnt")
+    day1 = (
+        f"(SELECT doc_id, text FROM documents WHERE doc_id < {INCR_SPLIT})"
+    )
+    parts = _unigram_train_ctes(src=day1)
+    parts.append(f"""day2 AS MATERIALIZED (
+    SELECT doc_id, text FROM documents WHERE doc_id >= {INCR_SPLIT}
+    UNION ALL
+    SELECT doc_id + 1000000, text FROM documents
+    WHERE doc_id < {INCR_SPLIT} AND doc_id % 50 = 0
+)""")
+    parts.append(f"tot_e AS MATERIALIZED (SELECT {qt} AS qt FROM pruned)")
+    parts.append(f"""sc_e AS MATERIALIZED (
+    SELECT piece, {qc} - (SELECT qt FROM tot_e) AS q FROM pruned
+)""")
+    parts.append("unk_e AS MATERIALIZED (SELECT 0 - qt AS u FROM tot_e)")
+    parts.append("""ew_tab AS MATERIALIZED (
+    SELECT tok AS w, CAST(count(*) AS BIGINT) AS freq
+    FROM (
+        SELECT unnest(list_filter(
+            regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS tok
+        FROM day2
+    )
+    GROUP BY 1
+)""")
+    parts.append(_unigram_viterbi_cte("v_e", "ew_tab", "sc_e", "unk_e"))
+    parts.append("""doc_toks AS MATERIALIZED (
+    SELECT doc_id, u.g AS pos, toks[u.g] AS w
+    FROM (
+        SELECT doc_id, list_filter(
+            regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks
+        FROM day2
+    ),
+    unnest(generate_series(1, len(toks))) AS u(g)
+)""")
+    parts.append("""wpid AS MATERIALIZED (
+    SELECT wp.w, wp.idx, coalesce(pr.piece_id, -1) AS piece_id
+    FROM (
+        SELECT w, u.g AS idx, pieces[u.g] AS piece
+        FROM (
+            SELECT w, list_filter(string_split(p1, chr(30)),
+                                  x -> x <> '') AS pieces
+            FROM v_e WHERE pos = n
+        ),
+        unnest(generate_series(1, len(pieces))) AS u(g)
+    ) wp
+    LEFT JOIN pruned pr ON pr.piece = wp.piece
+)""")
+    parts.append("""agg AS (
+    SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_pieces,
+           string_agg(CAST(piece_id AS VARCHAR), '-'
+                      ORDER BY d.pos, wpid.idx) AS ids_str
+    FROM doc_toks d JOIN wpid ON wpid.w = d.w
+    GROUP BY d.doc_id
+)""")
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(parts)
+        + """
+SELECT d.doc_id,
+       coalesce(a.n_pieces, 0) AS n_pieces,
+       coalesce(a.ids_str, '') AS ids_str
+FROM day2 d LEFT JOIN agg a USING (doc_id)"""
+    )
+
+
 def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-tokenizer fertility diagnostic — the standard tokenizer
     evaluation (tokens emitted per whitespace word, by source): the
@@ -4985,13 +5156,11 @@ FROM agg"""
 
 
 O_UNIGRAM_TOK_LEARN = _unigram_learn_oracle()
+O_STREAM_UNIGRAM_ENCODE = _stream_unigram_oracle()
 O_UNIGRAM_TOK_ENCODE = _unigram_encode_oracle()
 O_TOKENIZER_FERTILITY = _tokenizer_fertility_oracle()
 
 
-#: incremental-dedup gate constants: history split + planted-dup spacing
-INCR_SPLIT = 250
-INCR_NH, INCR_BANDS = 16, 4
 
 
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9504,6 +9673,7 @@ QUERIES = {
     "unigram_tok_learn": q_unigram_tok_learn,
     "unigram_tok_encode": q_unigram_tok_encode,
     "tokenizer_fertility": q_tokenizer_fertility,
+    "stream_unigram_encode": q_stream_unigram_encode,
     "incremental_dedup": q_incremental_dedup,
     "forget_propagation": q_forget_propagation,
     "stream_incremental_dedup": q_stream_incremental_dedup,
@@ -9629,6 +9799,7 @@ ORACLES = {
     "unigram_tok_learn": O_UNIGRAM_TOK_LEARN,
     "unigram_tok_encode": O_UNIGRAM_TOK_ENCODE,
     "tokenizer_fertility": O_TOKENIZER_FERTILITY,
+    "stream_unigram_encode": O_STREAM_UNIGRAM_ENCODE,
     "incremental_dedup": O_INCREMENTAL_DEDUP,
     "forget_propagation": O_FORGET_PROPAGATION,
     "stream_incremental_dedup": O_INCREMENTAL_DEDUP,

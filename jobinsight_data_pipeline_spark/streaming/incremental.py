@@ -297,6 +297,75 @@ def stream_incremental_dedup(
     )
 
 
+def stream_unigram_encode(
+    spark: SparkSession,
+    raw_dir: str,
+    schema,
+    sink_dir: str,
+    checkpoint_dir: str,
+    model: list[tuple[str, int, int]],
+    pmax: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_files_per_trigger: int = 1,
+):
+    """Day-N tokenization as a streaming loop — the serving half of the
+    unigram tokenizer-artifact lifecycle (operators/unigram.save_model /
+    load_model): each micro-batch of documents is Viterbi-encoded with
+    the FROZEN trained model (the artifact a training run ships beside
+    its shards — never retrained mid-stream, so every batch segments
+    identically to a batch encode) and the per-document id sequences
+    land in the sink append-only. Encoding is per-document stateless,
+    so streaming ≡ batch by construction; the catalog gate pins it with
+    the batch oracle anyway. The model is a driver-side list (model-
+    sized — tens of KB); ``foreachBatch`` closes over it once."""
+    from jobinsight_data_pipeline_spark.operators.unigram import (
+        unigram_encode,
+    )
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        sp = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        enc = unigram_encode(
+            sp, batch_df, model, pmax=pmax, id_col=id_col, text_col=text_col
+        )
+        ids = F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "idx", "piece_id"))
+            ),
+            lambda s: s["piece_id"].cast("string"),
+        )
+        agg = enc.groupBy(id_col).agg(
+            F.count(F.lit(1)).cast("long").alias("n_pieces"),
+            F.array_join(ids, "-").alias("ids_str"),
+        )
+        out = (
+            batch_df.select(id_col)
+            .join(agg, id_col, "left")
+            .select(
+                id_col,
+                F.coalesce("n_pieces", F.lit(0).cast("long")).alias(
+                    "n_pieces"
+                ),
+                F.coalesce("ids_str", F.lit("")).alias("ids_str"),
+            )
+        )
+        out.write.mode("append").parquet(sink_dir)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(raw_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_semantic_dedup(
     spark: SparkSession,
     raw_dir: str,

@@ -645,18 +645,21 @@ def test_unigram_ln_floor_boundary_audit(spark):
 
     docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     audit: list[int] = []
-    model = unigram_train(
-        spark,
-        words_with_freq(docs),
-        rounds=UNIGRAM_ROUNDS,
-        seed_k=UNIGRAM_SEED_K,
-        vocab_k=UNIGRAM_VOCAB_K,
-        pmax=UNIGRAM_PMAX,
-        audit=audit,
-    )
-    # the encode oracle quantizes the PRUNED model's counts and total
-    audit += [c for _, c, _ in model]
-    audit += [sum(c for _, c, _ in model), 1]
+    for corpus in (docs, docs.filter("doc_id < 250")):
+        # full-corpus training (unigram_tok_* gates) AND day-1 training
+        # (the stream_unigram_encode gate's frozen artifact)
+        model = unigram_train(
+            spark,
+            words_with_freq(corpus),
+            rounds=UNIGRAM_ROUNDS,
+            seed_k=UNIGRAM_SEED_K,
+            vocab_k=UNIGRAM_VOCAB_K,
+            pmax=UNIGRAM_PMAX,
+            audit=audit,
+        )
+        # the encode oracles quantize the PRUNED model's counts + total
+        audit += [c for _, c, _ in model]
+        audit += [sum(c for _, c, _ in model), 1]
     vals = sorted(set(audit))
     assert len(vals) > 50  # the corpus genuinely exercises the model
 
