@@ -930,6 +930,76 @@ def test_exact_match_spans_equals_bruteforce(spark):
         assert got == want, (trial, got, want)
 
 
+def test_remove_duplicate_copies_equals_bruteforce(spark):
+    """Seeded fuzz: keep-first removal over random small-alphabet
+    corpora must equal masking every LATER-side covered token of the
+    brute-force maximal-match set (doc_b side; earlier copy untouched),
+    and surviving token counts must reconcile per doc."""
+    import random
+
+    from jobinsight_data_pipeline_spark.operators.dedup import (
+        remove_duplicate_copies,
+    )
+
+    def brute_matches(docs, L):
+        out = {}
+        items = sorted(docs.items())
+        toks = {d: t.split() for d, t in items}
+        for ai in range(len(items)):
+            for bi in range(ai, len(items)):
+                da, db = items[ai][0], items[bi][0]
+                A, B = toks[da], toks[db]
+                for diag in range(-len(B) + 1, len(A)):
+                    if da == db and diag >= 0:
+                        continue  # in-doc: keep diag < 0 (a earlier)
+                    run = 0
+                    lo, hi = max(0, diag), min(len(A), len(B) + diag)
+                    for pa in range(lo, hi + 1):
+                        same = pa < hi and A[pa] == B[pa - diag]
+                        if same:
+                            run += 1
+                        else:
+                            if run >= L:
+                                out[(da, pa - run, db, pa - run - diag)] = run
+                            run = 0
+        return out
+
+    rng = random.Random(7117)
+    for trial in range(4):
+        docs = {}
+        vocab = [f"w{i}" for i in range(5)]
+        for d in range(6):
+            docs[d] = " ".join(
+                rng.choice(vocab) for _ in range(rng.randint(8, 35))
+            )
+        L, k = 5, 3
+        matches = brute_matches(docs, L)
+        covered: dict = {d: set() for d in docs}
+        for (_, _, db, sb), ln in matches.items():
+            covered[db].update(range(sb, sb + ln))
+        want = {
+            d: (
+                " ".join(
+                    t for i, t in enumerate(docs[d].split())
+                    if i not in covered[d]
+                ),
+                len(docs[d].split()),
+                len(covered[d]),
+            )
+            for d in docs
+        }
+        df = spark.createDataFrame(
+            list(docs.items()), "doc_id: long, text: string"
+        )
+        got = {
+            r["doc_id"]: (r["cleaned"], r["n_tokens"], r["n_removed"])
+            for r in remove_duplicate_copies(
+                df, "doc_id", "text", k=k, min_len=L
+            ).collect()
+        }
+        assert got == want, (trial, got, want)
+
+
 def test_remove_duplicate_copies_keeps_earliest(spark):
     """Keep-ONE-copy election: the earlier side of every aligned match
     survives untouched, the later side loses exactly the matched span —
