@@ -92,7 +92,15 @@ def _assign_expr(centroids: list[list[int]]) -> tuple[Column, Column]:
     step — an O(2^k) expression tree (measured: 3.5 MiB task binaries
     at k=8) — while this shape is linear in k and keeps the matrix in
     the plan once. Expects a column ``__p`` holding the shifted
-    quantized vector."""
+    quantized vector.
+
+    NOTE for hot paths: the distance-vector HOF is INTERPRETED, and
+    these columns embed it 3× (twice in cell, once in dist) —
+    subexpression elimination does not reach interpreted HOFs, so each
+    row pays the k*dim fold three times. Callers that only need the
+    cell (the Lloyd's loop) should use :func:`_dist_vec_expr` and
+    project the vector ONCE, then argmin the materialized column
+    (measured 2× per-iteration at sf0.1)."""
     ds = (
         f"transform({_imatrix_sql(centroids)}, "
         f"c -> {_sq_dist('__p', 'c')})"
@@ -102,6 +110,16 @@ def _assign_expr(centroids: list[list[int]]) -> tuple[Column, Column]:
         f"CAST(array_position({ds}, array_min({ds})) - 1 AS INT)"
     )
     return cell, dist
+
+
+def _dist_vec_expr(centroids: list[list[int]]) -> Column:
+    """The squared-distance VECTOR (one slot per centroid) as a single
+    column, for callers that materialize it once and derive argmin /
+    min from the column (see the :func:`_assign_expr` note)."""
+    return F.expr(
+        f"transform({_imatrix_sql(centroids)}, "
+        f"c -> {_sq_dist('__p', 'c')})"
+    )
 
 
 def kmeans_fit_quantized(
@@ -154,21 +172,36 @@ def kmeans_fit_quantized(
         )
     centroids = [list(r["__p"]) for r in seed_rows]  # shifted domain
     dim = len(centroids[0])
+    # Per-iteration shape (r9 rework, measured 2× at sf0.1 warm): the
+    # interpreted distance-vector HOF is projected ONCE per row
+    # (_assign_expr would fold it twice inside the argmin), and the
+    # update is 64 codegen'd element_at sums per cell instead of a
+    # rows×dim posexplode — same partial-agg shuffle profile (k×dim
+    # cells either way), but no rows×dim record blow-up and the whole
+    # update side stays in whole-stage codegen. Results are bit-
+    # identical (same sums, same round-half-up rule) — the unrolled
+    # fit oracle is untouched.
+    dim_aggs = [
+        F.sum(F.element_at("__p", i + 1)).alias(f"s{i}") for i in range(dim)
+    ]
     for _ in range(iterations):
-        cell, _dist = _assign_expr(centroids)
+        assigned = q.select("__p", _dist_vec_expr(centroids).alias("__ds")).select(
+            "__p",
+            F.expr(
+                "CAST(array_position(__ds, array_min(__ds)) - 1 AS INT)"
+            ).alias("cell"),
+        )
         sums = (
-            q.select(cell.alias("cell"), F.posexplode("__p").alias("pos", "v"))
-            .groupBy("cell", "pos")
-            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            assigned.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"), *dim_aggs)
             .collect()
         )
         new_c = [list(c) for c in centroids]  # empty cells keep previous
-        by_cell: dict[int, list[tuple[int, int, int]]] = {}
         for r in sums:
-            by_cell.setdefault(r["cell"], []).append((r["pos"], r["s"], r["n"]))
-        for j, dims in by_cell.items():
-            for pos, s, n in dims:
-                new_c[j][pos] = (2 * s + n) // (2 * n)  # non-negative
+            j, n = r["cell"], r["n"]
+            new_c[j] = [
+                (2 * r[f"s{i}"] + n) // (2 * n) for i in range(dim)
+            ]  # non-negative domain round-half-up
         centroids = new_c
     # the model lives driver-side; nothing downstream reads q's blocks
     _free_local_checkpoint(q)
@@ -195,14 +228,24 @@ def kmeans_assign(
         reserve_columns,
     )
 
-    reserve_columns(df, ["cell", "dist", "__p"], "kmeans_assign")
+    reserve_columns(df, ["cell", "dist", "__p", "__ds"], "kmeans_assign")
     shifted = [[x + scale for x in c] for c in centroids]
-    out = df.withColumn("__p", quantize_shifted(vec_col, scale))
-    cell, dist = _assign_expr(shifted)
+    # Project the interpreted distance vector ONCE (__ds), then derive
+    # cell+dist from the materialized column — _assign_expr would embed
+    # the k*dim HOF fold 3× per row (see its docstring note). The two
+    # projections do NOT collapse (CollapseProject refuses to duplicate
+    # the non-cheap HOF referenced 3×), so this stays one pass and
+    # Exchange-free.
+    out = df.withColumn("__p", quantize_shifted(vec_col, scale)).withColumn(
+        "__ds", _dist_vec_expr(shifted)
+    )
     return (
-        out.withColumn("cell", cell)
-        .withColumn("dist", dist)
-        .drop("__p")
+        out.withColumn(
+            "cell",
+            F.expr("CAST(array_position(__ds, array_min(__ds)) - 1 AS INT)"),
+        )
+        .withColumn("dist", F.expr("array_min(__ds)"))
+        .drop("__p", "__ds")
     )
 
 
