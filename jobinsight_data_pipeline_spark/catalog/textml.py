@@ -3113,6 +3113,86 @@ QUALIFY rank <= 25
 """
 
 
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (operators/sampling.dsir_select; Xie et al.,
+    NeurIPS 2023): src0+src1 play the high-quality TARGET pool, the
+    other 18 sources the RAW pool; every raw doc is scored by its hashed
+    unigram+bigram log-likelihood ratio between the pools' add-one-
+    smoothed bin distributions (512 md5 bins) and the top 60 are kept.
+    Integer micro-unit ln quantization (floor(ln·10⁶), per-ln BEFORE the
+    subtraction) makes the weight a BIGINT — the oracle replays the
+    whole estimator and the cut bit-for-bit."""
+    from jobinsight_data_pipeline_spark.operators.sampling import dsir_select
+
+    t = load(spark, sf_dir, "documents")
+    return dsir_select(
+        t["documents"],
+        "doc_id",
+        "text",
+        F.col("source").isin("src0", "src1"),
+        buckets=512,
+        top_n=60,
+        salt="dsir:",
+    )
+
+
+O_DSIR_SELECT = """
+WITH base AS (
+    SELECT doc_id, source IN ('src0', 'src1') AS tgt,
+           regexp_split_to_array(trim(text), '\\s+') AS ws
+    FROM documents
+),
+feats AS (
+    SELECT doc_id, tgt, lower(t.f) AS f
+    FROM (SELECT doc_id, tgt,
+                 list_concat(
+                     ws,
+                     list_transform(range(1, greatest(len(ws), 1)),
+                                    i -> ws[i] || ' ' || ws[i + 1])
+                 ) AS fs
+          FROM base),
+         unnest(fs) AS t(f)
+    WHERE t.f <> ''
+),
+binned AS (
+    SELECT doc_id, tgt,
+           CAST(('0x' || substring(md5('dsir:' || f), 1, 8)) AS BIGINT)
+               % 512 AS b
+    FROM feats
+),
+counts AS (
+    SELECT b,
+           CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS c_t,
+           CAST(sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) AS c_r
+    FROM binned GROUP BY b
+),
+totals AS (
+    SELECT CAST(sum(c_t) AS BIGINT) AS tot_t,
+           CAST(sum(c_r) AS BIGINT) AS tot_r
+    FROM counts
+),
+lam AS (
+    SELECT b,
+           CAST(floor(ln(CAST(c_t + 1 AS DOUBLE) / (tot_t + 512))
+                      * 1000000.0) AS BIGINT)
+           - CAST(floor(ln(CAST(c_r + 1 AS DOUBLE) / (tot_r + 512))
+                        * 1000000.0) AS BIGINT) AS lam
+    FROM counts CROSS JOIN totals
+),
+scored AS (
+    SELECT doc_id, count(*) AS n_features,
+           CAST(sum(lam) AS BIGINT) AS weight_micro
+    FROM binned JOIN lam USING (b)
+    WHERE NOT tgt
+    GROUP BY doc_id
+)
+SELECT row_number() OVER (ORDER BY weight_micro DESC, doc_id ASC) AS rank,
+       doc_id, n_features, weight_micro
+FROM scored
+QUALIFY rank <= 60
+"""
+
+
 def q_editdist_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocking→verify entity resolution (operators/dedup.
     editdist_verify): candidate pairs are adjacent-id negatives (every
@@ -9650,6 +9730,7 @@ QUERIES = {
     "mutual_knn": q_mutual_knn,
     "editdist_verify": q_editdist_verify,
     "weighted_draw": q_weighted_draw,
+    "dsir_select": q_dsir_select,
     "label_prop": q_label_prop,
     "compression_signal": q_compression_signal,
     "quantile_normalize": q_quantile_normalize,
@@ -9776,6 +9857,7 @@ ORACLES = {
     "mutual_knn": O_MUTUAL_KNN,
     "editdist_verify": O_EDITDIST_VERIFY,
     "weighted_draw": O_WEIGHTED_DRAW,
+    "dsir_select": O_DSIR_SELECT,
     "label_prop": O_LABEL_PROP,
     "compression_signal": O_COMPRESSION_SIGNAL,
     "quantile_normalize": O_QUANTILE_NORMALIZE,

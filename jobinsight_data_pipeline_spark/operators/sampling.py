@@ -709,3 +709,98 @@ def quantile_normalize(
         .drop("_qn_bucket", "_qn_prefix", "_qn_rn", "_qn_min", "_qn_n",
               "_qn_step")
     )
+
+
+def dsir_select(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    is_target: Column,
+    buckets: int = 512,
+    top_n: int = 100,
+    salt: str = "dsir:",
+) -> DataFrame:
+    """Data Selection with Importance Resampling (Xie et al., NeurIPS
+    2023) over hashed n-gram features: score every RAW-pool document by
+    how much its hashed unigram+bigram profile looks like the TARGET
+    pool's, and keep the ``top_n``.
+
+    The estimator is the paper's: features are word unigrams and
+    adjacent bigrams hashed into ``buckets`` bins, each pool's bin
+    distribution is add-one smoothed, and a document's importance weight
+    is sum over its features of ``ln p_target(bin) - ln p_raw(bin)``
+    (bag-of-hashed-ngrams log-likelihood ratio). Documents are drawn
+    from the raw pool by weight — here the deterministic top-n cut with
+    doc-id tie-break rather than a Gumbel draw, so the gate is exactly
+    reproducible (the paper resamples; the ranking is the same).
+
+    Engine portability: the bin is the md5-prefix bucket every split in
+    this module uses; each ``ln`` is quantized to ``floor(ln(p)*1e6)``
+    BIGINT micro-units BEFORE the subtraction and the per-doc sum (the
+    CLAUDE.md ln discipline — ln wobbles 1 ulp between engines; the
+    pytest boundary audit walks every (count, total) this testdata
+    produces), so weights are integers and the cut is bit-stable.
+
+    Scale shape: one explode + ONE partial-agg shuffle builds the
+    2-column bin-count table (``buckets`` rows — model-sized however
+    large the corpus); the λ table broadcasts back onto the feature
+    stream; per-doc weights are a second partial-agg shuffle keyed by
+    the id; the cut is TakeOrderedAndProject (per-partition heaps, no
+    global sort). Nothing driver-side grows with the corpus.
+
+    Returns ``(rank, id_col, n_features, weight_micro)`` for the top
+    ``top_n`` raw-pool documents, rank 1 = best.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    from jobinsight_data_pipeline_spark.operators.textstats import (
+        tokens,
+        word_bigrams,
+    )
+
+    if buckets < 2:
+        raise ValueError("dsir_select: buckets must be >= 2")
+
+    toks = F.transform(tokens(text_col), F.lower)
+    grams = F.transform(word_bigrams(text_col), F.lower)
+    feats = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            is_target.alias("__tgt"),
+            F.explode(F.concat(toks, grams)).alias("__f"),
+        )
+        .where(F.col("__f") != "")
+        .withColumn("__b", hash_bucket(F.col("__f"), buckets, salt))
+    )
+    counts = feats.groupBy("__b").agg(
+        F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("c_t"),
+        F.sum(F.when(F.col("__tgt"), 0).otherwise(1)).alias("c_r"),
+    )
+    totals = counts.agg(
+        F.sum("c_t").alias("tot_t"), F.sum("c_r").alias("tot_r")
+    )
+    lam = counts.crossJoin(broadcast(totals)).select(
+        "__b",
+        F.expr(
+            f"CAST(floor(ln(CAST(c_t + 1 AS DOUBLE) / (tot_t + {buckets}))"
+            " * 1000000.0) AS BIGINT)"
+            f" - CAST(floor(ln(CAST(c_r + 1 AS DOUBLE) / (tot_r + {buckets}))"
+            " * 1000000.0) AS BIGINT)"
+        ).alias("__lam"),
+    )
+    scored = (
+        feats.where(~F.col("__tgt"))
+        .join(broadcast(lam), "__b")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_features"),
+            F.sum("__lam").alias("weight_micro"),
+        )
+    )
+    w = Window.orderBy(F.desc("weight_micro"), F.asc("__id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_n)
+        .select("rank", F.col("__id").alias(id_col), "n_features", "weight_micro")
+    )

@@ -4259,3 +4259,28 @@ def test_top_session_paths_known_answers(spark):
         for r in top_session_paths(df, "sid", max_steps=3, k=10).collect()
     }
     assert out == {"a>b>c": 3, "a>b": 1}
+
+
+def test_dsir_select_prefers_target_like_docs(spark):
+    """A raw doc written in the target pool's vocabulary must outrank
+    raw docs written in a disjoint vocabulary, and the output must be
+    exactly top_n with rank dense from 1."""
+    from pyspark.sql import functions as F
+
+    from jobinsight_data_pipeline_spark.operators.sampling import dsir_select
+
+    rows = (
+        # target pool: 'alpha beta' vocabulary
+        [(i, "alpha beta alpha beta gamma", "tgt") for i in range(4)]
+        # the plant: raw doc speaking the target vocabulary
+        + [(100, "alpha beta gamma alpha", "raw")]
+        # raw background: disjoint vocabulary
+        + [(200 + i, "delta epsilon zeta delta epsilon", "raw") for i in range(6)]
+    )
+    df = spark.createDataFrame(rows, "doc_id: long, text: string, pool: string")
+    out = dsir_select(
+        df, "doc_id", "text", F.col("pool") == "tgt", buckets=64, top_n=3
+    ).collect()
+    assert [r["rank"] for r in out] == [1, 2, 3]
+    assert out[0]["doc_id"] == 100
+    assert out[0]["weight_micro"] > out[1]["weight_micro"]

@@ -931,3 +931,92 @@ def test_weighted_draw_ln_quantization_cross_engine_audit(spark):
         for u in us:
             frac = (math.log(u) * 1e6) % 1.0
             assert min(frac, 1.0 - frac) > 1e-8, (sf, u, frac)
+
+
+def test_dsir_ln_floor_boundary_audit(spark):
+    """dsir_select's weight exactness rests on floor(ln(p)·10⁶) agreeing
+    across engines for every smoothed bin probability the sf0.01 corpus
+    produces (p = (c+1)/(tot+512) — IEEE division of exact integers, so
+    both engines ln the identical double; only the 1-ulp ln wobble can
+    bite). Audit the ACTUAL argument set at the gate's hyperparameters:
+    quantized integers identical across engines, and ln·10⁶ clear of
+    integer floor boundaries."""
+    import math
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.01/documents.parquet'"
+    )
+    pairs = con.execute(
+        """
+        WITH base AS (
+            SELECT doc_id, source IN ('src0', 'src1') AS tgt,
+                   regexp_split_to_array(trim(text), '\\s+') AS ws
+            FROM documents
+        ),
+        feats AS (
+            SELECT tgt, lower(t.f) AS f
+            FROM (SELECT tgt,
+                         list_concat(
+                             ws,
+                             list_transform(range(1, greatest(len(ws), 1)),
+                                            i -> ws[i] || ' ' || ws[i + 1])
+                         ) AS fs
+                  FROM base),
+                 unnest(fs) AS t(f)
+            WHERE t.f <> ''
+        ),
+        binned AS (
+            SELECT tgt,
+                   CAST(('0x' || substring(md5('dsir:' || f), 1, 8))
+                        AS BIGINT) % 512 AS b
+            FROM feats
+        ),
+        counts AS (
+            SELECT b,
+                   CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT)
+                       AS c_t,
+                   CAST(sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT)
+                       AS c_r
+            FROM binned GROUP BY b
+        ),
+        totals AS (
+            SELECT CAST(sum(c_t) AS BIGINT) AS tot_t,
+                   CAST(sum(c_r) AS BIGINT) AS tot_r
+            FROM counts
+        )
+        SELECT DISTINCT p FROM (
+            SELECT CAST(c_t + 1 AS DOUBLE) / (tot_t + 512) AS p
+            FROM counts CROSS JOIN totals
+            UNION ALL
+            SELECT CAST(c_r + 1 AS DOUBLE) / (tot_r + 512)
+            FROM counts CROSS JOIN totals
+        ) ORDER BY p
+        """
+    ).fetchall()
+    ps = [r[0] for r in pairs]
+    assert len(ps) > 100  # the corpus genuinely exercises the estimator
+
+    duck_q = [
+        con.execute(
+            "SELECT CAST(floor(ln(?) * 1000000.0) AS BIGINT)", [p]
+        ).fetchone()[0]
+        for p in ps
+    ]
+    spark_q = [
+        r[0]
+        for r in spark.createDataFrame([(p,) for p in ps], "p: double")
+        .selectExpr(
+            "CAST(floor(ln(p) * 1000000.0) AS BIGINT) AS q", "p"
+        )
+        .orderBy("p")
+        .select("q")
+        .collect()
+    ]
+    assert spark_q == duck_q
+    for p in ps:
+        frac = (math.log(p) * 1e6) % 1.0
+        assert min(frac, 1.0 - frac) > 1e-7, (p, frac)
