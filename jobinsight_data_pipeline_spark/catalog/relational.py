@@ -517,6 +517,54 @@ FROM orders
 """
 
 
+def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted moving average over the event
+    value series (operators/timeseries.ewma_smooth): α = 1/2 dyadic
+    weights truncated at 8 observations, normalized over present
+    weights, all-BIGINT arithmetic (cents in, milli-cents out) — the
+    float EWMA recurrence is order-sensitive and engine-divergent; this
+    one is bit-exact, and the oracle replays it lag-for-lag. Ordering
+    is (epoch-micros, event_id) so ties are impossible."""
+    from jobinsight_data_pipeline_spark.operators.timeseries import (
+        epoch_micros,
+        ewma_smooth,
+    )
+
+    t = load(spark, sf_dir, "events")
+    ev = t["events"].select(
+        "user_id",
+        "event_id",
+        epoch_micros("ts").alias("ts_us"),
+        F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("v_cents"),
+    )
+    return ewma_smooth(
+        ev, ["user_id"], ["ts_us", "event_id"], "v_cents", window=8
+    )
+
+
+O_EWMA_SMOOTH = """
+WITH v AS (
+    SELECT user_id, event_id,
+           date_diff('microseconds', TIMESTAMP '1970-01-01 00:00:00', ts)
+               AS ts_us,
+           CAST(round(value * 100, 0) AS BIGINT) AS v_cents
+    FROM events
+)
+SELECT user_id, event_id, ts_us, v_cents,
+       ((  coalesce(lag(v_cents, 0) OVER w, 0) * 128
+         + coalesce(lag(v_cents, 1) OVER w, 0) * 64
+         + coalesce(lag(v_cents, 2) OVER w, 0) * 32
+         + coalesce(lag(v_cents, 3) OVER w, 0) * 16
+         + coalesce(lag(v_cents, 4) OVER w, 0) * 8
+         + coalesce(lag(v_cents, 5) OVER w, 0) * 4
+         + coalesce(lag(v_cents, 6) OVER w, 0) * 2
+         + coalesce(lag(v_cents, 7) OVER w, 0) * 1) * 1000)
+       // (256 - (1 << (8 - least(row_number() OVER w, 8)))) AS ewma_milli
+FROM v
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+"""
+
+
 def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8: pivot — events per (user bucket, event_type) widened to one
     column per type. The explicit value list keeps the plan one pass
@@ -2072,6 +2120,7 @@ QUERIES = {
     "resample_grid": q_resample_grid,
     "event_percentiles_approx": q_event_percentiles_approx,
     "rolling_avg": q_rolling_avg,
+    "ewma_smooth": q_ewma_smooth,
     "pivot_events": q_pivot_events,
     "rollup_revenue": q_rollup_revenue,
     "cube_orders": q_cube_orders,
@@ -2121,6 +2170,7 @@ ORACLES = {
     "event_percentiles_approx": O_EVENT_PERCENTILES_APPROX,
     "monthly_orders_approx": O_MONTHLY_ORDERS_APPROX,
     "rolling_avg": O_ROLLING_AVG,
+    "ewma_smooth": O_EWMA_SMOOTH,
     "pivot_events": O_PIVOT_EVENTS,
     "rollup_revenue": O_ROLLUP_REVENUE,
     "cube_orders": O_CUBE_ORDERS,

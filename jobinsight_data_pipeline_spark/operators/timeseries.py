@@ -262,3 +262,59 @@ def merge_ohlc_partials(
             F.col("_last.v").alias("close_cents"),
         )
     )
+
+
+def ewma_smooth(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    cents_col: str,
+    window: int = 8,
+) -> DataFrame:
+    """Per-key exponentially weighted moving average (half-life = one
+    step, i.e. α = 1/2) in EXACT integer arithmetic — the smoothing a
+    metrics/monitoring pipeline layers over raw series, made
+    engine-portable by truncating the exponential tail at ``window``
+    observations and normalizing over the weights actually present.
+
+    The EWMA recurrence is infinite-tail and float; both break
+    bit-reproducibility (float accumulation order, engine pow). This
+    uses the dyadic truncation: the i-th most recent value (i = 0 is the
+    current row) carries integer weight ``2^(window-1-i)``, the
+    normalizer is the sum of PRESENT weights ``2^window - 2^(window-m)``
+    for a row with m ≤ window observations so far — so early rows are an
+    exact weighted mean of their full history, later rows of the last
+    ``window``. With window = 8 the dropped tail weighs < 0.4% of the
+    true EWMA. Output is ``(num * 1000) div denom`` — milli-units of the
+    input integer column; both engines' integer division truncates
+    toward zero (CLAUDE.md), and every intermediate is BIGINT-exact.
+
+    One shuffle (the window partition). Appends ``ewma_milli``.
+    Weights cap at 2^63 overflow only past window ≈ 40 with huge cents —
+    guarded by the window bound."""
+    from pyspark.sql import Window
+
+    if not 1 <= window <= 32:
+        raise ValueError("ewma_smooth: window must be in [1, 32]")
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    num = None
+    for i in range(window):
+        term = F.coalesce(
+            F.lag(F.col(cents_col), i).over(w), F.lit(0).cast("long")
+        ) * F.lit(2 ** (window - 1 - i)).cast("long")
+        num = term if num is None else num + term
+    m = F.least(F.row_number().over(w), F.lit(window))
+    return (
+        df.withColumn("__ewma_num", num)
+        .withColumn("__ewma_m", m)
+        .withColumn(
+            "ewma_milli",
+            F.expr(
+                f"(__ewma_num * 1000L) div"
+                f" ({2 ** window}L - shiftleft(1L, {window} - __ewma_m))"
+            ),
+        )
+        .drop("__ewma_num", "__ewma_m")
+    )

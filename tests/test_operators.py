@@ -4284,3 +4284,40 @@ def test_dsir_select_prefers_target_like_docs(spark):
     assert [r["rank"] for r in out] == [1, 2, 3]
     assert out[0]["doc_id"] == 100
     assert out[0]["weight_micro"] > out[1]["weight_micro"]
+
+
+def test_ewma_smooth_matches_bruteforce(spark):
+    """ewma_smooth vs a per-row Python reference of the truncated dyadic
+    EWMA over random multi-key integer series, including m < window
+    short-history rows and negative values (div truncates toward zero
+    on both engines)."""
+    import random
+
+    from jobinsight_data_pipeline_spark.operators.timeseries import ewma_smooth
+
+    rng = random.Random(91)
+    rows = []
+    series: dict[int, list[int]] = {}
+    for key in range(5):
+        n = rng.randint(1, 20)
+        vals = [rng.randint(-500, 5000) for _ in range(n)]
+        series[key] = vals
+        for pos, v in enumerate(vals):
+            rows.append((key, pos, v))
+    df = spark.createDataFrame(rows, "k: long, pos: long, v: long")
+    out = {
+        (r["k"], r["pos"]): r["ewma_milli"]
+        for r in ewma_smooth(df, ["k"], ["pos"], "v", window=8).collect()
+    }
+    W = 8
+    for key, vals in series.items():
+        for pos in range(len(vals)):
+            m = min(pos + 1, W)
+            num = sum(
+                vals[pos - i] * (2 ** (W - 1 - i)) for i in range(m)
+            )
+            den = 2**W - 2 ** (W - m)
+            # truncate toward zero exactly (both engines' div semantics)
+            q, _ = divmod(abs(num * 1000), den)
+            expect = q if num >= 0 else -q
+            assert out[(key, pos)] == expect, (key, pos, num, den)
