@@ -3193,6 +3193,165 @@ QUALIFY rank <= 60
 """
 
 
+def q_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece tokenizer at the distinct-word grain (operators/
+    wordpiece): derive the deterministic frequency vocab (top-12 whole
+    words, top-10 2-char prefixes, top-15 2-char continuations, every
+    char) from the corpus and greedily encode every distinct word —
+    longest-match-first, ##-continuations, [UNK] on a dead end. The
+    oracle replays vocab derivation AND the greedy walk (8 unrolled
+    steps — the testdata's max word length, pinned by pytest) with a
+    fully general join-based longest-prefix match."""
+    from jobinsight_data_pipeline_spark.operators.wordpiece import (
+        wordpiece_word_table,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    return wordpiece_word_table(spark, t["documents"])
+
+
+def q_wordpiece_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale WordPiece fertility by source: the per-word piece
+    counts joined back onto the full token stream (the distinct-word
+    collapse — encode cost scales with vocabulary, never corpus), then
+    pieces-per-word in exact integer milli-units per source."""
+    from jobinsight_data_pipeline_spark.operators.textstats import tokens
+    from jobinsight_data_pipeline_spark.operators.wordpiece import (
+        wordpiece_word_table,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    docs = t["documents"]
+    wt = wordpiece_word_table(spark, docs)
+    toks = docs.select(
+        "source",
+        F.explode(F.transform(tokens("text"), F.lower)).alias("w"),
+    ).where(F.col("w") != "")
+    return (
+        toks.join(wt.select("w", "n_pieces"), "w")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_pieces").alias("n_pieces"),
+        )
+        .withColumn("fert_milli", F.expr("(1000L * n_pieces) div n_words"))
+    )
+
+
+def _wordpiece_word_table_cte() -> str:
+    """The shared oracle chain: corpus word frequencies → tiered vocab →
+    per-(word, position) longest match → 8 unrolled greedy steps →
+    final per-word piece table ``wp(w, c, pieces_str, n_pieces,
+    is_unk)``. MATERIALIZED where referenced repeatedly (the DuckDB
+    CTE-inlining lesson)."""
+    steps = []
+    for i in range(1, 9):
+        steps.append(
+            f"""s{i} AS (
+    SELECT s.w,
+           CASE WHEN s.pos >= length(s.w) OR s.unk THEN s.pos
+                ELSE s.pos + coalesce(b.l, 0) END AS pos,
+           CASE WHEN s.pos >= length(s.w) OR s.unk OR b.piece IS NULL
+                THEN s.pieces
+                ELSE list_append(s.pieces, b.piece) END AS pieces,
+           CASE WHEN s.pos >= length(s.w) THEN s.unk
+                ELSE s.unk OR b.piece IS NULL END AS unk
+    FROM s{i - 1} s LEFT JOIN best b ON b.w = s.w AND b.p = s.pos
+)"""
+        )
+    steps_sql = ",\n".join(steps)
+    return f"""
+wpwords AS MATERIALIZED (
+    SELECT lower(t.w) AS w, count(*) AS c
+    FROM (SELECT regexp_split_to_array(trim(text), '\\s+') AS ws
+          FROM documents),
+         unnest(ws) AS t(w)
+    WHERE t.w <> ''
+    GROUP BY 1
+),
+topw AS (SELECT w AS f, length(w) AS l FROM wpwords
+         ORDER BY c DESC, w ASC LIMIT 12),
+start2 AS (
+    SELECT f, 2 AS l FROM (
+        SELECT substring(w, 1, 2) AS f, sum(c) AS tc
+        FROM wpwords WHERE length(w) >= 2 GROUP BY 1
+        ORDER BY tc DESC, f ASC LIMIT 10)
+),
+start1 AS (SELECT DISTINCT substring(w, 1, 1) AS f, 1 AS l FROM wpwords),
+cont2 AS (
+    SELECT f, 2 AS l FROM (
+        SELECT t.f AS f, sum(c) AS tc
+        FROM (SELECT c, list_transform(range(2, length(w)),
+                                       p -> substring(w, p, 2)) AS fs
+              FROM wpwords WHERE length(w) >= 3),
+             unnest(fs) AS t(f)
+        GROUP BY 1 ORDER BY tc DESC, f ASC LIMIT 15)
+),
+cont1 AS (
+    SELECT DISTINCT t.f AS f, 1 AS l
+    FROM (SELECT list_transform(range(2, length(w) + 1),
+                                p -> substring(w, p, 1)) AS fs
+          FROM wpwords WHERE length(w) >= 2),
+         unnest(fs) AS t(f)
+),
+vocab AS (
+    SELECT f, l, FALSE AS is_cont, f AS piece
+    FROM (SELECT f, l FROM topw UNION SELECT f, l FROM start2
+          UNION SELECT f, l FROM start1)
+    UNION ALL
+    SELECT f, l, TRUE, '##' || f
+    FROM (SELECT f, l FROM cont2 UNION SELECT f, l FROM cont1)
+),
+positions AS (
+    SELECT w, t.p FROM wpwords, unnest(range(0, length(w))) AS t(p)
+),
+best AS MATERIALIZED (
+    SELECT w, p, piece, l FROM (
+        SELECT pos.w, pos.p, v.piece, v.l,
+               row_number() OVER (PARTITION BY pos.w, pos.p
+                                  ORDER BY v.l DESC, v.piece ASC) AS rn
+        FROM positions pos JOIN vocab v
+          ON v.is_cont = (pos.p > 0)
+         AND substring(pos.w, pos.p + 1, v.l) = v.f
+    ) WHERE rn = 1
+),
+s0 AS (SELECT w, 0 AS pos, CAST([] AS VARCHAR[]) AS pieces, FALSE AS unk
+       FROM wpwords),
+{steps_sql},
+wp AS MATERIALIZED (
+    SELECT wo.w, wo.c,
+           CASE WHEN s.unk THEN '[UNK]'
+                ELSE array_to_string(s.pieces, ' ') END AS pieces_str,
+           CASE WHEN s.unk THEN CAST(1 AS BIGINT)
+                ELSE CAST(len(s.pieces) AS BIGINT) END AS n_pieces,
+           s.unk AS is_unk
+    FROM s8 s JOIN wpwords wo USING (w)
+)"""
+
+
+O_WORDPIECE_ENCODE = f"""
+WITH {_wordpiece_word_table_cte()}
+SELECT w, c, pieces_str, n_pieces, is_unk FROM wp
+"""
+
+
+O_WORDPIECE_FERTILITY = f"""
+WITH {_wordpiece_word_table_cte()},
+stream AS (
+    SELECT source, lower(t.w) AS w
+    FROM (SELECT source, regexp_split_to_array(trim(text), '\\s+') AS ws
+          FROM documents),
+         unnest(ws) AS t(w)
+    WHERE t.w <> ''
+)
+SELECT source, count(*) AS n_words,
+       CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
+       (1000 * CAST(sum(n_pieces) AS BIGINT)) // count(*) AS fert_milli
+FROM stream JOIN wp USING (w)
+GROUP BY source
+"""
+
+
 def q_editdist_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocking→verify entity resolution (operators/dedup.
     editdist_verify): candidate pairs are adjacent-id negatives (every
@@ -9731,6 +9890,8 @@ QUERIES = {
     "editdist_verify": q_editdist_verify,
     "weighted_draw": q_weighted_draw,
     "dsir_select": q_dsir_select,
+    "wordpiece_encode": q_wordpiece_encode,
+    "wordpiece_fertility": q_wordpiece_fertility,
     "label_prop": q_label_prop,
     "compression_signal": q_compression_signal,
     "quantile_normalize": q_quantile_normalize,
@@ -9858,6 +10019,8 @@ ORACLES = {
     "editdist_verify": O_EDITDIST_VERIFY,
     "weighted_draw": O_WEIGHTED_DRAW,
     "dsir_select": O_DSIR_SELECT,
+    "wordpiece_encode": O_WORDPIECE_ENCODE,
+    "wordpiece_fertility": O_WORDPIECE_FERTILITY,
     "label_prop": O_LABEL_PROP,
     "compression_signal": O_COMPRESSION_SIGNAL,
     "quantile_normalize": O_QUANTILE_NORMALIZE,

@@ -1,0 +1,191 @@
+"""WordPiece tokenizer (BERT-style greedy longest-match-first), the
+third member of this engine's tokenizer family next to BPE
+(operators/bpe.py) and the unigram LM (operators/unigram.py).
+
+Semantics (Devlin et al. 2019 / the SentencePiece `model_type=word`
+docs): a word is consumed left to right; at the word start the LONGEST
+vocab piece that prefixes the remainder is taken, afterwards the
+longest ``##``-continuation piece; if at any position nothing matches,
+the WHOLE word becomes ``[UNK]``. Real WordPiece learns its vocab by
+likelihood-greedy merges; this module derives a deterministic
+frequency-based vocab from the corpus itself (top whole words + top
+2-char start fragments + top 2-char continuations + every single
+character the corpus contains, each tier tie-broken by fragment text)
+so the gate is exactly replayable in SQL — the greedy ENCODER is fully
+general over arbitrary piece lengths either way.
+
+Scale shape: the vocab build is three partial-agg shuffles over the
+token stream, each ending in a model-sized top-N (collected — bounded
+by construction, like the k-means model). Encoding collapses the
+corpus to DISTINCT words first (the bpe_encode_memoized lesson: encode
+cost scales with vocabulary, not corpus), runs the greedy in an
+Arrow-batched pandas UDF against the broadcast piece sets, and joins
+the per-word result back onto the token stream — at 100 TB the
+distinct-word table is millions of rows, the join broadcasts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType
+
+UNK = "[UNK]"
+
+#: gate hyperparameters (shared with the DuckDB oracle)
+TOP_WORDS = 12
+TOP_START2 = 10
+TOP_CONT2 = 15
+
+
+def corpus_words(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Distinct lowercased whitespace words with corpus frequency:
+    ``(w, c)``. One partial-agg shuffle."""
+    from jobinsight_data_pipeline_spark.operators.textstats import tokens
+
+    return (
+        df.select(
+            F.explode(F.transform(tokens(text_col), F.lower)).alias("w")
+        )
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def build_wordpiece_vocab(
+    words: DataFrame,
+    top_words: int = TOP_WORDS,
+    top_start2: int = TOP_START2,
+    top_cont2: int = TOP_CONT2,
+) -> dict[str, frozenset[str]]:
+    """Derive the deterministic piece inventory from a ``(w, c)``
+    frequency table. Returns ``{"start": …, "cont": …}`` — piece TEXTS
+    without the ``##`` marker (the encoder adds it when emitting).
+
+    Tiers (every top-N ordered ``count DESC, fragment ASC``):
+      start: top ``top_words`` whole words + top ``top_start2`` 2-char
+             word prefixes (frequency-weighted) + every first char;
+      cont:  top ``top_cont2`` 2-char fragments at positions ≥ 2 +
+             every char at positions ≥ 2.
+    Single characters are always in, so [UNK] can only arise on text
+    containing characters the training corpus never saw.
+
+    Three bounded aggregations; the collects are model-sized (≤
+    top_words + top_start2 + top_cont2 + 2·alphabet entries)."""
+    from pyspark.sql import Window
+
+    topw = Window.orderBy(F.desc("tc"), F.asc("f"))
+
+    def top_frags(frags: DataFrame, n: int) -> list[str]:
+        ranked = (
+            frags.groupBy("f")
+            .agg(F.sum("c").alias("tc"))
+            .withColumn("_r", F.row_number().over(topw))
+            .where(F.col("_r") <= n)
+        )
+        return [r["f"] for r in ranked.select("f").collect()]
+
+    whole = top_frags(words.select(F.col("w").alias("f"), "c"), top_words)
+    start2 = top_frags(
+        words.where(F.length("w") >= 2).select(
+            F.substring("w", 1, 2).alias("f"), "c"
+        ),
+        top_start2,
+    )
+    cont2 = top_frags(
+        words.where(F.length("w") >= 3)
+        .select(
+            F.explode(
+                F.expr("transform(sequence(2, length(w) - 1), p -> substring(w, p, 2))")
+            ).alias("f"),
+            "c",
+        ),
+        top_cont2,
+    )
+    start1 = [
+        r["f"]
+        for r in words.select(F.substring("w", 1, 1).alias("f"))
+        .distinct()
+        .collect()
+    ]
+    cont1 = [
+        r["f"]
+        for r in words.where(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.expr("transform(sequence(2, length(w)), p -> substring(w, p, 1))")
+            ).alias("f")
+        )
+        .distinct()
+        .collect()
+    ]
+    return {
+        "start": frozenset(whole) | frozenset(start2) | frozenset(start1),
+        "cont": frozenset(cont2) | frozenset(cont1),
+    }
+
+
+def wordpiece_encode_py(
+    word: str, start: frozenset[str], cont: frozenset[str]
+) -> list[str]:
+    """Greedy longest-match-first over ARBITRARY piece lengths (the
+    general algorithm — not specialized to this corpus's 1/2-char
+    tiers). Returns the piece list, or ``[UNK]`` if any position has no
+    match."""
+    n = len(word)
+    if n == 0:
+        return []
+    pieces: list[str] = []
+    pos = 0
+    while pos < n:
+        vocab = start if pos == 0 else cont
+        match = None
+        for length in range(n - pos, 0, -1):
+            frag = word[pos : pos + length]
+            if frag in vocab:
+                match = frag
+                break
+        if match is None:
+            return [UNK]
+        pieces.append(match if pos == 0 else "##" + match)
+        pos += len(match)
+    return pieces
+
+
+def encode_distinct_words(
+    words: DataFrame, vocab: dict[str, frozenset[str]]
+) -> DataFrame:
+    """Per-distinct-word piece streams: ``(w, c, pieces array)`` via an
+    Arrow-batched pandas UDF holding the (model-sized) piece sets in
+    its closure. Cost scales with the distinct-word table, never the
+    corpus."""
+    import pandas as pd  # noqa: F401  (signature contract)
+
+    start, cont = vocab["start"], vocab["cont"]
+
+    def _enc(col):
+        return col.map(lambda w: wordpiece_encode_py(w, start, cont))
+
+    enc_udf = F.pandas_udf(_enc, ArrayType(StringType()))
+    return words.withColumn("pieces", enc_udf(F.col("w")))
+
+
+def wordpiece_word_table(
+    spark: SparkSession, docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """The full train+encode chain on one corpus, collapsed to the
+    distinct-word grain: ``(w, c, pieces_str, n_pieces, is_unk)`` —
+    the shape both gates and the fertility rollup consume. Arrays are
+    joined to a scalar at this boundary (gate outputs must not emit
+    ARRAY columns — CLAUDE.md)."""
+    words = corpus_words(docs, text_col)
+    vocab = build_wordpiece_vocab(words)
+    enc = encode_distinct_words(words, vocab)
+    return enc.select(
+        "w",
+        "c",
+        F.array_join("pieces", " ").alias("pieces_str"),
+        F.size("pieces").cast("long").alias("n_pieces"),
+        (F.array_join("pieces", " ") == UNK).alias("is_unk"),
+    )
