@@ -461,6 +461,33 @@ def main() -> None:
         lambda: materialize(unigram_encode(spark, docs, um_model))
     )
 
+    # round-9 session-2 additions: DSIR hashed-ngram selection, exact
+    # integer EWMA, WordPiece corpus fertility (vocab derive + distinct-
+    # word encode + join-back), and PCA power iteration (Gram pass +
+    # driver-side integer rounds + scan-fused projection — timed
+    # end-to-end, no memoized model reuse)
+    timings["dsir_select"] = timed(
+        lambda: materialize(queries["dsir_select"](spark, sf_dir))
+    )
+    timings["ewma_smooth"] = timed(
+        lambda: materialize(queries["ewma_smooth"](spark, sf_dir))
+    )
+    timings["wordpiece_fertility"] = timed(
+        lambda: materialize(queries["wordpiece_fertility"](spark, sf_dir))
+    )
+    from jobinsight_data_pipeline_spark.operators.clustering import (
+        gram_matrix,
+        pca_project,
+        power_iteration_int,
+    )
+
+    def _pca() -> None:
+        g = gram_matrix(emb, "embedding", dim=64)
+        eig = power_iteration_int(g, rounds=4)
+        materialize(pca_project(emb.select("vec_id", "embedding"), eig))
+
+    timings["pca_power"] = timed(_pca)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

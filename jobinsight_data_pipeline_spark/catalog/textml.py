@@ -3352,6 +3352,130 @@ GROUP BY source
 """
 
 
+_PCA_ROUNDS = 4
+_PCA_SCALE = 10**6
+_PCA_DIM = 64
+_PCA_TOPN = 20
+_PCA_EIG_CACHE: dict[tuple[int, str], list[int]] = {}
+
+
+def _pca_eigvec(spark: SparkSession, sf_dir: str) -> list[int]:
+    """Memoized top-eigenvector fit per (session, sf_dir): one Gram pass
+    over the corpus (model-sized collect) + driver-side exact-integer
+    power iteration (operators/clustering.py)."""
+    from jobinsight_data_pipeline_spark.operators.clustering import (
+        gram_matrix,
+        power_iteration_int,
+    )
+
+    key = (id(spark), sf_dir)
+    if key not in _PCA_EIG_CACHE:
+        t = load(spark, sf_dir, "embeddings")
+        g = gram_matrix(
+            t["embeddings"], "embedding", dim=_PCA_DIM, scale=_PCA_SCALE
+        )
+        _PCA_EIG_CACHE[key] = power_iteration_int(
+            g, rounds=_PCA_ROUNDS, scale=_PCA_SCALE
+        )
+    return _PCA_EIG_CACHE[key]
+
+
+def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus by integer-exact
+    power iteration (operators/clustering.gram_matrix +
+    power_iteration_int): one partial-agg Gram pass (the collect is
+    dim(dim+1)/2 rows — model-sized at any corpus size), then 4
+    L∞-normalized driver-side iterations on exact integers, oriented
+    first-nonzero-positive. The oracle replays the Gram build and every
+    round relationally in HUGEINT."""
+    eig = _pca_eigvec(spark, sf_dir)
+    return spark.createDataFrame(
+        [(d, v) for d, v in enumerate(eig)], "dim: long, eig_micro: long"
+    )
+
+
+def q_pca_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale application of the fitted principal direction: every
+    vector's scan-fused integer projection onto it (operators/
+    clustering.pca_project — zero shuffles, the kmeans_assign shape),
+    top-20 by |score| with vec_id tie-break (the outlier/diversity
+    surface a curation pipeline reads off PCA)."""
+    from jobinsight_data_pipeline_spark.operators.clustering import (
+        pca_project,
+    )
+    from pyspark.sql import Window
+
+    t = load(spark, sf_dir, "embeddings")
+    eig = _pca_eigvec(spark, sf_dir)
+    scored = pca_project(
+        t["embeddings"].select("vec_id", "embedding"), eig,
+        "embedding", scale=_PCA_SCALE,
+    )
+    w = Window.orderBy(F.abs("score_q").desc(), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _PCA_TOPN)
+        .select("rank", "vec_id", "score_q")
+    )
+
+
+def _pca_oracle_cte() -> str:
+    """Quantized Gram + unrolled HUGEINT power iteration + sign
+    orientation, ending in ``eig(i, ev)`` (1-indexed dim, BIGINT
+    micro-units) and the shared quantized-coordinate table ``qc``."""
+    rounds = []
+    for r in range(1, _PCA_ROUNDS + 1):
+        rounds.append(
+            f"""w{r} AS (
+    SELECT g.i AS i, sum(CAST(g.gv AS HUGEINT) * v{r - 1}.v) AS wv
+    FROM g JOIN v{r - 1} ON g.j = v{r - 1}.i GROUP BY 1
+),
+m{r} AS (SELECT max(abs(wv)) AS m FROM w{r}),
+v{r} AS (SELECT i, (wv * {_PCA_SCALE}) // m AS v
+         FROM w{r} CROSS JOIN m{r})"""
+        )
+    rounds_sql = ",\n".join(rounds)
+    return f"""
+qc AS MATERIALIZED (
+    SELECT vec_id, t.i AS i,
+           CAST(floor(CAST(embedding[i] AS DOUBLE) * {_PCA_SCALE})
+                AS BIGINT) AS qv
+    FROM embeddings, range(1, {_PCA_DIM + 1}) t(i)
+),
+g AS MATERIALIZED (
+    SELECT a.i AS i, b.i AS j, CAST(sum(a.qv * b.qv) AS BIGINT) AS gv
+    FROM qc a JOIN qc b USING (vec_id) GROUP BY 1, 2
+),
+v0 AS (SELECT t.i AS i, CAST({_PCA_SCALE} AS HUGEINT) AS v
+       FROM range(1, {_PCA_DIM + 1}) t(i)),
+{rounds_sql},
+sgn AS (SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END AS s
+        FROM v{_PCA_ROUNDS} WHERE v <> 0 ORDER BY i LIMIT 1),
+eig AS MATERIALIZED (
+    SELECT i, CAST(v * s AS BIGINT) AS ev
+    FROM v{_PCA_ROUNDS} CROSS JOIN sgn
+)"""
+
+
+O_PCA_POWER = f"""
+WITH {_pca_oracle_cte()}
+SELECT i - 1 AS dim, ev AS eig_micro FROM eig
+"""
+
+
+O_PCA_SCORES = f"""
+WITH {_pca_oracle_cte()},
+scores AS (
+    SELECT qc.vec_id, CAST(sum(qc.qv * eig.ev) AS BIGINT) AS score_q
+    FROM qc JOIN eig USING (i) GROUP BY 1
+)
+SELECT row_number() OVER (ORDER BY abs(score_q) DESC, vec_id ASC) AS rank,
+       vec_id, score_q
+FROM scores
+QUALIFY rank <= {_PCA_TOPN}
+"""
+
+
 def q_editdist_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocking→verify entity resolution (operators/dedup.
     editdist_verify): candidate pairs are adjacent-id negatives (every
@@ -9892,6 +10016,8 @@ QUERIES = {
     "dsir_select": q_dsir_select,
     "wordpiece_encode": q_wordpiece_encode,
     "wordpiece_fertility": q_wordpiece_fertility,
+    "pca_power": q_pca_power,
+    "pca_scores": q_pca_scores,
     "label_prop": q_label_prop,
     "compression_signal": q_compression_signal,
     "quantile_normalize": q_quantile_normalize,
@@ -10021,6 +10147,8 @@ ORACLES = {
     "dsir_select": O_DSIR_SELECT,
     "wordpiece_encode": O_WORDPIECE_ENCODE,
     "wordpiece_fertility": O_WORDPIECE_FERTILITY,
+    "pca_power": O_PCA_POWER,
+    "pca_scores": O_PCA_SCORES,
     "label_prop": O_LABEL_PROP,
     "compression_signal": O_COMPRESSION_SIGNAL,
     "quantile_normalize": O_QUANTILE_NORMALIZE,

@@ -270,3 +270,127 @@ def fit_centroids_distributed(
         iterations=iterations, scale=scale,
     )
     return [[x / scale for x in c] for c in quantized]
+
+
+# --- PCA via power iteration (integer-exact) --------------------------------
+
+
+def quantize_signed(vec_col: str, scale: int = DEFAULT_SCALE) -> Column:
+    """``floor(x*scale)`` per coordinate as BIGINT — UNSHIFTED (signed)
+    quantizer for moment/projection math where products must keep their
+    sign. Same FLOAT→DOUBLE-first discipline as :func:`quantize_shifted`."""
+    return F.expr(
+        f"transform({vec_col}, x -> "
+        f"CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT))"
+    )
+
+
+def gram_matrix(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    scale: int = DEFAULT_SCALE,
+) -> list[list[int]]:
+    """The exact integer Gram matrix ``G = Σ_rows q qᵀ`` of the signed-
+    quantized vectors, collected as a dim×dim model (the k-means model
+    discipline: the COLLECT is model-sized — dim(dim+1)/2 rows — never
+    corpus-sized).
+
+    One pass: each row emits its flattened upper triangle (dim(dim+1)/2
+    products, one interpreted HOF) into a partial-agg shuffle keyed by
+    the triangle index — map-side combine collapses every partition to
+    ≤2080 rows regardless of corpus size. With coords in [-1, 1] and
+    scale 10⁶ each product is ≤10¹²; BIGINT sums hold to ~9·10⁶ rows
+    per... ~9·10⁶ billion rows total — at trillion-row corpora drop
+    ``scale`` to 10³ (products 10⁶) or pre-aggregate per shard."""
+    pairs = F.expr(
+        f"flatten(transform(sequence(0, {dim - 1}), i -> "
+        f"transform(sequence(i, {dim - 1}), j -> "
+        f"struct(i * {dim} + j AS k, "
+        "element_at(__q, i + 1) * element_at(__q, j + 1) AS p))))"
+    )
+    rows = (
+        widen_for_cpu(
+            df.where(F.col(vec_col).isNotNull()).select(
+                quantize_signed(vec_col, scale).alias("__q")
+            )
+        )
+        .select(F.explode(pairs).alias("e"))
+        .select(F.col("e.k").alias("k"), F.col("e.p").alias("p"))
+        .groupBy("k")
+        .agg(F.sum("p").alias("g"))
+        .collect()
+    )
+    tri = {r["k"]: r["g"] for r in rows}
+    g = [[0] * dim for _ in range(dim)]
+    for i in range(dim):
+        for j in range(i, dim):
+            v = tri.get(i * dim + j, 0)
+            g[i][j] = v
+            g[j][i] = v
+    return g
+
+
+def _tz_div(a: int, b: int) -> int:
+    """Integer division truncating toward ZERO (both engines' div/``//``
+    semantics) — python's ``//`` floors, which differs on negatives."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def power_iteration_int(
+    gram: list[list[int]],
+    rounds: int = 4,
+    scale: int = DEFAULT_SCALE,
+) -> list[int]:
+    """Top eigenvector of an integer Gram matrix by ``rounds`` power-
+    iteration steps, every operation integer-exact and engine-portable:
+    start from the all-``scale`` vector, multiply (python bigints —
+    unbounded, so no overflow; the SQL oracle mirrors with HUGEINT),
+    L∞-normalize back to ``[-scale, scale]`` with toward-zero division,
+    and finally orient so the first nonzero component is positive
+    (eigenvectors are sign-ambiguous; the convention makes the result
+    unique). Deterministic: no RNG, no floats anywhere."""
+    dim = len(gram)
+    v = [scale] * dim
+    for _ in range(rounds):
+        w = [sum(gram[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+        m = max(abs(x) for x in w)
+        if m == 0:
+            return [0] * dim
+        v = [_tz_div(x * scale, m) for x in w]
+    for x in v:
+        if x != 0:
+            if x < 0:
+                v = [-y for y in v]
+            break
+    return v
+
+
+def pca_project(
+    df: DataFrame,
+    eigvec: list[int],
+    vec_col: str = "embedding",
+    scale: int = DEFAULT_SCALE,
+) -> DataFrame:
+    """Scan-fused projection of every vector onto a fitted quantized
+    eigenvector: appends ``score_q = Σ q_i·v_i`` (BIGINT, quantized²
+    units). Zero shuffles — the broadcast-literal assignment shape
+    :func:`kmeans_assign` uses."""
+    from jobinsight_data_pipeline_spark.operators.sampling import (
+        reserve_columns,
+    )
+
+    reserve_columns(df, ["score_q", "__q"], "pca_project")
+    vec_sql = "array(" + ",".join(f"{int(x)}L" for x in eigvec) + ")"
+    return (
+        df.withColumn("__q", quantize_signed(vec_col, scale))
+        .withColumn(
+            "score_q",
+            F.expr(
+                f"aggregate(zip_with(__q, {vec_sql}, (x, y) -> x * y), "
+                "0L, (a, b) -> a + b)"
+            ),
+        )
+        .drop("__q")
+    )

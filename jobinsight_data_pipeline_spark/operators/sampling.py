@@ -754,6 +754,9 @@ def dsir_select(
     from pyspark.sql import Window
     from pyspark.sql.functions import broadcast
 
+    from jobinsight_data_pipeline_spark.operators.parallelism import (
+        widen_for_cpu,
+    )
     from jobinsight_data_pipeline_spark.operators.textstats import (
         tokens,
         word_bigrams,
@@ -762,20 +765,40 @@ def dsir_select(
     if buckets < 2:
         raise ValueError("dsir_select: buckets must be >= 2")
 
-    toks = F.transform(tokens(text_col), F.lower)
-    grams = F.transform(word_bigrams(text_col), F.lower)
+    # the bigram builder is an interpreted HOF (real per-row CPU) and a
+    # single-file corpus would run it on ONE task — widen first (the
+    # widen_for_cpu lesson; measured 2.9 s -> 0.3 s per pass at sf0.1)
     feats = (
-        df.select(
-            F.col(id_col).alias("__id"),
-            is_target.alias("__tgt"),
-            F.explode(F.concat(toks, grams)).alias("__f"),
+        widen_for_cpu(
+            df.select(
+                F.col(id_col).alias("__id"),
+                is_target.alias("__tgt"),
+                F.col(text_col).alias("__text"),
+            )
+        )
+        .select(
+            "__id",
+            "__tgt",
+            F.explode(
+                F.concat(
+                    F.transform(tokens("__text"), F.lower),
+                    F.transform(word_bigrams("__text"), F.lower),
+                )
+            ).alias("__f"),
         )
         .where(F.col("__f") != "")
         .withColumn("__b", hash_bucket(F.col("__f"), buckets, salt))
     )
-    counts = feats.groupBy("__b").agg(
-        F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("c_t"),
-        F.sum(F.when(F.col("__tgt"), 0).otherwise(1)).alias("c_r"),
+    # the bin-count table feeds totals AND the lambda projection — it is
+    # `buckets` rows however large the corpus, so pin it once instead of
+    # re-running the feature explode per consumer
+    counts = (
+        feats.groupBy("__b")
+        .agg(
+            F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("c_t"),
+            F.sum(F.when(F.col("__tgt"), 0).otherwise(1)).alias("c_r"),
+        )
+        .localCheckpoint(eager=True)
     )
     totals = counts.agg(
         F.sum("c_t").alias("tot_t"), F.sum("c_r").alias("tot_r")

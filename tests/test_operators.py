@@ -4321,3 +4321,56 @@ def test_ewma_smooth_matches_bruteforce(spark):
             q, _ = divmod(abs(num * 1000), den)
             expect = q if num >= 0 else -q
             assert out[(key, pos)] == expect, (key, pos, num, den)
+
+
+def test_gram_matrix_exact_vs_numpy(spark):
+    """gram_matrix equals the exact integer outer-product sum of the
+    signed-quantized vectors (numpy int64 reference), symmetric."""
+    import math
+
+    import numpy as np
+
+    from jobinsight_data_pipeline_spark.operators.clustering import gram_matrix
+
+    rng = np.random.default_rng(7)
+    vecs = (rng.standard_normal((40, 6)) * 0.3).astype("float32")
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    g = gram_matrix(df, "embedding", dim=6, scale=10**6)
+    q = np.floor(vecs.astype("float64") * 10**6).astype("int64")
+    expect = q.T @ q
+    assert np.array_equal(np.array(g, dtype="int64"), expect)
+    assert np.array_equal(np.array(g), np.array(g).T)
+
+
+def test_power_iteration_int_properties():
+    """Deterministic, L∞-normalized to scale, first-nonzero-positive,
+    and convergent to the dominant axis on an eigengap-friendly
+    matrix; toward-zero division semantics pinned against DuckDB."""
+    import duckdb
+
+    from jobinsight_data_pipeline_spark.operators.clustering import (
+        _tz_div,
+        power_iteration_int,
+    )
+
+    # dominant axis 1 (eigenvalues ~ 100, 10, 1)
+    g = [[100, 0, 0], [0, 10, 0], [0, 0, 1]]
+    v = power_iteration_int(g, rounds=6, scale=10**6)
+    assert v == power_iteration_int(g, rounds=6, scale=10**6)
+    assert max(abs(x) for x in v) == 10**6
+    assert v[0] == 10**6 and abs(v[1]) < 10 and abs(v[2]) < 10
+
+    # sign orientation: a dominant direction that comes out negative
+    # must be flipped to first-nonzero-positive
+    g2 = [[100, -99], [-99, 100]]
+    v2 = power_iteration_int(g2, rounds=8, scale=10**6)
+    assert v2[0] > 0
+
+    con = duckdb.connect()
+    for a in (-7, 7, -1, 0, 999999, -999999):
+        for b in (2, 3, -2, 10**6):
+            duck = con.execute(
+                "SELECT CAST(? AS BIGINT) // CAST(? AS BIGINT)", [a, b]
+            ).fetchone()[0]
+            assert _tz_div(a, b) == duck, (a, b)
