@@ -3136,8 +3136,8 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-O_DSIR_SELECT = """
-WITH base AS (
+_DSIR_CTE = """
+base AS (
     SELECT doc_id, source IN ('src0', 'src1') AS tgt,
            regexp_split_to_array(trim(text), '\\s+') AS ws
     FROM documents
@@ -3154,7 +3154,7 @@ feats AS (
          unnest(fs) AS t(f)
     WHERE t.f <> ''
 ),
-binned AS (
+binned AS MATERIALIZED (
     SELECT doc_id, tgt,
            CAST(('0x' || substring(md5('dsir:' || f), 1, 8)) AS BIGINT)
                % 512 AS b
@@ -3179,17 +3179,69 @@ lam AS (
                         * 1000000.0) AS BIGINT) AS lam
     FROM counts CROSS JOIN totals
 ),
-scored AS (
+scored AS MATERIALIZED (
     SELECT doc_id, count(*) AS n_features,
            CAST(sum(lam) AS BIGINT) AS weight_micro
     FROM binned JOIN lam USING (b)
     WHERE NOT tgt
     GROUP BY doc_id
-)
+)"""
+
+
+O_DSIR_SELECT = f"""
+WITH {_DSIR_CTE}
 SELECT row_number() OVER (ORDER BY weight_micro DESC, doc_id ASC) AS rank,
        doc_id, n_features, weight_micro
 FROM scored
 QUALIFY rank <= 60
+"""
+
+
+def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR paper's actual RESAMPLING step (operators/sampling.
+    dsir_resample): the same estimator, then 25 distinct raw-pool docs
+    drawn without replacement with inclusion odds ∝ importance weight
+    via Efraimidis–Spirakis A-ES (md5 uniforms, quantized-ln priority —
+    weighted_draw's boundary-audited machinery; signed log-ratio
+    weights shift by 1−min to the positive domain A-ES requires)."""
+    from jobinsight_data_pipeline_spark.operators.sampling import (
+        dsir_resample,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    return dsir_resample(
+        t["documents"],
+        "doc_id",
+        "text",
+        F.col("source").isin("src0", "src1"),
+        n=25,
+        buckets=512,
+        salt="dsir:",
+    )
+
+
+O_DSIR_RESAMPLE = f"""
+WITH {_DSIR_CTE},
+wmin AS (SELECT min(weight_micro) AS wmin FROM scored),
+shifted AS (
+    SELECT doc_id,
+           CAST(weight_micro - wmin + 1 AS BIGINT) AS weight_shifted
+    FROM scored CROSS JOIN wmin
+),
+drawn AS (
+    SELECT doc_id, weight_shifted,
+           CAST(floor(ln(
+               (CAST(('0x' || substring(md5('ws:' || CAST(doc_id AS VARCHAR)),
+                                        1, 8)) AS BIGINT) + 1)
+               / 4294967296.0) * 1000000.0) AS BIGINT) AS lq6
+    FROM shifted
+)
+SELECT row_number() OVER (
+           ORDER BY CAST(lq6 AS DOUBLE) / CAST(weight_shifted AS DOUBLE) DESC,
+                    doc_id ASC) AS rank,
+       doc_id, weight_shifted, lq6
+FROM drawn
+QUALIFY rank <= 25
 """
 
 
@@ -10014,6 +10066,7 @@ QUERIES = {
     "editdist_verify": q_editdist_verify,
     "weighted_draw": q_weighted_draw,
     "dsir_select": q_dsir_select,
+    "dsir_resample": q_dsir_resample,
     "wordpiece_encode": q_wordpiece_encode,
     "wordpiece_fertility": q_wordpiece_fertility,
     "pca_power": q_pca_power,
@@ -10145,6 +10198,7 @@ ORACLES = {
     "editdist_verify": O_EDITDIST_VERIFY,
     "weighted_draw": O_WEIGHTED_DRAW,
     "dsir_select": O_DSIR_SELECT,
+    "dsir_resample": O_DSIR_RESAMPLE,
     "wordpiece_encode": O_WORDPIECE_ENCODE,
     "wordpiece_fertility": O_WORDPIECE_FERTILITY,
     "pca_power": O_PCA_POWER,

@@ -711,47 +711,38 @@ def quantile_normalize(
     )
 
 
-def dsir_select(
+def dsir_weights(
     df: DataFrame,
     id_col: str,
     text_col: str,
     is_target: Column,
     buckets: int = 512,
-    top_n: int = 100,
     salt: str = "dsir:",
 ) -> DataFrame:
-    """Data Selection with Importance Resampling (Xie et al., NeurIPS
-    2023) over hashed n-gram features: score every RAW-pool document by
-    how much its hashed unigram+bigram profile looks like the TARGET
-    pool's, and keep the ``top_n``.
+    """The DSIR importance ESTIMATOR (Xie et al., NeurIPS 2023) over
+    hashed n-gram features: every RAW-pool document's bag-of-hashed-
+    ngrams log-likelihood ratio between the TARGET pool's and the raw
+    pool's add-one-smoothed bin distributions.
 
-    The estimator is the paper's: features are word unigrams and
-    adjacent bigrams hashed into ``buckets`` bins, each pool's bin
-    distribution is add-one smoothed, and a document's importance weight
-    is sum over its features of ``ln p_target(bin) - ln p_raw(bin)``
-    (bag-of-hashed-ngrams log-likelihood ratio). Documents are drawn
-    from the raw pool by weight — here the deterministic top-n cut with
-    doc-id tie-break rather than a Gumbel draw, so the gate is exactly
-    reproducible (the paper resamples; the ranking is the same).
-
-    Engine portability: the bin is the md5-prefix bucket every split in
-    this module uses; each ``ln`` is quantized to ``floor(ln(p)*1e6)``
-    BIGINT micro-units BEFORE the subtraction and the per-doc sum (the
-    CLAUDE.md ln discipline — ln wobbles 1 ulp between engines; the
-    pytest boundary audit walks every (count, total) this testdata
-    produces), so weights are integers and the cut is bit-stable.
+    Features are word unigrams and adjacent bigrams hashed into
+    ``buckets`` md5-prefix bins (the module's portable bucket); each
+    ``ln`` is quantized to ``floor(ln(p)*1e6)`` BIGINT micro-units
+    BEFORE the subtraction and the per-doc sum (the CLAUDE.md ln
+    discipline — ln wobbles 1 ulp between engines; the pytest boundary
+    audit walks every (count, total) this testdata produces), so
+    weights are integers and every downstream cut/draw is bit-stable.
 
     Scale shape: one explode + ONE partial-agg shuffle builds the
     2-column bin-count table (``buckets`` rows — model-sized however
-    large the corpus); the λ table broadcasts back onto the feature
-    stream; per-doc weights are a second partial-agg shuffle keyed by
-    the id; the cut is TakeOrderedAndProject (per-partition heaps, no
-    global sort). Nothing driver-side grows with the corpus.
+    large the corpus; pinned with one localCheckpoint so the feature
+    explode never re-runs per consumer); the λ table broadcasts back
+    onto the feature stream; per-doc weights are a second partial-agg
+    shuffle keyed by the id. Nothing driver-side grows with the corpus.
 
-    Returns ``(rank, id_col, n_features, weight_micro)`` for the top
-    ``top_n`` raw-pool documents, rank 1 = best.
+    Returns ``(id_col, n_features, weight_micro)`` for every raw-pool
+    document with ≥1 feature. Consumed by :func:`dsir_select` (top-n
+    cut) and :func:`dsir_resample` (the paper's weighted draw).
     """
-    from pyspark.sql import Window
     from pyspark.sql.functions import broadcast
 
     from jobinsight_data_pipeline_spark.operators.parallelism import (
@@ -821,9 +812,96 @@ def dsir_select(
             F.sum("__lam").alias("weight_micro"),
         )
     )
-    w = Window.orderBy(F.desc("weight_micro"), F.asc("__id"))
+    return scored.select(
+        F.col("__id").alias(id_col), "n_features", "weight_micro"
+    )
+
+
+def dsir_select(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    is_target: Column,
+    buckets: int = 512,
+    top_n: int = 100,
+    salt: str = "dsir:",
+) -> DataFrame:
+    """Deterministic DSIR selection: the :func:`dsir_weights` estimator
+    followed by a top-``top_n`` cut with doc-id tie-break (the paper
+    resamples — :func:`dsir_resample` is that variant; the ranking is
+    the same estimator). The cut is TakeOrderedAndProject — per-
+    partition heaps, no global sort.
+
+    Returns ``(rank, id_col, n_features, weight_micro)``, rank 1 = best.
+    """
+    from pyspark.sql import Window
+
+    scored = dsir_weights(df, id_col, text_col, is_target, buckets, salt)
+    w = Window.orderBy(F.desc("weight_micro"), F.asc(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= top_n)
-        .select("rank", F.col("__id").alias(id_col), "n_features", "weight_micro")
+        .select("rank", id_col, "n_features", "weight_micro")
+    )
+
+
+def dsir_resample(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    is_target: Column,
+    n: int,
+    buckets: int = 512,
+    salt: str = "dsir:",
+    draw_salt: str = "ws:",
+) -> DataFrame:
+    """The DSIR paper's actual RESAMPLING step: draw ``n`` distinct
+    raw-pool documents WITHOUT replacement with inclusion odds
+    proportional to their importance weight, via the same
+    Efraimidis–Spirakis A-ES machinery as :func:`weighted_sample_exact_n`
+    (deterministic md5 uniform, quantized-ln priority).
+
+    A-ES needs POSITIVE integer weights; the log-ratio weights are
+    signed, so they shift by ``1 - min(weight)`` (a 1-row aggregate
+    broadcast — the smallest-weight doc gets weight 1, every other doc
+    ``delta+1``; rank-preserving, and exactly reproducible in the
+    oracle). Same draw salt as weighted_sample_exact_n by default, so
+    the boundary-audited u set is shared.
+
+    Returns ``(rank, id_col, weight_shifted, lq6)``, rank 1..n by
+    priority (best draw first).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    scored = dsir_weights(df, id_col, text_col, is_target, buckets, salt)
+    wmin = scored.agg(F.min("weight_micro").alias("__wmin"))
+    shifted = scored.crossJoin(broadcast(wmin)).select(
+        F.col(id_col),
+        (F.col("weight_micro") - F.col("__wmin") + F.lit(1).cast("long")).alias(
+            "weight_shifted"
+        ),
+    )
+    hexpfx = F.substring(
+        F.md5(F.concat(F.lit(draw_salt), F.col(id_col).cast("string"))), 1, 8
+    )
+    drawn = shifted.withColumn(
+        "__hv", F.conv(hexpfx, 16, 10).cast("long")
+    ).withColumn(
+        "lq6",
+        F.expr(
+            "CAST(floor(ln((__hv + 1) / 4294967296.0) * 1000000.0) AS BIGINT)"
+        ),
+    )
+    w = Window.orderBy(
+        (
+            F.col("lq6").cast("double")
+            / F.col("weight_shifted").cast("double")
+        ).desc(),
+        F.col(id_col).asc(),
+    )
+    return (
+        drawn.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= n)
+        .select("rank", id_col, "weight_shifted", "lq6")
     )

@@ -77,6 +77,42 @@ def probes(spark, sf_dir):
     def _sq8_serve(corpus, queries):
         codes, stats = _build_sq8_index(corpus)
         return _sq8_topk_indexed(codes, stats, queries, k=10)
+
+    from jobinsight_data_pipeline_spark.operators.clustering import (
+        gram_matrix as _gram,
+        pca_project as _pca_project,
+        power_iteration_int as _power_iter,
+    )
+    from jobinsight_data_pipeline_spark.operators.sampling import (
+        dsir_select as _dsir_select,
+    )
+    from jobinsight_data_pipeline_spark.operators.textstats import (
+        tokens as _wp_tokens,
+    )
+    from jobinsight_data_pipeline_spark.operators.timeseries import (
+        ewma_smooth as _ewma_smooth,
+    )
+    from jobinsight_data_pipeline_spark.operators.wordpiece import (
+        wordpiece_word_table,
+    )
+
+    def _wp_fertility(spark, corpus):
+        wt = wordpiece_word_table(spark, corpus)
+        toks = corpus.select(
+            "source",
+            F.explode(F.transform(_wp_tokens("text"), F.lower)).alias("w"),
+        ).where(F.col("w") != "")
+        return (
+            toks.join(wt.select("w", "n_pieces"), "w")
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_words"),
+                F.sum("n_pieces").alias("n_pieces"),
+            )
+            .withColumn(
+                "fert_milli", F.expr("(1000L * n_pieces) div n_words")
+            )
+        )
     from jobinsight_data_pipeline_spark.operators.clustering import (
         kmeans_assign as _kmeans_assign,
         kmeans_fit_quantized as _kmeans_fit,
@@ -382,6 +418,29 @@ def probes(spark, sf_dir):
         # learn_bpe_merges and measured via the gate)
         "unigram_encode (word-table DP)": lambda: _unigram_encode(
             spark, docs, _um_model()
+        ),
+        # round-9 session-2: DSIR hashed-ngram selection (widened
+        # feature explode, bucket table checkpointed once), exact
+        # integer EWMA, WordPiece derive+encode+join-back, and the PCA
+        # chain (Gram pass + driver integer rounds + projection) —
+        # all built inside the thunk, no memoized model reuse
+        "dsir_select (512 bins, top-60)": lambda: _dsir_select(
+            docs, "doc_id", "text",
+            F.col("source").isin("src0", "src1"), buckets=512, top_n=60,
+        ),
+        "ewma_smooth (w=8, per-user)": lambda: _ewma_smooth(
+            load(spark, sf_dir, "events")["events"].selectExpr(
+                "user_id", "event_id",
+                "CAST(round(value * 100, 0) AS BIGINT) AS v_cents",
+            ),
+            ["user_id"], ["event_id"], "v_cents",
+        ),
+        "wordpiece_fertility (derive+encode)": lambda: _wp_fertility(
+            spark, docs
+        ),
+        "pca (gram + 4 rounds + project)": lambda: _pca_project(
+            emb.select("vec_id", "embedding"),
+            _power_iter(_gram(emb, "embedding", dim=64), rounds=4),
         ),
     }
 

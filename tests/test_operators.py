@@ -4374,3 +4374,46 @@ def test_power_iteration_int_properties():
                 "SELECT CAST(? AS BIGINT) // CAST(? AS BIGINT)", [a, b]
             ).fetchone()[0]
             assert _tz_div(a, b) == duck, (a, b)
+
+
+def test_dsir_resample_structure_and_positive_shift(spark):
+    """dsir_resample draws exactly n distinct RAW-pool docs, ranks dense
+    from 1, shifts weights to the positive domain A-ES requires (min
+    maps to exactly 1), and respects the weight/priority relation
+    (lq6/weight descending)."""
+    from pyspark.sql import functions as F
+
+    from jobinsight_data_pipeline_spark.operators.sampling import (
+        dsir_resample,
+        dsir_weights,
+    )
+
+    rows = (
+        [(i, "alpha beta alpha beta gamma", "tgt") for i in range(4)]
+        + [(100 + i, "alpha beta gamma alpha", "raw") for i in range(5)]
+        + [(200 + i, "delta epsilon zeta delta epsilon", "raw") for i in range(8)]
+    )
+    df = spark.createDataFrame(rows, "doc_id: long, text: string, pool: string")
+    tgt = F.col("pool") == "tgt"
+    out = dsir_resample(df, "doc_id", "text", tgt, n=6, buckets=64).collect()
+    assert [r["rank"] for r in out] == list(range(1, 7))
+    ids = [r["doc_id"] for r in out]
+    assert len(set(ids)) == 6 and all(i >= 100 for i in ids)
+    assert all(r["weight_shifted"] >= 1 for r in out)
+    pri = [r["lq6"] / r["weight_shifted"] for r in out]
+    assert pri == sorted(pri, reverse=True)
+    # shift anchors the global minimum weight at exactly 1
+    wmin = dsir_weights(df, "doc_id", "text", tgt, buckets=64).agg(
+        F.min("weight_micro")
+    ).first()[0]
+    shifted_all = {
+        r["doc_id"]: r["weight_shifted"]
+        for r in dsir_resample(df, "doc_id", "text", tgt, n=13, buckets=64).collect()
+    }
+    full = {
+        r["doc_id"]: r["weight_micro"]
+        for r in dsir_weights(df, "doc_id", "text", tgt, buckets=64).collect()
+    }
+    assert min(shifted_all.values()) == 1
+    for d, ws in shifted_all.items():
+        assert ws == full[d] - wmin + 1

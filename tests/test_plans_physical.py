@@ -158,6 +158,7 @@ def test_no_accidental_cartesian_or_nested_loop(spark):
         "temperature_mixture",  # 1-row Σisqrt broadcast back (r7)
         "epoch_plan",  # waterfill's per-round 1-row budget/agg broadcasts
         "dsir_select",  # 1-row pool-totals aggregate broadcast back (r9)
+        "dsir_resample",  # same class + 1-row min-weight shift broadcast
         "corpus_build",  # capstone: embeds the mixture + waterfill class
         "hard_negatives",  # cosine_topk's sanctioned broadcast query side
         "mmr_rerank",  # broadcast query side + capped candidate self-join
