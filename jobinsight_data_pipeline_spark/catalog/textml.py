@@ -3528,6 +3528,68 @@ QUALIFY rank <= {_PCA_TOPN}
 """
 
 
+def q_stream_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME principal-direction fit as `pca_power`, with the Gram
+    matrix accumulated by a Structured Streaming loop (streaming/
+    incremental.stream_gram_build) over four micro-batch embedding
+    drops: per-batch exact-BIGINT Gram partials land in batch=<epoch>
+    partitions (overwrite → replay-IDEMPOTENT, true exactly-once) and
+    merge by per-cell sum — integer Gram sums commute, so streaming ≡
+    batch EXACTLY and this gate shares O_PCA_POWER verbatim (the
+    stream_cms shared-oracle discipline). The covariance state a
+    continuously-ingested corpus keeps without rescanning history."""
+    import hashlib
+    import os
+    import shutil
+
+    from jobinsight_data_pipeline_spark.catalog import scratch_dir
+    from jobinsight_data_pipeline_spark.operators.clustering import (
+        power_iteration_int,
+    )
+    from jobinsight_data_pipeline_spark.streaming.incremental import (
+        read_gram_state,
+        stream_gram_build,
+    )
+
+    t = load(spark, sf_dir, "embeddings")
+    emb = t["embeddings"].select("vec_id", "embedding")
+
+    base = scratch_dir(
+        "streampca-gate-",
+        "{}-{}".format(
+            spark.sparkContext.applicationId,
+            hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+        ),
+    )
+    done = os.path.join(base, "_gate_done")
+    if not os.path.exists(done):
+        shutil.rmtree(base, ignore_errors=True)
+        raw = f"{base}/drops"
+        for i in range(4):
+            emb.filter(F.col("vec_id") % 4 == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(raw)
+        query = stream_gram_build(
+            spark,
+            raw,
+            emb.schema,
+            f"{base}/state",
+            f"{base}/ckpt",
+            vec_col="embedding",
+            dim=_PCA_DIM,
+            scale=_PCA_SCALE,
+        )
+        query.awaitTermination()
+        with open(done, "w") as fh:
+            fh.write("ok")
+
+    gram = read_gram_state(spark, f"{base}/state", dim=_PCA_DIM)
+    eig = power_iteration_int(gram, rounds=_PCA_ROUNDS, scale=_PCA_SCALE)
+    return spark.createDataFrame(
+        [(d, v) for d, v in enumerate(eig)], "dim: long, eig_micro: long"
+    )
+
+
 def q_editdist_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocking→verify entity resolution (operators/dedup.
     editdist_verify): candidate pairs are adjacent-id negatives (every
@@ -10071,6 +10133,7 @@ QUERIES = {
     "wordpiece_fertility": q_wordpiece_fertility,
     "pca_power": q_pca_power,
     "pca_scores": q_pca_scores,
+    "stream_pca": q_stream_pca,
     "label_prop": q_label_prop,
     "compression_signal": q_compression_signal,
     "quantile_normalize": q_quantile_normalize,
@@ -10203,6 +10266,7 @@ ORACLES = {
     "wordpiece_fertility": O_WORDPIECE_FERTILITY,
     "pca_power": O_PCA_POWER,
     "pca_scores": O_PCA_SCORES,
+    "stream_pca": O_PCA_POWER,
     "label_prop": O_LABEL_PROP,
     "compression_signal": O_COMPRESSION_SIGNAL,
     "quantile_normalize": O_QUANTILE_NORMALIZE,

@@ -303,13 +303,29 @@ def gram_matrix(
     scale 10⁶ each product is ≤10¹²; BIGINT sums hold to ~9·10⁶ rows
     per... ~9·10⁶ billion rows total — at trillion-row corpora drop
     ``scale`` to 10³ (products 10⁶) or pre-aggregate per shard."""
+    rows = gram_partials(df, vec_col, dim, scale).collect()
+    return _triangle_to_matrix({r["k"]: r["g"] for r in rows}, dim)
+
+
+def gram_partials(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    scale: int = DEFAULT_SCALE,
+) -> DataFrame:
+    """The Gram matrix as a ``(k, g)`` FRAME — flattened upper-triangle
+    index and the exact BIGINT partial sum over this input. Gram sums
+    COMMUTE, so partials over shards/micro-batches merge by plain
+    addition per ``k`` (the CMS/first-seen mergeable-state family; see
+    streaming/incremental.stream_gram_build). ≤ dim(dim+1)/2 rows
+    whatever the input size."""
     pairs = F.expr(
         f"flatten(transform(sequence(0, {dim - 1}), i -> "
         f"transform(sequence(i, {dim - 1}), j -> "
         f"struct(i * {dim} + j AS k, "
         "element_at(__q, i + 1) * element_at(__q, j + 1) AS p))))"
     )
-    rows = (
+    return (
         widen_for_cpu(
             df.where(F.col(vec_col).isNotNull()).select(
                 quantize_signed(vec_col, scale).alias("__q")
@@ -319,9 +335,12 @@ def gram_matrix(
         .select(F.col("e.k").alias("k"), F.col("e.p").alias("p"))
         .groupBy("k")
         .agg(F.sum("p").alias("g"))
-        .collect()
     )
-    tri = {r["k"]: r["g"] for r in rows}
+
+
+def _triangle_to_matrix(tri: dict[int, int], dim: int) -> list[list[int]]:
+    """Mirror a flattened-upper-triangle dict into the full symmetric
+    dim×dim matrix (absent cells are 0 — an all-NULL input column)."""
     g = [[0] * dim for _ in range(dim)]
     for i in range(dim):
         for j in range(i, dim):

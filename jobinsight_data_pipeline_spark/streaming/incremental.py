@@ -605,3 +605,67 @@ def stream_ohlc(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_gram_build(
+    spark: SparkSession,
+    raw_dir: str,
+    schema,
+    state_dir: str,
+    checkpoint_dir: str,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    scale: int = 10**6,
+    max_files_per_trigger: int = 1,
+):
+    """Streaming Gram-matrix state — the sum-mergeable PCA twin of
+    ``stream_cms_build``: each micro-batch of vectors reduces to its
+    flattened-upper-triangle Gram partials (operators/clustering.
+    gram_partials — exact BIGINT, ≤ dim(dim+1)/2 rows whatever the
+    batch size) written to ``state_dir/batch=<epoch>`` (overwrite →
+    replay-IDEMPOTENT, true exactly-once); the corpus Gram is the
+    per-cell SUM across partitions, exact on any batch order because
+    integer sums commute — so a power-iteration fit over the merged
+    state is BIT-IDENTICAL to the batch fit (the streaming ≡ batch pin
+    the stream_pca gate shares O_PCA_POWER for). This is how a
+    continuously-ingested corpus keeps covariance/whitening state
+    without ever rescanning history."""
+    from jobinsight_data_pipeline_spark.operators.clustering import (
+        gram_partials,
+    )
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        gram_partials(batch_df, vec_col, dim, scale).write.mode(
+            "overwrite"
+        ).parquet(f"{state_dir}/batch={epoch_id}")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(raw_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_gram_state(
+    spark: SparkSession, state_dir: str, dim: int = 64
+) -> list[list[int]]:
+    """Merge a ``stream_gram_build`` state dir into the full symmetric
+    Gram matrix: per-cell sum across batch partitions (model-sized
+    collect), mirrored from the stored upper triangle."""
+    from jobinsight_data_pipeline_spark.operators.clustering import (
+        _triangle_to_matrix,
+    )
+
+    rows = (
+        spark.read.parquet(state_dir)
+        .groupBy("k")
+        .agg(F.sum("g").alias("g"))
+        .collect()
+    )
+    return _triangle_to_matrix({r["k"]: r["g"] for r in rows}, dim)

@@ -4417,3 +4417,30 @@ def test_dsir_resample_structure_and_positive_shift(spark):
     assert min(shifted_all.values()) == 1
     for d, ws in shifted_all.items():
         assert ws == full[d] - wmin + 1
+
+
+def test_gram_partials_merge_equals_direct(spark):
+    """Gram partials over arbitrary shards sum-merge to the direct
+    full-input Gram — the commutativity stream_gram_build rests on."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from jobinsight_data_pipeline_spark.operators.clustering import (
+        _triangle_to_matrix,
+        gram_matrix,
+        gram_partials,
+    )
+
+    rng = np.random.default_rng(11)
+    vecs = (rng.standard_normal((30, 5)) * 0.4).astype("float32")
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    direct = gram_matrix(df, "embedding", dim=5)
+    merged: dict[int, int] = {}
+    for m in range(3):
+        part = gram_partials(
+            df.where(F.col("vec_id") % 3 == m), "embedding", dim=5
+        ).collect()
+        for r in part:
+            merged[r["k"]] = merged.get(r["k"], 0) + r["g"]
+    assert _triangle_to_matrix(merged, 5) == direct
