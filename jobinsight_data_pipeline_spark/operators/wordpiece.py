@@ -189,3 +189,63 @@ def wordpiece_word_table(
         F.size("pieces").cast("long").alias("n_pieces"),
         (F.array_join("pieces", " ") == UNK).alias("is_unk"),
     )
+
+
+def validate_vocab(vocab: dict[str, frozenset[str]]) -> None:
+    """Structural well-formedness of a WordPiece piece inventory: both
+    tiers present and non-empty, no empty fragments, every multi-char
+    start piece's first char and every multi-char continuation's chars
+    covered by the single-char tier of the SAME vocab (the coverage
+    property :func:`build_wordpiece_vocab` guarantees and greedy
+    termination quietly relies on — a hand-edited artifact that drops a
+    char tier would turn formerly-encodable words into [UNK]s
+    silently)."""
+    for tier in ("start", "cont"):
+        pieces = vocab.get(tier)
+        if not pieces:
+            raise ValueError(f"wordpiece vocab: tier '{tier}' missing/empty")
+        if any(p == "" for p in pieces):
+            raise ValueError(f"wordpiece vocab: empty fragment in '{tier}'")
+    start1 = {p for p in vocab["start"] if len(p) == 1}
+    cont1 = {p for p in vocab["cont"] if len(p) == 1}
+    for p in vocab["start"]:
+        if p[0] not in start1:
+            raise ValueError(
+                f"wordpiece vocab: start piece {p!r} lacks 1-char cover"
+            )
+    for p in vocab["cont"]:
+        if not set(p) <= cont1:
+            raise ValueError(
+                f"wordpiece vocab: cont piece {p!r} lacks 1-char cover"
+            )
+
+
+def save_vocab(
+    spark: SparkSession, vocab: dict[str, frozenset[str]], path: str
+) -> None:
+    """Persist a WordPiece piece inventory as the tokenizer artifact —
+    (tier, frag) parquet, the asset shipped beside training shards so
+    day-N encodes match with the EXACT inventory the corpus was packed
+    with (the save_merges / unigram save_model twin). Validates before
+    writing — a malformed artifact must fail at save time, not at a
+    future encode."""
+    validate_vocab(vocab)
+    rows = [("start", f) for f in sorted(vocab["start"])] + [
+        ("cont", f) for f in sorted(vocab["cont"])
+    ]
+    spark.createDataFrame(rows, "tier string, frag string").write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def load_vocab(spark: SparkSession, path: str) -> dict[str, frozenset[str]]:
+    """Load a :func:`save_vocab` artifact back into the piece-set form
+    the encoder consumes. Model-sized collect; re-validates — a
+    corrupted or hand-edited artifact fails loudly."""
+    rows = spark.read.parquet(path).select("tier", "frag").collect()
+    vocab = {
+        "start": frozenset(r["frag"] for r in rows if r["tier"] == "start"),
+        "cont": frozenset(r["frag"] for r in rows if r["tier"] == "cont"),
+    }
+    validate_vocab(vocab)
+    return vocab

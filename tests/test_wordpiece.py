@@ -108,3 +108,43 @@ def test_pandas_udf_path_matches_python(spark):
     assert len(got) == 31
     for w, pieces in got.items():
         assert pieces == wordpiece_encode_py(w, vocab["start"], vocab["cont"])
+
+
+def test_vocab_artifact_roundtrip_and_corruption(spark, tmp_path):
+    """save_vocab → load_vocab roundtrips the exact piece sets and the
+    reloaded inventory encodes identically; corrupted artifacts
+    (dropped tier, missing 1-char cover) fail loudly at load."""
+    import pytest
+
+    from jobinsight_data_pipeline_spark.operators.wordpiece import (
+        build_wordpiece_vocab,
+        corpus_words,
+        load_vocab,
+        save_vocab,
+        validate_vocab,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    vocab = build_wordpiece_vocab(corpus_words(docs))
+    path = str(tmp_path / "wp_vocab")
+    save_vocab(spark, vocab, path)
+    back = load_vocab(spark, path)
+    assert back == vocab
+
+    w = "customer"
+    assert wordpiece_encode_py(
+        w, back["start"], back["cont"]
+    ) == wordpiece_encode_py(w, vocab["start"], vocab["cont"])
+
+    # corruption: drop the continuation tier entirely
+    spark.read.parquet(path).where("tier = 'start'").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "wp_bad1"))
+    with pytest.raises(ValueError, match="missing/empty"):
+        load_vocab(spark, str(tmp_path / "wp_bad1"))
+
+    # corruption: a 2-char continuation whose chars lack 1-char cover
+    with pytest.raises(ValueError, match="lacks 1-char cover"):
+        validate_vocab(
+            {"start": frozenset({"a"}), "cont": frozenset({"zy", "z"})}
+        )
