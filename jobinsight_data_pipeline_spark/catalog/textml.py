@@ -3245,6 +3245,47 @@ QUALIFY rank <= 25
 """
 
 
+_WORDPIECE_VOCAB_CACHE: dict[tuple[int, str], dict] = {}
+
+
+def _wordpiece_vocab(spark: SparkSession, sf_dir: str) -> dict:
+    """Memoized per (session, sf_dir): the vocab derivation runs five
+    model-sized collects — once per session, not once per gate call
+    (the _KMEANS_FIT_CACHE discipline)."""
+    from jobinsight_data_pipeline_spark.operators.wordpiece import (
+        build_wordpiece_vocab,
+        corpus_words,
+    )
+
+    key = (id(spark), sf_dir)
+    if key not in _WORDPIECE_VOCAB_CACHE:
+        t = load(spark, sf_dir, "documents")
+        _WORDPIECE_VOCAB_CACHE[key] = build_wordpiece_vocab(
+            corpus_words(t["documents"])
+        )
+    return _WORDPIECE_VOCAB_CACHE[key]
+
+
+def _wordpiece_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobinsight_data_pipeline_spark.operators.wordpiece import (
+        UNK,
+        corpus_words,
+        encode_distinct_words,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    enc = encode_distinct_words(
+        corpus_words(t["documents"]), _wordpiece_vocab(spark, sf_dir)
+    )
+    return enc.select(
+        "w",
+        "c",
+        F.array_join("pieces", " ").alias("pieces_str"),
+        F.size("pieces").cast("long").alias("n_pieces"),
+        (F.array_join("pieces", " ") == UNK).alias("is_unk"),
+    )
+
+
 def q_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WordPiece tokenizer at the distinct-word grain (operators/
     wordpiece): derive the deterministic frequency vocab (top-12 whole
@@ -3254,12 +3295,7 @@ def q_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays vocab derivation AND the greedy walk (8 unrolled
     steps — the testdata's max word length, pinned by pytest) with a
     fully general join-based longest-prefix match."""
-    from jobinsight_data_pipeline_spark.operators.wordpiece import (
-        wordpiece_word_table,
-    )
-
-    t = load(spark, sf_dir, "documents")
-    return wordpiece_word_table(spark, t["documents"])
+    return _wordpiece_table(spark, sf_dir)
 
 
 def q_wordpiece_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3268,13 +3304,10 @@ def q_wordpiece_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapse — encode cost scales with vocabulary, never corpus), then
     pieces-per-word in exact integer milli-units per source."""
     from jobinsight_data_pipeline_spark.operators.textstats import tokens
-    from jobinsight_data_pipeline_spark.operators.wordpiece import (
-        wordpiece_word_table,
-    )
 
     t = load(spark, sf_dir, "documents")
     docs = t["documents"]
-    wt = wordpiece_word_table(spark, docs)
+    wt = _wordpiece_table(spark, sf_dir)
     toks = docs.select(
         "source",
         F.explode(F.transform(tokens("text"), F.lower)).alias("w"),
@@ -3401,6 +3434,66 @@ SELECT source, count(*) AS n_words,
        (1000 * CAST(sum(n_pieces) AS BIGINT)) // count(*) AS fert_milli
 FROM stream JOIN wp USING (w)
 GROUP BY source
+"""
+
+
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining (operators/textstats.token_pmi, Church &
+    Hanks 1990): top-20 adjacent token pairs by pointwise mutual
+    information (count floor 10) — co-occurrence beyond chance, the
+    frequency-independent complement of `top_ngrams`. All three ln
+    terms quantized to BIGINT micro-units separately; the oracle
+    replays counts, totals, PMI, and the cut."""
+    from jobinsight_data_pipeline_spark.operators.textstats import token_pmi
+
+    t = load(spark, sf_dir, "documents")
+    return token_pmi(t["documents"], "text", min_count=10, top_n=20)
+
+
+O_COLLOCATIONS = """
+WITH base AS (
+    SELECT regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents
+),
+unis AS MATERIALIZED (
+    SELECT lower(t.w) AS w, count(*) AS n
+    FROM base, unnest(ws) AS t(w) WHERE t.w <> '' GROUP BY 1
+),
+big0 AS MATERIALIZED (
+    SELECT lower(t.g) AS g
+    FROM (SELECT list_transform(range(1, greatest(len(ws), 1)),
+                                i -> ws[i] || ' ' || ws[i + 1]) AS gs
+          FROM base),
+         unnest(gs) AS t(g)
+    WHERE t.g NOT LIKE ' %' AND t.g NOT LIKE '% '
+),
+bis AS (
+    SELECT str_split(g, ' ')[1] AS w_a, str_split(g, ' ')[2] AS w_b,
+           count(*) AS pair_n
+    FROM big0 GROUP BY g
+    HAVING count(*) >= 10
+),
+totals AS (
+    SELECT (SELECT CAST(sum(n) AS BIGINT) FROM unis) AS tot_u,
+           (SELECT count(*) FROM big0) AS tot_b
+),
+scored AS (
+    SELECT w_a, w_b, pair_n,
+           CAST(floor(ln(CAST(pair_n AS DOUBLE) / tot_b) * 1000000.0)
+                AS BIGINT)
+           - CAST(floor(ln(CAST(a.n AS DOUBLE) / tot_u) * 1000000.0)
+                  AS BIGINT)
+           - CAST(floor(ln(CAST(b.n AS DOUBLE) / tot_u) * 1000000.0)
+                  AS BIGINT) AS pmi_micro
+    FROM bis
+    JOIN unis a ON a.w = bis.w_a
+    JOIN unis b ON b.w = bis.w_b
+    CROSS JOIN totals
+)
+SELECT row_number() OVER (
+           ORDER BY pmi_micro DESC, w_a ASC, w_b ASC) AS rank,
+       w_a, w_b, pair_n, pmi_micro
+FROM scored
+QUALIFY rank <= 20
 """
 
 
@@ -10134,6 +10227,7 @@ QUERIES = {
     "pca_power": q_pca_power,
     "pca_scores": q_pca_scores,
     "stream_pca": q_stream_pca,
+    "collocations": q_collocations,
     "label_prop": q_label_prop,
     "compression_signal": q_compression_signal,
     "quantile_normalize": q_quantile_normalize,
@@ -10267,6 +10361,7 @@ ORACLES = {
     "pca_power": O_PCA_POWER,
     "pca_scores": O_PCA_SCORES,
     "stream_pca": O_PCA_POWER,
+    "collocations": O_COLLOCATIONS,
     "label_prop": O_LABEL_PROP,
     "compression_signal": O_COMPRESSION_SIGNAL,
     "quantile_normalize": O_QUANTILE_NORMALIZE,

@@ -985,3 +985,94 @@ def with_compression_ratio(
             F.expr("(comp_len * 1000000) div greatest(byte_len, 1)"),
         )
     )
+
+
+def token_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_n: int = 20,
+) -> DataFrame:
+    """Collocation mining by pointwise mutual information over adjacent
+    token pairs: ``PMI(a,b) = ln p(a,b) − ln p(a) − ln p(b)`` with
+    maximum-likelihood probabilities (bigram count / total bigrams,
+    unigram count / total tokens). High PMI = the pair co-occurs far
+    beyond chance — the classic collocation / multi-word-expression
+    detector (Church & Hanks 1990), and the complement of
+    :func:`top_ngrams` (raw frequency) for boilerplate discovery.
+
+    Engine portability: every ln is quantized to ``floor(ln·10⁶)``
+    BIGINT micro-units SEPARATELY before the subtraction (the CLAUDE.md
+    ln discipline), and the probabilities are ratios of exact integers
+    — both engines ln the identical double. ``min_count`` floors the
+    bigram count (PMI is noise-dominated at low counts).
+
+    Scale shape: one widened token pass feeds both count tables
+    (unigrams and bigrams, partial-agg shuffles bounded by vocabulary,
+    not corpus); the PMI table is bigram-vocabulary-sized, joined to
+    the unigram counts twice on the word key; totals are a 1-row
+    broadcast; the cut is TakeOrderedAndProject. Returns ``(rank, w_a,
+    w_b, pair_n, pmi_micro)``, tie-broken ``(pmi desc, w_a, w_b)``."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    from jobinsight_data_pipeline_spark.operators.parallelism import (
+        widen_for_cpu,
+    )
+
+    base = widen_for_cpu(df.select(F.col(text_col).alias("__text")))
+    unis = (
+        base.select(
+            F.explode(F.transform(tokens("__text"), F.lower)).alias("w")
+        )
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bis = (
+        base.select(
+            F.explode(F.transform(word_bigrams("__text"), F.lower)).alias(
+                "g"
+            )
+        )
+        .where(~F.col("g").startswith(" ") & ~F.col("g").endswith(" "))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("pair_n"))
+        .where(F.col("pair_n") >= min_count)
+        .select(
+            F.split(F.col("g"), " ")[0].alias("w_a"),
+            F.split(F.col("g"), " ")[1].alias("w_b"),
+            "pair_n",
+        )
+    )
+    totals = unis.agg(F.sum("n").alias("tot_u")).crossJoin(
+        broadcast(
+            base.select(
+                F.explode(F.transform(word_bigrams("__text"), F.lower)).alias("g")
+            )
+            .where(~F.col("g").startswith(" ") & ~F.col("g").endswith(" "))
+            .agg(F.count(F.lit(1)).alias("tot_b"))
+        )
+    )
+    lq = "CAST(floor(ln(CAST({num} AS DOUBLE) / {den}) * 1000000.0) AS BIGINT)"
+    scored = (
+        bis.join(unis.select(F.col("w").alias("w_a"), F.col("n").alias("n_a")), "w_a")
+        .join(unis.select(F.col("w").alias("w_b"), F.col("n").alias("n_b")), "w_b")
+        .crossJoin(broadcast(totals))
+        .select(
+            "w_a",
+            "w_b",
+            "pair_n",
+            F.expr(
+                lq.format(num="pair_n", den="tot_b")
+                + " - " + lq.format(num="n_a", den="tot_u")
+                + " - " + lq.format(num="n_b", den="tot_u")
+            ).alias("pmi_micro"),
+        )
+    )
+    w = Window.orderBy(F.desc("pmi_micro"), F.asc("w_a"), F.asc("w_b"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_n)
+        .select("rank", "w_a", "w_b", "pair_n", "pmi_micro")
+    )

@@ -4444,3 +4444,29 @@ def test_gram_partials_merge_equals_direct(spark):
         for r in part:
             merged[r["k"]] = merged.get(r["k"], 0) + r["g"]
     assert _triangle_to_matrix(merged, 5) == direct
+
+
+def test_token_pmi_known_answer(spark):
+    """Hand-computed PMI on a planted corpus: the glued pair ('neural',
+    'network' — always adjacent) must outrank a chance-level pair, with
+    exact integer micro-units."""
+    import math
+
+    from jobinsight_data_pipeline_spark.operators.textstats import token_pmi
+
+    rows = [(i, "neural network the cat the dog") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = token_pmi(df, "text", min_count=2, top_n=50).collect()
+    by_pair = {(r["w_a"], r["w_b"]): r for r in out}
+    # totals: 24 tokens, 20 bigrams
+    def q(x):
+        return math.floor(math.log(x) * 1e6)
+
+    nn = by_pair[("neural", "network")]
+    assert nn["pair_n"] == 4
+    assert nn["pmi_micro"] == q(4 / 20) - q(4 / 24) - q(4 / 24)
+    # 'the cat' (pair 4, 'the' n=8): weaker association
+    tc = by_pair[("the", "cat")]
+    assert tc["pmi_micro"] == q(4 / 20) - q(8 / 24) - q(4 / 24)
+    assert nn["pmi_micro"] > tc["pmi_micro"]
+    assert out[0]["rank"] == 1

@@ -1020,3 +1020,73 @@ def test_dsir_ln_floor_boundary_audit(spark):
     for p in ps:
         frac = (math.log(p) * 1e6) % 1.0
         assert min(frac, 1.0 - frac) > 1e-7, (p, frac)
+
+
+def test_pmi_ln_floor_boundary_audit(spark):
+    """token_pmi's exactness rests on floor(ln·10⁶) agreeing across
+    engines for every probability the sf0.01 corpus produces — all
+    unigram n/tot_u ratios plus every bigram pair_n/tot_b at the gate's
+    min_count. Quantized integers identical; ln·10⁶ clear of floor
+    boundaries."""
+    import math
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.01/documents.parquet'"
+    )
+    ps = [
+        r[0]
+        for r in con.execute(
+            """
+            WITH base AS (
+                SELECT regexp_split_to_array(trim(text), '\\s+') AS ws
+                FROM documents
+            ),
+            unis AS (
+                SELECT lower(t.w) AS w, count(*) AS n
+                FROM base, unnest(ws) AS t(w) WHERE t.w <> '' GROUP BY 1
+            ),
+            big0 AS (
+                SELECT lower(t.g) AS g
+                FROM (SELECT list_transform(range(1, greatest(len(ws), 1)),
+                                            i -> ws[i] || ' ' || ws[i + 1])
+                          AS gs
+                      FROM base),
+                     unnest(gs) AS t(g)
+                WHERE t.g NOT LIKE ' %' AND t.g NOT LIKE '% '
+            ),
+            tot AS (SELECT (SELECT CAST(sum(n) AS BIGINT) FROM unis) AS tu,
+                           (SELECT count(*) FROM big0) AS tb)
+            SELECT DISTINCT p FROM (
+                SELECT CAST(n AS DOUBLE) / tu AS p FROM unis CROSS JOIN tot
+                UNION ALL
+                SELECT CAST(c AS DOUBLE) / tb
+                FROM (SELECT count(*) AS c FROM big0 GROUP BY g
+                      HAVING count(*) >= 10) CROSS JOIN tot
+            ) ORDER BY p
+            """
+        ).fetchall()
+    ]
+    assert len(ps) > 50
+
+    duck_q = [
+        con.execute(
+            "SELECT CAST(floor(ln(?) * 1000000.0) AS BIGINT)", [p]
+        ).fetchone()[0]
+        for p in ps
+    ]
+    spark_q = [
+        r[0]
+        for r in spark.createDataFrame([(p,) for p in ps], "p: double")
+        .selectExpr("CAST(floor(ln(p) * 1000000.0) AS BIGINT) AS q", "p")
+        .orderBy("p")
+        .select("q")
+        .collect()
+    ]
+    assert spark_q == duck_q
+    for p in ps:
+        frac = (math.log(p) * 1e6) % 1.0
+        assert min(frac, 1.0 - frac) > 1e-7, (p, frac)
