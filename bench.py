@@ -472,9 +472,36 @@ def main() -> None:
     timings["ewma_smooth"] = timed(
         lambda: materialize(queries["ewma_smooth"](spark, sf_dir))
     )
-    timings["wordpiece_fertility"] = timed(
-        lambda: materialize(queries["wordpiece_fertility"](spark, sf_dir))
+    # direct operator path — the catalog gate memoizes the vocab per
+    # session, which would let run 2 of timed() skip the derive collects
+    from pyspark.sql import functions as F
+
+    from jobinsight_data_pipeline_spark.operators.textstats import (
+        tokens as _wp_tokens,
     )
+    from jobinsight_data_pipeline_spark.operators.wordpiece import (
+        wordpiece_word_table,
+    )
+
+    def _wp_fert() -> None:
+        wt = wordpiece_word_table(spark, docs)
+        toks = docs.select(
+            "source",
+            F.explode(F.transform(_wp_tokens("text"), F.lower)).alias("w"),
+        ).where(F.col("w") != "")
+        materialize(
+            toks.join(wt.select("w", "n_pieces"), "w")
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_words"),
+                F.sum("n_pieces").alias("n_pieces"),
+            )
+            .withColumn(
+                "fert_milli", F.expr("(1000L * n_pieces) div n_words")
+            )
+        )
+
+    timings["wordpiece_fertility"] = timed(_wp_fert)
     from jobinsight_data_pipeline_spark.operators.clustering import (
         gram_matrix,
         pca_project,
