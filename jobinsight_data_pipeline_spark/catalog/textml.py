@@ -3286,6 +3286,81 @@ def _wordpiece_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME DSIR selection as `dsir_select`, with the estimator's
+    bin-count state accumulated by a Structured Streaming loop
+    (streaming/incremental.stream_dsir_build) over four micro-batch
+    document drops: per-batch (c_t, c_r) bucket counts land in
+    batch=<epoch> partitions (overwrite → replay-IDEMPOTENT, true
+    exactly-once) and merge by per-bucket sum — integer counts commute,
+    so scoring against the merged state is BIT-IDENTICAL to the batch
+    estimator and this gate shares O_DSIR_SELECT verbatim (the
+    stream_cms/stream_pca shared-oracle discipline). Only the final
+    scoring pass re-reads documents; the estimator state never
+    rescans history."""
+    import hashlib
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    from jobinsight_data_pipeline_spark.catalog import scratch_dir
+    from jobinsight_data_pipeline_spark.operators.sampling import (
+        dsir_features,
+        dsir_score_against_counts,
+    )
+    from jobinsight_data_pipeline_spark.streaming.incremental import (
+        read_dsir_state,
+        stream_dsir_build,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    docs = t["documents"].select("doc_id", "text", "source")
+
+    base = scratch_dir(
+        "streamdsir-gate-",
+        "{}-{}".format(
+            spark.sparkContext.applicationId,
+            hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+        ),
+    )
+    done = os.path.join(base, "_gate_done")
+    if not os.path.exists(done):
+        shutil.rmtree(base, ignore_errors=True)
+        raw = f"{base}/drops"
+        for i in range(4):
+            docs.filter(F.col("doc_id") % 4 == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(raw)
+        query = stream_dsir_build(
+            spark,
+            raw,
+            docs.schema,
+            f"{base}/state",
+            f"{base}/ckpt",
+            buckets=512,
+            salt="dsir:",
+        )
+        query.awaitTermination()
+        with open(done, "w") as fh:
+            fh.write("ok")
+
+    counts = read_dsir_state(spark, f"{base}/state").localCheckpoint(
+        eager=True
+    )
+    feats = dsir_features(
+        docs, "doc_id", "text",
+        F.col("source").isin("src0", "src1"), buckets=512, salt="dsir:",
+    )
+    scored = dsir_score_against_counts(feats, counts, "doc_id", buckets=512)
+    w = Window.orderBy(F.desc("weight_micro"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 60)
+        .select("rank", "doc_id", "n_features", "weight_micro")
+    )
+
+
 def q_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WordPiece tokenizer at the distinct-word grain (operators/
     wordpiece): derive the deterministic frequency vocab (top-12 whole
@@ -10228,6 +10303,7 @@ QUERIES = {
     "pca_scores": q_pca_scores,
     "stream_pca": q_stream_pca,
     "collocations": q_collocations,
+    "stream_dsir": q_stream_dsir,
     "label_prop": q_label_prop,
     "compression_signal": q_compression_signal,
     "quantile_normalize": q_quantile_normalize,
@@ -10362,6 +10438,7 @@ ORACLES = {
     "pca_scores": O_PCA_SCORES,
     "stream_pca": O_PCA_POWER,
     "collocations": O_COLLOCATIONS,
+    "stream_dsir": O_DSIR_SELECT,
     "label_prop": O_LABEL_PROP,
     "compression_signal": O_COMPRESSION_SIGNAL,
     "quantile_normalize": O_QUANTILE_NORMALIZE,

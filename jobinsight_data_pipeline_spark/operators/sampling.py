@@ -753,13 +753,38 @@ def dsir_weights(
         word_bigrams,
     )
 
-    if buckets < 2:
-        raise ValueError("dsir_select: buckets must be >= 2")
+    feats = dsir_features(df, id_col, text_col, is_target, buckets, salt)
+    # the bin-count table feeds totals AND the lambda projection — it is
+    # `buckets` rows however large the corpus, so pin it once instead of
+    # re-running the feature explode per consumer
+    counts = dsir_bin_counts(feats).localCheckpoint(eager=True)
+    return dsir_score_against_counts(feats, counts, id_col, buckets)
 
-    # the bigram builder is an interpreted HOF (real per-row CPU) and a
-    # single-file corpus would run it on ONE task — widen first (the
-    # widen_for_cpu lesson; measured 2.9 s -> 0.3 s per pass at sf0.1)
-    feats = (
+
+def dsir_features(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    is_target: Column,
+    buckets: int = 512,
+    salt: str = "dsir:",
+) -> DataFrame:
+    """The DSIR feature stream: one row per hashed unigram/bigram
+    occurrence — ``(__id, __tgt, __b)``. The bigram builder is an
+    interpreted HOF (real per-row CPU) and a single-file corpus would
+    run it on ONE task — widened first (the widen_for_cpu lesson;
+    measured 2.9 s → 0.3 s per pass at sf0.1)."""
+    from jobinsight_data_pipeline_spark.operators.parallelism import (
+        widen_for_cpu,
+    )
+    from jobinsight_data_pipeline_spark.operators.textstats import (
+        tokens,
+        word_bigrams,
+    )
+
+    if buckets < 2:
+        raise ValueError("dsir_features: buckets must be >= 2")
+    return (
         widen_for_cpu(
             df.select(
                 F.col(id_col).alias("__id"),
@@ -778,19 +803,35 @@ def dsir_weights(
             ).alias("__f"),
         )
         .where(F.col("__f") != "")
-        .withColumn("__b", hash_bucket(F.col("__f"), buckets, salt))
-    )
-    # the bin-count table feeds totals AND the lambda projection — it is
-    # `buckets` rows however large the corpus, so pin it once instead of
-    # re-running the feature explode per consumer
-    counts = (
-        feats.groupBy("__b")
-        .agg(
-            F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("c_t"),
-            F.sum(F.when(F.col("__tgt"), 0).otherwise(1)).alias("c_r"),
+        .select(
+            "__id", "__tgt",
+            hash_bucket(F.col("__f"), buckets, salt).alias("__b"),
         )
-        .localCheckpoint(eager=True)
     )
+
+
+def dsir_bin_counts(feats: DataFrame) -> DataFrame:
+    """Per-bucket pool counts ``(__b, c_t, c_r)`` — ``buckets`` rows
+    however large the corpus. Plain integer sums, so partials over
+    shards/micro-batches MERGE by addition per bucket (the mergeable-
+    state family; see streaming/incremental.stream_dsir_build)."""
+    return feats.groupBy("__b").agg(
+        F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("c_t"),
+        F.sum(F.when(F.col("__tgt"), 0).otherwise(1)).alias("c_r"),
+    )
+
+
+def dsir_score_against_counts(
+    feats: DataFrame,
+    counts: DataFrame,
+    id_col: str,
+    buckets: int = 512,
+) -> DataFrame:
+    """Score the raw-pool side of a feature stream against a (possibly
+    externally accumulated) bin-count table: smoothing totals from the
+    counts, per-ln micro-quantized λ, broadcast back, per-doc sums."""
+    from pyspark.sql.functions import broadcast
+
     totals = counts.agg(
         F.sum("c_t").alias("tot_t"), F.sum("c_r").alias("tot_r")
     )

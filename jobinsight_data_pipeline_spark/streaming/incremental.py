@@ -669,3 +669,65 @@ def read_gram_state(
         .collect()
     )
     return _triangle_to_matrix({r["k"]: r["g"] for r in rows}, dim)
+
+
+def stream_dsir_build(
+    spark: SparkSession,
+    raw_dir: str,
+    schema,
+    state_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_expr: str = "source IN ('src0', 'src1')",
+    buckets: int = 512,
+    salt: str = "dsir:",
+    max_files_per_trigger: int = 1,
+):
+    """Streaming DSIR estimator state — the fifth mergeable-state shape
+    (sum-merged bin counts): each micro-batch of documents reduces to
+    its per-bucket (c_t, c_r) feature counts (operators/sampling.
+    dsir_bin_counts — ≤ `buckets` rows whatever the batch size) written
+    to ``state_dir/batch=<epoch>`` (overwrite → replay-IDEMPOTENT, true
+    exactly-once); the corpus-wide bin table is the per-bucket SUM
+    across partitions, exact on any batch order because integer counts
+    commute — so selection against the merged state is BIT-IDENTICAL to
+    the batch estimator (the stream_dsir gate shares O_DSIR_SELECT
+    verbatim). This is how a continuously-ingested corpus keeps its
+    importance-estimator state without rescanning history; only the
+    final scoring pass reads documents again."""
+    from jobinsight_data_pipeline_spark.operators.sampling import (
+        dsir_bin_counts,
+        dsir_features,
+    )
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        feats = dsir_features(
+            batch_df, id_col, text_col, F.expr(target_expr), buckets, salt
+        )
+        dsir_bin_counts(feats).write.mode("overwrite").parquet(
+            f"{state_dir}/batch={epoch_id}"
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(raw_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_dsir_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Merge a ``stream_dsir_build`` state dir into one bin-count
+    table: per-bucket sums across the batch partitions (__b, c_t,
+    c_r)."""
+    return (
+        spark.read.parquet(state_dir)
+        .groupBy("__b")
+        .agg(F.sum("c_t").alias("c_t"), F.sum("c_r").alias("c_r"))
+    )
