@@ -3696,6 +3696,179 @@ QUALIFY rank <= {_PCA_TOPN}
 """
 
 
+_PQT_M = 4
+_PQT_K = 4
+_PQT_ITERS = 2
+_PQT_DIM = 64
+_PQT_SCALE = 10**6
+_PQT_CACHE: dict[tuple[int, str], list] = {}
+
+
+def _pq_books(spark: SparkSession, sf_dir: str) -> list:
+    """Memoized trained-PQ codebooks per (session, sf_dir)."""
+    from jobinsight_data_pipeline_spark.operators.clustering import (
+        train_pq_codebooks_quantized,
+    )
+
+    key = (id(spark), sf_dir)
+    if key not in _PQT_CACHE:
+        t = load(spark, sf_dir, "embeddings")
+        _PQT_CACHE[key] = train_pq_codebooks_quantized(
+            t["embeddings"], "embedding", "vec_id",
+            m=_PQT_M, k=_PQT_K, iterations=_PQT_ITERS,
+            dim=_PQT_DIM, scale=_PQT_SCALE,
+        )
+    return _PQT_CACHE[key]
+
+
+def q_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained product-quantization codebooks (operators/clustering.
+    train_pq_codebooks_quantized, Jégou et al. 2011): per-subspace
+    Lloyd's fits on the FULL corpus — all m subspaces advancing in ONE
+    job per iteration — then the final per-(subspace, cell) model
+    surface: population, exact integer inertia, and the fitted
+    sub-centroid as a scalar string. Replaces pq_codebooks' seeded
+    stand-in with the data-fitted path its docstring defers to; the
+    oracle unrolls every subspace's every round."""
+    from jobinsight_data_pipeline_spark.operators.clustering import (
+        _imatrix_sql,
+        _sq_dist,
+        quantize_shifted,
+    )
+    from jobinsight_data_pipeline_spark.operators.parallelism import (
+        widen_for_cpu,
+    )
+
+    books = _pq_books(spark, sf_dir)  # unshifted
+    sub = _PQT_DIM // _PQT_M
+    shifted = [
+        [[x + _PQT_SCALE for x in c] for c in book] for book in books
+    ]
+    t = load(spark, sf_dir, "embeddings")
+    q = widen_for_cpu(
+        t["embeddings"]
+        .where(F.col("embedding").isNotNull())
+        .select(quantize_shifted("embedding", _PQT_SCALE).alias("__p"))
+    )
+    ds_cols = [
+        F.expr(
+            f"transform({_imatrix_sql(shifted[j])}, "
+            f"c -> {_sq_dist(f'slice(__p, {j * sub + 1}, {sub})', 'c')})"
+        ).alias(f"__ds{j}")
+        for j in range(_PQT_M)
+    ]
+    pairs = [
+        F.struct(
+            F.lit(j).alias("j"),
+            F.expr(
+                f"CAST(array_position(__ds{j}, array_min(__ds{j})) - 1"
+                " AS INT)"
+            ).alias("cell"),
+            F.expr(f"array_min(__ds{j})").alias("d"),
+        )
+        for j in range(_PQT_M)
+    ]
+    stats = (
+        q.select(*ds_cols)
+        .select(F.explode(F.array(*pairs)).alias("e"))
+        .select("e.j", "e.cell", "e.d")
+        .groupBy("j", "cell")
+        .agg(F.count(F.lit(1)).alias("size"), F.sum("d").alias("inertia"))
+    )
+    cent_rows = [
+        (j, cell, "|".join(str(x) for x in books[j][cell]))
+        for j in range(_PQT_M)
+        for cell in range(_PQT_K)
+    ]
+    cent_df = spark.createDataFrame(
+        cent_rows, "j int, cell int, centroid string"
+    )
+    return stats.join(F.broadcast(cent_df), ["j", "cell"]).select(
+        "j", "cell", "size", "inertia", "centroid"
+    )
+
+
+def _pq_trained_oracle_sql() -> str:
+    """Unroll every subspace's full quantized Lloyd's fit in DuckDB
+    CTEs (the _kmeans_oracle_sql pattern per subspace, lists sliced via
+    range(lo, hi)), ending in a UNION of per-(subspace, cell) stats."""
+    m, k, iters, scale = _PQT_M, _PQT_K, _PQT_ITERS, _PQT_SCALE
+    sub = _PQT_DIM // m
+    dist = (
+        "CAST(list_dot_product(q.p, q.p) + list_dot_product(c.c, c.c)"
+        " - 2 * list_dot_product(q.p, c.c) AS BIGINT)"
+    )
+    parts = ["WITH "]
+    finals = []
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub + 1
+        lead = "" if j == 0 else ","
+        parts.append(
+            f"{lead}\nq{j} AS MATERIALIZED (\n"
+            f"    SELECT vec_id, list_transform(range({lo}, {hi}),\n"
+            f"        i -> CAST(floor(CAST(embedding[i] AS DOUBLE)"
+            f" * {scale}) AS BIGINT) + {scale}) AS p\n"
+            "    FROM embeddings WHERE embedding IS NOT NULL\n"
+            f"),\nc{j}_0 AS (\n"
+            "    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,"
+            " p AS c\n"
+            f"    FROM (SELECT vec_id, p FROM q{j} ORDER BY vec_id"
+            f" LIMIT {k})\n"
+            ")"
+        )
+        for i in range(iters):
+            parts.append(
+                f",\na{j}_{i} AS (\n"
+                "    SELECT vec_id, p, cell FROM (\n"
+                "        SELECT vec_id, p, cell,\n"
+                "               row_number() OVER (PARTITION BY vec_id"
+                " ORDER BY d, cell) AS rn\n"
+                "        FROM (\n"
+                f"            SELECT q.vec_id, q.p, c.cell, {dist} AS d\n"
+                f"            FROM q{j} q, c{j}_{i} c)\n"
+                "    ) WHERE rn = 1\n"
+                f"),\nm{j}_{i} AS (\n"
+                "    SELECT cell, i AS pos,\n"
+                "           (2 * sum(p[i]) + count(*)) // (2 * count(*))"
+                " AS cv\n"
+                f"    FROM a{j}_{i}, LATERAL (SELECT"
+                " unnest(range(1, len(p) + 1)) AS i) t\n"
+                "    GROUP BY cell, i\n"
+                f"),\nc{j}_{i + 1} AS (\n"
+                "    SELECT c.cell, coalesce(nc.c, c.c) AS c\n"
+                f"    FROM c{j}_{i} c LEFT JOIN (SELECT cell,"
+                f" list(cv ORDER BY pos) AS c FROM m{j}_{i} GROUP BY cell)"
+                " nc\n"
+                "    USING (cell)\n"
+                ")"
+            )
+        parts.append(
+            f",\naf{j} AS (\n"
+            "    SELECT vec_id, cell, d FROM (\n"
+            "        SELECT vec_id, cell, d,\n"
+            "               row_number() OVER (PARTITION BY vec_id"
+            " ORDER BY d, cell) AS rn\n"
+            "        FROM (\n"
+            f"            SELECT q.vec_id, c.cell, {dist} AS d\n"
+            f"            FROM q{j} q, c{j}_{iters} c)\n"
+            "    ) WHERE rn = 1\n"
+            ")"
+        )
+        finals.append(
+            f"SELECT {j} AS j, s.cell, s.size, s.inertia,\n"
+            "       array_to_string(list_transform(c.c,"
+            f" x -> CAST(x - {scale} AS VARCHAR)), '|') AS centroid\n"
+            f"FROM (SELECT cell, count(*) AS size,"
+            f" CAST(sum(d) AS BIGINT) AS inertia FROM af{j} GROUP BY cell)"
+            " s\n"
+            f"JOIN c{j}_{iters} c USING (cell)"
+        )
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(finals)
+
+
+O_PQ_TRAINED = _pq_trained_oracle_sql()
+
+
 def q_stream_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME principal-direction fit as `pca_power`, with the Gram
     matrix accumulated by a Structured Streaming loop (streaming/
@@ -10304,6 +10477,7 @@ QUERIES = {
     "stream_pca": q_stream_pca,
     "collocations": q_collocations,
     "stream_dsir": q_stream_dsir,
+    "pq_trained": q_pq_trained,
     "label_prop": q_label_prop,
     "compression_signal": q_compression_signal,
     "quantile_normalize": q_quantile_normalize,
@@ -10439,6 +10613,7 @@ ORACLES = {
     "stream_pca": O_PCA_POWER,
     "collocations": O_COLLOCATIONS,
     "stream_dsir": O_DSIR_SELECT,
+    "pq_trained": O_PQ_TRAINED,
     "label_prop": O_LABEL_PROP,
     "compression_signal": O_COMPRESSION_SIGNAL,
     "quantile_normalize": O_QUANTILE_NORMALIZE,

@@ -413,3 +413,115 @@ def pca_project(
         )
         .drop("__q")
     )
+
+
+# --- trained product-quantization codebooks ---------------------------------
+
+
+def train_pq_codebooks_quantized(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    k: int = 4,
+    iterations: int = 2,
+    dim: int = 64,
+    scale: int = DEFAULT_SCALE,
+) -> list[list[list[int]]]:
+    """Fit product-quantization codebooks on the FULL corpus — the
+    trained path :func:`similarity.pq_codebooks`'s docstring defers to
+    (its seeded Gaussians are a reproducibility stand-in; real PQ fits
+    per-subspace k-means on the data, Jégou et al. 2011). Returns
+    ``books[j][cell]`` as UNSHIFTED quantized ints per subspace.
+
+    Same contract as :func:`kmeans_fit_quantized` (deterministic
+    lowest-id seeding, round-half-up integer means, empty-cell
+    carry-forward, shifted non-negative domain internally) — but all
+    ``m`` subspace fits advance in ONE Spark job per iteration: each
+    row computes its m per-subspace argmin cells (the ds-once
+    projection), explodes to m (subspace, cell, subvector) slices, and
+    a single partial-agg shuffle keyed by (subspace, cell) feeds the
+    m·k·(dim/m)-value model collect. An m-loop of separate fits would
+    scan the corpus m× per iteration for identical results.
+    """
+    from jobinsight_data_pipeline_spark.operators.components import (
+        _free_local_checkpoint,
+    )
+
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    q = widen_for_cpu(
+        df.where(F.col(vec_col).isNotNull()).select(
+            F.col(id_col).alias("__id"),
+            quantize_shifted(vec_col, scale).alias("__p"),
+        )
+    ).localCheckpoint(eager=True)
+    seed_rows = q.orderBy("__id").limit(k).collect()
+    if len(seed_rows) < k:
+        raise ValueError(
+            f"train_pq_codebooks: k={k} but only {len(seed_rows)} vectors"
+        )
+    books = [
+        [list(r["__p"])[j * sub : (j + 1) * sub] for r in seed_rows]
+        for j in range(m)
+    ]  # shifted domain
+    sub_aggs = [
+        F.sum(F.element_at("__sv", i + 1)).alias(f"s{i}") for i in range(sub)
+    ]
+    for _ in range(iterations):
+        ds_cols = [
+            F.expr(
+                f"transform({_imatrix_sql(books[j])}, "
+                f"c -> {_sq_dist(f'slice(__p, {j * sub + 1}, {sub})', 'c')})"
+            ).alias(f"__ds{j}")
+            for j in range(m)
+        ]
+        cells = [
+            F.expr(
+                f"CAST(array_position(__ds{j}, array_min(__ds{j})) - 1"
+                " AS INT)"
+            ).alias(f"c{j}")
+            for j in range(m)
+        ]
+        stacked = (
+            q.select("__p", *ds_cols)
+            .select("__p", *cells)
+            .select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(j).alias("j"),
+                                F.col(f"c{j}").alias("cell"),
+                                F.expr(
+                                    f"slice(__p, {j * sub + 1}, {sub})"
+                                ).alias("sv"),
+                            )
+                            for j in range(m)
+                        ]
+                    )
+                ).alias("e")
+            )
+            .select(
+                F.col("e.j").alias("j"),
+                F.col("e.cell").alias("cell"),
+                F.col("e.sv").alias("__sv"),
+            )
+        )
+        sums = (
+            stacked.groupBy("j", "cell")
+            .agg(F.count(F.lit(1)).alias("n"), *sub_aggs)
+            .collect()
+        )
+        new_books = [[list(c) for c in book] for book in books]
+        for r in sums:
+            n = r["n"]
+            new_books[r["j"]][r["cell"]] = [
+                (2 * r[f"s{i}"] + n) // (2 * n) for i in range(sub)
+            ]
+        books = new_books
+    _free_local_checkpoint(q)
+    return [
+        [[x - scale for x in c] for c in book] for book in books
+    ]  # unshift

@@ -4470,3 +4470,36 @@ def test_token_pmi_known_answer(spark):
     assert tc["pmi_micro"] == q(4 / 20) - q(8 / 24) - q(4 / 24)
     assert nn["pmi_micro"] > tc["pmi_micro"]
     assert out[0]["rank"] == 1
+
+
+def test_pq_trained_books_equal_independent_sliced_fits(spark):
+    """train_pq_codebooks_quantized's one-job-per-iteration fusion is an
+    optimization, not a semantics change: each subspace's book must
+    equal an INDEPENDENT kmeans_fit_quantized run on that slice of the
+    vectors."""
+    from pyspark.sql import functions as F
+
+    from jobinsight_data_pipeline_spark.operators.clustering import (
+        kmeans_fit_quantized,
+        train_pq_codebooks_quantized,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    m, k, iters, dim = 4, 4, 2, 64
+    sub = dim // m
+    books = train_pq_codebooks_quantized(
+        emb, "embedding", "vec_id", m=m, k=k, iterations=iters, dim=dim
+    )
+    for j in range(m):
+        sliced = emb.select(
+            "vec_id",
+            F.expr(f"slice(embedding, {j * sub + 1}, {sub})").alias(
+                "embedding"
+            ),
+        )
+        solo = kmeans_fit_quantized(
+            sliced, "embedding", "vec_id", k=k, iterations=iters
+        )
+        assert books[j] == solo, f"subspace {j} diverged"
