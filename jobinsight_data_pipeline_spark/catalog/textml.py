@@ -3788,10 +3788,12 @@ def q_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_trained_oracle_sql() -> str:
-    """Unroll every subspace's full quantized Lloyd's fit in DuckDB
-    CTEs (the _kmeans_oracle_sql pattern per subspace, lists sliced via
-    range(lo, hi)), ending in a UNION of per-(subspace, cell) stats."""
+def _pq_trained_cte() -> str:
+    """The shared trained-PQ oracle prefix: every subspace's full
+    quantized Lloyd's fit unrolled (the _kmeans_oracle_sql pattern per
+    subspace, lists sliced via range(lo, hi)), ending with per-subspace
+    ``q{j}`` (sliced quantized vectors), ``c{j}_<iters>`` (fitted
+    books) and ``af{j}`` (final assignments with distance)."""
     m, k, iters, scale = _PQT_M, _PQT_K, _PQT_ITERS, _PQT_SCALE
     sub = _PQT_DIM // m
     dist = (
@@ -3863,10 +3865,114 @@ def _pq_trained_oracle_sql() -> str:
             " s\n"
             f"JOIN c{j}_{iters} c USING (cell)"
         )
-    return "".join(parts) + "\n" + "\nUNION ALL\n".join(finals)
+    return "".join(parts), "\nUNION ALL\n".join(finals)
 
 
-O_PQ_TRAINED = _pq_trained_oracle_sql()
+_PQT_CTE_PREFIX, _PQT_STATS_SELECT = _pq_trained_cte()
+O_PQ_TRAINED = _PQT_CTE_PREFIX + "\n" + _PQT_STATS_SELECT
+
+_PQT_QUERY_IDS = (0, 7, 23, 42)
+_PQT_TOPK = 10
+
+
+def q_pq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance serving over the TRAINED codebooks: the
+    corpus is PQ-encoded with the fitted books (per-subspace argmin
+    codes — 4×-compressed storage), four query vectors rank every code
+    by the exact-integer ADC estimate Σ_j d(query_sub_j,
+    book_j[code_j]), top-10 each with vec_id tie-break. Closes the
+    train→encode→serve loop on data-fitted books (pq_adc_topk serves
+    the seeded stand-ins); the oracle replays the fits, the encode,
+    and the ADC ranking under one hash."""
+    from jobinsight_data_pipeline_spark.operators.clustering import (
+        _imatrix_sql,
+        _sq_dist,
+        quantize_shifted,
+    )
+    from jobinsight_data_pipeline_spark.operators.parallelism import (
+        widen_for_cpu,
+    )
+    from pyspark.sql import Window
+
+    books = _pq_books(spark, sf_dir)
+    sub = _PQT_DIM // _PQT_M
+    shifted = [
+        [[x + _PQT_SCALE for x in c] for c in book] for book in books
+    ]
+    cube_sql = "array(" + ",".join(_imatrix_sql(b) for b in shifted) + ")"
+    t = load(spark, sf_dir, "embeddings")
+    base = widen_for_cpu(
+        t["embeddings"]
+        .where(F.col("embedding").isNotNull())
+        .select(
+            "vec_id", quantize_shifted("embedding", _PQT_SCALE).alias("__p")
+        )
+    )
+    ds_cols = [
+        F.expr(
+            f"transform({_imatrix_sql(shifted[j])}, "
+            f"c -> {_sq_dist(f'slice(__p, {j * sub + 1}, {sub})', 'c')})"
+        ).alias(f"__ds{j}")
+        for j in range(_PQT_M)
+    ]
+    codes = base.select("vec_id", *ds_cols).select(
+        "vec_id",
+        F.array(
+            *[
+                F.expr(
+                    f"CAST(array_position(__ds{j}, array_min(__ds{j}))"
+                    " - 1 AS INT)"
+                )
+                for j in range(_PQT_M)
+            ]
+        ).alias("codes"),
+    )
+    ids = ", ".join(str(i) for i in _PQT_QUERY_IDS)
+    queries = base.where(F.expr(f"vec_id IN ({ids})")).select(
+        F.col("vec_id").alias("qid"), F.col("__p").alias("__qp")
+    )
+    adc = (
+        f"aggregate(sequence(0, {_PQT_M - 1}), 0L, (acc, j) -> acc + "
+        f"{_sq_dist(f'slice(__qp, j * {sub} + 1, {sub})', f'element_at(element_at({cube_sql}, j + 1), element_at(codes, j + 1) + 1)')})"
+    )
+    paired = codes.crossJoin(F.broadcast(queries)).select(
+        "qid", "vec_id", F.expr(adc).alias("adc_dist")
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.asc("adc_dist"), F.asc("vec_id")
+    )
+    return (
+        paired.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _PQT_TOPK)
+        .select("qid", "rank", "vec_id", "adc_dist")
+    )
+
+
+def _pq_topk_select() -> str:
+    m, iters = _PQT_M, _PQT_ITERS
+    ids = ", ".join(str(i) for i in _PQT_QUERY_IDS)
+    dist = (
+        "CAST(list_dot_product(qq.p, qq.p) + list_dot_product(c.c, c.c)"
+        " - 2 * list_dot_product(qq.p, c.c) AS BIGINT)"
+    )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT qq.vec_id AS qid, a.vec_id AS vid, {dist} AS d\n"
+        f"FROM (SELECT vec_id, p FROM q{j} WHERE vec_id IN ({ids})) qq,\n"
+        f"     af{j} a JOIN c{j}_{iters} c ON c.cell = a.cell"
+        for j in range(m)
+    )
+    return (
+        f",\nadc AS (\n{unions}\n)\n"
+        "SELECT qid, rank, vid AS vec_id, adc_dist FROM (\n"
+        "    SELECT qid, vid, CAST(sum(d) AS BIGINT) AS adc_dist,\n"
+        "           row_number() OVER (PARTITION BY qid"
+        " ORDER BY CAST(sum(d) AS BIGINT), vid) AS rank\n"
+        "    FROM adc GROUP BY qid, vid\n"
+        f") WHERE rank <= {_PQT_TOPK}"
+    )
+
+
+O_PQ_TRAINED_TOPK = _PQT_CTE_PREFIX + _pq_topk_select()
 
 
 def q_stream_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10478,6 +10584,7 @@ QUERIES = {
     "collocations": q_collocations,
     "stream_dsir": q_stream_dsir,
     "pq_trained": q_pq_trained,
+    "pq_trained_topk": q_pq_trained_topk,
     "label_prop": q_label_prop,
     "compression_signal": q_compression_signal,
     "quantile_normalize": q_quantile_normalize,
@@ -10614,6 +10721,7 @@ ORACLES = {
     "collocations": O_COLLOCATIONS,
     "stream_dsir": O_DSIR_SELECT,
     "pq_trained": O_PQ_TRAINED,
+    "pq_trained_topk": O_PQ_TRAINED_TOPK,
     "label_prop": O_LABEL_PROP,
     "compression_signal": O_COMPRESSION_SIGNAL,
     "quantile_normalize": O_QUANTILE_NORMALIZE,

@@ -161,6 +161,7 @@ def test_no_accidental_cartesian_or_nested_loop(spark):
         "dsir_resample",  # same class + 1-row min-weight shift broadcast
         "collocations",  # 1-row (tot_u, tot_b) totals broadcast back
         "stream_dsir",  # dsir's 1-row totals class over merged state
+        "pq_trained_topk",  # sanctioned broadcast query side (4 vectors)
         "corpus_build",  # capstone: embeds the mixture + waterfill class
         "hard_negatives",  # cosine_topk's sanctioned broadcast query side
         "mmr_rerank",  # broadcast query side + capped candidate self-join
