@@ -3975,6 +3975,77 @@ def _pq_topk_select() -> str:
 O_PQ_TRAINED_TOPK = _PQT_CTE_PREFIX + _pq_topk_select()
 
 
+_PCA_DOWN = 10**13
+
+
+def q_pca_deflate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SECOND principal component by Hotelling deflation (operators/
+    clustering.deflate_gram_int): the fitted top direction is removed
+    from the Gram matrix in exact integer arithmetic (G·(vᵀv)² −
+    (vᵀGv)·v vᵀ, milli-coarsened v, toward-zero downscale to the
+    HUGEINT budget) and power iteration re-runs on the deflated
+    matrix. The oracle extends the pca_power chain: deflation and all
+    four rounds replayed relationally."""
+    from jobinsight_data_pipeline_spark.operators.clustering import (
+        deflate_gram_int,
+        gram_matrix,
+        power_iteration_int,
+    )
+
+    t = load(spark, sf_dir, "embeddings")
+    g = gram_matrix(
+        t["embeddings"], "embedding", dim=_PCA_DIM, scale=_PCA_SCALE
+    )
+    eig1 = _pca_eigvec(spark, sf_dir)
+    g2 = deflate_gram_int(g, eig1, down=_PCA_DOWN)
+    eig2 = power_iteration_int(g2, rounds=_PCA_ROUNDS, scale=_PCA_SCALE)
+    return spark.createDataFrame(
+        [(d, v) for d, v in enumerate(eig2)], "dim: long, eig2_micro: long"
+    )
+
+
+def _pca_deflate_select() -> str:
+    rounds = []
+    for r in range(1, _PCA_ROUNDS + 1):
+        rounds.append(
+            f""",
+dw{r} AS (
+    SELECT g2.i AS i, sum(g2.gv * dv{r - 1}.v) AS wv
+    FROM g2 JOIN dv{r - 1} ON g2.j = dv{r - 1}.i GROUP BY 1
+),
+dm{r} AS (SELECT max(abs(wv)) AS m FROM dw{r}),
+dv{r} AS (SELECT i, (wv * {_PCA_SCALE}) // m AS v
+          FROM dw{r} CROSS JOIN dm{r})"""
+        )
+    rounds_sql = "".join(rounds)
+    return f""",
+vm AS (SELECT i, CAST(ev AS HUGEINT) // 1000 AS vm FROM eig),
+dd AS (SELECT sum(vm * vm) AS d FROM vm),
+dlam AS (
+    SELECT sum(CAST(a.vm AS HUGEINT) * g.gv * b.vm) AS lam_num
+    FROM g JOIN vm a ON a.i = g.i JOIN vm b ON b.i = g.j
+),
+g2 AS MATERIALIZED (
+    SELECT g.i, g.j,
+           (CAST(g.gv AS HUGEINT) * d * d - lam_num * a.vm * b.vm)
+               // {_PCA_DOWN} AS gv
+    FROM g JOIN vm a ON a.i = g.i JOIN vm b ON b.i = g.j
+    CROSS JOIN dd CROSS JOIN dlam
+),
+dv0 AS (SELECT t.i AS i, CAST({_PCA_SCALE} AS HUGEINT) AS v
+        FROM range(1, {_PCA_DIM + 1}) t(i)){rounds_sql},
+dsgn AS (SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END AS s
+         FROM dv{_PCA_ROUNDS} WHERE v <> 0 ORDER BY i LIMIT 1)
+SELECT i - 1 AS dim, CAST(v * s AS BIGINT) AS eig2_micro
+FROM dv{_PCA_ROUNDS} CROSS JOIN dsgn
+"""
+
+
+O_PCA_DEFLATE = f"""
+WITH {_pca_oracle_cte()}{_pca_deflate_select()}
+"""
+
+
 def q_stream_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME principal-direction fit as `pca_power`, with the Gram
     matrix accumulated by a Structured Streaming loop (streaming/
@@ -10585,6 +10656,7 @@ QUERIES = {
     "stream_dsir": q_stream_dsir,
     "pq_trained": q_pq_trained,
     "pq_trained_topk": q_pq_trained_topk,
+    "pca_deflate": q_pca_deflate,
     "label_prop": q_label_prop,
     "compression_signal": q_compression_signal,
     "quantile_normalize": q_quantile_normalize,
@@ -10722,6 +10794,7 @@ ORACLES = {
     "stream_dsir": O_DSIR_SELECT,
     "pq_trained": O_PQ_TRAINED,
     "pq_trained_topk": O_PQ_TRAINED_TOPK,
+    "pca_deflate": O_PCA_DEFLATE,
     "label_prop": O_LABEL_PROP,
     "compression_signal": O_COMPRESSION_SIGNAL,
     "quantile_normalize": O_QUANTILE_NORMALIZE,

@@ -525,3 +525,37 @@ def train_pq_codebooks_quantized(
     return [
         [[x - scale for x in c] for c in book] for book in books
     ]  # unshift
+
+
+def deflate_gram_int(
+    gram: list[list[int]],
+    eigvec: list[int],
+    down: int = 10**13,
+) -> list[list[int]]:
+    """Hotelling deflation in exact integers: remove the fitted top
+    direction from a Gram matrix so power iteration converges to the
+    SECOND component. With λ = vᵀGv / vᵀv the standard deflation is
+    ``G₂ = G − (λ/vᵀv)·v vᵀ``; eigenvectors are invariant under
+    positive scaling, so this computes the integer-exact
+    ``G·(vᵀv)² − (vᵀGv)·v vᵀ`` (python bigints — no overflow), then
+    downscales every entry by ``down`` with toward-zero division to fit
+    BIGINT for the SQL oracle's HUGEINT iteration (both engines' ``//``
+    truncate toward zero, so the downscale replays exactly). The
+    eigvec is coarsened to milli resolution first (vᵀv ≤ 64·10⁶ keeps
+    (vᵀv)² within the budget)."""
+    dim = len(gram)
+    vm = [_tz_div(x, 1000) for x in eigvec]  # milli resolution
+    d = sum(x * x for x in vm)
+    if d == 0:
+        return [list(r) for r in gram]
+    lam_num = sum(
+        vm[i] * gram[i][j] * vm[j] for i in range(dim) for j in range(dim)
+    )
+    d2 = d * d
+    return [
+        [
+            _tz_div(gram[i][j] * d2 - lam_num * vm[i] * vm[j], down)
+            for j in range(dim)
+        ]
+        for i in range(dim)
+    ]

@@ -4503,3 +4503,25 @@ def test_pq_trained_books_equal_independent_sliced_fits(spark):
             sliced, "embedding", "vec_id", k=k, iterations=iters
         )
         assert books[j] == solo, f"subspace {j} diverged"
+
+
+def test_deflate_gram_finds_second_component():
+    """On an eigengap-friendly diagonal Gram the deflated power
+    iteration converges to the SECOND axis, near-orthogonal to the
+    first; deterministic; zero top-vector degrades to the original."""
+    from jobinsight_data_pipeline_spark.operators.clustering import (
+        deflate_gram_int,
+        power_iteration_int,
+    )
+
+    g = [[1000, 0, 0], [0, 100, 0], [0, 0, 10]]
+    v1 = power_iteration_int(g, rounds=8, scale=10**6)
+    assert v1[0] == 10**6 and abs(v1[1]) < 10
+    g2 = deflate_gram_int(g, v1, down=10**3)
+    v2 = power_iteration_int(g2, rounds=8, scale=10**6)
+    assert v2[1] == 10**6 and abs(v2[0]) < 2000 and abs(v2[2]) < 2000
+    assert v2 == power_iteration_int(g2, rounds=8, scale=10**6)
+    # cosine(v1, v2) ~ 0
+    dot = sum(a * b for a, b in zip(v1, v2))
+    assert abs(dot) < 2e9  # |v1||v2| ~ 1e12 -> cos < 0.002
+    assert deflate_gram_int(g, [0, 0, 0]) == g
