@@ -3976,6 +3976,29 @@ O_PQ_TRAINED_TOPK = _PQT_CTE_PREFIX + _pq_topk_select()
 
 
 _PCA_DOWN = 10**13
+_PCA_EIG2_CACHE: dict[tuple[int, str], list[int]] = {}
+
+
+def _pca_eigvec2(spark: SparkSession, sf_dir: str) -> list[int]:
+    """Memoized second component per (session, sf_dir): one more Gram
+    pass + integer deflation + power iteration."""
+    from jobinsight_data_pipeline_spark.operators.clustering import (
+        deflate_gram_int,
+        gram_matrix,
+        power_iteration_int,
+    )
+
+    key = (id(spark), sf_dir)
+    if key not in _PCA_EIG2_CACHE:
+        t = load(spark, sf_dir, "embeddings")
+        g = gram_matrix(
+            t["embeddings"], "embedding", dim=_PCA_DIM, scale=_PCA_SCALE
+        )
+        g2 = deflate_gram_int(g, _pca_eigvec(spark, sf_dir), down=_PCA_DOWN)
+        _PCA_EIG2_CACHE[key] = power_iteration_int(
+            g2, rounds=_PCA_ROUNDS, scale=_PCA_SCALE
+        )
+    return _PCA_EIG2_CACHE[key]
 
 
 def q_pca_deflate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3986,21 +4009,33 @@ def q_pca_deflate(spark: SparkSession, sf_dir: str) -> DataFrame:
     HUGEINT budget) and power iteration re-runs on the deflated
     matrix. The oracle extends the pca_power chain: deflation and all
     four rounds replayed relationally."""
+    eig2 = _pca_eigvec2(spark, sf_dir)
+    return spark.createDataFrame(
+        [(d, v) for d, v in enumerate(eig2)], "dim: long, eig2_micro: long"
+    )
+
+
+def q_pca_embed2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The consumable 2-D reduction: every vector's scan-fused integer
+    projection onto BOTH fitted components (operators/clustering.
+    pca_project twice — zero shuffles), the coordinates a visualization
+    / cluster-prep step reads off PCA. Full-corpus output; the oracle
+    projects against both replayed eigenvectors."""
     from jobinsight_data_pipeline_spark.operators.clustering import (
-        deflate_gram_int,
-        gram_matrix,
-        power_iteration_int,
+        pca_project,
     )
 
     t = load(spark, sf_dir, "embeddings")
-    g = gram_matrix(
-        t["embeddings"], "embedding", dim=_PCA_DIM, scale=_PCA_SCALE
-    )
     eig1 = _pca_eigvec(spark, sf_dir)
-    g2 = deflate_gram_int(g, eig1, down=_PCA_DOWN)
-    eig2 = power_iteration_int(g2, rounds=_PCA_ROUNDS, scale=_PCA_SCALE)
-    return spark.createDataFrame(
-        [(d, v) for d, v in enumerate(eig2)], "dim: long, eig2_micro: long"
+    eig2 = _pca_eigvec2(spark, sf_dir)
+    p1 = pca_project(
+        t["embeddings"].select("vec_id", "embedding"), eig1,
+        "embedding", scale=_PCA_SCALE,
+    ).withColumnRenamed("score_q", "c1_q")
+    return (
+        pca_project(p1, eig2, "embedding", scale=_PCA_SCALE)
+        .withColumnRenamed("score_q", "c2_q")
+        .select("vec_id", "c1_q", "c2_q")
     )
 
 
@@ -4035,14 +4070,26 @@ g2 AS MATERIALIZED (
 dv0 AS (SELECT t.i AS i, CAST({_PCA_SCALE} AS HUGEINT) AS v
         FROM range(1, {_PCA_DIM + 1}) t(i)){rounds_sql},
 dsgn AS (SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END AS s
-         FROM dv{_PCA_ROUNDS} WHERE v <> 0 ORDER BY i LIMIT 1)
-SELECT i - 1 AS dim, CAST(v * s AS BIGINT) AS eig2_micro
-FROM dv{_PCA_ROUNDS} CROSS JOIN dsgn
-"""
+         FROM dv{_PCA_ROUNDS} WHERE v <> 0 ORDER BY i LIMIT 1),
+eig2 AS MATERIALIZED (
+    SELECT i, CAST(v * s AS BIGINT) AS ev2
+    FROM dv{_PCA_ROUNDS} CROSS JOIN dsgn
+)"""
 
 
 O_PCA_DEFLATE = f"""
 WITH {_pca_oracle_cte()}{_pca_deflate_select()}
+SELECT i - 1 AS dim, ev2 AS eig2_micro FROM eig2
+"""
+
+
+O_PCA_EMBED2D = f"""
+WITH {_pca_oracle_cte()}{_pca_deflate_select()}
+SELECT qc.vec_id,
+       CAST(sum(qc.qv * e1.ev) AS BIGINT) AS c1_q,
+       CAST(sum(qc.qv * e2.ev2) AS BIGINT) AS c2_q
+FROM qc JOIN eig e1 USING (i) JOIN eig2 e2 USING (i)
+GROUP BY 1
 """
 
 
@@ -10657,6 +10704,7 @@ QUERIES = {
     "pq_trained": q_pq_trained,
     "pq_trained_topk": q_pq_trained_topk,
     "pca_deflate": q_pca_deflate,
+    "pca_embed2d": q_pca_embed2d,
     "label_prop": q_label_prop,
     "compression_signal": q_compression_signal,
     "quantile_normalize": q_quantile_normalize,
@@ -10795,6 +10843,7 @@ ORACLES = {
     "pq_trained": O_PQ_TRAINED,
     "pq_trained_topk": O_PQ_TRAINED_TOPK,
     "pca_deflate": O_PCA_DEFLATE,
+    "pca_embed2d": O_PCA_EMBED2D,
     "label_prop": O_LABEL_PROP,
     "compression_signal": O_COMPRESSION_SIGNAL,
     "quantile_normalize": O_QUANTILE_NORMALIZE,
