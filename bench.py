@@ -515,6 +515,17 @@ def main() -> None:
 
     timings["pca_power"] = timed(_pca)
 
+    # trained-PQ: full per-subspace fit (one job per iteration, fused)
+    from jobinsight_data_pipeline_spark.operators.clustering import (
+        train_pq_codebooks_quantized,
+    )
+
+    timings["pq_trained"] = timed(
+        lambda: train_pq_codebooks_quantized(
+            emb, "embedding", "vec_id", m=4, k=4, iterations=2, dim=64
+        )
+    )
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
