@@ -3373,6 +3373,72 @@ def q_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _wordpiece_table(spark, sf_dir)
 
 
+def q_stream_wordpiece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME WordPiece word table as `wordpiece_encode`, with the
+    corpus word-frequency state accumulated by a Structured Streaming
+    loop (streaming/incremental.stream_word_counts) over four
+    micro-batch document drops: per-batch (w, c) tables land in
+    batch=<epoch> partitions (overwrite → replay-IDEMPOTENT, true
+    exactly-once) and merge by per-word sum — counts commute, so the
+    vocabulary derived from merged state and every greedy encode under
+    it are BIT-IDENTICAL to the batch derivation, and this gate shares
+    O_WORDPIECE_ENCODE verbatim (the stream_cms/stream_pca/stream_dsir
+    shared-oracle discipline). Streaming vocabulary maintenance: the
+    tokenizer inventory stays current without rescanning history."""
+    import hashlib
+    import os
+    import shutil
+
+    from jobinsight_data_pipeline_spark.catalog import scratch_dir
+    from jobinsight_data_pipeline_spark.operators.wordpiece import (
+        UNK,
+        build_wordpiece_vocab,
+        encode_distinct_words,
+    )
+    from jobinsight_data_pipeline_spark.streaming.incremental import (
+        read_word_count_state,
+        stream_word_counts,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    docs = t["documents"].select("doc_id", "text")
+
+    base = scratch_dir(
+        "streamwp-gate-",
+        "{}-{}".format(
+            spark.sparkContext.applicationId,
+            hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+        ),
+    )
+    done = os.path.join(base, "_gate_done")
+    if not os.path.exists(done):
+        shutil.rmtree(base, ignore_errors=True)
+        raw = f"{base}/drops"
+        for i in range(4):
+            docs.filter(F.col("doc_id") % 4 == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(raw)
+        query = stream_word_counts(
+            spark, raw, docs.schema, f"{base}/state", f"{base}/ckpt"
+        )
+        query.awaitTermination()
+        with open(done, "w") as fh:
+            fh.write("ok")
+
+    words = read_word_count_state(spark, f"{base}/state").localCheckpoint(
+        eager=True
+    )
+    vocab = build_wordpiece_vocab(words)
+    enc = encode_distinct_words(words, vocab)
+    return enc.select(
+        "w",
+        "c",
+        F.array_join("pieces", " ").alias("pieces_str"),
+        F.size("pieces").cast("long").alias("n_pieces"),
+        (F.array_join("pieces", " ") == UNK).alias("is_unk"),
+    )
+
+
 def q_wordpiece_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-scale WordPiece fertility by source: the per-word piece
     counts joined back onto the full token stream (the distinct-word
@@ -10705,6 +10771,7 @@ QUERIES = {
     "pq_trained_topk": q_pq_trained_topk,
     "pca_deflate": q_pca_deflate,
     "pca_embed2d": q_pca_embed2d,
+    "stream_wordpiece": q_stream_wordpiece,
     "label_prop": q_label_prop,
     "compression_signal": q_compression_signal,
     "quantile_normalize": q_quantile_normalize,
@@ -10844,6 +10911,7 @@ ORACLES = {
     "pq_trained_topk": O_PQ_TRAINED_TOPK,
     "pca_deflate": O_PCA_DEFLATE,
     "pca_embed2d": O_PCA_EMBED2D,
+    "stream_wordpiece": O_WORDPIECE_ENCODE,
     "label_prop": O_LABEL_PROP,
     "compression_signal": O_COMPRESSION_SIGNAL,
     "quantile_normalize": O_QUANTILE_NORMALIZE,

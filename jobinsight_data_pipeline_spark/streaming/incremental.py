@@ -731,3 +731,54 @@ def read_dsir_state(spark: SparkSession, state_dir: str) -> DataFrame:
         .groupBy("__b")
         .agg(F.sum("c_t").alias("c_t"), F.sum("c_r").alias("c_r"))
     )
+
+
+def stream_word_counts(
+    spark: SparkSession,
+    raw_dir: str,
+    schema,
+    state_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    max_files_per_trigger: int = 1,
+):
+    """Streaming corpus word-frequency state — the simplest sum-merged
+    shape of all: each micro-batch reduces to its (w, c) lowercased
+    word counts (vocabulary-bounded whatever the batch size) written to
+    ``state_dir/batch=<epoch>`` (overwrite → replay-IDEMPOTENT, true
+    exactly-once); the corpus table is the per-word SUM across
+    partitions, exact on any batch order. This is the state a
+    continuously-ingested corpus derives its TOKENIZER VOCABULARY from
+    without rescanning history — the stream_wordpiece gate pins that a
+    WordPiece inventory built from merged state encodes bit-identically
+    to the batch derivation (shared oracle)."""
+    from jobinsight_data_pipeline_spark.operators.wordpiece import (
+        corpus_words,
+    )
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        corpus_words(batch_df, text_col).write.mode("overwrite").parquet(
+            f"{state_dir}/batch={epoch_id}"
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(raw_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_word_count_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Merge a ``stream_word_counts`` state dir into one ``(w, c)``
+    frequency table: per-word sums across the batch partitions."""
+    return (
+        spark.read.parquet(state_dir)
+        .groupBy("w")
+        .agg(F.sum("c").alias("c"))
+    )
