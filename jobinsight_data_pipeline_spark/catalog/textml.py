@@ -10588,6 +10588,52 @@ O_KMEANS_FIT = _kmeans_oracle_sql(
 )
 
 
+def q_cluster_balanced_draw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced corpus sampling: the fitted k-means cells
+    (memoized full-corpus model) partition the embedding space, then
+    exactly 5 vectors per cell are drawn by the engine-portable md5
+    order (the stratified_sample_exact rule with the CELL as the
+    stratum) — the diversity-preserving draw a curation pipeline uses
+    so dense regions don't dominate a sample/eval panel. The oracle
+    replays the ENTIRE fit plus the per-cell ranked draw."""
+    from pyspark.sql import Window
+
+    from jobinsight_data_pipeline_spark.operators.clustering import (
+        kmeans_assign,
+    )
+    from jobinsight_data_pipeline_spark.operators.parallelism import (
+        widen_for_cpu,
+    )
+
+    t = load(spark, sf_dir, "embeddings")
+    cents = _kmeans_centroids(spark, sf_dir)
+    assigned = kmeans_assign(
+        widen_for_cpu(t["embeddings"]), cents, "embedding",
+        scale=_KMEANS_SCALE,
+    ).select("vec_id", "cell")
+    w = Window.partitionBy("cell").orderBy(
+        F.md5(F.concat(F.lit("cb:"), F.col("vec_id").cast("string"))).asc(),
+        F.col("vec_id").asc(),
+    )
+    return (
+        assigned.withColumn("draw_rank", F.row_number().over(w))
+        .where(F.col("draw_rank") <= 5)
+        .select("cell", "draw_rank", "vec_id")
+    )
+
+
+O_CLUSTER_BALANCED_DRAW = _kmeans_oracle_sql(
+    "SELECT CAST(cell AS INTEGER) AS cell, draw_rank, vec_id FROM (\n"
+    "    SELECT cell, vec_id,\n"
+    "           row_number() OVER (\n"
+    "               PARTITION BY cell\n"
+    "               ORDER BY md5('cb:' || CAST(vec_id AS VARCHAR)) ASC,\n"
+    "                        vec_id ASC) AS draw_rank\n"
+    "    FROM afinal\n"
+    ") WHERE draw_rank <= 5"
+)
+
+
 def q_ivf_trained_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The TRAINED-index serving path: the IVF gates elsewhere use a
     seeded literal coarse quantizer; production fits the quantizer on
@@ -10772,6 +10818,7 @@ QUERIES = {
     "pca_deflate": q_pca_deflate,
     "pca_embed2d": q_pca_embed2d,
     "stream_wordpiece": q_stream_wordpiece,
+    "cluster_balanced_draw": q_cluster_balanced_draw,
     "label_prop": q_label_prop,
     "compression_signal": q_compression_signal,
     "quantile_normalize": q_quantile_normalize,
@@ -10912,6 +10959,7 @@ ORACLES = {
     "pca_deflate": O_PCA_DEFLATE,
     "pca_embed2d": O_PCA_EMBED2D,
     "stream_wordpiece": O_WORDPIECE_ENCODE,
+    "cluster_balanced_draw": O_CLUSTER_BALANCED_DRAW,
     "label_prop": O_LABEL_PROP,
     "compression_signal": O_COMPRESSION_SIGNAL,
     "quantile_normalize": O_QUANTILE_NORMALIZE,
