@@ -82,6 +82,10 @@ def probes(spark, sf_dir):
         gram_matrix as _gram,
         pca_project as _pca_project,
         power_iteration_int as _power_iter,
+        train_pq_codebooks_quantized as _train_pq,
+    )
+    from jobinsight_data_pipeline_spark.operators.textstats import (
+        token_pmi as _token_pmi,
     )
     from jobinsight_data_pipeline_spark.operators.sampling import (
         dsir_select as _dsir_select,
@@ -441,6 +445,24 @@ def probes(spark, sf_dir):
         "pca (gram + 4 rounds + project)": lambda: _pca_project(
             emb.select("vec_id", "embedding"),
             _power_iter(_gram(emb, "embedding", dim=64), rounds=4),
+        ),
+        # round-9 session-3 wave 2: fused per-subspace PQ training (one
+        # job per iteration; thunk returns a frame so materialize works)
+        "pq_trained (m=4 k=4 fused fit)": lambda: spark.createDataFrame(
+            [
+                (j, c, "|".join(str(x) for x in cent))
+                for j, book in enumerate(
+                    _train_pq(
+                        emb, "embedding", "vec_id",
+                        m=4, k=4, iterations=2, dim=64,
+                    )
+                )
+                for c, cent in enumerate(book)
+            ],
+            "j int, cell int, centroid string",
+        ),
+        "collocations (PMI, floor 10)": lambda: _token_pmi(
+            docs, "text", min_count=10, top_n=20
         ),
     }
 

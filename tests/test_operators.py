@@ -4525,3 +4525,27 @@ def test_deflate_gram_finds_second_component():
     dot = sum(a * b for a, b in zip(v1, v2))
     assert abs(dot) < 2e9  # |v1||v2| ~ 1e12 -> cos < 0.002
     assert deflate_gram_int(g, [0, 0, 0]) == g
+
+
+def test_word_count_partials_merge_equals_direct(spark):
+    """Per-shard corpus_words tables sum-merge to the direct full-corpus
+    table — the commutativity stream_word_counts (and the vocabulary
+    derived from its merged state) rests on."""
+    from pyspark.sql import functions as F
+
+    from jobinsight_data_pipeline_spark.operators.wordpiece import (
+        corpus_words,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    direct = {
+        r["w"]: r["c"] for r in corpus_words(docs).collect()
+    }
+    merged: dict[str, int] = {}
+    for m in range(4):
+        part = corpus_words(docs.where(F.col("doc_id") % 4 == m)).collect()
+        for r in part:
+            merged[r["w"]] = merged.get(r["w"], 0) + r["c"]
+    assert merged == direct
