@@ -216,12 +216,9 @@ DRIVER_QUERIES: list[str] = [
     # --- training-data / text-ML operators ---
     "corpus_curation",
     "hash_split",
-    "text_stats",
-    "repetition_signals",
     "ngram_jaccard",
     "minhash_lsh",
     "simhash_pairs",
-    "embedding_topk",
     "embedding_lsh_topk",
     "semantic_dedup",
     "media_features",
@@ -268,10 +265,24 @@ DRIVER_QUERIES: list[str] = [
     "forget_propagation",
     "stream_day2_pipeline",
     "bpe_learned_packs",
-    # the heaviest sit last on purpose (composed chain; iterative
+    # round-10 slot refresh (r9 judge directive, verbatim): three more
+    # shadowed twins demoted — embedding_topk (exact cosine top-k runs
+    # inside semantic_dedup's and hybrid_search's driver-green oracles,
+    # and embedding_lsh_topk keeps the ANN family registered),
+    # text_stats and repetition_signals (both fully contained in the
+    # registered corpus_curation chain's signal stages) — for the three
+    # r9 flagship families with zero driver rows: the unigram-LM
+    # tokenizer (EM trainer + Viterbi encode), suffix-array-equivalent
+    # ExactSubstr span pairs, and the corpus_build capstone (12-stage
+    # ingest→dedup×3→langid→classifier→decontaminate→mixture→
+    # waterfill→learned-BPE→packs→card chain under ONE hash)
+    "unigram_tok_learn",
+    "exact_spans",
+    # the heaviest sit last on purpose (composed chains; iterative
     # CC) — position 50 exactly fills the driver cap
     "training_shards",
     "dedup_clusters",
+    "corpus_build",
 ]
 
 

@@ -743,16 +743,6 @@ def dsir_weights(
     document with ≥1 feature. Consumed by :func:`dsir_select` (top-n
     cut) and :func:`dsir_resample` (the paper's weighted draw).
     """
-    from pyspark.sql.functions import broadcast
-
-    from jobinsight_data_pipeline_spark.operators.parallelism import (
-        widen_for_cpu,
-    )
-    from jobinsight_data_pipeline_spark.operators.textstats import (
-        tokens,
-        word_bigrams,
-    )
-
     feats = dsir_features(df, id_col, text_col, is_target, buckets, salt)
     # the bin-count table feeds totals AND the lambda projection — it is
     # `buckets` rows however large the corpus, so pin it once instead of

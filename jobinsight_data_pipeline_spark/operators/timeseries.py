@@ -290,12 +290,14 @@ def ewma_smooth(
     toward zero (CLAUDE.md), and every intermediate is BIGINT-exact.
 
     One shuffle (the window partition). Appends ``ewma_milli``.
-    Weights cap at 2^63 overflow only past window ≈ 40 with huge cents —
-    guarded by the window bound."""
+    Overflow bound: ``|num * 1000| ≤ |cents|_max · 2^window · 1000``,
+    which must stay under 2^63 — at the window=16 cap that allows
+    |cents| up to ~1.4e14 (at window=32 it would already overflow for
+    |cents| ≳ 2.1e6, hence the tighter guard)."""
     from pyspark.sql import Window
 
-    if not 1 <= window <= 32:
-        raise ValueError("ewma_smooth: window must be in [1, 32]")
+    if not 1 <= window <= 16:
+        raise ValueError("ewma_smooth: window must be in [1, 16]")
     w = Window.partitionBy(*key_cols).orderBy(
         *[F.col(c).asc() for c in order_cols]
     )

@@ -9,6 +9,9 @@ import duckdb
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
+from jobinsight_data_pipeline_spark.catalog.textml import (
+    WORDPIECE_ORACLE_UNROLL,
+)
 from jobinsight_data_pipeline_spark.operators.wordpiece import (
     UNK,
     wordpiece_encode_py,
@@ -16,9 +19,11 @@ from jobinsight_data_pipeline_spark.operators.wordpiece import (
 
 
 def test_oracle_unroll_bound_max_word_length():
-    """The wordpiece oracles unroll exactly 8 greedy steps — sound only
-    while no corpus word exceeds 8 characters (worst case: all 1-char
-    pieces). Pin that bound on every scale factor's frozen testdata."""
+    """The wordpiece oracles unroll WORDPIECE_ORACLE_UNROLL greedy
+    steps — sound only while no corpus word exceeds that many
+    characters (worst case: all 1-char pieces). Importing the SAME
+    constant the CTE builder uses means the oracle's depth and this pin
+    can't drift apart; assert the bound on every frozen sf dir."""
     for sf in ("sf0.001", "sf0.01", "sf0.1"):
         mx = duckdb.sql(
             "SELECT max(len(t.w)) FROM ("
@@ -26,7 +31,7 @@ def test_oracle_unroll_bound_max_word_length():
             f"FROM '/root/testdata/{sf}/documents.parquet'), "
             "unnest(ws) AS t(w)"
         ).fetchone()[0]
-        assert mx <= 8, (sf, mx)
+        assert mx <= WORDPIECE_ORACLE_UNROLL, (sf, mx)
 
 
 def test_longest_prefix_beats_char_walk():
