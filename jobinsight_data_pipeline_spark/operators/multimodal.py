@@ -5,11 +5,16 @@ decode / feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` stages so the bytes never round-trip through the driver
 and each executor processes whole record batches.
 
-The decode kernels themselves depend on codec libraries (PIL/ffmpeg/…)
-that are NOT in this container: ``decode_fn`` defaults to a
-deterministic fake (shape/byte stats) and raises ``NotImplementedError``
-when a real decode is requested. The Spark-side plumbing — schema,
-batch iteration, partition sizing, output contract — is real and tested.
+Two codecs are decoded FOR REAL with the stdlib alone — PCM WAV
+(``wave`` + ``array``: :func:`decode_wav` / :func:`extract_wav_stats`)
+and 24-bit uncompressed BMP (``struct`` header walk + padded-row pixel
+parse: :func:`decode_bmp` / :func:`extract_bmp_stats`) — both gated by
+planted-fixture exact oracles. The remaining kernels depend on codec
+libraries (PIL/ffmpeg/…) that are NOT in this container: ``decode_fn``
+defaults to a deterministic fake (shape/byte stats) and raises
+``NotImplementedError`` when a real decode of those formats is
+requested. The Spark-side plumbing — schema, batch iteration, partition
+sizing, output contract — is real and tested for every modality.
 """
 
 from __future__ import annotations
@@ -62,9 +67,17 @@ def fake_decode_features(content: bytes | None, dim: int = 8) -> list[float] | N
 
 
 def real_decode(content: bytes, mime: str):
-    """Decode bytes with the soft-imported codec library: PIL when it is
-    installed (any image/* mime), otherwise raises — audio/video decode
-    (av/ffmpeg) stays a deployment concern either way."""
+    """Decode bytes with the best available kernel: PCM WAV and 24-bit
+    BMP decode for real via the stdlib (:func:`decode_wav` /
+    :func:`decode_bmp`); other image/* mimes use PIL when installed;
+    everything else (compressed audio, video) needs av/ffmpeg and stays
+    a deployment concern."""
+    if mime in ("audio/wav", "audio/x-wav", "audio/wave"):
+        return decode_wav(content)
+    if mime == "image/bmp" or (
+        mime and mime.startswith("image/") and content[:2] == b"BM"
+    ):
+        return decode_bmp(content)
     if mime and mime.startswith("image/"):
         try:
             import io
@@ -72,16 +85,281 @@ def real_decode(content: bytes, mime: str):
             from PIL import Image
         except ImportError as exc:  # pragma: no cover - env without PIL
             raise NotImplementedError(
-                "image decode requires Pillow, which is not installed in "
-                "this image; pip install pillow on a full deployment"
+                "non-BMP image decode requires Pillow, which is not "
+                "installed in this image; pip install pillow on a full "
+                "deployment (BMP decodes via the stdlib kernel)"
             ) from exc
         img = Image.open(io.BytesIO(content))
         img.load()
         return img
     raise NotImplementedError(
         f"no decode kernel for mime={mime!r} in this deployment "
-        "(audio/video need av/ffmpeg; wire them here)"
+        "(compressed audio/video need av/ffmpeg; wire them here — "
+        "PCM WAV and 24-bit BMP already decode via the stdlib)"
     )
+
+
+# --- real stdlib decode kernels: PCM WAV -------------------------------
+
+
+def decode_wav(content: bytes) -> dict:
+    """REAL PCM WAV decode with the stdlib alone (``wave`` for the RIFF
+    walk, ``array`` for the sample unpack — zero dependencies).
+
+    Returns ``{"n_channels", "sampwidth", "framerate", "n_frames",
+    "samples"}`` where ``samples`` is the full interleaved channel
+    stream as signed ints, ZERO-CENTERED: 8-bit WAV stores unsigned
+    bytes (the format's quirk), so sampwidth-1 samples come back as
+    ``byte - 128``; 16-bit samples are little-endian signed shorts
+    as stored. 24/32-bit PCM raises (rare in training corpora; add an
+    ``audioop``-free unpack here if a corpus needs it)."""
+    import array
+    import io
+    import sys
+    import wave
+
+    with wave.open(io.BytesIO(content), "rb") as w:
+        nch = w.getnchannels()
+        sw = w.getsampwidth()
+        fr = w.getframerate()
+        nf = w.getnframes()
+        raw = w.readframes(nf)
+    if sw == 1:
+        samples = [b - 128 for b in raw]
+    elif sw == 2:
+        a = array.array("h")
+        a.frombytes(raw)
+        if sys.byteorder == "big":  # pragma: no cover - LE hosts
+            a.byteswap()
+        samples = a.tolist()
+    else:
+        raise NotImplementedError(
+            f"decode_wav: {8 * sw}-bit PCM not supported (8/16-bit only)"
+        )
+    return {
+        "n_channels": nch,
+        "sampwidth": sw,
+        "framerate": fr,
+        "n_frames": nf,
+        "samples": samples,
+    }
+
+
+def wav_stats_py(content: bytes | None) -> dict | None:
+    """Integer-exact waveform signature off the REAL decode: header
+    fields plus sum / min / max / abs-sum over the interleaved sample
+    stream and the sign-flip count (``samples[i-1]*samples[i] < 0``).
+    All-integer so a gate can hash it exactly cross-engine."""
+    if content is None:
+        return None
+    d = decode_wav(content)
+    s = d["samples"]
+    return {
+        "n_channels": d["n_channels"],
+        "framerate": d["framerate"],
+        "n_frames": d["n_frames"],
+        "n_samples": len(s),
+        "sum_s": sum(s),
+        "min_s": min(s) if s else None,
+        "max_s": max(s) if s else None,
+        "abs_sum": sum(abs(v) for v in s),
+        "zero_cross": sum(
+            1 for i in range(1, len(s)) if s[i - 1] * s[i] < 0
+        ),
+    }
+
+
+WAV_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("framerate", T.IntegerType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("sum_s", T.LongType(), True),
+        T.StructField("min_s", T.LongType(), True),
+        T.StructField("max_s", T.LongType(), True),
+        T.StructField("abs_sum", T.LongType(), True),
+        T.StructField("zero_cross", T.LongType(), True),
+    ]
+)
+
+
+def extract_wav_stats(media: DataFrame) -> DataFrame:
+    """(media_id, content=WAV bytes) → one integer-exact signature row
+    per blob via the REAL stdlib PCM decode, Arrow-batched executor-side
+    (``mapInPandas`` — bytes never visit the driver). NULL content →
+    all-NULL stats row."""
+    cols = [
+        "n_channels",
+        "framerate",
+        "n_frames",
+        "n_samples",
+        "sum_s",
+        "min_s",
+        "max_s",
+        "abs_sum",
+        "zero_cross",
+    ]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            stats = [wav_stats_py(c) for c in pdf["content"]]
+            out = {"media_id": pdf["media_id"]}
+            for k in cols:
+                out[k] = [st[k] if st is not None else None for st in stats]
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, WAV_STATS_SCHEMA)
+
+
+# --- real stdlib decode kernels: 24-bit BMP -----------------------------
+
+
+def encode_bmp(rows: list[list[tuple[int, int, int]]], top_down: bool = False) -> bytes:
+    """Minimal 24-bit uncompressed BMP writer (BITMAPFILEHEADER +
+    BITMAPINFOHEADER, BGR byte order, rows padded to 4 bytes, bottom-up
+    unless ``top_down``). ``rows`` is row-major top-to-bottom
+    ``(r, g, b)`` tuples. The fixture-planting and sink twin of
+    :func:`decode_bmp`."""
+    import struct
+
+    h = len(rows)
+    w = len(rows[0]) if h else 0
+    stride = (w * 3 + 3) & ~3
+    pad = b"\x00" * (stride - w * 3)
+    body = bytearray()
+    order = rows if top_down else list(reversed(rows))
+    for row in order:
+        if len(row) != w:
+            raise ValueError("encode_bmp: ragged pixel rows")
+        for r, g, b in row:
+            body += bytes((b, g, r))
+        body += pad
+    pix_off = 14 + 40
+    header = struct.pack(
+        "<2sIHHI", b"BM", pix_off + len(body), 0, 0, pix_off
+    ) + struct.pack(
+        "<IiiHHIIiiII",
+        40,
+        w,
+        -h if top_down else h,
+        1,
+        24,
+        0,
+        len(body),
+        2835,
+        2835,
+        0,
+        0,
+    )
+    return header + bytes(body)
+
+
+def decode_bmp(content: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
+    """REAL 24-bit uncompressed BMP decode with the stdlib alone
+    (``struct`` header walk + padded-row pixel parse). Handles both
+    bottom-up (positive height, the common case) and top-down (negative
+    height) files; returns ``(width, height, rows)`` with ``rows``
+    row-major TOP-to-bottom ``(r, g, b)`` — i.e. orientation is
+    normalized at the decode boundary. Compressed / non-24-bit BMPs
+    raise ``NotImplementedError`` (palette and RLE variants are rare in
+    training corpora)."""
+    import struct
+
+    if content[:2] != b"BM":
+        raise ValueError("decode_bmp: not a BMP (missing 'BM' magic)")
+    pix_off = struct.unpack_from("<I", content, 10)[0]
+    hdr_size = struct.unpack_from("<I", content, 14)[0]
+    if hdr_size < 40:
+        raise NotImplementedError(
+            "decode_bmp: pre-BITMAPINFOHEADER (OS/2) headers not supported"
+        )
+    width, height = struct.unpack_from("<ii", content, 18)
+    bpp = struct.unpack_from("<H", content, 28)[0]
+    comp = struct.unpack_from("<I", content, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(
+            f"decode_bmp: only 24-bit uncompressed supported "
+            f"(got bpp={bpp}, compression={comp})"
+        )
+    if width < 0:
+        raise ValueError("decode_bmp: negative width")
+    bottom_up = height > 0
+    h = abs(height)
+    stride = (width * 3 + 3) & ~3
+    if len(content) < pix_off + stride * h:
+        raise ValueError("decode_bmp: truncated pixel array")
+    rows: list[list[tuple[int, int, int]]] = []
+    for r in range(h):
+        src = (h - 1 - r) if bottom_up else r
+        off = pix_off + src * stride
+        row = []
+        for c in range(width):
+            b = content[off + 3 * c]
+            g = content[off + 3 * c + 1]
+            rr = content[off + 3 * c + 2]
+            row.append((rr, g, b))
+        rows.append(row)
+    return width, h, rows
+
+
+def bmp_stats_py(content: bytes | None) -> dict | None:
+    """Integer-exact image signature off the REAL decode: dimensions,
+    per-channel sums, and a position-weighted checksum
+    ``sum((row*width + col) * (r + g + b))`` that pins ORIENTATION —
+    a decoder that silently returned bottom-up rows would match the
+    plain sums but not this."""
+    if content is None:
+        return None
+    w, h, rows = decode_bmp(content)
+    sum_r = sum_g = sum_b = weighted = 0
+    for ri, row in enumerate(rows):
+        for ci, (r, g, b) in enumerate(row):
+            sum_r += r
+            sum_g += g
+            sum_b += b
+            weighted += (ri * w + ci) * (r + g + b)
+    return {
+        "width": w,
+        "height": h,
+        "n_px": w * h,
+        "sum_r": sum_r,
+        "sum_g": sum_g,
+        "sum_b": sum_b,
+        "pos_weighted": weighted,
+    }
+
+
+BMP_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_px", T.LongType(), True),
+        T.StructField("sum_r", T.LongType(), True),
+        T.StructField("sum_g", T.LongType(), True),
+        T.StructField("sum_b", T.LongType(), True),
+        T.StructField("pos_weighted", T.LongType(), True),
+    ]
+)
+
+
+def extract_bmp_stats(media: DataFrame) -> DataFrame:
+    """(media_id, content=BMP bytes) → one integer-exact signature row
+    per blob via the REAL stdlib 24-bit BMP decode, Arrow-batched
+    executor-side. NULL content → all-NULL stats row."""
+    cols = ["width", "height", "n_px", "sum_r", "sum_g", "sum_b", "pos_weighted"]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            stats = [bmp_stats_py(c) for c in pdf["content"]]
+            out = {"media_id": pdf["media_id"]}
+            for k in cols:
+                out[k] = [st[k] if st is not None else None for st in stats]
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, BMP_STATS_SCHEMA)
 
 
 def build_image_feature_fn(
@@ -99,7 +377,31 @@ def build_image_feature_fn(
 
         from PIL import Image
     except ImportError:
-        return lambda content: fake_decode_features(content, dim)
+
+        def stdlib_features(content: bytes | None) -> list[float] | None:
+            # PIL absent, but 24-bit BMP still decodes FOR REAL via the
+            # stdlib kernel — only non-BMP formats degrade to the fake
+            if content is None:
+                return None
+            if content[:2] == b"BM":
+                try:
+                    w, h, rows = decode_bmp(content)
+                except Exception:
+                    return fake_decode_features(content, dim)
+                px = [r + g + b for row in rows for (r, g, b) in row]
+                n = max(len(px), 1)
+                feats = [
+                    min(w / 4096.0, 1.0),
+                    min(h / 4096.0, 1.0),
+                    3 / 4.0,
+                    sum(px) / (n * 765.0),
+                    (min(px) if px else 0) / 765.0,
+                    (max(px) if px else 0) / 765.0,
+                ]
+                return (feats + [0.0] * dim)[:dim]
+            return fake_decode_features(content, dim)
+
+        return stdlib_features
 
     def decode_features(content: bytes | None) -> list[float] | None:
         if content is None:

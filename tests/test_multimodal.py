@@ -1,0 +1,165 @@
+"""Real stdlib decode kernels: PCM WAV and 24-bit BMP.
+
+The gates (wav_decode / bmp_decode) pin the distributed plumbing —
+fixture planting → binaryFile → executor-side decode — against oracles
+computed from the sample lists / pixel grids. These tests pin what a
+shared encode+decode pair could hide: the ABSOLUTE byte layout (a
+hand-constructed BMP hex literal, a wave-module-written WAV), the error
+branches, and the kernel-selection routing."""
+
+import io
+import struct
+import wave
+
+import pytest
+
+from jobinsight_data_pipeline_spark.operators.multimodal import (
+    bmp_stats_py,
+    build_image_feature_fn,
+    decode_bmp,
+    decode_wav,
+    encode_bmp,
+    fake_decode_features,
+    real_decode,
+    wav_stats_py,
+)
+
+# 2x2 24-bit bottom-up BMP, hand-assembled byte by byte:
+#   top row    = red (255,0,0), green (0,255,0)
+#   bottom row = blue (0,0,255), white (255,255,255)
+# stride = (2*3 + 3) & ~3 = 8 → 2 pad bytes per row; bottom row stored
+# FIRST in the file; channels stored B,G,R.
+HAND_BMP = (
+    struct.pack("<2sIHHI", b"BM", 70, 0, 0, 54)
+    + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, 16, 2835, 2835, 0, 0)
+    + bytes(
+        [255, 0, 0]  # blue  (B,G,R)
+        + [255, 255, 255]  # white
+        + [0, 0]  # pad
+        + [0, 0, 255]  # red
+        + [0, 255, 0]  # green
+        + [0, 0]  # pad
+    )
+)
+HAND_PIXELS = [
+    [(255, 0, 0), (0, 255, 0)],
+    [(0, 0, 255), (255, 255, 255)],
+]
+
+
+def test_decode_bmp_hand_constructed_layout():
+    w, h, rows = decode_bmp(HAND_BMP)
+    assert (w, h) == (2, 2)
+    assert rows == HAND_PIXELS
+
+
+def test_encode_bmp_matches_hand_layout():
+    # the writer must reproduce the hand-assembled file byte for byte
+    assert encode_bmp(HAND_PIXELS) == HAND_BMP
+
+
+def test_bmp_roundtrip_orientations_and_padding():
+    for width in (1, 2, 3, 4, 5, 6):
+        rows = [
+            [
+                ((r * 31 + c * 7) % 256, (r * 5 + c * 97) % 256, (r * c + 13) % 256)
+                for c in range(width)
+            ]
+            for r in range(3)
+        ]
+        for td in (False, True):
+            assert decode_bmp(encode_bmp(rows, top_down=td)) == (width, 3, rows)
+
+
+def test_bmp_stats_orientation_sensitivity():
+    # flipping the grid changes pos_weighted but not the channel sums —
+    # the checksum exists precisely to catch a silent row flip
+    rows = [[(10, 0, 0), (0, 0, 0)], [(0, 0, 0), (0, 0, 0)]]
+    flipped = list(reversed(rows))
+    a = bmp_stats_py(encode_bmp(rows))
+    b = bmp_stats_py(encode_bmp(flipped))
+    assert a["sum_r"] == b["sum_r"] == 10
+    assert a["pos_weighted"] != b["pos_weighted"]
+
+
+def test_bmp_error_branches():
+    with pytest.raises(ValueError, match="magic"):
+        decode_bmp(b"XX" + HAND_BMP[2:])
+    bad_bpp = bytearray(HAND_BMP)
+    struct.pack_into("<H", bad_bpp, 28, 8)
+    with pytest.raises(NotImplementedError, match="24-bit"):
+        decode_bmp(bytes(bad_bpp))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_bmp(HAND_BMP[:-4])
+    assert bmp_stats_py(None) is None
+
+
+def _make_wav(nch: int, sw: int, fr: int, samples: list[int]) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(nch)
+        w.setsampwidth(sw)
+        w.setframerate(fr)
+        if sw == 1:
+            w.writeframes(bytes(v + 128 for v in samples))
+        else:
+            w.writeframes(
+                b"".join(v.to_bytes(2, "little", signed=True) for v in samples)
+            )
+    return buf.getvalue()
+
+
+def test_decode_wav_8bit_rebias_and_16bit_sign():
+    s8 = [-128, -1, 0, 1, 127]
+    assert decode_wav(_make_wav(1, 1, 8000, s8))["samples"] == s8
+    s16 = [-32768, -1, 0, 1, 32767, -12345]
+    d = decode_wav(_make_wav(2, 2, 44100, s16))
+    assert d["samples"] == s16
+    assert d["n_channels"] == 2 and d["n_frames"] == 3
+
+
+def test_wav_stats_zero_cross_and_empty():
+    # crossings: -1→1, 1→-2, 0 breaks the run (product 0, not < 0)
+    s = [-1, 1, -2, 0, 3, 4]
+    st = wav_stats_py(_make_wav(1, 2, 8000, s))
+    assert st["zero_cross"] == 2
+    assert st["sum_s"] == 5 and st["abs_sum"] == 11
+    empty = wav_stats_py(_make_wav(1, 2, 8000, []))
+    assert empty["n_samples"] == 0
+    assert empty["min_s"] is None and empty["max_s"] is None
+    assert wav_stats_py(None) is None
+
+
+def test_decode_wav_rejects_wide_pcm():
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(4)
+        w.setframerate(8000)
+        w.writeframes(b"\x00" * 8)
+    with pytest.raises(NotImplementedError, match="32-bit"):
+        decode_wav(buf.getvalue())
+
+
+def test_real_decode_routes_stdlib_kernels():
+    wav = _make_wav(1, 2, 8000, [5, -5])
+    assert real_decode(wav, "audio/wav")["samples"] == [5, -5]
+    assert real_decode(HAND_BMP, "image/bmp")[2] == HAND_PIXELS
+    # generic image/* with BMP magic also hits the stdlib kernel
+    assert real_decode(HAND_BMP, "image/unknown")[0] == 2
+    with pytest.raises(NotImplementedError):
+        real_decode(b"\x00\x01", "video/mp4")
+
+
+def test_image_feature_fn_bmp_is_real_not_fake():
+    fn = build_image_feature_fn(dim=8)
+    feats = fn(HAND_BMP)
+    # the stdlib branch reports true dimensions and 3 channels —
+    # categorically different from the sha1-byte fake
+    assert feats[0] == pytest.approx(2 / 4096.0)
+    assert feats[1] == pytest.approx(2 / 4096.0)
+    assert feats[2] == pytest.approx(0.75)
+    assert feats != fake_decode_features(HAND_BMP, 8)
+    # non-BMP bytes still degrade to the deterministic fake
+    junk = b"\x89PNG not really"
+    assert fn(junk) == fake_decode_features(junk, 8)
