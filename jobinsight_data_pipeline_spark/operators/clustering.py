@@ -129,6 +129,7 @@ def kmeans_fit_quantized(
     k: int = 8,
     iterations: int = 4,
     scale: int = DEFAULT_SCALE,
+    init_centroids: list[list[int]] | None = None,
 ) -> list[list[int]]:
     """Full-corpus Lloyd's fit. Returns the final centroid matrix as
     UNSHIFTED quantized ints (row j = cell j), suitable for
@@ -136,7 +137,10 @@ def kmeans_fit_quantized(
     builders (see :func:`fit_centroids_distributed`).
 
     Init: the k lowest-``id_col`` vectors in id order (deterministic,
-    engine-portable — no RNG to reconcile). Empty cells carry the
+    engine-portable — no RNG to reconcile), or an explicit
+    ``init_centroids`` matrix (UNSHIFTED quantized ints, the same
+    contract as the return value — pass :func:`kmeans_pp_seeds` output
+    for distance-weighted k-means‖ seeding). Empty cells carry the
     previous centroid forward. Update rule per dimension:
     ``(2*sum + n) div (2*n)`` — round-half-up mean in the shifted
     non-negative domain.
@@ -147,6 +151,11 @@ def kmeans_fit_quantized(
     """
     if k < 1:
         raise ValueError("kmeans_fit_quantized: k must be >= 1")
+    if init_centroids is not None and len(init_centroids) != k:
+        raise ValueError(
+            f"kmeans_fit_quantized: init_centroids has "
+            f"{len(init_centroids)} rows, expected k={k}"
+        )
     # the argmin fold is a higher-order function — interpreted row-at-a-
     # time, NOT whole-stage-codegen'd — so per-row cost is real CPU; a
     # single-file parquet input would run every iteration on ONE task

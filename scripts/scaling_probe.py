@@ -464,7 +464,34 @@ def probes(spark, sf_dir):
         "collocations (PMI, floor 10)": lambda: _token_pmi(
             docs, "text", min_count=10, top_n=20
         ),
+        # round-10: the composed 12-stage capstone, COLD — the thunk
+        # clears the gate's done-sentinel scratch first so both probe
+        # runs rebuild the whole chain (min-of-2 would otherwise time
+        # the memoized re-read). The learned-BPE merges stay memoized
+        # per session (the artifact amortizes, same posture as
+        # unigram_encode's pre-trained model).
+        "corpus_build (12-stage chain, cold)": lambda: _corpus_build_cold(
+            spark, sf_dir
+        ),
     }
+
+
+def _corpus_build_cold(spark, sf_dir):
+    import hashlib
+    import shutil
+
+    from jobinsight_data_pipeline_spark.catalog import scratch_dir
+    from jobinsight_data_pipeline_spark.catalog.textml import q_corpus_build
+
+    base = scratch_dir(
+        "corpusbuild-gate-",
+        "{}-{}".format(
+            spark.sparkContext.applicationId,
+            hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+        ),
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return q_corpus_build(spark, sf_dir)
 
 
 def main() -> None:
