@@ -10757,26 +10757,68 @@ def q_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_oracle_sql(final_select: str) -> str:
+def _kmeans_oracle_sql(final_select: str, init: str = "firstk") -> str:
     """Unroll the full quantized Lloyd's fit in DuckDB CTEs — init from
-    the k lowest vec_ids, then per iteration an argmin assignment
-    (row_number over (d, cell): the strictly-smaller/lowest-cell
-    tie-break) and the round-half-up integer mean update with
-    empty-cell carry-forward. All arithmetic mirrors
+    the k lowest vec_ids (``init="firstk"``) or the distance-weighted
+    k-means‖ seed round (``init="kpp"``: md5-order seed 0, exact d²+1
+    weights, A-ES quantized-ln draw — mirroring
+    operators/clustering.kmeans_pp_seeds), then per iteration an argmin
+    assignment (row_number over (d, cell): the strictly-smaller/
+    lowest-cell tie-break) and the round-half-up integer mean update
+    with empty-cell carry-forward. All arithmetic mirrors
     operators/clustering.py in the shifted non-negative BIGINT domain;
     list_dot_product doubles are exact (< 2^53)."""
     k, iters, scale = _KMEANS_K, _KMEANS_ITERS, _KMEANS_SCALE
+    if init == "firstk":
+        c0 = (
+            "c0 AS (\n"
+            "    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,"
+            " p AS c\n"
+            f"    FROM (SELECT vec_id, p FROM q ORDER BY vec_id LIMIT {k})\n"
+            ")"
+        )
+    elif init == "kpp":
+        sq = (
+            "CAST(list_dot_product(q.p, q.p) + list_dot_product(s.p, s.p)"
+            " - 2 * list_dot_product(q.p, s.p) AS BIGINT)"
+        )
+        c0 = (
+            "seed0 AS (\n"
+            "    SELECT vec_id, p FROM q\n"
+            "    ORDER BY md5('kpp0:' || CAST(vec_id AS VARCHAR)) ASC,"
+            " vec_id ASC\n"
+            "    LIMIT 1\n"
+            "),\n"
+            "kdr AS (\n"
+            f"    SELECT q.vec_id, q.p, {sq} + 1 AS w,\n"
+            "           CAST(floor(ln((CAST(('0x' || substring("
+            "md5('kppd:' || CAST(q.vec_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+            " + 1) / 4294967296.0) * 1000000.0) AS BIGINT) AS lq6\n"
+            "    FROM q, seed0 s\n"
+            "    WHERE q.vec_id <> s.vec_id\n"
+            "),\n"
+            "kcand AS (\n"
+            "    SELECT vec_id, p,\n"
+            "           row_number() OVER (ORDER BY"
+            " CAST(lq6 AS DOUBLE) / CAST(w AS DOUBLE) DESC,"
+            " vec_id ASC) AS r\n"
+            "    FROM kdr\n"
+            "),\n"
+            "c0 AS (\n"
+            "    SELECT 0 AS cell, p AS c FROM seed0\n"
+            "    UNION ALL\n"
+            f"    SELECT r AS cell, p AS c FROM kcand WHERE r <= {k - 1}\n"
+            ")"
+        )
+    else:  # pragma: no cover - builder misuse
+        raise ValueError(f"_kmeans_oracle_sql: unknown init {init!r}")
     parts = [
         "WITH q AS (\n"
         "    SELECT vec_id, list_transform(embedding,\n"
         f"        x -> CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT)"
         f" + {scale}) AS p\n"
         "    FROM embeddings WHERE embedding IS NOT NULL\n"
-        "),\n"
-        "c0 AS (\n"
-        "    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, p AS c\n"
-        f"    FROM (SELECT vec_id, p FROM q ORDER BY vec_id LIMIT {k})\n"
-        ")"
+        "),\n" + c0
     ]
     dist = (
         "CAST(list_dot_product(q.p, q.p) + list_dot_product(c.c, c.c)"
@@ -10834,6 +10876,81 @@ O_KMEANS_FIT = _kmeans_oracle_sql(
     f" x -> CAST(x - {_KMEANS_SCALE} AS VARCHAR)), '|') AS centroid\n"
     f"FROM afinal a JOIN c{_KMEANS_ITERS} c USING (cell)\n"
     "GROUP BY a.cell, c.c"
+)
+
+
+_KMEANS_PP_CACHE: dict[tuple[int, str], list[list[int]]] = {}
+
+
+def _kmeans_pp_centroids(spark: SparkSession, sf_dir: str) -> list[list[int]]:
+    from jobinsight_data_pipeline_spark.operators.clustering import (
+        kmeans_fit_quantized,
+        kmeans_pp_seeds,
+    )
+
+    key = (id(spark), sf_dir)
+    if key not in _KMEANS_PP_CACHE:
+        t = load(spark, sf_dir, "embeddings")
+        seeds = kmeans_pp_seeds(
+            t["embeddings"], "embedding", "vec_id",
+            k=_KMEANS_K, scale=_KMEANS_SCALE,
+        )
+        _KMEANS_PP_CACHE[key] = kmeans_fit_quantized(
+            t["embeddings"], "embedding", "vec_id",
+            k=_KMEANS_K, iterations=_KMEANS_ITERS, scale=_KMEANS_SCALE,
+            init_centroids=seeds,
+        )
+    return _KMEANS_PP_CACHE[key]
+
+
+def q_kmeans_pp_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means with DISTANCE-WEIGHTED k-means‖ seeding
+    (operators/clustering.kmeans_pp_seeds): md5-order seed 0, one
+    parallel D²+1-weighted A-ES draw for the other k-1 seeds, then the
+    same 4 Lloyd's rounds as `kmeans_fit`. The oracle replays the
+    ENTIRE lineage — the seed pick, every candidate's exact integer
+    distance weight, the quantized-ln priorities, the k-1 draw ranks,
+    and all four assignment+update rounds — so a single flipped draw or
+    drifted centroid anywhere moves the hash. Quality note (measured,
+    COVERAGE.md round-10): on id-clustered data first-k seeding starts
+    degenerate and the D² draw materially lowers post-fit SSE
+    (tests/test_operators.py planted-blob pin); on this near-uniform
+    synthetic corpus the two land within ±0.1% of each other."""
+    from jobinsight_data_pipeline_spark.operators.clustering import (
+        kmeans_assign,
+    )
+    from jobinsight_data_pipeline_spark.operators.parallelism import (
+        widen_for_cpu,
+    )
+
+    t = load(spark, sf_dir, "embeddings")
+    cents = _kmeans_pp_centroids(spark, sf_dir)
+    assigned = kmeans_assign(
+        widen_for_cpu(t["embeddings"]), cents, "embedding",
+        scale=_KMEANS_SCALE,
+    )
+    cent_rows = [
+        (j, "|".join(str(x) for x in c)) for j, c in enumerate(cents)
+    ]
+    cent_df = spark.createDataFrame(cent_rows, "cell int, centroid string")
+    agg = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("size"),
+        F.sum("dist").alias("inertia"),
+    )
+    return agg.join(F.broadcast(cent_df), "cell").select(
+        "cell", "size", "inertia", "centroid"
+    )
+
+
+O_KMEANS_PP_FIT = _kmeans_oracle_sql(
+    "SELECT CAST(a.cell AS INTEGER) AS cell,\n"
+    "       count(*) AS size,\n"
+    "       CAST(sum(a.d) AS BIGINT) AS inertia,\n"
+    "       array_to_string(list_transform(c.c,"
+    f" x -> CAST(x - {_KMEANS_SCALE} AS VARCHAR)), '|') AS centroid\n"
+    f"FROM afinal a JOIN c{_KMEANS_ITERS} c USING (cell)\n"
+    "GROUP BY a.cell, c.c",
+    init="kpp",
 )
 
 
@@ -11115,6 +11232,7 @@ QUERIES = {
     "language_id": q_language_id,
     "kmeans_assign": q_kmeans_assign,
     "kmeans_fit": q_kmeans_fit,
+    "kmeans_pp_fit": q_kmeans_pp_fit,
     "ivf_trained_serve": q_ivf_trained_serve,
     "csv_roundtrip": q_csv_roundtrip,
     "quality_deciles": q_quality_deciles,
@@ -11258,6 +11376,7 @@ ORACLES = {
     "language_id": O_LANGUAGE_ID,
     "kmeans_assign": O_KMEANS_ASSIGN,
     "kmeans_fit": O_KMEANS_FIT,
+    "kmeans_pp_fit": O_KMEANS_PP_FIT,
     "ivf_trained_serve": O_IVF_TRAINED_SERVE,
     "csv_roundtrip": O_CSV_ROUNDTRIP,
     "quality_deciles": O_QUALITY_DECILES,

@@ -174,12 +174,16 @@ def kmeans_fit_quantized(
             quantize_shifted(vec_col, scale).alias("__p"),
         )
     ).localCheckpoint(eager=True)
-    seed_rows = q.orderBy("__id").limit(k).collect()
-    if len(seed_rows) < k:
-        raise ValueError(
-            f"kmeans_fit_quantized: k={k} but only {len(seed_rows)} vectors"
-        )
-    centroids = [list(r["__p"]) for r in seed_rows]  # shifted domain
+    if init_centroids is not None:
+        centroids = [[x + scale for x in c] for c in init_centroids]
+    else:
+        seed_rows = q.orderBy("__id").limit(k).collect()
+        if len(seed_rows) < k:
+            raise ValueError(
+                f"kmeans_fit_quantized: k={k} but only "
+                f"{len(seed_rows)} vectors"
+            )
+        centroids = [list(r["__p"]) for r in seed_rows]  # shifted domain
     dim = len(centroids[0])
     # Per-iteration shape (r9 rework, measured 2× at sf0.1 warm): the
     # interpreted distance-vector HOF is projected ONCE per row
@@ -216,6 +220,99 @@ def kmeans_fit_quantized(
     _free_local_checkpoint(q)
     assert all(len(c) == dim for c in centroids)
     return [[x - scale for x in c] for c in centroids]  # unshift
+
+
+def kmeans_pp_seeds(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    scale: int = DEFAULT_SCALE,
+    seed_salt: str = "kpp0:",
+    draw_salt: str = "kppd:",
+) -> list[list[int]]:
+    """Distance-weighted k-means‖ seeding (Bahmani et al. 2012, one
+    oversampling round with l = k-1 — i.e. k-means++'s D² draw done in
+    ONE parallel pass instead of k sequential ones), made DETERMINISTIC
+    and oracle-replayable via the engine-portable md5 draw:
+
+    * seed 0 is the vector with the smallest ``md5(seed_salt || id)``
+      (the cluster_balanced_draw order — a de-biased uniform pick,
+      where first-k-by-id would inherit whatever the id order encodes);
+    * every other vector computes its exact integer squared distance
+      d² to seed 0 (one scan against the seed literal), and k-1 more
+      seeds are drawn WITHOUT replacement with inclusion odds ∝ d²+1
+      by Efraimidis–Spirakis A-ES — uniform u from the md5 prefix,
+      quantized-ln priority ``floor(ln(u)·10⁶) / weight`` (the
+      dsir_resample machinery: lq6 and the weight are BIGINTs < 2⁵³,
+      so the priority double is bit-identical on any engine).
+
+    Returns k UNSHIFTED quantized centroids (seed 0 first, then the
+    k-1 draws in priority-rank order) for
+    ``kmeans_fit_quantized(init_centroids=...)``. Two jobs total — a
+    1-row min collect and a (k-1)-row top-k collect; driver state is
+    the seed matrix only, so the shape survives any corpus size.
+
+    Why it's worth a round: first-k-by-id seeding is quality-blind —
+    ids say nothing about the embedding space, so nearby ids can seed
+    the same region and Lloyd's starts from a degenerate model. The D²
+    draw spreads seeds toward far-apart regions (measured on the
+    testdata corpus: within-cluster SSE after the same 4 Lloyd's
+    rounds improves vs first-k seeding — see the kmeans_pp_fit gate
+    and COVERAGE.md round-10 notes)."""
+    from jobinsight_data_pipeline_spark.operators.components import (
+        _free_local_checkpoint,
+    )
+
+    if k < 1:
+        raise ValueError("kmeans_pp_seeds: k must be >= 1")
+    q = widen_for_cpu(
+        df.where(F.col(vec_col).isNotNull()).select(
+            F.col(id_col).alias("__id"),
+            quantize_shifted(vec_col, scale).alias("__p"),
+        )
+    ).localCheckpoint(eager=True)
+    md5_order = F.md5(
+        F.concat(F.lit(seed_salt), F.col("__id").cast("string"))
+    )
+    seed_rows = q.orderBy(md5_order.asc(), F.col("__id").asc()).limit(
+        1
+    ).collect()
+    if not seed_rows:
+        raise ValueError("kmeans_pp_seeds: empty input")
+    seed0 = list(seed_rows[0]["__p"])
+    seed0_id = seed_rows[0]["__id"]
+    seed_lit = "array(" + ",".join(f"{int(x)}L" for x in seed0) + ")"
+    hexpfx = F.substring(
+        F.md5(F.concat(F.lit(draw_salt), F.col("__id").cast("string"))), 1, 8
+    )
+    cand = (
+        q.where(F.col("__id") != seed0_id)
+        .withColumn("__w", F.expr(_sq_dist("__p", seed_lit)) + F.lit(1))
+        .withColumn("__hv", F.conv(hexpfx, 16, 10).cast("long"))
+        .withColumn(
+            "__lq6",
+            F.expr(
+                "CAST(floor(ln((__hv + 1) / 4294967296.0) * 1000000.0)"
+                " AS BIGINT)"
+            ),
+        )
+        .orderBy(
+            (
+                F.col("__lq6").cast("double") / F.col("__w").cast("double")
+            ).desc(),
+            F.col("__id").asc(),
+        )
+        .limit(k - 1)
+        .collect()
+    )
+    if len(cand) < k - 1:
+        raise ValueError(
+            f"kmeans_pp_seeds: k={k} but only {len(cand) + 1} vectors"
+        )
+    seeds = [seed0] + [list(r["__p"]) for r in cand]
+    _free_local_checkpoint(q)
+    return [[x - scale for x in s] for s in seeds]  # unshift
 
 
 def kmeans_assign(

@@ -120,6 +120,7 @@ def probes(spark, sf_dir):
     from jobinsight_data_pipeline_spark.operators.clustering import (
         kmeans_assign as _kmeans_assign,
         kmeans_fit_quantized as _kmeans_fit,
+        kmeans_pp_seeds as _kmeans_pp_seeds,
     )
     from jobinsight_data_pipeline_spark.operators.textstats import (
         with_language_id as _with_language_id,
@@ -259,6 +260,16 @@ def probes(spark, sf_dir):
         ),
         # the fit's per-round collects run inside the thunk — the timed
         # figure covers all 4 Lloyd rounds plus the final assignment
+        # round-10: the same fit+assign under the k-means‖ seed round
+        # (md5-order seed 0 + one D²-weighted A-ES draw — two extra
+        # model-sized jobs before Lloyd's)
+        "kmeans_pp fit+assign (seed + 4 iter)": lambda: _kmeans_assign(
+            _widen(emb),
+            _kmeans_fit(
+                emb, k=8, iterations=4,
+                init_centroids=_kmeans_pp_seeds(emb, k=8),
+            ),
+        ),
         "kmeans fit+assign (4 iter, integer)": lambda: _kmeans_assign(
             _widen(emb), _kmeans_fit(emb, k=8, iterations=4)
         ),

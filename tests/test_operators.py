@@ -3084,6 +3084,70 @@ def test_kmeans_quantized_empty_cell_and_ties(spark):
     assert set(tied.values()) == {0}
 
 
+def test_kmeans_pp_seeds_beat_firstk_on_id_clustered_data(spark):
+    """The reason the k-means‖ seed round exists: first-k-by-id seeding
+    is quality-blind, and on data whose id order correlates with the
+    embedding space (ingest order usually does — by source, by crawl
+    day) all k seeds can land in ONE region. A 1-D chain of four blobs
+    with the first k ids all in the leftmost blob: first-k stays stuck
+    in a degenerate model even after 4 Lloyd's rounds, the D²-weighted
+    draw recovers the global structure (measured ~1300× lower SSE —
+    pinned loosely at 100× so jitter tweaks can't flake it). On data
+    WITHOUT id-space correlation the two seedings land within ±0.1%
+    (measured on the synthetic testdata corpus, COVERAGE.md r10)."""
+    import pyspark.sql.functions as F
+
+    from jobinsight_data_pipeline_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_fit_quantized,
+        kmeans_pp_seeds,
+    )
+
+    blobs = [0.05, 0.2, 0.6, 0.95]
+    rows = []
+    for b, bx in enumerate(blobs):
+        for i in range(8):
+            rows.append((b * 8 + i + 1, [bx + ((i * 7) % 4) * 0.003, 0.5]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def sse(cents):
+        return (
+            kmeans_assign(df, cents).agg(F.sum("dist")).collect()[0][0]
+        )
+
+    firstk = kmeans_fit_quantized(df, k=4, iterations=4)
+    seeds = kmeans_pp_seeds(df, k=4)
+    pp = kmeans_fit_quantized(df, k=4, iterations=4, init_centroids=seeds)
+    assert sse(firstk) > 100 * sse(pp)
+    # the draw is engine-portable determinism, not RNG: identical seed
+    # matrix from a reshuffled frame
+    assert kmeans_pp_seeds(df.repartition(7), k=4) == seeds
+    # seed 0 is the md5-order pick; the k-1 draws are distinct vectors
+    assert len(seeds) == 4
+    assert len({tuple(s) for s in seeds}) == 4
+
+
+def test_kmeans_pp_seeds_contract_errors(spark):
+    from jobinsight_data_pipeline_spark.operators.clustering import (
+        kmeans_fit_quantized,
+        kmeans_pp_seeds,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.1, 0.2]), (2, [0.3, 0.4])],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="only 2 vectors"):
+        kmeans_pp_seeds(df, k=5)
+    with pytest.raises(ValueError, match="k must be >= 1"):
+        kmeans_pp_seeds(df, k=0)
+    with pytest.raises(ValueError, match="init_centroids has 1"):
+        kmeans_fit_quantized(df, k=2, init_centroids=[[0, 0]])
+    # k=1 degenerates to the md5-order pick alone
+    one = kmeans_pp_seeds(df, k=1)
+    assert len(one) == 1 and len(one[0]) == 2
+
+
 def test_fit_centroids_distributed_feeds_ivf(spark):
     """fit_centroids_distributed keeps the list[list[float]] contract of
     similarity.fit_centroids: the IVF top-k builder consumes it directly

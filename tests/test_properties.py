@@ -893,6 +893,45 @@ def test_interval_join_fuzz_equals_between(spark):
         assert got == expected, f"band_width {bw} diverged"
 
 
+def test_kpp_draw_ln_quantization_cross_engine_audit(spark):
+    """kmeans_pp_seeds' A-ES draw rests on floor(ln(u)·10⁶) agreeing
+    across engines for every md5('kppd:' || vec_id) uniform the frozen
+    embeddings tables can produce (the weighted_draw audit's discipline,
+    different salt and id domain). Quantized integers identical across
+    engines; ln·10⁶ clear of floor boundaries."""
+    import math
+
+    import duckdb
+
+    con = duckdb.connect()
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        hvs = [
+            r[0]
+            for r in con.execute(
+                "SELECT CAST(('0x' || substring(md5('kppd:' || "
+                "CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) "
+                f"FROM '/root/testdata/{sf}/embeddings.parquet'"
+            ).fetchall()
+        ]
+        us = [(h + 1) / 4294967296.0 for h in hvs]
+        spark_q = [
+            r[0]
+            for r in spark.createDataFrame([(u,) for u in us], "u: double")
+            .selectExpr("CAST(floor(ln(u) * 1000000.0) AS LONG)")
+            .collect()
+        ]
+        duck_q = [
+            con.execute(
+                "SELECT CAST(floor(ln(?) * 1000000.0) AS BIGINT)", [u]
+            ).fetchone()[0]
+            for u in us
+        ]
+        assert spark_q == duck_q, sf
+        for u in us:
+            frac = (math.log(u) * 1e6) % 1.0
+            assert min(frac, 1.0 - frac) > 1e-8, (sf, u, frac)
+
+
 def test_weighted_draw_ln_quantization_cross_engine_audit(spark):
     """weighted_draw's exactness rests on floor(ln(u)·10⁶) agreeing
     across engines for every md5-derived u this testdata can produce.
