@@ -698,3 +698,43 @@ def test_cms_build_is_single_bounded_shuffle(spark):
     assert plan.count("Exchange") == 1
     assert "partial_count" in plan or "HashAggregate" in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_pq_trained_fit_jobs_independent_of_subspace_count(spark):
+    """train_pq_codebooks_quantized's one-job-per-iteration fusion,
+    pinned at the SCHEDULER level (the r9 verdict's optional hardening):
+    all m subspace fits advance inside the same per-iteration job, so
+    the Spark job count must be flat in m and linear in iterations
+    (measured: 3 fixed jobs — widen/localCheckpoint + seed collect +
+    AQE's extra stage-job — plus 2 per iteration under AQE). A refactor
+    that quietly serialized the m subspaces into per-slice fits would
+    multiply the per-iteration term by m and fail both assertions. The
+    m-sliced RESULT equality is pinned separately
+    (test_operators.test_pq_trained_books_equal_independent_sliced_fits)."""
+    from jobinsight_data_pipeline_spark.operators.clustering import (
+        train_pq_codebooks_quantized,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    emb.count()  # warm the file index so scan jobs don't skew counts
+
+    def jobs(tag: str, m: int, iterations: int) -> int:
+        sc = spark.sparkContext
+        sc.setJobGroup(tag, "pq fusion job-count pin")
+        try:
+            train_pq_codebooks_quantized(
+                emb, m=m, k=4, iterations=iterations, dim=64
+            )
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        return len(sc.statusTracker().getJobIdsForGroup(tag))
+
+    j_m2 = jobs("pqfuse-m2", m=2, iterations=2)
+    j_m8 = jobs("pqfuse-m8", m=8, iterations=2)
+    assert j_m8 == j_m2, "job count grew with m: subspace fits serialized"
+    j_i1 = jobs("pqfuse-i1", m=4, iterations=1)
+    j_i3 = jobs("pqfuse-i3", m=4, iterations=3)
+    per_iter = (j_i3 - j_i1) / 2
+    assert per_iter <= 2, f"per-iteration job cost {per_iter} > 2"
