@@ -9882,16 +9882,22 @@ def q_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-bit unsigned re-bias, 16-bit LE sign handling, and channel
     interleave must all round-trip exactly. This closes the r9 verdict's
     'audio decode is a stub' gap: WAV is decoded for real."""
-    import io
-    import os
-    import wave
-
     from jobinsight_data_pipeline_spark.catalog import scratch_dir
     from jobinsight_data_pipeline_spark.operators.multimodal import (
         extract_wav_stats,
     )
 
     base = scratch_dir("wav-gate-")
+    _plant_wav_fixture(base)
+    media = _fixture_media(spark, base, "*.wav", sorted(WAV_FIXTURE))
+    return extract_wav_stats(media)
+
+
+def _plant_wav_fixture(base: str) -> None:
+    import io
+    import os
+    import wave
+
     for name, (nch, sw, fr, samples) in WAV_FIXTURE.items():
         buf = io.BytesIO()
         with wave.open(buf, "wb") as w:
@@ -9908,19 +9914,25 @@ def q_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
         with open(os.path.join(base, name), "wb") as fh:
             fh.write(buf.getvalue())
+
+
+def _fixture_media(
+    spark: SparkSession, base: str, glob: str, names: list[str]
+) -> DataFrame:
+    """binaryFile read of a planted fixture dir → (media_id, content),
+    media_id = 1-based position in the given name order."""
     df = (
         spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.wav")
+        .option("pathGlobFilter", glob)
         .load(base)
     )
     name_col = F.element_at(F.split("path", "/"), -1)
     mid = F.lit(None).cast("long")
-    for i, name in enumerate(sorted(WAV_FIXTURE)):
+    for i, name in enumerate(names):
         mid = F.when(name_col == name, F.lit(i + 1).cast("long")).otherwise(
             mid
         )
-    media = df.select(mid.alias("media_id"), "content")
-    return extract_wav_stats(media)
+    return df.select(mid.alias("media_id"), "content")
 
 
 def _wav_oracle() -> str:
@@ -10005,31 +10017,27 @@ def q_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer image stats computed from the pixel GRIDS (never from the
     bytes). This closes the r9 verdict's 'one real image codec' gap:
     24-bit BMP decodes for real, beside the PIL soft-import."""
-    import os
-
     from jobinsight_data_pipeline_spark.catalog import scratch_dir
     from jobinsight_data_pipeline_spark.operators.multimodal import (
-        encode_bmp,
         extract_bmp_stats,
     )
 
     base = scratch_dir("bmp-gate-")
+    _plant_bmp_fixture(base)
+    media = _fixture_media(spark, base, "*.bmp", sorted(BMP_FIXTURE))
+    return extract_bmp_stats(media)
+
+
+def _plant_bmp_fixture(base: str) -> None:
+    import os
+
+    from jobinsight_data_pipeline_spark.operators.multimodal import (
+        encode_bmp,
+    )
+
     for name, (rows, td) in BMP_FIXTURE.items():
         with open(os.path.join(base, name), "wb") as fh:
             fh.write(encode_bmp(rows, top_down=td))
-    df = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.bmp")
-        .load(base)
-    )
-    name_col = F.element_at(F.split("path", "/"), -1)
-    mid = F.lit(None).cast("long")
-    for i, name in enumerate(sorted(BMP_FIXTURE)):
-        mid = F.when(name_col == name, F.lit(i + 1).cast("long")).otherwise(
-            mid
-        )
-    media = df.select(mid.alias("media_id"), "content")
-    return extract_bmp_stats(media)
 
 
 def _bmp_oracle() -> str:
@@ -10067,6 +10075,148 @@ FROM t
 
 
 O_BMP_DECODE = _bmp_oracle()
+
+
+_WCE_WINDOW, _WCE_HOP, _WCE_CAP = 8, 4, 8
+
+
+def q_wav_chunk_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio analysis END-TO-END on real bytes: the WAV
+    fixtures decode ONCE to per-frame |sample| rows
+    (operators/multimodal.extract_wav_frames — the Arrow-batched fan-out
+    stage), then the overlapping chunk grid
+    ``[c*hop, min(c*hop+window, n_frames))`` with its cap is pure column
+    math (wav_chunk_energy: covering-range explode + one partial-agg
+    shuffle — no window function, no per-file collect). Exercises
+    partial tail windows (mono16: 48 frames), the max_chunks cap
+    (mono8: 10 grid chunks capped at 8), multi-channel energy
+    (stereo16), and the empty stream (silence0: zero rows). The oracle
+    inlines per-chunk energies computed from the SAMPLE LISTS."""
+    from jobinsight_data_pipeline_spark.catalog import scratch_dir
+    from jobinsight_data_pipeline_spark.operators.multimodal import (
+        extract_wav_frames,
+        wav_chunk_energy,
+    )
+
+    base = scratch_dir("wavchunk-gate-")
+    _plant_wav_fixture(base)
+    media = _fixture_media(spark, base, "*.wav", sorted(WAV_FIXTURE))
+    frames = extract_wav_frames(media)
+    return wav_chunk_energy(
+        frames,
+        window_frames=_WCE_WINDOW,
+        hop_frames=_WCE_HOP,
+        max_chunks=_WCE_CAP,
+    )
+
+
+def _wav_chunk_oracle() -> str:
+    values = []
+    for i, name in enumerate(sorted(WAV_FIXTURE)):
+        nch, _sw, _fr, s = WAV_FIXTURE[name]
+        nf = len(s) // nch
+        n_chunks = min((nf + _WCE_HOP - 1) // _WCE_HOP, _WCE_CAP)
+        for c in range(n_chunks):
+            start = c * _WCE_HOP
+            end = min(start + _WCE_WINDOW, nf)
+            energy = sum(
+                abs(s[f * nch + ch])
+                for f in range(start, end)
+                for ch in range(nch)
+            )
+            values.append(f"({i + 1}, {c}, {start}, {end}, {energy})")
+    rows = ",\n    ".join(values)
+    return f"""
+WITH t(media_id, chunk_idx, start_frame, end_frame, abs_energy) AS (VALUES
+    {rows})
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(start_frame AS BIGINT) AS start_frame,
+       CAST(end_frame AS BIGINT) AS end_frame,
+       CAST(abs_energy AS BIGINT) AS abs_energy
+FROM t
+"""
+
+
+O_WAV_CHUNK_ENERGY = _wav_chunk_oracle()
+
+
+def q_bmp_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image preprocessing END-TO-END: each planted BMP is 2×
+    box-filter downsampled by the binary→binary transform stage
+    (operators/multimodal.transform_bmp ∘ bmp_downsample2x_py —
+    decode → round-half-up 2×2 block means → re-ENCODE, all stdlib,
+    executor-side), and the resized BYTES are then decoded again by
+    extract_bmp_stats — so the gate pins the full
+    decode→transform→encode→decode loop. Odd trailing rows/columns
+    drop (5×3 → 2×1, 3×2 → 1×1), 4×4 is the pad-free even case. The
+    oracle inlines stats computed from independently downsampled PIXEL
+    GRIDS (never from bytes)."""
+    from jobinsight_data_pipeline_spark.catalog import scratch_dir
+    from jobinsight_data_pipeline_spark.operators.multimodal import (
+        extract_bmp_stats,
+        transform_bmp,
+    )
+
+    base = scratch_dir("bmpresize-gate-")
+    _plant_bmp_fixture(base)
+    media = _fixture_media(spark, base, "*.bmp", sorted(BMP_FIXTURE))
+    return extract_bmp_stats(transform_bmp(media))
+
+
+def _bmp_resize_oracle() -> str:
+    values = []
+    for i, name in enumerate(sorted(BMP_FIXTURE)):
+        rows, _td = BMP_FIXTURE[name]
+        w, h = len(rows[0]), len(rows)
+        ow, oh = w // 2, h // 2
+        small = [
+            [
+                tuple(
+                    (
+                        rows[2 * r][2 * c][ch]
+                        + rows[2 * r][2 * c + 1][ch]
+                        + rows[2 * r + 1][2 * c][ch]
+                        + rows[2 * r + 1][2 * c + 1][ch]
+                        + 2
+                    )
+                    // 4
+                    for ch in range(3)
+                )
+                for c in range(ow)
+            ]
+            for r in range(oh)
+        ]
+        sum_r = sum(p[0] for row in small for p in row)
+        sum_g = sum(p[1] for row in small for p in row)
+        sum_b = sum(p[2] for row in small for p in row)
+        weighted = sum(
+            (ri * ow + ci) * (r + g + b)
+            for ri, row in enumerate(small)
+            for ci, (r, g, b) in enumerate(row)
+        )
+        values.append(
+            f"({i + 1}, {ow}, {oh}, {ow * oh}, {sum_r}, {sum_g}, {sum_b},"
+            f" {weighted})"
+        )
+    rows_sql = ",\n    ".join(values)
+    return f"""
+WITH t(media_id, width, height, n_px, sum_r, sum_g, sum_b,
+       pos_weighted) AS (VALUES
+    {rows_sql})
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(width AS INTEGER) AS width,
+       CAST(height AS INTEGER) AS height,
+       CAST(n_px AS BIGINT) AS n_px,
+       CAST(sum_r AS BIGINT) AS sum_r,
+       CAST(sum_g AS BIGINT) AS sum_g,
+       CAST(sum_b AS BIGINT) AS sum_b,
+       CAST(pos_weighted AS BIGINT) AS pos_weighted
+FROM t
+"""
+
+
+O_BMP_RESIZE = _bmp_resize_oracle()
 
 
 def q_community_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11192,6 +11342,8 @@ QUERIES = {
     "binary_ingest": q_binary_ingest,
     "wav_decode": q_wav_decode,
     "bmp_decode": q_bmp_decode,
+    "wav_chunk_energy": q_wav_chunk_energy,
+    "bmp_resize": q_bmp_resize,
     "graph_curation": q_graph_curation,
     "budget_select": q_budget_select,
     "date_clamp": q_date_clamp,
@@ -11336,6 +11488,8 @@ ORACLES = {
     "binary_ingest": O_BINARY_INGEST,
     "wav_decode": O_WAV_DECODE,
     "bmp_decode": O_BMP_DECODE,
+    "wav_chunk_energy": O_WAV_CHUNK_ENERGY,
+    "bmp_resize": O_BMP_RESIZE,
     "graph_curation": O_GRAPH_CURATION,
     "budget_select": O_BUDGET_SELECT,
     "date_clamp": O_DATE_CLAMP,

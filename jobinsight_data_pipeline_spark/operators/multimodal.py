@@ -362,6 +362,118 @@ def extract_bmp_stats(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, BMP_STATS_SCHEMA)
 
 
+def bmp_downsample2x_py(content: bytes) -> bytes:
+    """REAL image resize kernel: 2× box-filter downsample of a 24-bit
+    BMP, re-encoded as a 24-bit BMP (decode → transform → encode, all
+    stdlib). Each output pixel is the per-channel ROUND-HALF-UP integer
+    mean of its 2×2 source block (``(sum + 2) div 4`` — the engine's
+    round-half-up discipline on the non-negative byte domain); a
+    trailing odd row/column is dropped (floor output dims), and a
+    source smaller than 2×2 raises."""
+    w, h, rows = decode_bmp(content)
+    ow, oh = w // 2, h // 2
+    if ow < 1 or oh < 1:
+        raise ValueError("bmp_downsample2x: source smaller than 2x2")
+    out: list[list[tuple[int, int, int]]] = []
+    for r in range(oh):
+        orow = []
+        for c in range(ow):
+            px = (
+                rows[2 * r][2 * c],
+                rows[2 * r][2 * c + 1],
+                rows[2 * r + 1][2 * c],
+                rows[2 * r + 1][2 * c + 1],
+            )
+            orow.append(
+                tuple((sum(p[ch] for p in px) + 2) // 4 for ch in range(3))
+            )
+        out.append(orow)
+    return encode_bmp(out)
+
+
+def transform_bmp(
+    media: DataFrame,
+    transform_fn: Callable[[bytes], bytes] = bmp_downsample2x_py,
+) -> DataFrame:
+    """(media_id, content=BMP bytes) → (media_id, content=transformed
+    BMP bytes), Arrow-batched executor-side — the binary→binary image
+    preprocessing stage (resize/re-encode) a multimodal pipeline runs
+    before feature extraction. Composable: the output frame feeds
+    :func:`extract_bmp_stats` / :func:`extract_features` unchanged.
+    NULL content passes through as NULL."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("content", T.BinaryType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": [
+                        transform_fn(c) if c is not None else None
+                        for c in pdf["content"]
+                    ],
+                }
+            )
+
+    return media.mapInPandas(run, schema)
+
+
+WAV_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("n_frames", T.LongType(), False),
+        T.StructField("frame_abs", T.LongType(), False),
+    ]
+)
+
+
+def extract_wav_frames(media: DataFrame) -> DataFrame:
+    """(media_id, content=WAV bytes) → one row per PCM FRAME via the
+    REAL stdlib decode: ``frame_abs`` is the summed |sample| across the
+    frame's channels, ``n_frames`` the file's total (carried on every
+    row so downstream windowing needs no second decode pass). This is
+    the decode fan-out stage windowed-audio analysis builds on — the
+    per-frame rows then window/aggregate with ordinary column math
+    (see the wav_chunk_energy gate), never re-touching the bytes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mids: list[int] = []
+            fidx: list[int] = []
+            nfs: list[int] = []
+            fabs: list[int] = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None:
+                    continue
+                d = decode_wav(content)
+                nch, nf, s = d["n_channels"], d["n_frames"], d["samples"]
+                for f in range(nf):
+                    mids.append(mid)
+                    fidx.append(f)
+                    nfs.append(nf)
+                    fabs.append(
+                        sum(
+                            abs(s[f * nch + ch]) for ch in range(nch)
+                        )
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(mids, dtype="int64"),
+                    "frame_idx": pd.Series(fidx, dtype="int64"),
+                    "n_frames": pd.Series(nfs, dtype="int64"),
+                    "frame_abs": pd.Series(fabs, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(run, WAV_FRAME_SCHEMA)
+
+
 def build_image_feature_fn(
     dim: int = 8,
 ) -> Callable[[bytes | None], list[float] | None]:
@@ -486,6 +598,77 @@ def extract_features(
             )
 
     return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def wav_chunk_energy(
+    frames: DataFrame,
+    window_frames: int = 8,
+    hop_frames: int = 4,
+    max_chunks: int = 256,
+) -> DataFrame:
+    """Windowed audio energy over REAL decoded PCM frames: chunk ``c``
+    covers frames ``[c*hop, min(c*hop + window, n_frames))`` for every
+    ``c`` with ``c*hop < n_frames`` (the :func:`chunk_audio` grid rule,
+    in frames instead of milliseconds so everything stays exact
+    integers), capped at ``max_chunks``; emits the per-chunk summed
+    |sample| energy.
+
+    Input is :func:`extract_wav_frames` output — the decode runs ONCE;
+    windowing is ordinary column math: each frame computes its small
+    covering chunk range (``⌈(f-window+1)/hop⌉ .. ⌊f/hop⌋``, ≤
+    ``window/hop`` chunks however long the stream), explodes, and one
+    partial-agg shuffle keyed by (media_id, chunk) builds the chunk
+    table — no window function, no per-file collect, scales with total
+    frame volume."""
+    from pyspark.sql import functions as F
+
+    if window_frames < 1 or hop_frames < 1:
+        raise ValueError(
+            "wav_chunk_energy: window_frames and hop_frames must be >= 1"
+        )
+    n_chunks = F.least(
+        F.expr(f"(n_frames + {hop_frames} - 1) div {hop_frames}"),
+        F.lit(int(max_chunks)).cast("long"),
+    )
+    # ceil((f - window + 1) / hop) on the clamped non-negative domain:
+    # a negative numerator means chunk 0 already covers the frame
+    c_min = F.greatest(
+        F.lit(0).cast("long"),
+        F.expr(f"(frame_idx - {window_frames} + {hop_frames}) div {hop_frames}"),
+    )
+    c_max = F.least(
+        F.expr(f"frame_idx div {hop_frames}"), n_chunks - 1
+    )
+    exploded = (
+        frames.withColumn("__cmin", c_min)
+        .withColumn("__cmax", c_max)
+        # tail frames past the capped grid cover no chunk; sequence()
+        # would generate DESCENDING ranges for cmin > cmax
+        .where(F.col("__cmin") <= F.col("__cmax"))
+        .select(
+            "media_id",
+            "n_frames",
+            "frame_abs",
+            F.explode(F.sequence("__cmin", "__cmax")).alias("chunk_idx"),
+        )
+    )
+    return (
+        exploded.groupBy("media_id", "chunk_idx")
+        .agg(
+            F.sum("frame_abs").alias("abs_energy"),
+            F.max("n_frames").alias("__nf"),
+        )
+        .select(
+            "media_id",
+            "chunk_idx",
+            (F.col("chunk_idx") * hop_frames).alias("start_frame"),
+            F.least(
+                F.col("chunk_idx") * hop_frames + window_frames,
+                F.col("__nf"),
+            ).alias("end_frame"),
+            "abs_energy",
+        )
+    )
 
 
 def sample_frames(

@@ -163,3 +163,81 @@ def test_image_feature_fn_bmp_is_real_not_fake():
     # non-BMP bytes still degrade to the deterministic fake
     junk = b"\x89PNG not really"
     assert fn(junk) == fake_decode_features(junk, 8)
+
+
+def test_bmp_downsample2x_known_answer_and_errors():
+    from jobinsight_data_pipeline_spark.operators.multimodal import (
+        bmp_downsample2x_py,
+    )
+
+    # 2x2 -> 1x1: per-channel round-half-up mean of the four pixels
+    # (r: (255+0+0+255+2)//4 = 128, same for g and b by symmetry)
+    small = decode_bmp(bmp_downsample2x_py(HAND_BMP))
+    assert small == (1, 1, [[(128, 128, 128)]])
+    # odd trailing row/col drops: 5x3 -> 2x1
+    rows = [[(c * 10, r * 20, 7) for c in range(5)] for r in range(3)]
+    w, h, out = decode_bmp(bmp_downsample2x_py(encode_bmp(rows)))
+    assert (w, h) == (2, 1)
+    # block (0,0): r mean of {0,10,0,10} -> 5; g mean of {0,0,20,20} -> 10
+    assert out[0][0] == (5, 10, 7)
+    assert out[0][1] == (25, 10, 7)
+    with pytest.raises(ValueError, match="smaller than 2x2"):
+        bmp_downsample2x_py(encode_bmp([[(1, 2, 3)]]))
+
+
+def test_wav_chunk_energy_matches_bruteforce(spark):
+    """The covering-range explode must reproduce the brute-force chunk
+    grid — partial tails, the cap, multi-channel, window == hop (no
+    overlap) and window > hop (overlap) — over real decoded bytes."""
+    from jobinsight_data_pipeline_spark.operators.multimodal import (
+        extract_wav_frames,
+        wav_chunk_energy,
+    )
+
+    fixtures = {
+        1: (1, [((i * 13) % 41) - 20 for i in range(23)]),   # odd tail
+        2: (2, [((i * 7) % 29) - 14 for i in range(60)]),    # stereo
+        3: (1, [5]),                                          # single frame
+    }
+    media = spark.createDataFrame(
+        [
+            (mid, _make_wav(nch, 2, 8000, s))
+            for mid, (nch, s) in fixtures.items()
+        ],
+        "media_id long, content binary",
+    )
+    frames = extract_wav_frames(media)
+    for window, hop, cap in ((8, 4, 4), (6, 6, 99), (5, 2, 3)):
+        got = sorted(
+            (r["media_id"], r["chunk_idx"], r["start_frame"],
+             r["end_frame"], r["abs_energy"])
+            for r in wav_chunk_energy(
+                frames, window_frames=window, hop_frames=hop,
+                max_chunks=cap,
+            ).collect()
+        )
+        want = []
+        for mid, (nch, s) in fixtures.items():
+            nf = len(s) // nch
+            for c in range(min((nf + hop - 1) // hop, cap)):
+                start, end = c * hop, min(c * hop + window, nf)
+                e = sum(
+                    abs(s[f * nch + ch])
+                    for f in range(start, end)
+                    for ch in range(nch)
+                )
+                want.append((mid, c, start, end, e))
+        assert got == sorted(want), (window, hop, cap)
+
+
+def test_transform_bmp_null_passthrough(spark):
+    from jobinsight_data_pipeline_spark.operators.multimodal import (
+        transform_bmp,
+    )
+
+    media = spark.createDataFrame(
+        [(1, HAND_BMP), (2, None)], "media_id long, content binary"
+    )
+    out = {r["media_id"]: r["content"] for r in transform_bmp(media).collect()}
+    assert out[2] is None
+    assert decode_bmp(bytes(out[1]))[0] == 1
