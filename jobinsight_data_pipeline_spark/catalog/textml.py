@@ -10219,6 +10219,96 @@ FROM t
 O_BMP_RESIZE = _bmp_resize_oracle()
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog register table over the corpus's doc_id stream
+    (operators/sketches.hll_registers): ≤ 64 (bucket, register) rows —
+    the fixed-size MAX-merged cardinality artifact a lake persists
+    beside each shard/day and merges by per-bucket max (max commutes,
+    is idempotent, and absorbs replays — the strongest merge story of
+    the six state shapes). Everything is exact integer math (md5 split
+    hash, leftmost-1-bit via the engines' shared minimal-bin-string
+    rule — no float log2), so the FULL oracle recomputes every register
+    from the raw keys; the float ESTIMATOR over this table is
+    driver-side convenience pinned by pytest against exact distinct
+    counts, not part of the gate."""
+    from jobinsight_data_pipeline_spark.operators.sketches import (
+        hll_registers,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    return hll_registers(t["documents"], "doc_id", buckets=64)
+
+
+O_HLL_DISTINCT = """
+WITH h AS (
+    SELECT md5('hll:' || CAST(doc_id AS VARCHAR)) AS hx FROM documents
+),
+v AS (
+    SELECT CAST(('0x' || substring(hx, 1, 8)) AS BIGINT) % 64 AS bucket,
+           CAST(('0x' || substring(hx, 9, 8)) AS BIGINT) AS w
+    FROM h
+)
+SELECT bucket,
+       CAST(max(CASE WHEN w = 0 THEN 33 ELSE 33 - length(bin(w)) END)
+            AS BIGINT) AS register
+FROM v GROUP BY bucket
+"""
+
+
+def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME register table as `hll_distinct`, with the state
+    accumulated by a Structured Streaming loop
+    (streaming/incremental.stream_hll_build) over four micro-batch
+    document drops: per-batch ≤64-row register tables land in
+    batch=<epoch> partitions (overwrite → replay-idempotent, and MAX
+    additionally absorbs re-delivered rows) and merge by per-bucket
+    max — max commutes, so the merged table is BIT-IDENTICAL to the
+    batch build and this gate shares O_HLL_DISTINCT verbatim (the
+    streaming ≡ batch shared-oracle discipline, sixth state shape).
+    Distinct-key tracking that never rescans history and never
+    shuffles raw keys."""
+    import hashlib
+    import os
+    import shutil
+
+    from jobinsight_data_pipeline_spark.catalog import scratch_dir
+    from jobinsight_data_pipeline_spark.streaming.incremental import (
+        read_hll_state,
+        stream_hll_build,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    docs = t["documents"].select("doc_id", "text")
+
+    base = scratch_dir(
+        "streamhll-gate-",
+        "{}-{}".format(
+            spark.sparkContext.applicationId,
+            hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+        ),
+    )
+    done = os.path.join(base, "_gate_done")
+    if not os.path.exists(done):
+        shutil.rmtree(base, ignore_errors=True)
+        raw = f"{base}/drops"
+        for i in range(4):
+            docs.filter(F.col("doc_id") % 4 == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(raw)
+        query = stream_hll_build(
+            spark, raw, docs.schema, f"{base}/state", f"{base}/ckpt",
+            key_col="doc_id", buckets=64,
+        )
+        query.awaitTermination()
+        with open(done, "w") as fh:
+            fh.write("ok")
+
+    return read_hll_state(spark, f"{base}/state")
+
+
+O_STREAM_HLL = O_HLL_DISTINCT
+
+
 def q_community_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed community dedup flagship: n-gram Jaccard near-dup pairs
     → synchronous label-propagation communities (4 rounds) → keep-BEST
@@ -11344,6 +11434,8 @@ QUERIES = {
     "bmp_decode": q_bmp_decode,
     "wav_chunk_energy": q_wav_chunk_energy,
     "bmp_resize": q_bmp_resize,
+    "hll_distinct": q_hll_distinct,
+    "stream_hll": q_stream_hll,
     "graph_curation": q_graph_curation,
     "budget_select": q_budget_select,
     "date_clamp": q_date_clamp,
@@ -11490,6 +11582,8 @@ ORACLES = {
     "bmp_decode": O_BMP_DECODE,
     "wav_chunk_energy": O_WAV_CHUNK_ENERGY,
     "bmp_resize": O_BMP_RESIZE,
+    "hll_distinct": O_HLL_DISTINCT,
+    "stream_hll": O_STREAM_HLL,
     "graph_curation": O_GRAPH_CURATION,
     "budget_select": O_BUDGET_SELECT,
     "date_clamp": O_DATE_CLAMP,

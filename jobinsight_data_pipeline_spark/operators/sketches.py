@@ -182,3 +182,87 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min(guarded).alias("cms_cnt"))
     )
+
+
+def _hll_rho(w: F.Column) -> F.Column:
+    """Position of the leftmost 1-bit in a 32-bit value (1-based), 33
+    for w = 0 — via ``33 - length(bin(w))``: both Spark and DuckDB
+    render ``bin`` as the MINIMAL binary string (verified, incl. BIGINT
+    inputs), so the expression is engine-portable integer math with no
+    float log2 anywhere."""
+    return F.when(w == 0, F.lit(33)).otherwise(
+        F.lit(33) - F.length(F.bin(w))
+    ).cast("long")
+
+
+def hll_registers(
+    df: DataFrame,
+    key_col: str,
+    buckets: int = 64,
+    salt: str = "hll:",
+) -> DataFrame:
+    """HyperLogLog register table (Flajolet et al. 2007) of a key
+    stream: ``(bucket, register)`` with at most ``buckets`` rows,
+    register = max over the bucket's keys of the leftmost-1-bit
+    position of a 32-bit sub-hash.
+
+    The MAX-merged state shape (the sixth, beside sum-merged counts/
+    Gram/CMS/DSIR, min-merged first-seen, struct-merged OHLC):
+    registers of shards/days/streams merge by per-bucket MAX — max
+    commutes, is idempotent, AND absorbs replays, so merged state is
+    bit-identical to a single-pass build on any partitioning or batch
+    order (the strongest replay story of the six: even double-counting
+    a whole batch is harmless). The groupBy partial-aggregates
+    map-side, so every task emits ≤ ``buckets`` rows regardless of
+    input size — cardinality maintenance for a continuously-ingested
+    corpus without rescanning history or shuffling keys.
+
+    Hashing is the engine-portable md5 split: bucket from hex chars
+    1-8, the 32-bit value w from chars 9-16 — independent bits, and a
+    DuckDB oracle reproduces both exactly. Cardinality ESTIMATION from
+    the registers (:func:`hll_estimate_py`) is a driver-side float
+    convenience over this exact integer table."""
+    if buckets < 1:
+        raise ValueError("hll_registers: buckets must be >= 1")
+    h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    bucket = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % F.lit(
+        int(buckets)
+    )
+    w = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    return (
+        df.where(F.col(key_col).isNotNull())
+        .select(bucket.alias("bucket"), _hll_rho(w).alias("_rho"))
+        .groupBy("bucket")
+        .agg(F.max("_rho").alias("register"))
+    )
+
+
+def hll_merge(states: DataFrame) -> DataFrame:
+    """Merge any union of register tables (shards, days, streamed
+    batch partitions) into one: per-bucket MAX."""
+    return states.groupBy("bucket").agg(
+        F.max("register").alias("register")
+    )
+
+
+def hll_estimate_py(
+    registers: dict[int, int], buckets: int = 64
+) -> float:
+    """The standard HLL estimator over a collected register dict
+    (absent buckets count as register 0): bias-corrected harmonic mean
+    with the small-range linear-counting correction. Driver-side float
+    convenience — the GATE surface is the exact integer register
+    table; accuracy (~1.04/√m) is pinned by pytest against exact
+    distinct counts, not by the cross-engine hash."""
+    import math
+
+    m = buckets
+    alpha = 0.7213 / (1 + 1.079 / m) if m >= 64 else (
+        0.673 if m == 16 else 0.697 if m == 32 else 0.7213 / (1 + 1.079 / m)
+    )
+    s = sum(2.0 ** -registers.get(b, 0) for b in range(m))
+    est = alpha * m * m / s
+    zeros = sum(1 for b in range(m) if registers.get(b, 0) == 0)
+    if est <= 2.5 * m and zeros > 0:
+        est = m * math.log(m / zeros)
+    return est

@@ -782,3 +782,53 @@ def read_word_count_state(spark: SparkSession, state_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.sum("c").alias("c"))
     )
+
+
+def stream_hll_build(
+    spark: SparkSession,
+    raw_dir: str,
+    schema,
+    state_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "doc_id",
+    buckets: int = 64,
+    salt: str = "hll:",
+    max_files_per_trigger: int = 1,
+):
+    """Streaming cardinality state — the MAX-merged shape (the sixth,
+    see operators/sketches.hll_registers): each micro-batch reduces to
+    its ≤ ``buckets``-row HLL register table written to
+    ``state_dir/batch=<epoch>`` (overwrite → replay-IDEMPOTENT; max is
+    additionally idempotent under re-delivery, the strongest replay
+    story of the state family); the live register table is the
+    per-bucket MAX across partitions, exact on any batch order — so
+    distinct-key tracking over a continuously-ingested corpus never
+    rescans history and never shuffles raw keys."""
+    from jobinsight_data_pipeline_spark.operators.sketches import (
+        hll_registers,
+    )
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        hll_registers(batch_df, key_col, buckets, salt).write.mode(
+            "overwrite"
+        ).parquet(f"{state_dir}/batch={epoch_id}")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(raw_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_hll_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Merge a ``stream_hll_build`` state dir into one register table:
+    per-bucket MAX across the batch partitions."""
+    from jobinsight_data_pipeline_spark.operators.sketches import hll_merge
+
+    return hll_merge(spark.read.parquet(state_dir))

@@ -4613,3 +4613,77 @@ def test_word_count_partials_merge_equals_direct(spark):
         for r in part:
             merged[r["w"]] = merged.get(r["w"], 0) + r["c"]
     assert merged == direct
+
+
+def test_hll_registers_merge_and_accuracy(spark):
+    """The MAX-merged cardinality state: shard-merge must equal the
+    direct single-pass build BIT-exactly (max commutes), re-merging a
+    state with itself must be a no-op (idempotent — the replay story),
+    and the float estimator lands within ~2σ of 1.04/√64 on exact
+    distinct counts (the hash is fixed, so these errors are
+    deterministic, not flaky)."""
+    from jobinsight_data_pipeline_spark.operators.sketches import (
+        hll_estimate_py,
+        hll_merge,
+        hll_registers,
+    )
+
+    df = spark.range(5000).selectExpr("id AS k")
+    direct = {
+        r["bucket"]: r["register"]
+        for r in hll_registers(df, "k").collect()
+    }
+    shards = [
+        hll_registers(df.where(f"k % 3 = {i}"), "k") for i in range(3)
+    ]
+    merged = {
+        r["bucket"]: r["register"]
+        for r in hll_merge(shards[0].union(shards[1]).union(shards[2]))
+        .collect()
+    }
+    assert merged == direct
+    # replay idempotence: merging the state with itself changes nothing
+    s0 = hll_registers(df, "k")
+    assert {
+        (r["bucket"], r["register"])
+        for r in hll_merge(s0.union(s0)).collect()
+    } == set(direct.items())
+    for n in (100, 1000, 5000, 60000):
+        regs = {
+            r["bucket"]: r["register"]
+            for r in hll_registers(
+                spark.range(n).selectExpr("id AS k"), "k"
+            ).collect()
+        }
+        est = hll_estimate_py(regs)
+        assert abs(est - n) / n < 0.30, (n, est)
+
+
+def test_hll_rho_edges_and_null_keys(spark):
+    """rho = 33 - length(bin(w)) with the w = 0 → 33 convention; NULL
+    keys contribute nothing; buckets < 1 rejected."""
+    import pytest as _pytest
+
+    from jobinsight_data_pipeline_spark.operators.sketches import (
+        _hll_rho,
+        hll_registers,
+    )
+    from pyspark.sql import functions as F
+
+    vals = spark.createDataFrame(
+        [(0,), (1,), (2,), (3,), (2**31,), (2**32 - 1,)], "w long"
+    )
+    got = {
+        r["w"]: r["rho"]
+        for r in vals.select("w", _hll_rho(F.col("w")).alias("rho")).collect()
+    }
+    assert got == {0: 33, 1: 32, 2: 31, 3: 31, 2**31: 1, 2**32 - 1: 1}
+    df = spark.createDataFrame([(1,), (None,)], "k: long")
+    total = (
+        hll_registers(df, "k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()[0]["n"]
+    )
+    assert total == 1  # the NULL key is filtered, 1 key -> 1 bucket row
+    with _pytest.raises(ValueError, match="buckets"):
+        hll_registers(df, "k", buckets=0)
