@@ -10309,6 +10309,163 @@ def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 O_STREAM_HLL = O_HLL_DISTINCT
 
 
+_REVAL_K = 10
+
+
+def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation end-to-end (operators/ranking.
+    retrieval_metrics): each BM25 term is a query, its single-term
+    top-10 BM25 list the ranking, and the deterministic qrel 'term
+    occurs ≥ 2×' the binary relevance — per-query MRR@10, binary-gain
+    NDCG@10, and recall@10 in EXACT integer micro-units. The DCG
+    discount table is a HOST-computed literal inlined into both the
+    Spark plan and the oracle (no engine log2 anywhere — the ln-wobble
+    class designed out); the oracle replays each single-term BM25
+    ranking, the qrels, and every metric. The eval loop a retrieval /
+    training pipeline runs after each index or embedding change."""
+    from pyspark.sql import Window
+
+    from jobinsight_data_pipeline_spark.operators.ranking import (
+        bm25_topk,
+        retrieval_metrics,
+    )
+    from jobinsight_data_pipeline_spark.operators.textstats import tokens
+
+    t = load(spark, sf_dir, "documents")
+    docs = t["documents"]
+    ranked_parts = []
+    qrel_parts = []
+    for term in BM25_TERMS:
+        top = bm25_topk(docs, [term], k=_REVAL_K)
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        ranked_parts.append(
+            top.select(
+                F.lit(term).alias("query"),
+                "doc_id",
+                F.row_number().over(w).cast("long").alias("rank"),
+            )
+        )
+        qrel_parts.append(
+            docs.select(
+                F.lit(term).alias("query"),
+                "doc_id",
+                F.size(
+                    F.filter(tokens("text"), lambda x: x == F.lit(term))
+                ).alias("__tf"),
+            )
+            .where(F.col("__tf") >= 2)
+            .select("query", "doc_id")
+        )
+    ranked = ranked_parts[0]
+    for p in ranked_parts[1:]:
+        ranked = ranked.unionAll(p)
+    qrels = qrel_parts[0]
+    for p in qrel_parts[1:]:
+        qrels = qrels.unionAll(p)
+    return retrieval_metrics(ranked, qrels, k=_REVAL_K)
+
+
+def _retrieval_eval_oracle() -> str:
+    from jobinsight_data_pipeline_spark.operators.ranking import (
+        DEFAULT_B,
+        DEFAULT_K1,
+        ndcg_discounts_micro,
+    )
+
+    k = _REVAL_K
+    disc = ndcg_discounts_micro(k)
+    prefix = []
+    s = 0
+    for d in disc:
+        s += d
+        prefix.append(s)
+    disc_rows = ",".join(
+        f"({i + 1}, {d})" for i, d in enumerate(disc)
+    )
+    pre_rows = ",".join(
+        f"({i + 1}, {p})" for i, p in enumerate(prefix)
+    )
+    k1, b = repr(float(DEFAULT_K1)), repr(float(DEFAULT_B))
+    k1p1 = repr(float(DEFAULT_K1) + 1.0)
+    toks = "regexp_split_to_array(trim(text), '\\s+')"
+    per_term = []
+    for term in BM25_TERMS:
+        per_term.append(
+            f"""
+b_{term} AS (
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN 0 ELSE len({toks}) END AS dl,
+           len(list_filter({toks}, x -> x = '{term}')) AS tf
+    FROM documents
+),
+s_{term} AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(dl) AS DOUBLE) AS sumdl,
+           CAST(sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS dfq
+    FROM b_{term}
+),
+r_{term} AS (
+    SELECT '{term}' AS query, doc_id,
+           CAST(row_number() OVER (ORDER BY
+               round(ln((n - dfq + 0.5) / (dfq + 0.5) + 1.0), 6)
+               * (CAST(tf AS DOUBLE) * {k1p1})
+               / (CAST(tf AS DOUBLE) + {k1} * (1.0 - {b} + {b}
+                  * CAST(dl AS DOUBLE) / (sumdl / n))) DESC,
+               doc_id ASC) AS BIGINT) AS rank
+    FROM b_{term}, s_{term}
+    QUALIFY rank <= {k}
+),
+q_{term} AS (
+    SELECT '{term}' AS query, doc_id FROM b_{term} WHERE tf >= 2
+)"""
+        )
+    ranked_union = " UNION ALL ".join(
+        f"SELECT * FROM r_{t}" for t in BM25_TERMS
+    )
+    qrel_union = " UNION ALL ".join(
+        f"SELECT * FROM q_{t}" for t in BM25_TERMS
+    )
+    return f"""
+WITH {",".join(per_term)},
+disc(i, d) AS (VALUES {disc_rows}),
+pre(i, p) AS (VALUES {pre_rows}),
+ranked AS ({ranked_union}),
+qrels AS ({qrel_union}),
+totals AS (
+    SELECT query, CAST(count(*) AS BIGINT) AS n_rel FROM qrels GROUP BY query
+),
+hits AS (
+    SELECT r.query, r.rank FROM ranked r JOIN qrels q
+    ON r.query = q.query AND r.doc_id = q.doc_id
+),
+ha AS (
+    SELECT h.query, CAST(count(*) AS BIGINT) AS n_rel_topk,
+           CAST(min(h.rank) AS BIGINT) AS first_r,
+           CAST(sum(d.d) AS BIGINT) AS dcg_micro
+    FROM hits h JOIN disc d ON d.i = h.rank
+    GROUP BY h.query
+)
+SELECT t.query, t.n_rel,
+       coalesce(ha.n_rel_topk, 0) AS n_rel_topk,
+       coalesce(1000000 // ha.first_r, 0) AS mrr_micro,
+       coalesce(ha.dcg_micro, 0) AS dcg_micro,
+       CASE WHEN t.n_rel > 0
+            THEN (SELECT p FROM pre WHERE i = least(t.n_rel, {k}))
+            ELSE 0 END AS idcg_micro,
+       CASE WHEN t.n_rel > 0 AND coalesce(ha.dcg_micro, 0) >= 0
+                 AND (SELECT p FROM pre WHERE i = least(t.n_rel, {k})) > 0
+            THEN (coalesce(ha.dcg_micro, 0) * 1000000)
+                 // (SELECT p FROM pre WHERE i = least(t.n_rel, {k}))
+            ELSE 0 END AS ndcg_micro,
+       CASE WHEN t.n_rel > 0
+            THEN (coalesce(ha.n_rel_topk, 0) * 1000000) // t.n_rel
+            ELSE 0 END AS recall_micro
+FROM totals t LEFT JOIN ha USING (query)
+"""
+
+
+O_RETRIEVAL_EVAL = _retrieval_eval_oracle()
+
+
 def q_community_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed community dedup flagship: n-gram Jaccard near-dup pairs
     → synchronous label-propagation communities (4 rounds) → keep-BEST
@@ -11436,6 +11593,7 @@ QUERIES = {
     "bmp_resize": q_bmp_resize,
     "hll_distinct": q_hll_distinct,
     "stream_hll": q_stream_hll,
+    "retrieval_eval": q_retrieval_eval,
     "graph_curation": q_graph_curation,
     "budget_select": q_budget_select,
     "date_clamp": q_date_clamp,
@@ -11584,6 +11742,7 @@ ORACLES = {
     "bmp_resize": O_BMP_RESIZE,
     "hll_distinct": O_HLL_DISTINCT,
     "stream_hll": O_STREAM_HLL,
+    "retrieval_eval": O_RETRIEVAL_EVAL,
     "graph_curation": O_GRAPH_CURATION,
     "budget_select": O_BUDGET_SELECT,
     "date_clamp": O_DATE_CLAMP,

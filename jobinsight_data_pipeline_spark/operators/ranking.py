@@ -305,3 +305,112 @@ def rrf_fuse(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def ndcg_discounts_micro(k: int) -> list[int]:
+    """The binary-gain NDCG discount table in micro-units —
+    ``disc[i] = floor(10⁶ / log2(i + 1))`` for 1-based rank i —
+    computed HOST-side and inlined as literals everywhere it is used
+    (Spark plan AND any cross-engine replay), so no engine log function
+    ever runs: the 1-ulp ln/log2 wobble class (CLAUDE.md) is designed
+    out rather than boundary-audited."""
+    import math
+
+    return [int(10**6 // math.log2(i + 1)) for i in range(1, k + 1)]
+
+
+def retrieval_metrics(
+    ranked: DataFrame,
+    qrels: DataFrame,
+    query_col: str = "query",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 10,
+) -> DataFrame:
+    """Per-query retrieval-quality metrics in EXACT integer micro-units
+    — the evaluation surface a retrieval/training pipeline runs after
+    every index or embedding change: MRR@k, binary-gain NDCG@k, and
+    recall@k.
+
+    ``ranked`` is (query, doc, 1-based rank) — any ranker's top list;
+    ``qrels`` is (query, doc) binary relevance. All arithmetic is
+    integer: the DCG discount table is a host-computed literal
+    (:func:`ndcg_discounts_micro`), IDCG is its prefix sum at
+    ``min(n_rel, k)``, and the ratios are ``(x · 10⁶) div y`` — so the
+    metric table hashes identically on any engine/partitioning.
+    Queries with no relevant docs report zero metrics (rather than
+    dividing by zero). Scale shape: one equi-join of the top lists
+    (≤ Σk rows per query) against qrels plus two partial-agg
+    shuffles keyed by query — never corpus-sized."""
+    if k < 1:
+        raise ValueError("retrieval_metrics: k must be >= 1")
+    disc = ndcg_discounts_micro(k)
+    prefix = []
+    s = 0
+    for d in disc:
+        s += d
+        prefix.append(s)
+    disc_lit = "array(" + ",".join(f"{d}L" for d in disc) + ")"
+    pre_lit = "array(" + ",".join(f"{p}L" for p in prefix) + ")"
+
+    rel_totals = qrels.groupBy(F.col(query_col).alias("query")).agg(
+        F.count(F.lit(1)).alias("n_rel")
+    )
+    rel_side = qrels.select(
+        F.col(query_col).alias("__rq"), F.col(doc_col).alias("__rd")
+    )
+    top = ranked.where(F.col(rank_col) <= k)
+    hits = top.join(
+        rel_side,
+        (top[query_col] == rel_side["__rq"])
+        & (top[doc_col] == rel_side["__rd"]),
+    ).select(F.col(query_col).alias("query"), F.col(rank_col).alias("__r"))
+    hit_aggs = hits.groupBy("query").agg(
+        F.count(F.lit(1)).alias("n_rel_topk"),
+        F.min("__r").alias("__first"),
+        F.sum(F.expr(f"element_at({disc_lit}, CAST(__r AS INT))")).alias(
+            "dcg_micro"
+        ),
+    )
+    out = rel_totals.join(hit_aggs, "query", "left").select(
+        "query",
+        "n_rel",
+        F.coalesce("n_rel_topk", F.lit(0).cast("long")).alias("n_rel_topk"),
+        F.coalesce(
+            F.expr("1000000L div __first"), F.lit(0).cast("long")
+        ).alias("mrr_micro"),
+        F.coalesce("dcg_micro", F.lit(0).cast("long")).alias("dcg_micro"),
+        # element_at is 1-based and ANSI-throws at index 0 — a query
+        # with no relevant docs gets idcg 0 (and ndcg 0 below)
+        F.when(
+            F.col("n_rel") > 0,
+            F.expr(
+                f"element_at({pre_lit}, CAST(least(n_rel, {k}) AS INT))"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("idcg_micro"),
+    )
+    return out.select(
+        "query",
+        "n_rel",
+        "n_rel_topk",
+        "mrr_micro",
+        "dcg_micro",
+        "idcg_micro",
+        F.when(
+            F.col("idcg_micro") > 0,
+            F.expr("(dcg_micro * 1000000L) div idcg_micro"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("ndcg_micro"),
+        F.when(
+            F.col("n_rel") > 0,
+            F.expr("(n_rel_topk * 1000000L) div n_rel"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("recall_micro"),
+    )

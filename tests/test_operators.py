@@ -4687,3 +4687,50 @@ def test_hll_rho_edges_and_null_keys(spark):
     assert total == 1  # the NULL key is filtered, 1 key -> 1 bucket row
     with _pytest.raises(ValueError, match="buckets"):
         hll_registers(df, "k", buckets=0)
+
+
+def test_retrieval_metrics_known_answer(spark):
+    """Hand-computed MRR/NDCG/recall, independent of any ranker: the
+    discount table is floor(1e6/log2(i+1)) = [1000000, 630929, 500000]
+    at k=3. Queries appear iff they have ≥1 relevant doc; relevant docs
+    outside the top-k count toward n_rel but not dcg/recall."""
+    from jobinsight_data_pipeline_spark.operators.ranking import (
+        ndcg_discounts_micro,
+        retrieval_metrics,
+    )
+
+    assert ndcg_discounts_micro(3) == [1000000, 630929, 500000]
+    ranked = spark.createDataFrame(
+        [
+            ("a", 5, 1), ("a", 2, 2), ("a", 9, 3), ("a", 1, 4),
+            ("b", 7, 1), ("b", 8, 2),
+            ("c", 4, 1), ("c", 6, 2),
+        ],
+        "query string, doc_id long, rank long",
+    )
+    qrels = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 3), ("b", 99), ("c", 4), ("c", 6)],
+        "query string, doc_id long",
+    )
+    out = {
+        r["query"]: r.asDict()
+        for r in retrieval_metrics(ranked, qrels, k=3).collect()
+    }
+    # a: one hit at rank 2 (d1@4 is past k); idcg = prefix[3] = 2130929
+    assert out["a"]["n_rel"] == 3 and out["a"]["n_rel_topk"] == 1
+    assert out["a"]["mrr_micro"] == 500000
+    assert out["a"]["dcg_micro"] == 630929
+    assert out["a"]["idcg_micro"] == 2130929
+    assert out["a"]["ndcg_micro"] == (630929 * 1000000) // 2130929
+    assert out["a"]["recall_micro"] == 333333
+    # b: relevant doc never retrieved -> all-zero metrics, n_rel intact
+    assert out["b"]["n_rel"] == 1 and out["b"]["n_rel_topk"] == 0
+    assert out["b"]["mrr_micro"] == 0 and out["b"]["ndcg_micro"] == 0
+    # c: perfect two-hit ranking -> ndcg == recall == 10^6
+    assert out["c"]["dcg_micro"] == out["c"]["idcg_micro"] == 1630929
+    assert out["c"]["ndcg_micro"] == 1000000
+    assert out["c"]["recall_micro"] == 1000000
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must be >= 1"):
+        retrieval_metrics(ranked, qrels, k=0)

@@ -145,6 +145,8 @@ def test_no_accidental_cartesian_or_nested_loop(spark):
         "corpus_refine",
         "bm25_search",
         "bm25_index_search",
+        "retrieval_eval",  # embeds bm25_scores' 1-row stats crossJoin ×3
+
         "forget_bm25",  # same class: erased index x 1-row stats (r7)
         "embedding_topk",
         "hybrid_search",  # bm25 1-row stats + cosine_topk broadcast query side
