@@ -541,6 +541,20 @@ def main() -> None:
         )
     )
 
+    # round-10: HLL cardinality state over the 600k-row orderkey
+    # stream, and the 3-query retrieval-metrics eval loop
+    from jobinsight_data_pipeline_spark.operators.sketches import (
+        hll_registers,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    timings["hll_registers"] = timed(
+        lambda: materialize(hll_registers(li, "l_orderkey"))
+    )
+    timings["retrieval_eval"] = timed(
+        lambda: materialize(queries["retrieval_eval"](spark, sf_dir))
+    )
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

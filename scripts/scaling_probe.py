@@ -122,6 +122,12 @@ def probes(spark, sf_dir):
         kmeans_fit_quantized as _kmeans_fit,
         kmeans_pp_seeds as _kmeans_pp_seeds,
     )
+    from jobinsight_data_pipeline_spark.operators.sketches import (
+        hll_registers as _hll_registers,
+    )
+    from jobinsight_data_pipeline_spark.catalog.textml import (
+        q_retrieval_eval as _q_retrieval_eval,
+    )
     from jobinsight_data_pipeline_spark.operators.textstats import (
         with_language_id as _with_language_id,
     )
@@ -474,6 +480,15 @@ def probes(spark, sf_dir):
         ),
         "collocations (PMI, floor 10)": lambda: _token_pmi(
             docs, "text", min_count=10, top_n=20
+        ),
+        # round-10: HLL register build over the 100×-growing orderkey
+        # stream (map-side partial max → ≤64 rows per task at any size)
+        "hll_registers (64 buckets, orderkey)": lambda: _hll_registers(
+            load(spark, sf_dir, "lineitem")["lineitem"], "l_orderkey"
+        ),
+        # round-10: three single-term BM25 rankings + qrels + metrics
+        "retrieval_eval (3 queries, k=10)": lambda: _q_retrieval_eval(
+            spark, sf_dir
         ),
         # round-10: the composed 12-stage capstone, COLD — the thunk
         # clears the gate's done-sentinel scratch first so both probe
