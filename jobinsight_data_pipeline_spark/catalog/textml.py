@@ -5100,6 +5100,20 @@ def q_ivf_pq_serve_many(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivfpq_many_oracle() -> str:
+    return f"""
+WITH {_ivfpq_many_ranked_ctes()}
+SELECT qid AS query_id, rank, vec_id,
+       CAST(floor(adc * 1000000.0) AS BIGINT) AS adc_micro
+FROM ranked WHERE rank <= {IVFPQ_K}
+"""
+
+
+def _ivfpq_many_ranked_ctes() -> str:
+    """The shared serve-many replay: PQ code table, probe-cell pick per
+    query, candidate join, direct per-pair ADC, per-query rank — up to
+    and including the ``ranked`` CTE. O_IVF_PQ_SERVE_MANY selects from
+    it directly; O_ANN_RECALL_EVAL layers exact-cosine qrels and the
+    retrieval metrics on top."""
     from jobinsight_data_pipeline_spark.operators.similarity import (
         unit_centroids,
     )
@@ -5124,8 +5138,7 @@ def _ivfpq_many_oracle() -> str:
         f"max(CASE WHEN j = {j} THEN d END)" for j in range(PQ_M)
     )
     e_cte = """e AS (SELECT vec_id, embedding AS v FROM embeddings)"""
-    return f"""
-WITH {_pq_codes_cte(e_cte)},
+    return f"""{_pq_codes_cte(e_cte)},
 cents AS (SELECT {cents_lit} AS cm),
 qs AS (
     SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
@@ -5169,14 +5182,133 @@ ranked AS (
            row_number() OVER (
                PARTITION BY qid ORDER BY adc ASC, vec_id ASC) AS rank
     FROM adc
-)
-SELECT qid AS query_id, rank, vec_id,
-       CAST(floor(adc * 1000000.0) AS BIGINT) AS adc_micro
-FROM ranked WHERE rank <= {IVFPQ_K}
-"""
+)"""
 
 
 O_IVF_PQ_SERVE_MANY = _ivfpq_many_oracle()
+
+
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality measurement as a first-class operator composition:
+    the batched IVF-PQ route (the SAME persisted cell-partitioned index
+    and probe/ADC path as `ivf_pq_serve_many`) is scored against
+    exact-cosine ground truth with `retrieval_metrics` — per-query
+    MRR@10 / NDCG@10 / recall@10 of the approximate index, the number
+    an ANN deployment actually tunes n_probe against. qrels = each
+    query's exact top-10 cosine neighbors (self excluded, the
+    cosine_topk contract); the ANN list drops the query itself and
+    re-ranks. FULL exact oracle: the whole IVF-PQ replay (codes,
+    probes, ADC), the exact-cosine ranking, AND every metric under one
+    hash — deterministic because both routes are."""
+    from pyspark.sql import Window
+
+    from jobinsight_data_pipeline_spark.operators.ranking import (
+        retrieval_metrics,
+    )
+    from jobinsight_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        ivf_pq_topk_many,
+        unit_centroids,
+    )
+
+    t = load(spark, sf_dir, "embeddings")
+    emb = t["embeddings"]
+    queries = (
+        emb.filter(F.col("vec_id").isin(*IVFPQ_MANY_QIDS))
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    top = ivf_pq_topk_many(
+        _ivfpq_index(spark, sf_dir),
+        queries,
+        unit_centroids(64, IVFPQ_LISTS, seed=11),
+        _pq_cb(),
+        k=IVFPQ_K,
+        n_probe=IVFPQ_PROBE,
+    )
+    w = Window.partitionBy("query_id").orderBy("rank")
+    ranked = (
+        top.where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.row_number().over(w).cast("long").alias("rank"),
+        )
+    )
+    qrels = cosine_topk(
+        emb, emb.filter(F.col("vec_id").isin(*IVFPQ_MANY_QIDS)), k=IVFPQ_K
+    ).select("query_id", F.col("neighbor_id").alias("vec_id"))
+    return retrieval_metrics(
+        ranked, qrels, query_col="query_id", doc_col="vec_id", k=IVFPQ_K
+    )
+
+
+def _ann_recall_oracle() -> str:
+    from jobinsight_data_pipeline_spark.operators.ranking import (
+        ndcg_discounts_micro,
+    )
+
+    k = IVFPQ_K
+    disc = ndcg_discounts_micro(k)
+    prefix = []
+    s = 0
+    for d in disc:
+        s += d
+        prefix.append(s)
+    disc_rows = ",".join(f"({i + 1}, {d})" for i, d in enumerate(disc))
+    pre_rows = ",".join(f"({i + 1}, {p})" for i, p in enumerate(prefix))
+    return f"""
+WITH {_ivfpq_many_ranked_ctes()},
+annranked AS (
+    SELECT qid AS query_id, vec_id,
+           CAST(row_number() OVER (
+               PARTITION BY qid ORDER BY rank ASC) AS BIGINT) AS rr
+    FROM ranked WHERE rank <= {k} AND vec_id <> qid
+),
+exact AS (
+    SELECT q.qid AS query_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.qid ORDER BY
+             round(
+               list_dot_product(q.qv, CAST(e.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[])))),
+               6) DESC, e.vec_id ASC) AS er
+    FROM embeddings e, qs q
+    WHERE e.vec_id <> q.qid
+    QUALIFY er <= {k}
+),
+disc(i, d) AS (VALUES {disc_rows}),
+pre(i, p) AS (VALUES {pre_rows}),
+totals AS (
+    SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+    FROM exact GROUP BY query_id
+),
+hits AS (
+    SELECT a.query_id, a.rr FROM annranked a JOIN exact x
+    ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+),
+ha AS (
+    SELECT h.query_id, CAST(count(*) AS BIGINT) AS n_rel_topk,
+           CAST(min(h.rr) AS BIGINT) AS first_r,
+           CAST(sum(d.d) AS BIGINT) AS dcg_micro
+    FROM hits h JOIN disc d ON d.i = h.rr
+    GROUP BY h.query_id
+)
+SELECT t.query_id AS query, t.n_rel,
+       coalesce(ha.n_rel_topk, 0) AS n_rel_topk,
+       coalesce(1000000 // ha.first_r, 0) AS mrr_micro,
+       coalesce(ha.dcg_micro, 0) AS dcg_micro,
+       (SELECT p FROM pre WHERE i = least(t.n_rel, {k})) AS idcg_micro,
+       CASE WHEN (SELECT p FROM pre WHERE i = least(t.n_rel, {k})) > 0
+            THEN (coalesce(ha.dcg_micro, 0) * 1000000)
+                 // (SELECT p FROM pre WHERE i = least(t.n_rel, {k}))
+            ELSE 0 END AS ndcg_micro,
+       (coalesce(ha.n_rel_topk, 0) * 1000000) // t.n_rel AS recall_micro
+FROM totals t LEFT JOIN ha USING (query_id)
+"""
+
+
+O_ANN_RECALL_EVAL = _ann_recall_oracle()
 
 
 # --------------------------------------------------------------------------
@@ -10309,6 +10441,43 @@ def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 O_STREAM_HLL = O_HLL_DISTINCT
 
 
+def q_hll_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-GROUP cardinality state (operators/sketches.hll_registers_by):
+    the distinct-users-per-event-type dashboard as ≤64-row register
+    tables per type — the grouped face of the MAX-merged shape (partial
+    max map-side; shuffle payload ≤ types × buckets rows at any event
+    volume). FULL oracle: every (type, bucket) register recomputed from
+    the raw keys."""
+    from jobinsight_data_pipeline_spark.operators.sketches import (
+        hll_registers_by,
+    )
+
+    t = load(spark, sf_dir, "events")
+    return hll_registers_by(
+        t["events"].select("event_type", "user_id"),
+        ["event_type"],
+        "user_id",
+        buckets=64,
+    )
+
+
+O_HLL_BY_TYPE = """
+WITH v AS (
+    SELECT event_type,
+           CAST(('0x' || substring(md5('hll:' || CAST(user_id AS VARCHAR)),
+                 1, 8)) AS BIGINT) % 64 AS bucket,
+           CAST(('0x' || substring(md5('hll:' || CAST(user_id AS VARCHAR)),
+                 9, 8)) AS BIGINT) AS w
+    FROM events
+    WHERE user_id IS NOT NULL
+)
+SELECT event_type, bucket,
+       CAST(max(CASE WHEN w = 0 THEN 33 ELSE 33 - length(bin(w)) END)
+            AS BIGINT) AS register
+FROM v GROUP BY event_type, bucket
+"""
+
+
 _REVAL_K = 10
 
 
@@ -11594,6 +11763,8 @@ QUERIES = {
     "hll_distinct": q_hll_distinct,
     "stream_hll": q_stream_hll,
     "retrieval_eval": q_retrieval_eval,
+    "hll_by_type": q_hll_by_type,
+    "ann_recall_eval": q_ann_recall_eval,
     "graph_curation": q_graph_curation,
     "budget_select": q_budget_select,
     "date_clamp": q_date_clamp,
@@ -11743,6 +11914,8 @@ ORACLES = {
     "hll_distinct": O_HLL_DISTINCT,
     "stream_hll": O_STREAM_HLL,
     "retrieval_eval": O_RETRIEVAL_EVAL,
+    "hll_by_type": O_HLL_BY_TYPE,
+    "ann_recall_eval": O_ANN_RECALL_EVAL,
     "graph_curation": O_GRAPH_CURATION,
     "budget_select": O_BUDGET_SELECT,
     "date_clamp": O_DATE_CLAMP,

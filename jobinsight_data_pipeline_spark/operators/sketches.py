@@ -266,3 +266,35 @@ def hll_estimate_py(
     if est <= 2.5 * m and zeros > 0:
         est = m * math.log(m / zeros)
     return est
+
+
+def hll_registers_by(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    buckets: int = 64,
+    salt: str = "hll:",
+) -> DataFrame:
+    """Per-GROUP HLL register tables — :func:`hll_registers` with the
+    group key carried through: ≤ ``buckets`` rows per group, the shape
+    of a cardinality dashboard (distinct users per event type, distinct
+    docs per source/day) maintained incrementally at any scale. Same
+    MAX-merge contract; partial max runs map-side so the shuffle
+    payload is ≤ groups × buckets rows regardless of input size."""
+    if buckets < 1:
+        raise ValueError("hll_registers_by: buckets must be >= 1")
+    h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    bucket = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % F.lit(
+        int(buckets)
+    )
+    w = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    return (
+        df.where(F.col(key_col).isNotNull())
+        .select(
+            *group_cols,
+            bucket.alias("bucket"),
+            _hll_rho(w).alias("_rho"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("_rho").alias("register"))
+    )
