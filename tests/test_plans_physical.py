@@ -147,6 +147,7 @@ def test_no_accidental_cartesian_or_nested_loop(spark):
         "bm25_index_search",
         "retrieval_eval",  # embeds bm25_scores' 1-row stats crossJoin ×3
         "ann_recall_eval",  # cosine_topk broadcast query side + IVF route
+        "ann_probe_curve",  # same class, four probe widths
 
         "forget_bm25",  # same class: erased index x 1-row stats (r7)
         "embedding_topk",
