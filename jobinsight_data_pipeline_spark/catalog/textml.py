@@ -5470,6 +5470,82 @@ LEFT JOIN hitsp h ON h.p = pr.p AND h.query_id = t.query_id
 O_ANN_PROBE_CURVE = _ann_probe_curve_oracle()
 
 
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout keys for multi-column data skipping
+    (operators/layout): orders quantized on (o_custkey, order epoch
+    day) with a 1-row min/max broadcast, bit-interleaved to a BIGINT
+    zkey — the sort key under which parquet min/max statistics prune on
+    BOTH dimensions at once (the OPTIMIZE ZORDER BY design; Morton
+    1966). Output is the 64-bucket digest of the key space (top 6 key
+    bits): per-bucket row count, bit_xor orderkey checksum, and zkey
+    extrema — a single flipped bit in any row's key moves its bucket's
+    checksum, so the FULL oracle (quantizer + every interleave replayed
+    in DuckDB bit math) pins every key. The locality property the
+    layout buys — range filters on EITHER dimension touch a bounded
+    fraction of contiguous blocks — is pinned by the block_minmax
+    pytest, not the hash."""
+    from jobinsight_data_pipeline_spark.operators.layout import zorder_key
+
+    t = load(spark, sf_dir, "orders")
+    o = t["orders"].select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr(
+            "datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')"
+        ).cast("long").alias("epoch_day"),
+    )
+    keyed = zorder_key(o, ["o_custkey", "epoch_day"], bits=16)
+    return (
+        keyed.groupBy(F.expr("zkey >> 26").alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.bit_xor("o_orderkey").alias("key_checksum"),
+            F.min("zkey").alias("min_zkey"),
+            F.max("zkey").alias("max_zkey"),
+        )
+    )
+
+
+def _zorder_oracle() -> str:
+    bits = 16
+    terms = []
+    for i, q in enumerate(("q0", "q1")):
+        for b in range(bits):
+            terms.append(f"((({q} >> {b}) & 1) << {b * 2 + i})")
+    zexpr = " + ".join(terms)
+    return f"""
+WITH o AS (
+    SELECT o_orderkey, o_custkey,
+           date_diff('day', DATE '1970-01-01',
+                     CAST(o_orderdate AS DATE)) AS epoch_day
+    FROM orders
+),
+s AS (
+    SELECT min(o_custkey) AS mn0, max(o_custkey) AS mx0,
+           min(epoch_day) AS mn1, max(epoch_day) AS mx1
+    FROM o
+),
+q AS (
+    SELECT o_orderkey,
+           ((o_custkey - mn0) * {2 ** bits}) // (mx0 - mn0 + 1) AS q0,
+           ((epoch_day - mn1) * {2 ** bits}) // (mx1 - mn1 + 1) AS q1
+    FROM o, s
+),
+keyed AS (
+    SELECT o_orderkey, {zexpr} AS zkey FROM q
+)
+SELECT zkey >> 26 AS zbucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(bit_xor(o_orderkey) AS BIGINT) AS key_checksum,
+       CAST(min(zkey) AS BIGINT) AS min_zkey,
+       CAST(max(zkey) AS BIGINT) AS max_zkey
+FROM keyed GROUP BY 1
+"""
+
+
+O_ZORDER_LAYOUT = _zorder_oracle()
+
+
 # --------------------------------------------------------------------------
 # Hashed linear classifier inference (operators/classifier.py) under a FULL
 # exact oracle: integer micro-weights make the document score a pure BIGINT
@@ -11925,6 +12001,7 @@ QUERIES = {
     "hll_by_type": q_hll_by_type,
     "ann_recall_eval": q_ann_recall_eval,
     "ann_probe_curve": q_ann_probe_curve,
+    "zorder_layout": q_zorder_layout,
     "graph_curation": q_graph_curation,
     "budget_select": q_budget_select,
     "date_clamp": q_date_clamp,
@@ -12077,6 +12154,7 @@ ORACLES = {
     "hll_by_type": O_HLL_BY_TYPE,
     "ann_recall_eval": O_ANN_RECALL_EVAL,
     "ann_probe_curve": O_ANN_PROBE_CURVE,
+    "zorder_layout": O_ZORDER_LAYOUT,
     "graph_curation": O_GRAPH_CURATION,
     "budget_select": O_BUDGET_SELECT,
     "date_clamp": O_DATE_CLAMP,
