@@ -125,6 +125,9 @@ def probes(spark, sf_dir):
     from jobinsight_data_pipeline_spark.operators.sketches import (
         hll_registers as _hll_registers,
     )
+    from jobinsight_data_pipeline_spark.operators.layout import (
+        zorder_key as _zorder_key,
+    )
     from jobinsight_data_pipeline_spark.catalog.textml import (
         q_retrieval_eval as _q_retrieval_eval,
     )
@@ -480,6 +483,18 @@ def probes(spark, sf_dir):
         ),
         "collocations (PMI, floor 10)": lambda: _token_pmi(
             docs, "text", min_count=10, top_n=20
+        ),
+        # round-10: Morton-key layout build over 100×-growing orders
+        # (one scan + 1-row stats broadcast + codegen'd bit math)
+        "zorder_key (2 dims, 16 bits)": lambda: _zorder_key(
+            load(spark, sf_dir, "orders")["orders"].selectExpr(
+                "o_orderkey",
+                "o_custkey",
+                "CAST(datediff(CAST(o_orderdate AS DATE),"
+                " DATE '1970-01-01') AS BIGINT) AS epoch_day",
+            ),
+            ["o_custkey", "epoch_day"],
+            bits=16,
         ),
         # round-10: HLL register build over the 100×-growing orderkey
         # stream (map-side partial max → ≤64 rows per task at any size)
