@@ -5470,21 +5470,24 @@ LEFT JOIN hitsp h ON h.p = pr.p AND h.query_id = t.query_id
 O_ANN_PROBE_CURVE = _ann_probe_curve_oracle()
 
 
-def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Z-order (Morton) layout keys for multi-column data skipping
-    (operators/layout): orders quantized on (o_custkey, order epoch
-    day) with a 1-row min/max broadcast, bit-interleaved to a BIGINT
-    zkey — the sort key under which parquet min/max statistics prune on
-    BOTH dimensions at once (the OPTIMIZE ZORDER BY design; Morton
-    1966). Output is the 64-bucket digest of the key space (top 6 key
-    bits): per-bucket row count, bit_xor orderkey checksum, and zkey
-    extrema — a single flipped bit in any row's key moves its bucket's
-    checksum, so the FULL oracle (quantizer + every interleave replayed
-    in DuckDB bit math) pins every key. The locality property the
-    layout buys — range filters on EITHER dimension touch a bounded
-    fraction of contiguous blocks — is pinned by the block_minmax
-    pytest, not the hash."""
-    from jobinsight_data_pipeline_spark.operators.layout import zorder_key
+def q_zorder_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The QUANTIZED Z-order layout path (operators/zorder.
+    zorder_key_quantized — the min/max-normalized companion of the
+    raw-domain `zorder_layout` gate, which interleaves values that
+    already fit 16 bits): orders quantized on (o_custkey, order epoch
+    day) with a 1-row min/max broadcast so the full [0, 2^16) range is
+    used per dimension, then bit-interleaved to a BIGINT zkey. Output
+    is the 64-bucket digest of the key space (top 6 key bits):
+    per-bucket row count, bit_xor orderkey checksum, and zkey extrema —
+    a single flipped bit in any row's key moves its bucket's checksum,
+    so the FULL oracle (quantizer + every interleave replayed in DuckDB
+    bit math) pins every key. The locality property the layout buys —
+    range filters on EITHER dimension touch a bounded fraction of
+    contiguous blocks — is pinned by the block_minmax pytest, not the
+    hash."""
+    from jobinsight_data_pipeline_spark.operators.zorder import (
+        zorder_key_quantized,
+    )
 
     t = load(spark, sf_dir, "orders")
     o = t["orders"].select(
@@ -5494,7 +5497,7 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             "datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')"
         ).cast("long").alias("epoch_day"),
     )
-    keyed = zorder_key(o, ["o_custkey", "epoch_day"], bits=16)
+    keyed = zorder_key_quantized(o, ["o_custkey", "epoch_day"], bits=16)
     return (
         keyed.groupBy(F.expr("zkey >> 26").alias("zbucket"))
         .agg(
@@ -5506,7 +5509,7 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _zorder_oracle() -> str:
+def _zorder_digest_oracle() -> str:
     bits = 16
     terms = []
     for i, q in enumerate(("q0", "q1")):
@@ -5543,7 +5546,7 @@ FROM keyed GROUP BY 1
 """
 
 
-O_ZORDER_LAYOUT = _zorder_oracle()
+O_ZORDER_DIGEST = _zorder_digest_oracle()
 
 
 # --------------------------------------------------------------------------
@@ -12001,7 +12004,7 @@ QUERIES = {
     "hll_by_type": q_hll_by_type,
     "ann_recall_eval": q_ann_recall_eval,
     "ann_probe_curve": q_ann_probe_curve,
-    "zorder_layout": q_zorder_layout,
+    "zorder_digest": q_zorder_digest,
     "graph_curation": q_graph_curation,
     "budget_select": q_budget_select,
     "date_clamp": q_date_clamp,
@@ -12154,7 +12157,7 @@ ORACLES = {
     "hll_by_type": O_HLL_BY_TYPE,
     "ann_recall_eval": O_ANN_RECALL_EVAL,
     "ann_probe_curve": O_ANN_PROBE_CURVE,
-    "zorder_layout": O_ZORDER_LAYOUT,
+    "zorder_digest": O_ZORDER_DIGEST,
     "graph_curation": O_GRAPH_CURATION,
     "budget_select": O_BUDGET_SELECT,
     "date_clamp": O_DATE_CLAMP,

@@ -52,3 +52,86 @@ def zorder_sort(df: DataFrame, cols: list[str], bits: int = 16) -> DataFrame:
         .sortWithinPartitions("_zkey")
         .drop("_zkey")
     )
+
+
+def zorder_quantize(
+    df: DataFrame, cols: list[str], bits: int = 16
+) -> DataFrame:
+    """Min/max linear quantizer for :func:`zorder_key` inputs whose raw
+    domain is NOT already under ``2**bits``: each column maps to
+    ``((x - min) * 2^bits) div (max - min + 1)`` — non-negative, under
+    2^bits, exactly reproducible (integer division on the non-negative
+    domain, where Spark's ``div`` and DuckDB's ``//`` agree). Appends
+    ``__q<i>`` per input column; the stats side is ONE broadcast row
+    (bytes, not data). NULLs quantize to bucket 0 (they sort together
+    at the low end — the usual layout choice)."""
+    from pyspark.sql.functions import broadcast
+
+    if not cols:
+        raise ValueError("zorder_quantize: need at least 1 column")
+    stats = df.agg(
+        *[
+            a
+            for i, c in enumerate(cols)
+            for a in (
+                F.min(F.col(c).cast("long")).alias(f"__mn{i}"),
+                F.max(F.col(c).cast("long")).alias(f"__mx{i}"),
+            )
+        ]
+    )
+    out = df.crossJoin(broadcast(stats))
+    for i, c in enumerate(cols):
+        out = out.withColumn(
+            f"__q{i}",
+            F.expr(
+                f"coalesce(((CAST({c} AS BIGINT) - __mn{i}) * {2 ** bits})"
+                f" div (__mx{i} - __mn{i} + 1), 0L)"
+            ),
+        )
+    return out.drop(
+        *[f"__mn{i}" for i in range(len(cols))],
+        *[f"__mx{i}" for i in range(len(cols))],
+    )
+
+
+def zorder_key_quantized(
+    df: DataFrame, cols: list[str], bits: int = 16
+) -> DataFrame:
+    """Quantize + interleave in one call: appends ``zkey`` (BIGINT) and
+    drops the quantizer scratch — :func:`zorder_key` for arbitrary
+    integer domains. Sort/range-partition by ``zkey`` before writing
+    and min/max pruning works on every column in ``cols``."""
+    q = zorder_quantize(df, cols, bits)
+    out = q.withColumn(
+        "zkey", zorder_key([f"__q{i}" for i in range(len(cols))], bits)
+    )
+    return out.drop(*[f"__q{i}" for i in range(len(cols))])
+
+
+def block_minmax(
+    df: DataFrame, sort_col: str, dims: list[str], n_blocks: int = 64
+) -> DataFrame:
+    """The pruning audit: bucket rows into ``n_blocks`` contiguous
+    blocks of the ``sort_col`` order and report each block's min/max
+    per dimension — exactly the statistics a reader prunes against. A
+    range predicate on dimension d touches the blocks whose
+    [min_d, max_d] intersects it; counting those measures the layout's
+    skipping power (the Z-order locality pin in
+    tests/test_operators.py)."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    w = Window.orderBy(F.col(sort_col).asc())
+    total = df.agg(F.count(F.lit(1)).alias("__n"))
+    blocked = (
+        df.withColumn("__r", F.row_number().over(w))
+        .crossJoin(broadcast(total))
+        .withColumn("block", F.expr(f"((__r - 1) * {n_blocks}) div __n"))
+    )
+    aggs = []
+    for d in dims:
+        aggs.append(F.min(d).alias(f"min_{d}"))
+        aggs.append(F.max(d).alias(f"max_{d}"))
+    return blocked.groupBy("block").agg(
+        F.count(F.lit(1)).alias("n_rows"), *aggs
+    )

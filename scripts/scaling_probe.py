@@ -125,8 +125,8 @@ def probes(spark, sf_dir):
     from jobinsight_data_pipeline_spark.operators.sketches import (
         hll_registers as _hll_registers,
     )
-    from jobinsight_data_pipeline_spark.operators.layout import (
-        zorder_key as _zorder_key,
+    from jobinsight_data_pipeline_spark.operators.zorder import (
+        zorder_key_quantized as _zorder_key_q,
     )
     from jobinsight_data_pipeline_spark.catalog.textml import (
         q_retrieval_eval as _q_retrieval_eval,
@@ -486,7 +486,7 @@ def probes(spark, sf_dir):
         ),
         # round-10: Morton-key layout build over 100×-growing orders
         # (one scan + 1-row stats broadcast + codegen'd bit math)
-        "zorder_key (2 dims, 16 bits)": lambda: _zorder_key(
+        "zorder_key (2 dims, 16 bits)": lambda: _zorder_key_q(
             load(spark, sf_dir, "orders")["orders"].selectExpr(
                 "o_orderkey",
                 "o_custkey",

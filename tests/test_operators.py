@@ -4745,9 +4745,9 @@ def test_zorder_locality_prunes_both_dimensions(spark):
     Pinned loosely (≤ 36/64) so quantizer tweaks can't flake it."""
     import pyspark.sql.functions as F
 
-    from jobinsight_data_pipeline_spark.operators.layout import (
+    from jobinsight_data_pipeline_spark.operators.zorder import (
         block_minmax,
-        zorder_key,
+        zorder_key_quantized,
     )
 
     o = spark.read.parquet("/root/testdata/sf0.01/orders.parquet").select(
@@ -4757,7 +4757,7 @@ def test_zorder_locality_prunes_both_dimensions(spark):
         .cast("long")
         .alias("epoch_day"),
     )
-    keyed = zorder_key(o, ["o_custkey", "epoch_day"], bits=16)
+    keyed = zorder_key_quantized(o, ["o_custkey", "epoch_day"], bits=16)
     r = keyed.agg(
         F.min("o_custkey").alias("a"), F.max("o_custkey").alias("b"),
         F.min("epoch_day").alias("c"), F.max("epoch_day").alias("d"),
@@ -4794,9 +4794,9 @@ def test_zorder_key_bit_layout_and_errors(spark):
     endpoints; overflow and arity guards raise."""
     import pyspark.sql.functions as F
 
-    from jobinsight_data_pipeline_spark.operators.layout import (
-        interleave_bits,
+    from jobinsight_data_pipeline_spark.operators.zorder import (
         zorder_key,
+        zorder_key_quantized,
         zorder_quantize,
     )
 
@@ -4806,17 +4806,15 @@ def test_zorder_key_bit_layout_and_errors(spark):
     got = {
         (r["x"], r["y"]): r["z"]
         for r in df.select(
-            "x", "y", interleave_bits(["x", "y"], 4).alias("z")
+            "x", "y", zorder_key(["x", "y"], 4).alias("z")
         ).collect()
     }
     # x owns even bit positions, y odd: (1,0)->1, (0,1)->2,
     # (3,5) = x bits {0,1} -> 1+4; y bits {0,2} -> 2+32 => 39
     assert got[(0, 0)] == 0 and got[(1, 0)] == 1 and got[(0, 1)] == 2
     assert got[(3, 5)] == 39
-    with pytest.raises(ValueError, match="at least 2"):
-        interleave_bits(["x"], 4)
-    with pytest.raises(ValueError, match="overflows"):
-        interleave_bits(["x", "y"], 32)
+    with pytest.raises(ValueError, match="exceeds a signed long"):
+        zorder_key(["x", "y"], 32)
     # quantizer: endpoints land in [0, 2^bits), NULL -> 0
     q = zorder_quantize(
         spark.createDataFrame([(0,), (100,), (None,)], "v: long"),
@@ -4826,5 +4824,5 @@ def test_zorder_key_bit_layout_and_errors(spark):
     vals = {r["v"]: r["__q0"] for r in q.collect()}
     assert vals[0] == 0 and 0 <= vals[100] < 256 and vals[None] == 0
     # composed key column exists, scratch dropped
-    cols = zorder_key(df, ["x", "y"], bits=8).columns
+    cols = zorder_key_quantized(df, ["x", "y"], bits=8).columns
     assert "zkey" in cols and "__q0" not in cols

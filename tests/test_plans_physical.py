@@ -148,7 +148,7 @@ def test_no_accidental_cartesian_or_nested_loop(spark):
         "retrieval_eval",  # embeds bm25_scores' 1-row stats crossJoin ×3
         "ann_recall_eval",  # cosine_topk broadcast query side + IVF route
         "ann_probe_curve",  # same class, four probe widths
-        "zorder_layout",  # 1-row min/max quantizer stats broadcast
+        "zorder_digest",  # 1-row min/max quantizer stats broadcast
 
         "forget_bm25",  # same class: erased index x 1-row stats (r7)
         "embedding_topk",
