@@ -154,6 +154,11 @@ def build_catalog() -> tuple[
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}
     for mod in (warehouse, relational, parity, textml):
+        # a duplicate key would silently SHADOW the earlier module's
+        # gate (dict.update, last writer wins) — the round-10
+        # zorder_layout collision lesson; fail loudly instead
+        dup = set(queries) & set(mod.QUERIES)
+        assert not dup, f"gate names collide across catalog modules: {dup}"
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
     return queries, oracles
