@@ -5549,6 +5549,48 @@ FROM keyed GROUP BY 1
 O_ZORDER_DIGEST = _zorder_digest_oracle()
 
 
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix (operators/dedup.
+    source_overlap_matrix): per ordered source pair, the shared
+    distinct 3-gram shingles and the asymmetric containment share in
+    exact ppm — the curation view that catches mirror collections and
+    benchmark leakage BETWEEN datasets (the doc-level twin is
+    `decontaminate`; this is the corpus-cartography grain). Self-join
+    fan-out per shingle is bounded by sources², never docs² — no
+    frequency cap needed at this grain. FULL exact oracle."""
+    from jobinsight_data_pipeline_spark.operators.dedup import (
+        source_overlap_matrix,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    return source_overlap_matrix(t["documents"], "source", "text", n=3)
+
+
+O_SOURCE_OVERLAP = """
+WITH toks AS (
+    SELECT source, regexp_split_to_array(trim(text), '\\s+') AS w
+    FROM documents
+    WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3
+),
+sh AS (
+    SELECT DISTINCT source AS doc, unnest(
+        list_transform(range(len(w) - 2),
+                       i -> concat(w[i + 1], ' ', w[i + 2], ' ', w[i + 3]))
+    ) AS shingle
+    FROM toks
+),
+sizes AS (SELECT doc, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc),
+inter AS (
+    SELECT a.doc AS src_a, b.doc AS src_b, CAST(count(*) AS BIGINT) AS shared
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc <> b.doc
+    GROUP BY a.doc, b.doc
+)
+SELECT src_a, src_b, sa.sz AS n_a, shared,
+       (shared * 1000000) // sa.sz AS containment_ppm
+FROM inter JOIN sizes sa ON sa.doc = src_a
+"""
+
+
 # --------------------------------------------------------------------------
 # Hashed linear classifier inference (operators/classifier.py) under a FULL
 # exact oracle: integer micro-weights make the document score a pure BIGINT
@@ -12005,6 +12047,7 @@ QUERIES = {
     "ann_recall_eval": q_ann_recall_eval,
     "ann_probe_curve": q_ann_probe_curve,
     "zorder_digest": q_zorder_digest,
+    "source_overlap": q_source_overlap,
     "graph_curation": q_graph_curation,
     "budget_select": q_budget_select,
     "date_clamp": q_date_clamp,
@@ -12158,6 +12201,7 @@ ORACLES = {
     "ann_recall_eval": O_ANN_RECALL_EVAL,
     "ann_probe_curve": O_ANN_PROBE_CURVE,
     "zorder_digest": O_ZORDER_DIGEST,
+    "source_overlap": O_SOURCE_OVERLAP,
     "graph_curation": O_GRAPH_CURATION,
     "budget_select": O_BUDGET_SELECT,
     "date_clamp": O_DATE_CLAMP,

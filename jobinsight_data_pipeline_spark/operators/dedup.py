@@ -1200,3 +1200,50 @@ def editdist_verify(
             )
         ).alias("is_dup"),
     )
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Cross-SOURCE n-gram containment matrix — which subcorpora share
+    content: mirror sites, re-crawled collections, benchmark text
+    leaking between datasets. For every ORDERED source pair (a, b) with
+    any overlap, the distinct-shingle count of a, the shared count, and
+    the containment share ``shared / |shingles(a)|`` in exact ppm —
+    asymmetric on purpose (a tiny source fully contained in a huge one
+    reads 10⁶ ppm from its own side, near-zero from the other, which is
+    exactly the curation signal).
+
+    Scale shape: shingle sets collapse to the SOURCE grain before the
+    join (corpus-wide distinct, partial-aggregated map-side, output
+    bounded by sources × vocabulary-of-shingles), and the equi-self-join
+    fan-out per shingle is bounded by the number of SOURCES containing
+    it — sources² per shingle worst case, never docs². No frequency cap
+    needed: the blow-up axis of the doc-level near-dup joins does not
+    exist at this grain."""
+    sh = shingles(df, source_col, text_col, n).distinct()
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc").alias("src_a"), "shingle")
+    b = sh.select(F.col("doc").alias("src_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("src_a") != F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("doc").alias("src_a"), F.col("sz").alias("n_a")),
+            "src_a",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_a",
+            "shared",
+            F.expr("(shared * 1000000L) div n_a").alias("containment_ppm"),
+        )
+    )

@@ -4826,3 +4826,28 @@ def test_zorder_key_bit_layout_and_errors(spark):
     # composed key column exists, scratch dropped
     cols = zorder_key_quantized(df, ["x", "y"], bits=8).columns
     assert "zkey" in cols and "__q0" not in cols
+
+
+def test_source_overlap_matrix_asymmetry_and_exactness(spark):
+    """A tiny source fully contained in a big one reads 10^6 ppm from
+    its own side and a small share from the other — the asymmetric
+    curation signal; disjoint sources produce NO pair row."""
+    from jobinsight_data_pipeline_spark.operators.dedup import (
+        source_overlap_matrix,
+    )
+
+    rows = [
+        # big: 10 shingles; tiny: its 2 shingles are big's first 2
+        ("big", "a b c d e f g h i j k l"),
+        ("tiny", "a b c d"),
+        ("island", "x y z w v"),
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {
+        (r["src_a"], r["src_b"]): r.asDict()
+        for r in source_overlap_matrix(df, "source", "text", n=3).collect()
+    }
+    assert out[("tiny", "big")]["containment_ppm"] == 1_000_000
+    assert out[("tiny", "big")]["n_a"] == 2
+    assert out[("big", "tiny")]["containment_ppm"] == (2 * 1_000_000) // 10
+    assert not any("island" in k for k in out)
