@@ -128,6 +128,9 @@ def probes(spark, sf_dir):
     from jobinsight_data_pipeline_spark.operators.zorder import (
         zorder_key_quantized as _zorder_key_q,
     )
+    from jobinsight_data_pipeline_spark.operators.dedup import (
+        source_overlap_matrix as _source_overlap,
+    )
     from jobinsight_data_pipeline_spark.catalog.textml import (
         q_retrieval_eval as _q_retrieval_eval,
     )
@@ -483,6 +486,12 @@ def probes(spark, sf_dir):
         ),
         "collocations (PMI, floor 10)": lambda: _token_pmi(
             docs, "text", min_count=10, top_n=20
+        ),
+        # round-10: cross-source containment matrix (shingle sets
+        # collapse to the source grain; self-join fan-out sources²)
+        "source_overlap (3-gram matrix)": lambda: _source_overlap(
+            load(spark, sf_dir, "documents")["documents"],
+            "source", "text", n=3,
         ),
         # round-10: Morton-key layout build over 100×-growing orders
         # (one scan + 1-row stats broadcast + codegen'd bit math)
