@@ -158,7 +158,10 @@ def build_catalog() -> tuple[
         # gate (dict.update, last writer wins) — the round-10
         # zorder_layout collision lesson; fail loudly instead
         dup = set(queries) & set(mod.QUERIES)
-        assert not dup, f"gate names collide across catalog modules: {dup}"
+        if dup:
+            # assert would be stripped under python -O, silently
+            # restoring last-writer-wins shadowing
+            raise ValueError(f"gate names collide across catalog modules: {dup}")
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
     return queries, oracles
@@ -223,10 +226,8 @@ DRIVER_QUERIES: list[str] = [
     "hash_split",
     "ngram_jaccard",
     "minhash_lsh",
-    "simhash_pairs",
     "embedding_lsh_topk",
     "semantic_dedup",
-    "media_features",
     # round-6 slot refresh (judge directive): three A1/A2-family twins
     # demoted (top10_avg_salary → top10_customers+views_salary_filter;
     # view_monthly_jobs_sets → view_monthly_jobs+monthly_orders;
@@ -242,7 +243,6 @@ DRIVER_QUERIES: list[str] = [
     # the event stream and reciprocal-rank-fusion hybrid retrieval
     # (both locally green at sf0.01 AND sf0.1, integer/md5-exact
     # contracts)
-    "funnel_steps",
     "hybrid_search",
     # round-7 slot refresh (r6 judge directive, verbatim): three more
     # shadowed twins demoted — rolling_avg (window family carried by
@@ -283,6 +283,19 @@ DRIVER_QUERIES: list[str] = [
     # waterfill→learned-BPE→packs→card chain under ONE hash)
     "unigram_tok_learn",
     "exact_spans",
+    # round-11 slot refresh (r10 judge directive, verbatim): three more
+    # shadowed twins demoted — simhash_pairs (near-dup family still
+    # driver-carried by minhash_lsh + ngram_jaccard), media_features
+    # (the multimodal plumbing is now better gated by the REAL decode
+    # kernels), funnel_steps (behavioral family still carried by
+    # sessionize + windowed_events) — for the three round-10 flagship
+    # families with zero driver rows: k-means‖ distance-weighted
+    # seeding, the stdlib PCM-WAV real-decode kernel, and the
+    # retrieval-evaluation surface (trained quantizers + IVF-PQ
+    # serving + integer micro-unit recall metrics under one hash)
+    "kmeans_pp_fit",
+    "wav_decode",
+    "ann_recall_eval",
     # the heaviest sit last on purpose (composed chains; iterative
     # CC) — position 50 exactly fills the driver cap
     "training_shards",

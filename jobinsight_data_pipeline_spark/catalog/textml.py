@@ -5386,16 +5386,27 @@ def q_ann_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _must_replace(base: str, old: str, new: str) -> str:
+    """String-surgery replace that REFUSES to no-op: any drift in the
+    shared CTE text otherwise yields a runnable-but-wrong oracle that
+    only surfaces at gate time (r10 ADVICE)."""
+    if old not in base:
+        raise ValueError(f"oracle CTE surgery target missing: {old[:80]!r}")
+    return base.replace(old, new)
+
+
 def _ann_probe_curve_oracle() -> str:
     k = IVFPQ_K
     max_p = max(ANN_PROBE_GRID)
     # swap the fixed-probe qcells for a rank-carrying pick of the
     # widest grid entry; everything downstream gates on prank
-    base = _ivfpq_many_ranked_ctes().replace(
+    base = _must_replace(
+        _ivfpq_many_ranked_ctes(),
         f"ORDER BY qd[CAST(u.j AS INTEGER)] DESC, u.j ASC) <= {IVFPQ_PROBE}",
         f"ORDER BY qd[CAST(u.j AS INTEGER)] DESC, u.j ASC) <= {max_p}",
     )
-    base = base.replace(
+    base = _must_replace(
+        base,
         """qcells AS (
     SELECT qid, CAST(u.j AS INTEGER) - 1 AS cell""",
         """qcells AS (
@@ -5404,21 +5415,23 @@ def _ann_probe_curve_oracle() -> str:
                PARTITION BY qid
                ORDER BY qd[CAST(u.j AS INTEGER)] DESC, u.j ASC) AS prank""",
     )
-    base = base.replace(
+    base = _must_replace(
+        base,
         "cand AS (\n    SELECT q.qid, a.vec_id FROM assigned a"
         " JOIN qcells q USING (cell)\n)",
         "cand AS (\n    SELECT q.qid, a.vec_id, q.prank FROM assigned a"
         " JOIN qcells q USING (cell)\n)",
     )
-    base = base.replace(
+    base = _must_replace(
+        base,
         "adc AS (\n    SELECT qid, vec_id,",
         "adc AS (\n    SELECT qid, vec_id, max(prank) AS prank,",
     )
-    base = base.replace(
+    base = _must_replace(
+        base,
         "    SELECT d.qid, c.vec_id, c.j,",
         "    SELECT d.qid, c.vec_id, d.prank, c.j,",
     )
-    base = base.replace("GROUP BY qid, vec_id", "GROUP BY qid, vec_id")
     # drop the fixed ranked CTE — per-probe rankings replace it
     base = base[: base.rindex(",\nranked AS (")]
     probe_rows = ", ".join(f"({p})" for p in ANN_PROBE_GRID)

@@ -151,11 +151,21 @@ def kmeans_fit_quantized(
     """
     if k < 1:
         raise ValueError("kmeans_fit_quantized: k must be >= 1")
-    if init_centroids is not None and len(init_centroids) != k:
-        raise ValueError(
-            f"kmeans_fit_quantized: init_centroids has "
-            f"{len(init_centroids)} rows, expected k={k}"
-        )
+    if init_centroids is not None:
+        if len(init_centroids) != k:
+            raise ValueError(
+                f"kmeans_fit_quantized: init_centroids has "
+                f"{len(init_centroids)} rows, expected k={k}"
+            )
+        # a wrong-dim seed row would make zip_with pad with NULL, its
+        # distance NULL, array_min skip it — that cell silently never
+        # assigned; error instead (r10 ADVICE)
+        dims = {len(c) for c in init_centroids}
+        if len(dims) != 1:
+            raise ValueError(
+                f"kmeans_fit_quantized: init_centroids rows have mixed "
+                f"dimensions {sorted(dims)}"
+            )
     # the argmin fold is a higher-order function — interpreted row-at-a-
     # time, NOT whole-stage-codegen'd — so per-row cost is real CPU; a
     # single-file parquet input would run every iteration on ONE task
@@ -175,6 +185,13 @@ def kmeans_fit_quantized(
         )
     ).localCheckpoint(eager=True)
     if init_centroids is not None:
+        probe = q.select(F.size("__p").alias("d")).limit(1).collect()
+        if probe and probe[0]["d"] != len(init_centroids[0]):
+            _free_local_checkpoint(q)
+            raise ValueError(
+                f"kmeans_fit_quantized: init_centroids dim "
+                f"{len(init_centroids[0])} != data dim {probe[0]['d']}"
+            )
         centroids = [[x + scale for x in c] for c in init_centroids]
     else:
         seed_rows = q.orderBy("__id").limit(k).collect()

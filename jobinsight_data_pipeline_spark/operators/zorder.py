@@ -64,7 +64,15 @@ def zorder_quantize(
     domain, where Spark's ``div`` and DuckDB's ``//`` agree). Appends
     ``__q<i>`` per input column; the stats side is ONE broadcast row
     (bytes, not data). NULLs quantize to bucket 0 (they sort together
-    at the low end — the usual layout choice)."""
+    at the low end — the usual layout choice).
+
+    Domain bound: columns whose range exceeds ``2^(62-bits)`` are
+    pre-shifted right (power-of-two coarsening) before the multiply so
+    the BIGINT product never overflows under Spark 4 ANSI mode — the
+    quantizer is total for any range under ``2^63`` (beyond that the
+    ``max - min`` subtraction itself overflows int64; split such a
+    domain upstream). For ranges under the bound the shift is 0 and
+    the formula is byte-identical to the plain form."""
     from pyspark.sql.functions import broadcast
 
     if not cols:
@@ -81,11 +89,21 @@ def zorder_quantize(
     )
     out = df.crossJoin(broadcast(stats))
     for i, c in enumerate(cols):
+        # pre-shift wide domains so (range >> s) * 2^bits stays under
+        # 2^62 (ANSI mode throws on BIGINT overflow). floor(log2) on a
+        # double can err ±1 ulp near powers of two — the 61 (not 62)
+        # offset absorbs a 1-bit underestimate; s = 0 for any range
+        # under ~2^(61-bits), keeping the formula exactly the plain one.
+        shift = (
+            f"greatest(0, CAST(floor(log2(CAST(__mx{i} - __mn{i} AS DOUBLE)"
+            f" + 1.0d)) AS INT) + {bits} - 61)"
+        )
         out = out.withColumn(
             f"__q{i}",
             F.expr(
-                f"coalesce(((CAST({c} AS BIGINT) - __mn{i}) * {2 ** bits})"
-                f" div (__mx{i} - __mn{i} + 1), 0L)"
+                f"coalesce((shiftright(CAST({c} AS BIGINT) - __mn{i},"
+                f" {shift}) * {2 ** bits})"
+                f" div (shiftright(__mx{i} - __mn{i}, {shift}) + 1), 0L)"
             ),
         )
     return out.drop(
