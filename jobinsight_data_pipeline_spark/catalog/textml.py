@@ -5242,7 +5242,7 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ann_recall_oracle() -> str:
+def _ann_recall_oracle(ctes: str | None = None) -> str:
     from jobinsight_data_pipeline_spark.operators.ranking import (
         ndcg_discounts_micro,
     )
@@ -5257,7 +5257,7 @@ def _ann_recall_oracle() -> str:
     disc_rows = ",".join(f"({i + 1}, {d})" for i, d in enumerate(disc))
     pre_rows = ",".join(f"({i + 1}, {p})" for i, p in enumerate(prefix))
     return f"""
-WITH {_ivfpq_many_ranked_ctes()},
+WITH {ctes if ctes is not None else _ivfpq_many_ranked_ctes()},
 annranked AS (
     SELECT qid AS query_id, vec_id,
            CAST(row_number() OVER (
@@ -5481,6 +5481,217 @@ LEFT JOIN hitsp h ON h.p = pr.p AND h.query_id = t.query_id
 
 
 O_ANN_PROBE_CURVE = _ann_probe_curve_oracle()
+
+
+def _ivfpq_residual_ranked_ctes() -> str:
+    """The serve-many replay for the RESIDUAL route (IVFADC proper,
+    Jégou et al. 2011 §IV): PQ codes are fit on ``v − centroid[cell]``
+    and the per-(query, cell) ADC compares against the query residual
+    ``q − centroid[cell]``. Mirrors `_ivfpq_many_ranked_ctes` otherwise
+    (same probe pick, same tie rules, same fold orders); ``assigned``
+    is MATERIALIZED because both the residual-code chain and the
+    candidate join read it (plain CTEs inline per reference — the
+    corpus_build lesson)."""
+    from jobinsight_data_pipeline_spark.operators.similarity import (
+        unit_centroids,
+    )
+
+    cents = unit_centroids(64, IVFPQ_LISTS, seed=11)
+    cents_lit = (
+        "["
+        + ",".join(
+            "[" + ",".join(repr(float(x)) for x in c) + "]" for c in cents
+        )
+        + "]"
+    )
+    qids = ", ".join(str(q) for q in IVFPQ_MANY_QIDS)
+    sub = PQ_SUB
+    diff = (
+        f"list_transform(range({sub}), t -> "
+        f"v[CAST(u.j * {sub} + t + 1 AS INTEGER)] - c[CAST(t + 1 AS INTEGER)])"
+    )
+    qdiff = (
+        f"list_transform(range({sub}), t -> "
+        f"(q.qv[CAST(c.j * {sub} + t + 1 AS INTEGER)] - "
+        f"cm[CAST(d.cell + 1 AS INTEGER)]"
+        f"[CAST(c.j * {sub} + t + 1 AS INTEGER)]) - "
+        f"cb[CAST(c.j + 1 AS INTEGER)][CAST(c.code + 1 AS INTEGER)]"
+        f"[CAST(t + 1 AS INTEGER)])"
+    )
+    chain = " + ".join(
+        f"max(CASE WHEN j = {j} THEN dd END)" for j in range(PQ_M)
+    )
+    return f"""cube AS (SELECT {_duck_cube(_pq_cb())} AS cb),
+cents AS (SELECT {cents_lit} AS cm),
+assigned AS MATERIALIZED (
+    SELECT vec_id, v0,
+           list_position(sarr, list_max(sarr)) - 1 AS cell
+    FROM (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0,
+               list_transform(cm, c -> list_dot_product(
+                   CAST(embedding AS DOUBLE[]), c)) AS sarr
+        FROM embeddings, cents)
+),
+e AS (
+    SELECT a.vec_id, a.cell,
+           list_transform(range(64), t -> v0[CAST(t + 1 AS INTEGER)]
+             - cm[CAST(cell + 1 AS INTEGER)][CAST(t + 1 AS INTEGER)]) AS v
+    FROM assigned a, cents
+),
+darrs AS (
+    SELECT vec_id, cell, u.j AS j,
+           list_transform(cb[CAST(u.j + 1 AS INTEGER)],
+                          c -> list_dot_product({diff}, {diff})) AS darr
+    FROM e, cube, unnest(range({PQ_M})) AS u(j)
+),
+codes AS (
+    SELECT vec_id, j, list_position(darr, list_min(darr)) - 1 AS code
+    FROM darrs
+),
+qs AS (
+    SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+    FROM embeddings WHERE vec_id IN ({qids})
+),
+qcells AS (
+    SELECT qid, CAST(u.j AS INTEGER) - 1 AS cell
+    FROM (SELECT qid, list_transform(cm, c -> list_dot_product(qv, c)) AS qd
+          FROM qs, cents) s,
+         unnest(generate_series(1, {IVFPQ_LISTS})) AS u(j)
+    QUALIFY row_number() OVER (
+        PARTITION BY qid
+        ORDER BY qd[CAST(u.j AS INTEGER)] DESC, u.j ASC) <= {IVFPQ_PROBE}
+),
+cand AS (
+    SELECT q.qid, a.vec_id, a.cell
+    FROM assigned a JOIN qcells q USING (cell)
+),
+dists AS (
+    SELECT d.qid, c.vec_id, c.j,
+           list_dot_product({qdiff}, {qdiff}) AS dd
+    FROM codes c
+    JOIN cand d USING (vec_id)
+    JOIN qs q ON q.qid = d.qid,
+    cube, cents
+),
+adc AS (
+    SELECT qid, vec_id, {chain} AS adc FROM dists GROUP BY qid, vec_id
+),
+ranked AS (
+    SELECT qid, vec_id, adc,
+           row_number() OVER (
+               PARTITION BY qid ORDER BY adc ASC, vec_id ASC) AS rank
+    FROM adc
+)"""
+
+
+def q_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVFADC residual route (Jégou et al. 2011 §IV) composed
+    end-to-end under a FULL exact oracle: build_ivf_pq_index(residual=
+    True) PQ-encodes ``v − centroid[cell]`` (the cell offset stops
+    spending code bits) and ivf_pq_topk_many(residual=True) ranks by
+    asymmetric distance against the per-(query, cell) query residual.
+    Same probe pick, tie rules, and fold orders as the raw route —
+    only the encoded space changes — so the oracle replays the whole
+    composition bit-for-bit (the `ivf_pq_serve_many` pattern)."""
+    from jobinsight_data_pipeline_spark.operators.parallelism import (
+        widen_for_cpu,
+    )
+    from jobinsight_data_pipeline_spark.operators.similarity import (
+        build_ivf_pq_index,
+        ivf_pq_topk_many,
+        unit_centroids,
+    )
+
+    t = load(spark, sf_dir, "embeddings")
+    emb = t["embeddings"]
+    cents = unit_centroids(64, IVFPQ_LISTS, seed=11)
+    index = build_ivf_pq_index(
+        widen_for_cpu(emb), cents, _pq_cb(), residual=True
+    )
+    queries = (
+        emb.filter(F.col("vec_id").isin(*IVFPQ_MANY_QIDS))
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    top = ivf_pq_topk_many(
+        index, queries, cents, _pq_cb(),
+        k=IVFPQ_K, n_probe=IVFPQ_PROBE, residual=True,
+    )
+    return top.select(
+        "query_id",
+        "rank",
+        "vec_id",
+        F.floor(F.col("adc") * F.lit(1000000.0)).cast("long").alias(
+            "adc_micro"
+        ),
+    )
+
+
+O_IVF_PQ_RESIDUAL = f"""
+WITH {_ivfpq_residual_ranked_ctes()}
+SELECT qid AS query_id, rank, vec_id,
+       CAST(floor(adc * 1000000.0) AS BIGINT) AS adc_micro
+FROM ranked WHERE rank <= {IVFPQ_K}
+"""
+
+
+def q_ann_recall_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`ann_recall_eval`'s residual-route twin: MRR/NDCG/recall of the
+    IVFADC residual index against the SAME exact-cosine ground truth —
+    the head-to-head the residual encoding is graded on. Honest
+    reading: on these near-uniform unit-sphere synthetic embeddings the
+    residual route's recall is PARITY with the raw route (the 10%
+    quantization-error reduction — gated exactly in
+    `pq_residual_error` — doesn't move top-10 membership when exact
+    neighbors are essentially arbitrary); on clustered real embeddings
+    the error reduction is what compounds into the recall gains the
+    IVFADC paper reports. The MEASUREMENT is what's certified."""
+    from pyspark.sql import Window
+
+    from jobinsight_data_pipeline_spark.operators.parallelism import (
+        widen_for_cpu,
+    )
+    from jobinsight_data_pipeline_spark.operators.ranking import (
+        retrieval_metrics,
+    )
+    from jobinsight_data_pipeline_spark.operators.similarity import (
+        build_ivf_pq_index,
+        cosine_topk,
+        ivf_pq_topk_many,
+        unit_centroids,
+    )
+
+    t = load(spark, sf_dir, "embeddings")
+    emb = t["embeddings"]
+    cents = unit_centroids(64, IVFPQ_LISTS, seed=11)
+    index = build_ivf_pq_index(
+        widen_for_cpu(emb), cents, _pq_cb(), residual=True
+    )
+    queries = (
+        emb.filter(F.col("vec_id").isin(*IVFPQ_MANY_QIDS))
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    top = ivf_pq_topk_many(
+        index, queries, cents, _pq_cb(),
+        k=IVFPQ_K, n_probe=IVFPQ_PROBE, residual=True,
+    )
+    w = Window.partitionBy("query_id").orderBy("rank")
+    ranked = (
+        top.where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.row_number().over(w).cast("long").alias("rank"),
+        )
+    )
+    qrels = cosine_topk(
+        emb, emb.filter(F.col("vec_id").isin(*IVFPQ_MANY_QIDS)), k=IVFPQ_K
+    ).select("query_id", F.col("neighbor_id").alias("vec_id"))
+    return retrieval_metrics(
+        ranked, qrels, query_col="query_id", doc_col="vec_id", k=IVFPQ_K
+    )
+
+
+O_ANN_RECALL_RESIDUAL = _ann_recall_oracle(_ivfpq_residual_ranked_ctes())
 
 
 def q_zorder_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10502,6 +10713,125 @@ FROM t
 O_BMP_DECODE = _bmp_oracle()
 
 
+def _png_fixture() -> dict[str, tuple[int, list[list[tuple[int, ...]]], dict]]:
+    """Deterministic pixel grids for the PNG gate — name →
+    (color_type, rows, encode_kwargs). The RGB grid cycles through ALL
+    FIVE line filters (0-4 incl. Paeth) and splits its deflate stream
+    across multiple IDAT chunks; the RGBA grid forces the Paeth filter
+    on every row; the gray grid uses Sub/Up. A decoder that botches any
+    filter reconstruction, the IDAT concat, or the channel layout
+    cannot match the oracle (stats are computed from the GRIDS, never
+    the bytes)."""
+    rgb = [
+        [((r * 37 + c * 11) % 256, (r * 5 + c * 73) % 256,
+          (199 + r * 17 + c * 29) % 256) for c in range(5)]
+        for r in range(5)
+    ]
+    rgba = [
+        [((r * r * 31 + c) % 256, (r + c * c * 19) % 256,
+          (r * 13 + c * 41) % 256, (255 - r * 23 - c * 7) % 256)
+         for c in range(4)]
+        for r in range(4)
+    ]
+    gray = [
+        [(r * 101 + c * 53) % 256 for c in range(3)] for r in range(2)
+    ]
+    return {
+        "rgb_5x5.png": (2, rgb, {"idat_split": 16}),
+        "rgba_4x4.png": (6, rgba, {"filters": [4, 4, 4, 4]}),
+        "gray_3x2.png": (0, gray, {"filters": [1, 2]}),
+    }
+
+
+PNG_FIXTURE = _png_fixture()
+
+
+def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode under the hash gate (the r10 verdict's 'PNG is
+    stdlib-reachable' order): the deterministic pixel grids are encoded
+    as genuine PNGs (zlib deflate + CRC'd chunks, per-row filters
+    spanning all five types incl. Paeth, one multi-IDAT file), read
+    back through binaryFile, and decoded EXECUTOR-SIDE by the stdlib
+    chunk-walk + inflate + filter-reconstruction parser
+    (extract_png_stats — Arrow-batched mapInPandas; the byte layout is
+    additionally pinned against a hand-assembled hex literal in
+    tests/test_multimodal.py). The oracle inlines the integer image
+    stats computed from the pixel GRIDS. Non-BMP images no longer all
+    punt to PIL: 8-bit gray/RGB/RGBA PNG decodes for real."""
+    from jobinsight_data_pipeline_spark.catalog import scratch_dir
+    from jobinsight_data_pipeline_spark.operators.multimodal import (
+        extract_png_stats,
+    )
+
+    base = scratch_dir("png-gate-")
+    _plant_png_fixture(base)
+    media = _fixture_media(spark, base, "*.png", sorted(PNG_FIXTURE))
+    return extract_png_stats(media)
+
+
+def _plant_png_fixture(base: str) -> None:
+    import os
+
+    from jobinsight_data_pipeline_spark.operators.multimodal import (
+        encode_png,
+    )
+
+    for name, (ctype, rows, kw) in PNG_FIXTURE.items():
+        with open(os.path.join(base, name), "wb") as fh:
+            fh.write(encode_png(rows, color_type=ctype, **kw))
+
+
+def _png_oracle() -> str:
+    values = []
+    for i, name in enumerate(sorted(PNG_FIXTURE)):
+        ctype, rows, _kw = PNG_FIXTURE[name]
+        ch = {0: 1, 2: 3, 6: 4}[ctype]
+        h = len(rows)
+        w = len(rows[0])
+        px = [
+            (p,) if isinstance(p, int) else p for row in rows for p in row
+        ]
+        sum_r = sum(p[0] for p in px)
+        sum_g = sum(p[1] for p in px) if ch >= 3 else None
+        sum_b = sum(p[2] for p in px) if ch >= 3 else None
+        sum_a = sum(p[3] for p in px) if ch == 4 else None
+        grid = [
+            [(p,) if isinstance(p, int) else p for p in row] for row in rows
+        ]
+        weighted = sum(
+            (ri * w + ci) * sum(p[: min(ch, 3)])
+            for ri, row in enumerate(grid)
+            for ci, p in enumerate(row)
+        )
+        row_vals = (i + 1, w, h, ch, w * h, sum_r, sum_g, sum_b, sum_a,
+                    weighted)
+        values.append(
+            "("
+            + ", ".join("NULL" if v is None else str(v) for v in row_vals)
+            + ")"
+        )
+    rows_sql = ",\n    ".join(values)
+    return f"""
+WITH t(media_id, width, height, channels, n_px, sum_r, sum_g, sum_b,
+       sum_a, pos_weighted) AS (VALUES
+    {rows_sql})
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(width AS INTEGER) AS width,
+       CAST(height AS INTEGER) AS height,
+       CAST(channels AS INTEGER) AS channels,
+       CAST(n_px AS BIGINT) AS n_px,
+       CAST(sum_r AS BIGINT) AS sum_r,
+       CAST(sum_g AS BIGINT) AS sum_g,
+       CAST(sum_b AS BIGINT) AS sum_b,
+       CAST(sum_a AS BIGINT) AS sum_a,
+       CAST(pos_weighted AS BIGINT) AS pos_weighted
+FROM t
+"""
+
+
+O_PNG_DECODE = _png_oracle()
+
+
 _WCE_WINDOW, _WCE_HOP, _WCE_CAP = 8, 4, 8
 
 
@@ -11738,6 +12068,158 @@ O_KMEANS_FIT = _kmeans_oracle_sql(
 )
 
 
+def _pqr_cb() -> list[list[list[float]]]:
+    """The seeded PQ codebooks rescaled ×0.125 (exact in binary — an
+    exponent shift, so the literal reproduces bit-for-bit) to match the
+    unit-sphere data's per-dim magnitude (~1/√64): at the raw N(0,1)
+    scale the argmin is dominated by codebook norms and the raw-vs-
+    residual comparison degenerates to noise (~0.3% measured); at data
+    scale the residual improvement reads at its true size."""
+    return [
+        [[x * 0.125 for x in c] for c in book] for book in _pq_cb()
+    ]
+
+
+def q_pq_residual_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The residual-encoding IMPROVEMENT itself, pinned under one hash:
+    with a DATA-FITTED coarse quantizer (the memoized 8-cell Lloyd's
+    fit — residual encoding only helps when centroids are cell
+    conditional means; against unfitted random unit centroids it HURTS,
+    measured +40% error at sf0.01) the total PQ quantization error of
+    the residual space ``v − centroid[cell]`` is LOWER than encoding
+    raw vectors against the same data-scaled codebooks — the exact
+    quantity Jégou et al. 2011 §IV argue for IVFADC (recall follows on
+    clustered real data; see ann_recall_residual's honesty note). One
+    corpus scan: cell assignment in the quantized integer domain (the
+    kmeans_assign expression), both vector spaces derived from the SAME
+    micro-quantized ints (so both engines see identical doubles),
+    per-subspace min distance = array_min of the codebook distance
+    vector (no code lookup needed — the min IS the reconstruction
+    error), per-vector error floored to micro-units, BIGINT-summed.
+    Output: one row — n_vectors, the two totals, and gain_ppm > 0 as
+    the pinned improvement."""
+    from jobinsight_data_pipeline_spark.operators.clustering import (
+        _dist_vec_expr,
+        _imatrix_sql,
+        quantize_shifted,
+    )
+    from jobinsight_data_pipeline_spark.operators.parallelism import (
+        widen_for_cpu,
+    )
+    from jobinsight_data_pipeline_spark.operators.similarity import (
+        _cube_sql,
+    )
+
+    cents_q = _kmeans_centroids(spark, sf_dir)  # unshifted ints
+    shifted = [[x + _KMEANS_SCALE for x in c] for c in cents_q]
+    scale = _KMEANS_SCALE
+    t = load(spark, sf_dir, "embeddings")
+    emb = widen_for_cpu(
+        t["embeddings"].where(F.col("embedding").isNotNull())
+    )
+    q = (
+        emb.select(quantize_shifted("embedding", scale).alias("__p"))
+        .withColumn("__ds", _dist_vec_expr(shifted))
+        .select(
+            "__p",
+            F.expr(
+                "CAST(array_position(__ds, array_min(__ds)) - 1 AS INT)"
+            ).alias("cell"),
+        )
+    )
+    CM = _imatrix_sql(shifted)
+    vecs = q.select(
+        F.expr(
+            f"transform(__p, x -> CAST(x - {scale} AS DOUBLE)"
+            f" / {scale}.0)"
+        ).alias("rv"),
+        F.expr(
+            f"zip_with(__p, element_at({CM}, cell + 1),"
+            f" (x, y) -> CAST(x - y AS DOUBLE) / {scale}.0)"
+        ).alias("sv"),
+    )
+    CB = _cube_sql(_pqr_cb())
+    m, sub = PQ_M, PQ_SUB
+
+    def err(colname: str) -> str:
+        return (
+            f"aggregate(sequence(0, {m - 1}), 0.0d, (acc, j) -> acc + "
+            f"array_min(transform(element_at({CB}, CAST(j + 1 AS INT)),"
+            f" c -> aggregate(zip_with(slice({colname}, j * {sub} + 1,"
+            f" {sub}), c, (x, y) -> (x - y) * (x - y)), 0.0d,"
+            f" (s, y) -> s + y))))"
+        )
+
+    errs = vecs.select(
+        F.expr(
+            f"CAST(floor(({err('rv')}) * 1000000.0) AS BIGINT)"
+        ).alias("eraw"),
+        F.expr(
+            f"CAST(floor(({err('sv')}) * 1000000.0) AS BIGINT)"
+        ).alias("eres"),
+    )
+    return errs.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum("eraw").alias("raw_err_micro"),
+        F.sum("eres").alias("residual_err_micro"),
+    ).select(
+        "n_vectors",
+        "raw_err_micro",
+        "residual_err_micro",
+        F.expr(
+            "((raw_err_micro - residual_err_micro) * 1000000L)"
+            " div raw_err_micro"
+        ).alias("gain_ppm"),
+    )
+
+
+def _pq_residual_error_oracle() -> str:
+    m, sub, scale = PQ_M, PQ_SUB, _KMEANS_SCALE
+
+    def derr(v: str) -> str:
+        terms = []
+        for j in range(m):
+            diff = (
+                f"list_transform(range({sub}), t -> "
+                f"{v}[CAST({j * sub} + t + 1 AS INTEGER)]"
+                f" - c[CAST(t + 1 AS INTEGER)])"
+            )
+            terms.append(
+                f"list_min(list_transform(cb[{j + 1}],"
+                f" c -> list_dot_product({diff}, {diff})))"
+            )
+        return " + ".join(terms)
+
+    final = f""",
+cube AS (SELECT {_duck_cube(_pqr_cb())} AS cb),
+vecs AS (
+    SELECT a.vec_id,
+           list_transform(a.p, x -> CAST(x - {scale} AS DOUBLE)
+               / {scale}.0) AS rv,
+           list_transform(range(64), i ->
+               CAST(a.p[CAST(i + 1 AS INTEGER)]
+                    - c.c[CAST(i + 1 AS INTEGER)] AS DOUBLE)
+               / {scale}.0) AS sv
+    FROM afinal a JOIN c{_KMEANS_ITERS} c USING (cell)
+),
+errs AS (
+    SELECT vec_id,
+           CAST(floor(({derr('rv')}) * 1000000.0) AS BIGINT) AS eraw,
+           CAST(floor(({derr('sv')}) * 1000000.0) AS BIGINT) AS eres
+    FROM vecs, cube
+)
+SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(sum(eraw) AS BIGINT) AS raw_err_micro,
+       CAST(sum(eres) AS BIGINT) AS residual_err_micro,
+       ((CAST(sum(eraw) AS BIGINT) - CAST(sum(eres) AS BIGINT)) * 1000000)
+         // CAST(sum(eraw) AS BIGINT) AS gain_ppm
+FROM errs"""
+    return _kmeans_oracle_sql(final)
+
+
+O_PQ_RESIDUAL_ERROR = _pq_residual_error_oracle()
+
+
 _KMEANS_PP_CACHE: dict[tuple[int, str], list[list[int]]] = {}
 
 
@@ -12051,6 +12533,7 @@ QUERIES = {
     "binary_ingest": q_binary_ingest,
     "wav_decode": q_wav_decode,
     "bmp_decode": q_bmp_decode,
+    "png_decode": q_png_decode,
     "wav_chunk_energy": q_wav_chunk_energy,
     "bmp_resize": q_bmp_resize,
     "hll_distinct": q_hll_distinct,
@@ -12058,6 +12541,9 @@ QUERIES = {
     "retrieval_eval": q_retrieval_eval,
     "hll_by_type": q_hll_by_type,
     "ann_recall_eval": q_ann_recall_eval,
+    "ivf_pq_residual": q_ivf_pq_residual,
+    "ann_recall_residual": q_ann_recall_residual,
+    "pq_residual_error": q_pq_residual_error,
     "ann_probe_curve": q_ann_probe_curve,
     "zorder_digest": q_zorder_digest,
     "source_overlap": q_source_overlap,
@@ -12205,6 +12691,7 @@ ORACLES = {
     "binary_ingest": O_BINARY_INGEST,
     "wav_decode": O_WAV_DECODE,
     "bmp_decode": O_BMP_DECODE,
+    "png_decode": O_PNG_DECODE,
     "wav_chunk_energy": O_WAV_CHUNK_ENERGY,
     "bmp_resize": O_BMP_RESIZE,
     "hll_distinct": O_HLL_DISTINCT,
@@ -12212,6 +12699,9 @@ ORACLES = {
     "retrieval_eval": O_RETRIEVAL_EVAL,
     "hll_by_type": O_HLL_BY_TYPE,
     "ann_recall_eval": O_ANN_RECALL_EVAL,
+    "ivf_pq_residual": O_IVF_PQ_RESIDUAL,
+    "ann_recall_residual": O_ANN_RECALL_RESIDUAL,
+    "pq_residual_error": O_PQ_RESIDUAL_ERROR,
     "ann_probe_curve": O_ANN_PROBE_CURVE,
     "zorder_digest": O_ZORDER_DIGEST,
     "source_overlap": O_SOURCE_OVERLAP,

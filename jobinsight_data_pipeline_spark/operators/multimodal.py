@@ -5,11 +5,14 @@ decode / feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` stages so the bytes never round-trip through the driver
 and each executor processes whole record batches.
 
-Two codecs are decoded FOR REAL with the stdlib alone — PCM WAV
-(``wave`` + ``array``: :func:`decode_wav` / :func:`extract_wav_stats`)
-and 24-bit uncompressed BMP (``struct`` header walk + padded-row pixel
-parse: :func:`decode_bmp` / :func:`extract_bmp_stats`) — both gated by
-planted-fixture exact oracles. The remaining kernels depend on codec
+Three codecs are decoded FOR REAL with the stdlib alone — PCM WAV
+(``wave`` + ``array``: :func:`decode_wav` / :func:`extract_wav_stats`),
+24-bit uncompressed BMP (``struct`` header walk + padded-row pixel
+parse: :func:`decode_bmp` / :func:`extract_bmp_stats`), and 8-bit
+gray/RGB/RGBA PNG (``struct`` chunk walk + ``zlib`` inflate + the five
+line-filter reconstructions incl. Paeth: :func:`decode_png` /
+:func:`extract_png_stats`) — all gated by planted-fixture exact
+oracles. The remaining kernels depend on codec
 libraries (PIL/ffmpeg/…) that are NOT in this container: ``decode_fn``
 defaults to a deterministic fake (shape/byte stats) and raises
 ``NotImplementedError`` when a real decode of those formats is
@@ -67,17 +70,24 @@ def fake_decode_features(content: bytes | None, dim: int = 8) -> list[float] | N
 
 
 def real_decode(content: bytes, mime: str):
-    """Decode bytes with the best available kernel: PCM WAV and 24-bit
-    BMP decode for real via the stdlib (:func:`decode_wav` /
-    :func:`decode_bmp`); other image/* mimes use PIL when installed;
-    everything else (compressed audio, video) needs av/ffmpeg and stays
-    a deployment concern."""
+    """Decode bytes with the best available kernel: PCM WAV, 24-bit
+    BMP, and 8-bit gray/RGB/RGBA PNG decode for real via the stdlib
+    (:func:`decode_wav` / :func:`decode_bmp` / :func:`decode_png`);
+    other image/* mimes use PIL when installed; everything else
+    (compressed audio, video) needs av/ffmpeg and stays a deployment
+    concern."""
     if mime in ("audio/wav", "audio/x-wav", "audio/wave"):
         return decode_wav(content)
     if mime == "image/bmp" or (
         mime and mime.startswith("image/") and content[:2] == b"BM"
     ):
         return decode_bmp(content)
+    if mime == "image/png" or (
+        mime
+        and mime.startswith("image/")
+        and content[:8] == PNG_MAGIC
+    ):
+        return decode_png(content)
     if mime and mime.startswith("image/"):
         try:
             import io
@@ -360,6 +370,263 @@ def extract_bmp_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, BMP_STATS_SCHEMA)
+
+
+# --- real stdlib decode kernel: PNG (8-bit RGB / RGBA / gray) ----------
+
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # gray, RGB, RGBA (8-bit depth only)
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """The Paeth predictor (PNG spec §9, filter type 4)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(
+    rows: list[list[tuple[int, ...]]],
+    color_type: int = 2,
+    filters: list[int] | None = None,
+    idat_split: int | None = None,
+) -> bytes:
+    """Minimal stdlib PNG writer (``zlib`` deflate + ``struct`` chunks +
+    CRC32): 8-bit gray (color type 0), RGB (2), or RGBA (6),
+    non-interlaced. ``rows`` is row-major top-to-bottom pixel tuples
+    (ints for gray). ``filters`` picks the per-row filter type (0-4;
+    default cycles through all five so a decoder must implement every
+    reconstruction incl. Paeth — the fixture-planting twin of
+    :func:`decode_png`). ``idat_split`` splits the compressed stream
+    across multiple IDAT chunks (readers must concatenate)."""
+    import struct
+    import zlib
+
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(f"encode_png: unsupported color type {color_type}")
+    ch = _PNG_CHANNELS[color_type]
+    h = len(rows)
+    w = len(rows[0]) if h else 0
+    raw = bytearray()
+    prior = bytes(w * ch)
+    for ri, row in enumerate(rows):
+        if len(row) != w:
+            raise ValueError("encode_png: ragged pixel rows")
+        line = bytearray()
+        for px in row:
+            if ch == 1:
+                line.append(px if isinstance(px, int) else px[0])
+            else:
+                line.extend(px[:ch])
+        ft = (filters[ri] if filters else ri % 5) if h else 0
+        filt = bytearray()
+        for x in range(len(line)):
+            left = line[x - ch] if x >= ch else 0
+            up = prior[x]
+            ul = prior[x - ch] if x >= ch else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = left
+            elif ft == 2:
+                pred = up
+            elif ft == 3:
+                pred = (left + up) // 2
+            elif ft == 4:
+                pred = _paeth(left, up, ul)
+            else:
+                raise ValueError(f"encode_png: bad filter type {ft}")
+            filt.append((line[x] - pred) & 0xFF)
+        raw.append(ft)
+        raw += filt
+        prior = bytes(line)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    comp = zlib.compress(bytes(raw))
+    if idat_split and len(comp) > idat_split:
+        idats = b"".join(
+            _png_chunk(b"IDAT", comp[i : i + idat_split])
+            for i in range(0, len(comp), idat_split)
+        )
+    else:
+        idats = _png_chunk(b"IDAT", comp)
+    return (
+        PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + idats
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(
+    content: bytes,
+) -> tuple[int, int, int, list[list[tuple[int, ...]]]]:
+    """REAL stdlib PNG decode (``struct`` chunk walk + ``zlib`` inflate
+    + the five line-filter reconstructions incl. Paeth): 8-bit gray /
+    RGB / RGBA, non-interlaced — the formats that dominate real image
+    corpora after JPEG. Returns ``(width, height, channels, rows)``
+    with ``rows`` row-major top-to-bottom pixel tuples. Chunk CRCs are
+    verified; palette (color type 3), 16-bit depths, and Adam7
+    interlacing raise ``NotImplementedError`` honestly (they need a
+    palette pass / wider samples / a 7-pass de-interleave — wire them
+    here if a corpus carries them)."""
+    import struct
+    import zlib
+
+    if content[:8] != PNG_MAGIC:
+        raise ValueError("decode_png: not a PNG (bad signature)")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= len(content):
+        (length,) = struct.unpack_from(">I", content, pos)
+        ctype = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + length]
+        if len(data) != length or pos + 12 + length > len(content):
+            raise ValueError("decode_png: truncated chunk")
+        (crc,) = struct.unpack_from(">I", content, pos + 8 + length)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"decode_png: CRC mismatch in {ctype!r}")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("decode_png: missing IHDR")
+    w, h, depth, color_type, comp, filt_method, interlace = ihdr
+    if comp != 0 or filt_method != 0:
+        raise ValueError("decode_png: nonstandard compression/filter method")
+    if interlace != 0:
+        raise NotImplementedError(
+            "decode_png: Adam7 interlaced PNGs not supported (needs the "
+            "7-pass de-interleave)"
+        )
+    if depth != 8 or color_type not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"decode_png: only 8-bit gray/RGB/RGBA supported "
+            f"(got depth={depth}, color_type={color_type})"
+        )
+    ch = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("decode_png: decompressed size mismatch")
+    rows: list[list[tuple[int, ...]]] = []
+    prior = bytearray(stride)
+    for r in range(h):
+        off = r * (stride + 1)
+        ft = raw[off]
+        line = bytearray(raw[off + 1 : off + 1 + stride])
+        if ft == 1:
+            for x in range(ch, stride):
+                line[x] = (line[x] + line[x - ch]) & 0xFF
+        elif ft == 2:
+            for x in range(stride):
+                line[x] = (line[x] + prior[x]) & 0xFF
+        elif ft == 3:
+            for x in range(stride):
+                left = line[x - ch] if x >= ch else 0
+                line[x] = (line[x] + (left + prior[x]) // 2) & 0xFF
+        elif ft == 4:
+            for x in range(stride):
+                left = line[x - ch] if x >= ch else 0
+                ul = prior[x - ch] if x >= ch else 0
+                line[x] = (line[x] + _paeth(left, prior[x], ul)) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"decode_png: bad filter type {ft}")
+        rows.append(
+            [tuple(line[c * ch : (c + 1) * ch]) for c in range(w)]
+        )
+        prior = line
+    return w, h, ch, rows
+
+
+def png_stats_py(content: bytes | None) -> dict | None:
+    """Integer-exact image signature off the REAL PNG decode: the
+    :func:`bmp_stats_py` contract plus ``channels`` and an alpha sum
+    (NULL for gray/RGB). Gray images report their single channel in
+    ``sum_r`` with green/blue NULL. The position-weighted checksum
+    covers color channels only, so it is comparable across RGB and
+    RGBA variants of the same image."""
+    if content is None:
+        return None
+    w, h, ch, rows = decode_png(content)
+    sum_r = sum_g = sum_b = sum_a = weighted = 0
+    for ri, row in enumerate(rows):
+        for ci, px in enumerate(row):
+            sum_r += px[0]
+            if ch >= 3:
+                sum_g += px[1]
+                sum_b += px[2]
+            if ch == 4:
+                sum_a += px[3]
+            weighted += (ri * w + ci) * sum(px[: min(ch, 3)])
+    return {
+        "width": w,
+        "height": h,
+        "channels": ch,
+        "n_px": w * h,
+        "sum_r": sum_r,
+        "sum_g": sum_g if ch >= 3 else None,
+        "sum_b": sum_b if ch >= 3 else None,
+        "sum_a": sum_a if ch == 4 else None,
+        "pos_weighted": weighted,
+    }
+
+
+PNG_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("n_px", T.LongType(), True),
+        T.StructField("sum_r", T.LongType(), True),
+        T.StructField("sum_g", T.LongType(), True),
+        T.StructField("sum_b", T.LongType(), True),
+        T.StructField("sum_a", T.LongType(), True),
+        T.StructField("pos_weighted", T.LongType(), True),
+    ]
+)
+
+
+def extract_png_stats(media: DataFrame) -> DataFrame:
+    """(media_id, content=PNG bytes) → one integer-exact signature row
+    per blob via the REAL stdlib PNG decode, Arrow-batched
+    executor-side. NULL content → all-NULL stats row."""
+    cols = [
+        "width", "height", "channels", "n_px",
+        "sum_r", "sum_g", "sum_b", "sum_a", "pos_weighted",
+    ]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            stats = [png_stats_py(c) for c in pdf["content"]]
+            out = {"media_id": pdf["media_id"]}
+            for k in cols:
+                out[k] = [st[k] if st is not None else None for st in stats]
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, PNG_STATS_SCHEMA)
 
 
 def bmp_downsample2x_py(content: bytes) -> bytes:

@@ -884,6 +884,7 @@ def ivf_pq_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ — the production serving composition: Voronoi cells prune
     the corpus to the query's ``n_probe`` nearest lists, PQ codes +
@@ -910,9 +911,12 @@ def ivf_pq_topk(
     probe-cell filter through the build projection, so PQ codes are
     still only evaluated for surviving rows).
     """
-    index = build_ivf_pq_index(corpus, centroids, codebooks, id_col, vec_col)
+    index = build_ivf_pq_index(
+        corpus, centroids, codebooks, id_col, vec_col, residual=residual
+    )
     return ivf_pq_topk_indexed(
-        index, query, centroids, codebooks, k, n_probe, id_col
+        index, query, centroids, codebooks, k, n_probe, id_col,
+        residual=residual,
     )
 
 
@@ -938,6 +942,23 @@ def cell_assignment_column(
     return (F.array_position(sarr, F.array_max(sarr)) - 1).cast("int")
 
 
+def residual_vec_column(
+    vec_col: str, cell_col: str, centroids: list[list[float]]
+) -> Column:
+    """``v − centroid[cell]`` as a composable Column (array<double>) —
+    the residual the IVFADC formulation quantizes (Jégou et al. 2011
+    §IV): PQ-encoding the residual removes the cell offset from the
+    quantization error, which is what holds recall at small m. The
+    centroid matrix rides as one parsed literal; elements widen to
+    DOUBLE before the subtract (float32 inputs must not stay float)."""
+    CENTS = F.expr(_matrix_sql(centroids))
+    return F.zip_with(
+        F.col(vec_col),
+        F.element_at(CENTS, (F.col(cell_col) + F.lit(1)).cast("int")),
+        lambda a, b: a.cast("double") - b,
+    )
+
+
 def probe_cells(
     query: list[float], centroids: list[list[float]], n_probe: int
 ) -> list[int]:
@@ -958,6 +979,7 @@ def build_ivf_pq_index(
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    residual: bool = False,
 ) -> DataFrame:
     """Build the IVF-PQ index ONCE: a single corpus scan emitting
     (id_col, cell, codes) — cell assignment and PQ encoding fused into
@@ -972,11 +994,40 @@ def build_ivf_pq_index(
     scan and a query touches ``n_probe / n_lists`` of the index as
     one-byte-ish codes instead of re-encoding 100 TB of raw vectors
     per query (the FAISS IVFADC serving shape, Jégou et al. 2011).
+
+    ``residual=True`` PQ-encodes ``v − centroid[cell]`` instead of the
+    raw vector — the actual IVFADC formulation (Jégou et al. 2011 §IV):
+    the cell offset no longer spends code bits, so quantization error
+    drops and recall holds at small m. Serve residual indexes with the
+    matching ``residual=True`` flag on the serving functions (the codes
+    are in residual space — mixing the routes is meaningless; codes are
+    deterministic either way so both routes carry FULL exact oracles).
+    Still one fused scan, no shuffle, no UDF: the build is three chained
+    narrow projections (cell → residual → codes) that CollapseProject
+    keeps separate (each intermediate is a non-cheap interpreted HOF
+    referenced more than once downstream — the r9 kmeans lesson), so
+    the argmax and the subtract each evaluate once per row.
     """
-    return corpus.select(
+    if not residual:
+        return corpus.select(
+            F.col(id_col),
+            cell_assignment_column(vec_col, centroids).alias("cell"),
+            pq_codes_column(vec_col, codebooks).alias("codes"),
+        )
+    with_cell = corpus.select(
         F.col(id_col),
+        F.col(vec_col).alias("_v"),
         cell_assignment_column(vec_col, centroids).alias("cell"),
-        pq_codes_column(vec_col, codebooks).alias("codes"),
+    )
+    resid = with_cell.select(
+        F.col(id_col),
+        "cell",
+        residual_vec_column("_v", "cell", centroids).alias("_r"),
+    )
+    return resid.select(
+        F.col(id_col),
+        "cell",
+        pq_codes_column("_r", codebooks).alias("codes"),
     )
 
 
@@ -988,6 +1039,7 @@ def ivf_pq_topk_indexed(
     k: int = 10,
     n_probe: int = 4,
     id_col: str = "vec_id",
+    residual: bool = False,
 ) -> DataFrame:
     """Serve half of the IVF-PQ duality: top-``k`` against a prebuilt
     (id, cell, codes) index from :func:`build_ivf_pq_index`. Probe cells
@@ -1000,10 +1052,60 @@ def ivf_pq_topk_indexed(
 
     Bit-identical to :func:`ivf_pq_topk` on the same corpus /
     centroids / codebooks — the catalog pins both routes to ONE exact
-    oracle."""
+    oracle.
+
+    ``residual=True`` serves a ``residual=True`` index (IVFADC, Jégou
+    et al. 2011 §IV): the ADC lookup table is built driver-side PER
+    PROBED CELL from the query residual ``q − centroid[cell]`` —
+    ``n_probe`` tables of m×k doubles (model-sized; Python doubles are
+    IEEE so the literal matches an in-engine computation bit-for-bit),
+    inlined as one 3-level literal indexed by the candidate's probe
+    position. Scoring stays m lookups summed in subspace order."""
     probe = probe_cells(query, centroids, n_probe)
-    cand = index.filter(F.col("cell").isin(*probe)).select(id_col, "codes")
-    return pq_adc_topk(cand, query, codebooks, k, id_col=id_col)
+    cand = index.filter(F.col("cell").isin(*probe))
+    if not residual:
+        return pq_adc_topk(
+            cand.select(id_col, "codes"), query, codebooks, k, id_col=id_col
+        )
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    lut3 = []
+    for c in probe:
+        qr = [float(query[t]) - centroids[c][t] for t in range(len(query))]
+        lut3.append(
+            [
+                [
+                    # left-to-right fold, matching the in-engine
+                    # zip_with accumulation of ivf_pq_topk_many
+                    sum(
+                        (qr[j * sub + t] - cc[t]) * (qr[j * sub + t] - cc[t])
+                        for t in range(sub)
+                    )
+                    for cc in codebooks[j]
+                ]
+                for j in range(m)
+            ]
+        )
+    LUT3 = F.expr(_cube_sql(lut3))
+    PROBE = F.expr("array(" + ",".join(str(c) for c in probe) + ")")
+    cell_lut = F.element_at(LUT3, F.array_position(PROBE, F.col("cell")).cast("int"))
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(
+            F.element_at(cell_lut, (j + F.lit(1)).cast("int")),
+            (
+                F.element_at(F.col("codes"), (j + F.lit(1)).cast("int"))
+                + F.lit(1)
+            ).cast("int"),
+        ),
+    )
+    return (
+        cand.select(F.col(id_col), adc.alias("adc"))
+        .orderBy(F.col("adc").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
 
 
 def ivf_pq_topk_many(
@@ -1016,11 +1118,19 @@ def ivf_pq_topk_many(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     query_vec_col: str = "embedding",
+    residual: bool = False,
 ) -> DataFrame:
     """Batched IVF-PQ serving: top-``k`` for a whole DataFrame of query
     vectors against a prebuilt :func:`build_ivf_pq_index` index — the
     production serving shape (one job amortizes the index scan over the
     batch), fully distributed with NOTHING collected to the driver.
+
+    ``residual=True`` serves a ``residual=True`` index (IVFADC): the
+    per-(query, cell) residual ``q − centroid[cell]`` is computed
+    IN-ENGINE in the probes frame (one zip_with per exploded probe row,
+    queries ≪ corpus so this rides the broadcast), and the same ADC
+    fold then runs against it — a one-row query batch is bit-identical
+    to ``ivf_pq_topk_indexed(residual=True)`` (pinned by test).
 
     Per query, probe cells are picked IN-ENGINE: dot against the literal
     centroid matrix, ``array_sort`` on (−dot, cell) structs — the exact
@@ -1073,6 +1183,20 @@ def ivf_pq_topk_many(
             "cell"
         ),
     )
+    if residual:
+        # per (query, cell): the query residual replaces the raw query
+        # vector; everything downstream (term/adc/rank) is unchanged
+        probes = probes.select(
+            query_id_col,
+            "cell",
+            F.zip_with(
+                F.col("_qv"),
+                F.element_at(
+                    CENTS, (F.col("cell") + F.lit(1)).cast("int")
+                ),
+                lambda a, b: a - b,
+            ).alias("_qv"),
+        )
 
     cand = index.join(broadcast(probes), "cell")
 

@@ -17,9 +17,12 @@ from jobinsight_data_pipeline_spark.operators.multimodal import (
     bmp_stats_py,
     build_image_feature_fn,
     decode_bmp,
+    decode_png,
     decode_wav,
     encode_bmp,
+    encode_png,
     fake_decode_features,
+    png_stats_py,
     real_decode,
     wav_stats_py,
 )
@@ -107,6 +110,130 @@ def _make_wav(nch: int, sw: int, fr: int, samples: list[int]) -> bytes:
                 b"".join(v.to_bytes(2, "little", signed=True) for v in samples)
             )
     return buf.getvalue()
+
+
+# 2x2 8-bit RGB PNG, hand-assembled chunk by chunk: signature, IHDR
+# (w=2, h=2, depth=8, color type 2, non-interlaced), one IDAT whose
+# DECOMPRESSED stream is pinned byte-for-byte (filter byte 0 + RGB
+# triples per row), CRC32 over type+data on every chunk.
+HAND_PNG_RAW = bytes(
+    [0, 255, 0, 0, 0, 255, 0]  # row0: filter None, red, green
+    + [0, 0, 0, 255, 255, 255, 255]  # row1: filter None, blue, white
+)
+HAND_PNG_PIXELS = [
+    [(255, 0, 0), (0, 255, 0)],
+    [(0, 0, 255), (255, 255, 255)],
+]
+
+
+def _hand_png() -> bytes:
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    comp = zlib.compress(HAND_PNG_RAW)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", comp)
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_png_hand_constructed_layout():
+    w, h, ch, rows = decode_png(_hand_png())
+    assert (w, h, ch) == (2, 2, 3)
+    assert rows == HAND_PNG_PIXELS
+
+
+def test_encode_png_matches_hand_layout():
+    # the writer must reproduce the hand-assembled file byte for byte
+    # (same chunk framing, same CRCs, same filter stream)
+    assert encode_png(HAND_PNG_PIXELS, color_type=2, filters=[0, 0]) == _hand_png()
+
+
+def test_png_roundtrip_all_filters_and_types():
+    rgb = [
+        [((r * 37 + c * 11) % 256, (r * 5 + c * 73) % 256, (r * 17 + c) % 256)
+         for c in range(7)]
+        for r in range(6)
+    ]
+    for ft in range(5):
+        b = encode_png(rgb, color_type=2, filters=[ft] * 6)
+        assert decode_png(b)[3] == rgb, f"filter {ft}"
+    # cycled filters + multi-IDAT concat
+    b = encode_png(rgb, color_type=2, idat_split=11)
+    assert b.count(b"IDAT") > 1
+    assert decode_png(b)[3] == rgb
+    # RGBA keeps alpha; gray keeps single channel
+    rgba = [[(r, c, (r + c) % 256, (255 - r) % 256) for c in range(3)] for r in range(4)]
+    assert decode_png(encode_png(rgba, color_type=6))[2:] == (4, rgba)
+    gray = [[(r * 101 + c * 53) % 256 for c in range(3)] for r in range(2)]
+    w, h, ch, rows = decode_png(encode_png(gray, color_type=0))
+    assert ch == 1 and [[p[0] for p in row] for row in rows] == gray
+
+
+def test_png_stats_channels_and_orientation():
+    st = png_stats_py(_hand_png())
+    assert st["width"] == 2 and st["height"] == 2 and st["channels"] == 3
+    assert (st["sum_r"], st["sum_g"], st["sum_b"]) == (510, 510, 510)
+    assert st["sum_a"] is None
+    # pos_weighted pins orientation: flipping rows must change it
+    flipped = png_stats_py(
+        encode_png(list(reversed(HAND_PNG_PIXELS)), color_type=2)
+    )
+    assert st["pos_weighted"] != flipped["pos_weighted"]
+    assert png_stats_py(None) is None
+
+
+def test_png_error_branches():
+    good = _hand_png()
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"not a png")
+    # corrupt a CRC byte
+    bad = bytearray(good)
+    bad[-1] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad))
+    # 16-bit depth and palette color types punt honestly
+    import zlib
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    for depth, ctype_val in ((16, 2), (8, 3)):
+        ihdr = struct.pack(">IIBBBBB", 1, 1, depth, ctype_val, 0, 0, 0)
+        f = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(
+            b"IDAT", zlib.compress(b"\x00\x00\x00\x00")
+        ) + chunk(b"IEND", b"")
+        with pytest.raises(NotImplementedError):
+            decode_png(f)
+    # Adam7 interlace punts honestly
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 1)
+    f = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(
+        b"IDAT", zlib.compress(b"\x00\x00\x00\x00")
+    ) + chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError, match="Adam7"):
+        decode_png(f)
+
+
+def test_real_decode_routes_png():
+    w, h, ch, rows = real_decode(_hand_png(), "image/png")
+    assert rows == HAND_PNG_PIXELS
+    # magic-sniffed route for a generic image/* mime
+    w, h, ch, rows = real_decode(_hand_png(), "image/unknown")
+    assert rows == HAND_PNG_PIXELS
 
 
 def test_decode_wav_8bit_rebias_and_16bit_sign():

@@ -147,6 +147,7 @@ def test_no_accidental_cartesian_or_nested_loop(spark):
         "bm25_index_search",
         "retrieval_eval",  # embeds bm25_scores' 1-row stats crossJoin ×3
         "ann_recall_eval",  # cosine_topk broadcast query side + IVF route
+        "ann_recall_residual",  # same class, residual (IVFADC) route
         "ann_probe_curve",  # same class, four probe widths
         "zorder_digest",  # 1-row min/max quantizer stats broadcast
 
