@@ -11010,6 +11010,76 @@ FROM v GROUP BY bucket
 """
 
 
+def q_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL cardinality NUMBER itself under the oracle (the r10
+    verdict's order — `hll_distinct` gates the register table, this
+    gates what users read off it): the bias-corrected harmonic-mean
+    estimate with the small-range linear-counting branch, as exact
+    engine-side arithmetic (operators/sketches.hll_estimate_micro —
+    BIGINT 2³³-scaled denominator, one host-exact double numerator
+    literal, host-literal m·ln(m/zeros) micro-unit table; no engine ln
+    or float constant anywhere). The float reference estimator's 2σ
+    accuracy pin vs exact distinct counts stays in pytest."""
+    from jobinsight_data_pipeline_spark.operators.sketches import (
+        hll_estimate_micro,
+        hll_registers,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    regs = hll_registers(t["documents"], "doc_id", buckets=64)
+    return hll_estimate_micro(regs, buckets=64)
+
+
+def _hll_estimate_oracle() -> str:
+    from jobinsight_data_pipeline_spark.operators.sketches import (
+        hll_alpha_micro,
+        hll_linear_micro,
+    )
+
+    m = 64
+    pow33 = 1 << 33
+    n_lit = repr(float(hll_alpha_micro(m) * m * m * pow33))
+    lc_lit = "[" + ",".join(str(v) for v in hll_linear_micro(m)) + "]"
+    lin_cut = 2_500_000 * m
+    raw = (
+        f"CAST(floor({n_lit} / CAST(({m} - present) * {pow33}"
+        f" + sum_pow AS DOUBLE)) AS BIGINT)"
+    )
+    return f"""
+WITH h AS (
+    SELECT md5('hll:' || CAST(doc_id AS VARCHAR)) AS hx FROM documents
+),
+v AS (
+    SELECT CAST(('0x' || substring(hx, 1, 8)) AS BIGINT) % {m} AS bucket,
+           CAST(('0x' || substring(hx, 9, 8)) AS BIGINT) AS w
+    FROM h
+),
+regs AS (
+    SELECT bucket,
+           max(CASE WHEN w = 0 THEN 33 ELSE 33 - length(bin(w)) END)
+               AS register
+    FROM v GROUP BY bucket
+),
+a AS (
+    SELECT count(*) AS present,
+           coalesce(sum(CAST(1 AS BIGINT)
+               << CAST(33 - register AS INTEGER)), 0) AS sum_pow
+    FROM regs
+)
+SELECT CAST({m} AS BIGINT) AS n_buckets,
+       CAST(present AS BIGINT) AS present,
+       CAST({m} - present AS BIGINT) AS zeros,
+       CAST(({m} - present) * {pow33} + sum_pow AS BIGINT) AS s_scaled,
+       CAST(CASE WHEN {raw} <= {lin_cut} AND {m} - present > 0
+            THEN {lc_lit}[CAST({m} - present AS INTEGER)]
+            ELSE {raw} END AS BIGINT) AS est_micro
+FROM a
+"""
+
+
+O_HLL_ESTIMATE = _hll_estimate_oracle()
+
+
 def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME register table as `hll_distinct`, with the state
     accumulated by a Structured Streaming loop
@@ -11611,6 +11681,133 @@ SELECT source, count(*) AS n_rows,
        TRUE AS compacted,
        TRUE AS rows_preserved
 FROM documents GROUP BY source
+"""
+
+
+def q_zorder_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAYOUT-AWARE compaction end-to-end (the r10 verdict's order —
+    zorder_sort and compact_files existed separately; this gates
+    OPTIMIZE ZORDER BY as one maintenance rewrite): orders fragmented
+    into 64 random small files, compacted INTO Morton-key order
+    (compact_parquet(zorder_by=[o_custkey, epoch_day])), then the
+    block-min/max pruning audit run per OUTPUT FILE — exactly the
+    statistics a parquet reader skips against. Pinned booleans: rows
+    preserved, file count dropped, and an off-center eighth-range
+    predicate on EITHER dimension touches strictly fewer files than
+    exist AND strictly fewer than the fragmented layout (measured
+    ≤8/16 vs 63-64/64 at every SF; the audit range sits inside bit15=0
+    so quantized-bit pruning engages — a centered range crossing the
+    top-bit boundary is the adversarial case). The per-group content
+    checksums come from the COMPACTED data, so a row lost, duplicated,
+    or mangled by the ordered rewrite flips the hash."""
+    from jobinsight_data_pipeline_spark.catalog import scratch_dir
+    from jobinsight_data_pipeline_spark.sources.lake import compact_parquet
+
+    t = load(spark, sf_dir, "orders")
+    o = t["orders"].select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr(
+            "datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')"
+        ).cast("long").alias("epoch_day"),
+    )
+    base = scratch_dir("zcompact-gate-")
+    frag, out = base + "/frag", base + "/compacted"
+    o.repartition(64).write.mode("overwrite").parquet(frag)
+    stats = compact_parquet(
+        spark, frag, out,
+        zorder_by=["o_custkey", "epoch_day"], zorder_files=16,
+    )
+    b = o.agg(
+        F.min("o_custkey"), F.max("o_custkey"),
+        F.min("epoch_day"), F.max("epoch_day"),
+    ).head()
+    mn0, mx0, mn1, mx1 = b
+    lo0, hi0 = mn0 + (mx0 - mn0) * 1 // 8, mn0 + (mx0 - mn0) * 2 // 8
+    lo1, hi1 = mn1 + (mx1 - mn1) * 1 // 8, mn1 + (mx1 - mn1) * 2 // 8
+
+    def audit(path: str):
+        df = spark.read.parquet(path)
+        per_file = (
+            df.select(
+                F.input_file_name().alias("_f"), "o_custkey", "epoch_day"
+            )
+            .groupBy("_f")
+            .agg(
+                F.min("o_custkey").alias("mn0"),
+                F.max("o_custkey").alias("mx0"),
+                F.min("epoch_day").alias("mn1"),
+                F.max("epoch_day").alias("mx1"),
+            )
+        )
+        return per_file.agg(
+            F.count(F.lit(1)).alias("files"),
+            F.sum(
+                F.when(
+                    (F.col("mx0") >= lo0) & (F.col("mn0") <= hi0), 1
+                ).otherwise(0)
+            ).alias("t0"),
+            F.sum(
+                F.when(
+                    (F.col("mx1") >= lo1) & (F.col("mn1") <= hi1), 1
+                ).otherwise(0)
+            ).alias("t1"),
+        ).head()
+    fa = audit(frag)
+    ca = audit(out)
+    back = spark.read.parquet(out)
+    chk = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "\x1f",
+                    F.col("o_orderkey").cast("string"),
+                    F.col("o_custkey").cast("string"),
+                    F.col("epoch_day").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        back.groupBy((F.col("o_custkey") % 16).alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.bit_xor(chk).alias("checksum"),
+        )
+        .withColumn(
+            "compacted", F.lit(stats["files_after"] < stats["files_before"])
+        )
+        .withColumn(
+            "rows_preserved",
+            F.lit(stats["rows_after"] == stats["rows_before"]),
+        )
+        .withColumn(
+            "prunes_custkey",
+            F.lit(bool(ca["t0"] < ca["files"] and ca["t0"] < fa["t0"])),
+        )
+        .withColumn(
+            "prunes_epoch",
+            F.lit(bool(ca["t1"] < ca["files"] and ca["t1"] < fa["t1"])),
+        )
+    )
+
+
+O_ZORDER_COMPACT = """
+SELECT o_custkey % 16 AS grp, count(*) AS n_rows,
+       bit_xor(CAST(('0x' || substring(md5(concat_ws(chr(31),
+           CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+           CAST(date_diff('day', DATE '1970-01-01',
+                CAST(o_orderdate AS DATE)) AS VARCHAR))), 1, 8))
+           AS BIGINT)) AS checksum,
+       TRUE AS compacted,
+       TRUE AS rows_preserved,
+       TRUE AS prunes_custkey,
+       TRUE AS prunes_epoch
+FROM orders GROUP BY 1
 """
 
 
@@ -12537,6 +12734,7 @@ QUERIES = {
     "wav_chunk_energy": q_wav_chunk_energy,
     "bmp_resize": q_bmp_resize,
     "hll_distinct": q_hll_distinct,
+    "hll_estimate": q_hll_estimate,
     "stream_hll": q_stream_hll,
     "retrieval_eval": q_retrieval_eval,
     "hll_by_type": q_hll_by_type,
@@ -12598,6 +12796,7 @@ QUERIES = {
     "orc_roundtrip": q_orc_roundtrip,
     "xml_roundtrip": q_xml_roundtrip,
     "compact_files": q_compact_files,
+    "zorder_compact": q_zorder_compact,
 }
 
 ORACLES = {
@@ -12695,6 +12894,7 @@ ORACLES = {
     "wav_chunk_energy": O_WAV_CHUNK_ENERGY,
     "bmp_resize": O_BMP_RESIZE,
     "hll_distinct": O_HLL_DISTINCT,
+    "hll_estimate": O_HLL_ESTIMATE,
     "stream_hll": O_STREAM_HLL,
     "retrieval_eval": O_RETRIEVAL_EVAL,
     "hll_by_type": O_HLL_BY_TYPE,
@@ -12756,4 +12956,5 @@ ORACLES = {
     "orc_roundtrip": O_ORC_ROUNDTRIP,
     "xml_roundtrip": O_XML_ROUNDTRIP,
     "compact_files": O_COMPACT_FILES,
+    "zorder_compact": O_ZORDER_COMPACT,
 }

@@ -212,6 +212,9 @@ def compact_parquet(
     dst_path: str,
     target_mb: int = 128,
     partition_by: list[str] | None = None,
+    zorder_by: list[str] | None = None,
+    zorder_bits: int = 16,
+    zorder_files: int | None = None,
 ) -> dict:
     """Small-file compaction — the table-maintenance pass every
     long-lived lake needs (streaming sinks, frequent small appends, and
@@ -231,7 +234,18 @@ def compact_parquet(
     driver. Returns ``{"files_before", "files_after", "rows_before",
     "rows_after"}`` for the caller's invariance check (the gate pins
     rows_before == rows_after, files_after <= files_before, and a
-    content checksum)."""
+    content checksum).
+
+    ``zorder_by`` makes the compaction LAYOUT-AWARE (the OPTIMIZE
+    ZORDER BY maintenance pass): rows are rewritten in Morton-key order
+    (:func:`~jobinsight_data_pipeline_spark.operators.zorder.zorder_key_quantized`)
+    via range-repartition + in-partition sort, so each output file
+    holds a compact Z-curve segment and parquet min/max statistics
+    prune on EVERY listed column at once — compaction and clustering in
+    the same single rewrite. Byte-targeting still applies (AQE coalesces
+    contiguous range partitions to the advisory size, preserving global
+    key order across files); ``zorder_files`` pins an explicit output
+    file count instead (audits/tests)."""
     def _stats(df: DataFrame):
         # input_file_name() is non-deterministic and must be PROJECTED
         # before it can feed an aggregate
@@ -246,9 +260,39 @@ def compact_parquet(
 
     src = spark.read.parquet(src_path)
     before = _stats(src)
-    write_sized(
-        src, dst_path, target_mb=target_mb, partition_by=partition_by
-    )
+    if zorder_by:
+        from jobinsight_data_pipeline_spark.operators.zorder import (
+            zorder_key_quantized,
+        )
+
+        keyed = zorder_key_quantized(src, zorder_by, bits=zorder_bits)
+        if zorder_files:
+            part = keyed.repartitionByRange(
+                int(zorder_files), F.col("zkey")
+            )
+        else:
+            part = keyed.repartitionByRange(F.col("zkey"))
+        key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+        old = spark.conf.get(key, None)
+        spark.conf.set(key, str(target_mb * 1024 * 1024))
+        try:
+            writer = (
+                part.sortWithinPartitions("zkey")
+                .drop("zkey")
+                .write.mode("overwrite")
+            )
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(dst_path)
+        finally:
+            if old is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, old)
+    else:
+        write_sized(
+            src, dst_path, target_mb=target_mb, partition_by=partition_by
+        )
     after = _stats(spark.read.parquet(dst_path))
     return {
         "files_before": before["f"],

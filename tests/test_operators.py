@@ -4738,6 +4738,38 @@ def test_hll_registers_merge_and_accuracy(spark):
         assert abs(est - n) / n < 0.30, (n, est)
 
 
+def test_hll_estimate_micro_matches_float_reference(spark):
+    """The engine-side integer estimator (hll_estimate_micro — the
+    gated number) must track the float reference hll_estimate_py to
+    within the α-quantization slack (α is floored to micro-units, the
+    linear-counting table to micro-units: ≤ ~2e-6 relative), keep the
+    2σ accuracy pin vs exact counts, and take the linear-counting
+    branch at small cardinalities / the empty input to 0."""
+    from jobinsight_data_pipeline_spark.operators.sketches import (
+        hll_estimate_micro,
+        hll_estimate_py,
+        hll_registers,
+    )
+
+    for n in (10, 100, 1000, 5000):
+        regs_df = hll_registers(
+            spark.range(n).selectExpr("id AS k"), "k"
+        )
+        row = hll_estimate_micro(regs_df).head()
+        est = row["est_micro"] / 1e6
+        ref = hll_estimate_py(
+            {r["bucket"]: r["register"] for r in regs_df.collect()}
+        )
+        assert abs(est - ref) / ref < 1e-4, (n, est, ref)
+        assert abs(est - n) / n < 0.30, (n, est)
+        assert row["present"] + row["zeros"] == 64
+    empty = hll_registers(
+        spark.createDataFrame([], "k: long"), "k"
+    )
+    row = hll_estimate_micro(empty).head()
+    assert row["est_micro"] == 0 and row["zeros"] == 64, row
+
+
 def test_hll_rho_edges_and_null_keys(spark):
     """rho = 33 - length(bin(w)) with the w = 0 → 33 convention; NULL
     keys contribute nothing; buckets < 1 rejected."""
