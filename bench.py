@@ -555,6 +555,48 @@ def main() -> None:
         lambda: materialize(queries["retrieval_eval"](spark, sf_dir))
     )
 
+    # round-11: the IVFADC residual route (build residual index + 20
+    # queries served in one job — the raw-route ivf_pq_serve_many's
+    # head-to-head), the engine-side HLL estimate over the same
+    # orderkey stream as hll_registers, and the residual-vs-raw
+    # quantization-error audit (the coarse-quantizer fit memoizes per
+    # session like the catalog gate; the number reported is the
+    # two-scan error pass)
+    from jobinsight_data_pipeline_spark.operators.similarity import (
+        build_ivf_pq_index as _biv,
+        ivf_pq_topk_many as _many,
+        pq_codebooks as _pqcb,
+        unit_centroids as _ucents,
+    )
+
+    _rcents = _ucents(64, 16, seed=11)
+    _rcb = _pqcb(dim=64, m=8, k=16, seed=5)
+
+    timings["ivf_pq_residual_serve"] = timed(
+        lambda: materialize(
+            _many(
+                _biv(emb, _rcents, _rcb, residual=True),
+                emb.filter("vec_id < 20").selectExpr(
+                    "vec_id AS query_id", "embedding"
+                ),
+                _rcents, _rcb, k=10, n_probe=4, residual=True,
+            )
+        )
+    )
+
+    from jobinsight_data_pipeline_spark.operators.sketches import (
+        hll_estimate_micro,
+    )
+
+    timings["hll_estimate"] = timed(
+        lambda: materialize(
+            hll_estimate_micro(hll_registers(li, "l_orderkey"))
+        )
+    )
+    timings["pq_residual_error"] = timed(
+        lambda: materialize(queries["pq_residual_error"](spark, sf_dir))
+    )
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -11010,6 +11010,115 @@ FROM v GROUP BY bucket
 """
 
 
+def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-middle example construction (operators/examples.
+    fim_transform — Bavarian et al. 2022's FIM objective, the
+    training-example step between a curated corpus and a code-model
+    batch): two md5-uniform cut points per doc, PSM re-serialization
+    ``<PRE> prefix <SUF> suffix <MID> middle`` with all three parts
+    guaranteed non-empty, short docs passing through flagged. Pure
+    scan-fused projection — no shuffle, no UDF. FULL exact oracle:
+    every reordered string, flag, and cut point replayed."""
+    from jobinsight_data_pipeline_spark.operators.examples import (
+        fim_transform,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    return fim_transform(t["documents"])
+
+
+O_FIM_TRANSFORM = r"""
+WITH t AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks, text
+    FROM documents
+),
+c AS (
+    SELECT doc_id, toks, text, len(toks) AS n,
+        CAST(('0x' || substring(md5('fima:' || CAST(doc_id AS VARCHAR)),
+            1, 8)) AS BIGINT) AS h1,
+        CAST(('0x' || substring(md5('fimb:' || CAST(doc_id AS VARCHAR)),
+            1, 8)) AS BIGINT) AS h2
+    FROM t
+),
+p AS (
+    SELECT doc_id, toks, text, n, h2,
+           CAST(1 + h1 % greatest(n - 2, 1) AS INTEGER) AS p1
+    FROM c
+),
+q AS (
+    SELECT *, CAST(p1 + 1 + h2 % greatest(n - 1 - p1, 1) AS INTEGER) AS p2
+    FROM p
+)
+SELECT doc_id,
+       CASE WHEN n >= 4 THEN concat_ws(' ', '<PRE>',
+           array_to_string(toks[1:p1], ' '), '<SUF>',
+           array_to_string(toks[p2+1:n], ' '), '<MID>',
+           array_to_string(toks[p1+1:p2], ' ')) ELSE text END AS fim_text,
+       n >= 4 AS fim_applied,
+       CAST(n AS BIGINT) AS n_tokens,
+       CASE WHEN n >= 4 THEN p1 END AS p1,
+       CASE WHEN n >= 4 THEN p2 END AS p2
+FROM q
+"""
+
+
+def q_span_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 span corruption (operators/examples.span_corrupt — Raffel et
+    al. 2020 §3.1.4): hash-Bernoulli token masking at ~1/7, consecutive
+    masks merged into spans, the input replacing each span with ONE
+    ``<extra_id_k>`` sentinel and the target listing each sentinel +
+    its span tokens — the denoising input/target pair itself under the
+    hash. Relational on purpose (explode → two doc-keyed windows → one
+    order-pinned re-assembly) so the oracle replays it verbatim; the
+    shuffle rides token volume, the tokenizer-pass class."""
+    from jobinsight_data_pipeline_spark.operators.examples import (
+        span_corrupt,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    return span_corrupt(t["documents"])
+
+
+O_SPAN_CORRUPT = r"""
+WITH t AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+    FROM documents
+),
+e AS (
+    SELECT doc_id, CAST(u.i AS INTEGER) - 1 AS i,
+           toks[CAST(u.i AS INTEGER)] AS tok
+    FROM t, unnest(range(1, len(toks) + 1)) AS u(i)
+),
+m AS (
+    SELECT doc_id, i, tok,
+        (CAST(('0x' || substring(md5('sc:' || CAST(doc_id AS VARCHAR)
+            || ':' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) % 7) = 0 AS mk
+    FROM e
+),
+s AS (
+    SELECT *, mk AND NOT coalesce(
+        lag(mk) OVER (PARTITION BY doc_id ORDER BY i), FALSE) AS start
+    FROM m
+),
+k AS (
+    SELECT *, sum(CASE WHEN start THEN 1 ELSE 0 END) OVER (
+        PARTITION BY doc_id ORDER BY i ROWS UNBOUNDED PRECEDING) AS kk
+    FROM s
+)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN NOT mk THEN tok
+           WHEN start THEN '<extra_id_' || CAST(kk AS VARCHAR) || '>' END,
+           ' ' ORDER BY i), '') AS inputs,
+       coalesce(string_agg(CASE WHEN mk AND start
+           THEN '<extra_id_' || CAST(kk AS VARCHAR) || '> ' || tok
+           WHEN mk THEN tok END, ' ' ORDER BY i), '') AS targets,
+       count(*) AS n_tokens,
+       CAST(sum(CASE WHEN mk THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+       CAST(max(kk) AS BIGINT) AS n_spans
+FROM k GROUP BY doc_id
+"""
+
+
 def q_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The HLL cardinality NUMBER itself under the oracle (the r10
     verdict's order — `hll_distinct` gates the register table, this
@@ -12735,6 +12844,8 @@ QUERIES = {
     "bmp_resize": q_bmp_resize,
     "hll_distinct": q_hll_distinct,
     "hll_estimate": q_hll_estimate,
+    "fim_transform": q_fim_transform,
+    "span_corrupt": q_span_corrupt,
     "stream_hll": q_stream_hll,
     "retrieval_eval": q_retrieval_eval,
     "hll_by_type": q_hll_by_type,
@@ -12895,6 +13006,8 @@ ORACLES = {
     "bmp_resize": O_BMP_RESIZE,
     "hll_distinct": O_HLL_DISTINCT,
     "hll_estimate": O_HLL_ESTIMATE,
+    "fim_transform": O_FIM_TRANSFORM,
+    "span_corrupt": O_SPAN_CORRUPT,
     "stream_hll": O_STREAM_HLL,
     "retrieval_eval": O_RETRIEVAL_EVAL,
     "hll_by_type": O_HLL_BY_TYPE,

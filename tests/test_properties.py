@@ -1129,3 +1129,91 @@ def test_pmi_ln_floor_boundary_audit(spark):
     for p in ps:
         frac = (math.log(p) * 1e6) % 1.0
         assert min(frac, 1.0 - frac) > 1e-7, (p, frac)
+
+
+def test_fim_transform_invariants(spark):
+    """FIM reordering must preserve the token multiset (only ORDER plus
+    the three sentinels change), keep all three parts non-empty, and be
+    invertible from (p1, p2): re-splicing middle back between prefix
+    and suffix recovers the whitespace-collapsed original."""
+    from collections import Counter
+
+    import pyspark.sql.functions as F
+
+    from jobinsight_data_pipeline_spark.operators.examples import (
+        FIM_MID,
+        FIM_PRE,
+        FIM_SUF,
+        fim_transform,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = fim_transform(docs).join(
+        docs.select("doc_id", "text"), "doc_id"
+    )
+    for r in out.limit(200).collect():
+        orig_toks = r["text"].split()
+        if not r["fim_applied"]:
+            assert r["fim_text"] == r["text"]
+            assert len(orig_toks) < 4
+            continue
+        ft = r["fim_text"].split()
+        assert ft[0] == FIM_PRE
+        i_suf, i_mid = ft.index(FIM_SUF), ft.index(FIM_MID)
+        prefix = ft[1:i_suf]
+        suffix = ft[i_suf + 1 : i_mid]
+        middle = ft[i_mid + 1 :]
+        assert prefix and suffix and middle
+        assert prefix + middle + suffix == orig_toks
+        assert len(prefix) == r["p1"]
+        assert len(prefix) + len(middle) == r["p2"]
+        assert Counter(prefix + middle + suffix) == Counter(orig_toks)
+
+
+def test_span_corrupt_invariants(spark):
+    """Span corruption must be losslessly invertible: substituting each
+    input sentinel with its target span recovers the original
+    (whitespace-collapsed) text; sentinel numbering is 1..n_spans in
+    order on BOTH sides; n_masked/n_spans/n_tokens are consistent."""
+    import re
+
+    from jobinsight_data_pipeline_spark.operators.examples import (
+        span_corrupt,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = span_corrupt(docs).join(docs.select("doc_id", "text"), "doc_id")
+    saw_multi_token_span = False
+    for r in out.limit(200).collect():
+        orig = " ".join(r["text"].split())
+        assert r["n_tokens"] == len(r["text"].split())
+        assert 0 <= r["n_spans"] <= r["n_masked"] <= r["n_tokens"]
+        # parse targets into {sentinel: span tokens}
+        spans: dict[str, list[str]] = {}
+        cur = None
+        for tok in r["targets"].split():
+            m = re.fullmatch(r"<extra_id_(\d+)>", tok)
+            if m:
+                cur = tok
+                spans[cur] = []
+            else:
+                assert cur is not None
+                spans[cur].append(tok)
+        assert len(spans) == r["n_spans"]
+        assert sorted(spans) != [] or r["n_spans"] == 0
+        assert [
+            int(re.fullmatch(r"<extra_id_(\d+)>", s).group(1))
+            for s in spans
+        ] == list(range(1, r["n_spans"] + 1))
+        assert sum(len(v) for v in spans.values()) == r["n_masked"]
+        if any(len(v) > 1 for v in spans.values()):
+            saw_multi_token_span = True
+        # inversion: replace sentinels in inputs by their spans
+        rebuilt = []
+        for tok in r["inputs"].split():
+            if tok in spans:
+                rebuilt.extend(spans[tok])
+            else:
+                rebuilt.append(tok)
+        assert " ".join(rebuilt) == orig, r["doc_id"]
+    assert saw_multi_token_span, "fixture should exercise span merging"
