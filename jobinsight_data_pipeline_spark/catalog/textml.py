@@ -577,6 +577,103 @@ WHERE round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 4) >= 0.5
 """
 
 
+def q_dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-quality evaluation with the NUMBERS under the hash — the
+    near-dup family's twin of `ann_recall_eval` (the r10 evaluation-
+    surface pattern extended to the second approximate family): the
+    banded MinHash-LSH candidate set from ENGINE-PORTABLE md5
+    signatures (operators/dedup.minhash_signatures_portable — every
+    signature word, band bucket, and candidate pair replayable) scored
+    against the exact n-gram Jaccard ≥ 0.5 ground truth. Emits
+    recall/precision in exact integer ppm — the driver-verifiable
+    upgrade of `minhash_lsh`'s containment booleans (which stay pinned
+    on the xxhash64 scale path). One row: pair counts + both metrics;
+    FULL exact oracle."""
+    from jobinsight_data_pipeline_spark.operators.dedup import (
+        minhash_lsh_pairs_portable,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    docs = t["documents"]
+    # both pair frames feed TWO consumers (count + semi-join): checkpoint
+    # so the shingle self-join and the signature build each run once
+    # (pair lists are KB-sized — blocks ride to session end, the
+    # dsir_select small-table precedent)
+    truth = (
+        ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    cand = minhash_lsh_pairs_portable(
+        docs, "doc_id", "text"
+    ).localCheckpoint(eager=True)
+    hits = truth.join(cand, ["doc_a", "doc_b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    out = (
+        truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+        .crossJoin(cand.agg(F.count(F.lit(1)).alias("n_candidates")))
+        .crossJoin(hits)
+        .select(
+            "n_true_pairs",
+            "n_candidates",
+            "n_hits",
+            F.expr(
+                "(n_hits * 1000000L) div greatest(n_true_pairs, 1L)"
+            ).alias("recall_ppm"),
+            F.expr(
+                "(n_hits * 1000000L) div greatest(n_candidates, 1L)"
+            ).alias("precision_ppm"),
+        )
+    )
+    return out
+
+
+O_DEDUP_RECALL_EVAL = f"""
+WITH truth AS (SELECT doc_a, doc_b FROM ({O_NGRAM_JACCARD})),
+mtoks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+    FROM documents
+    WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3
+),
+msh AS (
+    SELECT DISTINCT doc_id AS doc, unnest(
+        list_transform(range(len(w) - 2),
+                       i -> concat(w[i + 1], ' ', w[i + 2], ' ', w[i + 3]))
+    ) AS shingle
+    FROM mtoks
+),
+sigs AS (
+    SELECT doc, u.i AS i,
+           min(CAST(('0x' || substring(
+               md5('mh' || CAST(u.i // 4 AS VARCHAR) || ':' || shingle),
+               CAST((u.i % 4) * 8 + 1 AS INTEGER), 8)) AS BIGINT)) AS h
+    FROM msh, unnest(range(16)) AS u(i)
+    GROUP BY doc, u.i
+),
+buckets AS (
+    SELECT doc, i // 4 AS band,
+           string_agg(CAST(h AS VARCHAR), '|' ORDER BY i) AS bucket
+    FROM sigs GROUP BY doc, i // 4
+),
+cand AS (
+    SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+    FROM buckets a JOIN buckets b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
+),
+h AS (SELECT count(*) AS n_hits
+      FROM truth JOIN cand USING (doc_a, doc_b)),
+tc AS (SELECT count(*) AS n_true_pairs FROM truth),
+cc AS (SELECT count(*) AS n_candidates FROM cand)
+SELECT n_true_pairs, n_candidates, CAST(n_hits AS BIGINT) AS n_hits,
+       (CAST(n_hits AS BIGINT) * 1000000)
+           // greatest(n_true_pairs, 1) AS recall_ppm,
+       (CAST(n_hits AS BIGINT) * 1000000)
+           // greatest(n_candidates, 1) AS precision_ppm
+FROM tc, cc, h
+"""
+
+
 def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-corpus preparation under ONE exact hash —
     the operators composed the way a real pipeline chains them:
@@ -12765,6 +12862,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "dedup_clusters": q_dedup_clusters,
     "minhash_lsh": q_minhash_lsh,
+    "dedup_recall_eval": q_dedup_recall_eval,
     "simhash_pairs": q_simhash_pairs,
     "embedding_topk": q_embedding_topk,
     "embedding_lsh_topk": q_embedding_lsh_topk,
@@ -12927,6 +13025,7 @@ ORACLES = {
     "decontaminate": O_DECONTAMINATE,
     "dedup_clusters": O_DEDUP_CLUSTERS,
     "minhash_lsh": O_MINHASH_LSH,
+    "dedup_recall_eval": O_DEDUP_RECALL_EVAL,
     "simhash_pairs": O_SIMHASH_PAIRS,
     "embedding_topk": O_EMBEDDING_TOPK,
     "embedding_lsh_topk": O_TOPK_CONTAINMENT,

@@ -427,6 +427,90 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_signatures_portable(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signatures from ENGINE-PORTABLE hashes: hash i's value
+    for a shingle is the (i mod 4)-th 32-bit word of
+    ``md5('mh<i div 4>:' || shingle)`` — ceil(n/4) salted md5s yield n
+    independent 32-bit words, every one replayable in DuckDB
+    (``('0x' || substring(md5(...), w*8+1, 8))::BIGINT``). This puts
+    the WHOLE MinHash-LSH pipeline — signatures, bands, candidate set,
+    and therefore its recall/precision against exact Jaccard — under a
+    full exact cross-engine oracle (the md5_token_hash60 move, applied
+    to MinHash; `minhash_signatures`' xxhash64 stays the scale path:
+    one 64-bit mix per (seed, shingle) vs an md5 per 4 seeds here).
+    Same plan shape: shingle explode + ONE groupBy(doc) with n min
+    aggregates (the repeated md5 calls collapse under codegen
+    common-subexpression elimination — 4 words share one digest)."""
+    sh = shingles(df, id_col, text_col, shingle_n)
+    aggs = []
+    for i in range(n_hashes):
+        salt, word = i // 4, i % 4
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"mh{salt}:"), F.col("shingle"))),
+                word * 8 + 1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        aggs.append(F.min(h).alias(f"h{i}"))
+    return sh.groupBy("doc").agg(*aggs)
+
+
+def minhash_lsh_pairs_portable(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Banded LSH candidates off :func:`minhash_signatures_portable`:
+    the band bucket is the '|'-joined row values in seed order (a
+    portable string key; `minhash_lsh_pairs`' xxhash64 band compression
+    stays the scale path). Returns distinct (doc_a, doc_b), doc_a <
+    doc_b — the candidate set itself, exactly replayable, so candidate
+    RECALL/PRECISION against exact Jaccard ground truth can sit under
+    a gate hash (q_dedup_recall_eval)."""
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures_portable(
+        df, id_col, text_col, n_hashes, shingle_n
+    )
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                "|",
+                *[
+                    F.col(f"h{band * rows_per_band + j}").cast("string")
+                    for j in range(rows_per_band)
+                ],
+            )
+            for band in range(bands)
+        ]
+    )
+    buckets = sig.select(
+        "doc", F.posexplode(band_keys).alias("band", "bucket")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
 def md5_token_hash60(c) -> "F.Column":
     """60-bit token hash from the first 15 hex chars of md5 — the
     engine-portable alternative to xxhash64 (DuckDB computes the same
