@@ -12840,6 +12840,120 @@ FROM adc ORDER BY adc ASC, vec_id ASC LIMIT {IVFPQ_K}"""
 O_IVF_TRAINED_SERVE = _ivf_trained_oracle()
 
 
+def q_ivf_residual_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE production IVFADC composition under one hash
+    (Jégou et al. 2011 §IV end-to-end): DATA-FITTED coarse quantizer
+    (the memoized 8-cell Lloyd's model — residual encoding only helps
+    against fitted centroids, the pq_residual_error lesson) → residual
+    PQ encode against data-scaled codebooks → probe-pruned asymmetric-
+    distance serve from the per-cell query residual. `ivf_trained_serve`
+    gates the trained+raw route; this is its residual twin — together
+    they close the trained-quantizer/residual-encoding observation
+    chain. The oracle replays the ENTIRE lineage: all four coarse
+    training rounds, the derived float centroid matrix, cell
+    assignment, per-vector residuals, residual PQ codes, probe
+    selection, and the residual ADC ranking."""
+    from jobinsight_data_pipeline_spark.operators.similarity import (
+        build_ivf_pq_index,
+        ivf_pq_topk_indexed,
+    )
+
+    t = load(spark, sf_dir, "embeddings")
+    emb = t["embeddings"]
+    fitted = _kmeans_centroids(spark, sf_dir)
+    cents = [[x / _KMEANS_SCALE for x in row] for row in fitted]
+    index = build_ivf_pq_index(emb, cents, _pqr_cb(), residual=True)
+    qvec = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+    out = ivf_pq_topk_indexed(
+        index, qvec, cents, _pqr_cb(),
+        k=IVFPQ_K, n_probe=IVFPQ_PROBE, residual=True,
+    )
+    return out.select(
+        "vec_id",
+        F.floor(F.col("adc") * 1_000_000.0).cast("long").alias("adc_micro"),
+    )
+
+
+def _ivf_residual_trained_oracle() -> str:
+    k_cells, iters, scale = _KMEANS_K, _KMEANS_ITERS, _KMEANS_SCALE
+    sub = PQ_SUB
+    diff = (
+        f"list_transform(range({sub}), t -> "
+        f"v[CAST(u.j * {sub} + t + 1 AS INTEGER)] - c[CAST(t + 1 AS INTEGER)])"
+    )
+    qdiff = (
+        f"list_transform(range({sub}), t -> "
+        f"(q.qv[CAST(c.j * {sub} + t + 1 AS INTEGER)] - "
+        f"cm[CAST(d.cell + 1 AS INTEGER)]"
+        f"[CAST(c.j * {sub} + t + 1 AS INTEGER)]) - "
+        f"cb[CAST(c.j + 1 AS INTEGER)][CAST(c.code + 1 AS INTEGER)]"
+        f"[CAST(t + 1 AS INTEGER)])"
+    )
+    chain = " + ".join(
+        f"max(CASE WHEN j = {j} THEN dd END)" for j in range(PQ_M)
+    )
+    cont = f""",
+cents AS (
+    SELECT list(cf ORDER BY cell) AS cm
+    FROM (SELECT cell, list_transform(c,
+              x -> CAST(x - {scale} AS DOUBLE) / {scale}.0) AS cf
+          FROM c{iters})
+),
+cube AS (SELECT {_duck_cube(_pqr_cb())} AS cb),
+rassigned AS MATERIALIZED (
+    SELECT vec_id, v0, list_position(sarr, list_max(sarr)) - 1 AS cell
+    FROM (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0,
+               list_transform(cm, cc -> list_dot_product(
+                   CAST(embedding AS DOUBLE[]), cc)) AS sarr
+        FROM embeddings, cents)
+),
+re AS (
+    SELECT a.vec_id, a.cell,
+           list_transform(range(64), t -> v0[CAST(t + 1 AS INTEGER)]
+             - cm[CAST(cell + 1 AS INTEGER)][CAST(t + 1 AS INTEGER)]) AS v
+    FROM rassigned a, cents
+),
+rdarrs AS (
+    SELECT vec_id, cell, u.j AS j,
+           list_transform(cb[CAST(u.j + 1 AS INTEGER)],
+                          c -> list_dot_product({diff}, {diff})) AS darr
+    FROM re, cube, unnest(range({PQ_M})) AS u(j)
+),
+rcodes AS (
+    SELECT vec_id, cell, j,
+           list_position(darr, list_min(darr)) - 1 AS code
+    FROM rdarrs
+),
+qv1 AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id = 0),
+probe AS (
+    SELECT CAST(u.j AS BIGINT) - 1 AS cell
+    FROM (SELECT list_transform(cm, cc -> list_dot_product(qv1.qv, cc))
+              AS qd
+          FROM cents, qv1) s,
+         unnest(generate_series(1, {k_cells})) AS u(j)
+    ORDER BY qd[CAST(u.j AS INTEGER)] DESC, u.j ASC
+    LIMIT {IVFPQ_PROBE}
+),
+dists AS (
+    SELECT c.vec_id, c.j, list_dot_product({qdiff}, {qdiff}) AS dd
+    FROM rcodes c
+    JOIN (SELECT vec_id, cell FROM rassigned
+          WHERE cell IN (SELECT cell FROM probe)) d USING (vec_id),
+    qv1 q, cube, cents
+),
+adc AS (
+    SELECT vec_id, {chain} AS adc FROM dists GROUP BY vec_id
+)
+SELECT vec_id, CAST(floor(adc * 1000000.0) AS BIGINT) AS adc_micro
+FROM adc ORDER BY adc ASC, vec_id ASC LIMIT {IVFPQ_K}"""
+    return _kmeans_oracle_sql(cont)
+
+
+O_IVF_RESIDUAL_TRAINED = _ivf_residual_trained_oracle()
+
+
 # built here, after _langid_profile_sql (generators resolve names at
 # call time — the O_ constant must follow everything it embeds)
 O_CORPUS_BUILD = _corpus_build_oracle()
@@ -12996,6 +13110,7 @@ QUERIES = {
     "kmeans_fit": q_kmeans_fit,
     "kmeans_pp_fit": q_kmeans_pp_fit,
     "ivf_trained_serve": q_ivf_trained_serve,
+    "ivf_residual_trained": q_ivf_residual_trained,
     "csv_roundtrip": q_csv_roundtrip,
     "quality_deciles": q_quality_deciles,
     "langid_curation": q_langid_curation,
@@ -13159,6 +13274,7 @@ ORACLES = {
     "kmeans_fit": O_KMEANS_FIT,
     "kmeans_pp_fit": O_KMEANS_PP_FIT,
     "ivf_trained_serve": O_IVF_TRAINED_SERVE,
+    "ivf_residual_trained": O_IVF_RESIDUAL_TRAINED,
     "csv_roundtrip": O_CSV_ROUNDTRIP,
     "quality_deciles": O_QUALITY_DECILES,
     "langid_curation": O_LANGID_CURATION,
