@@ -197,6 +197,33 @@ def probes(spark, sf_dir):
         words_with_freq as _words_with_freq,
     )
 
+    from jobinsight_data_pipeline_spark.operators.examples import (
+        fim_transform as _fim_transform,
+        span_corrupt as _span_corrupt,
+    )
+    from jobinsight_data_pipeline_spark.catalog.textml import (
+        q_dedup_recall_eval as _q_dedup_recall,
+    )
+
+    def _ivf_pq_topk_many_res(spark, sf_dir):
+        from jobinsight_data_pipeline_spark.operators.similarity import (
+            build_ivf_pq_index,
+            ivf_pq_topk_many,
+            pq_codebooks,
+            unit_centroids,
+        )
+
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        cents = unit_centroids(64, 16, seed=11)
+        cb = pq_codebooks(dim=64, m=8, k=16, seed=5)
+        idx = build_ivf_pq_index(e, cents, cb, residual=True)
+        qs = e.filter("vec_id IN (0, 7, 23, 42)").selectExpr(
+            "vec_id AS query_id", "embedding"
+        )
+        return ivf_pq_topk_many(
+            idx, qs, cents, cb, k=10, n_probe=4, residual=True
+        )
+
     _um_cache: dict = {}
 
     def _um_model():
@@ -512,6 +539,20 @@ def probes(spark, sf_dir):
         ),
         # round-10: three single-term BM25 rankings + qrels + metrics
         "retrieval_eval (3 queries, k=10)": lambda: _q_retrieval_eval(
+            spark, sf_dir
+        ),
+        # round-11: the IVFADC residual route (build + 4-query serve in
+        # one plan), FIM/span-corruption example construction, and the
+        # portable-MinHash dedup-quality eval (truth self-join + banded
+        # candidates + metrics)
+        "ivf_pq_residual (build+serve 4q)": lambda: _ivf_pq_topk_many_res(
+            spark, sf_dir
+        ),
+        "fim_transform (PSM projection)": lambda: _fim_transform(docs),
+        "span_corrupt (explode+window+regroup)": lambda: _span_corrupt(
+            docs
+        ),
+        "dedup_recall_eval (truth+LSH+metrics)": lambda: _q_dedup_recall(
             spark, sf_dir
         ),
         # round-10: the composed 12-stage capstone, COLD — the thunk

