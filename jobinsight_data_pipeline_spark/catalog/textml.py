@@ -11340,6 +11340,64 @@ def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 O_STREAM_HLL = O_HLL_DISTINCT
 
 
+def q_stream_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME exactly-25 weighted draw as `weighted_draw`, with the
+    state accumulated by a Structured Streaming loop
+    (streaming/incremental.stream_reservoir_build) over four
+    micro-batch document drops — the K-MAX-PRIORITY merged shape (the
+    SEVENTH mergeable-state family): per-batch ≤25-row A-ES candidate
+    tables land in batch=<epoch> partitions (overwrite →
+    replay-idempotent; deterministic priorities make re-delivered
+    candidates identical rows the merge's distinct absorbs), and
+    distinct ∪ → top-n IS the global draw because every global top-n
+    row is necessarily in its batch's top-n. Shares `O_WEIGHTED_DRAW`
+    verbatim — the streaming ≡ batch shared-oracle discipline. A
+    weighted corpus sample maintained forever at ≤ n rows of state per
+    batch, never rescanning history."""
+    import hashlib
+    import os
+    import shutil
+
+    from jobinsight_data_pipeline_spark.catalog import scratch_dir
+    from jobinsight_data_pipeline_spark.streaming.incremental import (
+        read_reservoir_state,
+        stream_reservoir_build,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    docs = t["documents"].select("doc_id", "n_chars")
+
+    base = scratch_dir(
+        "streamres-gate-",
+        "{}-{}".format(
+            spark.sparkContext.applicationId,
+            hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+        ),
+    )
+    done = os.path.join(base, "_gate_done")
+    if not os.path.exists(done):
+        shutil.rmtree(base, ignore_errors=True)
+        raw = f"{base}/drops"
+        for i in range(4):
+            docs.filter(F.col("doc_id") % 4 == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(raw)
+        query = stream_reservoir_build(
+            spark, raw, docs.schema, f"{base}/state", f"{base}/ckpt",
+            key_col="doc_id", weight_col="n_chars", n=25,
+        )
+        query.awaitTermination()
+        with open(done, "w") as fh:
+            fh.write("ok")
+
+    return read_reservoir_state(
+        spark, f"{base}/state", "doc_id", "n_chars", n=25
+    )
+
+
+O_STREAM_RESERVOIR = O_WEIGHTED_DRAW
+
+
 def q_hll_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-GROUP cardinality state (operators/sketches.hll_registers_by):
     the distinct-users-per-event-type dashboard as ≤64-row register
@@ -13059,6 +13117,7 @@ QUERIES = {
     "fim_transform": q_fim_transform,
     "span_corrupt": q_span_corrupt,
     "stream_hll": q_stream_hll,
+    "stream_reservoir": q_stream_reservoir,
     "retrieval_eval": q_retrieval_eval,
     "hll_by_type": q_hll_by_type,
     "ann_recall_eval": q_ann_recall_eval,
@@ -13223,6 +13282,7 @@ ORACLES = {
     "fim_transform": O_FIM_TRANSFORM,
     "span_corrupt": O_SPAN_CORRUPT,
     "stream_hll": O_STREAM_HLL,
+    "stream_reservoir": O_STREAM_RESERVOIR,
     "retrieval_eval": O_RETRIEVAL_EVAL,
     "hll_by_type": O_HLL_BY_TYPE,
     "ann_recall_eval": O_ANN_RECALL_EVAL,

@@ -876,6 +876,82 @@ def dsir_select(
     )
 
 
+def reservoir_state(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    n: int,
+    salt: str = "ws:",
+) -> DataFrame:
+    """One shard's/batch's A-ES reservoir CANDIDATES — the K-MAX-
+    PRIORITY merged state shape (the seventh, beside sum-merged counts/
+    Gram/CMS/DSIR, min-merged first-seen, struct-merged OHLC, and
+    MAX-merged HLL): the shard's top-``n`` rows by the deterministic
+    A-ES priority ``lq6/weight`` (the exact scoring of
+    :func:`weighted_sample_exact_n`), WITHOUT ranks — ranks only exist
+    on the merged whole. Because every global top-n row is necessarily
+    in its shard's top-n, merging = distinct ∪ → top-n, and because the
+    priority is a pure function of (salt, key), a re-delivered row is
+    an IDENTICAL row (distinct absorbs it — replay-idempotent like the
+    HLL max). The merged sample is therefore BIT-IDENTICAL to the
+    batch draw on any partitioning, batch order, or replay: a weighted
+    sample over a continuously-ingested corpus without rescanning
+    history, with per-batch state ≤ n rows.
+
+    Caveat: the without-replacement guarantee is per KEY IDENTITY —
+    if a key re-arrives with a CHANGED weight it becomes a second
+    candidate identity; keep the (key, weight) grain stable upstream
+    (the same contract every keyed state here assumes).
+
+    Returns (key_col, weight_col, lq6) — ≤ n rows."""
+    hexpfx = F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8
+    )
+    hv = F.conv(hexpfx, 16, 10).cast("long")
+    u = (hv + F.lit(1)).cast("double") / F.lit(4294967296.0)
+    lq6 = F.floor(F.log(u) * F.lit(1000000.0)).cast("long")
+    scored = df.select(
+        key_col, weight_col, lq6.alias("lq6")
+    ).withColumn(
+        "_pri",
+        F.col("lq6").cast("double") / F.col(weight_col).cast("double"),
+    )
+    return (
+        scored.orderBy(F.desc("_pri"), F.asc(key_col))
+        .limit(int(n))
+        .select(key_col, weight_col, "lq6")
+    )
+
+
+def reservoir_sample(
+    states: DataFrame,
+    key_col: str,
+    weight_col: str,
+    n: int,
+) -> DataFrame:
+    """Merge any union of :func:`reservoir_state` tables (shards, days,
+    streamed batch partitions) into the final ranked draw: distinct
+    (absorbs re-delivered identical candidates) → top-``n`` by the
+    recomputed priority → rank. Output contract ==
+    :func:`weighted_sample_exact_n` (rank, key, weight, lq6), and the
+    values are bit-identical to running that batch draw over the full
+    corpus — the streaming ≡ batch pin the gate shares."""
+    from pyspark.sql import Window
+
+    pri = F.col("lq6").cast("double") / F.col(weight_col).cast("double")
+    top = (
+        states.select(key_col, weight_col, "lq6")
+        .distinct()
+        .withColumn("_pri", pri)
+        .orderBy(F.desc("_pri"), F.asc(key_col))
+        .limit(int(n))
+    )
+    w_small = Window.orderBy(F.desc("_pri"), F.asc(key_col))
+    return top.withColumn("rank", F.row_number().over(w_small)).select(
+        "rank", key_col, weight_col, "lq6"
+    )
+
+
 def dsir_resample(
     df: DataFrame,
     id_col: str,

@@ -832,3 +832,65 @@ def read_hll_state(spark: SparkSession, state_dir: str) -> DataFrame:
     from jobinsight_data_pipeline_spark.operators.sketches import hll_merge
 
     return hll_merge(spark.read.parquet(state_dir))
+
+
+def stream_reservoir_build(
+    spark: SparkSession,
+    raw_dir: str,
+    schema,
+    state_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "doc_id",
+    weight_col: str = "n_chars",
+    n: int = 25,
+    salt: str = "ws:",
+    max_files_per_trigger: int = 1,
+):
+    """Streaming weighted-reservoir state — the K-MAX-PRIORITY merged
+    shape (the seventh; see operators/sampling.reservoir_state): each
+    micro-batch reduces to its ≤ n-row A-ES candidate table written to
+    ``state_dir/batch=<epoch>`` (overwrite → replay-idempotent, and the
+    deterministic priorities make re-delivered candidates IDENTICAL
+    rows that the merge's distinct absorbs). The merged draw is
+    bit-identical to the batch ``weighted_sample_exact_n`` over
+    everything ingested — a weighted corpus sample maintained forever
+    at ≤ n rows of state per batch, never rescanning history."""
+    from jobinsight_data_pipeline_spark.operators.sampling import (
+        reservoir_state,
+    )
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        reservoir_state(
+            batch_df, key_col, weight_col, n, salt
+        ).write.mode("overwrite").parquet(f"{state_dir}/batch={epoch_id}")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(raw_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_reservoir_state(
+    spark: SparkSession,
+    state_dir: str,
+    key_col: str = "doc_id",
+    weight_col: str = "n_chars",
+    n: int = 25,
+) -> DataFrame:
+    """Merge a ``stream_reservoir_build`` state dir into the final
+    ranked draw (distinct ∪ → top-n → rank; bit-identical to the batch
+    weighted_sample_exact_n — the shared-oracle pin)."""
+    from jobinsight_data_pipeline_spark.operators.sampling import (
+        reservoir_sample,
+    )
+
+    return reservoir_sample(
+        spark.read.parquet(state_dir), key_col, weight_col, n
+    )

@@ -4770,6 +4770,49 @@ def test_hll_estimate_micro_matches_float_reference(spark):
     assert row["est_micro"] == 0 and row["zeros"] == 64, row
 
 
+def test_reservoir_state_merge_equals_batch_draw(spark):
+    """The k-max-priority merged shape (the seventh): merging per-shard
+    reservoir states must reproduce the batch weighted_sample_exact_n
+    draw BIT-exactly on any sharding; re-merging a state with itself
+    (replay) changes nothing; and a shard containing fewer than n rows
+    contributes everything it has."""
+    from jobinsight_data_pipeline_spark.operators.sampling import (
+        reservoir_sample,
+        reservoir_state,
+        weighted_sample_exact_n,
+    )
+
+    df = spark.range(1, 2_001).selectExpr(
+        "id AS k", "CAST(1 + id % 97 AS BIGINT) AS w"
+    )
+    batch = [
+        tuple(r)
+        for r in weighted_sample_exact_n(df, "k", "w", n=25).collect()
+    ]
+    for mod in (3, 7, 50):  # 50 shards → ~40 rows each, some near-empty
+        shards = [
+            reservoir_state(df.where(f"k % {mod} = {i}"), "k", "w", 25)
+            for i in range(mod)
+        ]
+        states = shards[0]
+        for s in shards[1:]:
+            states = states.union(s)
+        merged = [
+            tuple(r)
+            for r in reservoir_sample(states, "k", "w", n=25).collect()
+        ]
+        assert merged == batch, mod
+    # replay idempotence
+    s0 = reservoir_state(df, "k", "w", 25)
+    doubled = [
+        tuple(r)
+        for r in reservoir_sample(s0.union(s0), "k", "w", 25).collect()
+    ]
+    assert doubled == batch
+    # no-replacement: 25 distinct keys
+    assert len({t[1] for t in batch}) == 25
+
+
 def test_hll_rho_edges_and_null_keys(spark):
     """rho = 33 - length(bin(w)) with the w = 0 → 33 convention; NULL
     keys contribute nothing; buckets < 1 rejected."""
