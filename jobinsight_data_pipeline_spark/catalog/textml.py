@@ -11216,6 +11216,102 @@ FROM k GROUP BY doc_id
 """
 
 
+def q_instruction_packs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instruction-tuning PACK MANIFEST — the example-construction
+    family composed with packing the way a finetuning pipeline ships
+    batches: each doc hash-splits into (prompt, completion) (split
+    point = 1 + md5-uniform % (n−1), docs under 2 tokens dropped),
+    `instruction_example` templates it and carries the LOSS-MASK span,
+    `pack_sequences` lays examples into 2048-token packs (bucketed
+    no-global-sort cumsum), and the output manifest carries each
+    example's GLOBAL loss range (pack offset + local span) — exactly
+    what a masked-loss trainer reads. FULL exact oracle: split points,
+    token counts, the cumsum, and both global loss bounds replayed."""
+    from jobinsight_data_pipeline_spark.operators.examples import (
+        instruction_example,
+    )
+    from jobinsight_data_pipeline_spark.operators.packing import (
+        pack_sequences,
+    )
+    from jobinsight_data_pipeline_spark.operators.textstats import tokens
+
+    t = load(spark, sf_dir, "documents")
+    docs = t["documents"]
+    toks = tokens("text")
+    n = F.size(toks)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("ins:"), F.col("doc_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    p = (F.lit(1) + h % F.greatest(n - F.lit(1), F.lit(1)).cast("long")).cast(
+        "int"
+    )
+    split = docs.where(n >= 2).select(
+        "doc_id",
+        F.array_join(F.slice(toks, 1, p), " ").alias("prompt"),
+        F.array_join(F.slice(toks, p + 1, n - p), " ").alias("completion"),
+    )
+    ex = instruction_example(split, "doc_id", "prompt", "completion")
+    packed = pack_sequences(
+        ex.select("doc_id", "n_tokens"),
+        "n_tokens",
+        capacity=2048,
+        order_by=["doc_id"],
+        bounds=[100, 200, 300, 400],
+    )
+    return packed.join(
+        ex.select("doc_id", "loss_from", "loss_to"), "doc_id"
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "start_offset",
+        "pack_id",
+        (F.col("start_offset") + F.col("loss_from")).alias("loss_from"),
+        (F.col("start_offset") + F.col("loss_to")).alias("loss_to"),
+    )
+
+
+O_INSTRUCTION_PACKS = r"""
+WITH t AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+    FROM documents
+),
+c AS (
+    SELECT doc_id, len(toks) AS n,
+           CAST(('0x' || substring(md5('ins:' || CAST(doc_id AS VARCHAR)),
+               1, 8)) AS BIGINT) AS h
+    FROM t WHERE len(toks) >= 2
+),
+p AS (
+    SELECT doc_id, n,
+           CAST(1 + h % greatest(n - 1, 1) AS BIGINT) AS np
+    FROM c
+),
+e AS (
+    SELECT doc_id, n + 3 AS n_tokens, np + 2 AS lf, n + 3 AS lt
+    FROM p
+),
+o AS (
+    SELECT doc_id, n_tokens, lf, lt,
+           CAST(COALESCE(SUM(n_tokens) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) AS start_offset
+    FROM e
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, start_offset,
+       start_offset // 2048 AS pack_id,
+       CAST(start_offset + lf AS BIGINT) AS loss_from,
+       CAST(start_offset + lt AS BIGINT) AS loss_to
+FROM o
+"""
+
+
 def q_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The HLL cardinality NUMBER itself under the oracle (the r10
     verdict's order — `hll_distinct` gates the register table, this
@@ -13116,6 +13212,7 @@ QUERIES = {
     "hll_estimate": q_hll_estimate,
     "fim_transform": q_fim_transform,
     "span_corrupt": q_span_corrupt,
+    "instruction_packs": q_instruction_packs,
     "stream_hll": q_stream_hll,
     "stream_reservoir": q_stream_reservoir,
     "retrieval_eval": q_retrieval_eval,
@@ -13281,6 +13378,7 @@ ORACLES = {
     "hll_estimate": O_HLL_ESTIMATE,
     "fim_transform": O_FIM_TRANSFORM,
     "span_corrupt": O_SPAN_CORRUPT,
+    "instruction_packs": O_INSTRUCTION_PACKS,
     "stream_hll": O_STREAM_HLL,
     "stream_reservoir": O_STREAM_RESERVOIR,
     "retrieval_eval": O_RETRIEVAL_EVAL,

@@ -93,6 +93,45 @@ def fim_transform(
     )
 
 
+INS_BOS, INS_SEP, INS_EOS = "<s>", "<sep>", "</s>"
+
+
+def instruction_example(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    prompt_col: str = "prompt",
+    completion_col: str = "completion",
+) -> DataFrame:
+    """Instruction-tuning example assembly with the LOSS-MASK span as
+    data: the example is ``<s> prompt <sep> completion </s>`` and the
+    trainer masks loss to the completion plus EOS — the half-open token
+    range [loss_from, loss_to) over the example's whitespace tokens
+    (position 0 = ``<s>``; prompt tokens 1..n_p; ``<sep>`` at n_p+1;
+    completion n_p+2..n_p+n_c+1; ``</s>`` last). Pure scan-fused
+    projection. Returns (id, example_text, n_tokens, n_prompt_tokens,
+    n_completion_tokens, loss_from, loss_to)."""
+    p_toks = tokens(prompt_col)
+    c_toks = tokens(completion_col)
+    n_p = F.size(p_toks).cast("long")
+    n_c = F.size(c_toks).cast("long")
+    return df.select(
+        F.col(id_col),
+        F.concat_ws(
+            " ",
+            F.lit(INS_BOS),
+            F.array_join(p_toks, " "),
+            F.lit(INS_SEP),
+            F.array_join(c_toks, " "),
+            F.lit(INS_EOS),
+        ).alias("example_text"),
+        (n_p + n_c + F.lit(3)).alias("n_tokens"),
+        n_p.alias("n_prompt_tokens"),
+        n_c.alias("n_completion_tokens"),
+        (n_p + F.lit(2)).alias("loss_from"),
+        (n_p + n_c + F.lit(3)).alias("loss_to"),
+    )
+
+
 def span_corrupt(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -1217,3 +1217,29 @@ def test_span_corrupt_invariants(spark):
                 rebuilt.append(tok)
         assert " ".join(rebuilt) == orig, r["doc_id"]
     assert saw_multi_token_span, "fixture should exercise span merging"
+
+
+def test_instruction_example_loss_span(spark):
+    """The loss-mask span must address exactly the completion + EOS in
+    the templated token stream, for varied prompt/completion shapes."""
+    from jobinsight_data_pipeline_spark.operators.examples import (
+        INS_EOS,
+        instruction_example,
+    )
+
+    rows = [
+        (1, "a b c", "x y"),
+        (2, "single", "one two three four"),
+        (3, "p q r s t", "z"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, prompt string, completion string"
+    )
+    for r in instruction_example(df).collect():
+        toks = r["example_text"].split()
+        assert len(toks) == r["n_tokens"]
+        orig = dict((i, (p, c)) for i, p, c in rows)[r["doc_id"]]
+        comp = orig[1].split()
+        assert toks[r["loss_from"] : r["loss_to"]] == comp + [INS_EOS]
+        assert r["loss_to"] == r["n_tokens"]
+        assert toks[1 : 1 + r["n_prompt_tokens"]] == orig[0].split()
