@@ -758,21 +758,34 @@ def build_image_feature_fn(
     except ImportError:
 
         def stdlib_features(content: bytes | None) -> list[float] | None:
-            # PIL absent, but 24-bit BMP still decodes FOR REAL via the
-            # stdlib kernel — only non-BMP formats degrade to the fake
+            # PIL absent, but 24-bit BMP and 8-bit PNG still decode FOR
+            # REAL via the stdlib kernels — only other formats degrade
+            # to the fake
             if content is None:
                 return None
-            if content[:2] == b"BM":
+            if content[:2] == b"BM" or content[:8] == PNG_MAGIC:
                 try:
-                    w, h, rows = decode_bmp(content)
+                    if content[:2] == b"BM":
+                        w, h, rows = decode_bmp(content)
+                        ch = 3
+                        px = [
+                            r + g + b for row in rows for (r, g, b) in row
+                        ]
+                    else:
+                        w, h, ch, prows = decode_png(content)
+                        # color-channel luminance proxy (alpha excluded)
+                        px = [
+                            sum(p[: min(ch, 3)]) * (3 // min(ch, 3))
+                            for row in prows
+                            for p in row
+                        ]
                 except Exception:
                     return fake_decode_features(content, dim)
-                px = [r + g + b for row in rows for (r, g, b) in row]
                 n = max(len(px), 1)
                 feats = [
                     min(w / 4096.0, 1.0),
                     min(h / 4096.0, 1.0),
-                    3 / 4.0,
+                    ch / 4.0,
                     sum(px) / (n * 765.0),
                     (min(px) if px else 0) / 765.0,
                     (max(px) if px else 0) / 765.0,

@@ -287,7 +287,17 @@ def test_image_feature_fn_bmp_is_real_not_fake():
     assert feats[1] == pytest.approx(2 / 4096.0)
     assert feats[2] == pytest.approx(0.75)
     assert feats != fake_decode_features(HAND_BMP, 8)
-    # non-BMP bytes still degrade to the deterministic fake
+    # PNG also decodes for real via the stdlib kernel (same luminance
+    # scale as the BMP branch: sum over ≤3 color channels, ×3 for gray)
+    pf = fn(_hand_png())
+    assert pf[0] == pytest.approx(2 / 4096.0)
+    assert pf[2] == pytest.approx(0.75)
+    assert pf[3] == feats[3]  # same pixels → same mean luminance
+    gray = encode_png([[10, 20], [30, 40]], color_type=0)
+    gf = fn(gray)
+    assert gf[2] == pytest.approx(0.25)
+    assert gf[3] == pytest.approx((10 + 20 + 30 + 40) * 3 / (4 * 765.0))
+    # undecodable bytes still degrade to the deterministic fake
     junk = b"\x89PNG not really"
     assert fn(junk) == fake_decode_features(junk, 8)
 
