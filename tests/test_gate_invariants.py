@@ -32,6 +32,7 @@ def _gate_queries():
     return queries()
 
 
+@pytest.mark.sweep
 def test_no_fractional_second_timestamps_in_gate_outputs(spark):
     """Every timestamp column any gate query emits must be whole-second.
 
@@ -70,6 +71,7 @@ def test_no_fractional_second_timestamps_in_gate_outputs(spark):
     )
 
 
+@pytest.mark.sweep
 def test_no_ltz_timestamp_columns_in_gate_outputs(spark):
     """No driver gate emits a session-TZ-adjusted (LTZ) timestamp column.
 

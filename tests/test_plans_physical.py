@@ -8,6 +8,8 @@ CI here long before it burns a cluster."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from jobinsight_data_pipeline_spark.catalog.relational import (
@@ -110,6 +112,7 @@ def test_salted_join_equivalence(spark):
     assert spread == 8
 
 
+@pytest.mark.sweep
 def test_no_accidental_cartesian_or_nested_loop(spark):
     """Sweep EVERY catalog query's physical plan for join shapes that
     explode at scale. Cartesian/broadcast-nested-loop joins are allowed
@@ -148,6 +151,7 @@ def test_no_accidental_cartesian_or_nested_loop(spark):
         "retrieval_eval",  # embeds bm25_scores' 1-row stats crossJoin ×3
         "ann_recall_eval",  # cosine_topk broadcast query side + IVF route
         "ann_recall_residual",  # same class, residual (IVFADC) route
+        "dedup_recall_eval",  # three 1-row metric aggregates crossJoined
         "ann_probe_curve",  # same class, four probe widths
         "zorder_digest",  # 1-row min/max quantizer stats broadcast
 

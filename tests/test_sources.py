@@ -645,7 +645,12 @@ def test_real_decode_raises_without_codecs():
     except ImportError:
         import pytest as _pytest
 
+        # PNG now decodes via the stdlib kernel — the PIL punt applies
+        # to formats without a real kernel (e.g. JPEG); malformed PNG
+        # bytes fail the kernel's own validation instead
         with _pytest.raises(NotImplementedError, match="Pillow"):
+            real_decode(b"bytes", "image/jpeg")
+        with _pytest.raises(ValueError, match="signature"):
             real_decode(b"bytes", "image/png")
         with _pytest.raises(NotImplementedError, match="av/ffmpeg"):
             real_decode(b"bytes", "video/mp4")
