@@ -674,6 +674,127 @@ FROM tc, cc, h
 """
 
 
+LSH_BAND_GRID = [2, 4, 8]
+
+
+def q_dedup_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH BANDING TUNING CURVE — recall and precision of the
+    banded MinHash candidate set vs exact Jaccard ≥ 0.5 truth at bands
+    ∈ {2, 4, 8} over the same 16 portable signatures (rows-per-band
+    8/4/2 — the S-curve steepness knob every LSH deployment tunes:
+    more bands → higher recall, more junk candidates): the dedup twin
+    of `ann_probe_curve`, with every cell in exact integer ppm under
+    the hash. One signature build feeds all three configs. FULL exact
+    oracle (portable md5 signatures — the dedup_recall_eval machinery,
+    replayed once and re-banded per config)."""
+    from jobinsight_data_pipeline_spark.operators.dedup import (
+        minhash_lsh_pairs_portable,
+        minhash_signatures_portable,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    docs = t["documents"]
+    truth = (
+        ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    truth_n = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+    parts = []
+    for bands in LSH_BAND_GRID:
+        cand = minhash_lsh_pairs_portable(
+            docs, "doc_id", "text", n_hashes=16, bands=bands
+        ).localCheckpoint(eager=True)
+        hits = truth.join(cand, ["doc_a", "doc_b"], "left_semi").agg(
+            F.count(F.lit(1)).alias("n_hits")
+        )
+        parts.append(
+            truth_n.crossJoin(
+                cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+            )
+            .crossJoin(hits)
+            .select(
+                F.lit(bands).alias("bands"),
+                "n_true_pairs",
+                "n_candidates",
+                "n_hits",
+                F.expr(
+                    "(n_hits * 1000000L) div greatest(n_true_pairs, 1L)"
+                ).alias("recall_ppm"),
+                F.expr(
+                    "(n_hits * 1000000L) div greatest(n_candidates, 1L)"
+                ).alias("precision_ppm"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def _dedup_band_curve_oracle() -> str:
+    per_band = []
+    for bands in LSH_BAND_GRID:
+        rows = 16 // bands
+        per_band.append(
+            f"""cand{bands} AS MATERIALIZED (
+    SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+    FROM (SELECT doc, i // {rows} AS band,
+                 string_agg(CAST(h AS VARCHAR), '|' ORDER BY i) AS bucket
+          FROM sigs GROUP BY doc, i // {rows}) a
+    JOIN (SELECT doc, i // {rows} AS band,
+                 string_agg(CAST(h AS VARCHAR), '|' ORDER BY i) AS bucket
+          FROM sigs GROUP BY doc, i // {rows}) b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
+),
+row{bands} AS (
+    SELECT {bands} AS bands,
+           (SELECT count(*) FROM truth) AS n_true_pairs,
+           (SELECT count(*) FROM cand{bands}) AS n_candidates,
+           (SELECT count(*) FROM truth JOIN cand{bands}
+                USING (doc_a, doc_b)) AS n_hits
+)"""
+        )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT bands, n_true_pairs, n_candidates,"
+        f" CAST(n_hits AS BIGINT) AS n_hits,"
+        f" (CAST(n_hits AS BIGINT) * 1000000)"
+        f" // greatest(n_true_pairs, 1) AS recall_ppm,"
+        f" (CAST(n_hits AS BIGINT) * 1000000)"
+        f" // greatest(n_candidates, 1) AS precision_ppm"
+        f" FROM row{bands}"
+        for bands in LSH_BAND_GRID
+    )
+    return f"""
+WITH truth AS MATERIALIZED (SELECT doc_a, doc_b FROM ({O_NGRAM_JACCARD})),
+mtoks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+    FROM documents
+    WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3
+),
+msh AS (
+    SELECT DISTINCT doc_id AS doc, unnest(
+        list_transform(range(len(w) - 2),
+                       i -> concat(w[i + 1], ' ', w[i + 2], ' ', w[i + 3]))
+    ) AS shingle
+    FROM mtoks
+),
+sigs AS MATERIALIZED (
+    SELECT doc, u.i AS i,
+           min(CAST(('0x' || substring(
+               md5('mh' || CAST(u.i // 4 AS VARCHAR) || ':' || shingle),
+               CAST((u.i % 4) * 8 + 1 AS INTEGER), 8)) AS BIGINT)) AS h
+    FROM msh, unnest(range(16)) AS u(i)
+    GROUP BY doc, u.i
+),
+{", ".join(per_band)}
+{unions}
+"""
+
+
+O_DEDUP_BAND_CURVE = _dedup_band_curve_oracle()
+
+
 def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-corpus preparation under ONE exact hash —
     the operators composed the way a real pipeline chains them:
@@ -13131,6 +13252,7 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "minhash_lsh": q_minhash_lsh,
     "dedup_recall_eval": q_dedup_recall_eval,
+    "dedup_band_curve": q_dedup_band_curve,
     "simhash_pairs": q_simhash_pairs,
     "embedding_topk": q_embedding_topk,
     "embedding_lsh_topk": q_embedding_lsh_topk,
@@ -13297,6 +13419,7 @@ ORACLES = {
     "dedup_clusters": O_DEDUP_CLUSTERS,
     "minhash_lsh": O_MINHASH_LSH,
     "dedup_recall_eval": O_DEDUP_RECALL_EVAL,
+    "dedup_band_curve": O_DEDUP_BAND_CURVE,
     "simhash_pairs": O_SIMHASH_PAIRS,
     "embedding_topk": O_EMBEDDING_TOPK,
     "embedding_lsh_topk": O_TOPK_CONTAINMENT,
