@@ -11615,6 +11615,64 @@ def q_stream_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
 O_STREAM_RESERVOIR = O_WEIGHTED_DRAW
 
 
+def q_stream_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME exactly-7-per-source pick as `stratified_sample`, with
+    the state accumulated by a Structured Streaming loop
+    (streaming/incremental.stream_stratified_reservoir_build) over four
+    micro-batch document drops — the per-GROUP face of the k-extreme
+    merged shape (the grouped twin of `stream_reservoir`, exactly as
+    `hll_by_type` is `hll_distinct`'s): per-batch ≤ strata×7 candidate
+    tables in batch=<epoch> partitions, merged by distinct ∪ →
+    per-stratum deterministic-hash top-7. Shares `O_STRATIFIED_SAMPLE`
+    verbatim — the streaming ≡ batch shared-oracle discipline. An
+    eval-panel/stratified-sample maintained forever at ≤ strata×n rows
+    of state per batch."""
+    import hashlib
+    import os
+    import shutil
+
+    from jobinsight_data_pipeline_spark.catalog import scratch_dir
+    from jobinsight_data_pipeline_spark.streaming.incremental import (
+        read_stratified_reservoir_state,
+        stream_stratified_reservoir_build,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    docs = t["documents"].select("doc_id", "source")
+
+    base = scratch_dir(
+        "streamstrat-gate-",
+        "{}-{}".format(
+            spark.sparkContext.applicationId,
+            hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+        ),
+    )
+    done = os.path.join(base, "_gate_done")
+    if not os.path.exists(done):
+        shutil.rmtree(base, ignore_errors=True)
+        raw = f"{base}/drops"
+        for i in range(4):
+            docs.filter(F.col("doc_id") % 4 == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(raw)
+        query = stream_stratified_reservoir_build(
+            spark, raw, docs.schema, f"{base}/state", f"{base}/ckpt",
+            stratum_cols=["source"], key_col="doc_id",
+            n_per_stratum=7, salt="r4",
+        )
+        query.awaitTermination()
+        with open(done, "w") as fh:
+            fh.write("ok")
+
+    return read_stratified_reservoir_state(
+        spark, f"{base}/state", ["source"], "doc_id",
+        n_per_stratum=7, salt="r4",
+    ).select("doc_id", "source")
+
+
+O_STREAM_STRATIFIED = O_STRATIFIED_SAMPLE
+
+
 def q_hll_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-GROUP cardinality state (operators/sketches.hll_registers_by):
     the distinct-users-per-event-type dashboard as ≤64-row register
@@ -13337,6 +13395,7 @@ QUERIES = {
     "instruction_packs": q_instruction_packs,
     "stream_hll": q_stream_hll,
     "stream_reservoir": q_stream_reservoir,
+    "stream_stratified_sample": q_stream_stratified_sample,
     "retrieval_eval": q_retrieval_eval,
     "hll_by_type": q_hll_by_type,
     "ann_recall_eval": q_ann_recall_eval,
@@ -13504,6 +13563,7 @@ ORACLES = {
     "instruction_packs": O_INSTRUCTION_PACKS,
     "stream_hll": O_STREAM_HLL,
     "stream_reservoir": O_STREAM_RESERVOIR,
+    "stream_stratified_sample": O_STREAM_STRATIFIED,
     "retrieval_eval": O_RETRIEVAL_EVAL,
     "hll_by_type": O_HLL_BY_TYPE,
     "ann_recall_eval": O_ANN_RECALL_EVAL,

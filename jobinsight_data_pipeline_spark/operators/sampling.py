@@ -410,6 +410,60 @@ def stratified_sample_exact(
     )
 
 
+def stratified_reservoir_state(
+    df: DataFrame,
+    stratum_cols: list[str],
+    key_col: str,
+    n_per_stratum: int,
+    salt: str = "",
+) -> DataFrame:
+    """One batch's/shard's stratified-sample CANDIDATES — the per-GROUP
+    face of the k-extreme merged shape (the grouped twin of
+    :func:`reservoir_state`, exactly as hll_registers_by is
+    hll_registers' grouped face): per stratum, the ``n_per_stratum``
+    smallest rows in the deterministic md5(salt||key) order
+    :func:`stratified_sample_exact` ranks by. Every global per-stratum
+    top-n row is necessarily in its batch's per-stratum top-n, the hash
+    is a pure function of (salt, key) so re-delivered candidates are
+    IDENTICAL rows, and merging (distinct ∪ → per-stratum top-n) is
+    therefore bit-identical to the batch pick on any partitioning or
+    replay. State per batch ≤ strata × n rows. Returns (stratum_cols…,
+    key_col)."""
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    w = Window.partitionBy(*stratum_cols).orderBy(
+        h.asc(), F.col(key_col).asc()
+    )
+    return (
+        df.select(*stratum_cols, key_col)
+        .withColumn("_srn", F.row_number().over(w))
+        .filter(F.col("_srn") <= n_per_stratum)
+        .drop("_srn")
+    )
+
+
+def stratified_reservoir_sample(
+    states: DataFrame,
+    stratum_cols: list[str],
+    key_col: str,
+    n_per_stratum: int,
+    salt: str = "",
+) -> DataFrame:
+    """Merge any union of :func:`stratified_reservoir_state` tables into
+    the final exactly-N-per-stratum pick: distinct ∪ (absorbs replays)
+    → the SAME deterministic rank — bit-identical to running
+    :func:`stratified_sample_exact` over the full corpus (the shared-
+    oracle pin). Output contract == stratified_sample_exact's."""
+    return stratified_sample_exact(
+        states.select(*stratum_cols, key_col).distinct(),
+        stratum_cols,
+        key_col,
+        n_per_stratum,
+        salt,
+    )
+
+
 def select_until_budget(
     df: DataFrame,
     score_col: str,

@@ -877,6 +877,73 @@ def stream_reservoir_build(
     )
 
 
+def stream_stratified_reservoir_build(
+    spark: SparkSession,
+    raw_dir: str,
+    schema,
+    state_dir: str,
+    checkpoint_dir: str,
+    stratum_cols: list[str],
+    key_col: str = "doc_id",
+    n_per_stratum: int = 7,
+    salt: str = "",
+    max_files_per_trigger: int = 1,
+):
+    """Streaming stratified-sample state — the per-GROUP face of the
+    k-extreme merged shape (operators/sampling.
+    stratified_reservoir_state): each micro-batch reduces to ≤ strata×n
+    candidate rows in ``state_dir/batch=<epoch>`` (overwrite →
+    replay-idempotent; deterministic hash order makes re-delivered
+    candidates identical rows the merge's distinct absorbs). The merged
+    pick is bit-identical to the batch stratified_sample_exact over
+    everything ingested — an exactly-N-per-stratum eval panel
+    maintained forever without rescanning history."""
+    from jobinsight_data_pipeline_spark.operators.sampling import (
+        stratified_reservoir_state,
+    )
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        stratified_reservoir_state(
+            batch_df, stratum_cols, key_col, n_per_stratum, salt
+        ).write.mode("overwrite").parquet(f"{state_dir}/batch={epoch_id}")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(raw_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_stratified_reservoir_state(
+    spark: SparkSession,
+    state_dir: str,
+    stratum_cols: list[str],
+    key_col: str = "doc_id",
+    n_per_stratum: int = 7,
+    salt: str = "",
+) -> DataFrame:
+    """Merge a ``stream_stratified_reservoir_build`` state dir into the
+    final exactly-N-per-stratum pick (bit-identical to the batch
+    stratified_sample_exact — the shared-oracle pin)."""
+    from jobinsight_data_pipeline_spark.operators.sampling import (
+        stratified_reservoir_sample,
+    )
+
+    return stratified_reservoir_sample(
+        spark.read.parquet(state_dir),
+        stratum_cols,
+        key_col,
+        n_per_stratum,
+        salt,
+    )
+
+
 def read_reservoir_state(
     spark: SparkSession,
     state_dir: str,

@@ -5005,3 +5005,55 @@ def test_source_overlap_matrix_asymmetry_and_exactness(spark):
     assert out[("tiny", "big")]["n_a"] == 2
     assert out[("big", "tiny")]["containment_ppm"] == (2 * 1_000_000) // 10
     assert not any("island" in k for k in out)
+
+
+def test_stratified_reservoir_merge_equals_batch_pick(spark):
+    """The per-group k-extreme merged shape: merging per-shard
+    stratified states must reproduce the batch stratified_sample_exact
+    pick EXACTLY on any sharding; replay changes nothing; strata
+    smaller than n contribute everything."""
+    from jobinsight_data_pipeline_spark.operators.sampling import (
+        stratified_reservoir_sample,
+        stratified_reservoir_state,
+        stratified_sample_exact,
+    )
+
+    df = spark.range(1, 1_001).selectExpr(
+        "id AS k", "CAST(id % 13 AS STRING) AS s"
+    )
+    batch = {
+        (r["s"], r["k"])
+        for r in stratified_sample_exact(
+            df.select("s", "k"), ["s"], "k", 5, salt="t"
+        ).collect()
+    }
+    for mod in (4, 11):
+        shards = [
+            stratified_reservoir_state(
+                df.where(f"k % {mod} = {i}"), ["s"], "k", 5, salt="t"
+            )
+            for i in range(mod)
+        ]
+        states = shards[0]
+        for sh in shards[1:]:
+            states = states.union(sh)
+        merged = {
+            (r["s"], r["k"])
+            for r in stratified_reservoir_sample(
+                states, ["s"], "k", 5, salt="t"
+            ).collect()
+        }
+        assert merged == batch, mod
+    s0 = stratified_reservoir_state(df, ["s"], "k", 5, salt="t")
+    doubled = {
+        (r["s"], r["k"])
+        for r in stratified_reservoir_sample(
+            s0.union(s0), ["s"], "k", 5, salt="t"
+        ).collect()
+    }
+    assert doubled == batch
+    # every stratum contributes exactly 5 (1000 rows / 13 strata > 5)
+    from collections import Counter
+
+    per = Counter(s for s, _ in batch)
+    assert all(v == 5 for v in per.values())
