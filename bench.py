@@ -597,6 +597,21 @@ def main() -> None:
         lambda: materialize(queries["pq_residual_error"](spark, sf_dir))
     )
 
+    # round-11: example construction (zero-shuffle FIM projection; span
+    # corruption's explode → shared doc-key exchange → re-assembly)
+    from jobinsight_data_pipeline_spark.operators.examples import (
+        fim_transform,
+        span_corrupt,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    timings["fim_transform"] = timed(
+        lambda: materialize(fim_transform(docs))
+    )
+    timings["span_corrupt"] = timed(
+        lambda: materialize(span_corrupt(docs))
+    )
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
