@@ -152,6 +152,7 @@ def test_no_accidental_cartesian_or_nested_loop(spark):
         "ann_recall_eval",  # cosine_topk broadcast query side + IVF route
         "ann_recall_residual",  # same class, residual (IVFADC) route
         "dedup_recall_eval",  # three 1-row metric aggregates crossJoined
+        "dedup_band_curve",  # same class, three band configs unioned
         "ann_probe_curve",  # same class, four probe widths
         "zorder_digest",  # 1-row min/max quantizer stats broadcast
 
