@@ -5326,6 +5326,72 @@ FROM ranked WHERE rank <= {IVFPQ_K}
 """
 
 
+def q_ivf_pq_day2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INDEX MAINTENANCE WITHOUT REBUILD — the day-2 lifecycle the
+    build-once/serve-many story needs at 100 TB (the incremental_dedup
+    narrative applied to the ANN index): day-1 vectors build the
+    cell-partitioned index, the day-2 drop encodes ONLY ITS OWN rows
+    (cell + codes are per-row deterministic pure functions) and APPENDS
+    into the same cell partitions — day-1 files untouched, no corpus
+    rescan, maintenance cost rides the drop size. Because encoding is
+    row-local, the appended index is BIT-IDENTICAL to a full rebuild,
+    so serving the merged index shares `O_IVF_PQ_SERVE_MANY` VERBATIM
+    — a lost day-2 row, a double-applied append (files are new per
+    append), or a drifted encode fails the hash."""
+    import hashlib
+    import os
+    import shutil
+
+    from jobinsight_data_pipeline_spark.catalog import scratch_dir
+    from jobinsight_data_pipeline_spark.operators.similarity import (
+        build_ivf_pq_index,
+        ivf_pq_topk_many,
+        unit_centroids,
+    )
+
+    t = load(spark, sf_dir, "embeddings")
+    emb = t["embeddings"]
+    cents = unit_centroids(64, IVFPQ_LISTS, seed=11)
+    base = scratch_dir(
+        "ivfpqday2-gate-",
+        "{}-{}".format(
+            spark.sparkContext.applicationId,
+            hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+        ),
+    )
+    done = os.path.join(base, "_gate_done")
+    idx_dir = os.path.join(base, "index")
+    if not os.path.exists(done):
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        day1 = emb.filter(F.col("vec_id") % 3 != 0)
+        day2 = emb.filter(F.col("vec_id") % 3 == 0)
+        build_ivf_pq_index(day1, cents, _pq_cb()).write.partitionBy(
+            "cell"
+        ).mode("overwrite").parquet(idx_dir)
+        # the maintenance pass: encode the drop, append its partitions
+        build_ivf_pq_index(day2, cents, _pq_cb()).write.partitionBy(
+            "cell"
+        ).mode("append").parquet(idx_dir)
+        with open(done, "w") as fh:
+            fh.write("ok")
+    index = spark.read.parquet(idx_dir)
+    queries = (
+        emb.filter(F.col("vec_id").isin(*IVFPQ_MANY_QIDS))
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    top = ivf_pq_topk_many(
+        index, queries, cents, _pq_cb(), k=IVFPQ_K, n_probe=IVFPQ_PROBE
+    )
+    return top.select(
+        "query_id",
+        "rank",
+        "vec_id",
+        F.floor(F.col("adc") * F.lit(1000000.0)).cast("long").alias(
+            "adc_micro"
+        ),
+    )
+
+
 def _ivfpq_many_ranked_ctes() -> str:
     """The shared serve-many replay: PQ code table, probe-cell pick per
     query, candidate join, direct per-pair ADC, per-query rank — up to
@@ -5404,6 +5470,9 @@ ranked AS (
 
 
 O_IVF_PQ_SERVE_MANY = _ivfpq_many_oracle()
+# the day-2 appended index is bit-identical to a full rebuild (row-local
+# encode), so the maintenance gate shares the serve-many replay verbatim
+O_IVF_PQ_DAY2 = O_IVF_PQ_SERVE_MANY
 
 
 def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -13439,6 +13508,7 @@ QUERIES = {
     "ivf_pq_topk": q_ivf_pq_topk,
     "ivf_pq_index_search": q_ivf_pq_index_search,
     "ivf_pq_serve_many": q_ivf_pq_serve_many,
+    "ivf_pq_day2": q_ivf_pq_day2,
     "paragraph_dedup": q_paragraph_dedup,
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "stream_jsonl_ingest": q_stream_jsonl_ingest,
@@ -13607,6 +13677,7 @@ ORACLES = {
     "ivf_pq_topk": O_IVF_PQ_TOPK,
     "ivf_pq_index_search": O_IVF_PQ_TOPK,
     "ivf_pq_serve_many": O_IVF_PQ_SERVE_MANY,
+    "ivf_pq_day2": O_IVF_PQ_DAY2,
     "paragraph_dedup": O_PARAGRAPH_DEDUP,
     "jsonl_roundtrip": O_JSONL_ROUNDTRIP,
     "stream_jsonl_ingest": O_JSONL_ROUNDTRIP,
