@@ -4942,6 +4942,40 @@ def test_zorder_locality_prunes_both_dimensions(spark):
     assert touched("o_custkey", "epoch_day") == 64
 
 
+def test_zorder_quantize_wide_domain_no_overflow(spark):
+    """The ANSI-overflow guard (r10 ADVICE): a column whose range
+    exceeds 2^(61-bits) pre-shifts before the multiply instead of
+    throwing; buckets stay in [0, 2^bits), monotone in the input, and
+    narrow domains still use the exact unshifted formula."""
+    import pyspark.sql.functions as F
+
+    from jobinsight_data_pipeline_spark.operators.zorder import (
+        zorder_quantize,
+    )
+
+    wide = spark.createDataFrame(
+        [(0,), (1 << 20,), (1 << 40,), (1 << 55,), ((1 << 58) - 1,)],
+        "x long",
+    )
+    rows = (
+        zorder_quantize(wide, ["x"], bits=16)
+        .select("x", "__q0")
+        .orderBy("x")
+        .collect()
+    )
+    qs = [r["__q0"] for r in rows]
+    assert all(0 <= q < 2**16 for q in qs), qs
+    assert qs == sorted(qs), qs  # monotone
+    assert qs[0] == 0 and qs[-1] == 2**16 - 1, qs
+    # narrow domain: exact unshifted formula (shift = 0)
+    narrow = spark.createDataFrame([(i,) for i in range(100)], "x long")
+    nq = {
+        r["x"]: r["__q0"]
+        for r in zorder_quantize(narrow, ["x"], bits=16).collect()
+    }
+    assert all(nq[i] == (i * 2**16) // 100 for i in range(100))
+
+
 def test_zorder_key_bit_layout_and_errors(spark):
     """interleave_bits puts bit b of column i at position b*n + i —
     pinned on hand values; quantizer handles NULLs and the full-range
