@@ -630,7 +630,7 @@ def q_dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 O_DEDUP_RECALL_EVAL = f"""
-WITH truth AS (SELECT doc_a, doc_b FROM ({O_NGRAM_JACCARD})),
+WITH truth AS MATERIALIZED (SELECT doc_a, doc_b FROM ({O_NGRAM_JACCARD})),
 mtoks AS (
     SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
     FROM documents
@@ -651,12 +651,12 @@ sigs AS (
     FROM msh, unnest(range(16)) AS u(i)
     GROUP BY doc, u.i
 ),
-buckets AS (
+buckets AS MATERIALIZED (
     SELECT doc, i // 4 AS band,
            string_agg(CAST(h AS VARCHAR), '|' ORDER BY i) AS bucket
     FROM sigs GROUP BY doc, i // 4
 ),
-cand AS (
+cand AS MATERIALIZED (
     SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
     FROM buckets a JOIN buckets b
       ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
@@ -700,10 +700,17 @@ def q_dedup_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     truth_n = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+    # ONE signature build feeds all three band configs (banding is a
+    # cheap projection over the checkpointed 16-column frame — the
+    # oracle's MATERIALIZED sigs CTE, mirrored)
+    sig = minhash_signatures_portable(
+        docs, "doc_id", "text", n_hashes=16
+    ).localCheckpoint(eager=True)
     parts = []
     for bands in LSH_BAND_GRID:
         cand = minhash_lsh_pairs_portable(
-            docs, "doc_id", "text", n_hashes=16, bands=bands
+            docs, "doc_id", "text", n_hashes=16, bands=bands,
+            signatures=sig,
         ).localCheckpoint(eager=True)
         hits = truth.join(cand, ["doc_a", "doc_b"], "left_semi").agg(
             F.count(F.lit(1)).alias("n_hits")
@@ -11427,7 +11434,13 @@ def q_instruction_packs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load(spark, sf_dir, "documents")
     docs = t["documents"]
-    toks = tokens("text")
+    # drop empty tokens BEFORE splitting: instruction_example
+    # re-tokenizes the space-joined slices, and an empty leading token
+    # (text starting with \t/\n — the CLAUDE.md trim class) would
+    # collapse in the re-split and shift every count downstream; on a
+    # filtered array the re-split is exactly count-preserving for ANY
+    # input (non-empty tokens contain no whitespace)
+    toks = F.filter(tokens("text"), lambda tk: tk != "")
     n = F.size(toks)
     h = F.conv(
         F.substring(
@@ -11468,7 +11481,8 @@ def q_instruction_packs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 O_INSTRUCTION_PACKS = r"""
 WITH t AS (
-    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+    SELECT doc_id, list_filter(
+        regexp_split_to_array(trim(text), '\s+'), tk -> tk <> '') AS toks
     FROM documents
 ),
 c AS (
@@ -13260,11 +13274,17 @@ def q_ivf_residual_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_pq_topk_indexed,
     )
 
+    from jobinsight_data_pipeline_spark.operators.parallelism import (
+        widen_for_cpu,
+    )
+
     t = load(spark, sf_dir, "embeddings")
     emb = t["embeddings"]
     fitted = _kmeans_centroids(spark, sf_dir)
     cents = [[x / _KMEANS_SCALE for x in row] for row in fitted]
-    index = build_ivf_pq_index(emb, cents, _pqr_cb(), residual=True)
+    index = build_ivf_pq_index(
+        widen_for_cpu(emb), cents, _pqr_cb(), residual=True
+    )
     qvec = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
     out = ivf_pq_topk_indexed(
         index, qvec, cents, _pqr_cb(),

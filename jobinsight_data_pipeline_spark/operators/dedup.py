@@ -471,6 +471,7 @@ def minhash_lsh_pairs_portable(
     n_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Banded LSH candidates off :func:`minhash_signatures_portable`:
     the band bucket is the '|'-joined row values in seed order (a
@@ -478,10 +479,22 @@ def minhash_lsh_pairs_portable(
     stays the scale path). Returns distinct (doc_a, doc_b), doc_a <
     doc_b — the candidate set itself, exactly replayable, so candidate
     RECALL/PRECISION against exact Jaccard ground truth can sit under
-    a gate hash (q_dedup_recall_eval)."""
+    a gate hash (q_dedup_recall_eval). Pass a prebuilt ``signatures``
+    frame to band the SAME signature build several ways (the
+    q_dedup_band_curve pattern) without recomputing it."""
+    if n_hashes % bands:
+        raise ValueError(
+            f"minhash_lsh_pairs_portable: bands={bands} must divide "
+            f"n_hashes={n_hashes} (trailing signatures would silently "
+            f"drop out of every band)"
+        )
     rows_per_band = n_hashes // bands
-    sig = minhash_signatures_portable(
-        df, id_col, text_col, n_hashes, shingle_n
+    sig = (
+        signatures
+        if signatures is not None
+        else minhash_signatures_portable(
+            df, id_col, text_col, n_hashes, shingle_n
+        )
     )
     band_keys = F.array(
         *[

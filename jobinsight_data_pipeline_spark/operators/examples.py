@@ -157,6 +157,14 @@ def span_corrupt(
         raise ValueError("span_corrupt: mask_denominator must be >= 2")
     from pyspark.sql import Window
 
+    from jobinsight_data_pipeline_spark.operators.parallelism import (
+        widen_for_cpu,
+    )
+
+    # the per-token md5 Bernoulli runs in the scan-stage projection —
+    # CPU-dense map work that a single-file parquet would put on ONE
+    # task (the classifier/shingles lesson); widen first
+    df = widen_for_cpu(df)
     base = df.select(
         F.col(id_col).alias("_id"),
         F.posexplode(tokens(text_col)).alias("_i", "_t"),

@@ -453,6 +453,9 @@ def test_compact_parquet_zorder_layout(spark, tmp_path):
     )
     for (_, mx_prev), (mn_next, _) in zip(ranges, ranges[1:]):
         assert mx_prev <= mn_next, ranges
+
+
+def test_text_quality_projections_run_on_streams(spark, tmp_path):
     """The textstats/C4 blocks are stateless projections, so the SAME
     code path runs on a readStream frame — corpus quality filtering
     drops straight into a streaming ingest without a batch detour."""
