@@ -1243,3 +1243,61 @@ def test_instruction_example_loss_span(spark):
         assert toks[r["loss_from"] : r["loss_to"]] == comp + [INS_EOS]
         assert r["loss_to"] == r["n_tokens"]
         assert toks[1 : 1 + r["n_prompt_tokens"]] == orig[0].split()
+
+
+def _spark_tokens_ref(text: str) -> list[str]:
+    """Python reference for textstats.tokens(): Spark trim strips
+    SPACES only, and split(pattern, limit=-1) keeps leading AND
+    trailing empty tokens — a bare str.split() is NOT equivalent (the
+    r4 fuzz lesson)."""
+    import re
+
+    return re.split(r"\s+", text.strip(" "))
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.sampled_from(
+                list("ab c\t\nxyz.!") + [" "]
+            ),
+            min_size=0,
+            max_size=24,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_example_ops_total_on_whitespace_adversarial_text(texts):
+    """fim_transform and span_corrupt must be TOTAL and internally
+    consistent on whitespace-hostile inputs (leading tabs/newlines,
+    empty strings, runs of separators) — the token-count bookkeeping
+    must match the engine's actual tokens() semantics, not a Python
+    str.split() approximation."""
+    spark = _shared_spark()
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    from jobinsight_data_pipeline_spark.operators.examples import (
+        fim_transform,
+        span_corrupt,
+    )
+
+    for r in fim_transform(df).collect():
+        toks = _spark_tokens_ref(texts[r["doc_id"]])
+        assert r["n_tokens"] == len(toks), (texts[r["doc_id"]], toks)
+        if r["fim_applied"]:
+            assert 1 <= r["p1"] < r["p2"] <= len(toks) - 1
+        else:
+            assert r["fim_text"] == texts[r["doc_id"]]
+    for r in span_corrupt(df).collect():
+        toks = _spark_tokens_ref(texts[r["doc_id"]])
+        assert r["n_tokens"] == len(toks)
+        assert 0 <= r["n_spans"] <= r["n_masked"] <= r["n_tokens"]
+
+
+def _shared_spark():
+    from jobinsight_data_pipeline_spark.session import get_spark
+
+    return get_spark(app_name="jobinsight-tests", shuffle_partitions=4)
