@@ -1301,3 +1301,46 @@ def _shared_spark():
     from jobinsight_data_pipeline_spark.session import get_spark
 
     return get_spark(app_name="jobinsight-tests", shuffle_partitions=4)
+
+
+def test_instruction_packs_oracle_parity_on_hostile_corpus(spark, tmp_path):
+    """The latent-class regression test for the round-11 self-review
+    fix: on a corpus with \\t/\\n-leading text (Spark trim keeps an
+    empty leading token), q_instruction_packs and its DuckDB oracle
+    must STILL agree row-for-row — the empty-token filter on both
+    sides makes re-tokenization count-preserving for any input."""
+    import duckdb
+
+    from jobinsight_data_pipeline_spark.catalog.textml import (
+        O_INSTRUCTION_PACKS,
+        q_instruction_packs,
+    )
+
+    rows = [
+        (1, "\talpha beta gamma delta"),
+        (2, "plain words here now and then"),
+        (3, "\n\nx y"),
+        (4, "trailing space "),
+        (5, "one"),
+        (6, "  doubled  gaps  between  words  "),
+    ]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(f"{src}/documents.parquet")
+    got = sorted(
+        tuple(r)
+        for r in q_instruction_packs(spark, src)
+        .select(
+            "doc_id", "n_tokens", "start_offset", "pack_id",
+            "loss_from", "loss_to",
+        )
+        .collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{src}/documents.parquet/*.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.execute(O_INSTRUCTION_PACKS).fetchall())
+    assert got == want, (got, want)
