@@ -5689,13 +5689,13 @@ def _must_replace(base: str, old: str, new: str) -> str:
     return base.replace(old, new)
 
 
-def _ann_probe_curve_oracle() -> str:
+def _ann_probe_curve_oracle(base_ctes: str | None = None) -> str:
     k = IVFPQ_K
     max_p = max(ANN_PROBE_GRID)
     # swap the fixed-probe qcells for a rank-carrying pick of the
     # widest grid entry; everything downstream gates on prank
     base = _must_replace(
-        _ivfpq_many_ranked_ctes(),
+        base_ctes if base_ctes is not None else _ivfpq_many_ranked_ctes(),
         f"ORDER BY qd[CAST(u.j AS INTEGER)] DESC, u.j ASC) <= {IVFPQ_PROBE}",
         f"ORDER BY qd[CAST(u.j AS INTEGER)] DESC, u.j ASC) <= {max_p}",
     )
@@ -5709,13 +5709,27 @@ def _ann_probe_curve_oracle() -> str:
                PARTITION BY qid
                ORDER BY qd[CAST(u.j AS INTEGER)] DESC, u.j ASC) AS prank""",
     )
-    base = _must_replace(
-        base,
+    raw_cand = (
         "cand AS (\n    SELECT q.qid, a.vec_id FROM assigned a"
-        " JOIN qcells q USING (cell)\n)",
-        "cand AS (\n    SELECT q.qid, a.vec_id, q.prank FROM assigned a"
-        " JOIN qcells q USING (cell)\n)",
+        " JOIN qcells q USING (cell)\n)"
     )
+    res_cand = (
+        "cand AS (\n    SELECT q.qid, a.vec_id, a.cell\n"
+        "    FROM assigned a JOIN qcells q USING (cell)\n)"
+    )
+    if raw_cand in base:
+        base = base.replace(
+            raw_cand,
+            "cand AS (\n    SELECT q.qid, a.vec_id, q.prank FROM"
+            " assigned a JOIN qcells q USING (cell)\n)",
+        )
+    else:
+        base = _must_replace(
+            base,
+            res_cand,
+            "cand AS (\n    SELECT q.qid, a.vec_id, a.cell, q.prank\n"
+            "    FROM assigned a JOIN qcells q USING (cell)\n)",
+        )
     base = _must_replace(
         base,
         "adc AS (\n    SELECT qid, vec_id,",
@@ -5986,6 +6000,80 @@ def q_ann_recall_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 O_ANN_RECALL_RESIDUAL = _ann_recall_oracle(_ivfpq_residual_ranked_ctes())
+
+
+def q_ann_probe_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`ann_probe_curve`'s residual-route twin — the n_probe
+    latency/recall tuning table for the IVFADC index at n_probe ∈
+    {1, 2, 4, 8}, against the same exact-cosine ground truth (the eval
+    surface now covers BOTH encodings symmetrically). Same oracle
+    trick: residual ADC is probe-independent, so the widest probe's
+    candidates are scored once with their probe-cell rank and all four
+    rankings derive by prank ≤ p. Same honesty note as the raw curve:
+    near-uniform synthetic embeddings make the absolute recall values
+    toy — the MEASUREMENT machinery is what's certified."""
+    from pyspark.sql import Window
+
+    from jobinsight_data_pipeline_spark.operators.parallelism import (
+        widen_for_cpu,
+    )
+    from jobinsight_data_pipeline_spark.operators.similarity import (
+        build_ivf_pq_index,
+        cosine_topk,
+        ivf_pq_topk_many,
+        unit_centroids,
+    )
+
+    t = load(spark, sf_dir, "embeddings")
+    emb = t["embeddings"]
+    cents = unit_centroids(64, IVFPQ_LISTS, seed=11)
+    index = build_ivf_pq_index(
+        widen_for_cpu(emb), cents, _pq_cb(), residual=True
+    ).localCheckpoint(eager=True)
+    queries = (
+        emb.filter(F.col("vec_id").isin(*IVFPQ_MANY_QIDS))
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    qrels = cosine_topk(
+        emb, emb.filter(F.col("vec_id").isin(*IVFPQ_MANY_QIDS)), k=IVFPQ_K
+    ).select("query_id", F.col("neighbor_id").alias("vec_id"))
+    qrel_totals = qrels.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_rel")
+    )
+    parts = []
+    for p in ANN_PROBE_GRID:
+        top = ivf_pq_topk_many(
+            index, queries, cents, _pq_cb(),
+            k=IVFPQ_K, n_probe=p, residual=True,
+        )
+        ann = top.where(F.col("vec_id") != F.col("query_id")).select(
+            "query_id", "vec_id"
+        )
+        hits = ann.join(qrels, ["query_id", "vec_id"]).groupBy(
+            "query_id"
+        ).agg(F.count(F.lit(1)).alias("n_rel_topk"))
+        parts.append(
+            qrel_totals.join(hits, "query_id", "left").select(
+                F.lit(p).alias("n_probe"),
+                F.col("query_id").alias("query"),
+                "n_rel",
+                F.coalesce("n_rel_topk", F.lit(0).cast("long")).alias(
+                    "n_rel_topk"
+                ),
+                F.expr(
+                    "(coalesce(n_rel_topk, 0L) * 1000000L) div n_rel"
+                ).alias("recall_micro"),
+            )
+        )
+    out = parts[0]
+    for q in parts[1:]:
+        out = out.unionAll(q)
+    return out
+
+
+O_ANN_PROBE_RESIDUAL = _ann_probe_curve_oracle(
+    _ivfpq_residual_ranked_ctes()
+)
 
 
 def q_zorder_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -13490,6 +13578,7 @@ QUERIES = {
     "ann_recall_eval": q_ann_recall_eval,
     "ivf_pq_residual": q_ivf_pq_residual,
     "ann_recall_residual": q_ann_recall_residual,
+    "ann_probe_residual": q_ann_probe_residual,
     "pq_residual_error": q_pq_residual_error,
     "ann_probe_curve": q_ann_probe_curve,
     "zorder_digest": q_zorder_digest,
@@ -13659,6 +13748,7 @@ ORACLES = {
     "ann_recall_eval": O_ANN_RECALL_EVAL,
     "ivf_pq_residual": O_IVF_PQ_RESIDUAL,
     "ann_recall_residual": O_ANN_RECALL_RESIDUAL,
+    "ann_probe_residual": O_ANN_PROBE_RESIDUAL,
     "pq_residual_error": O_PQ_RESIDUAL_ERROR,
     "ann_probe_curve": O_ANN_PROBE_CURVE,
     "zorder_digest": O_ZORDER_DIGEST,
