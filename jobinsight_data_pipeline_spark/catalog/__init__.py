@@ -220,13 +220,10 @@ DRIVER_QUERIES: list[str] = [
     # --- scalar-function parity (folded) ---
     "salary_parse",
     "scalar_functions",
-    "location_suite",
     # --- training-data / text-ML operators ---
     "corpus_curation",
     "hash_split",
-    "ngram_jaccard",
     "minhash_lsh",
-    "embedding_lsh_topk",
     "semantic_dedup",
     # round-6 slot refresh (judge directive): three A1/A2-family twins
     # demoted (top10_avg_salary → top10_customers+views_salary_filter;
@@ -296,6 +293,21 @@ DRIVER_QUERIES: list[str] = [
     "kmeans_pp_fit",
     "wav_decode",
     "ann_recall_eval",
+    # round-12 slot refresh (r11 judge directive, verbatim): three more
+    # shadowed twins demoted — embedding_lsh_topk (ANN family now
+    # driver-carried by ivf_pq_index_search + ann_recall_eval),
+    # ngram_jaccard (near-dup family still driver-carried by
+    # minhash_lsh, and its exact-Jaccard math is replayed inside the
+    # dedup-eval oracles), location_suite (F6-F10 parity carried by
+    # scalar_functions + the warehouse view gates that consume the
+    # parsed locations) — for the three round-11 flagship families
+    # with zero driver rows: the IVFADC residual error-gain NUMBER
+    # under the hash, the stdlib PNG real-decode kernel (third codec),
+    # and T5-style span corruption from the example-construction
+    # family
+    "pq_residual_error",
+    "png_decode",
+    "span_corrupt",
     # the heaviest sit last on purpose (composed chains; iterative
     # CC) — position 50 exactly fills the driver cap
     "training_shards",

@@ -154,6 +154,7 @@ def test_no_accidental_cartesian_or_nested_loop(spark):
         "dedup_recall_eval",  # three 1-row metric aggregates crossJoined
         "dedup_band_curve",  # same class, three band configs unioned
         "ann_probe_curve",  # same class, four probe widths
+        "ann_probe_residual",  # same class, residual route (r11 verdict fix)
         "zorder_digest",  # 1-row min/max quantizer stats broadcast
 
         "forget_bm25",  # same class: erased index x 1-row stats (r7)
