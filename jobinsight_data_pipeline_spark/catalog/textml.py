@@ -12975,6 +12975,147 @@ O_KMEANS_FIT = _kmeans_oracle_sql(
 )
 
 
+_PQRT_ITERS = 2
+_PQRT_CACHE: dict[tuple[int, str], list] = {}
+
+
+def _pqr_trained_books(
+    spark: SparkSession, sf_dir: str
+) -> list[list[list[float]]]:
+    """Memoized residual-trained PQ codebooks (floats, int/10⁶ — the
+    engine-portable representation) per (session, sf_dir): per-subspace
+    Lloyd's over the ENCODE path's residuals ``v − centroid[cell]`` of
+    the memoized fitted coarse quantizer
+    (operators/clustering.train_pq_codebooks_residual — the third leg
+    of the FAISS IVFADC training recipe)."""
+    from jobinsight_data_pipeline_spark.operators.clustering import (
+        train_pq_codebooks_residual,
+    )
+
+    key = (id(spark), sf_dir)
+    if key not in _PQRT_CACHE:
+        t = load(spark, sf_dir, "embeddings")
+        fitted = _kmeans_centroids(spark, sf_dir)
+        cents = [[x / _KMEANS_SCALE for x in row] for row in fitted]
+        ints = train_pq_codebooks_residual(
+            t["embeddings"], cents, m=PQ_M, k=PQ_K,
+            iterations=_PQRT_ITERS, dim=64, scale=_KMEANS_SCALE,
+        )
+        _PQRT_CACHE[key] = [
+            [[x / _KMEANS_SCALE for x in c] for c in book] for book in ints
+        ]
+    return _PQRT_CACHE[key]
+
+
+def _pqrt_train_cte() -> str:
+    """Oracle CTE chain replaying ``train_pq_codebooks_residual`` on
+    top of the unrolled coarse-kmeans chain (expects
+    ``c{_KMEANS_ITERS}`` and ``embeddings`` in scope). Defines:
+    ``cents`` (float coarse matrix), ``rassigned`` (argmax-dot cell),
+    ``re`` (double residuals), ``rq`` (shift-quantized residual ints,
+    +2·scale into the non-negative Lloyd's domain), the per-subspace
+    training chain (lowest-id seeds → assignment with (d, cell)
+    tie-break → round-half-up integer means with empty-cell
+    carry-forward, ``_PQRT_ITERS`` rounds — the _pq_trained_cte shape
+    over residuals), and ``tcube`` exposing the trained float books as
+    one 3-level list ``tcb`` (``CAST(int AS DOUBLE)/scale`` — the
+    exact doubles the Spark side inlines). t-prefixed names avoid the
+    kmeans chain's q/a/m/c namespace; the subquery alias ``q`` inside
+    the training joins shadows the chain's ``q`` CTE exactly as
+    _pq_trained_cte's does."""
+    m, kb, iters = PQ_M, PQ_K, _PQRT_ITERS
+    sub, scale = PQ_SUB, _KMEANS_SCALE
+    shift = 2 * scale
+    kiters = _KMEANS_ITERS
+    dist = (
+        "CAST(list_dot_product(q.p, q.p) + list_dot_product(c.c, c.c)"
+        " - 2 * list_dot_product(q.p, c.c) AS BIGINT)"
+    )
+    parts = [
+        f"""cents AS (
+    SELECT list(cf ORDER BY cell) AS cm
+    FROM (SELECT cell, list_transform(c,
+              x -> CAST(x - {scale} AS DOUBLE) / {scale}.0) AS cf
+          FROM c{kiters})
+),
+rassigned AS MATERIALIZED (
+    SELECT vec_id, v0, list_position(sarr, list_max(sarr)) - 1 AS cell
+    FROM (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0,
+               list_transform(cm, cc -> list_dot_product(
+                   CAST(embedding AS DOUBLE[]), cc)) AS sarr
+        FROM embeddings, cents)
+),
+re AS MATERIALIZED (
+    SELECT a.vec_id, a.cell,
+           list_transform(range(64), t -> v0[CAST(t + 1 AS INTEGER)]
+             - cm[CAST(cell + 1 AS INTEGER)][CAST(t + 1 AS INTEGER)]) AS v
+    FROM rassigned a, cents
+),
+rq AS MATERIALIZED (
+    SELECT vec_id, list_transform(v,
+        x -> CAST(floor(x * {scale}) AS BIGINT) + {shift}) AS p
+    FROM re
+)"""
+    ]
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub + 1
+        parts.append(
+            f""",
+rq{j} AS MATERIALIZED (
+    SELECT vec_id, list_transform(range({lo}, {hi}),
+        i -> p[CAST(i AS INTEGER)]) AS p
+    FROM rq
+),
+tc{j}_0 AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, p AS c
+    FROM (SELECT vec_id, p FROM rq{j} ORDER BY vec_id LIMIT {kb})
+)"""
+        )
+        for i in range(iters):
+            parts.append(
+                f""",
+ta{j}_{i} AS (
+    SELECT vec_id, p, cell FROM (
+        SELECT vec_id, p, cell,
+               row_number() OVER (PARTITION BY vec_id
+                   ORDER BY d, cell) AS rn
+        FROM (
+            SELECT q.vec_id, q.p, c.cell, {dist} AS d
+            FROM rq{j} q, tc{j}_{i} c)
+    ) WHERE rn = 1
+),
+tm{j}_{i} AS (
+    SELECT cell, i AS pos,
+           (2 * sum(p[i]) + count(*)) // (2 * count(*)) AS cv
+    FROM ta{j}_{i}, LATERAL (SELECT unnest(range(1, len(p) + 1)) AS i) t
+    GROUP BY cell, i
+),
+tc{j}_{i + 1} AS (
+    SELECT c.cell, coalesce(nc.c, c.c) AS c
+    FROM tc{j}_{i} c LEFT JOIN (SELECT cell,
+        list(cv ORDER BY pos) AS c FROM tm{j}_{i} GROUP BY cell) nc
+    USING (cell)
+)"""
+            )
+    tb_union = "\n    UNION ALL ".join(
+        f"SELECT {j} AS j, cell, list_transform(c, x -> CAST(x - {shift}"
+        f" AS DOUBLE) / {scale}.0) AS cf FROM tc{j}_{iters}"
+        for j in range(m)
+    )
+    parts.append(
+        f""",
+tbooks AS (
+    {tb_union}
+),
+tcube AS (
+    SELECT list(bk ORDER BY j) AS tcb
+    FROM (SELECT j, list(cf ORDER BY cell) AS bk FROM tbooks GROUP BY j)
+)"""
+    )
+    return "".join(parts)
+
+
 def _pqr_cb() -> list[list[list[float]]]:
     """The seeded PQ codebooks rescaled ×0.125 (exact in binary — an
     exponent shift, so the literal reproduces bit-for-bit) to match the
@@ -13003,8 +13144,17 @@ def q_pq_residual_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-subspace min distance = array_min of the codebook distance
     vector (no code lookup needed — the min IS the reconstruction
     error), per-vector error floored to micro-units, BIGINT-summed.
-    Output: one row — n_vectors, the two totals, and gain_ppm > 0 as
-    the pinned improvement."""
+    Round 12 adds the third column of the Jégou table: the SAME
+    residual vectors scored against the RESIDUAL-TRAINED books
+    (_pqr_trained_books — per-subspace Lloyd's on the encode path's
+    residuals, same (m, k) budget as the seeded books so the
+    comparison is code-size-fair), with trained_gain_ppm measuring the
+    training recipe's drop vs raw encoding. The books are fitted on
+    argmax-dot residuals while sv here is the quantized min-L2
+    residual space — an evaluation-fair mismatch (both books score
+    identical vectors; the two assignment rules differ only on
+    boundary vectors of a unit-norm corpus). Output: one row —
+    n_vectors, the three totals, and both gains pinned > 0."""
     from jobinsight_data_pipeline_spark.operators.clustering import (
         _dist_vec_expr,
         _imatrix_sql,
@@ -13046,12 +13196,13 @@ def q_pq_residual_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sv"),
     )
     CB = _cube_sql(_pqr_cb())
+    CBT = _cube_sql(_pqr_trained_books(spark, sf_dir))
     m, sub = PQ_M, PQ_SUB
 
-    def err(colname: str) -> str:
+    def err(colname: str, cb_sql: str) -> str:
         return (
             f"aggregate(sequence(0, {m - 1}), 0.0d, (acc, j) -> acc + "
-            f"array_min(transform(element_at({CB}, CAST(j + 1 AS INT)),"
+            f"array_min(transform(element_at({cb_sql}, CAST(j + 1 AS INT)),"
             f" c -> aggregate(zip_with(slice({colname}, j * {sub} + 1,"
             f" {sub}), c, (x, y) -> (x - y) * (x - y)), 0.0d,"
             f" (s, y) -> s + y))))"
@@ -13059,16 +13210,20 @@ def q_pq_residual_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     errs = vecs.select(
         F.expr(
-            f"CAST(floor(({err('rv')}) * 1000000.0) AS BIGINT)"
+            f"CAST(floor(({err('rv', CB)}) * 1000000.0) AS BIGINT)"
         ).alias("eraw"),
         F.expr(
-            f"CAST(floor(({err('sv')}) * 1000000.0) AS BIGINT)"
+            f"CAST(floor(({err('sv', CB)}) * 1000000.0) AS BIGINT)"
         ).alias("eres"),
+        F.expr(
+            f"CAST(floor(({err('sv', CBT)}) * 1000000.0) AS BIGINT)"
+        ).alias("etrn"),
     )
     return errs.agg(
         F.count(F.lit(1)).alias("n_vectors"),
         F.sum("eraw").alias("raw_err_micro"),
         F.sum("eres").alias("residual_err_micro"),
+        F.sum("etrn").alias("trained_err_micro"),
     ).select(
         "n_vectors",
         "raw_err_micro",
@@ -13077,13 +13232,18 @@ def q_pq_residual_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             "((raw_err_micro - residual_err_micro) * 1000000L)"
             " div raw_err_micro"
         ).alias("gain_ppm"),
+        "trained_err_micro",
+        F.expr(
+            "((raw_err_micro - trained_err_micro) * 1000000L)"
+            " div raw_err_micro"
+        ).alias("trained_gain_ppm"),
     )
 
 
 def _pq_residual_error_oracle() -> str:
     m, sub, scale = PQ_M, PQ_SUB, _KMEANS_SCALE
 
-    def derr(v: str) -> str:
+    def derr(v: str, cb: str = "cb") -> str:
         terms = []
         for j in range(m):
             diff = (
@@ -13092,12 +13252,13 @@ def _pq_residual_error_oracle() -> str:
                 f" - c[CAST(t + 1 AS INTEGER)])"
             )
             terms.append(
-                f"list_min(list_transform(cb[{j + 1}],"
+                f"list_min(list_transform({cb}[{j + 1}],"
                 f" c -> list_dot_product({diff}, {diff})))"
             )
         return " + ".join(terms)
 
     final = f""",
+{_pqrt_train_cte()},
 cube AS (SELECT {_duck_cube(_pqr_cb())} AS cb),
 vecs AS (
     SELECT a.vec_id,
@@ -13112,14 +13273,18 @@ vecs AS (
 errs AS (
     SELECT vec_id,
            CAST(floor(({derr('rv')}) * 1000000.0) AS BIGINT) AS eraw,
-           CAST(floor(({derr('sv')}) * 1000000.0) AS BIGINT) AS eres
-    FROM vecs, cube
+           CAST(floor(({derr('sv')}) * 1000000.0) AS BIGINT) AS eres,
+           CAST(floor(({derr('sv', 'tcb')}) * 1000000.0) AS BIGINT) AS etrn
+    FROM vecs, cube, tcube
 )
 SELECT CAST(count(*) AS BIGINT) AS n_vectors,
        CAST(sum(eraw) AS BIGINT) AS raw_err_micro,
        CAST(sum(eres) AS BIGINT) AS residual_err_micro,
        ((CAST(sum(eraw) AS BIGINT) - CAST(sum(eres) AS BIGINT)) * 1000000)
-         // CAST(sum(eraw) AS BIGINT) AS gain_ppm
+         // CAST(sum(eraw) AS BIGINT) AS gain_ppm,
+       CAST(sum(etrn) AS BIGINT) AS trained_err_micro,
+       ((CAST(sum(eraw) AS BIGINT) - CAST(sum(etrn) AS BIGINT)) * 1000000)
+         // CAST(sum(eraw) AS BIGINT) AS trained_gain_ppm
 FROM errs"""
     return _kmeans_oracle_sql(final)
 
@@ -13464,6 +13629,114 @@ FROM adc ORDER BY adc ASC, vec_id ASC LIMIT {IVFPQ_K}"""
 O_IVF_RESIDUAL_TRAINED = _ivf_residual_trained_oracle()
 
 
+def q_ivfadc_trained_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE FAISS IVFADC training recipe under one hash (Jégou
+    et al. 2011 §IV with ALL THREE stages data-fitted): coarse
+    quantizer FITTED (the memoized 8-cell Lloyd's model) → PQ
+    codebooks TRAINED on that quantizer's residuals
+    (operators/clustering.train_pq_codebooks_residual — 16 cells × 8
+    subspaces, 2 Lloyd's rounds, deterministic lowest-id seeding,
+    memoized per (session, sf_dir)) → residual encode → probe-pruned
+    residual-ADC serve of vec 0 over 4 of 8 cells.
+    `ivf_residual_trained` composes the fitted quantizer with SEEDED
+    data-scaled codebooks; swapping in the residual-trained books
+    closes the last gap to a production IVFADC train job
+    (`pq_residual_error` reports the measured error drop). The oracle
+    replays the ENTIRE lineage — all four coarse rounds, the dot
+    assignment, per-vector residuals, every seed pick and both Lloyd's
+    rounds of all 8 subspace book fits, residual codes, probe
+    selection, and the residual ADC ranking — so a drifted value in
+    ANY training stage moves the hash. 100-TB shape: both trainings
+    are model-sized collects over full scans, the index build is three
+    narrow projections persisted by cell, and the serve is a
+    partition-pruned probe — the FAISS memory/IO shape."""
+    from jobinsight_data_pipeline_spark.operators.parallelism import (
+        widen_for_cpu,
+    )
+    from jobinsight_data_pipeline_spark.operators.similarity import (
+        build_ivf_pq_index,
+        ivf_pq_topk_indexed,
+    )
+
+    t = load(spark, sf_dir, "embeddings")
+    emb = t["embeddings"]
+    fitted = _kmeans_centroids(spark, sf_dir)
+    cents = [[x / _KMEANS_SCALE for x in row] for row in fitted]
+    books = _pqr_trained_books(spark, sf_dir)
+    index = build_ivf_pq_index(
+        widen_for_cpu(emb), cents, books, residual=True
+    )
+    qvec = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+    out = ivf_pq_topk_indexed(
+        index, qvec, cents, books,
+        k=IVFPQ_K, n_probe=IVFPQ_PROBE, residual=True,
+    )
+    return out.select(
+        "vec_id",
+        F.floor(F.col("adc") * 1_000_000.0).cast("long").alias("adc_micro"),
+    )
+
+
+def _ivfadc_trained_full_oracle() -> str:
+    k_cells = _KMEANS_K
+    sub = PQ_SUB
+    diff = (
+        f"list_transform(range({sub}), t -> "
+        f"v[CAST(u.j * {sub} + t + 1 AS INTEGER)] - c[CAST(t + 1 AS INTEGER)])"
+    )
+    qdiff = (
+        f"list_transform(range({sub}), t -> "
+        f"(q.qv[CAST(c.j * {sub} + t + 1 AS INTEGER)] - "
+        f"cm[CAST(d.cell + 1 AS INTEGER)]"
+        f"[CAST(c.j * {sub} + t + 1 AS INTEGER)]) - "
+        f"tcb[CAST(c.j + 1 AS INTEGER)][CAST(c.code + 1 AS INTEGER)]"
+        f"[CAST(t + 1 AS INTEGER)])"
+    )
+    chain = " + ".join(
+        f"max(CASE WHEN j = {j} THEN dd END)" for j in range(PQ_M)
+    )
+    cont = f""",
+{_pqrt_train_cte()},
+rdarrs AS (
+    SELECT vec_id, cell, u.j AS j,
+           list_transform(tcb[CAST(u.j + 1 AS INTEGER)],
+                          c -> list_dot_product({diff}, {diff})) AS darr
+    FROM re, tcube, unnest(range({PQ_M})) AS u(j)
+),
+rcodes AS (
+    SELECT vec_id, cell, j,
+           list_position(darr, list_min(darr)) - 1 AS code
+    FROM rdarrs
+),
+qv1 AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id = 0),
+probe AS (
+    SELECT CAST(u.j AS BIGINT) - 1 AS cell
+    FROM (SELECT list_transform(cm, cc -> list_dot_product(qv1.qv, cc))
+              AS qd
+          FROM cents, qv1) s,
+         unnest(generate_series(1, {k_cells})) AS u(j)
+    ORDER BY qd[CAST(u.j AS INTEGER)] DESC, u.j ASC
+    LIMIT {IVFPQ_PROBE}
+),
+dists AS (
+    SELECT c.vec_id, c.j, list_dot_product({qdiff}, {qdiff}) AS dd
+    FROM rcodes c
+    JOIN (SELECT vec_id, cell FROM rassigned
+          WHERE cell IN (SELECT cell FROM probe)) d USING (vec_id),
+    qv1 q, tcube, cents
+),
+adc AS (
+    SELECT vec_id, {chain} AS adc FROM dists GROUP BY vec_id
+)
+SELECT vec_id, CAST(floor(adc * 1000000.0) AS BIGINT) AS adc_micro
+FROM adc ORDER BY adc ASC, vec_id ASC LIMIT {IVFPQ_K}"""
+    return _kmeans_oracle_sql(cont)
+
+
+O_IVFADC_TRAINED_FULL = _ivfadc_trained_full_oracle()
+
+
 # built here, after _langid_profile_sql (generators resolve names at
 # call time — the O_ constant must follow everything it embeds)
 O_CORPUS_BUILD = _corpus_build_oracle()
@@ -13627,6 +13900,7 @@ QUERIES = {
     "kmeans_pp_fit": q_kmeans_pp_fit,
     "ivf_trained_serve": q_ivf_trained_serve,
     "ivf_residual_trained": q_ivf_residual_trained,
+    "ivfadc_trained_full": q_ivfadc_trained_full,
     "csv_roundtrip": q_csv_roundtrip,
     "quality_deciles": q_quality_deciles,
     "langid_curation": q_langid_curation,
@@ -13797,6 +14071,7 @@ ORACLES = {
     "kmeans_pp_fit": O_KMEANS_PP_FIT,
     "ivf_trained_serve": O_IVF_TRAINED_SERVE,
     "ivf_residual_trained": O_IVF_RESIDUAL_TRAINED,
+    "ivfadc_trained_full": O_IVFADC_TRAINED_FULL,
     "csv_roundtrip": O_CSV_ROUNDTRIP,
     "quality_deciles": O_QUALITY_DECILES,
     "langid_curation": O_LANGID_CURATION,

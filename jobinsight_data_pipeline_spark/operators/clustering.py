@@ -580,6 +580,25 @@ def train_pq_codebooks_quantized(
             quantize_shifted(vec_col, scale).alias("__p"),
         )
     ).localCheckpoint(eager=True)
+    books = _pq_lloyds_books(q, m=m, k=k, iterations=iterations, sub=sub)
+    _free_local_checkpoint(q)
+    return [
+        [[x - scale for x in c] for c in book] for book in books
+    ]  # unshift
+
+
+def _pq_lloyds_books(
+    q: DataFrame, m: int, k: int, iterations: int, sub: int
+) -> list[list[list[int]]]:
+    """The shared per-subspace Lloyd's core over a CHECKPOINTED
+    ``(__id, __p)`` frame whose vectors are non-negative shifted
+    BIGINTs: deterministic lowest-``__id`` seeding, all ``m`` subspace
+    fits advancing in ONE job per iteration (ds-once projection →
+    explode → single partial-agg shuffle → model-sized collect),
+    round-half-up integer means, empty-cell carry-forward. Returns
+    ``books[j][cell]`` in the INPUT's shifted domain — callers own the
+    unshift (raw vectors shift by ``scale``, IVF residuals by
+    ``2·scale``; see :func:`train_pq_codebooks_residual`)."""
     seed_rows = q.orderBy("__id").limit(k).collect()
     if len(seed_rows) < k:
         raise ValueError(
@@ -644,9 +663,81 @@ def train_pq_codebooks_quantized(
                 (2 * r[f"s{i}"] + n) // (2 * n) for i in range(sub)
             ]
         books = new_books
+    return books  # caller unshifts
+
+
+def train_pq_codebooks_residual(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    k: int = 16,
+    iterations: int = 2,
+    dim: int = 64,
+    scale: int = DEFAULT_SCALE,
+) -> list[list[list[int]]]:
+    """Fit PQ codebooks on IVF RESIDUALS — the third leg of the FAISS
+    IVFADC training recipe (Jégou et al. 2011 §IV: train the coarse
+    quantizer, train the product quantizer on the residuals
+    ``v − centroid[cell]`` of that quantizer, then encode).
+
+    ``centroids`` is the FITTED coarse quantizer as floats; cell
+    assignment and the residual subtract are EXACTLY the encode path's
+    (:func:`similarity.cell_assignment_column` /
+    :func:`similarity.residual_vec_column` — argmax dot, ties → lowest
+    index, DOUBLE-widened subtract), so the books are fitted on the
+    same residual distribution ``build_ivf_pq_index(residual=True)``
+    encodes — training on raw-space residuals or a different
+    assignment rule would fit the wrong density. Residual coordinates
+    of unit vectors against in-hull centroids live in (−2, 2), so the
+    floor-quantized ints shift by ``+2·scale`` into the non-negative
+    domain the shared Lloyd's core (:func:`_pq_lloyds_books`,
+    deterministic lowest-id seeding, integer means, empty-cell
+    carry-forward) requires. Returns UNSHIFTED residual-domain ints;
+    divide by ``scale`` for the float books the ``residual=True``
+    build/serve routes consume. One corpus scan per iteration plus the
+    checkpointed quantize scan — the model collect is m·k·(dim/m)
+    values, never data-sized."""
+    from jobinsight_data_pipeline_spark.operators.components import (
+        _free_local_checkpoint,
+    )
+    from jobinsight_data_pipeline_spark.operators.similarity import (
+        cell_assignment_column,
+        residual_vec_column,
+    )
+
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    if len(centroids) == 0 or len(centroids[0]) != dim:
+        raise ValueError(
+            "train_pq_codebooks_residual: centroid dim "
+            f"{len(centroids[0]) if centroids else 0} != {dim}"
+        )
+    sub = dim // m
+    shift = 2 * scale
+    base = widen_for_cpu(
+        df.where(F.col(vec_col).isNotNull()).select(
+            F.col(id_col).alias("__id"), F.col(vec_col).alias("_v")
+        )
+    )
+    with_cell = base.select(
+        "__id", "_v", cell_assignment_column("_v", centroids).alias("cell")
+    )
+    resid = with_cell.select(
+        "__id", residual_vec_column("_v", "cell", centroids).alias("_r")
+    )
+    q = resid.select(
+        "__id",
+        F.expr(
+            f"transform(_r, x -> CAST(floor(x * {scale}) AS BIGINT)"
+            f" + {shift}L)"
+        ).alias("__p"),
+    ).localCheckpoint(eager=True)
+    books = _pq_lloyds_books(q, m=m, k=k, iterations=iterations, sub=sub)
     _free_local_checkpoint(q)
     return [
-        [[x - scale for x in c] for c in book] for book in books
+        [[x - shift for x in c] for c in book] for book in books
     ]  # unshift
 
 
