@@ -5064,19 +5064,25 @@ def _duck_cube(cube: list[list[list[float]]]) -> str:
 
 def _pq_codes_cte(
     e_cte: str = "e AS (SELECT vec_id, embedding AS v FROM embeddings)",
+    cube_sql: str | None = None,
+    m: int | None = None,
+    sub: int | None = None,
 ) -> str:
-    sub = PQ_SUB
+    m = PQ_M if m is None else m
+    sub = PQ_SUB if sub is None else sub
+    if cube_sql is None:
+        cube_sql = f"cube AS (SELECT {_duck_cube(_pq_cb())} AS cb)"
     diff = (
         f"list_transform(range({sub}), t -> "
         f"v[CAST(u.j * {sub} + t + 1 AS INTEGER)] - c[CAST(t + 1 AS INTEGER)])"
     )
-    return f"""cube AS (SELECT {_duck_cube(_pq_cb())} AS cb),
+    return f"""{cube_sql},
 {e_cte},
 darrs AS (
     SELECT vec_id, u.j AS j,
            list_transform(cb[CAST(u.j + 1 AS INTEGER)],
                           c -> list_dot_product({diff}, {diff})) AS darr
-    FROM e, cube, unnest(range({PQ_M})) AS u(j)
+    FROM e, cube, unnest(range({m})) AS u(j)
 ),
 codes AS (
     SELECT vec_id, j, list_position(darr, list_min(darr)) - 1 AS code
@@ -5288,6 +5294,330 @@ def q_ivf_pq_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: the batched-serving gate's query ids (present at every sweep sf)
 IVFPQ_MANY_QIDS = SERVE_MANY_QIDS
 
+# --- the clustered-embedding eval corpus (r11 verdict order #4) ---
+# Near-uniform synthetic embeddings make ANN recall degenerate (exact
+# neighbors are arbitrary — the r11 gates' honesty notes); the eval
+# surface instead runs on a deterministic in-engine mixture-of-clusters
+# transform of the embeddings table (similarity.clustered_embeddings:
+# v' = normalize(center[vec_id % 16] + 0.375·v), centers a seeded unit
+# literal matrix), replayed bit-for-bit by the cemb oracle CTE — no
+# fixture files, FULL exact oracles preserved, recall curves with real
+# spread. The IVF coarse quantizer stays the INDEPENDENT seed-11
+# centroid set (an imperfectly-fitted quantizer spreads each cluster
+# over a few cells, which is exactly what makes the n_probe curve a
+# curve; quantizer == mixture centers would pin every cluster to one
+# cell and flatten it).
+_CLUSTER_N = 16
+_CLUSTER_SEED = 77
+# lam tuned empirically (COVERAGE.md r12): at 0.375 each cluster maps
+# to 1-3 cells of the seed-11 quantizer and within-cluster neighbor
+# gaps (~0.01 cosine) sit below PQ resolution — probe curves flatline;
+# at 1.25 (exactly representable: 5/4) clusters straddle ~10 cells,
+# neighbor gaps (~0.15) clear trained-book PQ noise, and the measured
+# curve is strictly monotone with ~2x recall spread across probes.
+_CLUSTER_LAM = 1.25
+# the eval family's PQ shape: 16 subspaces x 64 codes (96 bits/vec),
+# books TRAINED on the clustered corpus (raw and residual routes each
+# on their own space) — the seeded N(0,1) stand-ins carry ~8x the data
+# magnitude and their distortion buries the ranking signal.
+_CEV_M = 16
+_CEV_KC = 64
+_CEV_ITERS = 2
+_CEV_SCALE = 10**6
+#: eval query ids — 8 ids (vs the serve gates' 4) to smooth the curve;
+#: all present at sf0.001 (500 embeddings)
+_CEV_QIDS = (0, 7, 23, 42, 77, 123, 256, 301)
+
+
+def _pq_train_chain_cte(
+    src: str,
+    m: int,
+    kb: int,
+    iters: int,
+    sub: int,
+    shift: int,
+    scale: int,
+    pfx: str,
+) -> str:
+    """Per-subspace Lloyd's replay (the train_pq_codebooks_* recipe in
+    SQL) from a CTE ``{src}(vec_id, p)`` of shifted non-negative BIGINT
+    vectors: lowest-vec_id seeding, (d, cell) assignment tie-break,
+    round-half-up integer means, empty-cell carry-forward, ``iters``
+    rounds. Emits ``{pfx}q{j}``/``{pfx}c{j}_{i}``/``{pfx}a{j}_{i}``/
+    ``{pfx}m{j}_{i}`` per subspace plus ``{pfx}cube`` exposing the
+    trained float books (``CAST(int − shift AS DOUBLE)/scale`` — the
+    exact doubles the Spark side inlines) as ``{pfx}cb``. Starts with a
+    comma — append directly after the src CTE. The subquery alias ``q``
+    inside the assignment joins shadows any chain CTE named ``q``
+    (the _pq_trained_cte convention)."""
+    dist = (
+        "CAST(list_dot_product(q.p, q.p) + list_dot_product(c.c, c.c)"
+        " - 2 * list_dot_product(q.p, c.c) AS BIGINT)"
+    )
+    parts = []
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub + 1
+        parts.append(
+            f""",
+{pfx}q{j} AS MATERIALIZED (
+    SELECT vec_id, list_transform(range({lo}, {hi}),
+        i -> p[CAST(i AS INTEGER)]) AS p
+    FROM {src}
+),
+{pfx}c{j}_0 AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, p AS c
+    FROM (SELECT vec_id, p FROM {pfx}q{j} ORDER BY vec_id LIMIT {kb})
+)"""
+        )
+        for i in range(iters):
+            parts.append(
+                f""",
+{pfx}a{j}_{i} AS (
+    SELECT vec_id, p, cell FROM (
+        SELECT vec_id, p, cell,
+               row_number() OVER (PARTITION BY vec_id
+                   ORDER BY d, cell) AS rn
+        FROM (
+            SELECT q.vec_id, q.p, c.cell, {dist} AS d
+            FROM {pfx}q{j} q, {pfx}c{j}_{i} c)
+    ) WHERE rn = 1
+),
+{pfx}m{j}_{i} AS (
+    SELECT cell, i AS pos,
+           (2 * sum(p[i]) + count(*)) // (2 * count(*)) AS cv
+    FROM {pfx}a{j}_{i}, LATERAL (SELECT unnest(range(1, len(p) + 1)) AS i) t
+    GROUP BY cell, i
+),
+{pfx}c{j}_{i + 1} AS (
+    SELECT c.cell, coalesce(nc.c, c.c) AS c
+    FROM {pfx}c{j}_{i} c LEFT JOIN (SELECT cell,
+        list(cv ORDER BY pos) AS c FROM {pfx}m{j}_{i} GROUP BY cell) nc
+    USING (cell)
+)"""
+            )
+    tb_union = "\n    UNION ALL ".join(
+        f"SELECT {j} AS j, cell, list_transform(c, x -> CAST(x - {shift}"
+        f" AS DOUBLE) / {scale}.0) AS cf FROM {pfx}c{j}_{iters}"
+        for j in range(m)
+    )
+    parts.append(
+        f""",
+{pfx}books AS (
+    {tb_union}
+),
+{pfx}cube AS (
+    SELECT list(bk ORDER BY j) AS {pfx}cb
+    FROM (SELECT j, list(cf ORDER BY cell) AS bk FROM {pfx}books
+          GROUP BY j)
+)"""
+    )
+    return "".join(parts)
+
+
+def _cemb_raw_train_cte() -> str:
+    """ceq (shift-quantized cemb, +scale into the non-negative domain)
+    + the eval-shape Lloyd's chain → ``gcube(gcb)`` — the DuckDB replay
+    of `_cemb_books` (train_pq_codebooks_quantized over the clustered
+    corpus)."""
+    s = _CEV_SCALE
+    return (
+        f"""ceq AS MATERIALIZED (
+    SELECT vec_id, list_transform(embedding,
+        x -> CAST(floor(x * {s}) AS BIGINT) + {s}) AS p
+    FROM cemb
+)"""
+        + _pq_train_chain_cte(
+            "ceq", _CEV_M, _CEV_KC, _CEV_ITERS,
+            64 // _CEV_M, s, s, "g",
+        )
+    )
+
+
+def _cemb_res_train_cte() -> str:
+    """hcents/hassigned/hre/hrq (argmax-dot assignment, residuals,
+    +2·scale shift quantize over cemb against the literal seed-11
+    coarse quantizer) + the eval-shape Lloyd's chain → ``hcube(hcb)``
+    — the DuckDB replay of `_cemb_res_books`
+    (train_pq_codebooks_residual over the clustered corpus). h-names
+    avoid the ranked CTEs' own cents/assigned/e namespace."""
+    from jobinsight_data_pipeline_spark.operators.similarity import (
+        unit_centroids,
+    )
+
+    cents = unit_centroids(64, IVFPQ_LISTS, seed=11)
+    lit = (
+        "["
+        + ",".join(
+            "[" + ",".join(repr(float(x)) for x in c) + "]" for c in cents
+        )
+        + "]"
+    )
+    s = _CEV_SCALE
+    shift = 2 * s
+    return (
+        f"""hcents AS (SELECT {lit} AS hcm),
+hassigned AS MATERIALIZED (
+    SELECT vec_id, v0, list_position(sarr, list_max(sarr)) - 1 AS cell
+    FROM (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0,
+               list_transform(hcm, cc -> list_dot_product(
+                   CAST(embedding AS DOUBLE[]), cc)) AS sarr
+        FROM cemb, hcents)
+),
+hre AS MATERIALIZED (
+    SELECT a.vec_id, a.cell,
+           list_transform(range(64), t -> v0[CAST(t + 1 AS INTEGER)]
+             - hcm[CAST(cell + 1 AS INTEGER)][CAST(t + 1 AS INTEGER)]) AS v
+    FROM hassigned a, hcents
+),
+hrq AS MATERIALIZED (
+    SELECT vec_id, list_transform(v,
+        x -> CAST(floor(x * {s}) AS BIGINT) + {shift}) AS p
+    FROM hre
+)"""
+        + _pq_train_chain_cte(
+            "hrq", _CEV_M, _CEV_KC, _CEV_ITERS,
+            64 // _CEV_M, shift, s, "h",
+        )
+    )
+
+
+_CEVB_CACHE: dict[tuple[int, str], list] = {}
+_CEVRB_CACHE: dict[tuple[int, str], list] = {}
+
+
+def _cemb_books(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
+    """Memoized eval-shape PQ books trained on the clustered corpus
+    (floats, int/10⁶) per (session, sf_dir)."""
+    from jobinsight_data_pipeline_spark.operators.clustering import (
+        train_pq_codebooks_quantized,
+    )
+
+    key = (id(spark), sf_dir)
+    if key not in _CEVB_CACHE:
+        ints = train_pq_codebooks_quantized(
+            _clustered_emb(spark, sf_dir), "embedding", "vec_id",
+            m=_CEV_M, k=_CEV_KC, iterations=_CEV_ITERS,
+            dim=64, scale=_CEV_SCALE,
+        )
+        _CEVB_CACHE[key] = [
+            [[x / _CEV_SCALE for x in c] for c in b] for b in ints
+        ]
+    return _CEVB_CACHE[key]
+
+
+def _cemb_res_books(
+    spark: SparkSession, sf_dir: str
+) -> list[list[list[float]]]:
+    """Memoized eval-shape RESIDUAL PQ books trained on the clustered
+    corpus against the seed-11 coarse quantizer."""
+    from jobinsight_data_pipeline_spark.operators.clustering import (
+        train_pq_codebooks_residual,
+    )
+    from jobinsight_data_pipeline_spark.operators.similarity import (
+        unit_centroids,
+    )
+
+    key = (id(spark), sf_dir)
+    if key not in _CEVRB_CACHE:
+        ints = train_pq_codebooks_residual(
+            _clustered_emb(spark, sf_dir),
+            unit_centroids(64, IVFPQ_LISTS, seed=11),
+            m=_CEV_M, k=_CEV_KC, iterations=_CEV_ITERS,
+            dim=64, scale=_CEV_SCALE,
+        )
+        _CEVRB_CACHE[key] = [
+            [[x / _CEV_SCALE for x in c] for c in b] for b in ints
+        ]
+    return _CEVRB_CACHE[key]
+
+
+def _cluster_centers() -> list[list[float]]:
+    from jobinsight_data_pipeline_spark.operators.similarity import (
+        unit_centroids,
+    )
+
+    return unit_centroids(64, _CLUSTER_N, seed=_CLUSTER_SEED)
+
+
+def _clustered_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobinsight_data_pipeline_spark.operators.similarity import (
+        clustered_embeddings,
+    )
+
+    t = load(spark, sf_dir, "embeddings")
+    return clustered_embeddings(
+        t["embeddings"], _cluster_centers(), lam=_CLUSTER_LAM
+    )
+
+
+def _cemb_cte() -> str:
+    """DuckDB replay of similarity.clustered_embeddings — bit-identical
+    DOUBLE vectors (literal centers, exact-binary lam, DOUBLE-widened
+    multiply, left-to-right norm fold, correctly-rounded sqrt/divide).
+    MATERIALIZED: every downstream CTE reads it 2+ times."""
+    centers = _cluster_centers()
+    lit = (
+        "["
+        + ",".join(
+            "[" + ",".join(repr(float(x)) for x in c) + "]"
+            for c in centers
+        )
+        + "]"
+    )
+    return f"""ccents AS (SELECT {lit} AS ccm),
+cemb AS MATERIALIZED (
+    SELECT vec_id, list_transform(b, x -> x / nrm) AS embedding
+    FROM (
+        SELECT vec_id, b, sqrt(list_dot_product(b, b)) AS nrm
+        FROM (
+            SELECT vec_id, list_transform(range(64), i ->
+                ccm[CAST(vec_id % {_CLUSTER_N} + 1 AS INTEGER)]
+                   [CAST(i + 1 AS INTEGER)]
+                + {_CLUSTER_LAM!r} * CAST(
+                    embedding[CAST(i + 1 AS INTEGER)] AS DOUBLE)) AS b
+            FROM embeddings, ccents
+            WHERE embedding IS NOT NULL))
+)"""
+
+
+def _ivfpq_index_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted IVF-PQ index over the CLUSTERED eval corpus — the
+    `_ivfpq_index` done-sentinel pattern on `_clustered_emb` with the
+    seed-11 coarse quantizer and the corpus-TRAINED eval-shape books
+    (`_cemb_books`)."""
+    import hashlib
+    import os
+    import shutil
+
+    from jobinsight_data_pipeline_spark.catalog import scratch_dir
+    from jobinsight_data_pipeline_spark.operators.similarity import (
+        build_ivf_pq_index,
+        unit_centroids,
+    )
+    from jobinsight_data_pipeline_spark.sources.lake import ParquetLake
+
+    base = scratch_dir(
+        "ivfpq-cgate-",
+        "{}-{}".format(
+            spark.sparkContext.applicationId,
+            hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+        ),
+    )
+    done = os.path.join(base, "_gate_done")
+    lake = ParquetLake(os.path.join(base, "lake"))
+    if not os.path.exists(done):
+        shutil.rmtree(os.path.join(base, "lake"), ignore_errors=True)
+        cents = unit_centroids(64, IVFPQ_LISTS, seed=11)
+        index = build_ivf_pq_index(
+            _clustered_emb(spark, sf_dir), cents,
+            _cemb_books(spark, sf_dir),
+        )
+        lake.write(index, "ivfpq", partition_by=["cell"])
+        with open(done, "w") as fh:
+            fh.write("ok")
+    return lake.read(spark, "ivfpq")
+
 
 def q_ivf_pq_serve_many(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched IVF-PQ serving (operators/similarity.ivf_pq_topk_many):
@@ -5399,16 +5729,27 @@ def q_ivf_pq_day2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivfpq_many_ranked_ctes() -> str:
+def _ivfpq_many_ranked_ctes(
+    tbl: str = "embeddings",
+    cube_sql: str | None = None,
+    m: int | None = None,
+    sub: int | None = None,
+    qid_list: tuple | None = None,
+) -> str:
     """The shared serve-many replay: PQ code table, probe-cell pick per
     query, candidate join, direct per-pair ADC, per-query rank — up to
     and including the ``ranked`` CTE. O_IVF_PQ_SERVE_MANY selects from
     it directly; O_ANN_RECALL_EVAL layers exact-cosine qrels and the
-    retrieval metrics on top."""
+    retrieval metrics on top. ``tbl`` swaps the corpus table,
+    ``cube_sql``/``m``/``sub``/``qid_list`` swap the PQ codebook source
+    and shape — the eval gates pass the clustered-corpus CTE ``cemb``
+    and the trained-books cube."""
     from jobinsight_data_pipeline_spark.operators.similarity import (
         unit_centroids,
     )
 
+    m = PQ_M if m is None else m
+    sub = PQ_SUB if sub is None else sub
     cents = unit_centroids(64, IVFPQ_LISTS, seed=11)
     cents_lit = (
         "["
@@ -5417,8 +5758,9 @@ def _ivfpq_many_ranked_ctes() -> str:
         )
         + "]"
     )
-    qids = ", ".join(str(q) for q in IVFPQ_MANY_QIDS)
-    sub = PQ_SUB
+    qids = ", ".join(
+        str(q) for q in (IVFPQ_MANY_QIDS if qid_list is None else qid_list)
+    )
     qdiff = (
         f"list_transform(range({sub}), t -> "
         f"q.qv[CAST(c.j * {sub} + t + 1 AS INTEGER)] - "
@@ -5426,14 +5768,14 @@ def _ivfpq_many_ranked_ctes() -> str:
         f"[CAST(t + 1 AS INTEGER)])"
     )
     chain = " + ".join(
-        f"max(CASE WHEN j = {j} THEN d END)" for j in range(PQ_M)
+        f"max(CASE WHEN j = {j} THEN d END)" for j in range(m)
     )
-    e_cte = """e AS (SELECT vec_id, embedding AS v FROM embeddings)"""
-    return f"""{_pq_codes_cte(e_cte)},
+    e_cte = f"""e AS (SELECT vec_id, embedding AS v FROM {tbl})"""
+    return f"""{_pq_codes_cte(e_cte, cube_sql=cube_sql, m=m, sub=sub)},
 cents AS (SELECT {cents_lit} AS cm),
 qs AS (
     SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
-    FROM embeddings WHERE vec_id IN ({qids})
+    FROM {tbl} WHERE vec_id IN ({qids})
 ),
 qcells AS (
     SELECT qid, CAST(u.j AS INTEGER) - 1 AS cell
@@ -5448,7 +5790,7 @@ allv AS (
     SELECT vec_id,
            list_transform(cm, c -> list_dot_product(
                CAST(embedding AS DOUBLE[]), c)) AS sarr
-    FROM embeddings, cents
+    FROM {tbl}, cents
 ),
 assigned AS (
     SELECT vec_id, list_position(sarr, list_max(sarr)) - 1 AS cell
@@ -5491,9 +5833,15 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     an ANN deployment actually tunes n_probe against. qrels = each
     query's exact top-10 cosine neighbors (self excluded, the
     cosine_topk contract); the ANN list drops the query itself and
-    re-ranks. FULL exact oracle: the whole IVF-PQ replay (codes,
-    probes, ADC), the exact-cosine ranking, AND every metric under one
-    hash — deterministic because both routes are."""
+    re-ranks. Since round 12 the eval corpus is the CLUSTERED
+    in-engine transform (`_clustered_emb` — r11 verdict order #4: on
+    the raw near-uniform embeddings exact neighbors are arbitrary and
+    every recall number degenerates to ~0; the mixture transform
+    plants real neighborhood structure so the metrics have spread and
+    rank configurations). FULL exact oracle: the cemb transform, the
+    whole IVF-PQ replay (codes, probes, ADC), the exact-cosine
+    ranking, AND every metric under one hash — deterministic because
+    all routes are."""
     from pyspark.sql import Window
 
     from jobinsight_data_pipeline_spark.operators.ranking import (
@@ -5505,17 +5853,16 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         unit_centroids,
     )
 
-    t = load(spark, sf_dir, "embeddings")
-    emb = t["embeddings"]
+    emb = _clustered_emb(spark, sf_dir)
     queries = (
-        emb.filter(F.col("vec_id").isin(*IVFPQ_MANY_QIDS))
+        emb.filter(F.col("vec_id").isin(*_CEV_QIDS))
         .select(F.col("vec_id").alias("query_id"), "embedding")
     )
     top = ivf_pq_topk_many(
-        _ivfpq_index(spark, sf_dir),
+        _ivfpq_index_clustered(spark, sf_dir),
         queries,
         unit_centroids(64, IVFPQ_LISTS, seed=11),
-        _pq_cb(),
+        _cemb_books(spark, sf_dir),
         k=IVFPQ_K,
         n_probe=IVFPQ_PROBE,
     )
@@ -5529,14 +5876,14 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     qrels = cosine_topk(
-        emb, emb.filter(F.col("vec_id").isin(*IVFPQ_MANY_QIDS)), k=IVFPQ_K
+        emb, emb.filter(F.col("vec_id").isin(*_CEV_QIDS)), k=IVFPQ_K
     ).select("query_id", F.col("neighbor_id").alias("vec_id"))
     return retrieval_metrics(
         ranked, qrels, query_col="query_id", doc_col="vec_id", k=IVFPQ_K
     )
 
 
-def _ann_recall_oracle(ctes: str | None = None) -> str:
+def _ann_recall_oracle(ctes: str | None = None, tbl: str = "embeddings") -> str:
     from jobinsight_data_pipeline_spark.operators.ranking import (
         ndcg_discounts_micro,
     )
@@ -5567,7 +5914,7 @@ exact AS (
                   * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
                                           CAST(e.embedding AS DOUBLE[])))),
                6) DESC, e.vec_id ASC) AS er
-    FROM embeddings e, qs q
+    FROM {tbl} e, qs q
     WHERE e.vec_id <> q.qid
     QUALIFY er <= {k}
 ),
@@ -5602,7 +5949,20 @@ FROM totals t LEFT JOIN ha USING (query_id)
 """
 
 
-O_ANN_RECALL_EVAL = _ann_recall_oracle()
+_CEV_RAW_CTES = (
+    _cemb_cte()
+    + ",\n"
+    + _cemb_raw_train_cte()
+    + ",\n"
+    + _ivfpq_many_ranked_ctes(
+        tbl="cemb",
+        cube_sql="cube AS MATERIALIZED (SELECT gcb AS cb FROM gcube)",
+        m=_CEV_M,
+        sub=64 // _CEV_M,
+        qid_list=_CEV_QIDS,
+    )
+)
+O_ANN_RECALL_EVAL = _ann_recall_oracle(_CEV_RAW_CTES, tbl="cemb")
 
 
 ANN_PROBE_GRID = [1, 2, 4, 8]
@@ -5620,14 +5980,14 @@ def q_ann_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     all four rankings by filtering prank ≤ p — one replay, four
     curves, every recall cell under the hash.
 
-    Honest reading of the numbers: the synthetic embeddings are
-    near-uniform random, so exact top-10 cosine neighbors are
-    essentially arbitrary and PQ distortion dominates — measured mean
-    recall@10 at sf0.1 is 0/0/2.5/5% for probes 1/2/4/8 (monotone, the
-    structural property the gate pins). On clustered real embeddings
-    the same machinery reads the true latency/recall trade-off; the
-    MEASUREMENT is what's certified here, not the seeded toy index's
-    quality."""
+    Since round 12 the curve runs on the CLUSTERED eval corpus
+    (`_clustered_emb` — r11 verdict order #4): the raw near-uniform
+    embeddings degenerated the curve to 0/0/2.5/5% noise; on the
+    mixture corpus each cluster spreads over a FEW cells of the
+    independent seed-11 quantizer, so widening the probe genuinely
+    sweeps up more true neighbors and the recall separation across
+    probe widths is the real latency/recall trade-off, pinned under
+    the hash."""
     from pyspark.sql import Window
 
     from jobinsight_data_pipeline_spark.operators.similarity import (
@@ -5636,24 +5996,24 @@ def q_ann_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         unit_centroids,
     )
 
-    t = load(spark, sf_dir, "embeddings")
-    emb = t["embeddings"]
+    emb = _clustered_emb(spark, sf_dir)
     queries = (
-        emb.filter(F.col("vec_id").isin(*IVFPQ_MANY_QIDS))
+        emb.filter(F.col("vec_id").isin(*_CEV_QIDS))
         .select(F.col("vec_id").alias("query_id"), "embedding")
     )
     qrels = cosine_topk(
-        emb, emb.filter(F.col("vec_id").isin(*IVFPQ_MANY_QIDS)), k=IVFPQ_K
+        emb, emb.filter(F.col("vec_id").isin(*_CEV_QIDS)), k=IVFPQ_K
     ).select("query_id", F.col("neighbor_id").alias("vec_id"))
     qrel_totals = qrels.groupBy("query_id").agg(
         F.count(F.lit(1)).alias("n_rel")
     )
-    index = _ivfpq_index(spark, sf_dir)
+    index = _ivfpq_index_clustered(spark, sf_dir)
     cents = unit_centroids(64, IVFPQ_LISTS, seed=11)
+    books = _cemb_books(spark, sf_dir)
     parts = []
     for p in ANN_PROBE_GRID:
         top = ivf_pq_topk_many(
-            index, queries, cents, _pq_cb(), k=IVFPQ_K, n_probe=p
+            index, queries, cents, books, k=IVFPQ_K, n_probe=p
         )
         ann = top.where(F.col("vec_id") != F.col("query_id")).select(
             "query_id", "vec_id"
@@ -5689,7 +6049,9 @@ def _must_replace(base: str, old: str, new: str) -> str:
     return base.replace(old, new)
 
 
-def _ann_probe_curve_oracle(base_ctes: str | None = None) -> str:
+def _ann_probe_curve_oracle(
+    base_ctes: str | None = None, tbl: str = "embeddings"
+) -> str:
     k = IVFPQ_K
     max_p = max(ANN_PROBE_GRID)
     # swap the fixed-probe qcells for a rank-carrying pick of the
@@ -5755,7 +6117,7 @@ exact AS (
                   * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
                                           CAST(e.embedding AS DOUBLE[])))),
                6) DESC, e.vec_id ASC) AS er
-    FROM embeddings e, qs q
+    FROM {tbl} e, qs q
     WHERE e.vec_id <> q.qid
     QUALIFY er <= {k}
 ),
@@ -5788,15 +6150,22 @@ LEFT JOIN hitsp h ON h.p = pr.p AND h.query_id = t.query_id
 """
 
 
-O_ANN_PROBE_CURVE = _ann_probe_curve_oracle()
+O_ANN_PROBE_CURVE = _ann_probe_curve_oracle(_CEV_RAW_CTES, tbl="cemb")
 
 
-def _ivfpq_residual_ranked_ctes() -> str:
+def _ivfpq_residual_ranked_ctes(
+    tbl: str = "embeddings",
+    cube_sql: str | None = None,
+    m: int | None = None,
+    sub: int | None = None,
+    qid_list: tuple | None = None,
+) -> str:
     """The serve-many replay for the RESIDUAL route (IVFADC proper,
     Jégou et al. 2011 §IV): PQ codes are fit on ``v − centroid[cell]``
     and the per-(query, cell) ADC compares against the query residual
     ``q − centroid[cell]``. Mirrors `_ivfpq_many_ranked_ctes` otherwise
-    (same probe pick, same tie rules, same fold orders); ``assigned``
+    (same probe pick, same tie rules, same fold orders — and the same
+    ``tbl`` corpus swap for the clustered eval gates); ``assigned``
     is MATERIALIZED because both the residual-code chain and the
     candidate join read it (plain CTEs inline per reference — the
     corpus_build lesson)."""
@@ -5804,6 +6173,10 @@ def _ivfpq_residual_ranked_ctes() -> str:
         unit_centroids,
     )
 
+    m = PQ_M if m is None else m
+    sub = PQ_SUB if sub is None else sub
+    if cube_sql is None:
+        cube_sql = f"cube AS (SELECT {_duck_cube(_pq_cb())} AS cb)"
     cents = unit_centroids(64, IVFPQ_LISTS, seed=11)
     cents_lit = (
         "["
@@ -5812,8 +6185,9 @@ def _ivfpq_residual_ranked_ctes() -> str:
         )
         + "]"
     )
-    qids = ", ".join(str(q) for q in IVFPQ_MANY_QIDS)
-    sub = PQ_SUB
+    qids = ", ".join(
+        str(q) for q in (IVFPQ_MANY_QIDS if qid_list is None else qid_list)
+    )
     diff = (
         f"list_transform(range({sub}), t -> "
         f"v[CAST(u.j * {sub} + t + 1 AS INTEGER)] - c[CAST(t + 1 AS INTEGER)])"
@@ -5827,9 +6201,9 @@ def _ivfpq_residual_ranked_ctes() -> str:
         f"[CAST(t + 1 AS INTEGER)])"
     )
     chain = " + ".join(
-        f"max(CASE WHEN j = {j} THEN dd END)" for j in range(PQ_M)
+        f"max(CASE WHEN j = {j} THEN dd END)" for j in range(m)
     )
-    return f"""cube AS (SELECT {_duck_cube(_pq_cb())} AS cb),
+    return f"""{cube_sql},
 cents AS (SELECT {cents_lit} AS cm),
 assigned AS MATERIALIZED (
     SELECT vec_id, v0,
@@ -5838,7 +6212,7 @@ assigned AS MATERIALIZED (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0,
                list_transform(cm, c -> list_dot_product(
                    CAST(embedding AS DOUBLE[]), c)) AS sarr
-        FROM embeddings, cents)
+        FROM {tbl}, cents)
 ),
 e AS (
     SELECT a.vec_id, a.cell,
@@ -5850,7 +6224,7 @@ darrs AS (
     SELECT vec_id, cell, u.j AS j,
            list_transform(cb[CAST(u.j + 1 AS INTEGER)],
                           c -> list_dot_product({diff}, {diff})) AS darr
-    FROM e, cube, unnest(range({PQ_M})) AS u(j)
+    FROM e, cube, unnest(range({m})) AS u(j)
 ),
 codes AS (
     SELECT vec_id, j, list_position(darr, list_min(darr)) - 1 AS code
@@ -5858,7 +6232,7 @@ codes AS (
 ),
 qs AS (
     SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
-    FROM embeddings WHERE vec_id IN ({qids})
+    FROM {tbl} WHERE vec_id IN ({qids})
 ),
 qcells AS (
     SELECT qid, CAST(u.j AS INTEGER) - 1 AS cell
@@ -5945,14 +6319,15 @@ FROM ranked WHERE rank <= {IVFPQ_K}
 def q_ann_recall_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`ann_recall_eval`'s residual-route twin: MRR/NDCG/recall of the
     IVFADC residual index against the SAME exact-cosine ground truth —
-    the head-to-head the residual encoding is graded on. Honest
-    reading: on these near-uniform unit-sphere synthetic embeddings the
-    residual route's recall is PARITY with the raw route (the 10%
-    quantization-error reduction — gated exactly in
-    `pq_residual_error` — doesn't move top-10 membership when exact
-    neighbors are essentially arbitrary); on clustered real embeddings
-    the error reduction is what compounds into the recall gains the
-    IVFADC paper reports. The MEASUREMENT is what's certified."""
+    the head-to-head the residual encoding is graded on. Since round
+    12 the head-to-head runs on the CLUSTERED eval corpus
+    (`_clustered_emb` — r11 verdict order #4): on the raw near-uniform
+    embeddings both routes' recall degenerated to arbitrary-neighbor
+    noise; on the mixture corpus the residual encoding's quantization-
+    error reduction (gated exactly in `pq_residual_error`) can
+    actually compound into the recall separation the IVFADC paper
+    reports, and the raw-vs-residual comparison ranks the encodings
+    meaningfully."""
     from pyspark.sql import Window
 
     from jobinsight_data_pipeline_spark.operators.parallelism import (
@@ -5968,18 +6343,18 @@ def q_ann_recall_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         unit_centroids,
     )
 
-    t = load(spark, sf_dir, "embeddings")
-    emb = t["embeddings"]
+    emb = _clustered_emb(spark, sf_dir)
     cents = unit_centroids(64, IVFPQ_LISTS, seed=11)
+    books = _cemb_res_books(spark, sf_dir)
     index = build_ivf_pq_index(
-        widen_for_cpu(emb), cents, _pq_cb(), residual=True
+        widen_for_cpu(emb), cents, books, residual=True
     )
     queries = (
-        emb.filter(F.col("vec_id").isin(*IVFPQ_MANY_QIDS))
+        emb.filter(F.col("vec_id").isin(*_CEV_QIDS))
         .select(F.col("vec_id").alias("query_id"), "embedding")
     )
     top = ivf_pq_topk_many(
-        index, queries, cents, _pq_cb(),
+        index, queries, cents, books,
         k=IVFPQ_K, n_probe=IVFPQ_PROBE, residual=True,
     )
     w = Window.partitionBy("query_id").orderBy("rank")
@@ -5992,14 +6367,27 @@ def q_ann_recall_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     qrels = cosine_topk(
-        emb, emb.filter(F.col("vec_id").isin(*IVFPQ_MANY_QIDS)), k=IVFPQ_K
+        emb, emb.filter(F.col("vec_id").isin(*_CEV_QIDS)), k=IVFPQ_K
     ).select("query_id", F.col("neighbor_id").alias("vec_id"))
     return retrieval_metrics(
         ranked, qrels, query_col="query_id", doc_col="vec_id", k=IVFPQ_K
     )
 
 
-O_ANN_RECALL_RESIDUAL = _ann_recall_oracle(_ivfpq_residual_ranked_ctes())
+_CEV_RES_CTES = (
+    _cemb_cte()
+    + ",\n"
+    + _cemb_res_train_cte()
+    + ",\n"
+    + _ivfpq_residual_ranked_ctes(
+        tbl="cemb",
+        cube_sql="cube AS MATERIALIZED (SELECT hcb AS cb FROM hcube)",
+        m=_CEV_M,
+        sub=64 // _CEV_M,
+        qid_list=_CEV_QIDS,
+    )
+)
+O_ANN_RECALL_RESIDUAL = _ann_recall_oracle(_CEV_RES_CTES, tbl="cemb")
 
 
 def q_ann_probe_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6009,9 +6397,11 @@ def q_ann_probe_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     surface now covers BOTH encodings symmetrically). Same oracle
     trick: residual ADC is probe-independent, so the widest probe's
     candidates are scored once with their probe-cell rank and all four
-    rankings derive by prank ≤ p. Same honesty note as the raw curve:
-    near-uniform synthetic embeddings make the absolute recall values
-    toy — the MEASUREMENT machinery is what's certified."""
+    rankings derive by prank ≤ p. Since round 12 the curve runs on the
+    CLUSTERED eval corpus (`_clustered_emb` — r11 verdict order #4),
+    so the residual route's recall separation across probe widths is a
+    real tuning signal rather than arbitrary-neighbor noise, and the
+    two curves rank the encodings head-to-head."""
     from pyspark.sql import Window
 
     from jobinsight_data_pipeline_spark.operators.parallelism import (
@@ -6024,18 +6414,18 @@ def q_ann_probe_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         unit_centroids,
     )
 
-    t = load(spark, sf_dir, "embeddings")
-    emb = t["embeddings"]
+    emb = _clustered_emb(spark, sf_dir)
     cents = unit_centroids(64, IVFPQ_LISTS, seed=11)
+    books = _cemb_res_books(spark, sf_dir)
     index = build_ivf_pq_index(
-        widen_for_cpu(emb), cents, _pq_cb(), residual=True
+        widen_for_cpu(emb), cents, books, residual=True
     ).localCheckpoint(eager=True)
     queries = (
-        emb.filter(F.col("vec_id").isin(*IVFPQ_MANY_QIDS))
+        emb.filter(F.col("vec_id").isin(*_CEV_QIDS))
         .select(F.col("vec_id").alias("query_id"), "embedding")
     )
     qrels = cosine_topk(
-        emb, emb.filter(F.col("vec_id").isin(*IVFPQ_MANY_QIDS)), k=IVFPQ_K
+        emb, emb.filter(F.col("vec_id").isin(*_CEV_QIDS)), k=IVFPQ_K
     ).select("query_id", F.col("neighbor_id").alias("vec_id"))
     qrel_totals = qrels.groupBy("query_id").agg(
         F.count(F.lit(1)).alias("n_rel")
@@ -6043,7 +6433,7 @@ def q_ann_probe_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = []
     for p in ANN_PROBE_GRID:
         top = ivf_pq_topk_many(
-            index, queries, cents, _pq_cb(),
+            index, queries, cents, books,
             k=IVFPQ_K, n_probe=p, residual=True,
         )
         ann = top.where(F.col("vec_id") != F.col("query_id")).select(
@@ -6071,9 +6461,7 @@ def q_ann_probe_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-O_ANN_PROBE_RESIDUAL = _ann_probe_curve_oracle(
-    _ivfpq_residual_ranked_ctes()
-)
+O_ANN_PROBE_RESIDUAL = _ann_probe_curve_oracle(_CEV_RES_CTES, tbl="cemb")
 
 
 def q_zorder_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -13013,26 +13401,16 @@ def _pqrt_train_cte() -> str:
     ``c{_KMEANS_ITERS}`` and ``embeddings`` in scope). Defines:
     ``cents`` (float coarse matrix), ``rassigned`` (argmax-dot cell),
     ``re`` (double residuals), ``rq`` (shift-quantized residual ints,
-    +2·scale into the non-negative Lloyd's domain), the per-subspace
-    training chain (lowest-id seeds → assignment with (d, cell)
-    tie-break → round-half-up integer means with empty-cell
-    carry-forward, ``_PQRT_ITERS`` rounds — the _pq_trained_cte shape
-    over residuals), and ``tcube`` exposing the trained float books as
-    one 3-level list ``tcb`` (``CAST(int AS DOUBLE)/scale`` — the
-    exact doubles the Spark side inlines). t-prefixed names avoid the
-    kmeans chain's q/a/m/c namespace; the subquery alias ``q`` inside
-    the training joins shadows the chain's ``q`` CTE exactly as
-    _pq_trained_cte's does."""
+    +2·scale into the non-negative Lloyd's domain), then hands off to
+    the shared per-subspace Lloyd's replay
+    (:func:`_pq_train_chain_cte`, pfx ``t``) ending in ``tcube`` —
+    the trained float books as one 3-level list ``tcb`` (the exact
+    doubles the Spark side inlines)."""
     m, kb, iters = PQ_M, PQ_K, _PQRT_ITERS
     sub, scale = PQ_SUB, _KMEANS_SCALE
     shift = 2 * scale
     kiters = _KMEANS_ITERS
-    dist = (
-        "CAST(list_dot_product(q.p, q.p) + list_dot_product(c.c, c.c)"
-        " - 2 * list_dot_product(q.p, c.c) AS BIGINT)"
-    )
-    parts = [
-        f"""cents AS (
+    prefix = f"""cents AS (
     SELECT list(cf ORDER BY cell) AS cm
     FROM (SELECT cell, list_transform(c,
               x -> CAST(x - {scale} AS DOUBLE) / {scale}.0) AS cf
@@ -13057,63 +13435,9 @@ rq AS MATERIALIZED (
         x -> CAST(floor(x * {scale}) AS BIGINT) + {shift}) AS p
     FROM re
 )"""
-    ]
-    for j in range(m):
-        lo, hi = j * sub + 1, (j + 1) * sub + 1
-        parts.append(
-            f""",
-rq{j} AS MATERIALIZED (
-    SELECT vec_id, list_transform(range({lo}, {hi}),
-        i -> p[CAST(i AS INTEGER)]) AS p
-    FROM rq
-),
-tc{j}_0 AS (
-    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, p AS c
-    FROM (SELECT vec_id, p FROM rq{j} ORDER BY vec_id LIMIT {kb})
-)"""
-        )
-        for i in range(iters):
-            parts.append(
-                f""",
-ta{j}_{i} AS (
-    SELECT vec_id, p, cell FROM (
-        SELECT vec_id, p, cell,
-               row_number() OVER (PARTITION BY vec_id
-                   ORDER BY d, cell) AS rn
-        FROM (
-            SELECT q.vec_id, q.p, c.cell, {dist} AS d
-            FROM rq{j} q, tc{j}_{i} c)
-    ) WHERE rn = 1
-),
-tm{j}_{i} AS (
-    SELECT cell, i AS pos,
-           (2 * sum(p[i]) + count(*)) // (2 * count(*)) AS cv
-    FROM ta{j}_{i}, LATERAL (SELECT unnest(range(1, len(p) + 1)) AS i) t
-    GROUP BY cell, i
-),
-tc{j}_{i + 1} AS (
-    SELECT c.cell, coalesce(nc.c, c.c) AS c
-    FROM tc{j}_{i} c LEFT JOIN (SELECT cell,
-        list(cv ORDER BY pos) AS c FROM tm{j}_{i} GROUP BY cell) nc
-    USING (cell)
-)"""
-            )
-    tb_union = "\n    UNION ALL ".join(
-        f"SELECT {j} AS j, cell, list_transform(c, x -> CAST(x - {shift}"
-        f" AS DOUBLE) / {scale}.0) AS cf FROM tc{j}_{iters}"
-        for j in range(m)
+    return prefix + _pq_train_chain_cte(
+        "rq", m, kb, iters, sub, shift, scale, "t"
     )
-    parts.append(
-        f""",
-tbooks AS (
-    {tb_union}
-),
-tcube AS (
-    SELECT list(bk ORDER BY j) AS tcb
-    FROM (SELECT j, list(cf ORDER BY cell) AS bk FROM tbooks GROUP BY j)
-)"""
-    )
-    return "".join(parts)
 
 
 def _pqr_cb() -> list[list[list[float]]]:

@@ -635,6 +635,58 @@ def unit_centroids(dim: int, n_clusters: int, seed: int = 11) -> list[list[float
     return M.round(6).tolist()
 
 
+def clustered_embeddings(
+    df: DataFrame,
+    centers: list[list[float]],
+    lam: float = 0.375,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """A deterministic MIXTURE-OF-CLUSTERS unit-vector corpus derived
+    in-engine from an existing embedding table:
+    ``v' = normalize(center[id mod n] + lam · v)`` — cluster identity
+    from the row id, the row's own (near-uniform) embedding as the
+    within-cluster noise. Near-uniform synthetic embeddings make ANN
+    recall numbers degenerate (exact neighbors are arbitrary, so every
+    index scores ~0 — the eval gates' r11 honesty notes); this
+    transform plants real neighborhood structure (within-cluster cosine
+    ≈ 1/(1+lam²) ≈ 0.88 at the default, cross-cluster ≈ ±0.1) so
+    recall curves have spread and encodings rank meaningfully.
+
+    Engine-portable by construction: centers ride as one literal
+    matrix, ``lam`` defaults to 0.375 (exactly representable — 3/8, no
+    decimal-parse concerns), the float32 input widens to DOUBLE before
+    the multiply, the norm is the left-to-right square fold DuckDB's
+    ``list_dot_product(b, b)`` reproduces, and sqrt/divide are
+    correctly rounded IEEE ops — so an oracle rebuilding the same
+    expression sees bit-identical DOUBLE vectors (the semantic_dedup
+    literal-matrix pattern). Three chained narrow projections (base →
+    norm → divide) so each interpreted HOF evaluates once per row
+    (CollapseProject keeps non-cheap exprs referenced >1× separate —
+    the r9 lesson); no shuffle, no UDF."""
+    n = len(centers)
+    CM = _matrix_sql(centers)
+    b = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col),
+        F.expr(
+            f"zip_with(element_at({CM},"
+            f" CAST({id_col} % {n} + 1 AS INT)), {vec_col},"
+            f" (c, e) -> c + {lam!r}D * CAST(e AS DOUBLE))"
+        ).alias("__b"),
+    )
+    withn = b.select(
+        id_col,
+        "__b",
+        F.expr(
+            "sqrt(aggregate(zip_with(__b, __b, (x, y) -> x * y),"
+            " 0.0d, (s, y) -> s + y))"
+        ).alias("__n"),
+    )
+    return withn.select(
+        id_col, F.expr("transform(__b, x -> x / __n)").alias(vec_col)
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str = "vec_id",
