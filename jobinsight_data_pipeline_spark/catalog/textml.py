@@ -11106,6 +11106,136 @@ def q_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HIST_LO, _HIST_HI, _HIST_K = 0.0, 1024.0, 256  # step 4 — exact micro
+_HIST_QS = (50, 90, 99)
+
+
+def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-quantile extraction — the batch half of the EIGHTH
+    mergeable-state shape (operators/sketches.histogram_state /
+    histogram_quantiles): a fixed-grid 256-bucket integer histogram
+    per event type, quantiles read as the first bucket whose
+    cumulative count reaches ceil(q·n). The histogram answer IS the
+    exact type-1 quantile quantized to the grid (bucketing is
+    monotone; pinned by pytest against the exact order statistic), so
+    percentile drift on an unbounded corpus monitors at groups × K
+    rows of SUM-merged state instead of `event_percentiles`' full
+    re-sort of history. All-integer output (ranks, buckets, exact
+    micro-unit edges) — no float-rounding class at all."""
+    from jobinsight_data_pipeline_spark.operators.sketches import (
+        histogram_quantiles,
+        histogram_state,
+    )
+
+    t = load(spark, sf_dir, "events")
+    state = histogram_state(
+        t["events"], "value", "event_type",
+        lo=_HIST_LO, hi=_HIST_HI, buckets=_HIST_K,
+    )
+    return histogram_quantiles(
+        state, _HIST_QS, "event_type",
+        lo=_HIST_LO, hi=_HIST_HI, buckets=_HIST_K,
+    )
+
+
+O_HIST_QUANTILES = f"""
+WITH hstate AS (
+    SELECT event_type,
+           CAST(least({_HIST_K - 1}, greatest(0,
+               floor((CAST(value AS DOUBLE) - {_HIST_LO!r}) * {_HIST_K}
+                     / {_HIST_HI - _HIST_LO!r}))) AS INTEGER) AS bucket,
+           count(*) AS cnt
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2
+),
+cum AS (
+    SELECT event_type, bucket,
+           sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cum
+    FROM hstate
+),
+tot AS (SELECT event_type, sum(cnt) AS n FROM hstate GROUP BY 1),
+ranks AS (
+    SELECT event_type, n, q_pct, (n * q_pct + 99) // 100 AS q_rank
+    FROM tot, (VALUES (50), (90), (99)) q(q_pct)
+)
+SELECT r.event_type, r.q_pct, CAST(r.n AS BIGINT) AS n,
+       CAST(r.q_rank AS BIGINT) AS q_rank,
+       min(c.bucket) AS bucket,
+       CAST({round(_HIST_LO * 1_000_000)} + min(c.bucket)
+            * {round((_HIST_HI - _HIST_LO) * 1_000_000) // _HIST_K}
+            AS BIGINT) AS lo_edge_micro,
+       CAST({round(_HIST_LO * 1_000_000)} + (min(c.bucket) + 1)
+            * {round((_HIST_HI - _HIST_LO) * 1_000_000) // _HIST_K}
+            AS BIGINT) AS hi_edge_micro
+FROM ranks r JOIN cum c USING (event_type)
+WHERE c.cum >= r.q_rank
+GROUP BY r.event_type, r.q_pct, r.n, r.q_rank
+"""
+
+
+def q_stream_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME quantile table as `hist_quantiles`, with the histogram
+    built by a Structured Streaming loop (streaming/incremental.
+    stream_histogram_build) over four micro-batch event drops —
+    the EIGHTH mergeable-state shape streamed: per-batch
+    (event_type, bucket, cnt) tables land in batch=<epoch> partitions
+    (overwrite → replay-IDEMPOTENT, true exactly-once) and merge by
+    cell-wise SUM; histogram mergeability makes streaming ≡ batch
+    exactly, so this gate shares O_HIST_QUANTILES verbatim (the
+    stream_cms shared-oracle discipline — batch arrival order is
+    irrelevant because cell sums commute)."""
+    import hashlib
+    import os
+    import shutil
+
+    from jobinsight_data_pipeline_spark.catalog import scratch_dir
+    from jobinsight_data_pipeline_spark.operators.sketches import (
+        histogram_quantiles,
+    )
+    from jobinsight_data_pipeline_spark.streaming.incremental import (
+        read_histogram_state,
+        stream_histogram_build,
+    )
+
+    t = load(spark, sf_dir, "events")
+    ev = t["events"].select("event_id", "event_type", "value")
+    base = scratch_dir(
+        "streamhist-gate-",
+        "{}-{}".format(
+            spark.sparkContext.applicationId,
+            hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+        ),
+    )
+    done = os.path.join(base, "_gate_done")
+    if not os.path.exists(done):
+        shutil.rmtree(base, ignore_errors=True)
+        raw = f"{base}/drops"
+        for i in range(4):
+            ev.filter(F.col("event_id") % 4 == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(raw)
+        query = stream_histogram_build(
+            spark,
+            raw,
+            ev.schema,
+            f"{base}/state",
+            f"{base}/ckpt",
+            value_col="value",
+            group_col="event_type",
+            lo=_HIST_LO,
+            hi=_HIST_HI,
+            buckets=_HIST_K,
+        )
+        query.awaitTermination()
+        with open(done, "w") as fh:
+            fh.write("ok")
+    merged = read_histogram_state(spark, f"{base}/state", "event_type")
+    return histogram_quantiles(
+        merged, _HIST_QS, "event_type",
+        lo=_HIST_LO, hi=_HIST_HI, buckets=_HIST_K,
+    )
+
+
 def _zlib_fixture() -> list[tuple[int, str]]:
     import hashlib
 
@@ -14128,6 +14258,8 @@ QUERIES = {
     "token_drift": q_token_drift,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "stream_cms": q_stream_cms,
+    "hist_quantiles": q_hist_quantiles,
+    "stream_quantiles": q_stream_quantiles,
     "hybrid_search": q_hybrid_search,
     "sq8_search": q_sq8_search,
     "sq8_index_search": q_sq8_index_search,
@@ -14299,6 +14431,10 @@ ORACLES = {
     "token_drift": O_TOKEN_DRIFT,
     "cms_heavy_hitters": O_CMS_HEAVY_HITTERS,
     "stream_cms": O_CMS_HEAVY_HITTERS,
+    "hist_quantiles": O_HIST_QUANTILES,
+    # histogram mergeability makes streaming ≡ batch exactly — the
+    # streamed gate shares the batch oracle verbatim
+    "stream_quantiles": O_HIST_QUANTILES,
     "hybrid_search": O_HYBRID_SEARCH,
     "sq8_search": O_SQ8_SEARCH,
     "sq8_index_search": O_SQ8_SEARCH,

@@ -377,3 +377,113 @@ def hll_registers_by(
         .groupBy(*group_cols, "bucket")
         .agg(F.max("_rho").alias("register"))
     )
+
+
+def histogram_state(
+    df: DataFrame,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    lo: float = 0.0,
+    hi: float = 1024.0,
+    buckets: int = 256,
+) -> DataFrame:
+    """Fixed-grid integer histogram state — the SUM-mergeable QUANTILE
+    sketch (the eighth mergeable-state shape): ``bucket =
+    clamp(floor((v − lo)·K/(hi − lo)))`` counts per (group, bucket),
+    at most ``groups × K`` rows regardless of input size. The grid is
+    fixed a priori (a streaming histogram cannot rescale after the
+    fact); out-of-range values clamp into the edge buckets, which
+    preserves total mass so cumulative RANKS stay exact. Shards, days,
+    and micro-batches merge by cell-wise SUM
+    (:func:`histogram_merge`) exactly like :func:`cms_build` cells —
+    this is the state behind doc-length/quality percentile monitoring
+    on an unbounded corpus, where exact percentiles
+    (`event_percentiles`) need a full re-sort of history per day.
+    Engine-exact: the bucket function is one floor of doubles both
+    engines compute identically, counts are integers."""
+    width = hi - lo
+    b = F.expr(
+        f"CAST(least({buckets - 1}, greatest(0, "
+        f"floor((CAST({value_col} AS DOUBLE) - {lo!r}) * {buckets}"
+        f" / {width!r}))) AS INT)"
+    )
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(F.col(group_col), b.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def histogram_merge(
+    states: DataFrame, group_col: str = "event_type"
+) -> DataFrame:
+    """Merge histogram states (shards / days / stream batches):
+    cell-wise SUM — commutative and associative, so batch order is
+    irrelevant and shard-merge ≡ single-shot exactly (pinned by
+    test)."""
+    return states.groupBy(group_col, "bucket").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def histogram_quantiles(
+    state: DataFrame,
+    qs_pct: tuple = (50, 90, 99),
+    group_col: str = "event_type",
+    lo: float = 0.0,
+    hi: float = 1024.0,
+    buckets: int = 256,
+) -> DataFrame:
+    """Quantile extraction from a (merged) histogram state: the
+    q-quantile BUCKET is the first bucket whose cumulative count
+    reaches ``rank = ceil(q·n)`` — exactly the bucket containing the
+    type-1 (ceil-rank) order statistic, so the histogram answer equals
+    the EXACT quantile quantized to the grid (bucketing is monotone in
+    v; pinned by test against Spark's exact ``percentile``). All
+    integer arithmetic: ``q_rank = (n·q + 99) div 100``; bucket edges
+    emitted in exact micro-units (the grid step must divide into
+    microns evenly — asserted). State is groups × K rows, so the
+    window cumsum is model-sized, never data-sized."""
+    from pyspark.sql import Window
+
+    step_micro = round((hi - lo) * 1_000_000) // buckets
+    if step_micro * buckets != round((hi - lo) * 1_000_000):
+        raise ValueError(
+            f"grid step not exact in micro-units: ({hi}-{lo})/{buckets}"
+        )
+    lo_micro = round(lo * 1_000_000)
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = state.select(
+        group_col, "bucket", F.sum("cnt").over(w).alias("cum")
+    )
+    tot = state.groupBy(group_col).agg(F.sum("cnt").alias("n"))
+    ranks = tot.select(
+        group_col,
+        "n",
+        F.explode(
+            F.array(*[F.lit(int(q)) for q in qs_pct])
+        ).alias("q_pct"),
+    ).withColumn("q_rank", F.expr("(n * q_pct + 99) div 100"))
+    return (
+        ranks.join(cum, group_col)
+        .where(F.col("cum") >= F.col("q_rank"))
+        .groupBy(group_col, "q_pct", "n", "q_rank")
+        .agg(F.min("bucket").alias("bucket"))
+        .select(
+            group_col,
+            "q_pct",
+            "n",
+            "q_rank",
+            "bucket",
+            F.expr(f"{lo_micro}L + bucket * {step_micro}L").alias(
+                "lo_edge_micro"
+            ),
+            F.expr(
+                f"{lo_micro}L + (bucket + 1) * {step_micro}L"
+            ).alias("hi_edge_micro"),
+        )
+    )

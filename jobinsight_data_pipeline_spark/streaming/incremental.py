@@ -507,6 +507,69 @@ def read_cms_state(spark: SparkSession, state_dir: str) -> DataFrame:
     )
 
 
+def stream_histogram_build(
+    spark: SparkSession,
+    raw_dir: str,
+    schema,
+    state_dir: str,
+    checkpoint_dir: str,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    lo: float = 0.0,
+    hi: float = 1024.0,
+    buckets: int = 256,
+    max_files_per_trigger: int = 1,
+):
+    """Streaming fixed-grid histogram — the EIGHTH mergeable-state
+    shape (quantiles): each micro-batch reduces to its
+    ``(group, bucket, cnt)`` histogram (operators/sketches.
+    histogram_state) written to ``state_dir/batch=<epoch>``, and the
+    corpus-wide histogram is the cell-wise SUM over all batch
+    partitions — from which any quantile extracts at grid resolution
+    (histogram_quantiles) without ever re-sorting history. Same
+    exactly-once discipline as ``stream_cms_build``: the per-batch
+    write overwrites its own partition (replay-idempotent), batch
+    order is irrelevant because cell sums commute, and state per batch
+    is ≤ groups × K rows regardless of batch size. This is the
+    percentile-drift monitor a 100-TB text pipeline runs per drop
+    (doc-length / quality-score percentiles) at fixed state cost."""
+    from jobinsight_data_pipeline_spark.operators.sketches import (
+        histogram_state,
+    )
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        cells = histogram_state(
+            batch_df, value_col, group_col, lo, hi, buckets
+        )
+        cells.write.mode("overwrite").parquet(
+            f"{state_dir}/batch={epoch_id}"
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(raw_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_histogram_state(
+    spark: SparkSession, state_dir: str, group_col: str = "event_type"
+) -> DataFrame:
+    """Merge a ``stream_histogram_build`` state dir into one histogram:
+    cell-wise sum across the batch partitions."""
+    from jobinsight_data_pipeline_spark.operators.sketches import (
+        histogram_merge,
+    )
+
+    return histogram_merge(spark.read.parquet(state_dir), group_col)
+
+
 def stream_first_seen(
     spark: SparkSession,
     raw_dir: str,

@@ -5,6 +5,7 @@ the expected output exact."""
 from __future__ import annotations
 
 import datetime as dt
+import functools
 
 import pytest
 from pyspark.sql import functions as F
@@ -5206,3 +5207,82 @@ def test_stratified_reservoir_merge_equals_batch_pick(spark):
 
     per = Counter(s for s, _ in batch)
     assert all(v == 5 for v in per.values())
+
+
+def test_histogram_shard_merge_equals_single_shot(spark):
+    """The eighth mergeable-state shape's merge law: per-shard
+    histogram states cell-wise-SUM into exactly the single-shot
+    histogram, for 3- and 7-way shardings (order irrelevant — sums
+    commute), and quantile extraction over the merged state equals
+    extraction over the single-shot state row-for-row."""
+    from pyspark.sql import functions as F
+
+    from jobinsight_data_pipeline_spark.catalog import load
+    from jobinsight_data_pipeline_spark.operators.sketches import (
+        histogram_merge,
+        histogram_quantiles,
+        histogram_state,
+    )
+
+    ev = load(spark, "/root/testdata/sf0.001", "events")["events"]
+    single = histogram_state(ev, "value", "event_type")
+    want = {
+        (r["event_type"], r["bucket"]): r["cnt"] for r in single.collect()
+    }
+    for ways in (3, 7):
+        parts = [
+            histogram_state(
+                ev.where(F.col("event_id") % ways == i),
+                "value",
+                "event_type",
+            )
+            for i in range(ways)
+        ]
+        merged = histogram_merge(
+            functools.reduce(lambda a, b: a.unionAll(b), parts)
+        )
+        got = {
+            (r["event_type"], r["bucket"]): r["cnt"]
+            for r in merged.collect()
+        }
+        assert got == want, f"{ways}-way shard merge diverged"
+    q_single = {
+        (r["event_type"], r["q_pct"]): (r["q_rank"], r["bucket"])
+        for r in histogram_quantiles(single).collect()
+    }
+    q_merged = {
+        (r["event_type"], r["q_pct"]): (r["q_rank"], r["bucket"])
+        for r in histogram_quantiles(merged).collect()
+    }
+    assert q_single == q_merged
+
+
+def test_histogram_quantile_bucket_is_grid_quantized_exact_quantile(spark):
+    """The cross-path pin the gate's docstring claims: the histogram's
+    q-bucket equals the bucket of the EXACT type-1 (ceil-rank) order
+    statistic — i.e. the sketch answer is the exact quantile quantized
+    to the grid, not an approximation with error."""
+    import math
+
+    from jobinsight_data_pipeline_spark.catalog import load
+    from jobinsight_data_pipeline_spark.operators.sketches import (
+        histogram_quantiles,
+        histogram_state,
+    )
+
+    ev = load(spark, "/root/testdata/sf0.001", "events")["events"]
+    state = histogram_state(ev, "value", "event_type")
+    got = {
+        (r["event_type"], r["q_pct"]): r["bucket"]
+        for r in histogram_quantiles(state).collect()
+    }
+    by_type: dict[str, list[float]] = {}
+    for r in ev.select("event_type", "value").collect():
+        by_type.setdefault(r["event_type"], []).append(r["value"])
+    for et, vals in by_type.items():
+        vals.sort()
+        for q in (50, 90, 99):
+            rank = (len(vals) * q + 99) // 100
+            vstar = vals[rank - 1]
+            bucket = min(255, max(0, int(math.floor(vstar * 256 / 1024.0))))
+            assert got[(et, q)] == bucket, (et, q, vstar)
