@@ -11636,10 +11636,18 @@ def _png_fixture() -> dict[str, tuple[int, list[list[tuple[int, ...]]], dict]]:
     gray = [
         [(r * 101 + c * 53) % 256 for c in range(3)] for r in range(2)
     ]
+    pal = [
+        ((i * 53) % 256, (37 + i * 89) % 256, (211 + i * 31) % 256)
+        for i in range(8)
+    ]
+    pidx = [[(r * 3 + c) % 8 for c in range(4)] for r in range(3)]
     return {
         "rgb_5x5.png": (2, rgb, {"idat_split": 16}),
         "rgba_4x4.png": (6, rgba, {"filters": [4, 4, 4, 4]}),
         "gray_3x2.png": (0, gray, {"filters": [1, 2]}),
+        # palette-indexed (PLTE): filters run over INDEX bytes incl.
+        # Paeth, then each index resolves to its RGB triple (r12)
+        "pal_4x3.png": (3, pidx, {"filters": [1, 4, 2], "palette": pal}),
     }
 
 
@@ -11685,7 +11693,12 @@ def _png_oracle() -> str:
     values = []
     for i, name in enumerate(sorted(PNG_FIXTURE)):
         ctype, rows, _kw = PNG_FIXTURE[name]
-        ch = {0: 1, 2: 3, 6: 4}[ctype]
+        if ctype == 3:  # palette: expected stats from the RESOLVED grid
+            pal = _kw["palette"]
+            rows = [[pal[idx] for idx in row] for row in rows]
+            ch = 3
+        else:
+            ch = {0: 1, 2: 3, 6: 4}[ctype]
         h = len(rows)
         w = len(rows[0])
         px = [

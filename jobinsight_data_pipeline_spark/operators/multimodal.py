@@ -407,21 +407,33 @@ def encode_png(
     color_type: int = 2,
     filters: list[int] | None = None,
     idat_split: int | None = None,
+    palette: list[tuple[int, int, int]] | None = None,
 ) -> bytes:
     """Minimal stdlib PNG writer (``zlib`` deflate + ``struct`` chunks +
-    CRC32): 8-bit gray (color type 0), RGB (2), or RGBA (6),
+    CRC32): 8-bit gray (color type 0), RGB (2), RGBA (6), or
+    palette-indexed (3 — ``rows`` holds palette indices and
+    ``palette`` the ≤256 RGB triples written as the PLTE chunk),
     non-interlaced. ``rows`` is row-major top-to-bottom pixel tuples
-    (ints for gray). ``filters`` picks the per-row filter type (0-4;
-    default cycles through all five so a decoder must implement every
-    reconstruction incl. Paeth — the fixture-planting twin of
+    (ints for gray/palette). ``filters`` picks the per-row filter type
+    (0-4; default cycles through all five so a decoder must implement
+    every reconstruction incl. Paeth — the fixture-planting twin of
     :func:`decode_png`). ``idat_split`` splits the compressed stream
     across multiple IDAT chunks (readers must concatenate)."""
     import struct
     import zlib
 
-    if color_type not in _PNG_CHANNELS:
+    if color_type == 3:
+        if not palette or len(palette) > 256:
+            raise ValueError(
+                "encode_png: color type 3 needs a palette of <=256 entries"
+            )
+        if any(len(p) != 3 for p in palette):
+            raise ValueError("encode_png: palette entries must be RGB triples")
+        ch = 1
+    elif color_type in _PNG_CHANNELS:
+        ch = _PNG_CHANNELS[color_type]
+    else:
         raise ValueError(f"encode_png: unsupported color type {color_type}")
-    ch = _PNG_CHANNELS[color_type]
     h = len(rows)
     w = len(rows[0]) if h else 0
     raw = bytearray()
@@ -466,9 +478,15 @@ def encode_png(
         )
     else:
         idats = _png_chunk(b"IDAT", comp)
+    plte = (
+        _png_chunk(b"PLTE", b"".join(bytes(p) for p in palette))
+        if color_type == 3
+        else b""
+    )
     return (
         PNG_MAGIC
         + _png_chunk(b"IHDR", ihdr)
+        + plte
         + idats
         + _png_chunk(b"IEND", b"")
     )
@@ -479,13 +497,15 @@ def decode_png(
 ) -> tuple[int, int, int, list[list[tuple[int, ...]]]]:
     """REAL stdlib PNG decode (``struct`` chunk walk + ``zlib`` inflate
     + the five line-filter reconstructions incl. Paeth): 8-bit gray /
-    RGB / RGBA, non-interlaced — the formats that dominate real image
-    corpora after JPEG. Returns ``(width, height, channels, rows)``
-    with ``rows`` row-major top-to-bottom pixel tuples. Chunk CRCs are
-    verified; palette (color type 3), 16-bit depths, and Adam7
-    interlacing raise ``NotImplementedError`` honestly (they need a
-    palette pass / wider samples / a 7-pass de-interleave — wire them
-    here if a corpus carries them)."""
+    RGB / RGBA / palette-indexed (color type 3, resolved through the
+    PLTE chunk to RGB — common in real web corpora), non-interlaced.
+    Returns ``(width, height, channels, rows)`` with ``rows`` row-major
+    top-to-bottom pixel tuples (palette images return channels=3, the
+    resolved triples). Chunk CRCs are verified; 16-bit depths, Adam7
+    interlacing, and palette transparency (tRNS) raise
+    ``NotImplementedError`` honestly (they need wider samples / a
+    7-pass de-interleave / an alpha pass — wire them here if a corpus
+    carries them)."""
     import struct
     import zlib
 
@@ -493,6 +513,7 @@ def decode_png(
         raise ValueError("decode_png: not a PNG (bad signature)")
     pos = 8
     ihdr = None
+    plte: bytes | None = None
     idat = bytearray()
     while pos + 8 <= len(content):
         (length,) = struct.unpack_from(">I", content, pos)
@@ -505,6 +526,13 @@ def decode_png(
             raise ValueError(f"decode_png: CRC mismatch in {ctype!r}")
         if ctype == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"tRNS":
+            raise NotImplementedError(
+                "decode_png: palette transparency (tRNS) not supported "
+                "(needs the alpha resolution pass)"
+            )
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
@@ -520,12 +548,19 @@ def decode_png(
             "decode_png: Adam7 interlaced PNGs not supported (needs the "
             "7-pass de-interleave)"
         )
-    if depth != 8 or color_type not in _PNG_CHANNELS:
+    if depth != 8 or (color_type not in _PNG_CHANNELS and color_type != 3):
         raise NotImplementedError(
-            f"decode_png: only 8-bit gray/RGB/RGBA supported "
+            f"decode_png: only 8-bit gray/RGB/RGBA/palette supported "
             f"(got depth={depth}, color_type={color_type})"
         )
-    ch = _PNG_CHANNELS[color_type]
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("decode_png: palette image missing PLTE chunk")
+        if len(plte) % 3 != 0 or not 3 <= len(plte) <= 768:
+            raise ValueError("decode_png: malformed PLTE chunk")
+        ch = 1  # the filtered stream carries index bytes
+    else:
+        ch = _PNG_CHANNELS[color_type]
     raw = zlib.decompress(bytes(idat))
     stride = w * ch
     if len(raw) != h * (stride + 1):
@@ -553,11 +588,24 @@ def decode_png(
                 line[x] = (line[x] + _paeth(left, prior[x], ul)) & 0xFF
         elif ft != 0:
             raise ValueError(f"decode_png: bad filter type {ft}")
-        rows.append(
-            [tuple(line[c * ch : (c + 1) * ch]) for c in range(w)]
-        )
+        if color_type == 3:
+            n_entries = len(plte) // 3
+            px = []
+            for c in range(w):
+                idx = line[c]
+                if idx >= n_entries:
+                    raise ValueError(
+                        f"decode_png: palette index {idx} out of range "
+                        f"({n_entries} entries)"
+                    )
+                px.append(tuple(plte[idx * 3 : idx * 3 + 3]))
+            rows.append(px)
+        else:
+            rows.append(
+                [tuple(line[c * ch : (c + 1) * ch]) for c in range(w)]
+            )
         prior = line
-    return w, h, ch, rows
+    return w, h, 3 if color_type == 3 else ch, rows
 
 
 def png_stats_py(content: bytes | None) -> dict | None:

@@ -181,6 +181,30 @@ def test_png_roundtrip_all_filters_and_types():
     assert ch == 1 and [[p[0] for p in row] for row in rows] == gray
 
 
+def test_png_palette_roundtrip_and_errors():
+    """PLTE support (r12): indices filter like a 1-channel stream
+    (incl. Paeth), resolve through the palette to RGB triples, and the
+    malformed paths (oversized palette, out-of-range index) fail
+    loudly instead of wrapping."""
+    pal = [(i * 16 % 256, (i * 7 + 3) % 256, (255 - i * 9) % 256)
+           for i in range(11)]
+    idx = [[(r * 5 + c) % 11 for c in range(6)] for r in range(5)]
+    for ft in range(5):
+        b = encode_png(idx, color_type=3, filters=[ft] * 5, palette=pal)
+        w, h, ch, rows = decode_png(b)
+        assert (w, h, ch) == (6, 5, 3)
+        assert rows == [[pal[i] for i in row] for row in idx], f"filter {ft}"
+    st = png_stats_py(encode_png(idx, color_type=3, palette=pal))
+    assert st["channels"] == 3 and st["sum_a"] is None
+    with pytest.raises(ValueError, match="palette"):
+        encode_png(idx, color_type=3)  # no palette supplied
+    with pytest.raises(ValueError, match="palette"):
+        encode_png(idx, color_type=3, palette=[(0, 0, 0)] * 257)
+    bad = encode_png([[3]], color_type=3, palette=pal[:2])
+    with pytest.raises(ValueError, match="out of range"):
+        decode_png(bad)
+
+
 def test_png_stats_channels_and_orientation():
     st = png_stats_py(_hand_png())
     assert st["width"] == 2 and st["height"] == 2 and st["channels"] == 3
@@ -203,7 +227,8 @@ def test_png_error_branches():
     bad[-1] ^= 0xFF
     with pytest.raises(ValueError, match="CRC"):
         decode_png(bytes(bad))
-    # 16-bit depth and palette color types punt honestly
+    # 16-bit depth punts honestly; a palette image WITHOUT its PLTE
+    # chunk is malformed (r12: color type 3 itself now decodes)
     import zlib
 
     def chunk(ctype, data):
@@ -212,13 +237,27 @@ def test_png_error_branches():
             + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
         )
 
-    for depth, ctype_val in ((16, 2), (8, 3)):
-        ihdr = struct.pack(">IIBBBBB", 1, 1, depth, ctype_val, 0, 0, 0)
-        f = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(
-            b"IDAT", zlib.compress(b"\x00\x00\x00\x00")
-        ) + chunk(b"IEND", b"")
-        with pytest.raises(NotImplementedError):
-            decode_png(f)
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0)
+    f = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(
+        b"IDAT", zlib.compress(b"\x00\x00\x00\x00")
+    ) + chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError):
+        decode_png(f)
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)
+    f = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(
+        b"IDAT", zlib.compress(b"\x00\x00")
+    ) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="missing PLTE"):
+        decode_png(f)
+    # palette transparency (tRNS) punts honestly
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)
+    f = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(
+        b"PLTE", b"\x01\x02\x03"
+    ) + chunk(b"tRNS", b"\x80") + chunk(
+        b"IDAT", zlib.compress(b"\x00\x00")
+    ) + chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError, match="tRNS"):
+        decode_png(f)
     # Adam7 interlace punts honestly
     ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 1)
     f = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(
