@@ -90,14 +90,31 @@ def zorder_quantize(
     out = df.crossJoin(broadcast(stats))
     for i, c in enumerate(cols):
         # pre-shift wide domains so (range >> s) * 2^bits stays under
-        # 2^62 (ANSI mode throws on BIGINT overflow). floor(log2) on a
-        # double can err ±1 ulp near powers of two — the 61 (not 62)
-        # offset absorbs a 1-bit underestimate; s = 0 for any range
-        # under ~2^(61-bits), keeping the formula exactly the plain one.
-        shift = (
-            f"greatest(0, CAST(floor(log2(CAST(__mx{i} - __mn{i} AS DOUBLE)"
-            f" + 1.0d)) AS INT) + {bits} - 61)"
+        # 2^62 (ANSI mode throws on BIGINT overflow). The bit position
+        # L = floor(log2(range)) is derived EXACTLY: the double log2
+        # ESTIMATE can err ±1 near powers of two (r11 ADVICE — an
+        # overestimate just below 2^k would set shift=1 where the
+        # plain formula still fits, silently breaking the documented
+        # byte-identity with the plain-form oracles), so it is clamped
+        # by integer shiftright tests: est is exact iff
+        # range >> est ≥ 1 and range >> (est+1) = 0. With exact L,
+        # s = max(0, L + bits − 61) and the s = 0 boundary is exact on
+        # both engines (range < 2^(L+1) ⇒ range >> s < 2^(62−bits)).
+        rng = f"(__mx{i} - __mn{i})"
+        # capped at 62: JVM shiftright takes counts mod 64, so est+1
+        # must stay < 64; for L = 62 (the int64 ceiling) the capped
+        # test chain still lands exactly
+        est = (
+            f"least(CAST(floor(log2(CAST({rng} AS DOUBLE) + 1.0d))"
+            f" AS INT), 62)"
         )
+        exact_l = (
+            f"(CASE WHEN {rng} <= 0 THEN 0"
+            f" WHEN shiftright({rng}, {est}) = 0 THEN {est} - 1"
+            f" WHEN shiftright({rng}, {est} + 1) > 0 THEN {est} + 1"
+            f" ELSE {est} END)"
+        )
+        shift = f"greatest(0, {exact_l} + {bits} - 61)"
         out = out.withColumn(
             f"__q{i}",
             F.expr(

@@ -5090,6 +5090,34 @@ def test_zorder_quantize_wide_domain_no_overflow(spark):
         for r in zorder_quantize(narrow, ["x"], bits=16).collect()
     }
     assert all(nq[i] == (i * 2**16) // 100 for i in range(100))
+    # r11 ADVICE: the shift==0 boundary must be EXACT — ranges that sit
+    # exactly at / just below / just above the 2^(62-bits) cliff, where
+    # a 1-ulp log2 overestimate would have flipped shift to 1 and
+    # broken the documented byte-identity with the plain formula
+    for rng in (2**46 - 2, 2**46 - 1, 2**46, 2**46 + 1, 2**45):
+        probe = spark.createDataFrame(
+            [(0,), (rng // 3,), (rng,)], "x long"
+        )
+        got = {
+            r["x"]: r["__q0"]
+            for r in zorder_quantize(probe, ["x"], bits=16).collect()
+        }
+        if rng <= 2**46 - 1:  # L <= 45 -> shift 0: plain formula
+            assert got == {
+                x: (x * 2**16) // (rng + 1) for x in (0, rng // 3, rng)
+            }, (rng, got)
+        assert 0 <= got[rng] < 2**16 and got[0] == 0
+        assert got[0] <= got[rng // 3] <= got[rng]
+    # int64-ceiling domain: no ANSI overflow, endpoints still span
+    huge = spark.createDataFrame(
+        [(-(2**62),), (0,), (2**62 - 1,)], "x long"
+    )
+    hq = {
+        r["x"]: r["__q0"]
+        for r in zorder_quantize(huge, ["x"], bits=16).collect()
+    }
+    assert hq[-(2**62)] == 0 and 0 <= hq[2**62 - 1] < 2**16
+    assert hq[-(2**62)] <= hq[0] <= hq[2**62 - 1]
 
 
 def test_zorder_key_bit_layout_and_errors(spark):
