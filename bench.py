@@ -612,6 +612,24 @@ def main() -> None:
         lambda: materialize(span_corrupt(docs))
     )
 
+    # round-12: residual-books training (the third leg of the FAISS
+    # IVFADC recipe — direct operator path, fresh fit per run, no
+    # memoized cache), and the mergeable-quantile histogram (state
+    # build + extraction: one partial-agg shuffle + a model-sized
+    # window cumsum)
+    from jobinsight_data_pipeline_spark.operators.clustering import (
+        train_pq_codebooks_residual,
+    )
+
+    timings["pq_residual_train"] = timed(
+        lambda: train_pq_codebooks_residual(
+            emb, _rcents, m=8, k=16, iterations=2, dim=64
+        )
+    )
+    timings["hist_quantiles"] = timed(
+        lambda: materialize(queries["hist_quantiles"](spark, sf_dir))
+    )
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
