@@ -5047,6 +5047,18 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_matrix(rows: list[list[float]]) -> str:
+    """Render a float matrix as one DuckDB 2-level list literal — the
+    _duck_cube shape one level up; repr round-trips doubles exactly."""
+    return (
+        "["
+        + ",".join(
+            "[" + ",".join(repr(float(x)) for x in r) + "]" for r in rows
+        )
+        + "]"
+    )
+
+
 def _duck_cube(cube: list[list[list[float]]]) -> str:
     return (
         "["
@@ -5163,13 +5175,7 @@ def _ivfpq_oracle() -> str:
     )
 
     cents = unit_centroids(64, IVFPQ_LISTS, seed=11)
-    cents_lit = (
-        "["
-        + ",".join(
-            "[" + ",".join(repr(float(x)) for x in c) + "]" for c in cents
-        )
-        + "]"
-    )
+    cents_lit = _duck_matrix(cents)
     sub = PQ_SUB
     cand_cte = f"""cents AS (SELECT {cents_lit} AS cm),
 allv AS (
@@ -5299,8 +5305,9 @@ IVFPQ_MANY_QIDS = SERVE_MANY_QIDS
 # neighbors are arbitrary — the r11 gates' honesty notes); the eval
 # surface instead runs on a deterministic in-engine mixture-of-clusters
 # transform of the embeddings table (similarity.clustered_embeddings:
-# v' = normalize(center[vec_id % 16] + 0.375·v), centers a seeded unit
-# literal matrix), replayed bit-for-bit by the cemb oracle CTE — no
+# v' = normalize(center[vec_id % 16] + _CLUSTER_LAM·v), centers a
+# seeded unit literal matrix), replayed bit-for-bit by the cemb oracle
+# CTE — no
 # fixture files, FULL exact oracles preserved, recall curves with real
 # spread. The IVF coarse quantizer stays the INDEPENDENT seed-11
 # centroid set (an imperfectly-fitted quantizer spreads each cluster
@@ -5364,7 +5371,7 @@ def _pq_train_chain_cte(
         i -> p[CAST(i AS INTEGER)]) AS p
     FROM {src}
 ),
-{pfx}c{j}_0 AS (
+{pfx}c{j}_0 AS MATERIALIZED (
     SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, p AS c
     FROM (SELECT vec_id, p FROM {pfx}q{j} ORDER BY vec_id LIMIT {kb})
 )"""
@@ -5388,7 +5395,7 @@ def _pq_train_chain_cte(
     FROM {pfx}a{j}_{i}, LATERAL (SELECT unnest(range(1, len(p) + 1)) AS i) t
     GROUP BY cell, i
 ),
-{pfx}c{j}_{i + 1} AS (
+{pfx}c{j}_{i + 1} AS MATERIALIZED (
     SELECT c.cell, coalesce(nc.c, c.c) AS c
     FROM {pfx}c{j}_{i} c LEFT JOIN (SELECT cell,
         list(cv ORDER BY pos) AS c FROM {pfx}m{j}_{i} GROUP BY cell) nc
@@ -5414,6 +5421,44 @@ def _pq_train_chain_cte(
     return "".join(parts)
 
 
+def _residual_quant_prefix_cte(
+    cents_cte: str,
+    cents_name: str,
+    cm: str,
+    tbl: str,
+    scale: int,
+    p: str,
+) -> str:
+    """The shared assignment → residual → shift-quantize prefix every
+    residual-training replay needs (r12 review: this existed as three
+    near-identical textual copies): ``{p}assigned`` (argmax-dot cell,
+    ties → lowest index), ``{p}e`` (double residuals), ``{p}q``
+    (floor-quantized +2·scale ints — the non-negative Lloyd's domain).
+    ``cents_cte`` supplies the float centroid matrix (literal or
+    derived-from-a-fit) as column ``cm`` of CTE ``cents_name``."""
+    shift = 2 * scale
+    return f"""{cents_cte},
+{p}assigned AS MATERIALIZED (
+    SELECT vec_id, v0, list_position(sarr, list_max(sarr)) - 1 AS cell
+    FROM (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0,
+               list_transform({cm}, cc -> list_dot_product(
+                   CAST(embedding AS DOUBLE[]), cc)) AS sarr
+        FROM {tbl}, {cents_name})
+),
+{p}e AS MATERIALIZED (
+    SELECT a.vec_id, a.cell,
+           list_transform(range(64), t -> v0[CAST(t + 1 AS INTEGER)]
+             - {cm}[CAST(cell + 1 AS INTEGER)][CAST(t + 1 AS INTEGER)]) AS v
+    FROM {p}assigned a, {cents_name}
+),
+{p}q AS MATERIALIZED (
+    SELECT vec_id, list_transform(v,
+        x -> CAST(floor(x * {scale}) AS BIGINT) + {shift}) AS p
+    FROM {p}e
+)"""
+
+
 def _cemb_raw_train_cte() -> str:
     """ceq (shift-quantized cemb, +scale into the non-negative domain)
     + the eval-shape Lloyd's chain → ``gcube(gcb)`` — the DuckDB replay
@@ -5434,51 +5479,26 @@ def _cemb_raw_train_cte() -> str:
 
 
 def _cemb_res_train_cte() -> str:
-    """hcents/hassigned/hre/hrq (argmax-dot assignment, residuals,
-    +2·scale shift quantize over cemb against the literal seed-11
-    coarse quantizer) + the eval-shape Lloyd's chain → ``hcube(hcb)``
-    — the DuckDB replay of `_cemb_res_books`
-    (train_pq_codebooks_residual over the clustered corpus). h-names
-    avoid the ranked CTEs' own cents/assigned/e namespace."""
+    """hcents + the shared assignment/residual/quantize prefix
+    (:func:`_residual_quant_prefix_cte`, p=``h`` — over ``cemb``
+    against the literal seed-11 coarse quantizer) + the eval-shape
+    Lloyd's chain → ``hcube(hcb)`` — the DuckDB replay of
+    `_cemb_res_books` (train_pq_codebooks_residual over the clustered
+    corpus). h-names avoid the ranked CTEs' own cents/assigned/e
+    namespace."""
     from jobinsight_data_pipeline_spark.operators.similarity import (
         unit_centroids,
     )
 
     cents = unit_centroids(64, IVFPQ_LISTS, seed=11)
-    lit = (
-        "["
-        + ",".join(
-            "[" + ",".join(repr(float(x)) for x in c) + "]" for c in cents
-        )
-        + "]"
-    )
     s = _CEV_SCALE
-    shift = 2 * s
-    return (
-        f"""hcents AS (SELECT {lit} AS hcm),
-hassigned AS MATERIALIZED (
-    SELECT vec_id, v0, list_position(sarr, list_max(sarr)) - 1 AS cell
-    FROM (
-        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0,
-               list_transform(hcm, cc -> list_dot_product(
-                   CAST(embedding AS DOUBLE[]), cc)) AS sarr
-        FROM cemb, hcents)
-),
-hre AS MATERIALIZED (
-    SELECT a.vec_id, a.cell,
-           list_transform(range(64), t -> v0[CAST(t + 1 AS INTEGER)]
-             - hcm[CAST(cell + 1 AS INTEGER)][CAST(t + 1 AS INTEGER)]) AS v
-    FROM hassigned a, hcents
-),
-hrq AS MATERIALIZED (
-    SELECT vec_id, list_transform(v,
-        x -> CAST(floor(x * {s}) AS BIGINT) + {shift}) AS p
-    FROM hre
-)"""
-        + _pq_train_chain_cte(
-            "hrq", _CEV_M, _CEV_KC, _CEV_ITERS,
-            64 // _CEV_M, shift, s, "h",
-        )
+    prefix = _residual_quant_prefix_cte(
+        f"hcents AS (SELECT {_duck_matrix(cents)} AS hcm)",
+        "hcents", "hcm", "cemb", s, "h",
+    )
+    return prefix + _pq_train_chain_cte(
+        "hq", _CEV_M, _CEV_KC, _CEV_ITERS,
+        64 // _CEV_M, 2 * s, s, "h",
     )
 
 
@@ -5557,14 +5577,7 @@ def _cemb_cte() -> str:
     multiply, left-to-right norm fold, correctly-rounded sqrt/divide).
     MATERIALIZED: every downstream CTE reads it 2+ times."""
     centers = _cluster_centers()
-    lit = (
-        "["
-        + ",".join(
-            "[" + ",".join(repr(float(x)) for x in c) + "]"
-            for c in centers
-        )
-        + "]"
-    )
+    lit = _duck_matrix(centers)
     return f"""ccents AS (SELECT {lit} AS ccm),
 cemb AS MATERIALIZED (
     SELECT vec_id, list_transform(b, x -> x / nrm) AS embedding
@@ -5751,13 +5764,7 @@ def _ivfpq_many_ranked_ctes(
     m = PQ_M if m is None else m
     sub = PQ_SUB if sub is None else sub
     cents = unit_centroids(64, IVFPQ_LISTS, seed=11)
-    cents_lit = (
-        "["
-        + ",".join(
-            "[" + ",".join(repr(float(x)) for x in c) + "]" for c in cents
-        )
-        + "]"
-    )
+    cents_lit = _duck_matrix(cents)
     qids = ", ".join(
         str(q) for q in (IVFPQ_MANY_QIDS if qid_list is None else qid_list)
     )
@@ -5883,7 +5890,7 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ann_recall_oracle(ctes: str | None = None, tbl: str = "embeddings") -> str:
+def _ann_recall_oracle(ctes: str, tbl: str) -> str:
     from jobinsight_data_pipeline_spark.operators.ranking import (
         ndcg_discounts_micro,
     )
@@ -5898,7 +5905,7 @@ def _ann_recall_oracle(ctes: str | None = None, tbl: str = "embeddings") -> str:
     disc_rows = ",".join(f"({i + 1}, {d})" for i, d in enumerate(disc))
     pre_rows = ",".join(f"({i + 1}, {p})" for i, p in enumerate(prefix))
     return f"""
-WITH {ctes if ctes is not None else _ivfpq_many_ranked_ctes()},
+WITH {ctes},
 annranked AS (
     SELECT qid AS query_id, vec_id,
            CAST(row_number() OVER (
@@ -6049,15 +6056,13 @@ def _must_replace(base: str, old: str, new: str) -> str:
     return base.replace(old, new)
 
 
-def _ann_probe_curve_oracle(
-    base_ctes: str | None = None, tbl: str = "embeddings"
-) -> str:
+def _ann_probe_curve_oracle(base_ctes: str, tbl: str) -> str:
     k = IVFPQ_K
     max_p = max(ANN_PROBE_GRID)
     # swap the fixed-probe qcells for a rank-carrying pick of the
     # widest grid entry; everything downstream gates on prank
     base = _must_replace(
-        base_ctes if base_ctes is not None else _ivfpq_many_ranked_ctes(),
+        base_ctes,
         f"ORDER BY qd[CAST(u.j AS INTEGER)] DESC, u.j ASC) <= {IVFPQ_PROBE}",
         f"ORDER BY qd[CAST(u.j AS INTEGER)] DESC, u.j ASC) <= {max_p}",
     )
@@ -6178,13 +6183,7 @@ def _ivfpq_residual_ranked_ctes(
     if cube_sql is None:
         cube_sql = f"cube AS (SELECT {_duck_cube(_pq_cb())} AS cb)"
     cents = unit_centroids(64, IVFPQ_LISTS, seed=11)
-    cents_lit = (
-        "["
-        + ",".join(
-            "[" + ",".join(repr(float(x)) for x in c) + "]" for c in cents
-        )
-        + "]"
-    )
+    cents_lit = _duck_matrix(cents)
     qids = ", ".join(
         str(q) for q in (IVFPQ_MANY_QIDS if qid_list is None else qid_list)
     )
@@ -11210,10 +11209,13 @@ def q_stream_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(done):
         shutil.rmtree(base, ignore_errors=True)
         raw = f"{base}/drops"
+        # coalesce the split key so the four drops PARTITION the table
+        # even if event_id ever grows NULLs (NULL % 4 matches no drop —
+        # the r12 review's silent-coverage-gap class)
         for i in range(4):
-            ev.filter(F.col("event_id") % 4 == i).coalesce(1).write.mode(
-                "append"
-            ).parquet(raw)
+            ev.filter(
+                F.coalesce(F.col("event_id"), F.lit(0)) % 4 == i
+            ).coalesce(1).write.mode("append").parquet(raw)
         query = stream_histogram_build(
             spark,
             raw,
@@ -13541,45 +13543,28 @@ def _pqr_trained_books(
 def _pqrt_train_cte() -> str:
     """Oracle CTE chain replaying ``train_pq_codebooks_residual`` on
     top of the unrolled coarse-kmeans chain (expects
-    ``c{_KMEANS_ITERS}`` and ``embeddings`` in scope). Defines:
-    ``cents`` (float coarse matrix), ``rassigned`` (argmax-dot cell),
-    ``re`` (double residuals), ``rq`` (shift-quantized residual ints,
-    +2·scale into the non-negative Lloyd's domain), then hands off to
-    the shared per-subspace Lloyd's replay
+    ``c{_KMEANS_ITERS}`` and ``embeddings`` in scope): the fitted
+    float centroid matrix (``cents``), then the shared
+    assignment/residual/quantize prefix
+    (:func:`_residual_quant_prefix_cte`, p=``r`` — names
+    rassigned/re/rq), then the shared per-subspace Lloyd's replay
     (:func:`_pq_train_chain_cte`, pfx ``t``) ending in ``tcube`` —
     the trained float books as one 3-level list ``tcb`` (the exact
     doubles the Spark side inlines)."""
     m, kb, iters = PQ_M, PQ_K, _PQRT_ITERS
     sub, scale = PQ_SUB, _KMEANS_SCALE
-    shift = 2 * scale
     kiters = _KMEANS_ITERS
-    prefix = f"""cents AS (
+    cents_cte = f"""cents AS (
     SELECT list(cf ORDER BY cell) AS cm
     FROM (SELECT cell, list_transform(c,
               x -> CAST(x - {scale} AS DOUBLE) / {scale}.0) AS cf
           FROM c{kiters})
-),
-rassigned AS MATERIALIZED (
-    SELECT vec_id, v0, list_position(sarr, list_max(sarr)) - 1 AS cell
-    FROM (
-        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0,
-               list_transform(cm, cc -> list_dot_product(
-                   CAST(embedding AS DOUBLE[]), cc)) AS sarr
-        FROM embeddings, cents)
-),
-re AS MATERIALIZED (
-    SELECT a.vec_id, a.cell,
-           list_transform(range(64), t -> v0[CAST(t + 1 AS INTEGER)]
-             - cm[CAST(cell + 1 AS INTEGER)][CAST(t + 1 AS INTEGER)]) AS v
-    FROM rassigned a, cents
-),
-rq AS MATERIALIZED (
-    SELECT vec_id, list_transform(v,
-        x -> CAST(floor(x * {scale}) AS BIGINT) + {shift}) AS p
-    FROM re
 )"""
+    prefix = _residual_quant_prefix_cte(
+        cents_cte, "cents", "cm", "embeddings", scale, "r"
+    )
     return prefix + _pq_train_chain_cte(
-        "rq", m, kb, iters, sub, shift, scale, "t"
+        "rq", m, kb, iters, sub, 2 * scale, scale, "t"
     )
 
 

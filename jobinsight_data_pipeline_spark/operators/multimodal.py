@@ -529,10 +529,16 @@ def decode_png(
         elif ctype == b"PLTE":
             plte = data
         elif ctype == b"tRNS":
-            raise NotImplementedError(
-                "decode_png: palette transparency (tRNS) not supported "
-                "(needs the alpha resolution pass)"
-            )
+            # IHDR is mandatory-first, so color_type is known here.
+            # Palette images need the alpha resolution pass — punt
+            # honestly; for gray/RGB a tRNS chunk is just a color-key
+            # hint and is skipped exactly as before this round (the
+            # decoder has no alpha to resolve for those types).
+            if ihdr is not None and ihdr[3] == 3:
+                raise NotImplementedError(
+                    "decode_png: palette transparency (tRNS) not "
+                    "supported (needs the alpha resolution pass)"
+                )
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":

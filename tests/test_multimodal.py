@@ -258,6 +258,16 @@ def test_png_error_branches():
     ) + chunk(b"IEND", b"")
     with pytest.raises(NotImplementedError, match="tRNS"):
         decode_png(f)
+    # ...but a gray/RGB color-key tRNS is just skipped, exactly as
+    # before PLTE support landed (r12 review: the raise must not
+    # regress non-palette images)
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0)
+    f = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(
+        b"tRNS", b"\x00\x80"
+    ) + chunk(
+        b"IDAT", zlib.compress(b"\x00\x07")
+    ) + chunk(b"IEND", b"")
+    assert decode_png(f) == (1, 1, 1, [[(7,)]])
     # Adam7 interlace punts honestly
     ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 1)
     f = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(
