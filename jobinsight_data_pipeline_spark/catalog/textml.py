@@ -11747,6 +11747,162 @@ FROM t
 O_PNG_DECODE = _png_oracle()
 
 
+def _dhash_fixture() -> dict[str, tuple[str, list[list[tuple[int, int, int]]]]]:
+    """Deterministic RGB grids for the image-dedup gates — name →
+    (format, rows). The set spans the dedup decision space: a base
+    image, a locally-tweaked near-copy (hamming 1 — a strong +120 bump
+    on two pixels, the crop/re-encode-artifact class), a BIT-IDENTICAL
+    twin stored through the OTHER codec (PNG vs BMP — hamming 0, the
+    cross-format dedup case the magic-sniffing hash exists for), and
+    two unrelated patterns (hamming 26-29 from everything). All 12×10
+    (≥ the 9×8 dHash grid)."""
+    W, H = 12, 10
+    base = [
+        [((r * 23 + c * 47) % 200 + 20, (r * 11 + c * 85) % 256,
+          (r * 3 + c * 29) % 256) for c in range(W)]
+        for r in range(H)
+    ]
+    bump = {(5, 7), (5, 8)}
+    tweak = [
+        [
+            (min(255, p[0] + 120), min(255, p[1] + 120),
+             min(255, p[2] + 120)) if (r, c) in bump else p
+            for c, p in enumerate(row)
+        ]
+        for r, row in enumerate(base)
+    ]
+    far = [
+        [((r * r * 7 + c * 13 + 1) % 256, (r * 31 + c * c * 3 + 5) % 256,
+          (r * 5 + c * 71 + 11) % 256) for c in range(W)]
+        for r in range(H)
+    ]
+    far2 = [
+        [(255 - ((r * 53 + c * 19) % 256), (r * r * 11 + c * 41) % 256,
+          (r * 67 + c * c * 5) % 256) for c in range(W)]
+        for r in range(H)
+    ]
+    return {
+        "a_base.png": ("png", base),
+        "b_tweak.png": ("png", tweak),
+        "c_twin.bmp": ("bmp", base),
+        "d_far.png": ("png", far),
+        "e_far2.bmp": ("bmp", far2),
+    }
+
+
+DHASH_FIXTURE = _dhash_fixture()
+_DHASH_MAX_HAMMING = 3
+
+
+def _plant_dhash_fixture(base_dir: str) -> None:
+    import os
+
+    from jobinsight_data_pipeline_spark.operators.multimodal import (
+        encode_bmp,
+        encode_png,
+    )
+
+    for name, (fmt, rows) in DHASH_FIXTURE.items():
+        blob = (
+            encode_png(rows, color_type=2)
+            if fmt == "png"
+            else encode_bmp(rows)
+        )
+        with open(os.path.join(base_dir, name), "wb") as fh:
+            fh.write(blob)
+
+
+def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image PERCEPTUAL fingerprints under the hash gate: the planted
+    PNG/BMP fixtures decode executor-side through the magic-sniffing
+    stdlib codecs and hash via the 64-bit dHash kernel
+    (multimodal.dhash_from_rows — integer luma, exact 9×8 box-average,
+    horizontal-gradient sign bits; no float resampling anywhere). The
+    oracle inlines the hashes computed from the pixel GRIDS by the same
+    pure kernel, so a drifted decode (either codec), luma weight, box
+    boundary, or bit order moves the hash. The cross-format twin pins
+    the dedup story: the SAME pixels through PNG and BMP produce the
+    SAME fingerprint."""
+    from jobinsight_data_pipeline_spark.catalog import scratch_dir
+    from jobinsight_data_pipeline_spark.operators.multimodal import (
+        extract_image_dhash,
+    )
+
+    base = scratch_dir("dhash-gate-")
+    _plant_dhash_fixture(base)
+    media = _fixture_media(spark, base, "*.{png,bmp}", sorted(DHASH_FIXTURE))
+    return extract_image_dhash(media)
+
+
+def q_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image NEAR-DUPLICATE pairs — the multimodal face of the dedup
+    family: dHash fingerprints (q_image_dhash's route) paired by the
+    banded-COMPLETE pigeonhole join (operators/dedup.hamming_near_pairs
+    — the simhash machinery generalized to any fingerprint column;
+    recall and precision 1.0 by construction at hamming ≤ 3, Manku et
+    al. WWW'07). Expected structure pinned under the hash: the tweaked
+    near-copy (hamming 1) and the cross-format twin (hamming 0) pair
+    with the base and each other; the unrelated images (hamming 26-29)
+    pair with nothing. The oracle replays the all-pairs form the
+    banding provably equals (test_simhash_banding_complete), over the
+    grid-computed hashes. At corpus scale the banded join is the
+    production path — never all-pairs."""
+    from jobinsight_data_pipeline_spark.catalog import scratch_dir
+    from jobinsight_data_pipeline_spark.operators.dedup import (
+        hamming_near_pairs,
+    )
+    from jobinsight_data_pipeline_spark.operators.multimodal import (
+        extract_image_dhash,
+    )
+
+    base = scratch_dir("dhash-gate-")
+    _plant_dhash_fixture(base)
+    media = _fixture_media(spark, base, "*.{png,bmp}", sorted(DHASH_FIXTURE))
+    sig = extract_image_dhash(media).select("media_id", "dhash")
+    return hamming_near_pairs(
+        sig, "media_id", "dhash", max_hamming=_DHASH_MAX_HAMMING
+    ).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+def _dhash_oracle_values() -> str:
+    from jobinsight_data_pipeline_spark.operators.multimodal import (
+        dhash_from_rows,
+    )
+
+    vals = []
+    for i, name in enumerate(sorted(DHASH_FIXTURE)):
+        _fmt, rows = DHASH_FIXTURE[name]
+        h = len(rows)
+        w = len(rows[0])
+        vals.append(f"({i + 1}, {w}, {h}, {dhash_from_rows(rows, 3)})")
+    return ",\n    ".join(vals)
+
+
+O_IMAGE_DHASH = f"""
+WITH t(media_id, width, height, dhash) AS (VALUES
+    {_dhash_oracle_values()})
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(width AS INTEGER) AS width,
+       CAST(height AS INTEGER) AS height,
+       CAST(dhash AS BIGINT) AS dhash
+FROM t
+"""
+
+
+O_IMAGE_DHASH_PAIRS = f"""
+WITH t(media_id, width, height, dhash) AS (VALUES
+    {_dhash_oracle_values()})
+SELECT CAST(a.media_id AS BIGINT) AS id_a,
+       CAST(b.media_id AS BIGINT) AS id_b,
+       CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+FROM t a, t b
+WHERE a.media_id < b.media_id
+  AND bit_count(xor(a.dhash, b.dhash)) <= {_DHASH_MAX_HAMMING}
+"""
+
+
 _WCE_WINDOW, _WCE_HOP, _WCE_CAP = 8, 4, 8
 
 
@@ -14290,6 +14446,8 @@ QUERIES = {
     "wav_decode": q_wav_decode,
     "bmp_decode": q_bmp_decode,
     "png_decode": q_png_decode,
+    "image_dhash": q_image_dhash,
+    "image_dhash_pairs": q_image_dhash_pairs,
     "wav_chunk_energy": q_wav_chunk_energy,
     "bmp_resize": q_bmp_resize,
     "hll_distinct": q_hll_distinct,
@@ -14465,6 +14623,8 @@ ORACLES = {
     "wav_decode": O_WAV_DECODE,
     "bmp_decode": O_BMP_DECODE,
     "png_decode": O_PNG_DECODE,
+    "image_dhash": O_IMAGE_DHASH,
+    "image_dhash_pairs": O_IMAGE_DHASH_PAIRS,
     "wav_chunk_energy": O_WAV_CHUNK_ENERGY,
     "bmp_resize": O_BMP_RESIZE,
     "hll_distinct": O_HLL_DISTINCT,

@@ -630,6 +630,62 @@ def simhash_near_pairs(
     )
 
 
+def hamming_near_pairs(
+    sig: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int = 3,
+    bits: int = 64,
+) -> DataFrame:
+    """Near-dup pairs over ANY (id, fixed-width hash) frame by the same
+    banded-COMPLETE pigeonhole join :func:`simhash_near_pairs` uses for
+    text sketches (any pair within hamming ≤ max_hamming agrees on ≥1
+    of max_hamming+1 bands; candidates verified with bit_count(xor), so
+    recall AND precision are 1.0 by construction): the shared machinery
+    behind image perceptual-hash dedup (dHash columns from
+    multimodal.extract_image_dhash) and any other fingerprint column.
+    Output: (id_a, id_b, hamming) with id_a < id_b. Same scale note as
+    the simhash form — wider radii mean denser band buckets."""
+    bands = max_hamming + 1
+    if not 1 <= bands <= bits:
+        raise ValueError(
+            f"max_hamming must be in [0, {bits - 1}], got {max_hamming}"
+        )
+    base, rem = divmod(bits, bands)
+    widths = [base + (1 if i < rem else 0) for i in range(bands)]
+    offsets = [sum(widths[:i]) for i in range(bands)]
+    s = sig.select(F.col(id_col).alias("_id"), F.col(hash_col).alias("_h"))
+    band_buckets = F.array(
+        *[
+            F.col("_h")
+            if w >= bits
+            else F.shiftright(F.col("_h"), o).bitwiseAND(F.lit((1 << w) - 1))
+            for o, w in zip(offsets, widths)
+        ]
+    )
+    buckets = s.select(
+        "_id", "_h", F.posexplode(band_buckets).alias("band", "bucket")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.bit_count(
+                F.col("a._h").bitwiseXOR(F.col("b._h"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def positional_windows(
     df: DataFrame, id_col: str, text_col: str, n: int = 8
 ) -> DataFrame:

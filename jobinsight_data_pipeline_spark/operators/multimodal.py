@@ -1072,3 +1072,96 @@ def chunk_audio(
         )
         .drop("_dur")
     )
+
+
+def dhash_from_rows(
+    rows: list[list[tuple[int, ...]]], channels: int
+) -> int:
+    """64-bit DIFFERENCE HASH (dHash) of a decoded pixel grid — the
+    perceptual fingerprint image dedup pipelines use (near-identical
+    images agree on almost every bit; unrelated images differ on ~32):
+    integer luma (``(299·R + 587·G + 114·B) div 1000``, the ITU-R 601
+    weights; gray uses its single channel), exact box-average down to a
+    9×8 grid (source pixel (x, y) → cell (x·9 div w, y·8 div h),
+    round-half-up integer means — no float resampling, so ANY engine or
+    oracle replays it exactly), then one bit per horizontal neighbor
+    pair: ``bit = cell[r][c] > cell[r][c+1]`` (8 rows × 8 comparisons).
+    Returns the SIGNED 64-bit value (two's complement) so it round-trips
+    a BIGINT column unchanged. Sources must be ≥ 9×8 — a real pipeline
+    decodes thumbnails far larger than the grid."""
+    h = len(rows)
+    w = len(rows[0]) if h else 0
+    gw, gh = 9, 8
+    if w < gw or h < gh:
+        raise ValueError(f"dhash: image {w}x{h} smaller than {gw}x{gh}")
+    sums = [[0] * gw for _ in range(gh)]
+    counts = [[0] * gw for _ in range(gh)]
+    for y in range(h):
+        gy = y * gh // h
+        for x in range(w):
+            px = rows[y][x]
+            if channels == 1:
+                g = px[0]
+            else:
+                g = (299 * px[0] + 587 * px[1] + 114 * px[2]) // 1000
+            gx = x * gw // w
+            sums[gy][gx] += g
+            counts[gy][gx] += 1
+    cells = [
+        [(2 * sums[r][c] + counts[r][c]) // (2 * counts[r][c])
+         for c in range(gw)]
+        for r in range(gh)
+    ]
+    v = 0
+    for r in range(gh):
+        for c in range(gw - 1):
+            v = (v << 1) | (1 if cells[r][c] > cells[r][c + 1] else 0)
+    if v >= 1 << 63:
+        v -= 1 << 64
+    return v
+
+
+def image_dhash_py(content: bytes | None) -> tuple | None:
+    """(width, height, dhash) of a PNG or 24-bit BMP blob — the format
+    is sniffed from the magic bytes and routed to the matching REAL
+    stdlib decoder, so the hash is a function of the PIXELS: the same
+    image stored in both formats hashes identically (pinned by test —
+    that is what makes it a cross-format dedup key)."""
+    if content is None:
+        return None
+    if content[:8] == PNG_MAGIC:
+        w, h, ch, rows = decode_png(content)
+    elif content[:2] == b"BM":
+        w, h, rows = decode_bmp(content)
+        ch = 3
+    else:
+        raise ValueError("image_dhash: unrecognized image format")
+    return w, h, dhash_from_rows(rows, ch)
+
+
+IMAGE_DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("dhash", T.LongType(), True),
+    ]
+)
+
+
+def extract_image_dhash(media: DataFrame) -> DataFrame:
+    """(media_id, content) → (media_id, width, height, dhash) via the
+    sniffing decode + dHash kernel, Arrow-batched executor-side (bytes
+    never visit the driver). NULL content → NULL row."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": pdf["media_id"], "width": [], "height": [],
+                   "dhash": []}
+            for c in pdf["content"]:
+                st = image_dhash_py(c)
+                out["width"].append(st[0] if st else None)
+                out["height"].append(st[1] if st else None)
+                out["dhash"].append(st[2] if st else None)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, IMAGE_DHASH_SCHEMA)

@@ -427,3 +427,76 @@ def test_transform_bmp_null_passthrough(spark):
     out = {r["media_id"]: r["content"] for r in transform_bmp(media).collect()}
     assert out[2] is None
     assert decode_bmp(bytes(out[1]))[0] == 1
+
+
+def test_dhash_cross_format_and_invariances():
+    """The perceptual-hash dedup claims: the same pixels through PNG
+    and BMP hash identically (format-sniffing route), a uniform
+    brightness shift is invariant (dHash is gradient-sign based), a
+    strong local tweak moves only a few bits, unrelated patterns sit
+    near half the bits apart, and sub-9x8 sources raise."""
+    from jobinsight_data_pipeline_spark.catalog.textml import DHASH_FIXTURE
+    from jobinsight_data_pipeline_spark.operators.multimodal import (
+        dhash_from_rows,
+        encode_bmp,
+        encode_png,
+        image_dhash_py,
+    )
+
+    base = DHASH_FIXTURE["a_base.png"][1]
+    hb = dhash_from_rows(base, 3)
+    assert image_dhash_py(encode_png(base, color_type=2))[2] == hb
+    assert image_dhash_py(encode_bmp(base))[2] == hb
+
+    def ham(a, b):
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+
+    bright = [
+        [tuple(min(255, v + 9) for v in p) for p in row] for row in base
+    ]
+    assert ham(hb, dhash_from_rows(bright, 3)) == 0
+    assert ham(hb, dhash_from_rows(DHASH_FIXTURE["b_tweak.png"][1], 3)) == 1
+    assert ham(hb, dhash_from_rows(DHASH_FIXTURE["d_far.png"][1], 3)) > 20
+    with pytest.raises(ValueError, match="smaller"):
+        dhash_from_rows([[(1, 2, 3)] * 8] * 8, 3)  # 8 wide < 9
+    with pytest.raises(ValueError, match="unrecognized"):
+        image_dhash_py(b"GIF89a...")
+
+
+def test_hamming_near_pairs_banding_complete(spark):
+    """The generic banded pigeonhole join equals the all-pairs form on
+    a random 64-bit hash column — recall 1.0 by construction at every
+    radius tested (the simhash banding guarantee, generalized)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from jobinsight_data_pipeline_spark.operators.dedup import (
+        hamming_near_pairs,
+    )
+
+    rnd = random.Random(7)
+    rows = []
+    for i in range(40):
+        v = rnd.getrandbits(64)
+        rows.append((i, v - (1 << 64) if v >= 1 << 63 else v))
+        # plant near-copies of the first few: flip <=4 random bits
+        if i < 6:
+            w = rows[i][1] ^ (1 << rnd.randrange(64)) ^ (
+                1 << rnd.randrange(64)
+            )
+            rows.append((100 + i, w))
+    df = spark.createDataFrame(rows, "id long, h long")
+    for radius in (0, 2, 4):
+        got = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in hamming_near_pairs(df, "id", "h", radius).collect()
+        }
+        want = set()
+        for ia, ha in rows:
+            for ib, hb in rows:
+                if ia < ib:
+                    d = bin((ha ^ hb) & (2**64 - 1)).count("1")
+                    if d <= radius:
+                        want.add((ia, ib, d))
+        assert got == want, f"radius {radius}"
