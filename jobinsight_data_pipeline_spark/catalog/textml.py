@@ -11172,6 +11172,82 @@ GROUP BY r.event_type, r.q_pct, r.n, r.q_rank
 """
 
 
+def q_quantile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day percentile DRIFT off the mergeable histogram state
+    — the monitoring readout the eighth mergeable shape exists for:
+    per-(day, event_type) 256-bucket histograms (each day's partition
+    is exactly the state one streamed batch contributes, so this gate
+    reads the stream_histogram_build state SHAPE at day grain), grid
+    quantiles per day via the composite-group extraction, and each
+    day's bucket movement vs the previous day (lag within (event_type,
+    q_pct)). A percentile that walks buckets day-over-day is the
+    pipeline's data-drift alarm — computed here without ever
+    re-sorting history, at ≤ days × groups × K rows of state.
+    All-integer output; first observed day drifts NULL."""
+    from pyspark.sql import Window
+
+    from jobinsight_data_pipeline_spark.operators.sketches import (
+        histogram_quantiles,
+        histogram_state,
+    )
+
+    t = load(spark, sf_dir, "events")
+    ev = t["events"].select(
+        F.col("ts").cast("date").alias("day"), "event_type", "value"
+    )
+    state = histogram_state(
+        ev, "value", ["day", "event_type"],
+        lo=_HIST_LO, hi=_HIST_HI, buckets=_HIST_K,
+    )
+    q = histogram_quantiles(
+        state, _HIST_QS, ["day", "event_type"],
+        lo=_HIST_LO, hi=_HIST_HI, buckets=_HIST_K,
+    )
+    w = Window.partitionBy("event_type", "q_pct").orderBy("day")
+    return q.select(
+        "day", "event_type", "q_pct", "n", "bucket"
+    ).withColumn(
+        "drift", F.col("bucket") - F.lag("bucket").over(w)
+    )
+
+
+O_QUANTILE_DRIFT = f"""
+WITH hstate AS (
+    SELECT CAST(ts AS DATE) AS day, event_type,
+           CAST(least({_HIST_K - 1}, greatest(0,
+               floor((CAST(value AS DOUBLE) - {_HIST_LO!r}) * {_HIST_K}
+                     / {_HIST_HI - _HIST_LO!r}))) AS INTEGER) AS bucket,
+           count(*) AS cnt
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2, 3
+),
+cum AS (
+    SELECT day, event_type, bucket,
+           sum(cnt) OVER (PARTITION BY day, event_type
+                          ORDER BY bucket) AS cum
+    FROM hstate
+),
+tot AS (
+    SELECT day, event_type, sum(cnt) AS n FROM hstate GROUP BY 1, 2
+),
+ranks AS (
+    SELECT day, event_type, n, q_pct, (n * q_pct + 99) // 100 AS q_rank
+    FROM tot, (VALUES (50), (90), (99)) q(q_pct)
+),
+qb AS (
+    SELECT r.day, r.event_type, r.q_pct, CAST(r.n AS BIGINT) AS n,
+           min(c.bucket) AS bucket
+    FROM ranks r JOIN cum c USING (day, event_type)
+    WHERE c.cum >= r.q_rank
+    GROUP BY r.day, r.event_type, r.q_pct, r.n
+)
+SELECT day, event_type, q_pct, n, bucket,
+       bucket - lag(bucket) OVER (
+           PARTITION BY event_type, q_pct ORDER BY day) AS drift
+FROM qb
+"""
+
+
 def q_stream_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME quantile table as `hist_quantiles`, with the histogram
     built by a Structured Streaming loop (streaming/incremental.
@@ -14414,6 +14490,7 @@ QUERIES = {
     "stream_cms": q_stream_cms,
     "hist_quantiles": q_hist_quantiles,
     "stream_quantiles": q_stream_quantiles,
+    "quantile_drift": q_quantile_drift,
     "hybrid_search": q_hybrid_search,
     "sq8_search": q_sq8_search,
     "sq8_index_search": q_sq8_index_search,
@@ -14591,6 +14668,7 @@ ORACLES = {
     # histogram mergeability makes streaming ≡ batch exactly — the
     # streamed gate shares the batch oracle verbatim
     "stream_quantiles": O_HIST_QUANTILES,
+    "quantile_drift": O_QUANTILE_DRIFT,
     "hybrid_search": O_HYBRID_SEARCH,
     "sq8_search": O_SQ8_SEARCH,
     "sq8_index_search": O_SQ8_SEARCH,

@@ -382,14 +382,14 @@ def hll_registers_by(
 def histogram_state(
     df: DataFrame,
     value_col: str = "value",
-    group_col: str = "event_type",
+    group_col: str | list[str] = "event_type",
     lo: float = 0.0,
     hi: float = 1024.0,
     buckets: int = 256,
 ) -> DataFrame:
     """Fixed-grid integer histogram state — the SUM-mergeable QUANTILE
     sketch (the eighth mergeable-state shape): ``bucket =
-    clamp(floor((v − lo)·K/(hi − lo)))`` counts per (group, bucket),
+    clamp(floor((v − lo)·K/(hi − lo)))`` counts per (group(s), bucket),
     at most ``groups × K`` rows regardless of input size. The grid is
     fixed a priori (a streaming histogram cannot rescale after the
     fact); out-of-range values clamp into the edge buckets, which
@@ -402,6 +402,7 @@ def histogram_state(
     Engine-exact: the bucket function is one floor of doubles both
     engines compute identically, counts are integers."""
     width = hi - lo
+    gcols = [group_col] if isinstance(group_col, str) else list(group_col)
     b = F.expr(
         f"CAST(least({buckets - 1}, greatest(0, "
         f"floor((CAST({value_col} AS DOUBLE) - {lo!r}) * {buckets}"
@@ -409,19 +410,20 @@ def histogram_state(
     )
     return (
         df.where(F.col(value_col).isNotNull())
-        .groupBy(F.col(group_col), b.alias("bucket"))
+        .groupBy(*[F.col(g) for g in gcols], b.alias("bucket"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
 
 
 def histogram_merge(
-    states: DataFrame, group_col: str = "event_type"
+    states: DataFrame, group_col: str | list[str] = "event_type"
 ) -> DataFrame:
     """Merge histogram states (shards / days / stream batches):
     cell-wise SUM — commutative and associative, so batch order is
     irrelevant and shard-merge ≡ single-shot exactly (pinned by
     test)."""
-    return states.groupBy(group_col, "bucket").agg(
+    gcols = [group_col] if isinstance(group_col, str) else list(group_col)
+    return states.groupBy(*gcols, "bucket").agg(
         F.sum("cnt").alias("cnt")
     )
 
@@ -429,7 +431,7 @@ def histogram_merge(
 def histogram_quantiles(
     state: DataFrame,
     qs_pct: tuple = (50, 90, 99),
-    group_col: str = "event_type",
+    group_col: str | list[str] = "event_type",
     lo: float = 0.0,
     hi: float = 1024.0,
     buckets: int = 256,
@@ -452,29 +454,30 @@ def histogram_quantiles(
             f"grid step not exact in micro-units: ({hi}-{lo})/{buckets}"
         )
     lo_micro = round(lo * 1_000_000)
+    gcols = [group_col] if isinstance(group_col, str) else list(group_col)
     w = (
-        Window.partitionBy(group_col)
+        Window.partitionBy(*gcols)
         .orderBy("bucket")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     cum = state.select(
-        group_col, "bucket", F.sum("cnt").over(w).alias("cum")
+        *gcols, "bucket", F.sum("cnt").over(w).alias("cum")
     )
-    tot = state.groupBy(group_col).agg(F.sum("cnt").alias("n"))
+    tot = state.groupBy(*gcols).agg(F.sum("cnt").alias("n"))
     ranks = tot.select(
-        group_col,
+        *gcols,
         "n",
         F.explode(
             F.array(*[F.lit(int(q)) for q in qs_pct])
         ).alias("q_pct"),
     ).withColumn("q_rank", F.expr("(n * q_pct + 99) div 100"))
     return (
-        ranks.join(cum, group_col)
+        ranks.join(cum, gcols)
         .where(F.col("cum") >= F.col("q_rank"))
-        .groupBy(group_col, "q_pct", "n", "q_rank")
+        .groupBy(*gcols, "q_pct", "n", "q_rank")
         .agg(F.min("bucket").alias("bucket"))
         .select(
-            group_col,
+            *gcols,
             "q_pct",
             "n",
             "q_rank",
