@@ -11942,6 +11942,93 @@ def q_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: the day-2 image-dedup split: history holds the base pattern and one
+#: unrelated image; the incoming day-2 drop holds a tweaked near-copy
+#: (hamming 1), the cross-format twin (hamming 0), and a genuinely new
+#: image — the three verdicts an incremental image-dedup pass must make
+_DHASH_HISTORY = ("a_base.png", "d_far.png")
+_DHASH_DAY2 = ("b_tweak.png", "c_twin.bmp", "e_far2.bmp")
+
+
+def q_image_dedup_day2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental image dedup — the day-2 lifecycle for perceptual
+    fingerprints (the `incremental_dedup` pattern on the multimodal
+    axis): day-1 images persist only their 8-byte dHash fingerprints;
+    the day-2 drop decodes + hashes executor-side and near-joins
+    AGAINST THE STATE via the banded cross-frame pigeonhole join
+    (operators/dedup.hamming_near_join — history is never self-joined,
+    per-day cost rides the drop size). Verdict per day-2 image:
+    is_dup, the best match (lowest hamming, id tie-break — a
+    row_number both engines replay), and the distance. Pinned
+    expectations under the hash: the tweaked near-copy and the
+    cross-format twin match the base; the genuinely new image passes
+    clean."""
+    from pyspark.sql import Window
+
+    from jobinsight_data_pipeline_spark.catalog import scratch_dir
+    from jobinsight_data_pipeline_spark.operators.dedup import (
+        hamming_near_join,
+    )
+    from jobinsight_data_pipeline_spark.operators.multimodal import (
+        extract_image_dhash,
+    )
+
+    base = scratch_dir("dhash-gate-")
+    _plant_dhash_fixture(base)
+    names = sorted(DHASH_FIXTURE)
+    media = _fixture_media(spark, base, "*.{png,bmp}", names)
+    sig = extract_image_dhash(media).select("media_id", "dhash")
+    hist_ids = [names.index(n) + 1 for n in _DHASH_HISTORY]
+    day2_ids = [names.index(n) + 1 for n in _DHASH_DAY2]
+    hist = sig.where(F.col("media_id").isin(*hist_ids))
+    day2 = sig.where(F.col("media_id").isin(*day2_ids))
+    matches = hamming_near_join(
+        day2, hist, "media_id", "dhash", max_hamming=_DHASH_MAX_HAMMING
+    )
+    w = Window.partitionBy("id_new").orderBy("hamming", "id_hist")
+    best = (
+        matches.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("id_new", "id_hist", "hamming")
+    )
+    return (
+        day2.select("media_id")
+        .join(best, day2["media_id"] == best["id_new"], "left")
+        .select(
+            "media_id",
+            F.col("id_hist").alias("matched_id"),
+            F.col("hamming").cast("int").alias("hamming"),
+            F.col("id_hist").isNotNull().alias("is_dup"),
+        )
+    )
+
+
+_O_IMAGE_DEDUP_DAY2_TPL = """
+WITH t(media_id, width, height, dhash) AS (VALUES
+    {vals}),
+hist AS (SELECT * FROM t WHERE media_id IN ({hist_ids})),
+day2 AS (SELECT * FROM t WHERE media_id IN ({day2_ids})),
+m AS (
+    SELECT d.media_id AS id_new, h.media_id AS id_hist,
+           CAST(bit_count(xor(d.dhash, h.dhash)) AS INTEGER) AS hamming
+    FROM day2 d, hist h
+    WHERE bit_count(xor(d.dhash, h.dhash)) <= {maxh}
+),
+best AS (
+    SELECT id_new, id_hist, hamming FROM (
+        SELECT id_new, id_hist, hamming,
+               row_number() OVER (PARTITION BY id_new
+                   ORDER BY hamming, id_hist) AS rn
+        FROM m) WHERE rn = 1
+)
+SELECT CAST(d.media_id AS BIGINT) AS media_id,
+       CAST(b.id_hist AS BIGINT) AS matched_id,
+       b.hamming AS hamming,
+       b.id_hist IS NOT NULL AS is_dup
+FROM day2 d LEFT JOIN best b ON b.id_new = d.media_id
+"""
+
+
 def _dhash_oracle_values() -> str:
     from jobinsight_data_pipeline_spark.operators.multimodal import (
         dhash_from_rows,
@@ -11977,6 +12064,19 @@ FROM t a, t b
 WHERE a.media_id < b.media_id
   AND bit_count(xor(a.dhash, b.dhash)) <= {_DHASH_MAX_HAMMING}
 """
+
+
+_names_sorted = sorted(DHASH_FIXTURE)
+O_IMAGE_DEDUP_DAY2 = _O_IMAGE_DEDUP_DAY2_TPL.format(
+    vals=_dhash_oracle_values(),
+    hist_ids=", ".join(
+        str(_names_sorted.index(n) + 1) for n in _DHASH_HISTORY
+    ),
+    day2_ids=", ".join(
+        str(_names_sorted.index(n) + 1) for n in _DHASH_DAY2
+    ),
+    maxh=_DHASH_MAX_HAMMING,
+)
 
 
 _WCE_WINDOW, _WCE_HOP, _WCE_CAP = 8, 4, 8
@@ -14525,6 +14625,7 @@ QUERIES = {
     "png_decode": q_png_decode,
     "image_dhash": q_image_dhash,
     "image_dhash_pairs": q_image_dhash_pairs,
+    "image_dedup_day2": q_image_dedup_day2,
     "wav_chunk_energy": q_wav_chunk_energy,
     "bmp_resize": q_bmp_resize,
     "hll_distinct": q_hll_distinct,
@@ -14703,6 +14804,7 @@ ORACLES = {
     "png_decode": O_PNG_DECODE,
     "image_dhash": O_IMAGE_DHASH,
     "image_dhash_pairs": O_IMAGE_DHASH_PAIRS,
+    "image_dedup_day2": O_IMAGE_DEDUP_DAY2,
     "wav_chunk_energy": O_WAV_CHUNK_ENERGY,
     "bmp_resize": O_BMP_RESIZE,
     "hll_distinct": O_HLL_DISTINCT,

@@ -686,6 +686,69 @@ def hamming_near_pairs(
     )
 
 
+def hamming_near_join(
+    new: DataFrame,
+    state: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int = 3,
+    bits: int = 64,
+) -> DataFrame:
+    """Day-N fingerprints against a PERSISTED fingerprint history — the
+    banded-COMPLETE cross-frame twin of :func:`hamming_near_pairs` (the
+    ``incremental_dedup`` lifecycle for perceptual hashes): the new
+    batch and the history both explode to (band, bucket) keys, the
+    equi-join on the band key prunes candidates (any pair within
+    hamming ≤ max_hamming shares ≥1 band — pigeonhole), and candidates
+    verify with bit_count(xor). Output: (id_new, id_hist, hamming),
+    every within-radius cross pair. History cost per day rides the NEW
+    batch's size — the state is never self-joined."""
+    bands = max_hamming + 1
+    if not 1 <= bands <= bits:
+        raise ValueError(
+            f"max_hamming must be in [0, {bits - 1}], got {max_hamming}"
+        )
+    base, rem = divmod(bits, bands)
+    widths = [base + (1 if i < rem else 0) for i in range(bands)]
+    offsets = [sum(widths[:i]) for i in range(bands)]
+
+    def bucketize(df: DataFrame) -> DataFrame:
+        s = df.select(
+            F.col(id_col).alias("_id"), F.col(hash_col).alias("_h")
+        )
+        band_buckets = F.array(
+            *[
+                F.col("_h")
+                if w >= bits
+                else F.shiftright(F.col("_h"), o).bitwiseAND(
+                    F.lit((1 << w) - 1)
+                )
+                for o, w in zip(offsets, widths)
+            ]
+        )
+        return s.select(
+            "_id", "_h", F.posexplode(band_buckets).alias("band", "bucket")
+        )
+
+    a, b = bucketize(new).alias("a"), bucketize(state).alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .select(
+            F.col("a._id").alias("id_new"),
+            F.col("b._id").alias("id_hist"),
+            F.bit_count(
+                F.col("a._h").bitwiseXOR(F.col("b._h"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def positional_windows(
     df: DataFrame, id_col: str, text_col: str, n: int = 8
 ) -> DataFrame:

@@ -500,3 +500,46 @@ def test_hamming_near_pairs_banding_complete(spark):
                     if d <= radius:
                         want.add((ia, ib, d))
         assert got == want, f"radius {radius}"
+
+
+def test_hamming_near_join_cross_frame_complete(spark):
+    """The cross-frame banded join (day-N vs history) equals the
+    all-cross-pairs form on random hashes — pigeonhole completeness
+    holds across frames exactly as within one."""
+    import random
+
+    from jobinsight_data_pipeline_spark.operators.dedup import (
+        hamming_near_join,
+    )
+
+    rnd = random.Random(13)
+
+    def mk(n, offset):
+        rows = []
+        for i in range(n):
+            v = rnd.getrandbits(64)
+            rows.append((offset + i, v - (1 << 64) if v >= 1 << 63 else v))
+        return rows
+
+    hist = mk(25, 0)
+    # plant near-copies of history entries into the new batch
+    new = mk(10, 100) + [
+        (200 + i, h ^ (1 << rnd.randrange(64))) for i, (_, h) in
+        enumerate(hist[:5])
+    ]
+    ndf = spark.createDataFrame(new, "id long, h long")
+    hdf = spark.createDataFrame(hist, "id long, h long")
+    for radius in (0, 1, 3):
+        got = {
+            (r["id_new"], r["id_hist"], r["hamming"])
+            for r in hamming_near_join(
+                ndf, hdf, "id", "h", radius
+            ).collect()
+        }
+        want = {
+            (ia, ib, bin((ha ^ hb) & (2**64 - 1)).count("1"))
+            for ia, ha in new
+            for ib, hb in hist
+            if bin((ha ^ hb) & (2**64 - 1)).count("1") <= radius
+        }
+        assert got == want, f"radius {radius}"
