@@ -111,6 +111,46 @@ def main() -> None:
     for t in TABLES:
         load(spark, sf_dir, t)[t].count()
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # r12 measurement fix (guide §1): the old warmup compiled only a
+    # trivial sum, so whichever query ran FIRST absorbed the JVM's cold
+    # JIT/codegen for the common operator classes — star_revenue (first
+    # in HEADLINE) measured 3.67 s first-in-run vs 1.45 s mid-run with
+    # an identical plan across two clean boxes. Warm the shared shapes
+    # once on SYNTHETIC data (spark.range only — nothing derived from
+    # the test tables is computed or kept): broadcast + sort-merge
+    # joins, partial/distinct aggregation, a ranking window, and an
+    # interpreted array-HOF fold. Still reported in warmup_sec.
+    from pyspark.sql import functions as F  # noqa: F401
+    from pyspark.sql.window import Window as _Window
+
+    _wa = spark.range(200_000).selectExpr(
+        "id", "id % 97 AS k", "CAST(id AS DOUBLE) / 7 AS x",
+        "array_repeat(CAST(id AS DOUBLE), 8) AS v",
+    )
+    _wb = spark.range(97).selectExpr("id AS k", "id * 2 AS y")
+    (
+        _wa.join(_wb, "k")
+        .groupBy("k")
+        .agg(
+            F.sum("x").alias("sx"),
+            F.countDistinct("id").alias("cd"),
+            F.sum(
+                F.expr("aggregate(v, 0.0D, (acc, e) -> acc + e)")
+            ).alias("hof"),
+        )
+        .write.format("noop").mode("overwrite").save()
+    )
+    (
+        _wa.join(_wb.hint("merge"), "k")
+        .select(
+            "k", "x",
+            F.row_number()
+            .over(_Window.partitionBy("k").orderBy("x"))
+            .alias("rn"),
+        )
+        .filter("rn <= 3")
+        .write.format("noop").mode("overwrite").save()
+    )
     warmup = time.time() - t0
 
     load_before = os.getloadavg()
@@ -228,8 +268,20 @@ def main() -> None:
         unit_centroids,
     )
 
+    from jobinsight_data_pipeline_spark.operators.parallelism import (
+        widen_for_cpu,
+    )
+
+    # r12 optimization (guide §2/§4 parallelism): the sf0.1 embeddings
+    # parquet is ONE file / one row group, so the interpreted-HOF encode
+    # chains (cell argmax, residual subtract, PQ codes) ran on ONE task.
+    # build/encode entries now widen the scan first — a no-op at real
+    # corpus layouts (widen_for_cpu only repartitions when the scan has
+    # fewer splits than cores), the CPU-dense per-row work parallelizes
+    # here. Serve entries keep reading the persisted partitioned index.
+    wide_emb = widen_for_cpu(emb)
     cb = pq_codebooks()
-    timings["pq_encode"] = timed(lambda: materialize(pq_encode(emb, cb)))
+    timings["pq_encode"] = timed(lambda: materialize(pq_encode(wide_emb, cb)))
     from jobinsight_data_pipeline_spark.operators.components import (
         pagerank_quantized,
     )
@@ -370,7 +422,7 @@ def main() -> None:
         idx_path = os.path.join(idx_root, "idx")
 
         def _build():
-            build_ivf_pq_index(emb, cents, cb).write.mode(
+            build_ivf_pq_index(wide_emb, cents, cb).write.mode(
                 "overwrite"
             ).partitionBy("cell").parquet(idx_path)
 
@@ -528,16 +580,19 @@ def main() -> None:
 
     # round-10: the k-means|| seed round + the same 4-iteration fit —
     # direct operator path (the catalog gate memoizes the model per
-    # session, which would let run 2 of timed() skip the fit)
+    # session, which would let run 2 of timed() skip the fit).
+    # round-12 optimization: seeds + fit now share ONE checkpointed
+    # quantize pass (kmeans_pp_fit_quantized) — bit-identical model,
+    # one prepare pass (scan + quantize HOF + widen shuffle) cheaper
+    # than the previous kmeans_fit_quantized(init_centroids=
+    # kmeans_pp_seeds(...)) composition this entry timed before.
     from jobinsight_data_pipeline_spark.operators.clustering import (
-        kmeans_fit_quantized,
-        kmeans_pp_seeds,
+        kmeans_pp_fit_quantized,
     )
 
     timings["kmeans_pp_fit"] = timed(
-        lambda: kmeans_fit_quantized(
-            emb, "embedding", "vec_id", k=8, iterations=4,
-            init_centroids=kmeans_pp_seeds(emb, "embedding", "vec_id", k=8),
+        lambda: kmeans_pp_fit_quantized(
+            emb, "embedding", "vec_id", k=8, iterations=4
         )
     )
 
@@ -575,7 +630,7 @@ def main() -> None:
     timings["ivf_pq_residual_serve"] = timed(
         lambda: materialize(
             _many(
-                _biv(emb, _rcents, _rcb, residual=True),
+                _biv(widen_for_cpu(emb), _rcents, _rcb, residual=True),
                 emb.filter("vec_id < 20").selectExpr(
                     "vec_id AS query_id", "embedding"
                 ),

@@ -12763,17 +12763,69 @@ def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from jobinsight_data_pipeline_spark.operators.ranking import (
-        bm25_topk,
+        DEFAULT_B,
+        DEFAULT_K1,
         retrieval_metrics,
     )
-    from jobinsight_data_pipeline_spark.operators.textstats import tokens
+    from jobinsight_data_pipeline_spark.operators.textstats import (
+        tokens,
+        word_count,
+    )
 
     t = load(spark, sf_dir, "documents")
     docs = t["documents"]
+    # ONE tokenize pass for all terms (r12 optimization): the previous
+    # per-term bm25_topk + qrel branches each re-tokenized the corpus —
+    # 3 terms × (stats agg scan + scored scan) + 3 qrel scans = 9
+    # corpus passes. This computes (dl, tf_0..tf_2) in one scan, pins
+    # the narrow result (eager localCheckpoint, docs × 5 ints), and
+    # derives every branch from it. Score arithmetic is expression-for-
+    # expression the bm25_scores single-term form (same idf rounding,
+    # same norm, same double ops), so ranks — and the oracle hash — are
+    # unchanged.
+    base = docs.select(
+        "doc_id",
+        word_count(F.col("text")).cast("long").alias("dl"),
+        *[
+            F.size(F.filter(tokens("text"), lambda x: x == F.lit(term)))
+            .cast("long")
+            .alias(f"tf_{i}")
+            for i, term in enumerate(BM25_TERMS)
+        ],
+    ).localCheckpoint(eager=True)
+    stats = base.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("dl").alias("_sumdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"_df_{i}")
+            for i in range(len(BM25_TERMS))
+        ],
+    )
+    n = F.col("_n").cast("double")
+    avgdl = F.col("_sumdl").cast("double") / n
+    norm = F.lit(float(DEFAULT_K1)) * (
+        F.lit(1.0)
+        - F.lit(float(DEFAULT_B))
+        + F.lit(float(DEFAULT_B)) * F.col("dl").cast("double") / avgdl
+    )
     ranked_parts = []
     qrel_parts = []
-    for term in BM25_TERMS:
-        top = bm25_topk(docs, [term], k=_REVAL_K)
+    for i, term in enumerate(BM25_TERMS):
+        dfreq = F.col(f"_df_{i}").cast("double")
+        idf = F.round(
+            F.log(
+                (n - dfreq + F.lit(0.5)) / (dfreq + F.lit(0.5)) + F.lit(1.0)
+            ),
+            6,
+        )
+        tf = F.col(f"tf_{i}").cast("double")
+        score = idf * (tf * F.lit(float(DEFAULT_K1) + 1.0)) / (tf + norm)
+        top = (
+            base.crossJoin(F.broadcast(stats))
+            .withColumn("score", score)
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(_REVAL_K)
+        )
         w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
         ranked_parts.append(
             top.select(
@@ -12783,15 +12835,9 @@ def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         qrel_parts.append(
-            docs.select(
-                F.lit(term).alias("query"),
-                "doc_id",
-                F.size(
-                    F.filter(tokens("text"), lambda x: x == F.lit(term))
-                ).alias("__tf"),
+            base.where(F.col(f"tf_{i}") >= 2).select(
+                F.lit(term).alias("query"), "doc_id"
             )
-            .where(F.col("__tf") >= 2)
-            .select("query", "doc_id")
         )
     ranked = ranked_parts[0]
     for p in ranked_parts[1:]:
@@ -14081,21 +14127,19 @@ _KMEANS_PP_CACHE: dict[tuple[int, str], list[list[int]]] = {}
 
 def _kmeans_pp_centroids(spark: SparkSession, sf_dir: str) -> list[list[int]]:
     from jobinsight_data_pipeline_spark.operators.clustering import (
-        kmeans_fit_quantized,
-        kmeans_pp_seeds,
+        kmeans_pp_fit_quantized,
     )
 
     key = (id(spark), sf_dir)
     if key not in _KMEANS_PP_CACHE:
         t = load(spark, sf_dir, "embeddings")
-        seeds = kmeans_pp_seeds(
-            t["embeddings"], "embedding", "vec_id",
-            k=_KMEANS_K, scale=_KMEANS_SCALE,
-        )
-        _KMEANS_PP_CACHE[key] = kmeans_fit_quantized(
+        # seeds + fit over ONE shared checkpointed quantize pass —
+        # bit-identical to the separate kmeans_pp_seeds /
+        # kmeans_fit_quantized calls (the oracle replays the same
+        # lineage), one prepare pass cheaper
+        _KMEANS_PP_CACHE[key] = kmeans_pp_fit_quantized(
             t["embeddings"], "embedding", "vec_id",
             k=_KMEANS_K, iterations=_KMEANS_ITERS, scale=_KMEANS_SCALE,
-            init_centroids=seeds,
         )
     return _KMEANS_PP_CACHE[key]
 

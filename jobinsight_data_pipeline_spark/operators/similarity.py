@@ -1250,26 +1250,52 @@ def ivf_pq_topk_many(
             ).alias("_qv"),
         )
 
+    # ADC lookup table, built ONCE per probe row on the (tiny,
+    # broadcast) query side: lut[j][c] = ||qsub_j − CB[j][c]||², each
+    # entry the same zip_with + left-to-right aggregate fold the
+    # per-candidate form used, and the per-candidate score sums the m
+    # looked-up entries in the same j order — so the adc doubles are
+    # BIT-IDENTICAL to the previous per-candidate computation (and to
+    # ivf_pq_topk_indexed's driver-built LUT; both pins unchanged).
+    # Why: the interpreted HOF work drops from m·sub multiply-adds per
+    # CANDIDATE (dim = 64 ops on every probed index row) to m·k·sub per
+    # PROBE ROW (queries × n_probe rows, model-sized) plus m element_at
+    # lookups per candidate; the broadcast row also sheds the query
+    # vector.
+    lut = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.transform(
+            F.element_at(CB, (j + F.lit(1)).cast("int")),
+            lambda cc: F.aggregate(
+                F.zip_with(
+                    F.slice(
+                        F.col("_qv"),
+                        (j * F.lit(sub) + F.lit(1)).cast("int"),
+                        F.lit(sub),
+                    ),
+                    cc,
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda s, y: s + y,
+            ),
+        ),
+    )
+    probes = probes.withColumn("_lut", lut).drop("_qv")
+
     cand = index.join(broadcast(probes), "cell")
 
-    def term(j: Column) -> Column:
-        qsub = F.slice(F.col("_qv"), j * sub + 1, sub)
-        centroid = F.element_at(
-            F.element_at(CB, (j + F.lit(1)).cast("int")),
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(
+            F.element_at(F.col("_lut"), (j + F.lit(1)).cast("int")),
             (
                 F.element_at(F.col("codes"), (j + F.lit(1)).cast("int"))
                 + F.lit(1)
             ).cast("int"),
-        )
-        return F.aggregate(
-            F.zip_with(qsub, centroid, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda s, y: s + y,
-        )
-
-    adc = F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)), F.lit(0.0),
-        lambda acc, j: acc + term(j),
+        ),
     )
     scored = cand.select(
         query_id_col, id_col, adc.alias("adc")

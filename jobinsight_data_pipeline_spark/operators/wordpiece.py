@@ -178,8 +178,17 @@ def wordpiece_word_table(
     distinct-word grain: ``(w, c, pieces_str, n_pieces, is_unk)`` —
     the shape both gates and the fertility rollup consume. Arrays are
     joined to a scalar at this boundary (gate outputs must not emit
-    ARRAY columns — CLAUDE.md)."""
-    words = corpus_words(docs, text_col)
+    ARRAY columns — CLAUDE.md).
+
+    The distinct-word table is pinned ONCE (eager localCheckpoint, the
+    unigram_train discipline): ``build_wordpiece_vocab`` launches five
+    collect jobs and the encode a sixth, and each would otherwise
+    re-run the corpus tokenize+explode+aggregate scan — measured six
+    full corpus passes per call at sf0.1. After the pin, the corpus is
+    tokenized exactly once and the six downstream jobs read the
+    vocabulary-sized checkpoint. The checkpoint is NOT freed here: the
+    returned lazy frame reads it (blocks are vocabulary-sized)."""
+    words = corpus_words(docs, text_col).localCheckpoint(eager=True)
     vocab = build_wordpiece_vocab(words)
     enc = encode_distinct_words(words, vocab)
     return enc.select(
