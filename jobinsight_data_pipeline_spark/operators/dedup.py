@@ -984,6 +984,15 @@ def exact_match_spans(
     f = w.join(dup, "whash", "left_semi")
     if max_anchor_freq is not None:
         f = _cap_key_freq(f, "whash", max_anchor_freq)
+    # Pin the surviving anchors ONCE (eager localCheckpoint): the
+    # self-join consumes f twice and each alias re-ran the whole
+    # scan → window-hash → dup-agg → semi-join chain (the dup agg
+    # itself re-derives the windows, so the corpus was shingled 4× in
+    # the physical plan). The anchor set is the DUPLICATED windows
+    # only — tiny at web scale by construction (and capped) — so
+    # materializing it is far cheaper than recomputing the corpus
+    # passes per side.
+    f = f.localCheckpoint(eager=True)
     a, b = f.alias("a"), f.alias("b")
     pairs = a.join(
         b,

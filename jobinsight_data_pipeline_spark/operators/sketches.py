@@ -224,14 +224,25 @@ def hll_registers(
     convenience over this exact integer table."""
     if buckets < 1:
         raise ValueError("hll_registers: buckets must be >= 1")
+    from jobinsight_data_pipeline_spark.operators.parallelism import (
+        widen_for_cpu,
+    )
+
     h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
     bucket = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % F.lit(
         int(buckets)
     )
     w = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    # per-row md5 is CPU-dense scan work: project to the key FIRST
+    # (guide §2.3 — only the key crosses the exchange), then widen so a
+    # single-split input doesn't serialize the hashing (no-op when the
+    # scan already has ≥ cores splits; registers still partial-agg
+    # map-side to ≤ buckets rows per task)
+    base = widen_for_cpu(
+        df.where(F.col(key_col).isNotNull()).select(F.col(key_col))
+    )
     return (
-        df.where(F.col(key_col).isNotNull())
-        .select(bucket.alias("bucket"), _hll_rho(w).alias("_rho"))
+        base.select(bucket.alias("bucket"), _hll_rho(w).alias("_rho"))
         .groupBy("bucket")
         .agg(F.max("_rho").alias("register"))
     )
@@ -362,14 +373,23 @@ def hll_registers_by(
     payload is ≤ groups × buckets rows regardless of input size."""
     if buckets < 1:
         raise ValueError("hll_registers_by: buckets must be >= 1")
+    from jobinsight_data_pipeline_spark.operators.parallelism import (
+        widen_for_cpu,
+    )
+
     h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
     bucket = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % F.lit(
         int(buckets)
     )
     w = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    # same project-then-widen as hll_registers: only (group, key)
+    # cross the widening exchange, hashing parallelizes on single-split
+    # inputs, map-side partial max keeps the real shuffle model-sized
+    base = widen_for_cpu(
+        df.where(F.col(key_col).isNotNull()).select(*group_cols, key_col)
+    )
     return (
-        df.where(F.col(key_col).isNotNull())
-        .select(
+        base.select(
             *group_cols,
             bucket.alias("bucket"),
             _hll_rho(w).alias("_rho"),

@@ -803,15 +803,30 @@ def bigram_logprob(
         )
     )
 
-    uni = stream.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
+    # ONE aggregation lands the per-doc (token, next) count grain —
+    # wn-NULL rows keep the last-position tokens — and is pinned with
+    # an eager localCheckpoint: five downstream statistics (unigram
+    # counts, totals, per-doc bigram counts, bigram marginals, prev
+    # marginals) derive from this compact frame. Before the pin each
+    # was a separate physical subtree re-running the corpus scan +
+    # tokenize + explode (5 scans in the plan — the "same exploded
+    # stream" held only logically). The grain equals what the first
+    # shuffle produced anyway; the checkpoint just stops Catalyst from
+    # re-deriving it per branch.
+    tokd_all = (
+        stream.groupBy(id_col, "w", "wn")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .localCheckpoint(eager=True)
+    )
+    uni = tokd_all.groupBy("w").agg(F.sum("nd").alias("cu"))
     totals = uni.agg(F.sum("cu").alias("tot"), F.count(F.lit(1)).alias("v"))
 
-    # per-doc bigram counts: the ONLY shuffle the token stream takes
-    # beyond the unigram aggregation over the SAME exploded frame
-    tokd = (
-        stream.where(F.col("wn").isNotNull())
-        .groupBy(id_col, F.col("w").alias("p"), F.col("wn").alias("w"))
-        .agg(F.count(F.lit(1)).alias("nd"))
+    # per-doc bigram counts: rename the non-terminal rows of the grain
+    tokd = tokd_all.where(F.col("wn").isNotNull()).select(
+        F.col(id_col),
+        F.col("w").alias("p"),
+        F.col("wn").alias("w"),
+        "nd",
     )
     bcnt = tokd.groupBy("p", "w").agg(F.sum("nd").alias("cb"))
     pcnt = bcnt.groupBy("p").agg(F.sum("cb").alias("cp"))
