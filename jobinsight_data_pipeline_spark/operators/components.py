@@ -376,11 +376,21 @@ def triangle_counts(
     Returns ``(node, degree, triangles, lcc_ppm)`` — one row per node
     that appears in any non-loop edge.
     """
+    # Pin the canonical edge set and (below) the oriented edge list:
+    # the physical plan otherwise re-expands them per reference — e
+    # feeds deg (twice via the union) and the orientation join, and
+    # `oriented` is consumed three times (w1, w2, closing), so the
+    # whole canonicalize-distinct chain re-ran ~6× (a 721-node plan at
+    # the bench's 20k-edge graph). Materializing each once is also the
+    # at-scale shape: recomputing a distinct (a full shuffle) per
+    # reference costs more than storing the edge list (r12, guide §3.3
+    # — truncate wide plans by materializing intermediates).
     e = (
         edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
         .where(F.col("x") != F.col("y"))
         .select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = (
         e.select(F.col("a").alias("node"))
@@ -401,6 +411,7 @@ def triangle_counts(
             F.when(lo_first, F.col("_dega")).otherwise(F.col("_degb")).alias("_degu"),
             F.when(lo_first, F.col("_degb")).otherwise(F.col("_dega")).alias("_degv"),
         )
+        .localCheckpoint(eager=True)
     )
     # wedges at u: ordered out-neighbor pairs v1 <(deg,node)< v2
     w1 = oriented.select(
