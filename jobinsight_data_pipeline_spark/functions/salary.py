@@ -88,13 +88,26 @@ def normalize_salary(salary: Column) -> Column:
     single_usd = ex(_SINGLE_USD, 1)
     single_tr = ex(_SINGLE_TRIEU, 1)
 
+    zero = F.lit(0.0)
+
+    # post-conditions (stored_procedures.sql:100-101) applied PER BRANCH:
+    # the original outer form (build the CASE struct, then coalesce its
+    # fields) referenced the whole CASE four times — Catalyst inlined a
+    # copy per field path and even after codegen subexpression
+    # elimination the regex CASE ran twice per row (plan: one
+    # _common_expr projection + one triple-reference projection).
+    # Per-branch post-conditions are algebraically identical
+    # (coalesce(nullif(hi,0), coalesce(lo,0)) branch by branch) and the
+    # CASE now appears exactly once in the expression tree.
     def pair(lo: Column, hi: Column, typ: str) -> Column:
+        lo0 = F.coalesce(lo, zero)
         return F.struct(
-            lo.alias("salary_min"), hi.alias("salary_max"), F.lit(typ).alias("salary_type")
+            lo0.alias("salary_min"),
+            F.coalesce(F.nullif(hi, zero), lo0).alias("salary_max"),
+            F.lit(typ).alias("salary_type"),
         )
 
-    zero = F.lit(0.0)
-    raw = (
+    return (
         F.when(is_blank, pair(zero, zero, "negotiable"))
         .when(g_usd & g_dash & ls.rlike(_RANGE_USD), pair(_usd(r_usd_lo), _usd(r_usd_hi), "range"))
         .when(g_tr & g_dash & ls.rlike(_RANGE_TRIEU), pair(_trieu(r_tr_lo), _trieu(r_tr_hi), "range"))
@@ -104,13 +117,6 @@ def normalize_salary(salary: Column) -> Column:
         .when(g_usd & no_dash & ls.rlike(_SINGLE_USD), pair(_usd(single_usd), _usd(single_usd), "range"))
         .when(g_tr & no_dash & ls.rlike(_SINGLE_TRIEU), pair(_trieu(single_tr), _trieu(single_tr), "range"))
         .otherwise(pair(zero, zero, "negotiable"))
-    )
-
-    # post-conditions (stored_procedures.sql:100-101)
-    lo = F.coalesce(raw["salary_min"], zero)
-    hi = F.coalesce(F.nullif(raw["salary_max"], zero), lo)
-    return F.struct(
-        lo.alias("salary_min"), hi.alias("salary_max"), raw["salary_type"].alias("salary_type")
     )
 
 

@@ -1265,19 +1265,23 @@ def incremental_dedup(
         batch, id_col, text_col, n_hashes, bands, shingle_n, hash_mode
     )
     w_b = Window.partitionBy("band", "bucket")
-    near_batch = (
-        bb.withColumn("_minb", F.min("doc").over(w_b))
-        .filter(F.col("doc") > F.col("_minb"))
-        .select("doc")
-    )
     hist_b = (
         state.where(F.col("band").isNotNull())
         .select("band", "bucket")
         .distinct()
+        .withColumn("_hb", F.lit(1))
     )
-    near_hist = bb.join(hist_b, ["band", "bucket"], "left_semi").select("doc")
+    # ONE pass over the batch buckets: the within-batch keep-min window
+    # and the history-bucket membership ride the same (band, bucket)
+    # partitioning (the union-of-two-branches form re-ran the whole
+    # shingle+minhash signature build per branch — 2 full batch scans)
     near = (
-        near_batch.union(near_hist)
+        bb.withColumn("_minb", F.min("doc").over(w_b))
+        .join(hist_b, ["band", "bucket"], "left")
+        .filter(
+            (F.col("doc") > F.col("_minb")) | F.col("_hb").isNotNull()
+        )
+        .select("doc")
         .distinct()
         .withColumnRenamed("doc", "_near_doc")
         .withColumn("_near", F.lit(1))

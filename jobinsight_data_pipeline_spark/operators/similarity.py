@@ -568,11 +568,20 @@ def incremental_semantic_dedup(
     # single projection, no intermediate alias chain — see
     # build_semantic_state's Union-constraint-rewrite note
     _v = _as_double(F.col(vec_col))
-    b = widen_for_cpu(batch).select(
-        F.col(id_col).alias("_id"),
-        _semantic_cell_column(centroids, _v, norm(_v)).alias("cell"),
-        _v.alias("_v"),
-        norm(_v).alias("_n"),
+    # pin the assigned batch once: `b` feeds four consumers (hist join,
+    # both sides of the within-batch self-join, the output join) and
+    # the k-centroid argmin is an interpreted HOF the plan would
+    # otherwise re-evaluate per reference; the pinned frame is
+    # batch-sized (the day's ingest), the honest at-scale trade
+    b = (
+        widen_for_cpu(batch)
+        .select(
+            F.col(id_col).alias("_id"),
+            _semantic_cell_column(centroids, _v, norm(_v)).alias("cell"),
+            _v.alias("_v"),
+            norm(_v).alias("_n"),
+        )
+        .localCheckpoint(eager=True)
     )
     sim_hist = F.round(
         dot(F.col("_v"), F.col("v")) / (F.col("_n") * F.col("nrm")), 6
@@ -725,9 +734,16 @@ def semantic_dedup(
         .select(F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v"))
         .withColumn("_n", norm(F.col("_v")))
     )
+    # pin the assignment once: `assigned` feeds both sides of the cell
+    # self-join plus the output join, and the k-centroid argmin is an
+    # interpreted HOF (never codegen'd, no subexpression elimination
+    # across references — the r9 lesson), so the plan re-ran it 3× per
+    # row; storing (id, cell, v, nrm) once beats recomputing at any
+    # corpus size (same trade SemDeDup's own pipeline makes by
+    # materializing cluster assignments before the pairwise stage)
     assigned = base.withColumn(
         "cell", _semantic_cell_column(centroids, F.col("_v"), F.col("_n"))
-    )
+    ).localCheckpoint(eager=True)
     a = assigned.select(
         "cell", F.col("_id").alias("ida"), F.col("_v").alias("va"), F.col("_n").alias("na")
     )
