@@ -84,13 +84,26 @@ def bm25_scores(
             f"bm25_scores emits column {id_col!r}; rename the id column"
         )
 
-    base = df.select(
-        F.col(id_col),
-        word_count(F.col(text_col)).cast("long").alias("dl"),
-        *[
-            _term_tf(text_col, t).cast("long").alias(f"tf_{i}")
-            for i, t in enumerate(terms)
-        ],
+    from jobinsight_data_pipeline_spark.operators.parallelism import (
+        widen_for_cpu,
+    )
+
+    # widen (per-row regex tf over a possibly single-split scan), then
+    # pin the narrow (id, dl, tf…) frame once: both the corpus-stats
+    # aggregation and the scored side consume it, so the plan would
+    # otherwise run the full text scan + term regexes twice — the
+    # guide-§8 shape: decide with small rows, scan heavy text once.
+    base = (
+        widen_for_cpu(df)
+        .select(
+            F.col(id_col),
+            word_count(F.col(text_col)).cast("long").alias("dl"),
+            *[
+                _term_tf(text_col, t).cast("long").alias(f"tf_{i}")
+                for i, t in enumerate(terms)
+            ],
+        )
+        .localCheckpoint(eager=True)
     )
 
     stats = base.agg(
