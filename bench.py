@@ -320,9 +320,6 @@ def main() -> None:
         CLF_WEIGHTS,
     )
     from jobinsight_data_pipeline_spark.operators.bpe import bpe_encode
-    from jobinsight_data_pipeline_spark.operators.classifier import (
-        with_quality_classification,
-    )
     from jobinsight_data_pipeline_spark.operators.packing import (
         materialize_packs,
     )
@@ -393,14 +390,29 @@ def main() -> None:
     )
 
     def _bpe_chain() -> None:
+        from jobinsight_data_pipeline_spark.operators.bpe import (
+            bpe_ids_column,
+        )
+        from jobinsight_data_pipeline_spark.operators.classifier import (
+            hashed_linear_score,
+        )
+
         d = tempfile.mkdtemp(prefix="bench_bpe_")
         try:
-            scored = with_quality_classification(
-                wide_docs, "text", CLF_WEIGHTS, bias=CLF_BIAS, threshold_micro=0
-            ).select("doc_id", "score_micro")
-            bpe_encode(wide_docs).join(scored, "doc_id").write.parquet(
-                d + "/cand"
-            )
+            # encode + score in ONE scan-fused projection (both are
+            # per-row expressions over text): the former
+            # encode.join(scored) shape scanned the corpus twice and
+            # paid a join to reunite per-row columns (r12; identical
+            # rows — unique doc_id key)
+            _ids = bpe_ids_column("text")
+            wide_docs.select(
+                F.col("doc_id"),
+                _ids.alias("ids"),
+                F.size(_ids).alias("n_ids"),
+                hashed_linear_score("text", CLF_WEIGHTS, CLF_BIAS).alias(
+                    "score_micro"
+                ),
+            ).write.parquet(d + "/cand")
             cand = spark.read.parquet(d + "/cand")
             kept = select_until_budget(
                 cand, "score_micro", "n_ids", 30_000, ["doc_id"]

@@ -8915,10 +8915,6 @@ def q_bpe_budget_packs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequences — the full assembly a FULL exact oracle replays under ONE
     hash: scoring, the budget cut, BPE segmentation, offsets, and every
     id in every emitted window."""
-    from jobinsight_data_pipeline_spark.operators.bpe import bpe_encode
-    from jobinsight_data_pipeline_spark.operators.classifier import (
-        with_quality_classification,
-    )
     from jobinsight_data_pipeline_spark.operators.packing import (
         materialize_packs,
     )
@@ -8955,14 +8951,31 @@ def q_bpe_budget_packs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
         shutil.rmtree(cand_path, ignore_errors=True)
-        # widen before the two heavy projections: the sf0.1 corpus is a
+        # widen before the heavy projection: the sf0.1 corpus is a
         # single parquet file, and per-token md5 hashing + the BPE
-        # replace chain on one task serializes the whole build
+        # replace chain on one task serializes the whole build.
+        # Encode and score ride ONE scan-fused projection (both are
+        # pure per-row expressions over text) — the former
+        # encode.join(scored) shape scanned the corpus twice and paid a
+        # join to glue per-row columns back together (r12 optimization;
+        # rows identical, the doc_id key is unique)
         wide = widen_for_cpu(docs)
-        scored = with_quality_classification(
-            wide, "text", CLF_WEIGHTS, bias=CLF_BIAS, threshold_micro=0
-        ).select("doc_id", "score_micro")
-        bpe_encode(wide).join(scored, "doc_id").write.parquet(cand_path)
+        from jobinsight_data_pipeline_spark.operators.bpe import (
+            bpe_ids_column,
+        )
+        from jobinsight_data_pipeline_spark.operators.classifier import (
+            hashed_linear_score,
+        )
+
+        _ids = bpe_ids_column("text")
+        wide.select(
+            F.col("doc_id"),
+            _ids.alias("ids"),
+            F.size(_ids).alias("n_ids"),
+            hashed_linear_score("text", CLF_WEIGHTS, CLF_BIAS).alias(
+                "score_micro"
+            ),
+        ).write.parquet(cand_path)
         with open(done, "w") as fh:
             fh.write("ok")
     cand = spark.read.parquet(cand_path)
