@@ -5645,7 +5645,11 @@ def _ivfpq_index_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
             _clustered_emb(spark, sf_dir), cents,
             _cemb_books(spark, sf_dir),
         )
-        lake.write(index, "ivfpq", partition_by=["cell"])
+        # _clustered_emb is widened: shuffle the narrow codes to the
+        # cell grain before the partitioned write or every task emits a
+        # file per cell it touches (bench A/B: 494 files -> 16, and the
+        # compacted layout serves ~1.7x faster). Guide §6.
+        lake.write(index.repartition("cell"), "ivfpq", partition_by=["cell"])
         with open(done, "w") as fh:
             fh.write("ok")
     return lake.read(spark, "ivfpq")
