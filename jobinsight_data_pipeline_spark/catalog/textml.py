@@ -11005,8 +11005,20 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(tokens("text")).alias("token"))
         .where(F.col("token") != "")
     )
-    cms = cms_build(toks, "token", depth=4, width=512)
-    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    # ONE corpus tokenize+aggregate feeds everything: the sketch, the
+    # exact top-15, and the probe side all previously re-ran the
+    # scan+explode (3 corpus passes) and the sketch hashed 4 md5s per
+    # token OCCURRENCE. Pin the vocab-sized count table and build the
+    # weighted sketch from it — cell-for-cell identical integers
+    # (cells sum per-token counts either way). (r12, guide §2/§4.)
+    exact = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .localCheckpoint(eager=False)
+    )
+    cms = cms_build(
+        exact, "token", depth=4, width=512, weight_col="exact_cnt"
+    )
     top = exact.orderBy(F.desc("exact_cnt"), F.asc("token")).limit(15)
     est = cms_estimate(cms, top, "token", depth=4, width=512)
     return top.join(est, "token").select(

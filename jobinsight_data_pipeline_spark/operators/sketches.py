@@ -84,6 +84,7 @@ def cms_build(
     depth: int = 4,
     width: int = 1024,
     salt: str = "",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Count-min sketch (Cormode & Muthukrishnan 2005) of a key STREAM:
     a ``(row_idx, bucket, cnt)`` table of at most ``depth*width`` rows.
@@ -98,19 +99,36 @@ def cms_build(
     count, above it only by hash-collision mass (ε ≈ e/width of the
     stream, δ ≈ e^-depth). Exact top-k (`textstats.top_ngrams`) keeps
     per-key truth; the sketch answers the same question in fixed space
-    when the key universe itself doesn't fit."""
+    when the key universe itself doesn't fit.
+
+    ``weight_col`` builds the SAME sketch from a pre-aggregated
+    ``(key, count)`` table — cells sum the weights instead of counting
+    rows, so ``cms_build(counts, k, weight_col=c)`` is cell-for-cell
+    identical to ``cms_build(stream, k)`` when ``counts`` is the
+    stream's key histogram. Callers that already pay the key-grain
+    aggregation (the heavy-hitter audit computes exact counts anyway)
+    hash ``depth`` md5s per DISTINCT key instead of per occurrence."""
     if depth * width > CMS_MAX_CELLS:
         raise ValueError(f"sketch too large to broadcast: {depth}x{width}")
-    ev = df.select(
+    cols = [
         F.explode(F.array(*[F.lit(j) for j in range(depth)])).alias("_j"),
         F.col(key_col).alias("_k"),
-    )
+    ]
+    if weight_col is not None:
+        cols.append(F.col(weight_col).alias("_w"))
+    ev = df.select(*cols)
     return (
         ev.groupBy(
             F.col("_j").alias("row_idx"),
             _cms_bucket(F.col("_j"), F.col("_k"), width, salt).alias("bucket"),
         )
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            (
+                F.count(F.lit(1))
+                if weight_col is None
+                else F.sum("_w")
+            ).alias("cnt")
+        )
     )
 
 
