@@ -216,7 +216,11 @@ def bench_only_builders(spark, sf_dir):
         "exact_spans": lambda: exact_match_spans(
             docs, "doc_id", "text", k=8, min_len=15
         ),
-        "ivf_pq_build": lambda: build_ivf_pq_index(emb, cents, cb),
+        # mirrors bench.py: widened encode, then the narrow codes are
+        # shuffled to the cell grain for the partitioned write (r12)
+        "ivf_pq_build": lambda: build_ivf_pq_index(
+            widen_for_cpu(emb), cents, cb
+        ).repartition("cell"),
         "ivf_pq_serve_many": _serve_many,
         "ivf_pq_residual_serve": _resid_serve,
         "wordpiece_fertility": _wp_fert,

@@ -3802,6 +3802,22 @@ def test_cms_upper_bound_and_merge(spark):
     )
 
 
+def test_cms_weighted_build_matches_stream_build(spark):
+    """cms_build(counts, weight_col=...) over a key histogram is
+    cell-for-cell identical to the occurrence-stream build (the r12
+    heavy-hitter gate rides this equivalence)."""
+    from jobinsight_data_pipeline_spark.operators.sketches import cms_build
+
+    rows = [(w,) for w in "a b a c a b d e f a b c a a e".split()]
+    df = spark.createDataFrame(rows, "k string")
+    counts = df.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    stream_cells = cms_build(df, "k", depth=3, width=4)
+    weighted_cells = cms_build(counts, "k", depth=3, width=4, weight_col="n")
+    assert sorted(map(tuple, stream_cells.collect())) == sorted(
+        map(tuple, weighted_cells.collect())
+    )
+
+
 def test_cms_absent_key_estimates_zero_or_collision(spark):
     from jobinsight_data_pipeline_spark.operators.sketches import (
         cms_build,
