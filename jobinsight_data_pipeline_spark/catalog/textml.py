@@ -5257,7 +5257,11 @@ def _ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(done):
         shutil.rmtree(os.path.join(base, "lake"), ignore_errors=True)
         cents = unit_centroids(64, IVFPQ_LISTS, seed=11)
-        index = build_ivf_pq_index(t["embeddings"], cents, _pq_cb())
+        # cell repartition before the partitioned write (r12 compaction
+        # lesson): the operator widens its encode internally as of r13
+        index = build_ivf_pq_index(
+            t["embeddings"], cents, _pq_cb()
+        ).repartition("cell")
         lake.write(index, "ivfpq", partition_by=["cell"])
         with open(done, "w") as fh:
             fh.write("ok")
@@ -5738,13 +5742,17 @@ def q_ivf_pq_day2(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(idx_dir, ignore_errors=True)
         day1 = emb.filter(F.col("vec_id") % 3 != 0)
         day2 = emb.filter(F.col("vec_id") % 3 == 0)
-        build_ivf_pq_index(day1, cents, _pq_cb()).write.partitionBy(
+        # repartition("cell") before the partitioned write: the operator
+        # widens its encode internally (r13), and a widened frame would
+        # otherwise emit one file per (task, cell) — the r12 compaction
+        # lesson; AQE sizes the reduce side at scale.
+        build_ivf_pq_index(day1, cents, _pq_cb()).repartition(
             "cell"
-        ).mode("overwrite").parquet(idx_dir)
+        ).write.partitionBy("cell").mode("overwrite").parquet(idx_dir)
         # the maintenance pass: encode the drop, append its partitions
-        build_ivf_pq_index(day2, cents, _pq_cb()).write.partitionBy(
+        build_ivf_pq_index(day2, cents, _pq_cb()).repartition(
             "cell"
-        ).mode("append").parquet(idx_dir)
+        ).write.partitionBy("cell").mode("append").parquet(idx_dir)
         with open(done, "w") as fh:
             fh.write("ok")
     index = spark.read.parquet(idx_dir)
@@ -8200,7 +8208,9 @@ def q_forget_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dedup_state",
         )
         lake.write(
-            build_ivf_pq_index(emb, cents, _pq_cb()),
+            # cell repartition before the partitioned write (the r12
+            # compaction lesson; the operator widens internally r13)
+            build_ivf_pq_index(emb, cents, _pq_cb()).repartition("cell"),
             "ivfpq",
             partition_by=["cell"],
         )

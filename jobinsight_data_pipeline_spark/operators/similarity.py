@@ -893,8 +893,21 @@ def pq_encode(
 
     Returns (id_col, codes array<int>). Reconstruction error is bounded
     by codebook quality, not corpus size; refine exact distances on the
-    top candidates when recall matters (the standard IVF-PQ re-rank)."""
-    return df.select(
+    top candidates when recall matters (the standard IVF-PQ re-rank).
+
+    The per-row argmin folds are interpreted HOFs (never whole-stage
+    codegen'd), so a single-split scan would run the entire encode on
+    ONE task regardless of cluster size. The operator therefore projects
+    to (id, vec) and widens the scan itself (r13; previously the bench
+    call site widened, which any other caller silently missed) — a no-op
+    on real multi-split layouts, a round-robin shuffle of only the two
+    needed columns otherwise (guide §2.6/§4)."""
+    from jobinsight_data_pipeline_spark.operators.parallelism import (
+        widen_for_cpu,
+    )
+
+    base = widen_for_cpu(df.select(F.col(id_col), F.col(vec_col)))
+    return base.select(
         F.col(id_col), pq_codes_column(vec_col, codebooks).alias("codes")
     )
 
@@ -1075,7 +1088,21 @@ def build_ivf_pq_index(
     keeps separate (each intermediate is a non-cheap interpreted HOF
     referenced more than once downstream — the r9 kmeans lesson), so
     the argmax and the subtract each evaluate once per row.
+
+    Like :func:`pq_encode`, the build projects to (id, vec) and widens
+    the scan itself (r13): the cell argmax + PQ-code folds are
+    interpreted HOFs, so a single-split corpus would otherwise encode on
+    ONE task no matter the caller. No-op on multi-split layouts; when a
+    probe-cell filter is composed on top (the one-shot
+    :func:`ivf_pq_topk`), Catalyst still pushes it below the round-robin
+    exchange, so the one-shot path never shuffles non-surviving rows'
+    codes.
     """
+    from jobinsight_data_pipeline_spark.operators.parallelism import (
+        widen_for_cpu,
+    )
+
+    corpus = widen_for_cpu(corpus.select(F.col(id_col), F.col(vec_col)))
     if not residual:
         return corpus.select(
             F.col(id_col),

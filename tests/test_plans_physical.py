@@ -410,8 +410,15 @@ def test_classifier_inference_is_shuffle_free(spark):
 
 
 def test_pq_paths_scan_fused(spark):
-    """PQ encode must be a shuffle-free projection (codebook is a parsed
-    literal, not a join side); ADC top-k must plan per-partition heaps."""
+    """PQ encode: the codebook is a parsed literal (never a join side),
+    and the operator owns its scan parallelism (r13) — a single-split
+    input gains exactly the round-robin widen Exchange (the interpreted
+    argmin folds would otherwise run on ONE task no matter the caller),
+    while an already-wide input adds no shuffle at all. ADC top-k must
+    plan per-partition heaps."""
+    from jobinsight_data_pipeline_spark.operators.parallelism import (
+        widen_for_cpu,
+    )
     from jobinsight_data_pipeline_spark.operators.similarity import (
         pq_adc_topk,
         pq_codebooks,
@@ -422,7 +429,17 @@ def test_pq_paths_scan_fused(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     enc = pq_encode(emb, cb)
     plan = physical_plan(enc)
-    assert "Exchange" not in plan and "Join" not in plan
+    # the sf0.001 embeddings parquet is a single split: the operator
+    # must insert its own widen (one round-robin exchange, no join)
+    assert plan.count("Exchange") == 1, plan
+    assert "REPARTITION_BY_NUM" in plan or "RoundRobinPartitioning" in plan
+    assert "Join" not in plan
+
+    wide = widen_for_cpu(emb)
+    plan_wide = physical_plan(pq_encode(wide, cb))
+    # already-wide input: the internal widen is a no-op — still exactly
+    # the one caller-side exchange, nothing added by the operator
+    assert plan_wide.count("Exchange") == 1, plan_wide
 
     top = pq_adc_topk(enc, [0.1] * 64, cb, k=5)
     plan = physical_plan(top)
