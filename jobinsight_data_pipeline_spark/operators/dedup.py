@@ -567,6 +567,26 @@ def simhash(
     return sums.select("doc", sig.alias("simhash"))
 
 
+def _first_agreeing_band(
+    xor, offsets: list[int], widths: list[int], bits: int
+):
+    """Index of the FIRST band whose slice of ``xor`` is all-zero — the
+    map-side dedup key for banded hamming joins: a pair agreeing on
+    several bands matches the band join once per agreeing band, and
+    keeping only the row whose join band equals this index leaves
+    exactly one copy per pair with NO distinct shuffle (linear chained
+    CASE, first match wins — never the O(2^k) when-fold shape)."""
+    c = None
+    for j, (o, w) in enumerate(zip(offsets, widths)):
+        agree = (
+            (xor == 0)
+            if w >= bits
+            else (F.shiftright(xor, o).bitwiseAND(F.lit((1 << w) - 1)) == 0)
+        )
+        c = F.when(agree, F.lit(j)) if c is None else c.when(agree, F.lit(j))
+    return c
+
+
 def simhash_near_pairs(
     df: DataFrame,
     id_col: str,
@@ -608,6 +628,7 @@ def simhash_near_pairs(
         "doc", "simhash", F.posexplode(band_buckets).alias("band", "bucket")
     )
     a, b = buckets.alias("a"), buckets.alias("b")
+    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     return (
         a.join(
             b,
@@ -615,18 +636,21 @@ def simhash_near_pairs(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc") < F.col("b.doc")),
         )
+        # emit each pair ONLY in its FIRST agreeing band: a pair that
+        # agrees on several bands matches the join once per band, and
+        # the old `.distinct()` paid a full Exchange of the pair stream
+        # to drop the copies. The first-agreeing-band index is computable
+        # from the xor alone, so the dedup now runs map-side as a filter
+        # and the shuffle disappears (r13, guide §2.4). Result set is
+        # identical: every qualifying pair agrees on ≥1 band
+        # (pigeonhole), so exactly one copy survives.
+        .filter(F.col("a.band") == _first_agreeing_band(xor, offsets, widths, bits))
         .select(
             F.col("a.doc").alias("doc_a"),
             F.col("b.doc").alias("doc_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
+            F.bit_count(xor).alias("hamming"),
         )
-        # verify BEFORE distinct: the hamming filter runs map-side on the
-        # candidate stream, so the dedup shuffle carries only true pairs
-        # (matters at wide radii, where buckets are dense)
         .filter(F.col("hamming") <= max_hamming)
-        .distinct()
     )
 
 
@@ -667,6 +691,7 @@ def hamming_near_pairs(
         "_id", "_h", F.posexplode(band_buckets).alias("band", "bucket")
     )
     a, b = buckets.alias("a"), buckets.alias("b")
+    xor = F.col("a._h").bitwiseXOR(F.col("b._h"))
     return (
         a.join(
             b,
@@ -674,15 +699,17 @@ def hamming_near_pairs(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a._id") < F.col("b._id")),
         )
+        # first-agreeing-band dedup instead of `.distinct()` — identical
+        # pair set, no pair-stream Exchange (see simhash_near_pairs)
+        .filter(
+            F.col("a.band") == _first_agreeing_band(xor, offsets, widths, bits)
+        )
         .select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
-            F.bit_count(
-                F.col("a._h").bitwiseXOR(F.col("b._h"))
-            ).alias("hamming"),
+            F.bit_count(xor).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .distinct()
     )
 
 
@@ -731,21 +758,24 @@ def hamming_near_join(
         )
 
     a, b = bucketize(new).alias("a"), bucketize(state).alias("b")
+    xor = F.col("a._h").bitwiseXOR(F.col("b._h"))
     return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket")),
         )
+        # first-agreeing-band dedup instead of `.distinct()` — identical
+        # pair set, no pair-stream Exchange (see simhash_near_pairs)
+        .filter(
+            F.col("a.band") == _first_agreeing_band(xor, offsets, widths, bits)
+        )
         .select(
             F.col("a._id").alias("id_new"),
             F.col("b._id").alias("id_hist"),
-            F.bit_count(
-                F.col("a._h").bitwiseXOR(F.col("b._h"))
-            ).alias("hamming"),
+            F.bit_count(xor).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .distinct()
     )
 
 
