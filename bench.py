@@ -702,24 +702,87 @@ def main() -> None:
         lambda: materialize(queries["hist_quantiles"](spark, sf_dir))
     )
 
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-                "startup_sec": round(startup, 3),
-                "warmup_sec": round(warmup, 3),
-                "runs_per_query": 2,
-                "arbitration_runs": len(arbitrations),
-                "loadavg": [round(v, 2) for v in load_before],
-                "loadavg_after": [round(v, 2) for v in os.getloadavg()],
-            }
+    # Opt-in scaling tier (r13, additive): $SPARK_GRAFT_SCALE_MULT >= 2
+    # re-times the CPU-parallel chains on an m-times-replicated input
+    # (replica texts/ids made unique so dedup candidate structure stays
+    # representative) as EXTRA "<name>@x<m>" entries. sf0.1 is
+    # fixed-overhead bound for most entries (56/79 ran as fast at 8
+    # cores as 32 in r12), so structural wins on these chains are
+    # invisible in the headline numbers; this tier makes the low-vs-high
+    # core ratio move without touching the default entries or the JSON
+    # contract (the driver never sets the env var).
+    mult = int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "0") or 0)
+    if mult >= 2:
+        reps = spark.range(mult).selectExpr("id AS _rep")
+        docs_m = (
+            docs.crossJoin(reps)
+            .selectExpr(
+                f"doc_id * {mult} + _rep AS doc_id",
+                "concat(text, ' r', CAST(_rep AS STRING)) AS text",
+                "source",
+            )
         )
+        emb_m = emb.crossJoin(reps).selectExpr(
+            f"vec_id * {mult} + _rep AS vec_id", "embedding"
+        )
+        timings[f"simhash_pairs@x{mult}"] = timed(
+            lambda: materialize(
+                simhash_near_pairs(docs_m, "doc_id", "text", max_hamming=3)
+            )
+        )
+        timings[f"ngram_jaccard@x{mult}"] = timed(
+            lambda: materialize(
+                ngram_jaccard_pairs(docs_m, "doc_id", "text", threshold=0.5)
+            )
+        )
+        timings[f"bpe_encode@x{mult}"] = timed(
+            lambda: materialize(bpe_encode(docs_m))
+        )
+        timings[f"pq_encode@x{mult}"] = timed(
+            lambda: materialize(pq_encode(emb_m, cb))
+        )
+        timings[f"kmeans_fit@x{mult}"] = timed(
+            lambda: kmeans_fit_quantized(emb_m, k=8, iterations=4)
+        )
+        timings[f"incremental_dedup@x{mult}"] = timed(
+            lambda: materialize(
+                incremental_dedup(
+                    docs_m.filter("doc_id % 2 = 1"),
+                    build_dedup_state(docs_m.filter("doc_id % 2 = 0")),
+                )
+            )
+        )
+
+    total = round(sum(timings.values()), 3)
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf),
+            "startup_sec": round(startup, 3),
+            "warmup_sec": round(warmup, 3),
+            "runs_per_query": 2,
+            "arbitration_runs": len(arbitrations),
+            "loadavg": [round(v, 2) for v in load_before],
+            "loadavg_after": [round(v, 2) for v in os.getloadavg()],
+        }
     )
+    print(line)
+    # artifact hygiene (r13): the driver captures stdout, and a truncated
+    # capture once nulled an entire round-over-round comparison — keep a
+    # readable copy of the same line next to the script
+    try:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "bench_out.json"
+            ),
+            "w",
+        ) as fh:
+            fh.write(line + "\n")
+    except OSError:
+        pass
 
 
 if __name__ == "__main__":
