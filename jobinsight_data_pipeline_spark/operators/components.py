@@ -75,6 +75,29 @@ def _free_local_checkpoint(df: DataFrame) -> None:
         pass
 
 
+def register_pins(result: DataFrame, *pins: DataFrame) -> DataFrame:
+    """Record the eager localCheckpoints ``result`` still reads on the
+    returned frame itself (``result._pinned_checkpoints``). Operators
+    whose OUTPUT references a per-invocation pin cannot free it before
+    returning (the blocks are the only copy once lineage is truncated);
+    in a long-lived session each invocation would otherwise leak
+    block-manager storage until session end (guide §5). Callers free
+    with :func:`free_pins` after the last action on the result."""
+    existing = list(getattr(result, "_pinned_checkpoints", []))
+    result._pinned_checkpoints = existing + list(pins)
+    return result
+
+
+def free_pins(df: DataFrame) -> None:
+    """Release every pin :func:`register_pins` recorded on ``df`` (and
+    nothing else). The frame must not be used again afterwards — the
+    pins are the only copy of its truncated lineage. Best-effort and
+    idempotent."""
+    for p in getattr(df, "_pinned_checkpoints", []) or []:
+        _free_local_checkpoint(p)
+    df._pinned_checkpoints = []
+
+
 def connected_components(
     pairs: DataFrame,
     src: str,
@@ -432,7 +455,7 @@ def triangle_counts(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("triangles"))
     )
-    return (
+    return register_pins(
         deg.join(corners, "node", "left")
         .select(
             "node",
@@ -448,7 +471,13 @@ def triangle_counts(
             .otherwise(F.lit(0))
             .cast("long")
             .alias("lcc_ppm"),
-        )
+        ),
+        # the result plan reads both pins — callers free them via
+        # components.free_pins(result) after the last action (r13;
+        # each invocation otherwise holds edge-grain blocks for the
+        # session lifetime)
+        e,
+        oriented,
     )
 
 

@@ -1043,7 +1043,13 @@ def exact_match_spans(
     islands = pairs.withColumn(
         "_new", F.when(prev.isNull() | (F.col("pos_a") > prev + 1), 1).otherwise(0)
     ).withColumn("_island", F.sum("_new").over(order))
-    return (
+    from jobinsight_data_pipeline_spark.operators.components import (
+        register_pins,
+    )
+
+    # the span frame reads the pinned anchor set — callers free it via
+    # components.free_pins(result) after the last action (r13)
+    return register_pins(
         islands.groupBy("doc_a", "doc_b", "_diag", "_island")
         .agg(
             F.min("pos_a").alias("start_a"),
@@ -1054,7 +1060,8 @@ def exact_match_spans(
         .filter(F.col("match_len") >= min_len)
         .select(
             "doc_a", "start_a", "doc_b", "start_b", "match_len", "n_windows"
-        )
+        ),
+        f,
     )
 
 

@@ -132,8 +132,17 @@ def bm25_scores(
         return idf * (tf * F.lit(float(k1) + 1.0)) / (tf + norm)
 
     score = reduce(lambda a, c: a + c, [term_score(i) for i in range(len(terms))])
-    return scored.withColumn("score", score).drop(
-        "_n", "_sumdl", *[f"_df_{i}" for i in range(len(terms))]
+    from jobinsight_data_pipeline_spark.operators.components import (
+        register_pins,
+    )
+
+    # the scored frame reads the pinned base — callers free the pin via
+    # components.free_pins(result) after the last action (r13)
+    return register_pins(
+        scored.withColumn("score", score).drop(
+            "_n", "_sumdl", *[f"_df_{i}" for i in range(len(terms))]
+        ),
+        base,
     )
 
 
@@ -150,7 +159,14 @@ def bm25_topk(
     ascending so the cut is deterministic. Plans as
     TakeOrderedAndProject — per-partition heaps, no global sort."""
     scored = bm25_scores(df, terms, id_col=id_col, text_col=text_col, k1=k1, b=b)
-    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+    from jobinsight_data_pipeline_spark.operators.components import (
+        register_pins,
+    )
+
+    return register_pins(
+        scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k),
+        *getattr(scored, "_pinned_checkpoints", []),
+    )
 
 
 def build_inverted_index(

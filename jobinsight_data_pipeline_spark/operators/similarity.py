@@ -629,7 +629,13 @@ def incremental_semantic_dedup(
             .alias("n_hist_matches"),
         )
     )
-    return out
+    from jobinsight_data_pipeline_spark.operators.components import (
+        register_pins,
+    )
+
+    # the output reads the pinned assigned batch — callers free it via
+    # components.free_pins(result) after the last action (r13)
+    return register_pins(out, b)
 
 
 def unit_centroids(dim: int, n_clusters: int, seed: int = 11) -> list[list[float]]:
@@ -769,13 +775,20 @@ def semantic_dedup(
         )
     else:
         dropped = pairs.select(F.col("idb").alias("_dropped")).distinct()
-    return (
+    from jobinsight_data_pipeline_spark.operators.components import (
+        register_pins,
+    )
+
+    # the output reads the pinned assignment — callers free it via
+    # components.free_pins(result) after the last action (r13)
+    return register_pins(
         assigned.join(dropped, assigned["_id"] == dropped["_dropped"], "left")
         .select(
             F.col("_id").alias(id_col),
             "cell",
             F.col("_dropped").isNull().alias("kept"),
-        )
+        ),
+        assigned,
     )
 
 

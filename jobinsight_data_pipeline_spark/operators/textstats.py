@@ -847,13 +847,20 @@ def bigram_logprob(
         )
     )
 
-    return (
+    from jobinsight_data_pipeline_spark.operators.components import (
+        register_pins,
+    )
+
+    # the result reads the pinned count grain — callers free it via
+    # components.free_pins(result) after the last action (r13)
+    return register_pins(
         tokd.join(scored_bigram, ["p", "w"])
         .groupBy(id_col)
         .agg(
             F.sum("nd").alias("n_scored"),
             F.sum(F.col("nd") * F.col("lpm")).alias("sum_lp_micro"),
-        )
+        ),
+        tokd_all,
     )
 
 

@@ -187,16 +187,25 @@ def wordpiece_word_table(
     full corpus passes per call at sf0.1. After the pin, the corpus is
     tokenized exactly once and the six downstream jobs read the
     vocabulary-sized checkpoint. The checkpoint is NOT freed here: the
-    returned lazy frame reads it (blocks are vocabulary-sized)."""
+    returned lazy frame reads it (blocks are vocabulary-sized) —
+    callers free it via ``components.free_pins(result)`` after the
+    last action (r13)."""
     words = corpus_words(docs, text_col).localCheckpoint(eager=True)
     vocab = build_wordpiece_vocab(words)
     enc = encode_distinct_words(words, vocab)
-    return enc.select(
-        "w",
-        "c",
-        F.array_join("pieces", " ").alias("pieces_str"),
-        F.size("pieces").cast("long").alias("n_pieces"),
-        (F.array_join("pieces", " ") == UNK).alias("is_unk"),
+    from jobinsight_data_pipeline_spark.operators.components import (
+        register_pins,
+    )
+
+    return register_pins(
+        enc.select(
+            "w",
+            "c",
+            F.array_join("pieces", " ").alias("pieces_str"),
+            F.size("pieces").cast("long").alias("n_pieces"),
+            (F.array_join("pieces", " ") == UNK).alias("is_unk"),
+        ),
+        words,
     )
 
 
