@@ -148,6 +148,7 @@ def kmeans_fit_quantized(
     scale: int = DEFAULT_SCALE,
     init_centroids: list[list[int]] | None = None,
     _prepared: DataFrame | None = None,
+    _skip_dim_probe: bool = False,
 ) -> list[list[int]]:
     """Full-corpus Lloyd's fit. Returns the final centroid matrix as
     UNSHIFTED quantized ints (row j = cell j), suitable for
@@ -203,14 +204,20 @@ def kmeans_fit_quantized(
         else _prepared
     )
     if init_centroids is not None:
-        probe = q.select(F.size("__p").alias("d")).limit(1).collect()
-        if probe and probe[0]["d"] != len(init_centroids[0]):
-            if owns_checkpoint:
-                _free_local_checkpoint(q)
-            raise ValueError(
-                f"kmeans_fit_quantized: init_centroids dim "
-                f"{len(init_centroids[0])} != data dim {probe[0]['d']}"
-            )
+        if not _skip_dim_probe:
+            # one whole Spark job just to validate seed dimensions —
+            # callers whose seeds PROVABLY came from the same prepared
+            # frame (kmeans_pp_fit_quantized) skip it via
+            # _skip_dim_probe (r13; 1 of the pp-fit entry's 13 jobs,
+            # bit-identical model)
+            probe = q.select(F.size("__p").alias("d")).limit(1).collect()
+            if probe and probe[0]["d"] != len(init_centroids[0]):
+                if owns_checkpoint:
+                    _free_local_checkpoint(q)
+                raise ValueError(
+                    f"kmeans_fit_quantized: init_centroids dim "
+                    f"{len(init_centroids[0])} != data dim {probe[0]['d']}"
+                )
         centroids = [[x + scale for x in c] for c in init_centroids]
     else:
         seed_rows = q.orderBy("__id").limit(k).collect()
@@ -389,6 +396,9 @@ def kmeans_pp_fit_quantized(
             scale=scale,
             init_centroids=seeds,
             _prepared=q,
+            # the seeds were drawn from q itself — dimensions cannot
+            # mismatch, so the one-job validation probe is skipped (r13)
+            _skip_dim_probe=True,
         )
     finally:
         _free_local_checkpoint(q)
